@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join surface (reference `api/join.kt`, SURVEY §2.5).
+  *
+  * The reference hard-codes one algorithm (build a hash map on the right,
+  * probe from the left). Here the join is *declared* and Catalyst/AQE picks
+  * broadcast / shuffled-hash / sort-merge by size — callers can force
+  * broadcast for known-small dimensions via `hintBroadcast = true`.
+  */
+object Joins {
+
+  implicit final class JoinableDataFrame(private val left: DataFrame)
+      extends AnyVal {
+
+    /** Natural-join default keys: intersecting column names
+      * (reference `defaultJoinColumns`, `join.kt:56-64`). */
+    def naturalKeys(right: DataFrame): Seq[String] =
+      left.columns.filter(right.columns.toSet).toSeq
+
+    private def run(right: DataFrame, keys: Seq[String], how: String,
+        hintBroadcast: Boolean): DataFrame = {
+      val r  = if (hintBroadcast) broadcast(right) else right
+      val ks = if (keys.isEmpty) naturalKeys(right) else keys
+      require(ks.nonEmpty, "join: no keys given and no shared column names")
+      left.join(r, ks, how)
+    }
+
+    def innerJoin(right: DataFrame, keys: Seq[String] = Nil,
+        hintBroadcast: Boolean = false): DataFrame =
+      run(right, keys, "inner", hintBroadcast)
+    def leftJoin(right: DataFrame, keys: Seq[String] = Nil,
+        hintBroadcast: Boolean = false): DataFrame =
+      run(right, keys, "left", hintBroadcast)
+    def rightJoin(right: DataFrame, keys: Seq[String] = Nil,
+        hintBroadcast: Boolean = false): DataFrame =
+      run(right, keys, "right", hintBroadcast)
+    def outerJoin(right: DataFrame, keys: Seq[String] = Nil,
+        hintBroadcast: Boolean = false): DataFrame =
+      run(right, keys, "full", hintBroadcast)
+    /** reference `filterJoin` = inner with no right columns = left-semi. */
+    def filterJoin(right: DataFrame, keys: Seq[String] = Nil,
+        hintBroadcast: Boolean = false): DataFrame =
+      run(right, keys, "left_semi", hintBroadcast)
+    /** reference `excludeJoin` = unmatched left = left-anti. */
+    def excludeJoin(right: DataFrame, keys: Seq[String] = Nil,
+        hintBroadcast: Boolean = false): DataFrame =
+      run(right, keys, "left_anti", hintBroadcast)
+
+    /** Reference's clashing-right-column policy: suffix `_1`
+      * (test `person/JoinTests.kt:46`). Applied by renaming the right side
+      * before joining, so the output schema matches the reference. */
+    def joinDedupNames(right: DataFrame, keys: Seq[String], how: String)
+        : DataFrame = {
+      val clash = right.columns.toSet
+        .intersect(left.columns.toSet) -- keys.toSet
+      val r2 = clash.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_1"))
+      left.join(r2, keys, how)
+    }
+  }
+}

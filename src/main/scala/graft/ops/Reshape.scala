@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reshape surface (SURVEY §2.7): pivot, gather/melt, split, merge,
+  * mergeRows, lock-step multi-column explode, union-with-widening.
+  * All plan-building; the only job triggered here is `pivot` when the
+  * distinct key set is not supplied (Spark computes it — callers on big
+  * data pass `values` explicitly, same as the reference's sorted key set).
+  */
+object Reshape {
+
+  implicit final class ReshapableDataFrame(private val df: DataFrame)
+      extends AnyVal {
+
+    // ---- pivot family --------------------------------------------------
+    /** reference `api/pivot.kt` — wide pivot with explicit value list for
+      * deterministic column order (and to skip the distinct-scan job). */
+    def pivotAgg(rows: Seq[String], key: String, values: Seq[Any],
+        aggs: Seq[Column]): DataFrame =
+      df.groupBy(rows.map(col): _*).pivot(key, values).agg(aggs.head,
+        aggs.tail: _*)
+
+    /** reference `pivot.matches(yes,no)` — boolean presence matrix
+      * (`GroupedPivotAggregations.kt:36-37`). */
+    def pivotMatches(rows: Seq[String], key: String, values: Seq[Any])
+        : DataFrame = {
+      val wide = df.groupBy(rows.map(col): _*)
+        .pivot(key, values).agg(count(lit(1)))
+      values.map(_.toString).foldLeft(wide) { (d, c) =>
+        d.withColumn(c, coalesce(col(s"`$c`") > 0, lit(false)))
+      }
+    }
+
+    /** reference `pivot.frames()` — cell = the group's rows themselves
+      * (`FrameColumn` → array-of-struct). */
+    def pivotFrames(rows: Seq[String], key: String, values: Seq[Any],
+        payload: Seq[String]): DataFrame =
+      df.groupBy(rows.map(col): _*).pivot(key, values)
+        .agg(collect_list(struct(payload.map(col): _*)))
+
+    // ---- gather (melt / unpivot) ----------------------------------------
+    /** reference `api/gather.kt` — selected columns → (key, value) rows.
+      * Null values dropped by default, like the reference. Uses the native
+      * `stack` generator (codegen'd, no shuffle). */
+    def gather(cols: Seq[String], keyName: String = "key",
+        valueName: String = "value", dropNulls: Boolean = true): DataFrame = {
+      val keep = df.columns.filterNot(cols.toSet).toSeq
+      val valueType = cols.map(c => df.schema(c).dataType)
+        .reduce(graft.core.TypeWidening.widen)
+      val pairs = cols.flatMap(c =>
+        Seq(lit(c), col(c).cast(valueType)))
+      val stacked = df.select(
+        (keep.map(col) :+ stack(lit(cols.size), pairs: _*)
+          .as(Seq(keyName, valueName))): _*)
+      if (dropNulls) stacked.filter(col(valueName).isNotNull) else stacked
+    }
+
+    // ---- split ----------------------------------------------------------
+    /** reference `api/split.kt` — one string column → N columns; ragged
+      * splits padded with null; auto names `splitted$i`. `n` must be given
+      * (a distributed engine can't know max parts without a scan). */
+    def splitInto(c: String, pattern: String, n: Int,
+        names: Seq[String] = Nil): DataFrame = {
+      val parts = split(col(c), pattern)
+      val outNames =
+        if (names.nonEmpty) names else (1 to n).map(i => s"splitted$i")
+      outNames.zipWithIndex.foldLeft(df) { case (d, (nm, i)) =>
+        d.withColumn(nm, parts.getItem(i))
+      }
+    }
+
+    /** reference `split(col).intoRows()` — one column → N rows. */
+    def splitIntoRows(c: String, pattern: String, as: String): DataFrame =
+      df.withColumn(as, explode(split(col(c), pattern)))
+
+    // ---- merge ----------------------------------------------------------
+    /** reference `api/merge.kt` — N columns → 1 list column. */
+    def mergeIntoArray(cols: Seq[String], as: String): DataFrame = {
+      val t = cols.map(c => df.schema(c).dataType)
+        .reduce(graft.core.TypeWidening.widen)
+      df.withColumn(as, array(cols.map(c => col(c).cast(t)): _*))
+        .drop(cols: _*)
+    }
+    /** reference `merge(...).by(sep)` — N columns → joined string. */
+    def mergeIntoString(cols: Seq[String], sep: String, as: String)
+        : DataFrame =
+      df.withColumn(as, concat_ws(sep, cols.map(col): _*)).drop(cols: _*)
+    /** reference `merge(...).into` struct form. */
+    def mergeIntoStruct(cols: Seq[String], as: String): DataFrame =
+      df.withColumn(as, struct(cols.map(col): _*)).drop(cols: _*)
+
+    /** reference `api/mergeRows.kt` — inverse of explode: group by the
+      * OTHER columns, collapse selected ones into sorted lists (sorted for
+      * determinism; the reference preserves encounter order, which is not
+      * stable on a cluster). */
+    def mergeRows(collapse: Seq[String], dropNulls: Boolean = true)
+        : DataFrame = {
+      val keys = df.columns.filterNot(collapse.toSet).toSeq
+      val aggs = collapse.map { c =>
+        val l = collect_list(col(c))
+        array_sort(l).as(c)
+      }
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    // ---- explode ----------------------------------------------------------
+    /** reference `api/explode.kt` — MULTI-column lock-step explode: rows
+      * expand to the max cell size across the selected array columns,
+      * shorter arrays padded with null (`arrays_zip` has exactly these
+      * semantics); empty/null cells keep the row with nulls unless
+      * dropEmpty. */
+    def explodeLockstep(cols: Seq[String], dropEmpty: Boolean = true)
+        : DataFrame = {
+      require(cols.nonEmpty)
+      val zipped = arrays_zip(cols.map(col): _*)
+      val ex     = if (dropEmpty) explode(zipped) else explode_outer(zipped)
+      val others = df.columns.filterNot(cols.toSet).toSeq
+      df.withColumn("__z", ex)
+        .select((others.map(col) ++
+          cols.map(c => col(s"__z.$c").as(c))): _*)
+    }
+
+    // ---- union ----------------------------------------------------------
+    /** reference `api/union.kt` — alignment by name + type widening. */
+    def unionWide(other: DataFrame): DataFrame =
+      graft.core.TypeWidening.unionByNameWide(Seq(df, other))
+
+    /** reference `api/transpose.kt` — single row → (name, value) frame.
+      * Driver-side by design (operates on one row). */
+    def transposeRow(): DataFrame = {
+      val row   = df.head()
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.columns.toSeq.map(c =>
+        (c, Option(row.getAs[Any](c)).map(_.toString).orNull))
+        .toDF("name", "value")
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window/series surface (SURVEY §2.9). The reference's row-cursor idioms
+  * (`prev()`/`next()`/`diff`/`movingAverage`, `DataRow.kt:97-98`,
+  * `api/row/diff.kt`, `api/row/movingAverage.kt`) are inherently sequential;
+  * the distributed translation is Spark `Window` — partition by group keys
+  * so each partition's state stays executor-local.
+  */
+object Series {
+
+  def spec(partition: Seq[String], order: Seq[Column]): WindowSpec = {
+    val base =
+      if (partition.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partition.map(col): _*)
+    base.orderBy(order: _*)
+  }
+
+  implicit final class SeriesDataFrame(private val df: DataFrame)
+      extends AnyVal {
+
+    /** reference `api/row/diff.kt` — current − previous, 0 for first row. */
+    def diff(c: String, partition: Seq[String], order: Seq[Column],
+        as: String): DataFrame = {
+      val w = spec(partition, order)
+      df.withColumn(as, col(c) - coalesce(lag(col(c), 1).over(w), col(c)))
+    }
+
+    /** reference `api/row/movingAverage.kt` — trailing k-row mean with the
+      * same shrinking-head-window semantics (`rowsBetween(-(k-1), 0)`). */
+    def movingAverage(c: String, k: Int, partition: Seq[String],
+        order: Seq[Column], as: String): DataFrame = {
+      val w = spec(partition, order).rowsBetween(-(k - 1), 0)
+      df.withColumn(as, avg(col(c)).over(w))
+    }
+
+    /** reference `DataRow.prev()/next()` — adjacent-row access. */
+    def withPrev(c: String, partition: Seq[String], order: Seq[Column],
+        as: String): DataFrame =
+      df.withColumn(as, lag(col(c), 1).over(spec(partition, order)))
+    def withNext(c: String, partition: Seq[String], order: Seq[Column],
+        as: String): DataFrame =
+      df.withColumn(as, lead(col(c), 1).over(spec(partition, order)))
+
+    /** reference `DataRow.neighbours(relativeIndices)` — arbitrary
+      * offsets, one column per offset (`<c>_m2`, `<c>_p1`, ...). */
+    def withNeighbours(c: String, offsets: Seq[Int], partition: Seq[String],
+        order: Seq[Column]): DataFrame = {
+      val w = spec(partition, order)
+      offsets.foldLeft(df) { (d, o) =>
+        val name = if (o < 0) s"${c}_m${-o}" else s"${c}_p$o"
+        val e    = if (o < 0) lag(col(c), -o) else lead(col(c), o)
+        d.withColumn(name, e.over(w))
+      }
+    }
+
+    /** Running (cumulative) aggregate over the partition. */
+    def runningSum(c: String, partition: Seq[String], order: Seq[Column],
+        as: String): DataFrame = {
+      val w = spec(partition, order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      df.withColumn(as, sum(col(c)).over(w))
+    }
+
+    /** Per-partition 1-based row number (grouped `addRowNumber`). */
+    def rowNumberIn(partition: Seq[String], order: Seq[Column], as: String)
+        : DataFrame =
+      df.withColumn(as, row_number().over(spec(partition, order)))
+  }
+}
