@@ -12,8 +12,7 @@ import org.apache.spark.sql.types._
   */
 object Reshape {
 
-  implicit final class ReshapableDataFrame(private val df: DataFrame)
-      extends AnyVal {
+  implicit final class ReshapableDataFrame(private val df: DataFrame) {
 
     // ---- pivot family --------------------------------------------------
     /** reference `api/pivot.kt` — wide pivot with explicit value list for
@@ -50,10 +49,10 @@ object Reshape {
       val keep = df.columns.filterNot(cols.toSet).toSeq
       val valueType = cols.map(c => df.schema(c).dataType)
         .reduce(graft.core.TypeWidening.widen)
-      val pairs = cols.flatMap(c =>
+      val pairs: Seq[Column] = lit(cols.size) +: cols.flatMap(c =>
         Seq(lit(c), col(c).cast(valueType)))
       val stacked = df.select(
-        (keep.map(col) :+ stack(lit(cols.size), pairs: _*)
+        (keep.map(col) :+ stack(pairs: _*)
           .as(Seq(keyName, valueName))): _*)
       if (dropNulls) stacked.filter(col(valueName).isNotNull) else stacked
     }
