@@ -25,8 +25,12 @@ object SchemaOps {
       }
     }
 
+  /** Backtick-escape one path segment so names containing dots or
+    * backticks resolve as literal segments, not nested hops. */
+  def quote(seg: String): String = "`" + seg.replace("`", "``") + "`"
+
   /** Top-level-or-nested column reference from a path. */
-  def colAt(path: Seq[String]): Column = col(path.mkString("."))
+  def colAt(path: Seq[String]): Column = col(path.map(quote).mkString("."))
 
   def fieldAt(schema: StructType, path: Seq[String]): Option[StructField] =
     path match {
@@ -83,7 +87,7 @@ object SchemaOps {
     val others = df.columns.filter(_ != name).toSet
     val childCols = children.map { c =>
       val outName = if (others.contains(c)) s"${name}_$c" else c
-      col(s"$name.$c").as(outName)
+      colAt(Seq(name, c)).as(outName)
     }
     val out = df.columns.zipWithIndex.flatMap {
       case (c, i) if i == idx => childCols

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,6 +19,28 @@ object TypeWidening {
     ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4,
     FloatType -> 5, DoubleType -> 6
   )
+  private def isIntegral(t: DataType): Boolean =
+    numericRank.get(t).exists(_ <= 4)
+
+  /** Exact decimal representation of an integral type (Spark's
+    * `DecimalType.forType`): Byte→(3,0), Short→(5,0), Int→(10,0),
+    * Long→(20,0). */
+  private def decimalFor(t: DataType): DecimalType = t match {
+    case ByteType    => DecimalType(3, 0)
+    case ShortType   => DecimalType(5, 0)
+    case IntegerType => DecimalType(10, 0)
+    case LongType    => DecimalType(20, 0)
+    case _           => throw new IllegalArgumentException(t.toString)
+  }
+
+  /** Combine two decimals keeping every representable value, capped at
+    * Spark's max precision 38 (same shape as Spark's `DecimalPrecision`
+    * widening for union). */
+  private def combineDecimals(x: DecimalType, y: DecimalType): DecimalType = {
+    val scale = math.max(x.scale, y.scale)
+    val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+    DecimalType(math.min(intDigits + scale, DecimalType.MAX_PRECISION), scale)
+  }
 
   /** Tightest common supertype; falls back to StringType (documented
     * deviation for heterogeneous `Any` columns, SURVEY §1.3). */
@@ -26,12 +48,14 @@ object TypeWidening {
     case (x, y) if x == y => x
     case (NullType, y)    => y
     case (x, NullType)    => x
-    case (x: DecimalType, y: DecimalType) =>
-      DecimalType(math.max(x.precision - x.scale, y.precision - y.scale)
-        + math.max(x.scale, y.scale), math.max(x.scale, y.scale))
-    case (x: DecimalType, y) if numericRank.contains(y) =>
-      if (numericRank(y) >= 5) DoubleType else x
-    case (x, y: DecimalType) if numericRank.contains(x) => widen(y, x)
+    case (x: DecimalType, y: DecimalType) => combineDecimals(x, y)
+    case (x: DecimalType, y) if isIntegral(y) =>
+      combineDecimals(x, decimalFor(y))
+    case (x, y: DecimalType) if isIntegral(x) =>
+      combineDecimals(decimalFor(x), y)
+    // decimal ∪ float/double → double: documented precision-loss fallback
+    case (_: DecimalType, y) if numericRank.contains(y) => DoubleType
+    case (x, _: DecimalType) if numericRank.contains(x) => DoubleType
     case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
       if (numericRank(x) >= numericRank(y)) x else y
     case (ArrayType(x, n1), ArrayType(y, n2)) =>
@@ -53,6 +77,29 @@ object TypeWidening {
     case _ => StringType
   }
 
+  /** Rewrite column `c` of type `from` into type `to`. Plain `cast` for
+    * scalars; structs are REBUILT field-by-field (Spark's struct cast
+    * demands equal field counts, so casting is exactly wrong for the
+    * divergent-schema case this module exists for); arrays align
+    * element-wise via `transform`. */
+  def alignColumn(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val rebuilt = struct(t.fields.toSeq.map { tf =>
+          f.fields.find(_.name == tf.name) match {
+            case Some(ff) =>
+              alignColumn(c.getField(tf.name), ff.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        when(c.isNull, lit(null).cast(t)).otherwise(rebuilt)
+      case (ArrayType(f, _), ArrayType(t, _)) =>
+        transform(c, x => alignColumn(x, f, t))
+      case (_, t) => c.cast(t)
+    }
+
   /** Vertical concat with column alignment by name, null back-fill for
     * missing columns, and type unification (reference `api/union.kt:13-87`).
     * Column order follows the first frame, then new columns in appearance
@@ -68,10 +115,12 @@ object TypeWidening {
         .map(_.dataType).reduce(widen)
     }.toMap
     val aligned = frames.map { df =>
-      val have = df.columns.toSet
+      val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
       df.select(names.map { n =>
-        if (have(n)) col(n).cast(types(n)).as(n)
-        else lit(null).cast(types(n)).as(n)
+        fields.get(n) match {
+          case Some(from) => alignColumn(df(n), from, types(n)).as(n)
+          case None       => lit(null).cast(types(n)).as(n)
+        }
       }: _*)
     }
     aligned.reduce(_ union _)

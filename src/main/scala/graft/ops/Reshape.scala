@@ -46,7 +46,10 @@ object Reshape {
       * `stack` generator (codegen'd, no shuffle). */
     def gather(cols: Seq[String], keyName: String = "key",
         valueName: String = "value", dropNulls: Boolean = true): DataFrame = {
+      require(cols.nonEmpty, "gather: empty column selection")
       val keep = df.columns.filterNot(cols.toSet).toSeq
+      require(!keep.contains(keyName) && !keep.contains(valueName),
+        s"gather: output names ($keyName, $valueName) clash with kept columns")
       val valueType = cols.map(c => df.schema(c).dataType)
         .reduce(graft.core.TypeWidening.widen)
       val pairs: Seq[Column] = lit(cols.size) +: cols.flatMap(c =>
@@ -94,13 +97,17 @@ object Reshape {
     /** reference `api/mergeRows.kt` — inverse of explode: group by the
       * OTHER columns, collapse selected ones into sorted lists (sorted for
       * determinism; the reference preserves encounter order, which is not
-      * stable on a cluster). */
-    def mergeRows(collapse: Seq[String], dropNulls: Boolean = true)
+      * stable on a cluster). Default dropNulls=false matches the reference
+      * (`mergeRows.kt:13`); nulls are kept by collecting single-field
+      * structs (collect_list drops bare nulls) and unwrapping, sorted
+      * nulls-first via struct ordering. */
+    def mergeRows(collapse: Seq[String], dropNulls: Boolean = false)
         : DataFrame = {
       val keys = df.columns.filterNot(collapse.toSet).toSeq
       val aggs = collapse.map { c =>
-        val l = collect_list(col(c))
-        array_sort(l).as(c)
+        if (dropNulls) array_sort(collect_list(col(c))).as(c)
+        else transform(sort_array(collect_list(struct(col(c).as("v")))),
+          s => s.getField("v")).as(c)
       }
       df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
@@ -114,12 +121,16 @@ object Reshape {
     def explodeLockstep(cols: Seq[String], dropEmpty: Boolean = true)
         : DataFrame = {
       require(cols.nonEmpty)
-      val zipped = arrays_zip(cols.map(col): _*)
+      // A null cell must pad with nulls, not null the whole zip (reference
+      // explode.kt expands to the max size across columns): coalesce each
+      // input to a typed empty array first.
+      val zipped = arrays_zip(cols.map(c =>
+        coalesce(col(c), array().cast(df.schema(c).dataType)).as(c)): _*)
       val ex     = if (dropEmpty) explode(zipped) else explode_outer(zipped)
       val others = df.columns.filterNot(cols.toSet).toSeq
       df.withColumn("__z", ex)
         .select((others.map(col) ++
-          cols.map(c => col(s"__z.$c").as(c))): _*)
+          cols.map(c => col("__z").getField(c).as(c))): _*)
     }
 
     // ---- union ----------------------------------------------------------

@@ -115,23 +115,37 @@ object RowOps {
       df.orderBy(keys.map(_.toColumn): _*)
 
     /** reference `Operations.kt:114-124` `addRowNumber` — contiguous
-      * 0-based ids. A global row_number forces a single partition, so the
-      * cluster-safe default orders by an explicit key. */
-    def addRowNumber(order: Seq[Column], as: String = "row_number")
-        : DataFrame =
-      df.withColumn(as,
-        row_number().over(Window.orderBy(order: _*)) - lit(1))
+      * 0-based ids. Scale-safe: range-partition + sort on the order keys,
+      * then `zipWithIndex` (per-partition counts collected once, offsets
+      * applied distributed) — never a single-partition global window. With
+      * no order keys, numbers current partition order (reference frame
+      * order analogue). */
+    def addRowNumber(order: Seq[Column] = Nil, as: String = "row_number")
+        : DataFrame = {
+      val sorted =
+        if (order.isEmpty) df
+        else df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      val schema = StructType(sorted.schema.fields :+
+        StructField(as, LongType, nullable = false))
+      val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+      sorted.sparkSession.createDataFrame(rdd, schema)
+    }
 
     /** reference `DataFrame.kt:186` `shuffled()` — random permutation;
       * seeded for reproducibility. */
     def shuffled(seed: Long = 42L): DataFrame = df.orderBy(rand(seed))
 
     /** reference `api/chunked.kt` — n-row chunk id (pairs with groupBy to
-      * reproduce the FrameColumn-of-chunks shape). */
-    def chunked(size: Int, order: Seq[Column], as: String = "chunk")
-        : DataFrame =
-      df.withColumn(as,
-        floor((row_number().over(Window.orderBy(order: _*)) - 1) / size))
+      * reproduce the FrameColumn-of-chunks shape). Built on the scale-safe
+      * `addRowNumber`, so no single-partition window. */
+    def chunked(size: Int, order: Seq[Column] = Nil, as: String = "chunk")
+        : DataFrame = {
+      require(size > 0, "chunked: size must be positive")
+      addRowNumber(order, "__rn")
+        .withColumn(as, col("__rn") / size cast LongType).drop("__rn")
+    }
 
     /** reference `api/duplicate.kt` — replicate each row n times. */
     def duplicateRows(n: Int): DataFrame =

@@ -48,7 +48,9 @@ final class Selector(df: DataFrame) {
   /** Children of a struct column (reference `children()`). */
   def children(group: String): Seq[String] =
     df.schema(group).dataType match {
-      case s: StructType => s.fieldNames.toSeq.map(c => s"$group.$c")
+      case s: StructType =>
+        s.fieldNames.toSeq
+          .map(c => s"${SchemaOps.quote(group)}.${SchemaOps.quote(c)}")
       case _             => Nil
     }
   def colGroups(): Seq[String] =

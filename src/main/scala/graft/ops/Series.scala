@@ -12,12 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Series {
 
+  /** Partitioned window spec. Partition keys are REQUIRED: an empty
+    * partition would silently move every row to one task — fatal at scale
+    * (VERDICT r1 #7). For genuinely global series on small frames, opt in
+    * explicitly with [[globalSpec]]. */
   def spec(partition: Seq[String], order: Seq[Column]): WindowSpec = {
-    val base =
-      if (partition.isEmpty) Window.partitionBy()
-      else Window.partitionBy(partition.map(col): _*)
-    base.orderBy(order: _*)
+    require(partition.nonEmpty,
+      "Series.spec: empty partition keys build a single-partition global " +
+        "window; pass keys, or use Series.globalSpec for small frames")
+    Window.partitionBy(partition.map(col): _*).orderBy(order: _*)
   }
+
+  /** Single-partition global window — small-data utility only. */
+  def globalSpec(order: Seq[Column]): WindowSpec =
+    Window.orderBy(order: _*)
 
   implicit final class SeriesDataFrame(private val df: DataFrame)
       extends AnyVal {
