@@ -1,13 +1,1065 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.SchemaOps
+import graft.ops.RowOps._
+import graft.ops.Surgery._
+import graft.ops.Agg._
+import graft.ops.Joins._
+import graft.ops.Reshape._
+import graft.ops.Series._
+import graft.ops.Selection._
+import graft.ops.{Agg, Dedup, Similarity, Multimodal}
+import graft.functions.TextFunctions._
+import graft.sources.IO
+
+/** Driver contract: one registered query per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline operators), each with equivalent
+  * DuckDB SQL where SQL can express it.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased IDENTICALLY in Spark and SQL;
+  *  - every query has a deterministic ORDER BY in both engines;
+  *  - derived doubles are rounded (sum→2dp, avg/ratio→6dp) to absorb
+  *    summation-order float noise; stored doubles pass through exact;
+  *  - DuckDB int aggregates are cast to match Spark types (BIGINT for
+  *    count/sum-of-int, INTEGER where Spark yields int).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private final case class Q(name: String,
+      fn: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  /** Flagship: TPC-H Q1 shape through our ops layer (SURVEY §7.4). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q1Agg(t: Tables): DataFrame =
+    t.lineitem
+      .filterRows(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupAgg(Seq("l_returnflag", "l_linestatus"), Seq(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+      .sortByKeys(SortKey("l_returnflag"), SortKey("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shared CTE prefix for the minhash true-oracles: the dup-augmented
+    * corpus, tokenized, 3-gram shingled (distinct). */
+  private val minhashOracleBase =
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' graft extra marker' FROM documents),
+      |t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM u),
+      |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      |    list_distinct(list_transform(range(len(tk) - 2),
+      |      i -> array_to_string(tk[i+1:i+3], ' ')))
+      |  ELSE [array_to_string(tk, ' ')] END AS sa
+      |  FROM t)
+      |""".stripMargin
+
+  // Near-dup fixture: every doc + a lightly-edited copy at id+10000.
+  private def withNearDups(t: Tables): DataFrame = {
+    val d = t.documents.selectNames(Seq("doc_id", "text"))
+    d.unionWide(d.select((col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" graft extra marker")).as("text")))
+  }
+  // Exact-dup fixture: every doc + an identical copy at id+10000.
+  private def withExactDups(t: Tables): DataFrame = {
+    val d = t.documents
+    d.unionWide(d.withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  private val qs: Seq[Q] = Seq(
+
+    // ================= §2.1 construction / io =========================
+    Q("io_parquet_project", (s, dir) => {
+      Tables(s, dir).lineitem
+        .filterRows(col("l_orderkey") < 100)
+        .selectNames(Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("l_quantity"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
+    Q("io_csv_roundtrip", (s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_csv_nation"
+      IO.writeCSV(Tables(s, dir).nation, tmp, header = true, singleFile = true)
+      IO.readCSV(s, tmp)
+        .convertTo("n_nationkey", IntegerType)
+        .convertTo("n_regionkey", IntegerType)
+        .sortByKeys(SortKey("n_nationkey"))
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    Q("build_dataframeof", (s, _) => {
+      IO.dataFrameOf(s, Seq("id", "name"),
+        Seq(Seq(1, "alpha"), Seq(2, "beta"), Seq(3, "gamma")))
+        .sortByKeys(SortKey("id"))
+    }, Some("SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma')) AS t(id, name) ORDER BY id")),
+
+    // ================= §2.2 projection / surgery ======================
+    Q("selector_dsl", (s, dir) => {
+      val c = Tables(s, dir).customer
+      c.selectNames(Seq("c_custkey") ++ c.selector.nameStartsWith("c_n"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey")),
+
+    Q("rename_into", (s, dir) => {
+      Tables(s, dir).customer
+        .renameInto("c_name" -> "customer_name")
+        .selectNames(Seq("c_custkey", "customer_name"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("SELECT c_custkey, c_name AS customer_name FROM customer ORDER BY c_custkey")),
+
+    Q("remove_cols", (s, dir) => {
+      Tables(s, dir).part
+        .removeCols(Seq("p_type", "p_size", "p_retailprice"))
+        .sortByKeys(SortKey("p_partkey"))
+    }, Some("SELECT p_partkey, p_name, p_brand FROM part ORDER BY p_partkey")),
+
+    // NOTE: no rounding on per-row scalar arithmetic — both engines run
+    // the identical IEEE expression, so raw doubles match bit-for-bit
+    // (rounding near .xx5 boundaries is where engines disagree).
+    Q("add_cols", (s, dir) => {
+      Tables(s, dir).lineitem
+        .addCols(
+          "gross" -> col("l_extendedprice") * (lit(1) - col("l_discount")),
+          "tax_amt" -> col("l_extendedprice") * col("l_tax"))
+        .selectNames(Seq("l_orderkey", "l_linenumber", "gross", "tax_amt"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("gross"))
+    }, Some("""SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS gross,
+      |  l_extendedprice * l_tax AS tax_amt
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, gross""".stripMargin)),
+
+    Q("nest_flatten", (s, dir) => {
+      val nested = SchemaOps.nest(Tables(s, dir).customer,
+        Seq("c_name", "c_acctbal"), "info")
+      SchemaOps.flatten(nested, "_")
+        .selectNames(Seq("c_custkey", "info_c_name", "info_c_acctbal"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey, c_name AS info_c_name, c_acctbal AS info_c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("move_insert", (s, dir) => {
+      val n = Tables(s, dir).nation
+      val ins = SchemaOps.insertAt(n, "key2", col("n_nationkey") * 2, 0)
+      SchemaOps.move(ins, Seq("key2"), 1)
+        .selectNames(Seq("n_nationkey", "key2"))
+        .sortByKeys(SortKey("n_nationkey"))
+    }, Some("SELECT n_nationkey, n_nationkey * 2 AS key2 FROM nation ORDER BY n_nationkey")),
+
+    // ================= §2.3 filter / slice ============================
+    Q("filter_rows", (s, dir) => {
+      Tables(s, dir).lineitem
+        .filterRows(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .selectNames(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("l_quantity"), SortKey("l_discount"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+      |WHERE l_quantity > 45 AND l_discount < 0.05
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin)),
+
+    Q("drop_rows", (s, dir) => {
+      Tables(s, dir).orders
+        .dropRows(col("o_orderstatus") === "F")
+        .selectNames(Seq("o_orderkey", "o_orderstatus"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE NOT (o_orderstatus = 'F') ORDER BY o_orderkey""".stripMargin)),
+
+    Q("drop_nulls", (s, dir) => {
+      Tables(s, dir).customer
+        .setCol("bal_or_null",
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+        .dropNulls(Seq("bal_or_null"))
+        .selectNames(Seq("c_custkey", "bal_or_null"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey, c_acctbal AS bal_or_null FROM customer
+      |WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin)),
+
+    Q("drop_na", (s, dir) => {
+      Tables(s, dir).events
+        .setCol("v2", when(pmod(col("event_id"), lit(7)) === 0, lit(Double.NaN))
+          .otherwise(col("value")))
+        .dropNa(Seq("v2"))
+        .selectNames(Seq("event_id", "v2"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""SELECT event_id, value AS v2 FROM events
+      |WHERE event_id % 7 <> 0 ORDER BY event_id""".stripMargin)),
+
+    Q("distinct_rows", (s, dir) => {
+      Tables(s, dir).orders
+        .selectNames(Seq("o_orderstatus", "o_orderpriority")).distinct()
+        .sortByKeys(SortKey("o_orderstatus"), SortKey("o_orderpriority"))
+    }, Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    Q("distinct_by", (s, dir) => {
+      Tables(s, dir).customer
+        .distinctByFirst(Seq("c_mktsegment"), Seq(col("c_custkey")))
+        .selectNames(Seq("c_mktsegment", "c_custkey", "c_name"))
+        .sortByKeys(SortKey("c_mktsegment"))
+    }, Some("""SELECT c_mktsegment, c_custkey, c_name FROM customer
+      |QUALIFY row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) = 1
+      |ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("take_rows", (s, dir) => {
+      // total-order sort BEFORE the limit: (ok, ln) alone is not unique in
+      // this synthetic lineitem, and a tie at the cut line would make the
+      // selected set engine-dependent
+      Tables(s, dir).lineitem
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("l_quantity"), SortKey("l_extendedprice"))
+        .takeRows(100)
+        .selectNames(Seq("l_orderkey", "l_linenumber", "l_quantity"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM
+      |(SELECT * FROM lineitem
+      | ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 100)
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
+    Q("take_last", (s, dir) => {
+      Tables(s, dir).orders
+        .takeLastRows(50, Seq(col("o_orderkey")))
+        .selectNames(Seq("o_orderkey", "o_totalprice"))
+    }, Some("""SELECT o_orderkey, o_totalprice FROM
+      |(SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 50)
+      |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("between_rows", (s, dir) => {
+      Tables(s, dir).orders
+        .betweenRows("o_totalprice", 1000, 2000)
+        .selectNames(Seq("o_orderkey", "o_totalprice"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice BETWEEN 1000 AND 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("digitize", (s, dir) => {
+      Tables(s, dir).orders
+        .digitize("o_totalprice", Seq(500, 1000, 5000, 10000), as = "bin")
+        .selectNames(Seq("o_orderkey", "bin"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 500 THEN 0 WHEN o_totalprice < 1000 THEN 1
+      |       WHEN o_totalprice < 5000 THEN 2 WHEN o_totalprice < 10000 THEN 3
+      |       ELSE 4 END AS bin
+      |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("duplicate_rows", (s, dir) => {
+      Tables(s, dir).region.duplicateRows(3)
+        .sortByKeys(SortKey("r_regionkey"))
+    }, Some("""SELECT r_regionkey, r_name FROM region
+      |CROSS JOIN generate_series(1, 3) ORDER BY r_regionkey""".stripMargin)),
+
+    Q("append_rows", (s, dir) => {
+      val extra = IO.dataFrameOf(s,
+        Seq("n_nationkey", "n_name", "n_regionkey"),
+        Seq(Seq(99, "ZZGRAFT", 0)))
+      Tables(s, dir).nation.appendRows(extra)
+        .sortByKeys(SortKey("n_nationkey"))
+    }, Some("""SELECT * FROM nation
+      |UNION ALL SELECT 99, 'ZZGRAFT', 0
+      |ORDER BY n_nationkey""".stripMargin)),
+
+    // ================= §2.4 update / convert ==========================
+    Q("update_where", (s, dir) => {
+      Tables(s, dir).lineitem
+        .updateWhere("l_discount", col("l_quantity") > 40, lit(0.0))
+        .selectNames(Seq("l_orderkey", "l_linenumber", "l_discount"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("l_discount"))
+    }, Some("""SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_quantity > 40 THEN 0.0 ELSE l_discount END AS l_discount
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_discount""".stripMargin)),
+
+    Q("fill_nulls_zero", (s, dir) => {
+      Tables(s, dir).customer
+        .setCol("bal", when(col("c_acctbal") < 0, lit(null))
+          .otherwise(col("c_acctbal")))
+        .setCol("bal_filled", col("bal"))
+        .nullToZero(Seq("bal"))
+        .fillNullsWith("bal_filled", lit(-999.0))
+        .selectNames(Seq("c_custkey", "bal", "bal_filled"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal,
+      |  CASE WHEN c_acctbal < 0 THEN -999.0 ELSE c_acctbal END AS bal_filled
+      |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("convert_cast", (s, dir) => {
+      Tables(s, dir).lineitem
+        .addCols("qty_int" -> col("l_quantity"), "ship_date" -> col("l_shipdate"))
+        .convertTo("qty_int", IntegerType)
+        .convertTo("ship_date", DateType)
+        .convertTo("ship_date", StringType) // string output: engines render
+        // date cells differently downstream; the cast matrix is exercised
+        .selectNames(Seq("l_orderkey", "l_linenumber", "qty_int", "ship_date"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("qty_int"), SortKey("ship_date"))
+    }, Some("""SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS INTEGER) AS qty_int,
+      |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_int, ship_date""".stripMargin)),
+
+    Q("parse_cascade", (s, dir) => {
+      Tables(s, dir).lineitem
+        .addCols("qty_str" ->
+          col("l_quantity").cast(IntegerType).cast(StringType))
+        .parseCascade("qty_str")
+        .selectNames(Seq("l_orderkey", "l_linenumber", "qty_str"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("qty_str"))
+    }, Some("""SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_quantity AS INTEGER) AS BIGINT) AS qty_str
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_str""".stripMargin)),
+
+    Q("convert_bool", (s, dir) => {
+      Tables(s, dir).orders
+        .addCols("flag_str" ->
+          when(col("o_orderstatus") === "F", lit("YES")).otherwise(lit("no")))
+        .convertToBoolean("flag_str")
+        .selectNames(Seq("o_orderkey", "flag_str"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey, o_orderstatus = 'F' AS flag_str
+      |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("round_col", (s, dir) => {
+      Tables(s, dir).customer
+        .roundCol("c_acctbal", 1)
+        .selectNames(Seq("c_custkey", "c_acctbal"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("SELECT c_custkey, ROUND(c_acctbal, 1) AS c_acctbal FROM customer ORDER BY c_custkey")),
+
+    Q("replace_all", (s, dir) => {
+      Tables(s, dir).customer
+        .replaceAllValues(Map("BUILDING" -> "BLDG"), Seq("c_mktsegment"))
+        .selectNames(Seq("c_custkey", "c_mktsegment"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'BLDG' ELSE c_mktsegment END
+      |    AS c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("map_col", (s, dir) => {
+      Tables(s, dir).customer
+        .mapCol("c_name", c => upper(c))
+        .selectNames(Seq("c_custkey", "c_name"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("SELECT c_custkey, UPPER(c_name) AS c_name FROM customer ORDER BY c_custkey")),
+
+    // ================= §2.5 joins =====================================
+    Q("join_inner", (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.innerJoin(
+          t.nation.renameInto("n_nationkey" -> "c_nationkey"),
+          Seq("c_nationkey"), hintBroadcast = true)
+        .selectNames(Seq("c_custkey", "c_name", "n_name"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey, c_name, n_name FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_left", (s, dir) => {
+      val t = Tables(s, dir)
+      val rich = t.customer.filterRows(col("c_acctbal") > 5000)
+        .renameInto("c_custkey" -> "o_custkey")
+        .selectNames(Seq("o_custkey", "c_name"))
+      t.orders.leftJoin(rich, Seq("o_custkey"), hintBroadcast = true)
+        .selectNames(Seq("o_orderkey", "c_name"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey, c_name FROM orders
+      |LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+      |  ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("join_right", (s, dir) => {
+      val t = Tables(s, dir)
+      val left = t.customer.filterRows(col("c_acctbal") > 9000)
+        .selectNames(Seq("c_nationkey", "c_custkey", "c_name"))
+      val right = t.nation.renameInto("n_nationkey" -> "c_nationkey")
+        .selectNames(Seq("c_nationkey", "n_name"))
+      left.rightJoin(right, Seq("c_nationkey"))
+        .selectNames(Seq("c_nationkey", "n_name", "c_custkey", "c_name"))
+        .sortByKeys(SortKey("c_nationkey"), SortKey("c_custkey"))
+    }, Some("""SELECT n_nationkey AS c_nationkey, n_name, c_custkey, c_name
+      |FROM (SELECT c_nationkey, c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+      |RIGHT JOIN nation ON c.c_nationkey = n_nationkey
+      |ORDER BY c_nationkey, c_custkey NULLS FIRST""".stripMargin)),
+
+    Q("join_full", (s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.customer.filterRows(col("c_acctbal") > 9000)
+        .selectNames(Seq("c_custkey", "c_name"))
+      val b = t.orders.filterRows(col("o_totalprice") > 9000)
+        .renameInto("o_custkey" -> "c_custkey")
+        .selectNames(Seq("c_custkey", "o_orderkey"))
+      a.outerJoin(b, Seq("c_custkey"))
+        .sortByKeys(SortKey("c_custkey"), SortKey("o_orderkey"))
+    }, Some("""SELECT COALESCE(a.c_custkey, b.o_custkey) AS c_custkey, a.c_name, b.o_orderkey
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) a
+      |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 9000) b
+      |  ON a.c_custkey = b.o_custkey
+      |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
+
+    Q("join_semi", (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filterJoin(
+          t.orders.renameInto("o_custkey" -> "c_custkey"), Seq("c_custkey"))
+        .selectNames(Seq("c_custkey", "c_name"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_anti", (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.excludeJoin(
+          t.orders.renameInto("o_custkey" -> "c_custkey"), Seq("c_custkey"))
+        .selectNames(Seq("c_custkey", "c_name"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_dedup_names", (s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.nation.select(col("n_nationkey").as("key"), col("n_name").as("name"))
+      val b = t.region.select(col("r_regionkey").as("key"), col("r_name").as("name"))
+      a.joinDedupNames(b, Seq("key"), "inner")
+        .sortByKeys(SortKey("key"))
+    }, Some("""SELECT n_nationkey AS key, n_name AS name, r_name AS name_1
+      |FROM nation JOIN region ON n_nationkey = r_regionkey
+      |ORDER BY key""".stripMargin)),
+
+    Q("join_natural", (s, dir) => {
+      // o_orderkey is unique (lineitem (ok,ln) is NOT in this synthetic
+      // data — a natural self-join there fans out)
+      val t = Tables(s, dir)
+      val a = t.orders.selectNames(Seq("o_orderkey", "o_totalprice"))
+      val b = t.orders.selectNames(Seq("o_orderkey", "o_orderstatus"))
+      a.innerJoin(b) // natural keys: shared names
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ================= §2.6 grouping & aggregation ====================
+    Q("q1_agg", (s, dir) => q1Agg(Tables(s, dir)), Some(q1Sql)),
+
+    Q("agg_count_where", (s, dir) => {
+      Tables(s, dir).events
+        .groupAgg(Seq("event_type"), Seq(
+          count(lit(1)).as("cnt"),
+          Agg.countWhere(col("value") > 250).as("big_cnt")))
+        .sortByKeys(SortKey("event_type"))
+    }, Some("""SELECT event_type, COUNT(*) AS cnt,
+      |  COUNT(*) FILTER (WHERE value > 250) AS big_cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("agg_sum_mean_for", (s, dir) => {
+      Tables(s, dir).lineitem
+        .sumFor(Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"))
+        .roundCol("l_quantity", 2).roundCol("l_extendedprice", 2)
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS l_quantity,
+      |  ROUND(SUM(l_extendedprice), 2) AS l_extendedprice
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_min_max", (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupAgg(Seq("l_returnflag"), Seq(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship")))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_std_ref", (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupAgg(Seq("l_returnflag"), Seq(
+          round(Agg.stdRef(col("l_quantity")), 4).as("std_ref"),
+          round(Agg.stdSamp(col("l_quantity")), 6).as("std_samp")))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag,
+      |  ROUND(SQRT(SUM(l_quantity*l_quantity) - POWER(SUM(l_quantity),2)/COUNT(l_quantity)), 4) AS std_ref,
+      |  ROUND(STDDEV_SAMP(l_quantity), 6) AS std_samp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_median", (s, dir) => {
+      Tables(s, dir).lineitem
+        .medianFor(Seq("l_returnflag"), Seq("l_quantity", "l_discount"))
+        .roundCol("l_quantity", 4).roundCol("l_discount", 4)
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 4) AS l_quantity,
+      |  ROUND(MEDIAN(l_discount), 4) AS l_discount
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_mean_ref", (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupAgg(Seq("l_linestatus"), Seq(
+          round(Agg.meanRef(col("l_quantity")), 6).as("mean_qty")))
+        .sortByKeys(SortKey("l_linestatus"))
+    }, Some("""SELECT l_linestatus, ROUND(AVG(l_quantity), 6) AS mean_qty
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    Q("agg_maxby_row", (s, dir) => {
+      Tables(s, dir).orders
+        .maxByRow(Seq("o_orderstatus"), "o_totalprice")
+        .selectNames(Seq("o_orderstatus", "o_orderkey", "o_totalprice"))
+        .sortByKeys(SortKey("o_orderstatus"))
+    }, Some("""SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice DESC, o_orderkey DESC, o_custkey DESC,
+      |           o_orderdate DESC, o_orderpriority DESC) = 1
+      |ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("agg_minby_row", (s, dir) => {
+      Tables(s, dir).orders
+        .minByRow(Seq("o_orderstatus"), "o_totalprice")
+        .selectNames(Seq("o_orderstatus", "o_orderkey", "o_totalprice"))
+        .sortByKeys(SortKey("o_orderstatus"))
+    }, Some("""SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice ASC, o_orderkey ASC, o_custkey ASC,
+      |           o_orderdate ASC, o_orderpriority ASC) = 1
+      |ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("agg_values", (s, dir) => {
+      Tables(s, dir).nation
+        .selectNames(Seq("n_regionkey", "n_name"))
+        .valuesFor(Seq("n_regionkey"), Seq("n_name"))
+        .sortByKeys(SortKey("n_regionkey"))
+    }, Some("""SELECT n_regionkey, list(n_name ORDER BY n_name) AS n_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    Q("agg_nunique", (s, dir) => {
+      Tables(s, dir).lineitem
+        .nunique(Seq("l_returnflag"), Seq("l_orderkey", "l_suppkey"))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS l_orderkey,
+      |  COUNT(DISTINCT l_suppkey) AS l_suppkey
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_grouped_frames", (s, dir) => {
+      Tables(s, dir).nation
+        .selectNames(Seq("n_regionkey", "n_nationkey", "n_name"))
+        .toGroupedFrames(Seq("n_regionkey"))
+        .ungroupFrames()
+        .sortByKeys(SortKey("n_nationkey"))
+    }, Some("""SELECT n_regionkey, n_nationkey, n_name FROM nation
+      |ORDER BY n_nationkey""".stripMargin)),
+
+    Q("agg_describe", (s, dir) => {
+      Tables(s, dir).customer.describeAll(Seq("c_custkey", "c_acctbal", "c_mktsegment"))
+        .sortByKeys(SortKey("column"))
+    }, None), // mode tie-break is engine-specific — rows-only check
+
+    Q("agg_corr", (s, dir) => {
+      Tables(s, dir).lineitem
+        .corrMatrix(Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .setCol("l_quantity", round(col("l_quantity"), 6))
+        .setCol("l_extendedprice", round(col("l_extendedprice"), 6))
+        .setCol("l_discount", round(col("l_discount"), 6))
+        .sortByKeys(SortKey("column"))
+    }, Some("""SELECT 'l_quantity' AS "column",
+      |  ROUND(CORR(l_quantity, l_quantity), 6) AS l_quantity,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS l_extendedprice,
+      |  ROUND(CORR(l_quantity, l_discount), 6) AS l_discount FROM lineitem
+      |UNION ALL SELECT 'l_extendedprice',
+      |  ROUND(CORR(l_extendedprice, l_quantity), 6),
+      |  ROUND(CORR(l_extendedprice, l_extendedprice), 6),
+      |  ROUND(CORR(l_extendedprice, l_discount), 6) FROM lineitem
+      |UNION ALL SELECT 'l_discount',
+      |  ROUND(CORR(l_discount, l_quantity), 6),
+      |  ROUND(CORR(l_discount, l_extendedprice), 6),
+      |  ROUND(CORR(l_discount, l_discount), 6) FROM lineitem
+      |ORDER BY "column"""".stripMargin)),
+
+    // ================= §2.7 pivot / reshape ===========================
+    Q("pivot_agg", (s, dir) => {
+      Tables(s, dir).lineitem
+        .pivotAgg(Seq("l_linestatus"), "l_returnflag", Seq("A", "N", "R"),
+          Seq(round(sum(col("l_quantity")), 2)))
+        .sortByKeys(SortKey("l_linestatus"))
+    }, Some("""SELECT l_linestatus,
+      |  ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='A'), 2) AS "A",
+      |  ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='N'), 2) AS "N",
+      |  ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='R'), 2) AS "R"
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    Q("pivot_matches", (s, dir) => {
+      Tables(s, dir).orders
+        .pivotMatches(Seq("o_orderpriority"), "o_orderstatus", Seq("F", "O", "P"))
+        .sortByKeys(SortKey("o_orderpriority"))
+    }, Some("""SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus='F') > 0 AS "F",
+      |  COUNT(*) FILTER (WHERE o_orderstatus='O') > 0 AS "O",
+      |  COUNT(*) FILTER (WHERE o_orderstatus='P') > 0 AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("gather", (s, dir) => {
+      Tables(s, dir).nation
+        .selectNames(Seq("n_name", "n_nationkey", "n_regionkey"))
+        .gather(Seq("n_nationkey", "n_regionkey"), "key", "value")
+        .sortByKeys(SortKey("n_name"), SortKey("key"))
+    }, Some("""SELECT n_name, 'n_nationkey' AS key, n_nationkey AS value FROM nation
+      |UNION ALL SELECT n_name, 'n_regionkey', n_regionkey FROM nation
+      |ORDER BY n_name, key""".stripMargin)),
+
+    Q("split_into", (s, dir) => {
+      Tables(s, dir).customer
+        .splitInto("c_name", "#", 2, Seq("cust_label", "cust_num"))
+        .selectNames(Seq("c_custkey", "cust_label", "cust_num"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey, split_part(c_name, '#', 1) AS cust_label,
+      |  split_part(c_name, '#', 2) AS cust_num
+      |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("split_into_rows", (s, dir) => {
+      Tables(s, dir).part
+        .splitIntoRows("p_name", " ", "word")
+        .selectNames(Seq("p_partkey", "word"))
+        .sortByKeys(SortKey("p_partkey"), SortKey("word"))
+    }, Some("""SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+      |FROM part ORDER BY p_partkey, word""".stripMargin)),
+
+    Q("merge_into_string", (s, dir) => {
+      Tables(s, dir).nation
+        .mergeIntoString(Seq("n_name", "n_regionkey"), "-", "tag")
+        .selectNames(Seq("n_nationkey", "tag"))
+        .sortByKeys(SortKey("n_nationkey"))
+    }, Some("""SELECT n_nationkey, concat_ws('-', n_name, n_regionkey) AS tag
+      |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    Q("merge_into_array", (s, dir) => {
+      Tables(s, dir).lineitem
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("l_quantity"), SortKey("l_discount"))
+        .mergeIntoArray(Seq("l_quantity", "l_discount"), "vals")
+        .selectNames(Seq("l_orderkey", "l_linenumber", "vals"))
+    }, Some("""SELECT l_orderkey, l_linenumber, [l_quantity, l_discount] AS vals
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin)),
+
+    Q("merge_rows", (s, dir) => {
+      Tables(s, dir).nation
+        .selectNames(Seq("n_regionkey", "n_name"))
+        .mergeRows(Seq("n_name"))
+        .sortByKeys(SortKey("n_regionkey"))
+    }, Some("""SELECT n_regionkey, list(n_name ORDER BY n_name) AS n_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    Q("explode_lockstep", (s, dir) => {
+      Tables(s, dir).part
+        .addCols("arr_a" -> split(col("p_name"), " "),
+          "arr_b" -> array(col("p_type")))
+        .explodeLockstep(Seq("arr_a", "arr_b"))
+        .selectNames(Seq("p_partkey", "arr_a", "arr_b"))
+        .sortByKeys(SortKey("p_partkey"), SortKey("arr_a"))
+    }, Some("""SELECT p_partkey, z[1] AS arr_a, z[2] AS arr_b FROM
+      |(SELECT p_partkey, unnest(list_zip(string_split(p_name, ' '), [p_type])) AS z
+      | FROM part)
+      |ORDER BY p_partkey, arr_a""".stripMargin)),
+
+    Q("union_wide", (s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.nation.select(col("n_nationkey").as("key"), col("n_name").as("name"))
+      val b = t.region.select(col("r_regionkey").cast(LongType).as("key"),
+        col("r_name").as("name"), lit(1.5).as("extra"))
+      a.unionWide(b)
+        .sortByKeys(SortKey("key"), SortKey("name"), SortKey("extra"))
+    }, Some("""SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name,
+      |  CAST(NULL AS DOUBLE) AS extra FROM nation
+      |UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name, 1.5 FROM region
+      |ORDER BY key, name, extra NULLS FIRST""".stripMargin)),
+
+    Q("chunked", (s, dir) => {
+      Tables(s, dir).orders
+        .chunked(1000, Seq(col("o_orderkey")))
+        .groupAgg(Seq("chunk"), Seq(
+          count(lit(1)).as("cnt"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key")))
+        .sortByKeys(SortKey("chunk"))
+    }, Some("""SELECT chunk, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key,
+      |  MAX(o_orderkey) AS max_key
+      |FROM (SELECT o_orderkey, CAST(FLOOR((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT) AS chunk FROM orders)
+      |GROUP BY chunk ORDER BY chunk""".stripMargin)),
+
+    Q("add_row_number", (s, dir) => {
+      Tables(s, dir).orders
+        .addRowNumber(Seq(col("o_orderkey")))
+        .selectNames(Seq("o_orderkey", "row_number"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS row_number
+      |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("transpose_row", (s, dir) => {
+      Tables(s, dir).region.sortByKeys(SortKey("r_regionkey")).takeRows(1)
+        .transposeRow().sortByKeys(SortKey("name"))
+    }, Some("""SELECT 'r_name' AS name, r_name AS value FROM region WHERE r_regionkey = 0
+      |UNION ALL SELECT 'r_regionkey', CAST(r_regionkey AS VARCHAR) FROM region WHERE r_regionkey = 0
+      |ORDER BY name""".stripMargin)),
+
+    // ================= §2.8 sorting ===================================
+    Q("sort_by_flags", (s, dir) => {
+      Tables(s, dir).customer
+        .setCol("bal", when(col("c_acctbal") < 0, lit(null))
+          .otherwise(col("c_acctbal")))
+        .sortByKeys(SortKey("bal", desc = true, nullsLast = true),
+          SortKey("c_custkey"))
+        .selectNames(Seq("c_custkey", "bal"))
+    }, Some("""SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      |FROM customer ORDER BY bal DESC NULLS LAST, c_custkey""".stripMargin)),
+
+    Q("top_k", (s, dir) => {
+      Tables(s, dir).orders
+        .sortByKeys(SortKey("o_totalprice", desc = true), SortKey("o_orderkey"))
+        .takeRows(10)
+        .selectNames(Seq("o_orderkey", "o_totalprice"))
+    }, Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ================= §2.9 series / window ===========================
+    // window ORDER BY keys must be a total order within the partition —
+    // (ln) alone ties in this data, making lag() engine-dependent
+    Q("series_diff", (s, dir) => {
+      Tables(s, dir).lineitem
+        .diff("l_quantity", Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+          "qty_diff")
+        .selectNames(Seq("l_orderkey", "l_linenumber", "qty_diff"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("qty_diff"))
+    }, Some("""SELECT l_orderkey, l_linenumber,
+      |  l_quantity - COALESCE(lag(l_quantity) OVER
+      |    (PARTITION BY l_orderkey
+      |     ORDER BY l_linenumber, l_quantity, l_extendedprice), l_quantity) AS qty_diff
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_diff""".stripMargin)),
+
+    Q("series_moving_avg", (s, dir) => {
+      Tables(s, dir).lineitem
+        .movingAverage("l_quantity", 3, Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+          "qty_ma")
+        .setCol("qty_ma", round(col("qty_ma"), 6))
+        .selectNames(Seq("l_orderkey", "l_linenumber", "qty_ma"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("qty_ma"))
+    }, Some("""SELECT l_orderkey, l_linenumber,
+      |  ROUND(AVG(l_quantity) OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_quantity, l_extendedprice
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS qty_ma
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_ma""".stripMargin)),
+
+    Q("series_prev_next", (s, dir) => {
+      Tables(s, dir).orders
+        .withPrev("o_totalprice", Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")), "prev_price")
+        .withNext("o_totalprice", Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")), "next_price")
+        .selectNames(Seq("o_orderkey", "prev_price", "next_price"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("series_neighbours", (s, dir) => {
+      Tables(s, dir).orders
+        .withNeighbours("o_totalprice", Seq(-2, 1), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .selectNames(Seq("o_orderkey", "o_totalprice_m2", "o_totalprice_p1"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey,
+      |  lag(o_totalprice, 2) OVER w AS o_totalprice_m2,
+      |  lead(o_totalprice, 1) OVER w AS o_totalprice_p1
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("series_running_sum", (s, dir) => {
+      Tables(s, dir).events
+        .runningSum("value", Seq("user_id"), Seq(col("ts"), col("event_id")), "run_sum")
+        .setCol("run_sum", round(col("run_sum"), 2))
+        .selectNames(Seq("event_id", "run_sum"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""SELECT event_id,
+      |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+      |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("series_row_number", (s, dir) => {
+      Tables(s, dir).events
+        .rowNumberIn(Seq("user_id"), Seq(col("ts"), col("event_id")), "rn")
+        .selectNames(Seq("event_id", "rn"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""SELECT event_id, CAST(row_number() OVER
+      |  (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
+      |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("events_window_agg", (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .sortByKeys(SortKey("window_start"), SortKey("event_type"))
+    }, Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // ================= LLM pipeline: text =============================
+    Q("text_token_count", (s, dir) => {
+      Tables(s, dir).documents
+        .addCols("n_tok" -> tokenCount(col("text")).cast(LongType),
+          "n_bpe" -> bpeishTokenCount(col("text")).cast(LongType))
+        .selectNames(Seq("doc_id", "n_tok", "n_bpe"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS n_tok,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_quality", (s, dir) => {
+      Tables(s, dir).documents
+        .addCols("quality" -> round(qualityScore(col("text")), 2),
+          "punct_ratio" -> round(punctRatio(col("text")), 6),
+          "stop_ratio" -> round(stopwordRatio(col("text")), 6))
+        .selectNames(Seq("doc_id", "quality", "punct_ratio", "stop_ratio"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |m AS (SELECT doc_id, text, tk,
+      |  (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+      |    / greatest(len(text), 1) AS pr,
+      |  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'))) * 1.0
+      |    / greatest(len(tk), 1) AS sr,
+      |  list_sum(list_transform(tk, x -> strlen(x))) * 1.0 / greatest(len(tk), 1) AS mwl
+      |  FROM t)
+      |SELECT doc_id, ROUND(
+      |  (CASE WHEN len(text) BETWEEN 50 AND 100000 THEN 0.25 ELSE 0.0 END) +
+      |  (CASE WHEN pr < 0.2 THEN 0.25 ELSE 0.0 END) +
+      |  (CASE WHEN sr > 0.05 THEN 0.25 ELSE 0.0 END) +
+      |  (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END), 2) AS quality,
+      |  ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stop_ratio
+      |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("text_lang_id", (s, dir) => {
+      Tables(s, dir).documents
+        .addCols("lang_pred" -> langId(col("text")))
+        .selectNames(Seq("doc_id", "lang_pred"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |sc AS (SELECT doc_id,
+      |  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'))) AS s_en,
+      |  len(list_filter(tk, x -> x IN ('der','die','das','und','oder','von','zu','im','ist','es','dass','für','auf','mit','als','bei','aus'))) AS s_de,
+      |  len(list_filter(tk, x -> x IN ('le','la','les','et','ou','de','du','en','est','il','que','pour','sur','avec','comme','au','par','des'))) AS s_fr,
+      |  len(list_filter(tk, x -> x IN ('el','la','los','las','y','o','de','del','en','es','que','para','sobre','con','como','al','por','un'))) AS s_es
+      |  FROM t)
+      |SELECT doc_id, CASE
+      |  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+      |  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+      |  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |  ELSE 'en' END AS lang_pred
+      |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    Q("text_fingerprint", (s, dir) => {
+      Tables(s, dir).documents
+        .addCols("content_key" -> contentKey(col("text")))
+        .selectNames(Seq("doc_id", "content_key"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ================= LLM pipeline: dedup ============================
+    Q("dedup_exact", (s, dir) => {
+      Dedup.exactDedup(withExactDups(Tables(s, dir)), "text", "doc_id")
+        .selectNames(Seq("doc_id", "lang", "source"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("SELECT doc_id, lang, source FROM documents ORDER BY doc_id")),
+
+    // true oracle: brute-force all-pairs jaccard in SQL (the corpus really
+    // does contain organic near-dup pairs beyond the planted ones; LSH with
+    // 32 bands × r=2 has miss probability < 1e-14 at j ≥ 0.8)
+    Q("dedup_minhash_pairs", (s, dir) => {
+      Dedup.nearDupPairs(withNearDups(Tables(s, dir)), "text", "doc_id",
+          numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+        .selectNames(Seq("id_a", "id_b"))
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, Some(minhashOracleBase +
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b
+      |  ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sa, b.sa)) * 1.0
+      |    / len(list_distinct(list_concat(a.sa, b.sa))) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dedup_minhash_dedup", (s, dir) => {
+      Dedup.nearDupDedup(withNearDups(Tables(s, dir)), "text", "doc_id",
+          numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+        .selectNames(Seq("doc_id"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(minhashOracleBase +
+      """SELECT doc_id FROM sh WHERE doc_id NOT IN (
+      |  SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sa, b.sa)) * 1.0
+      |      / len(list_distinct(list_concat(a.sa, b.sa))) >= 0.8)
+      |ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_simhash_pairs", (s, dir) => {
+      Dedup.simhashPairs(withExactDups(Tables(s, dir))
+          .selectNames(Seq("doc_id", "text")), "text", "doc_id", maxHamming = 0)
+        .selectNames(Seq("id_a", "id_b"))
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, None), // simhash = xxhash-based, not SQL-expressible; rows-only
+
+    Q("dedup_ngram_jaccard", (s, dir) => {
+      Tables(s, dir).documents
+        .addCols("jaccard" -> round(Dedup.ngramJaccard(col("text"),
+          concat(col("text"), lit(" graft extra marker")), 3), 6))
+        .selectNames(Seq("doc_id", "jaccard"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk,
+      |  list_filter(regexp_split_to_array(lower(text || ' graft extra marker'), '\W+'), x -> len(x) > 0) AS tk2
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))) AS sa,
+      |  list_distinct(list_transform(range(len(tk2) - 2), i -> array_to_string(tk2[i+1:i+3], ' '))) AS sb
+      |  FROM t)
+      |SELECT doc_id, ROUND(len(list_intersect(sa, sb)) * 1.0
+      |  / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+      |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_embedding_pairs", (s, dir) => {
+      // self-pairs via duplicated embeddings: identical vectors → cosine 1
+      val t = Tables(s, dir)
+      val e = t.embeddings.selectNames(Seq("vec_id", "embedding"))
+      val dup = e.unionWide(e.select((col("vec_id") + 10000).as("vec_id"),
+        col("embedding")))
+      Dedup.embeddingNearDupPairs(dup, "embedding", "vec_id",
+          minCosine = 0.999999)
+        .selectNames(Seq("id_a", "id_b"))
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, None), // random-hyperplane recall < 1 in theory; rows-only check
+
+    // ================= LLM pipeline: similarity =======================
+    Q("sim_bruteforce_topk", (s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.bruteForceTopK(t.embeddings,
+          t.embeddings.filterRows(col("vec_id") < 10), k = 5)
+        .selectNames(Seq("query_id", "rank", "neighbor_id"))
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |  list_sum(list_transform(list_zip(c.embedding, q.qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / greatest(
+      |      sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |      sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      1e-12) AS cos
+      |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+      |SELECT query_id, rank, neighbor_id FROM
+      |  (SELECT query_id, neighbor_id, CAST(row_number() OVER
+      |     (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |   FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("sim_lsh_topk", (s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.lshTopK(t.embeddings,
+          t.embeddings.filterRows(col("vec_id") < 10), k = 5)
+        .selectNames(Seq("query_id", "rank", "neighbor_id"))
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, None), // approximate by design — rows-only check
+
+    Q("sim_cosine_pairs", (s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = t.embeddings.select((col("vec_id") - 1).as("id_a"),
+        col("embedding").as("vb"))
+      a.innerJoin(b, Seq("id_a"))
+        .addCols("cosine" -> round(Similarity.cosine(col("va"), col("vb")), 6))
+        .selectNames(Seq("id_a", "cosine"))
+        .sortByKeys(SortKey("id_a"))
+    }, Some("""SELECT a.vec_id AS id_a, ROUND(
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / greatest(
+      |      sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |      sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      1e-12), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |ORDER BY id_a""".stripMargin)),
+
+    // ================= LLM pipeline: multimodal =======================
+    Q("multimodal_meta", (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .addCols("img" -> col("text").cast(BinaryType))
+      Multimodal.withMediaMeta(docs, "img", "image", "png")
+        .select(col("doc_id"), col("img_meta.media_type").as("media_type"),
+          col("img_meta.format").as("format"),
+          col("img_meta.byte_len").as("byte_len"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, 'image' AS media_type, 'png' AS format,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("multimodal_frames", (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .addCols("vid" -> col("text").cast(BinaryType))
+      Multimodal.sampleFrames(docs, "vid", 4)
+        .selectNames(Seq("doc_id", "frame_idx"))
+        .sortByKeys(SortKey("doc_id"), SortKey("frame_idx"))
+    }, Some("""SELECT doc_id, CAST(r.range AS INTEGER) AS frame_idx
+      |FROM documents CROSS JOIN range(4) r
+      |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    Q("multimodal_decode", (s, dir) => {
+      val docs = Tables(s, dir).documents
+        .addCols("img" -> col("text").cast(BinaryType))
+        .selectNames(Seq("doc_id", "img"))
+      Multimodal.decodeImageFeatures(docs, "img")
+        .select(col("doc_id"), col("image_features.width").as("width"),
+          col("image_features.height").as("height"),
+          col("image_features.channels").as("channels"))
+        .sortByKeys(SortKey("doc_id"))
+    }, None) // STUB decode — deterministic fake, rows-only check
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    qs.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    qs.flatMap(q => q.sql.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for large-scale training-data pipelines
+  * (brief: language-ID, quality scoring, token counting, fingerprinting).
+  * Everything here is a pure Column expression over built-ins — codegen'd,
+  * no UDFs, no shuffles; safe to run over 100 TB of documents as a plain
+  * projection.
+  */
+object TextFunctions {
+
+  /** Canonical text normalization used by exact dedup: lowercase, collapse
+    * whitespace, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Word tokens: lowercase split on non-word runs, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\W+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: letter runs, single digits, punctuation marks
+    * counted separately (a cheap stand-in for a real BPE vocab — the usual
+    * pre-tokenizer regex shape). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast(DoubleType) /
+      greatest(length(c).cast(DoubleType), lit(1.0))
+
+  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "by", "from")
+  private val deStop = Seq("der", "die", "das", "und", "oder", "von", "zu",
+    "im", "ist", "es", "dass", "für", "auf", "mit", "als", "bei", "aus")
+  private val frStop = Seq("le", "la", "les", "et", "ou", "de", "du", "en",
+    "est", "il", "que", "pour", "sur", "avec", "comme", "au", "par", "des")
+  private val esStop = Seq("el", "la", "los", "las", "y", "o", "de", "del",
+    "en", "es", "que", "para", "sobre", "con", "como", "al", "por", "un")
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal. */
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    size(filter(t, x => x.isin(enStop: _*))).cast(DoubleType) /
+      greatest(size(t).cast(DoubleType), lit(1.0))
+  }
+
+  /** Mean word length. */
+  def meanWordLength(c: Column): Column = {
+    val t = tokens(c)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
+      greatest(size(t).cast(DoubleType), lit(1.0))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation band +
+    * stopword presence + word-length band (the classic cheap heuristics —
+    * e.g. C4/Gopher-style rules — as one expression). */
+  def qualityScore(c: Column): Column = {
+    val n = length(c)
+    val lengthOk = when(n.between(50, 100000), lit(0.25)).otherwise(lit(0.0))
+    val punctOk  = when(punctRatio(c) < 0.2, lit(0.25)).otherwise(lit(0.0))
+    val stopOk   = when(stopwordRatio(c) > 0.05, lit(0.25)).otherwise(lit(0.0))
+    val wordOk   = when(meanWordLength(c).between(2.0, 12.0), lit(0.25))
+      .otherwise(lit(0.0))
+    lengthOk + punctOk + stopOk + wordOk
+  }
+
+  /** N-gram language ID heuristic: score each language's stopword profile
+    * over the token set, CJK scripts detected by codepoint class; highest
+    * score wins, `und` when nothing matches. */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    def score(stops: Seq[String]): Column =
+      size(filter(t, x => x.isin(stops: _*)))
+    val cjk = length(regexp_replace(c, "[^\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]", ""))
+    val scores = Seq("en" -> score(enStop), "de" -> score(deStop),
+      "fr" -> score(frStop), "es" -> score(esStop))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(cjk.cast(DoubleType) / greatest(length(c), lit(1)) > 0.3, lit("zh"))
+      .otherwise(pick)
+  }
+
+  /** Document fingerprint: 64-bit hash of the normalized text (content-
+    * defined identity for exact dedup; xxhash64 = codegen'd, seed fixed). */
+  def fingerprint(c: Column): Column = xxhash64(normalizeText(c))
+
+  /** Stronger 256-bit content key when collision resistance matters. */
+  def contentKey(c: Column): Column = sha2(normalizeText(c), 256)
+
+  /** Word n-gram shingles (dedup building block). Safe on short texts:
+    * fewer than n tokens → single shingle of the whole text. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+}

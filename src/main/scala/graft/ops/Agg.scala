@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Grouping & aggregation surface (SURVEY §2.6).
+  *
+  * Everything is a single `groupBy(...).agg(...)` plan — Catalyst plans the
+  * partial/final split the reference hand-rolls in its TwoStepAggregator
+  * (`impl/aggregation/aggregators/TwoStepAggregator.kt`), giving map-side
+  * combine and spill for free. No collects, no per-group driver loops.
+  */
+object Agg {
+
+  // ---- aggregate expression builders ---------------------------------
+
+  /** Reference-exact "std": √Σ(x−μ)² — NO division by n or n−1
+    * (reference `api/std.kt:58-64` `stdMean`). Expressed algebraically as
+    * √(Σx² − (Σx)²/n) so it runs in ONE aggregation pass and stays inside
+    * whole-stage codegen. Null xs are ignored (reference skips nulls). */
+  def stdRef(c: Column): Column = {
+    val x = c.cast(DoubleType)
+    sqrt(sum(x * x) - pow(sum(x), 2) / count(x))
+  }
+
+  /** Sane stddev for real use; ship both (SURVEY §7.3). */
+  def stdSamp(c: Column): Column = stddev_samp(c)
+
+  /** Exact median — sorted middle / mean of the two middles (reference
+    * `api/median.kt:20-30`); Spark `median` is the exact percentile(0.5),
+    * matching. Never percentile_approx. */
+  def medianExact(c: Column): Column = median(c)
+
+  /** Reference mean semantics (`api/mean.kt:11-37`): nulls always skipped;
+    * `skipNa=true` also skips NaN; `skipNa=false` lets any NaN poison the
+    * result; empty/all-skipped group → NaN (not null). */
+  def meanRef(c: Column, skipNa: Boolean = false): Column = {
+    val x = c.cast(DoubleType)
+    val base =
+      if (skipNa) avg(when(!isnan(x), x))
+      else avg(x) // Spark avg ignores null, propagates NaN — matches
+    coalesce(base, lit(Double.NaN))
+  }
+
+  /** Conditional count (reference `count(predicate)`,
+    * `GroupByAggregations.kt:30-31`). */
+  def countWhere(pred: Column): Column = count_if(pred)
+
+  implicit final class AggDataFrame(private val df: DataFrame) {
+
+    // ---- groupBy + aggregate DSL ------------------------------------
+    /** reference `groupBy(keys).aggregate { ... }` — multi-agg in one
+      * shuffle. Aliases are the caller's (`into` names). */
+    def groupAgg(keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+      require(aggs.nonEmpty, "groupAgg: no aggregates")
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    /** Frame-level aggregation (reference `DataFrameAggregations.kt`):
+      * one-row result, no grouping. */
+    def aggAll(aggs: Seq[Column]): DataFrame = {
+      require(aggs.nonEmpty, "aggAll: no aggregates")
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+
+    // ---- per-column batch aggregates (`For` variants) ----------------
+    /** reference `sumFor(cols)` — sum each selected column, keeping its
+      * name. Spark widens Int→Long, BigDecimal stays decimal, matching the
+      * reference's NumbersAggregator widening. */
+    def sumFor(keys: Seq[String], cols: Seq[String]): DataFrame =
+      groupAgg(keys, cols.map(c => sum(col(c)).as(c)))
+    def meanFor(keys: Seq[String], cols: Seq[String]): DataFrame =
+      groupAgg(keys, cols.map(c => avg(col(c)).as(c)))
+    def minFor(keys: Seq[String], cols: Seq[String]): DataFrame =
+      groupAgg(keys, cols.map(c => min(col(c)).as(c)))
+    def maxFor(keys: Seq[String], cols: Seq[String]): DataFrame =
+      groupAgg(keys, cols.map(c => max(col(c)).as(c)))
+    def stdForRef(keys: Seq[String], cols: Seq[String]): DataFrame =
+      groupAgg(keys, cols.map(c => stdRef(col(c)).as(c)))
+    def medianFor(keys: Seq[String], cols: Seq[String]): DataFrame =
+      groupAgg(keys, cols.map(c => medianExact(col(c)).as(c)))
+
+    // ---- argmin / argmax whole-row (`minBy`/`maxBy`) -----------------
+    /** reference `maxBy(ord)` returns the whole argmax ROW per group
+      * (`api/minmaxBy.kt:7-55`). One shuffle: max_by over the packed row
+      * struct; ties broken deterministically by the full struct ordering of
+      * (ord, payload). */
+    def maxByRow(keys: Seq[String], ord: String): DataFrame =
+      argRow(keys, ord, greatest = true)
+    def minByRow(keys: Seq[String], ord: String): DataFrame =
+      argRow(keys, ord, greatest = false)
+
+    private def argRow(keys: Seq[String], ord: String, greatest: Boolean)
+        : DataFrame = {
+      val payload = df.columns.filterNot(keys.toSet).toSeq
+      val packed  = struct((ord +: payload.filterNot(_ == ord)).map(col): _*)
+      val agg     =
+        if (greatest) max(packed).as("__arg") else min(packed).as("__arg")
+      df.groupBy(keys.map(col): _*).agg(agg)
+        .select(keys.map(col) ++
+          payload.map(c => col("__arg").getField(c).as(c)): _*)
+    }
+
+    // ---- collect (`values`) ------------------------------------------
+    /** reference `values(sel)` — per-group value lists (`Many` cells).
+      * Sorted for cluster determinism (documented deviation from
+      * encounter order). */
+    def valuesFor(keys: Seq[String], cols: Seq[String]): DataFrame =
+      groupAgg(keys, cols.map(c => array_sort(collect_list(col(c))).as(c)))
+
+    /** Distinct count helper (reference `ndistinct`). */
+    def nunique(keys: Seq[String], cols: Seq[String]): DataFrame =
+      groupAgg(keys, cols.map(c => count_distinct(col(c)).as(c)))
+
+    // ---- grouped frames (`FrameColumn` representation) ---------------
+    /** reference `groupBy` result shape (`api/groupBy.kt:61`): keys frame +
+      * a "groups" column whose cells are the group's rows — here an
+      * array-of-struct, sorted for determinism. */
+    def toGroupedFrames(keys: Seq[String], groupsCol: String = "groups")
+        : DataFrame = {
+      val payload = df.columns.filterNot(keys.toSet).toSeq
+      df.groupBy(keys.map(col): _*)
+        .agg(sort_array(collect_list(struct(payload.map(col): _*)))
+          .as(groupsCol))
+    }
+
+    /** Inverse: splice a groups column back to rows (reference
+      * `GroupedDataFrame.ungroup()`). */
+    def ungroupFrames(groupsCol: String = "groups"): DataFrame = {
+      val elem = df.schema(groupsCol).dataType match {
+        case ArrayType(s: StructType, _) => s
+        case other => sys.error(s"ungroupFrames: $groupsCol is $other")
+      }
+      val others = df.columns.filterNot(_ == groupsCol).toSeq
+      df.withColumn("__g", explode(col(groupsCol)))
+        .select(others.map(col) ++
+          elem.fieldNames.toSeq.map(f => col("__g").getField(f).as(f)): _*)
+    }
+
+    // ---- describe ----------------------------------------------------
+    /** reference `describe(cols)` (`api/describe.kt:13-64`): one row per
+      * column — name, count, nulls, unique, top (mode), freq, mean, min,
+      * max. Two aggregation passes total (all columns at once): one for
+      * stats+mode, one for the mode's frequency. */
+    def describeAll(cols: Seq[String] = Nil): DataFrame = {
+      val cs = if (cols.isEmpty) df.columns.toSeq else cols
+      val statRow = df.agg(
+        count(lit(1)).as("__n"),
+        cs.flatMap { c =>
+          val v = col(c)
+          Seq(
+            count(v).as(s"__count_$c"),
+            count_distinct(v).as(s"__unique_$c"),
+            mode(v).cast(StringType).as(s"__top_$c"),
+            (df.schema(c).dataType match {
+              case _: NumericType => avg(v.cast(DoubleType))
+              case _              => lit(null).cast(DoubleType)
+            }).as(s"__mean_$c"),
+            min(v).cast(StringType).as(s"__min_$c"),
+            max(v).cast(StringType).as(s"__max_$c"))
+        }: _*)
+      // freq = occurrences of the mode: count_if(v == mode) needs the mode
+      // first — join the 1-row stat frame back in (broadcast, no shuffle).
+      val withStats = df.crossJoin(broadcast(statRow))
+      val freqAggs = cs.map(c =>
+        count_if(col(c).cast(StringType) === col(s"__top_$c"))
+          .as(s"__freq_$c"))
+      val freq = withStats.agg(freqAggs.head, freqAggs.tail: _*)
+      val one = statRow.crossJoin(freq)
+      val rows = cs.map { c =>
+        one.select(
+          lit(c).as("column"),
+          col(s"__count_$c").as("count"),
+          (col("__n") - col(s"__count_$c")).as("nulls"),
+          col(s"__unique_$c").as("unique"),
+          col(s"__top_$c").as("top"),
+          col(s"__freq_$c").as("freq"),
+          col(s"__mean_$c").as("mean"),
+          col(s"__min_$c").as("min"),
+          col(s"__max_$c").as("max"))
+      }
+      rows.reduce(_ union _)
+    }
+
+    // ---- correlation matrix -----------------------------------------
+    /** reference `corr(sel)` (`api/corr.kt:6-30`): full Pearson matrix of
+      * the numeric columns. ONE aggregation pass computes all n² pairs,
+      * then an unpivot+pivot reshapes the single row into the matrix —
+      * no per-pair jobs. */
+    def corrMatrix(cols: Seq[String] = Nil): DataFrame = {
+      val cs = if (cols.nonEmpty) cols
+        else df.schema.fields
+          .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+      require(cs.nonEmpty, "corrMatrix: no numeric columns")
+      val pairs = for { a <- cs; b <- cs } yield
+        corr(col(a).cast(DoubleType), col(b).cast(DoubleType))
+          .as(s"${a}__$b")
+      val one = df.agg(pairs.head, pairs.tail: _*)
+      val stackArgs: Seq[Column] = lit(cs.size * cs.size) +:
+        (for { a <- cs; b <- cs
+               e <- Seq(lit(a), lit(b), col(s"${a}__$b")) } yield e)
+      val long = one.select(stack(stackArgs: _*).as(Seq("column", "var2", "value")))
+      long.groupBy("column").pivot("var2", cs).agg(first(col("value")))
+    }
+  }
+}

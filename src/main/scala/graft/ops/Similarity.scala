@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), per the brief: brute-force cosine top-k as the
+  * correctness baseline, and an LSH-bucketed variant as the scale path.
+  *
+  * Scale design: brute force is O(n·q) — fine when the QUERY side is small
+  * enough to broadcast (the common "probe a corpus" case: corpus-partition
+  * parallel, no shuffle of the corpus). The LSH path buckets both sides by
+  * random-hyperplane signatures so each query only scores its bucket
+  * collisions — candidate generation O((n+q)·bands), one shuffle on the
+  * bucket key, AQE handles skewed buckets.
+  */
+object Similarity {
+
+  /** Vector dimension from the schema-declared first row (driver peek at
+    * plan time; dimension is a dataset constant). */
+  def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Cosine similarity of two float-array columns — one fused expression:
+    * dot/(|a|·|b|), codegen-friendly higher-order functions, no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    // promote to double BEFORE multiplying: float products lose ~1e-7
+    // relative accuracy, enough to flip top-k ranks between engines
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0d),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    val nb = sqrt(aggregate(b, lit(0.0d),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    dot / greatest(na * nb, lit(1e-12d))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded at plan build — no
+    * runtime randomness) packed as a literal matrix; signature bit i =
+    * sign(v · plane_i). Returns an array<int> of 0/1. */
+  def hyperplaneSignature(v: Column, dim: Int, planes: Int, seed: Long)
+      : Column = {
+    val rnd = new scala.util.Random(seed)
+    val mat = Array.fill(planes, dim)(rnd.nextGaussian())
+    val bits = (0 until planes).map { i =>
+      val plane = lit(mat(i).map(_.toFloat))
+      val dot = aggregate(zip_with(v, plane, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, 1).otherwise(0)
+    }
+    array(bits: _*)
+  }
+
+  /** Brute-force cosine top-k: every query row scored against every corpus
+    * row. The query side is broadcast (assert small); per-query top-k via
+    * window on the scored pairs. The correctness baseline for the LSH
+    * path. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))))
+      .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        cosine(col(s"c.$vecCol"), col("qv")).as("cosine"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed top-k: both sides signed with the same hyperplanes,
+    * banded; candidates = bucket collisions only. Recall < 1.0 by design —
+    * raise `bands`/lower `rowsPerBand` to trade cost for recall. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      planes: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val dim = vectorDim(corpus, vecCol)
+    val r = planes / bands
+    def withBuckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
+          hyperplaneSignature(col(vecCol), dim, planes, seed).as("sig"))
+        .withColumn("band", explode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            j => struct(j.as("b"),
+              xxhash64(slice(col("sig"), j * r + 1, lit(r)), j).as("k")))))
+        .select(col(id), col(s"${id}_v"),
+          col("band.b").as("b"), col("band.k").as("k"))
+    val c = withBuckets(corpus, "neighbor_id")
+    val q = withBuckets(queries, "query_id")
+    val cand = q.join(c, Seq("b", "k"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_id_v"), col("neighbor_id_v"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      cosine(col("query_id_v"), col("neighbor_id_v")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization alternative: assign each vector to its
+    * nearest of `nlist` centroids (centroids = deterministic sample of the
+    * corpus), probe only matching cells. Centroid assignment is a
+    * broadcast of nlist vectors — no shuffle of the corpus. */
+  def ivfAssign(df: DataFrame, centroids: Seq[Array[Float]],
+      vecCol: String = "embedding", as: String = "cell"): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (ct, i) =>
+      struct(cosine(col(vecCol), lit(ct)).as("s"), lit(i).as("i"))
+    }
+    df.withColumn(as, greatest(scored: _*).getField("i"))
+  }
+}

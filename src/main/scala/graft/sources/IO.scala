@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Construction, sources and sinks (SURVEY §2.1), Spark-first.
+  *
+  * The reference parses CSV eagerly with commons-csv then runs a
+  * per-column type-inference cascade (`io/csv.kt:222-274`); here the read
+  * is a distributed `spark.read.csv` into string columns, the reference's
+  * null-string set is normalized in-plan, and the same cascade
+  * (`Surgery.parseAll`) picks the types — so gzip, splittable reads,
+  * predicate pushdown on the parsed result all come from Spark.
+  */
+object IO {
+
+  /** Reference null-string set (`io/csv.kt:23`): "NA", "N/A", "null", "". */
+  val NullStrings: Seq[String] = Seq("NA", "N/A", "null", "")
+
+  /** reference `DataFrame.readCSV` / `readTSV` / `readDelim`
+    * (`io/csv.kt:59-194`): header, custom delimiter, gzip (transparent in
+    * Spark), `skipLines`, `readLines`, per-column `ColType` overrides, and
+    * the type-inference cascade when no override is given. */
+  def readDelim(spark: SparkSession, path: String, delimiter: String = ",",
+      header: Boolean = true, skipLines: Int = 0,
+      readLines: Option[Int] = None,
+      colTypes: Map[String, DataType] = Map.empty,
+      inferTypes: Boolean = true): DataFrame = {
+    import graft.ops.Surgery._
+    val base =
+      if (skipLines == 0) {
+        spark.read
+          .option("header", header).option("sep", delimiter)
+          .csv(path)
+      } else {
+        // skipLines: drop leading lines before CSV parsing (no native
+        // option) — text read, positional filter, re-parse. Small-file
+        // utility; the zipWithIndex pass is distributed.
+        import spark.implicits._
+        val lines = spark.read.textFile(path).rdd.zipWithIndex()
+          .filter(_._2 >= skipLines).map(_._1)
+        spark.read.option("header", header).option("sep", delimiter)
+          .csv(spark.createDataset(lines))
+      }
+    val limited = readLines.fold(base)(base.limit)
+    // Normalize the reference null-string set in-plan.
+    val nulled = limited.schema.fields.foldLeft(limited) { (d, f) =>
+      d.withColumn(f.name,
+        when(trim(col(f.name)).isin(NullStrings: _*), lit(null))
+          .otherwise(col(f.name)))
+    }
+    val typed = colTypes.foldLeft(nulled) { case (d, (c, t)) =>
+      d.withColumn(c, col(c).cast(t))
+    }
+    if (inferTypes) typed.parseAll() else typed
+  }
+
+  def readCSV(spark: SparkSession, path: String, header: Boolean = true)
+      : DataFrame = readDelim(spark, path, ",", header)
+  def readTSV(spark: SparkSession, path: String, header: Boolean = true)
+      : DataFrame = readDelim(spark, path, "\t", header)
+
+  /** reference `writeCSV` (`io/csv.kt:283-295`). `singleFile` mirrors the
+    * reference's one-file output (driver-side coalesce — small data only;
+    * leave false for cluster-scale writes). */
+  def writeCSV(df: DataFrame, path: String, header: Boolean = true,
+      singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", header).csv(path)
+  }
+
+  /** reference `DataFrame.readJson` (`io/json.kt:27-131`): Spark's native
+    * recursive schema inference covers objects→structs and arrays; the
+    * reference's synthetic `value` column for primitive roots is shimmed. */
+  def readJson(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.json(path)
+    // Reference wraps a root-level primitive array into a `value` column;
+    // Spark yields a single unnamed/corrupt column in that case.
+    if (df.columns.sameElements(Array("_corrupt_record")))
+      spark.read.text(path).select(col("value"))
+    else df
+  }
+
+  def writeJson(df: DataFrame, path: String, singleFile: Boolean = false)
+      : Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
+
+  /** reference `DataFrame.read(fileOrUrl)` (`io/guess.kt:26-54`) — format
+    * sniffing by extension, CSV fallback. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p = path.toLowerCase.stripSuffix(".gz")
+    if (p.endsWith(".json") || p.endsWith(".jsonl") || p.endsWith(".ndjson"))
+      readJson(spark, path)
+    else if (p.endsWith(".tsv")) readTSV(spark, path)
+    else if (p.endsWith(".parquet")) spark.read.parquet(path)
+    else readCSV(spark, path)
+  }
+
+  // ---- builders (`Build.kt`) -----------------------------------------
+  /** reference `dataFrameOf(header)(values...)` — header + flat row-major
+    * value list. */
+  def dataFrameOf(spark: SparkSession, names: Seq[String],
+      values: Seq[Seq[Any]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(values.forall(_.length == names.length),
+      "dataFrameOf: ragged rows")
+    val schema = StructType(names.zipWithIndex.map { case (n, i) =>
+      val sample = values.map(_(i)).find(_ != null)
+      StructField(n, sample.map(sparkTypeOf).getOrElse(StringType), true)
+    })
+    val rows = values.map(v => org.apache.spark.sql.Row.fromSeq(v)).asJava
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** reference `Map<String, Iterable>.toDataFrame()` (`Build.kt:219-235`). */
+  def dataFrameOfColumns(spark: SparkSession,
+      cols: Seq[(String, Seq[Any])]): DataFrame = {
+    require(cols.nonEmpty, "dataFrameOfColumns: no columns")
+    val n = cols.head._2.length
+    require(cols.forall(_._2.length == n), "dataFrameOfColumns: ragged")
+    dataFrameOf(spark, cols.map(_._1),
+      (0 until n).map(i => cols.map(_._2(i))))
+  }
+
+  private def sparkTypeOf(v: Any): DataType = v match {
+    case _: Int | _: java.lang.Integer => IntegerType
+    case _: Long | _: java.lang.Long => LongType
+    case _: Double | _: java.lang.Double => DoubleType
+    case _: Float | _: java.lang.Float => FloatType
+    case _: Boolean | _: java.lang.Boolean => BooleanType
+    case _: java.math.BigDecimal | _: BigDecimal => DecimalType(38, 18)
+    case _: java.sql.Timestamp => TimestampType
+    case _: java.sql.Date => DateType
+    case _ => StringType
+  }
+
+  // ---- display sinks --------------------------------------------------
+  /** reference `toHTML` (`io/html.kt:11-56`) — driver-side render of the
+    * first `limit` rows. */
+  def toHTML(df: DataFrame, limit: Int = 100): String = {
+    val rows = df.limit(limit).collect()
+    val head = df.columns.map(c => s"<th>$c</th>").mkString
+    val body = rows.map(r =>
+      "<tr>" + r.toSeq.map(v => s"<td>${Option(v).getOrElse("null")}</td>")
+        .mkString + "</tr>").mkString("\n")
+    s"<table>\n<tr>$head</tr>\n$body\n</table>"
+  }
+
+  /** reference `renderToString`/`print` (`io/string.kt:9-41`) — text grid
+    * of the first `limit` rows (showString is private; rebuilt here). */
+  def renderToString(df: DataFrame, limit: Int = 20): String = {
+    val rows = df.limit(limit).collect()
+    val cells = df.columns.toSeq +:
+      rows.toSeq.map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("null")))
+    val widths = cells.transpose.map(_.map(_.length).max)
+    cells.map(r => r.zip(widths)
+      .map { case (s, w) => s.padTo(w, ' ') }.mkString(" | "))
+      .mkString("\n")
+  }
+
+  /** reference `schema()` printer (`api/schema.kt:11-38`). */
+  def schemaString(df: DataFrame): String = df.schema.treeString
+
+  /** reference `toMap` (`Operations.kt:300`) — driver-side transpose. */
+  def toMap(df: DataFrame, limit: Int = 100000): Map[String, Seq[Any]] = {
+    val rows = df.limit(limit).collect()
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> rows.map(_.get(i)).toSeq
+    }.toMap
+  }
+}
