@@ -36,9 +36,13 @@ object Dedup {
     * codegen-friendly expression: sig[i] = min over shingles of
     * xxhash64(shingle, i). */
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
+    minhashFromShingles(shingles(text, shingleN), numHashes)
+
+  /** Same, over an already-materialized shingle column (so the shingling
+    * work is not repeated 64×). */
+  def minhashFromShingles(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles(text, shingleN),
-        s => xxhash64(s, i))))
+      i => array_min(transform(sh, s => xxhash64(s, i))))
 
   /** Banded bucket keys from a signature: `bands` buckets of `rowsPerBand`
     * signature slots each; two docs collide iff any band hashes equal. */
@@ -49,32 +53,48 @@ object Dedup {
   /** Candidate near-dup pairs via MinHash-LSH banding, verified with exact
     * n-gram Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
     *
-    * Cost: shuffle #1 groups by (band, bucket) — O(n·bands) rows; pairs
-    * are generated only inside buckets; shuffle #2 is the pair dedup.
+    * Scale shape (the part that must survive 100×):
+    *  - the per-row hash compute is spread by an id-repartition first
+    *    (text parquet compresses so well that the scan has far fewer
+    *    partitions than cores — without this all minhashing lands on a
+    *    couple of tasks);
+    *  - candidate generation explodes SKINNY (id, band, key) tuples only —
+    *    never the shingle/signature arrays (carrying those 32× through the
+    *    shuffle is what makes banding fall over at scale);
+    *  - the band self-join is hinted shuffle-hash: both sides are the same
+    *    size, and the planner's scan-size estimate would otherwise
+    *    broadcast the whole exploded relation;
+    *  - shingles are re-joined BY ID only for the ~|candidates| verify
+    *    rows.
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"),
-        minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
-      .withColumn("band", explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          j => struct(j.as("b"),
-            xxhash64(slice(col("sig"), j * r + 1, lit(r)), j).as("k")))))
-      .select(col("id"), col("sh"),
-        col("band.b").as("b"), col("band.k").as("k"))
-    val a = docs.as("a")
-    val b = docs.as("b")
-    val pairs = a.join(b,
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+    // persisted: consumed by candidate generation AND both verify joins —
+    // without this the shingling runs 4× (and the whole job was ~10×
+    // slower measured at sf0.1)
+    val shingled = base
+      .select(col("id"), shingles(col("__text"), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = shingled
+      .select(col("id"), posexplode(
+        bandKeys(minhashFromShingles(col("sh"), numHashes), bands, r)))
+      .select(col("id"), col("pos").as("b"), col("col").as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cand.as("a")
+      .join(cand.as("b").hint("shuffle_hash"),
         col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs.withColumn("jaccard",
+    pairs
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)
@@ -128,19 +148,29 @@ object Dedup {
     * verified by full hamming distance. O(n·4) candidate generation. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val docs = df
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__h"))
+    // same skinny-candidate shape as nearDupPairs: spread the hash
+    // compute, explode (id, quarter, key) only, verify by id re-join
+    val sigs = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"), tokenHashes(col("__text")).as("__h"))
       .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = sigs
       .withColumn("q", explode(array((0 until 4).map(j =>
         struct(lit(j).as("b"),
           shiftright(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL)).as("k"))): _*)))
-      .select(col("id"), col("sh"), col("q.b").as("b"), col("q.k").as("k"))
-    docs.as("a").join(docs.as("b"),
+      .select(col("id"), col("q.b").as("b"), col("q.k").as("k"))
+    cand.as("a")
+      .join(cand.as("b").hint("shuffle_hash"),
         col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hammingDist(col("a.sh"), col("b.sh")).as("hamming"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -152,21 +182,25 @@ object Dedup {
       minCosine: Double = 0.95, planes: Int = 16, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
     val dim = Similarity.vectorDim(df, vecCol)
-    val sigs = Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed)
     val r = planes / bands
-    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        sigs.as("sig"))
-      .withColumn("band", explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          j => struct(j.as("b"),
-            xxhash64(slice(col("sig"), j * r + 1, lit(r)), j).as("k")))))
-      .select(col("id"), col("v"), col("band.b").as("b"), col("band.k").as("k"))
-    docs.as("a").join(docs.as("b"),
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = vecs
+      .select(col("id"), posexplode(bandKeys(
+        Similarity.hyperplaneSignature(col("v"), dim, planes, seed),
+        bands, r)))
+      .select(col("id"), col("pos").as("b"), col("col").as("k"))
+    cand.as("a")
+      .join(cand.as("b").hint("shuffle_hash"),
         col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -81,24 +81,25 @@ object Similarity {
     require(planes % bands == 0, "bands must divide planes")
     val dim = vectorDim(corpus, vecCol)
     val r = planes / bands
-    def withBuckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
-          hyperplaneSignature(col(vecCol), dim, planes, seed).as("sig"))
-        .withColumn("band", explode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            j => struct(j.as("b"),
-              xxhash64(slice(col("sig"), j * r + 1, lit(r)), j).as("k")))))
-        .select(col(id), col(s"${id}_v"),
-          col("band.b").as("b"), col("band.k").as("k"))
-    val c = withBuckets(corpus, "neighbor_id")
-    val q = withBuckets(queries, "query_id")
-    val cand = q.join(c, Seq("b", "k"))
+    // skinny candidates: only (id, band, key) rides the bucket join; the
+    // vectors are re-joined by id for the |candidates| cosine evaluations
+    def buckets(df: DataFrame, id: String): DataFrame =
+      df.repartition(col(idCol))
+        .select(col(idCol).as(id), posexplode(graft.ops.Dedup.bandKeys(
+          hyperplaneSignature(col(vecCol), dim, planes, seed), bands, r)))
+        .select(col(id), col("pos").as("b"), col("col").as("k"))
+    val cand = buckets(queries, "query_id")
+      .join(buckets(corpus, "neighbor_id").hint("shuffle_hash"), Seq("b", "k"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("query_id_v"), col("neighbor_id_v"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("query_id_v"), col("neighbor_id_v")).as("cosine"))
+    val scored = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
