@@ -40,14 +40,17 @@ object Joins {
     def outerJoin(right: DataFrame, keys: Seq[String] = Nil,
         hintBroadcast: Boolean = false): DataFrame =
       run(right, keys, "full", hintBroadcast)
-    /** reference `filterJoin` = inner with no right columns = left-semi. */
+    /** reference `filterJoin` = inner with no right columns = left-semi.
+      * Left schema/order preserved (using-join moves keys first). */
     def filterJoin(right: DataFrame, keys: Seq[String] = Nil,
         hintBroadcast: Boolean = false): DataFrame =
       run(right, keys, "left_semi", hintBroadcast)
+        .select(left.columns.map(col).toIndexedSeq: _*)
     /** reference `excludeJoin` = unmatched left = left-anti. */
     def excludeJoin(right: DataFrame, keys: Seq[String] = Nil,
         hintBroadcast: Boolean = false): DataFrame =
       run(right, keys, "left_anti", hintBroadcast)
+        .select(left.columns.map(col).toIndexedSeq: _*)
 
     /** Reference's clashing-right-column policy: suffix `_1`
       * (test `person/JoinTests.kt:46`). Applied by renaming the right side

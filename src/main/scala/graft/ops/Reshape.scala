@@ -70,7 +70,9 @@ object Reshape {
       val outNames =
         if (names.nonEmpty) names else (1 to n).map(i => s"splitted$i")
       outNames.zipWithIndex.foldLeft(df) { case (d, (nm, i)) =>
-        d.withColumn(nm, parts.getItem(i))
+        // try_element_at: ragged rows pad with null instead of throwing
+        // under ANSI mode (Spark 4 default)
+        d.withColumn(nm, try_element_at(parts, lit(i + 1)))
       }
     }
 

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Agg
+import graft.ops.Agg._
+
+class AggSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("groupAgg: count/sum/min/max in one shuffle") {
+    val res = person.groupAgg(Seq("name"), Seq(
+      count(lit(1)).as("n"), sum(col("age")).as("sum_age"),
+      min(col("age")).as("min_age"), max(col("age")).as("max_age")))
+      .orderBy("name").collect()
+    assert(res.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("Alice", 2L, 35L), ("Bob", 2L, 75L), ("Mark", 3L, 90L)))
+  }
+
+  test("stdRef = sqrt of sum of squared deviations (reference std.kt:58-64)") {
+    // ages 15,45,20,40,30,20,30 → mean=200/7; Σ(x−μ)² computed by hand
+    val ages = Seq(15.0, 45.0, 20.0, 40.0, 30.0, 20.0, 30.0)
+    val mu = ages.sum / ages.size
+    val expected = math.sqrt(ages.map(a => (a - mu) * (a - mu)).sum)
+    val got = person.agg(Agg.stdRef(col("age")).as("s")).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-9, s"$got vs $expected")
+  }
+
+  test("medianExact: sorted middle (odd), mean of middles (even)") {
+    assert(person.agg(Agg.medianExact(col("age"))).head().getDouble(0) == 30.0)
+    val even = person.filter(col("weight").isNotNull) // 54,87,68,55,90
+    assert(even.agg(Agg.medianExact(col("weight"))).head().getDouble(0) == 68.0)
+  }
+
+  test("meanRef: NaN poisons when skipNa=false, skipped when true, empty→NaN") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0, Double.NaN, 3.0).toDF("x")
+    assert(df.agg(Agg.meanRef(col("x"))).head().getDouble(0).isNaN)
+    assert(df.agg(Agg.meanRef(col("x"), skipNa = true)).head().getDouble(0) == 2.0)
+    val empty = df.filter(col("x") > 100)
+    assert(empty.agg(Agg.meanRef(col("x"))).head().getDouble(0).isNaN)
+  }
+
+  test("maxByRow returns the whole argmax row per group") {
+    val res = person.maxByRow(Seq("name"), "age").orderBy("name").collect()
+    assert(res.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("Alice", 20), ("Bob", 45), ("Mark", 40)))
+    // payload columns ride along
+    assert(res.map(_.schema.fieldNames.toSeq).head ==
+      Seq("name", "age", "city", "weight"))
+  }
+
+  test("minByRow ties break deterministically via struct order") {
+    val res = person.minByRow(Seq("name"), "age").orderBy("name").collect()
+    assert(res.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("Alice", 15), ("Bob", 30), ("Mark", 20)))
+  }
+
+  test("valuesFor collects sorted per-group lists") {
+    val res = person.valuesFor(Seq("name"), Seq("age")).orderBy("name").collect()
+    assert(res.map(_.getSeq[Int](1)).toSeq ==
+      Seq(Seq(15, 20), Seq(30, 45), Seq(20, 30, 40)))
+  }
+
+  test("toGroupedFrames/ungroupFrames round-trips the frame") {
+    val back = person.toGroupedFrames(Seq("name")).ungroupFrames()
+    assert(back.count() == 7)
+    assert(back.columns.toSet == person.columns.toSet)
+    assert(back.orderBy("name", "age").select("age").collect().map(_.getInt(0)).toSeq
+      == Seq(15, 20, 30, 45, 20, 30, 40))
+  }
+
+  test("countWhere") {
+    assert(person.agg(Agg.countWhere(col("age") > 25)).head().getLong(0) == 4L)
+  }
+
+  test("nunique") {
+    val r = person.nunique(Seq("name"), Seq("city")).orderBy("name").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L, 2L)) // null city not counted
+  }
+
+  test("describeAll profiles count/nulls/unique/top/mean/min/max") {
+    val d = person.describeAll(Seq("age", "city")).orderBy("column").collect()
+    val age = d(0)
+    assert(age.getString(0) == "age")
+    assert(age.getLong(1) == 7)      // count
+    assert(age.getLong(2) == 0)      // nulls
+    assert(age.getLong(3) == 5)      // unique
+    assert(math.abs(age.getDouble(6) - 200.0 / 7) < 1e-9) // mean
+    val city = d(1)
+    assert(city.getLong(1) == 6 && city.getLong(2) == 1)
+    assert(city.getString(4) == "Moscow" && city.getLong(5) == 2) // top, freq
+  }
+
+  test("corrMatrix is symmetric with unit diagonal") {
+    val m = person.na.drop().corrMatrix(Seq("age", "weight"))
+      .orderBy("column").collect()
+    assert(m.length == 2)
+    assert(math.abs(m(0).getDouble(1) - 1.0) < 1e-9) // corr(age,age)
+    assert(math.abs(m(1).getDouble(2) - 1.0) < 1e-9) // corr(weight,weight)
+    assert(math.abs(m(0).getDouble(2) - m(1).getDouble(1)) < 1e-9)
+  }
+}

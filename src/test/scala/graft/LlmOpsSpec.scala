@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.ops.{Dedup, Similarity, Multimodal}
+
+class LlmOpsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+      (4L, "completely different content about spark engines here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tokens/tokenCount/bpeishTokenCount") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("Hello, world! x2").toDF("t")
+    val r = df.select(tokenCount(col("t")), bpeishTokenCount(col("t"))).head()
+    assert(r.getInt(0) == 3) // hello, world, x2 (digits are word chars)
+    assert(r.getInt(1) == 6) // Hello , world ! x 2 (bpe-ish splits x|2)
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "the cat and the dog sat on a mat",
+      "der Hund und die Katze ist im Haus",
+      "le chat et le chien est sur la table",
+      "el perro y el gato es de la casa",
+      "zzz qqq").toDF("t")
+    val langs = df.select(langId(col("t"))).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("qualityScore components behave") {
+    val s = spark
+    import s.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs far away"
+    val bad = "!!!! ???? ;;;; ::::"
+    val r = Seq(good, bad).toDF("t")
+      .select(qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(r(0) == 1.0 && r(1) <= 0.25)
+  }
+
+  test("fingerprint/contentKey invariant under whitespace + case") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A  B\tc", "a b c")).toDF("x", "y")
+    val r = df.select(fingerprint(col("x")) === fingerprint(col("y")),
+      contentKey(col("x")) === contentKey(col("y"))).head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("shingles: n-grams, whole text when too short") {
+    val s = spark
+    import s.implicits._
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(shingles(col("t"), 3)).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0) == Seq("a b"))
+  }
+
+  test("exactDedup keeps smallest id per normalized content") {
+    val res = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(res.count() == 3)
+    assert(res.filter(col("doc_id") === 2).count() == 0)
+  }
+
+  test("nearDupPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 32, shingleN = 2, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("nearDupDedup drops near-matches of smaller ids") {
+    val res = Dedup.nearDupDedup(docs, "text", "doc_id",
+      numHashes = 64, bands = 32, shingleN = 2, minJaccard = 0.5)
+    assert(res.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
+
+  test("ngramJaccard: identical→1, disjoint→0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("t1", "t2", "t3")
+    val r = df.select(Dedup.ngramJaccard(col("t1"), col("t2"), 2),
+      Dedup.ngramJaccard(col("t1"), col("t3"), 2)).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash: identical text → identical hash; hamming works") {
+    val res = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.toSet.contains((1L, 2L)))
+  }
+
+  test("cosine: orthogonal→0, identical→1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b")
+    val r = df.select(Similarity.cosine(col("a"), col("a")),
+      Similarity.cosine(col("a"), col("b"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val res = Similarity.bruteForceTopK(t.embeddings,
+      t.embeddings.filter(col("vec_id") < 3), k = 4)
+    val counts = res.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 4))
+    // rank 1 has the highest cosine
+    val q0 = res.filter(col("query_id") === 0).orderBy("rank")
+      .select("cosine").collect().map(_.getDouble(0))
+    assert(q0.zip(q0.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lshTopK candidates are a subset with correct ranks") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val res = Similarity.lshTopK(t.embeddings,
+      t.embeddings.filter(col("vec_id") < 3), k = 4)
+    assert(res.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) <= 4))
+  }
+
+  test("multimodal: meta, stub decode, frame sampling shapes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "imagebytes")).toDF("id", "payload")
+      .withColumn("img", col("payload").cast("binary"))
+    val meta = Multimodal.withMediaMeta(df, "img", "image", "png")
+    val m = meta.select("img_meta.byte_len", "img_meta.media_type").head()
+    assert(m.getLong(0) == 10L && m.getString(1) == "image")
+    val dec = Multimodal.decodeImageFeatures(meta, "img")
+    val f = dec.select("image_features.width", "image_features.embedding").head()
+    assert(f.getInt(0) > 0 && f.getSeq[Float](1).size == 8)
+    // determinism: same bytes → same features
+    val f2 = Multimodal.decodeImageFeatures(meta, "img")
+      .select("image_features.width").head()
+    assert(f.getInt(0) == f2.getInt(0))
+    val frames = Multimodal.sampleFrames(df, "img", 3)
+    assert(frames.count() == 3)
+    val resized = Multimodal.resizeImage(dec, "image_features", 64, 64)
+    assert(resized.select("image_features.width").head().getInt(0) == 64)
+  }
+}

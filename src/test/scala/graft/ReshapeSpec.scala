@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Reshape._
+import graft.ops.Selection._
+import graft.core.TypeWidening
+
+class ReshapeSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("pivotAgg: explicit values give deterministic columns") {
+    val res = person.pivotAgg(Seq("name"), "city",
+      Seq("London", "Moscow", "Tokyo"), Seq(count(lit(1))))
+    assert(res.columns.toSeq == Seq("name", "London", "Moscow", "Tokyo"))
+    val mark = res.filter(col("name") === "Mark").head()
+    assert(mark.getLong(2) == 2) // Mark in Moscow twice
+  }
+
+  test("pivotMatches: boolean presence matrix, holes are false") {
+    val res = person.pivotMatches(Seq("name"), "city", Seq("London", "Dubai"))
+    val alice = res.filter(col("name") === "Alice").head()
+    assert(alice.getBoolean(1) && !alice.getBoolean(2))
+  }
+
+  test("gather melts columns to key/value with widening") {
+    val res = person.selectNames(Seq("name", "age", "weight"))
+      .gather(Seq("age", "weight"), "key", "value")
+    assert(res.columns.toSeq == Seq("name", "key", "value"))
+    assert(res.count() == 12) // 14 cells minus 2 null weights (dropNulls)
+    val kept = person.selectNames(Seq("name", "age", "weight"))
+      .gather(Seq("age", "weight"), dropNulls = false)
+    assert(kept.count() == 14)
+  }
+
+  test("gather guards empty selection and name clashes") {
+    intercept[IllegalArgumentException] { person.gather(Nil) }
+    intercept[IllegalArgumentException] {
+      person.gather(Seq("age"), keyName = "city")
+    }
+  }
+
+  test("splitInto pads ragged splits with null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a-b-c", "x").toDF("v")
+    val res = df.splitInto("v", "-", 3).orderBy("v")
+    val rows = res.collect()
+    assert(rows(0).getString(1) == "a" && rows(0).getString(3) == "c")
+    assert(rows(1).getString(1) == "x" && rows(1).isNullAt(2))
+  }
+
+  test("splitIntoRows explodes tokens") {
+    val s = spark
+    import s.implicits._
+    val res = Seq("a b", "c").toDF("v").splitIntoRows("v", " ", "tok")
+    assert(res.count() == 3)
+  }
+
+  test("merge into array/string/struct") {
+    val arr = person.mergeIntoArray(Seq("age", "weight"), "vals")
+    assert(arr.schema("vals").dataType == ArrayType(IntegerType, true))
+    assert(!arr.columns.contains("age"))
+    val str = person.mergeIntoString(Seq("name", "city"), "-", "tag")
+    assert(str.filter(col("tag") === "Alice-London").count() == 1)
+    val st = person.mergeIntoStruct(Seq("age", "weight"), "aw")
+    assert(st.schema("aw").dataType.isInstanceOf[StructType])
+  }
+
+  test("mergeRows keeps nulls by default (reference mergeRows.kt)") {
+    val res = person.selectNames(Seq("name", "weight")).mergeRows(Seq("weight"))
+      .orderBy("name").collect()
+    // Mark: weights null, null, 90 → nulls kept, sorted nulls-first
+    val mark = res(2).getSeq[Any](1)
+    assert(mark.size == 3 && mark.count(_ == null) == 2)
+    val dropped = person.selectNames(Seq("name", "weight"))
+      .mergeRows(Seq("weight"), dropNulls = true).orderBy("name").collect()
+    assert(dropped(2).getSeq[Any](1) == Seq(90))
+  }
+
+  test("explodeLockstep pads shorter arrays with null, null cells too") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, Seq("x", "y", "z"), Option(Seq(7, 8))),
+      (2, Seq("p"), Option.empty[Seq[Int]])
+    ).toDF("id", "a", "b")
+    val res = df.explodeLockstep(Seq("a", "b")).orderBy("id", "a").collect()
+    assert(res.length == 4)
+    assert(res(2).isNullAt(2))       // (1, z, null)
+    assert(res(3).getString(1) == "p" && res(3).isNullAt(2))
+  }
+
+  test("explodeLockstep dropEmpty=false keeps all-empty rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Seq.empty[String])).toDF("id", "a")
+    assert(df.explodeLockstep(Seq("a")).count() == 0)
+    assert(df.explodeLockstep(Seq("a"), dropEmpty = false).count() == 1)
+  }
+
+  test("unionWide aligns by name, widens types, null-fills") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((2L, 1.5)).toDF("k", "extra")
+    val u = TypeWidening.unionByNameWide(Seq(a, b))
+    assert(u.schema("k").dataType == LongType)
+    assert(u.columns.toSeq == Seq("k", "v", "extra"))
+    assert(u.count() == 2)
+    assert(u.filter(col("v").isNull).count() == 1)
+  }
+
+  test("unionWide rebuilds divergent structs instead of casting") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1, ("x", 1))).toDF("id", "s")
+    val b = s.range(1).select(col("id").cast("int"),
+      struct(lit(2.5).as("_2"), lit("w").as("_3")).as("s"))
+    val u = TypeWidening.unionByNameWide(Seq(a, b))
+    val f = u.schema("s").dataType.asInstanceOf[StructType]
+    assert(f.fieldNames.toSeq == Seq("_1", "_2", "_3"))
+    assert(u.count() == 2)
+  }
+
+  test("transposeRow: single row to (name, value)") {
+    val res = person.limit(1).transposeRow()
+    assert(res.columns.toSeq == Seq("name", "value"))
+    assert(res.count() == 4)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Surgery._
+import graft.core.SchemaOps
+import graft.sources.IO
+
+class SurgeryIOSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("renameInto") {
+    val res = person.renameInto("name" -> "who", "age" -> "years")
+    assert(res.columns.toSeq == Seq("who", "years", "city", "weight"))
+  }
+
+  test("removeCols drops top-level and nested fields, prunes empty groups") {
+    val nested = SchemaOps.nest(person, Seq("city", "weight"), "info")
+    val res = nested.removeCols(Seq("info.weight"))
+    val f = res.schema("info").dataType.asInstanceOf[StructType]
+    assert(f.fieldNames.toSeq == Seq("city"))
+    // removing the last field drops the group entirely
+    val gone = res.removeCols(Seq("info.city"))
+    assert(!gone.columns.contains("info"))
+  }
+
+  test("nest/unnest/flatten round-trip with clash handling") {
+    val nested = SchemaOps.nest(person, Seq("city", "weight"), "info")
+    assert(nested.columns.toSeq == Seq("name", "age", "info"))
+    val un = SchemaOps.unnest(nested, "info")
+    assert(un.columns.toSeq == Seq("name", "age", "city", "weight"))
+    val flat = SchemaOps.flatten(nested)
+    assert(flat.columns.toSeq == Seq("name", "age", "info_city", "info_weight"))
+  }
+
+  test("move and insertAt control column position") {
+    val moved = SchemaOps.move(person, Seq("weight"), 0)
+    assert(moved.columns.head == "weight")
+    val ins = SchemaOps.insertAt(person, "x", lit(1), 2)
+    assert(ins.columns.toSeq == Seq("name", "age", "x", "city", "weight"))
+  }
+
+  test("convert matrix: numbers, strings, lenient bool, epoch") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("1", "YES", 1700000000000L)).toDF("n", "b", "e")
+    val res = df.convertTo("n", IntegerType).convertToBoolean("b")
+      .epochMillisToTimestamp("e")
+    val row = res.head()
+    assert(row.getInt(0) == 1 && row.getBoolean(1))
+    assert(res.schema("e").dataType == TimestampType)
+  }
+
+  test("parseCascade picks long/double/bool/date and leaves mixed as string") {
+    val s = spark
+    import s.implicits._
+    assert(Seq("1", "2").toDF("v").parseCascade("v").schema("v").dataType == LongType)
+    assert(Seq("1.5", "2").toDF("v").parseCascade("v").schema("v").dataType == DoubleType)
+    assert(Seq("YES", "no").toDF("v").parseCascade("v").schema("v").dataType == BooleanType)
+    assert(Seq("2024-01-01").toDF("v").parseCascade("v").schema("v").dataType == DateType)
+    assert(Seq("abc", "1").toDF("v").parseCascade("v").schema("v").dataType == StringType)
+  }
+
+  test("slicing: takeRows/takeLastRows/rowsAt/firstRow/singleRow") {
+    assert(person.takeRows(3).count() == 3)
+    val last2 = person.takeLastRows(2, Seq(col("age")))
+    assert(last2.collect().map(_.getInt(1)).toSeq == Seq(40, 45))
+    val at = person.rowsAt(Seq(0L, 6L), Seq(col("age"), col("name")))
+    assert(at.count() == 2)
+    assert(person.firstRow(Some(col("age") === 45)).getString(0) == "Bob")
+    intercept[IllegalArgumentException] {
+      person.singleRow(Some(col("name") === "Mark"))
+    }
+  }
+
+  test("replaceAllValues substitutes across string columns") {
+    val res = person.replaceAllValues(Map("Moscow" -> "MOW"), Seq("city"))
+    assert(res.filter(col("city") === "MOW").count() == 2)
+  }
+
+  test("CSV round-trip: null-string set + type inference cascade") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val path = tmp + "/t.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "id,name,score\n1,alice,3.5\n2,NA,4.0\n3,bob,N/A\n")
+    val df = IO.readDelim(s, path)
+    assert(df.schema("id").dataType == LongType)
+    assert(df.schema("score").dataType == DoubleType)
+    assert(df.filter(col("name").isNull).count() == 1)
+    assert(df.filter(col("score").isNull).count() == 1)
+    IO.writeCSV(df, tmp + "/out", singleFile = true)
+    assert(IO.readCSV(s, tmp + "/out").count() == 3)
+  }
+
+  test("read() sniffs format by extension") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sniff").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp + "/d.json"),
+      """{"a": 1, "b": {"c": "x"}}""" + "\n")
+    val df = IO.read(s, tmp + "/d.json")
+    assert(df.schema("b").dataType.isInstanceOf[StructType]) // nested inference
+  }
+
+  test("dataFrameOf builders and display sinks") {
+    val s = spark
+    val df = IO.dataFrameOf(s, Seq("a", "b"), Seq(Seq(1, "x"), Seq(2, "y")))
+    assert(df.schema("a").dataType == IntegerType)
+    val byCols = IO.dataFrameOfColumns(s, Seq("a" -> Seq(1, 2), "b" -> Seq("x", "y")))
+    assert(byCols.count() == 2)
+    assert(IO.toHTML(df).contains("<td>x</td>"))
+    assert(IO.renderToString(df).contains("a"))
+    assert(IO.schemaString(df).contains("a"))
+    val m = IO.toMap(df)
+    assert(m("a") == Seq(1, 2))
+  }
+}
