@@ -38,11 +38,13 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
     minhashFromShingles(shingles(text, shingleN), numHashes)
 
-  /** Same, over an already-materialized shingle column (so the shingling
-    * work is not repeated 64×). */
+  /** Same, over an already-materialized shingle column. Backed by the
+    * native [[org.apache.spark.sql.graftnative.MinHashSignature]]
+    * expression — one compiled pass instead of k×|shingles| interpreted
+    * lambda evaluations. */
   def minhashFromShingles(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    org.apache.spark.sql.graftnative.NativeFunctions
+      .minhashSignature(sh, numHashes)
 
   /** Banded bucket keys from a signature: `bands` buckets of `rowsPerBand`
     * signature slots each; two docs collide iff any band hashes equal. */
@@ -85,6 +87,9 @@ object Dedup {
         bandKeys(minhashFromShingles(col("sh"), numHashes), bands, r)))
       .select(col("id"), col("pos").as("b"), col("col").as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before the self-join: its two sides start concurrently
+    // and would otherwise BOTH compute the signatures on a cold cache
+    cand.count()
     val pairs = cand.as("a")
       .join(cand.as("b").hint("shuffle_hash"),
         col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
@@ -126,16 +131,12 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(tokens(text), t => xxhash64(t))
 
-  /** 64-bit SimHash, pure expression, no UDF: bit j of the result is set
-    * iff more token hashes have bit j set than clear (majority vote). The
-    * bit loop is unrolled over Scala ints (shift amounts must be
-    * literals). */
+  /** 64-bit SimHash: bit j of the result is set iff more token hashes have
+    * bit j set than clear (majority vote). Backed by the native codegen'd
+    * [[org.apache.spark.sql.graftnative.SimHash64]] expression — one fused pass per row (the
+    * HOF formulation needed 64 interpreted array traversals). */
   def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { j =>
-      val set = size(filter(hashes,
-        h => shiftright(h, j).bitwiseAND(1) === 1))
-      when(set * 2 > size(hashes), shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    org.apache.spark.sql.graftnative.NativeFunctions.simhash64(hashes)
 
   def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 

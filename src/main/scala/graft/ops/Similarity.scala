@@ -23,20 +23,13 @@ object Similarity {
   def vectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
-  /** Cosine similarity of two float-array columns — one fused expression:
-    * dot/(|a|·|b|), codegen-friendly higher-order functions, no UDF. */
-  def cosine(a: Column, b: Column): Column = {
-    // promote to double BEFORE multiplying: float products lose ~1e-7
-    // relative accuracy, enough to flip top-k ranks between engines
-    val dot = aggregate(zip_with(a, b,
-      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d),
-      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    val nb = sqrt(aggregate(b, lit(0.0d),
-      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    dot / greatest(na * nb, lit(1e-12d))
-  }
+  /** Cosine similarity of two float-array columns, backed by the native
+    * codegen'd [[org.apache.spark.sql.graftnative.CosineSimilarity]] expression: dot and both
+    * norms accumulate in ONE fused loop, per-element promoted to double
+    * (float products lose ~1e-7 relative accuracy — enough to flip top-k
+    * ranks between engines). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.NativeFunctions.cosineSimilarity(a, b)
 
   /** Deterministic pseudo-random hyperplanes (seeded at plan build — no
     * runtime randomness) packed as a literal matrix; signature bit i =

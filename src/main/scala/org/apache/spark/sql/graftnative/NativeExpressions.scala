@@ -1,0 +1,183 @@
+// Lives under org.apache.spark.sql so the private[sql] expression plumbing
+// (AbstractDataType, ExpressionUtils) is reachable — the standard shim
+// pattern for out-of-tree native expressions.
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (brief preference order: built-in functions
+  * > custom codegen'd `Expression` > UDF). These two are the hot-path
+  * kernels of the LLM-pipeline operators; as expressions they run inside
+  * whole-stage codegen with zero boxing, vs. the higher-order-function
+  * formulations which evaluate interpreted lambda trees per element
+  * (simhash was 64 array passes per row as HOFs).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1
+        }
+      }
+      i += 1
+    }
+    var res = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) res |= (1L << j); j += 1 }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = $c.getLong($i);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      $votes[$j] += ((($h >> $j) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) ${ev.value} |= (1L << $j);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash64 = copy(child = newChild)
+}
+
+/** Cosine similarity of two float vectors in ONE fused pass (dot and both
+  * norms accumulated together in doubles, matching the documented oracle
+  * semantics). Null if either side is null; 0-vectors guarded by 1e-12. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / math.max(math.sqrt(nx) * math.sqrt(ny), 1e-12)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot / Math.max(Math.sqrt($nx) * Math.sqrt($ny), 1e-12);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** k-permutation MinHash signature over a string-array column in one
+  * compiled pass: sig[j] = min over elements of XXH64(bytes, seed=j).
+  * The HOF formulation (`transform(sequence(0,k-1), j -> array_min(
+  * transform(sh, s -> xxhash64(s, j))))`) walks interpreted lambda trees
+  * per element × per seed — measured ~20s for 10k docs × 64 seeds at
+  * sf0.1; this loop does the same hashes in compiled code. Eval-based
+  * (CodegenFallback): the per-row virtual call is noise next to the k×|sh|
+  * inner loop. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, j)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSignature = copy(child = newChild)
+}
+
+/** Column-level entry points for the native expressions. */
+object NativeFunctions {
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(shingles), numHashes))
+
+  def simhash64(tokenHashes: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokenHashes)))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality audit over the REGISTERED queries (the brief's explicit
+  * ask: after correctness, check the plan is the one you'd want — filters
+  * pushed to the scan, projections pruned, small dims broadcast, no
+  * single-partition windows). Runs against sf0.001. */
+class PlanSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter reaches the parquet scan (PushedFilters)") {
+    val p = plan("io_parquet_project")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("LessThan(l_orderkey,100)") ||
+      p.contains("LessThan(l_orderkey, 100)"), p.take(2000))
+  }
+
+  test("projection pruning: scan reads only selected columns") {
+    val p = plan("io_parquet_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"))
+  }
+
+  test("small dimension joins broadcast") {
+    assert(plan("join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("q1 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+    assert(p.contains("partial_sum"), p.take(1500))
+  }
+
+  test("row numbering never builds a global window") {
+    assert(!plan("add_row_number").contains("Window"))
+    assert(!plan("chunked").contains("Window"))
+  }
+
+  test("series windows are partitioned (no single-partition bottleneck)") {
+    // executedPlan prints Window [exprs], [partitionExprs], [orderExprs] —
+    // a global window has an empty second bracket list
+    val p = plan("series_diff")
+    val w = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(w.contains("l_orderkey"), w)
+  }
+
+  test("LSH dedup self-join is not a broadcast of the exploded relation") {
+    val p = plan("dedup_minhash_pairs")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("brute-force ANN broadcasts the query side, not the corpus") {
+    val p = plan("sim_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("native expressions stay inside codegen") {
+    val t = Tables(spark, dir)
+    val p = t.embeddings
+      .select(graft.ops.Similarity.cosine(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("c"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen span
+    assert(p.contains("*(1)"), p.take(800))
+  }
+}
