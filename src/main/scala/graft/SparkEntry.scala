@@ -1045,6 +1045,85 @@ object SparkEntry {
       |FROM documents CROSS JOIN range(4) r
       |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // ================= extras / streaming-shape =======================
+    Q("join_multi", (s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.customer.selectNames(Seq("c_custkey", "c_name"))
+      val cnt = t.orders.renameInto("o_custkey" -> "c_custkey")
+        .groupAgg(Seq("c_custkey"), Seq(count(lit(1)).as("n_orders")))
+      val mx = t.orders.renameInto("o_custkey" -> "c_custkey")
+        .groupAgg(Seq("c_custkey"), Seq(max(col("o_totalprice")).as("max_price")))
+      graft.ops.Extras.joinAll(Seq(base, cnt, mx), Seq("c_custkey"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey, c_name, n_orders, max_price FROM customer
+      |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) a
+      |  ON c_custkey = a.o_custkey
+      |LEFT JOIN (SELECT o_custkey, MAX(o_totalprice) AS max_price FROM orders GROUP BY 1) b
+      |  ON c_custkey = b.o_custkey
+      |ORDER BY c_custkey""".stripMargin)),
+
+    Q("sort_within_groups", (s, dir) => {
+      graft.ops.Extras.sortWithinGroups(Tables(s, dir).customer,
+          Seq("c_mktsegment"), Seq(col("c_acctbal")))
+        .selectNames(Seq("c_mktsegment", "c_custkey", "c_acctbal"))
+        // final global order only for oracle determinism; the operator's
+        // shuffle+local-sort shape is asserted in PlanSpec/tests
+        .sortByKeys(SortKey("c_mktsegment"), SortKey("c_custkey"))
+    }, Some("""SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
+    Q("agg_refstd_udaf", (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupAgg(Seq("l_returnflag"), Seq(
+          round(graft.functions.Aggregators.refStdUdaf(col("l_quantity")), 4)
+            .as("std_ref")))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag,
+      |  ROUND(SQRT(SUM(l_quantity*l_quantity) - POWER(SUM(l_quantity),2)/COUNT(l_quantity)), 4) AS std_ref
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("events_sessionize", (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .selectNames(Seq("user_id", "ts", "event_type", "value"))
+        .as[graft.streaming.Streaming.Event]
+      graft.streaming.Streaming.sessionize(ev, gapMs = 10 * 60 * 1000)
+        .toDF()
+        .setCol("sum_value", round(col("sum_value"), 2))
+        .setCol("start", col("start").cast(StringType))
+        .setCol("end", col("end").cast(StringType))
+        .sortByKeys(SortKey("user_id"), SortKey("start"))
+    }, Some("""WITH e AS (SELECT user_id, ts, value,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |       > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sess FROM e)
+      |SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS start,
+      |  CAST(MAX(ts) AS VARCHAR) AS "end",
+      |  COUNT(*) AS events, ROUND(SUM(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, start""".stripMargin)),
+
+    Q("io_json_roundtrip", (s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_json_nation"
+      IO.writeJson(Tables(s, dir).nation, tmp, singleFile = true)
+      IO.readJson(s, tmp)
+        .convertTo("n_nationkey", IntegerType)
+        .convertTo("n_regionkey", IntegerType)
+        .selectNames(Seq("n_nationkey", "n_name", "n_regionkey"))
+        .sortByKeys(SortKey("n_nationkey"))
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    Q("pivot_frames", (s, dir) => {
+      Tables(s, dir).nation
+        .selectNames(Seq("n_regionkey", "n_nationkey", "n_name"))
+        .withColumn("half", (col("n_nationkey") % 2).cast(IntegerType))
+        .pivotFrames(Seq("n_regionkey"), "half", Seq(0, 1), Seq("n_name"))
+        .sortByKeys(SortKey("n_regionkey"))
+    }, None), // array-of-struct cells — rows-only check
+
     Q("multimodal_decode", (s, dir) => {
       val docs = Tables(s, dir).documents
         .addCols("img" -> col("text").cast(BinaryType))

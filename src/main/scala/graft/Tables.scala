@@ -22,10 +22,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * micro-aligned, no precision loss). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, NOT `/`: epoch nanos exceed double's 2^53 mantissa,
+    // so float division is off by ±1 microsecond
     t("events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000)
-          .cast(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

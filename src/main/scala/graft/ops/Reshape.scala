@@ -34,11 +34,11 @@ object Reshape {
     }
 
     /** reference `pivot.frames()` — cell = the group's rows themselves
-      * (`FrameColumn` → array-of-struct). */
+      * (`FrameColumn` → array-of-struct, sorted for determinism). */
     def pivotFrames(rows: Seq[String], key: String, values: Seq[Any],
         payload: Seq[String]): DataFrame =
       df.groupBy(rows.map(col): _*).pivot(key, values)
-        .agg(collect_list(struct(payload.map(col): _*)))
+        .agg(sort_array(collect_list(struct(payload.map(col): _*))))
 
     // ---- gather (melt / unpivot) ----------------------------------------
     /** reference `api/gather.kt` — selected columns → (key, value) rows.

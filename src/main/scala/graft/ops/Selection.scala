@@ -45,6 +45,17 @@ final class Selector(df: DataFrame) {
   def except(sel: Seq[String], minus: Seq[String]): Seq[String] =
     sel.filterNot(minus.toSet)
 
+  /** reference `withoutNulls()` — columns containing no nulls. Driver-side
+    * selector that runs ONE aggregation job over the frame (the reference
+    * scans eagerly too); small-data / interactive utility. */
+  def withoutNulls(): Seq[String] = {
+    import org.apache.spark.sql.functions.{count, lit, col => c}
+    val counts = df.agg(count(lit(1)).as("__n"),
+      names.map(n => count(c(n)).as(n)): _*).head()
+    val total = counts.getLong(0)
+    names.filter(n => counts.getAs[Long](n) == total)
+  }
+
   /** Children of a struct column (reference `children()`). */
   def children(group: String): Seq[String] =
     df.schema(group).dataType match {
@@ -64,5 +75,8 @@ object Selection {
     def selector: Selector = new Selector(df)
     /** `select` over resolved names (reference `api/select.kt`). */
     def selectNames(ns: Seq[String]): DataFrame = df.select(ns.map(col): _*)
+    /** reference selector `named`/`into` — rename-in-select. */
+    def selectAs(pairs: (String, String)*): DataFrame =
+      df.select(pairs.map { case (from, to) => col(from).as(to) }: _*)
   }
 }

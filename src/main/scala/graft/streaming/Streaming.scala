@@ -39,37 +39,48 @@ object Streaming {
   private final case class SessionBuf(start: Long, end: Long, n: Long,
       sum: Double)
 
+  // Timestamp <-> epoch-micros (Timestamp.getTime is millis only — using
+  // it directly truncates microseconds, which real event data carries)
+  private def toMicros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when no event arrives within `gapMs` (event-time timeout in
     * streaming; end-of-group in batch tests). State per user is O(1). */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
           // batch mode: the iterator holds the whole group — fold in
           // event-time order, emitting a session at every gap
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
           val out = scala.collection.mutable.ArrayBuffer[Session]()
           var buf = state.getOption.orNull
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = toMicros(e.ts)
             buf match {
               case null =>
                 buf = SessionBuf(t, t, 1, e.value)
-              case b if t - b.end <= gapMs =>
+              case b if t - b.end <= gapUs =>
                 buf = b.copy(end = t, n = b.n + 1, sum = b.sum + e.value)
               case b =>
-                out += Session(user, new java.sql.Timestamp(b.start),
-                  new java.sql.Timestamp(b.end), b.n, b.sum)
+                out += Session(user, fromMicros(b.start), fromMicros(b.end),
+                  b.n, b.sum)
                 buf = SessionBuf(t, t, 1, e.value)
             }
           }
           if (buf != null) {
-            out += Session(user, new java.sql.Timestamp(buf.start),
-              new java.sql.Timestamp(buf.end), buf.n, buf.sum)
+            out += Session(user, fromMicros(buf.start), fromMicros(buf.end),
+              buf.n, buf.sum)
             state.remove()
           }
           out.iterator
