@@ -1003,6 +1003,25 @@ object SparkEntry {
         .sortByKeys(SortKey("query_id"), SortKey("rank"))
     }, None), // approximate by design — rows-only check
 
+    Q("sim_ivf_topk", (s, dir) => {
+      val t = Tables(s, dir)
+      Similarity.ivfTopK(t.embeddings,
+          t.embeddings.filterRows(col("vec_id") < 10), k = 5, nlist = 8)
+        .selectNames(Seq("query_id", "rank", "neighbor_id"))
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, None), // single-probe IVF is approximate by design — rows-only
+
+    Q("build_paths", (s, _) => {
+      IO.dataFrameOfPaths(s, Seq(
+        Seq("id") -> Seq(1, 2),
+        Seq("info", "name") -> Seq("a", "b"),
+        Seq("info", "score") -> Seq(1.5, 2.5)))
+        .select(col("id"), col("info.name").as("name"),
+          col("info.score").as("score"))
+        .sortByKeys(SortKey("id"))
+    }, Some("""SELECT * FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5))
+      |AS t(id, name, score) ORDER BY id""".stripMargin)),
+
     Q("sim_cosine_pairs", (s, dir) => {
       val t = Tables(s, dir)
       val a = t.embeddings.select(col("vec_id").as("id_a"), col("embedding").as("va"))

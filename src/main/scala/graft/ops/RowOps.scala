@@ -73,6 +73,20 @@ object RowOps {
     def updateWhere(colName: String, pred: Column, value: Column): DataFrame =
       df.withColumn(colName, when(pred, value).otherwise(col(colName)))
 
+    /** reference `update(...).at(indices)` — positional cell rewrite;
+      * small-data utility built on the scale-safe row number. */
+    def updateAt(colName: String, indices: Seq[Long], order: Seq[Column],
+        value: Column): DataFrame =
+      addRowNumber(order, "__rn")
+        .withColumn(colName,
+          when(col("__rn").isin(indices: _*), value).otherwise(col(colName)))
+        .drop("__rn")
+
+    /** reference `update(...).notNull{}` — rewrite only non-null cells. */
+    def updateNotNull(colName: String, value: Column): DataFrame =
+      df.withColumn(colName,
+        when(col(colName).isNotNull, value).otherwise(col(colName)))
+
     /** reference `api/fillNulls.kt` — null-only rewrite sugar. */
     def fillNullsWith(colName: String, value: Column): DataFrame =
       df.withColumn(colName, coalesce(col(colName), value))
@@ -110,7 +124,11 @@ object RowOps {
 
     // ---- ordering / slicing -------------------------------------------
     /** reference `api/sort.kt` — multi-key sort with per-key desc /
-      * nullsLast flags; reference default is nulls-first asc. */
+      * nullsLast flags; reference default is nulls-first asc.
+      * (`sortWith(comparator)` — `sort.kt:35-40` — is deliberately NOT
+      * provided: an opaque JVM comparator cannot be range-partitioned, so
+      * it has no faithful distributed translation; express the ordering
+      * as sort-key expressions instead.) */
     def sortByKeys(keys: SortKey*): DataFrame =
       df.orderBy(keys.map(_.toColumn): _*)
 

@@ -110,4 +110,35 @@ object Similarity {
     }
     df.withColumn(as, greatest(scored: _*).getField("i"))
   }
+
+  /** Deterministic centroid seed: the first `nlist` corpus vectors by id
+    * (a production pipeline would k-means these; the IVF *query shape* —
+    * cell assignment + cell-local probe — is identical). */
+  def sampleCentroids(corpus: DataFrame, nlist: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : Seq[Array[Float]] =
+    corpus.orderBy(col(idCol)).limit(nlist).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
+
+  /** IVF top-k: both sides assigned to cells, each query probes ONLY its
+    * cell (single-probe; recall grows with `nlist` shrink or multi-probe).
+    * Join on the cell id co-locates candidates — one shuffle, never a
+    * cross join. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val centroids = sampleCentroids(corpus, nlist, vecCol, idCol)
+    val c = ivfAssign(corpus, centroids, vecCol)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = ivfAssign(queries, centroids, vecCol)
+      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

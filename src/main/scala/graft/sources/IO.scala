@@ -125,6 +125,32 @@ object IO {
       (0 until n).map(i => cols.map(_._2(i))))
   }
 
+  /** reference `Iterable<Pair<ColumnPath, Column>>.toDataFrame()`
+    * (`Build.kt:103-150`) — assemble a NESTED frame from (path, values)
+    * pairs; shared path prefixes become struct columns. Backbone of the
+    * reference's pivot/aggregate output assembly. */
+  def dataFrameOfPaths(spark: SparkSession,
+      pairs: Seq[(Seq[String], Seq[Any])]): DataFrame = {
+    require(pairs.nonEmpty, "dataFrameOfPaths: no columns")
+    val n = pairs.head._2.length
+    require(pairs.forall(_._2.length == n), "dataFrameOfPaths: ragged")
+    val flatNames = pairs.indices.map(i => s"__p$i")
+    val flat = dataFrameOf(spark, flatNames,
+      (0 until n).map(r => pairs.map(_._2(r))))
+    def assemble(items: Seq[(Seq[String], Int)]): Seq[Column] = {
+      val heads = items.map(_._1.head).distinct // first-appearance order
+      heads.map { h =>
+        val group = items.filter(_._1.head == h)
+        group match {
+          case Seq((Seq(_), i)) => col(s"__p$i").as(h)
+          case g =>
+            struct(assemble(g.map { case (p, i) => (p.tail, i) }): _*).as(h)
+        }
+      }
+    }
+    flat.select(assemble(pairs.map(_._1).zipWithIndex): _*)
+  }
+
   private def sparkTypeOf(v: Any): DataType = v match {
     case _: Int | _: java.lang.Integer => IntegerType
     case _: Long | _: java.lang.Long => LongType
