@@ -81,6 +81,27 @@ object Agg {
     def medianFor(keys: Seq[String], cols: Seq[String]): DataFrame =
       groupAgg(keys, cols.map(c => medianExact(col(c)).as(c)))
 
+    // ---- skew-safe two-phase aggregation -----------------------------
+    /** Salted sum/count for skewed keys: phase 1 aggregates on
+      * (keys, salt) spreading one hot key over `saltBuckets` reducers,
+      * phase 2 merges partials on the keys alone. Algebraic aggregates
+      * only (sum/count compose); the second shuffle moves `buckets` rows
+      * per key, not the raw data. AQE skew-join handles join-side skew;
+      * this handles aggregation-side skew it can't. */
+    def sumForSalted(keys: Seq[String], cols: Seq[String],
+        saltBuckets: Int = 16): DataFrame = {
+      require(saltBuckets > 1, "saltBuckets must be > 1")
+      val salted = df.withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(),
+          lit(saltBuckets)))
+      val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+        .agg(count(lit(1)).as("__cnt"),
+          cols.map(c => sum(col(c)).as(c)): _*)
+      partial.groupBy(keys.map(col): _*)
+        .agg(sum(col("__cnt")).as("count"),
+          cols.map(c => sum(col(c)).as(c)): _*)
+    }
+
     // ---- argmin / argmax whole-row (`minBy`/`maxBy`) -----------------
     /** reference `maxBy(ord)` returns the whole argmax ROW per group
       * (`api/minmaxBy.kt:7-55`). One shuffle: max_by over the packed row

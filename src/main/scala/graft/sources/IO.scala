@@ -163,15 +163,37 @@ object IO {
     case _ => StringType
   }
 
+  // ---- bucketed storage (co-located joins) ---------------------------
+  /** Write a table bucketed+sorted by join keys: repeated joins/aggs on
+    * those keys read co-located buckets and skip the exchange entirely —
+    * the storage-level answer to "this join shuffles 100 TB every run".
+    * Uses the session catalog (`saveAsTable` — bucketing metadata lives
+    * in the metastore). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   // ---- display sinks --------------------------------------------------
-  /** reference `toHTML` (`io/html.kt:11-56`) — driver-side render of the
-    * first `limit` rows. */
-  def toHTML(df: DataFrame, limit: Int = 100): String = {
+  /** reference `toHTML` + `format{}` cell styling (`io/html.kt:11-56`,
+    * `api/format.kt:41-138`) — driver-side render of the first `limit`
+    * rows; `style(colName, value)` returns an inline CSS string (empty =
+    * unstyled), the reference's RowColFormatter hook. */
+  def toHTML(df: DataFrame, limit: Int = 100,
+      style: (String, Any) => String = (_, _) => ""): String = {
     val rows = df.limit(limit).collect()
-    val head = df.columns.map(c => s"<th>$c</th>").mkString
-    val body = rows.map(r =>
-      "<tr>" + r.toSeq.map(v => s"<td>${Option(v).getOrElse("null")}</td>")
-        .mkString + "</tr>").mkString("\n")
+    val names = df.columns
+    val head = names.map(c => s"<th>$c</th>").mkString
+    val body = rows.map { r =>
+      "<tr>" + names.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        val css = style(c, v)
+        val attr = if (css.isEmpty) "" else s""" style="$css""""
+        s"<td$attr>${Option(v).getOrElse("null")}</td>"
+      }.mkString + "</tr>"
+    }.mkString("\n")
     s"<table>\n<tr>$head</tr>\n$body\n</table>"
   }
 
