@@ -369,6 +369,36 @@ object SparkEntry {
         .sortByKeys(SortKey("c_custkey"))
     }, Some("SELECT c_custkey, UPPER(c_name) AS c_name FROM customer ORDER BY c_custkey")),
 
+    Q("update_at", (s, dir) => {
+      Tables(s, dir).nation
+        .updateAt("n_name", Seq(0L, 1L), Seq(col("n_nationkey")),
+          lit("REDACTED"))
+        .selectNames(Seq("n_nationkey", "n_name"))
+        .sortByKeys(SortKey("n_nationkey"))
+    }, Some("""SELECT n_nationkey,
+      |  CASE WHEN n_nationkey IN (0, 1) THEN 'REDACTED' ELSE n_name END AS n_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    Q("remove_nested", (s, dir) => {
+      val nested = SchemaOps.nest(Tables(s, dir).customer,
+        Seq("c_name", "c_acctbal", "c_mktsegment"), "info")
+      nested.removeCols(Seq("info.c_acctbal"))
+        .select(col("c_custkey"), col("info.c_name").as("name"),
+          col("info.c_mktsegment").as("segment"))
+        .sortByKeys(SortKey("c_custkey"))
+    }, Some("""SELECT c_custkey, c_name AS name, c_mktsegment AS segment
+      |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("selector_dfs", (s, dir) => {
+      val nested = SchemaOps.nest(Tables(s, dir).region,
+        Seq("r_name"), "wrap")
+      val paths = nested.selector.dfs() // recursive descent: dotted paths
+      nested.select(paths.map(p =>
+          col(p).as(p.replace('.', '_'))): _*)
+        .sortByKeys(SortKey("r_regionkey"))
+    }, Some("""SELECT r_regionkey, r_name AS wrap_r_name FROM region
+      |ORDER BY r_regionkey""".stripMargin)),
+
     // ================= §2.5 joins =====================================
     Q("join_inner", (s, dir) => {
       val t = Tables(s, dir)
