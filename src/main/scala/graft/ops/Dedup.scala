@@ -117,6 +117,44 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup clusters via iterative min-label propagation over the pair
+    * graph (connected components): every doc converges to the smallest id
+    * reachable through near-dup edges. Bounded iterations (component
+    * diameters in dedup graphs are tiny — chains of edits); each round is
+    * one join + one aggregation, fully distributed. Returns (id, cluster).
+    */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      minJaccard: Double = 0.8, maxIters: Int = 10): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, numHashes, bands,
+      shingleN, minJaccard).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // undirected edge list (both directions) for propagation
+    val edges = pairs.union(pairs.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b")))
+    var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("id_b"), col("cluster")), "id_b")
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("id"),
+          col("cluster").as("prev")), "id")
+        .filter(col("cluster") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   // ---- n-gram Jaccard (direct pairwise verify) ------------------------
   /** Exact n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
