@@ -20,7 +20,7 @@ object Bench {
     "agg_sum_mean_for", "agg_median", "agg_maxby_row",
     "pivot_agg", "union_wide",
     "series_moving_avg", "series_running_sum", "events_window_agg",
-    "add_row_number",
+    "add_row_number", "topk_custom",
     "text_quality", "text_token_count", "dedup_exact",
     "dedup_minhash_pairs", "sim_bruteforce_topk")
 

@@ -816,6 +816,19 @@ object SparkEntry {
     }, Some("""SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    Q("topk_custom", (s, dir) => {
+      // custom LogicalPlan+Strategy+SparkPlan: heap top-k per group
+      // (output = scores only, so rank-k ties compare equal either way)
+      org.apache.spark.sql.graftnative.GraftExtensions.topKPerGroup(
+          Tables(s, dir).orders, Seq("o_orderstatus"), "o_totalprice", 5)
+        .selectNames(Seq("o_orderstatus", "o_totalprice"))
+        .sortByKeys(SortKey("o_orderstatus"),
+          SortKey("o_totalprice", desc = true))
+    }, Some("""SELECT o_orderstatus, o_totalprice FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice DESC) <= 5
+      |ORDER BY o_orderstatus, o_totalprice DESC""".stripMargin)),
+
     // ================= §2.9 series / window ===========================
     // window ORDER BY keys must be a total order within the partition —
     // (ln) alone ties in this data, making lag() engine-dependent

@@ -44,6 +44,8 @@ object GraftSession {
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .withExtensions(
+        org.apache.spark.sql.graftnative.GraftExtensions.inject)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
