@@ -692,6 +692,45 @@ object SparkEntry {
       |  COUNT(*) FILTER (WHERE o_orderstatus='P') > 0 AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    Q("pivot_multi", (s, dir) => {
+      Tables(s, dir).lineitem
+        .pivotAggMulti(Seq("l_linestatus"), Seq("l_returnflag"),
+          Seq(Seq("A"), Seq("N"), Seq("R")) /* single-key degenerate */,
+          Seq(round(sum(col("l_quantity")), 2)))
+        .unionWide(Tables(s, dir).lineitem
+          .pivotAggMulti(Seq("l_linestatus"),
+            Seq("l_returnflag", "l_linestatus"),
+            Seq(Seq("A", "F"), Seq("R", "O")),
+            Seq(round(sum(col("l_quantity")), 2)))
+          .renameInto("A_F" -> "A", "R_O" -> "R")
+          .addCols("N" -> lit(null).cast(DoubleType)))
+        .sortByKeys(SortKey("l_linestatus"), SortKey("A"))
+    }, Some("""SELECT l_linestatus,
+      |  ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='A'), 2) AS "A",
+      |  ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='N'), 2) AS "N",
+      |  ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='R'), 2) AS "R"
+      |FROM lineitem GROUP BY l_linestatus
+      |UNION ALL
+      |SELECT l_linestatus,
+      |  ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='A' AND l_linestatus='F'), 2),
+      |  NULL,
+      |  ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='R' AND l_linestatus='O'), 2)
+      |FROM lineitem GROUP BY l_linestatus
+      |ORDER BY l_linestatus, "A" NULLS FIRST""".stripMargin)),
+
+    Q("gather_hooks", (s, dir) => {
+      Tables(s, dir).nation
+        .selectNames(Seq("n_name", "n_nationkey", "n_regionkey"))
+        .gather(Seq("n_nationkey", "n_regionkey"), "key", "value",
+          where = Some(v => v > 2),
+          mapNames = Some(k => upper(k)),
+          mapValues = Some(v => v * 10))
+        .sortByKeys(SortKey("n_name"), SortKey("key"))
+    }, Some("""SELECT n_name, key, value * 10 AS value FROM (
+      |  SELECT n_name, 'N_NATIONKEY' AS key, n_nationkey AS value FROM nation
+      |  UNION ALL SELECT n_name, 'N_REGIONKEY', n_regionkey FROM nation)
+      |WHERE value > 2 ORDER BY n_name, key""".stripMargin)),
+
     Q("gather", (s, dir) => {
       Tables(s, dir).nation
         .selectNames(Seq("n_name", "n_nationkey", "n_regionkey"))

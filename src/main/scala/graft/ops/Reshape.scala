@@ -22,6 +22,22 @@ object Reshape {
       df.groupBy(rows.map(col): _*).pivot(key, values).agg(aggs.head,
         aggs.tail: _*)
 
+    /** Multi-column pivot (reference pivots on several key columns at
+      * once, `api/pivot.kt:15-56`): the composite key is the `sep`-joined
+      * values, producing `k1<sep>k2` output columns — the flat-name
+      * rendering of the reference's nested result paths. */
+    def pivotAggMulti(rows: Seq[String], keys: Seq[String],
+        values: Seq[Seq[Any]], aggs: Seq[Column], sep: String = "_")
+        : DataFrame = {
+      require(keys.nonEmpty && values.forall(_.length == keys.length),
+        "pivotAggMulti: each value tuple must match the key columns")
+      val combined = concat_ws(sep, keys.map(col): _*)
+      val vals = values.map(_.mkString(sep))
+      df.withColumn("__pk", combined)
+        .groupBy(rows.map(col): _*).pivot("__pk", vals)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+
     /** reference `pivot.matches(yes,no)` — boolean presence matrix
       * (`GroupedPivotAggregations.kt:36-37`). */
     def pivotMatches(rows: Seq[String], key: String, values: Seq[Any])
@@ -45,7 +61,10 @@ object Reshape {
       * Null values dropped by default, like the reference. Uses the native
       * `stack` generator (codegen'd, no shuffle). */
     def gather(cols: Seq[String], keyName: String = "key",
-        valueName: String = "value", dropNulls: Boolean = true): DataFrame = {
+        valueName: String = "value", dropNulls: Boolean = true,
+        where: Option[Column => Column] = None,
+        mapNames: Option[Column => Column] = None,
+        mapValues: Option[Column => Column] = None): DataFrame = {
       require(cols.nonEmpty, "gather: empty column selection")
       val keep = df.columns.filterNot(cols.toSet).toSeq
       require(!keep.contains(keyName) && !keep.contains(valueName),
@@ -57,7 +76,15 @@ object Reshape {
       val stacked = df.select(
         (keep.map(col) :+ stack(pairs: _*)
           .as(Seq(keyName, valueName))): _*)
-      if (dropNulls) stacked.filter(col(valueName).isNotNull) else stacked
+      // reference gather hooks (`gather.kt:15-18`): value filter, key
+      // rename, value transform — plain post-stack expressions
+      val filtered =
+        if (dropNulls) stacked.filter(col(valueName).isNotNull) else stacked
+      val whereApplied =
+        where.fold(filtered)(f => filtered.filter(f(col(valueName))))
+      val named = mapNames.fold(whereApplied)(f =>
+        whereApplied.withColumn(keyName, f(col(keyName))))
+      mapValues.fold(named)(f => named.withColumn(valueName, f(col(valueName))))
     }
 
     // ---- split ----------------------------------------------------------
