@@ -946,6 +946,20 @@ object SparkEntry {
       |  (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn
       |FROM events ORDER BY event_id""".stripMargin)),
 
+    Q("join_asof", (s, dir) => {
+      val t = Tables(s, dir)
+      val profiles = t.events.filterRows(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("ts"), col("value").as("profile_value"))
+      graft.ops.Extras.asofJoin(t.events, profiles, Seq("user_id"),
+          "ts", "ts", Seq("profile_value"))
+        .selectNames(Seq("event_id", "profile_value"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""SELECT l.event_id, r.profile_value FROM events l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value AS profile_value FROM events
+      |                WHERE event_id % 10 = 0) r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin)),
+
     Q("events_window_agg", (s, dir) => {
       Tables(s, dir).events
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

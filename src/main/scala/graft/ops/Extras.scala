@@ -49,4 +49,37 @@ object Extras {
   /** Union any number of frames with widening (reference `concat`). */
   def concatAll(frames: Seq[DataFrame]): DataFrame =
     TypeWidening.unionByNameWide(frames)
+
+  /** As-of join (time-series enrich, beyond the reference — a staple of
+    * training-data pipelines): for every left row, attach the LATEST right
+    * row with `rightTs <= leftTs` per key.
+    *
+    * Scale shape: tag and union both sides, ONE shuffle on the key, then
+    * a running last_value over the time-ordered union — never the
+    * range-condition join Spark would execute as a broadcast nested loop
+    * or exploded inequality join. O((|L|+|R|) log) per key, no fanout.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lTagged = left.withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumns(payload.map(p => p -> lit(null).cast(
+        right.schema(p).dataType)).toMap)
+    val rTagged = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts")) ++
+        payload.map(col) :+ lit(0).as("__side"): _*)
+    val unioned = TypeWidening.unionByNameWide(Seq(lTagged, rTagged))
+    // right rows (side 0) sort before left rows at the same timestamp, so
+    // an exact-tie right row IS visible to the left row (<= semantics)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payload.foldLeft(unioned) { (d, p) =>
+      d.withColumn(p, last(when(col("__side") === 0, col(p)), true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ payload.map(col): _*)
+  }
 }

@@ -125,6 +125,13 @@ object IO {
       (0 until n).map(i => cols.map(_._2(i))))
   }
 
+  /** reference `Iterable<T>.toDataFrame { ... }` (`Build.kt:36-60`) —
+    * objects → frame. Spark-native: the Product encoder does the
+    * reflection the reference hand-rolls. */
+  def dataFrameOfProducts[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession, data: Seq[T]): DataFrame =
+    spark.createDataFrame(data)
+
   /** reference `Iterable<Pair<ColumnPath, Column>>.toDataFrame()`
     * (`Build.kt:103-150`) — assemble a NESTED frame from (path, values)
     * pairs; shared path prefixes become struct columns. Backbone of the

@@ -54,6 +54,28 @@ class ExtrasSpec extends AnyFunSuite {
     assert(res.head().getString(2) == "hit")
   }
 
+  test("asofJoin attaches the latest right row at or before each ts") {
+    val s = spark
+    import s.implicits._
+    def ts(x: Int) = new java.sql.Timestamp(x * 1000L)
+    val quotes = Seq((1L, ts(10), 100.0), (1L, ts(20), 110.0),
+      (2L, ts(15), 50.0)).toDF("key", "ts", "px")
+    val trades = Seq((1L, ts(5)), (1L, ts(10)), (1L, ts(25)),
+      (2L, ts(14))).toDF("key", "ts")
+    val res = Extras.asofJoin(trades, quotes, Seq("key"), "ts", "ts",
+        Seq("px")).orderBy("key", "ts").collect()
+    assert(res(0).isNullAt(2))              // t=5: no quote yet
+    assert(res(1).getDouble(2) == 100.0)    // t=10: exact tie included
+    assert(res(2).getDouble(2) == 110.0)    // t=25: latest quote
+    assert(res(3).isNullAt(2))              // key 2, t=14 < 15
+  }
+
+  test("dataFrameOfProducts builds from case classes via encoders") {
+    val df = graft.sources.IO.dataFrameOfProducts(spark,
+      Seq(ExtrasSpec.P(1, "x"), ExtrasSpec.P(2, "y")))
+    assert(df.columns.toSeq == Seq("a", "b") && df.count() == 2)
+  }
+
   test("concatAll unions many frames with widening") {
     val s = spark
     import s.implicits._
@@ -63,4 +85,9 @@ class ExtrasSpec extends AnyFunSuite {
     assert(res.schema("x").dataType ==
       org.apache.spark.sql.types.DoubleType)
   }
+}
+
+object ExtrasSpec {
+  // top-level so a TypeTag exists (method-local case classes have none)
+  final case class P(a: Int, b: String)
 }
