@@ -81,6 +81,19 @@ object Agg {
     def medianFor(keys: Seq[String], cols: Seq[String]): DataFrame =
       groupAgg(keys, cols.map(c => medianExact(col(c)).as(c)))
 
+    // ---- row-expression aggregates (`Of` variants) -------------------
+    /** reference `sumOf { rowExpr }` / `minOf` / `maxOf` / `meanOf`
+      * (`GroupByAggregations.kt`): aggregate an arbitrary row expression
+      * per group. */
+    def sumOf(keys: Seq[String], expr: Column, as: String): DataFrame =
+      groupAgg(keys, Seq(sum(expr).as(as)))
+    def minOf(keys: Seq[String], expr: Column, as: String): DataFrame =
+      groupAgg(keys, Seq(min(expr).as(as)))
+    def maxOf(keys: Seq[String], expr: Column, as: String): DataFrame =
+      groupAgg(keys, Seq(max(expr).as(as)))
+    def meanOf(keys: Seq[String], expr: Column, as: String): DataFrame =
+      groupAgg(keys, Seq(avg(expr).as(as)))
+
     // ---- skew-safe two-phase aggregation -----------------------------
     /** Salted sum/count for skewed keys: phase 1 aggregates on
       * (keys, salt) spreading one hot key over `saltBuckets` reducers,

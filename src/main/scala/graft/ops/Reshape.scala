@@ -16,11 +16,19 @@ object Reshape {
 
     // ---- pivot family --------------------------------------------------
     /** reference `api/pivot.kt` — wide pivot with explicit value list for
-      * deterministic column order (and to skip the distinct-scan job). */
+      * deterministic column order (and to skip the distinct-scan job);
+      * `default` back-fills holes (reference `default(value)`,
+      * `pivot.kt:46-53`). */
     def pivotAgg(rows: Seq[String], key: String, values: Seq[Any],
-        aggs: Seq[Column]): DataFrame =
-      df.groupBy(rows.map(col): _*).pivot(key, values).agg(aggs.head,
-        aggs.tail: _*)
+        aggs: Seq[Column], default: Option[Any] = None): DataFrame = {
+      val wide = df.groupBy(rows.map(col): _*).pivot(key, values)
+        .agg(aggs.head, aggs.tail: _*)
+      default.fold(wide) { d =>
+        val pivotCols = wide.columns.filterNot(rows.contains).toSeq
+        pivotCols.foldLeft(wide)((w, c) =>
+          w.withColumn(c, coalesce(col(s"`$c`"), lit(d))))
+      }
+    }
 
     /** Multi-column pivot (reference pivots on several key columns at
       * once, `api/pivot.kt:15-56`): the composite key is the `sep`-joined

@@ -71,6 +71,15 @@ class AggSpec extends AnyFunSuite {
       == Seq(15, 20, 30, 45, 20, 30, 40))
   }
 
+  test("sumOf/meanOf aggregate row expressions per group") {
+    val r = person.sumOf(Seq("name"), col("age") * 2, "dbl")
+      .orderBy("name").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(70L, 150L, 180L))
+    val m = person.meanOf(Seq("name"), col("age") + 1, "m")
+      .orderBy("name").collect()
+    assert(math.abs(m(0).getDouble(1) - 18.5) < 1e-9)
+  }
+
   test("countWhere") {
     assert(person.agg(Agg.countWhere(col("age") > 25)).head().getLong(0) == 4L)
   }

@@ -18,6 +18,13 @@ class ReshapeSpec extends AnyFunSuite {
     assert(mark.getLong(2) == 2) // Mark in Moscow twice
   }
 
+  test("pivotAgg default back-fills holes") {
+    val res = person.pivotAgg(Seq("name"), "city",
+      Seq("London", "Dubai"), Seq(count(lit(1))), default = Some(0L))
+    val mark = res.filter(col("name") === "Mark").head()
+    assert(mark.getLong(1) == 0L && mark.getLong(2) == 0L)
+  }
+
   test("pivotMatches: boolean presence matrix, holes are false") {
     val res = person.pivotMatches(Seq("name"), "city", Seq("London", "Dubai"))
     val alice = res.filter(col("name") === "Alice").head()
