@@ -78,13 +78,17 @@ object Dedup {
       .repartition(col("id"))
     // persisted: consumed by candidate generation AND both verify joins —
     // without this the shingling runs 4× (and the whole job was ~10×
-    // slower measured at sf0.1)
+    // slower measured at sf0.1). Shingles are 64-bit HASHES, not strings:
+    // Jaccard is identical modulo 2^-64 collisions, and skipping the
+    // per-shingle string allocation is the dominant remaining cost.
     val shingled = base
-      .select(col("id"), shingles(col("__text"), shingleN).as("sh"))
+      .select(col("id"), org.apache.spark.sql.graftnative.NativeFunctions
+        .shingleHashes(tokens(col("__text")), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = shingled
       .select(col("id"), posexplode(
-        bandKeys(minhashFromShingles(col("sh"), numHashes), bands, r)))
+        bandKeys(org.apache.spark.sql.graftnative.NativeFunctions
+          .minhashFromLongs(col("sh"), numHashes), bands, r)))
       .select(col("id"), col("pos").as("b"), col("col").as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize before the self-join: its two sides start concurrently

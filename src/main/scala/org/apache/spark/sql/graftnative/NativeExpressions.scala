@@ -168,11 +168,108 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       : MinHashSignature = copy(child = newChild)
 }
 
+/** Word-n-gram shingles as 64-bit HASHES, straight from the token array —
+  * no per-shingle string allocation (the `concat_ws` string shingles were
+  * the dominant cost of LSH dedup after the minhash fix). shingle hash =
+  * XXH64 chained over the n member tokens' hashes. Jaccard over hashed
+  * shingles equals string-shingle Jaccard modulo 2^-64 collisions. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n > 0)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    // per-token hashes once
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      th(i) =
+        if (s == null) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val count = if (m >= n) m - n + 1 else 1
+    val out = new Array[Long](count)
+    if (m >= n) {
+      var start = 0
+      while (start <= m - n) {
+        var h = 42L
+        var j = 0
+        while (j < n) { h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(start + j), h); j += 1 }
+        out(start) = h
+        start += 1
+      }
+    } else {
+      // shorter than n: single shingle of all tokens (matches
+      // TextFunctions.shingles' whole-text fallback)
+      var h = 42L
+      var j = 0
+      while (j < m) { h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(j), h); j += 1 }
+      out(0) = h
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleHashes = copy(child = newChild)
+}
+
+/** MinHash over an array<long> of shingle hashes: sig[j] = min of
+  * XXH64(hash, seed=j). Pure long arithmetic, no byte access at all. */
+case class MinHashFromLongs(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_longs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, j)
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashFromLongs = copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object NativeFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(shingles), numHashes))
+
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHashes(
+      ExpressionUtils.expression(tokens), n))
+
+  def minhashFromLongs(shingleHashes: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashFromLongs(
+      ExpressionUtils.expression(shingleHashes), numHashes))
 
   def simhash64(tokenHashes: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokenHashes)))
