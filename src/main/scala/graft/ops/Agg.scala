@@ -176,7 +176,11 @@ object Agg {
     /** reference `describe(cols)` (`api/describe.kt:13-64`): one row per
       * column — name, count, nulls, unique, top (mode), freq, mean, min,
       * max. Two aggregation passes total (all columns at once): one for
-      * stats+mode, one for the mode's frequency. */
+      * the scalar stats, one stacked pass for mode+freq. The mode
+      * tie-break is DETERMINISTIC: among equally-frequent values, the
+      * lexicographically smallest string rendering wins — engine-portable
+      * (the reference's first-encountered tie-break is iteration-order
+      * dependent, `api/describe.kt:44`). */
     def describeAll(cols: Seq[String] = Nil): DataFrame = {
       val cs = if (cols.isEmpty) df.columns.toSeq else cols
       val statRow = df.agg(
@@ -186,7 +190,6 @@ object Agg {
           Seq(
             count(v).as(s"__count_$c"),
             count_distinct(v).as(s"__unique_$c"),
-            mode(v).cast(StringType).as(s"__top_$c"),
             (df.schema(c).dataType match {
               case _: NumericType => avg(v.cast(DoubleType))
               case _              => lit(null).cast(DoubleType)
@@ -194,27 +197,34 @@ object Agg {
             min(v).cast(StringType).as(s"__min_$c"),
             max(v).cast(StringType).as(s"__max_$c"))
         }: _*)
-      // freq = occurrences of the mode: count_if(v == mode) needs the mode
-      // first — join the 1-row stat frame back in (broadcast, no shuffle).
-      val withStats = df.crossJoin(broadcast(statRow))
-      val freqAggs = cs.map(c =>
-        count_if(col(c).cast(StringType) === col(s"__top_$c"))
-          .as(s"__freq_$c"))
-      val freq = withStats.agg(freqAggs.head, freqAggs.tail: _*)
-      val one = statRow.crossJoin(freq)
+      // mode+freq for ALL columns in one shuffle: stack to (column, value)
+      // rows, count per value, then pick (max count, min value) per column.
+      val stackExpr = s"stack(${cs.size}, " +
+        cs.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+        ") AS (`column`, `__value`)"
+      val modes = df.selectExpr(stackExpr)
+        .where(col("__value").isNotNull)
+        .groupBy("column", "__value").agg(count(lit(1)).as("__cnt"))
+        .groupBy("column")
+        .agg(min_by(struct(col("__value"), col("__cnt")),
+          struct(-col("__cnt"), col("__value"))).as("__m"))
+        .select(col("column"), col("__m.__value").as("__top"),
+          col("__m.__cnt").as("__freq"))
       val rows = cs.map { c =>
-        one.select(
+        statRow.select(
           lit(c).as("column"),
           col(s"__count_$c").as("count"),
           (col("__n") - col(s"__count_$c")).as("nulls"),
           col(s"__unique_$c").as("unique"),
-          col(s"__top_$c").as("top"),
-          col(s"__freq_$c").as("freq"),
           col(s"__mean_$c").as("mean"),
           col(s"__min_$c").as("min"),
           col(s"__max_$c").as("max"))
       }
       rows.reduce(_ union _)
+        .join(broadcast(modes), Seq("column"), "left")
+        .select(col("column"), col("count"), col("nulls"), col("unique"),
+          col("__top").as("top"), col("__freq").as("freq"),
+          col("mean"), col("min"), col("max"))
     }
 
     // ---- correlation matrix -----------------------------------------

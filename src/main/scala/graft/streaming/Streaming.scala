@@ -36,8 +36,9 @@ object Streaming {
       event_type: String, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp, events: Long, sum_value: Double)
-  private final case class SessionBuf(start: Long, end: Long, n: Long,
-      sum: Double)
+  // NOT private: the state-store encoder's generated code must be able to
+  // call the accessors (janino can't resolve methods on a private class)
+  final case class SessionBuf(start: Long, end: Long, n: Long, total: Double)
 
   // Timestamp <-> epoch-micros (Timestamp.getTime is millis only — using
   // it directly truncates microseconds, which real event data carries)
@@ -49,41 +50,89 @@ object Streaming {
     t
   }
 
-  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
-    * closes when no event arrives within `gapMs` (event-time timeout in
-    * streaming; end-of-group in batch tests). State per user is O(1). */
+  /** Gap-based sessionization. Dispatches on execution mode:
+    *  - batch → the fully-distributed window formulation
+    *    ([[sessionizeBatch]]) — no per-group in-memory sort, spill-safe
+    *    for hot keys (a user with 10⁸ events at 100 TB);
+    *  - streaming → [[sessionizeStream]] with event-time timeout, so
+    *    sessions spanning micro-batches stay open in state instead of
+    *    being flushed at every batch boundary. */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (events.isStreaming) sessionizeStream(events, gapMs)
+    else sessionizeBatch(events.toDF(), "user_id", "ts", "value", gapMs)
+      .as[Session]
+  }
+
+  /** Distributed batch sessionization: lag-gap flag → running sum
+    * (session id) → groupBy. Three window passes over a per-user
+    * partitioned sort — Spark's SortExec spills, so a hot user never has
+    * to fit in one task's heap. Gap comparison in epoch micros (event
+    * data carries sub-millisecond timestamps). Output columns:
+    * (userCol, start, end, events, sum_value). */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    events
+      .withColumn("__brk",
+        when(us - lag(us, 1).over(w) > gapMs * 1000L, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(min(col(tsCol)).as("start"), max(col(tsCol)).as("end"),
+        count(lit(1)).as("events"), sum(col(valueCol)).as("sum_value"))
+      .drop("__sess")
+  }
+
+  /** Streaming sessionization with `flatMapGroupsWithState` +
+    * `EventTimeTimeout`: closed sessions are emitted as soon as a gap is
+    * observed inside a micro-batch; the open session stays in state with
+    * a timeout at `end + gap`, and is emitted only when the watermark
+    * passes that point — sessions spanning micro-batches are NOT split.
+    * Caller must `withWatermark(tsCol, delay)` upstream. State per user
+    * is O(1); each invocation only sees the micro-batch's increment. */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMs * 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
-          // batch mode: the iterator holds the whole group — fold in
-          // event-time order, emitting a session at every gap
-          val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
-          val out = scala.collection.mutable.ArrayBuffer[Session]()
-          var buf = state.getOption.orNull
-          sorted.foreach { e =>
-            val t = toMicros(e.ts)
-            buf match {
-              case null =>
-                buf = SessionBuf(t, t, 1, e.value)
-              case b if t - b.end <= gapUs =>
-                buf = b.copy(end = t, n = b.n + 1, sum = b.sum + e.value)
-              case b =>
-                out += Session(user, fromMicros(b.start), fromMicros(b.end),
-                  b.n, b.sum)
-                buf = SessionBuf(t, t, 1, e.value)
-            }
-          }
-          if (buf != null) {
-            out += Session(user, fromMicros(buf.start), fromMicros(buf.end),
-              buf.n, buf.sum)
+          if (state.hasTimedOut) {
+            val b = state.get
             state.remove()
+            Iterator.single(Session(user, fromMicros(b.start),
+              fromMicros(b.end), b.n, b.total))
+          } else {
+            // micro-batch increment only — small by construction
+            val sorted = it.toArray.sortBy(e => toMicros(e.ts))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var buf = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = toMicros(e.ts)
+              buf match {
+                case null =>
+                  buf = SessionBuf(t, t, 1, e.value)
+                case b if t - b.end <= gapUs =>
+                  buf = b.copy(end = t, n = b.n + 1, total = b.total + e.value)
+                case b =>
+                  out += Session(user, fromMicros(b.start), fromMicros(b.end),
+                    b.n, b.total)
+                  buf = SessionBuf(t, t, 1, e.value)
+              }
+            }
+            if (buf != null) {
+              state.update(buf)
+              // timeout when the watermark passes session end + gap
+              state.setTimeoutTimestamp(
+                math.floorDiv(buf.end, 1000L) + gapMs)
+            }
+            out.iterator
           }
-          out.iterator
       }
   }
 

@@ -62,4 +62,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(res(1).events == 1 && res(1).sum_value == 4.0)
     assert(res(2).user_id == 2L)
   }
+
+  test("batch sessionize plans as windows + groupBy, no per-group state op") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      Streaming.Event(1L, ts("2024-01-01 10:00:00"), "a", 1.0)).toDS()
+    val plan = Streaming.sessionize(events, gapMs = 1000)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("FlatMapGroupsWithState"),
+      "batch path must use the distributed window formulation")
+  }
+
+  test("streaming sessionize keeps sessions open across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event]
+    val sessions = Streaming.sessionizeStream(
+      mem.toDS().withWatermark("ts", "0 seconds"), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("graft_sess_test").outputMode("append").start()
+    try {
+      // batch 1: two events of an open user-1 session — must emit NOTHING
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:00:00"), "a", 1.0))
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:02:00"), "a", 2.0))
+      q.processAllAvailable()
+      assert(s.sql("select * from graft_sess_test").count() == 0,
+        "open session flushed at micro-batch boundary")
+      // batch 2: a gap within user 1 closes the first session (2 events,
+      // sum 3.0) — proving it accumulated ACROSS batches 1 and 2
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 11:00:00"), "a", 4.0))
+      q.processAllAvailable()
+      val afterGap = s.sql("select * from graft_sess_test").collect()
+      assert(afterGap.length == 1)
+      assert(afterGap(0).getLong(3) == 2L && afterGap(0).getDouble(4) == 3.0)
+      // advance the watermark past 11:00 + gap via another user; the open
+      // user-1 session must then be emitted by event-time TIMEOUT
+      mem.addData(Streaming.Event(2L, ts("2024-01-01 11:30:00"), "b", 8.0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(2L, ts("2024-01-01 12:30:00"), "b", 8.0))
+      q.processAllAvailable()
+      val u1 = s.sql(
+        "select * from graft_sess_test where user_id = 1").collect()
+      assert(u1.length == 2, s"expected both user-1 sessions, got ${u1.length}")
+    } finally q.stop()
+  }
 }

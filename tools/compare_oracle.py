@@ -17,12 +17,22 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+def deep_tuple(v):
+    """Recursively convert ndarrays/lists/dicts (incl. nested inside structs)
+    to hashable tuples so array-valued cells sort/compare instead of crashing."""
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(deep_tuple(x) for x in v)
+    if isinstance(v, dict):
+        return tuple((k, deep_tuple(x)) for k, x in sorted(v.items()))
+    return v
+
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                              else (tuple(v) if isinstance(v, list) else v))
+            df[c] = df[c].map(deep_tuple)
     df = df.sort_values(by=list(df.columns), ignore_index=True,
                         key=lambda s: s.map(lambda v: (v is not None and v == v, v)))
     return df
