@@ -34,12 +34,23 @@ object TypeWidening {
   }
 
   /** Combine two decimals keeping every representable value, capped at
-    * Spark's max precision 38 (same shape as Spark's `DecimalPrecision`
-    * widening for union). */
+    * Spark's max precision 38. Past the cap, mirrors Spark's
+    * `DecimalPrecision.adjustPrecisionScale`: sacrifice SCALE (down to a
+    * floor of 6) to preserve integer digits — capping precision while
+    * keeping the max scale would leave e.g. Decimal(30,10) ∪ Decimal(30,25)
+    * only 13 integer digits where 20 are needed, overflowing large values
+    * to null after a union widening. */
   private def combineDecimals(x: DecimalType, y: DecimalType): DecimalType = {
+    val MinimumAdjustedScale = 6
     val scale = math.max(x.scale, y.scale)
     val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
-    DecimalType(math.min(intDigits + scale, DecimalType.MAX_PRECISION), scale)
+    if (intDigits + scale <= DecimalType.MAX_PRECISION)
+      DecimalType(intDigits + scale, scale)
+    else {
+      val minScale = math.min(scale, MinimumAdjustedScale)
+      val adjScale = math.max(DecimalType.MAX_PRECISION - intDigits, minScale)
+      DecimalType(DecimalType.MAX_PRECISION, adjScale)
+    }
   }
 
   /** Tightest common supertype; falls back to StringType (documented

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions._
+import graft.core.CacheHandle
 
 /** Deduplication for training-data pipelines (brief: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup).
@@ -71,7 +72,8 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
@@ -81,16 +83,16 @@ object Dedup {
     // slower measured at sf0.1). Shingles are 64-bit HASHES, not strings:
     // Jaccard is identical modulo 2^-64 collisions, and skipping the
     // per-shingle string allocation is the dominant remaining cost.
-    val shingled = base
+    val shingled = cache.track(base
       .select(col("id"), org.apache.spark.sql.graftnative.NativeFunctions
         .shingleHashes(tokens(col("__text")), shingleN).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = shingled
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = cache.track(shingled
       .select(col("id"), posexplode(
         bandKeys(org.apache.spark.sql.graftnative.NativeFunctions
           .minhashFromLongs(col("sh"), numHashes), bands, r)))
       .select(col("id"), col("pos").as("b"), col("col").as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // materialize before the self-join: its two sides start concurrently
     // and would otherwise BOTH compute the signatures on a cold cache
     cand.count()
@@ -115,9 +117,10 @@ object Dedup {
     * documented, same policy most pipeline dedups use). */
   def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     val dupIds = nearDupPairs(df, textCol, idCol, numHashes, bands,
-      shingleN, minJaccard).select(col("id_b").as(idCol)).distinct()
+      shingleN, minJaccard, cache).select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
@@ -129,14 +132,19 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      minJaccard: Double = 0.8, maxIters: Int = 10): DataFrame = {
-    val pairs = nearDupPairs(df, textCol, idCol, numHashes, bands,
-      shingleN, minJaccard).select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minJaccard: Double = 0.8, maxIters: Int = 10,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    // pairs + the shingle/candidate caches inside nearDupPairs live only
+    // for the propagation loop — released before returning
+    val internal = new CacheHandle
+    val pairs = internal.track(nearDupPairs(df, textCol, idCol, numHashes,
+      bands, shingleN, minJaccard, internal).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // undirected edge list (both directions) for propagation
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"),
       col("id_a").as("id_b")))
     var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var persisted: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -152,10 +160,18 @@ object Dedup {
       val changed = next.join(labels.select(col("id"),
           col("cluster").as("prev")), "id")
         .filter(col("cluster") =!= col("prev")).limit(1).count()
+      // the superseded round's cache is dead the moment `next` exists
+      if (persisted != null) persisted.unpersist()
+      persisted = next
       labels = next
       converged = changed == 0
       i += 1
     }
+    // materialize the final labels fully, then drop every upstream cache;
+    // the result itself stays cached and is handed to the caller
+    labels.count()
+    internal.release()
+    cache.track(labels)
     labels
   }
 
@@ -190,15 +206,16 @@ object Dedup {
     * simhash (pigeonhole: hamming ≤ 3 ⇒ at least one identical quarter),
     * verified by full hamming distance. O(n·4) candidate generation. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     // same skinny-candidate shape as nearDupPairs: spread the hash
     // compute, explode (id, quarter, key) only, verify by id re-join
-    val sigs = df
+    val sigs = cache.track(df
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))
       .select(col("id"), tokenHashes(col("__text")).as("__h"))
       .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = sigs
       .withColumn("q", explode(array((0 until 4).map(j =>
         struct(lit(j).as("b"),
@@ -223,12 +240,13 @@ object Dedup {
     * [[Similarity]] for the shared primitives. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, planes: Int = 16, bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     val dim = Similarity.vectorDim(df, vecCol)
     val r = planes / bands
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = cache.track(df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = vecs
       .select(col("id"), posexplode(bandKeys(
         Similarity.hyperplaneSignature(col("v"), dim, planes, seed),

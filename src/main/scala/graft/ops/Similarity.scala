@@ -47,12 +47,24 @@ object Similarity {
     array(bits: _*)
   }
 
+  /** Hard ceiling on the broadcast-side row count for [[bruteForceTopK]]:
+    * beyond this, the query-side broadcast risks driver OOM and the O(n·q)
+    * score dominates — use [[lshTopK]] / [[ivfTopK]] instead. */
+  val MaxBroadcastQueries: Long = 100000L
+
   /** Brute-force cosine top-k: every query row scored against every corpus
-    * row. The query side is broadcast (assert small); per-query top-k via
-    * window on the scored pairs. The correctness baseline for the LSH
+    * row. The query side is broadcast — ENFORCED small (≤
+    * [[MaxBroadcastQueries]] rows, checked with a cheap limit-bounded
+    * count so the guard never scans an oversized side); per-query top-k
+    * via window on the scored pairs. The correctness baseline for the LSH
     * path. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val qCount = queries.limit((MaxBroadcastQueries + 1).toInt).count()
+    require(qCount <= MaxBroadcastQueries,
+      s"bruteForceTopK: query side has > $MaxBroadcastQueries rows - " +
+        "broadcasting it would OOM the driver; use lshTopK or ivfTopK " +
+        "for large query sets")
     val scored = corpus.as("c")
       .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"))))

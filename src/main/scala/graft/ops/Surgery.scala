@@ -71,6 +71,11 @@ object Surgery {
     def convertTo(name: String, to: DataType): DataFrame =
       df.withColumn(name, col(name).cast(to))
 
+    /** Null-on-failure cast (`try_cast`): a value the cast can't parse
+      * becomes null instead of failing the job under ANSI mode. */
+    def tryConvertTo(name: String, to: DataType): DataFrame =
+      df.withColumn(name, expr(s"try_cast(`$name` AS ${to.sql})"))
+
     /** epoch millis → timestamp (`api/convert.kt:163-167`). */
     def epochMillisToTimestamp(name: String): DataFrame =
       df.withColumn(name, timestamp_millis(col(name).cast(LongType)))
@@ -108,7 +113,13 @@ object Surgery {
       * Timestamp; the first parser that parses ALL (non-null) sampled
       * values wins, else the column stays string. Driver-side sampling
       * (one small job over `sampleRows` rows), then a single plan-level
-      * cast — the reference runs the same cascade eagerly over all rows. */
+      * cast — the reference runs the same cascade eagerly over all rows
+      * (`api/parse.kt`). DOCUMENTED DEVIATION: the sample is a row prefix,
+      * not the full column, so a non-conforming value past the sample can
+      * slip through — the committed conversions therefore use the
+      * null-on-failure forms (`try_cast` / `try_to_timestamp`), never an
+      * ANSI-throwing cast: an unsampled "abc" after 10k numerics yields a
+      * null cell, not a failed 100-TB job. */
     def parseCascade(name: String, sampleRows: Int = 10000): DataFrame = {
       val sample = df.select(col(name).cast(StringType))
         .filter(col(name).isNotNull).limit(sampleRows)
@@ -126,11 +137,13 @@ object Surgery {
           scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
         def parsesTs(s: String) = scala.util.Try(
           java.time.LocalDateTime.parse(s.replace(' ', 'T'))).isSuccess
-        if (all(parsesLong)) convertTo(name, LongType)
-        else if (all(parsesDouble)) convertTo(name, DoubleType)
+        if (all(parsesLong)) tryConvertTo(name, LongType)
+        else if (all(parsesDouble)) tryConvertTo(name, DoubleType)
         else if (all(parsesBool)) convertToBoolean(name)
-        else if (all(parsesDate)) convertToDate(name)
-        else if (all(parsesTs)) convertToTimestamp(name)
+        else if (all(parsesDate)) df.withColumn(name,
+          try_to_timestamp(col(name)).cast(DateType))
+        else if (all(parsesTs)) df.withColumn(name,
+          try_to_timestamp(col(name)))
         else df
       }
     }

@@ -127,6 +127,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(q0.zip(q0.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bruteForceTopK fails fast on an oversized query side") {
+    val s = spark
+    val big = s.range(Similarity.MaxBroadcastQueries + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big, big, k = 1)
+    }
+    assert(e.getMessage.contains("lshTopK"))
+  }
+
   test("lshTopK candidates are a subset with correct ranks") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val res = Similarity.lshTopK(t.embeddings,

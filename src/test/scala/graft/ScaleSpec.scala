@@ -61,4 +61,28 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == t.orders.count())
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("dedup cache hygiene: no orphaned persisted RDDs after release") {
+    val s = spark
+    val docs = Tables(s, "/root/testdata/sf0.001").documents
+    val before = s.sparkContext.getPersistentRDDs.size
+    // nearDupClusters releases its internal pairs/shingle/candidate caches
+    // itself; only the materialized result frame stays, on the handle
+    val handle = new graft.core.CacheHandle
+    val clusters = graft.ops.Dedup.nearDupClusters(
+      docs, "text", "doc_id", cache = handle)
+    assert(clusters.count() > 0)
+    assert(handle.size == 1, s"expected only the labels cache, got ${handle.size}")
+    assert(s.sparkContext.getPersistentRDDs.size == before + 1,
+      "internal LSH caches leaked past nearDupClusters")
+    handle.release(blocking = true)
+    assert(s.sparkContext.getPersistentRDDs.size == before,
+      "handle.release() left persisted RDDs behind")
+    // pairs path: caches live on the caller's handle, released explicitly
+    val h2 = new graft.core.CacheHandle
+    val pairs = graft.ops.Dedup.nearDupPairs(docs, "text", "doc_id", cache = h2)
+    assert(pairs.count() >= 0 && h2.size == 2)
+    h2.release(blocking = true)
+    assert(s.sparkContext.getPersistentRDDs.size == before)
+  }
 }

@@ -62,6 +62,18 @@ class SurgeryIOSpec extends AnyFunSuite {
     assert(Seq("abc", "1").toDF("v").parseCascade("v").schema("v").dataType == StringType)
   }
 
+  test("parseCascade survives a non-conforming value past the sample (try_cast)") {
+    val s = spark
+    import s.implicits._
+    // 5-row sample sees only numerics; "abc" sits beyond it — must become
+    // a null cell, not an ANSI cast failure of the whole job
+    val vals = (1 to 5).map(_.toString) :+ "abc"
+    val out = vals.toDF("v").coalesce(1).parseCascade("v", sampleRows = 5)
+    assert(out.schema("v").dataType == LongType)
+    val got = out.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.count(_.isEmpty) == 1 && got.flatten.sum == 15)
+  }
+
   test("slicing: takeRows/takeLastRows/rowsAt/firstRow/singleRow") {
     assert(person.takeRows(3).count() == 3)
     val last2 = person.takeLastRows(2, Seq(col("age")))

@@ -62,6 +62,15 @@ class WideningSpec extends AnyFunSuite {
     assert(w.asInstanceOf[DecimalType].precision <= 38)
   }
 
+  test("decimal over-cap sacrifices scale to keep integer digits (Spark adjustPrecisionScale)") {
+    // 20 int digits + 25 scale > 38: scale must shrink so int digits survive
+    val w = widen(DecimalType(30, 10), DecimalType(30, 25)).asInstanceOf[DecimalType]
+    assert(w.precision == 38 && w.precision - w.scale == 20, s"got $w")
+    // scale floor of 6: int digits give way only down to scale 6
+    val w2 = widen(DecimalType(38, 0), DecimalType(38, 30)).asInstanceOf[DecimalType]
+    assert(w2 == DecimalType(38, 6), s"got $w2")
+  }
+
   test("numeric ladder matches the reference table") {
     // Byte < Short < Int < Long, Float < Double (TypeInference.kt:100-123)
     assert(widen(ByteType, ShortType) == ShortType)
