@@ -46,6 +46,38 @@ object Reshape {
         .agg(aggs.head, aggs.tail: _*)
     }
 
+    /** reference nested pivot result paths
+      * (`impl/aggregation/aggregatePivot.kt:44-54`): with several
+      * aggregates per pivot key the reference emits ColumnGroups —
+      * default path = `pivotValue.{agg1,agg2}` ("separate"); with
+      * `groupByValue` the nesting flips to `agg.{value1,value2}`.
+      * Implemented as the flat Spark pivot (one shuffle, codegen'd)
+      * followed by a zero-cost struct regroup projection. `default`
+      * back-fills holes before regrouping (`pivot.kt:46-53`). */
+    def pivotAggNested(rows: Seq[String], key: String, values: Seq[Any],
+        aggs: Seq[(String, Column)], groupByValue: Boolean = false,
+        default: Option[Any] = None): DataFrame = {
+      require(aggs.nonEmpty, "pivotAggNested: no aggregates")
+      val aliased = aggs.map { case (n, c) => c.as(n) }
+      val wide = df.groupBy(rows.map(col): _*).pivot(key, values)
+        .agg(aliased.head, aliased.tail: _*)
+      // Spark names multi-agg pivot columns `{value}_{aggName}`
+      // (single-agg: just `{value}`)
+      def flat(v: Any, an: String): Column = {
+        val c = if (aggs.size == 1) col(s"`${v}`") else col(s"`${v}_$an`")
+        default.fold(c)(d => coalesce(c, lit(d)))
+      }
+      val nested: Seq[Column] =
+        if (groupByValue)
+          aggs.map { case (an, _) =>
+            struct(values.map(v => flat(v, an).as(v.toString)): _*).as(an) }
+        else
+          values.map(v =>
+            struct(aggs.map { case (an, _) => flat(v, an).as(an) }: _*)
+              .as(v.toString))
+      wide.select(rows.map(col) ++ nested: _*)
+    }
+
     /** reference `pivot.matches(yes,no)` — boolean presence matrix
       * (`GroupedPivotAggregations.kt:36-37`). */
     def pivotMatches(rows: Seq[String], key: String, values: Seq[Any])
@@ -67,7 +99,11 @@ object Reshape {
     // ---- gather (melt / unpivot) ----------------------------------------
     /** reference `api/gather.kt` — selected columns → (key, value) rows.
       * Null values dropped by default, like the reference. Uses the native
-      * `stack` generator (codegen'd, no shuffle). */
+      * `stack` generator (codegen'd, no shuffle). Gathering ColumnGroups
+      * (struct columns, `gather.kt:40-71`) emits struct-typed `value`
+      * cells: the struct schemas are widened field-by-field and each
+      * input is REBUILT to the widened shape (`alignColumn`), so groups
+      * with overlapping-but-unequal fields gather losslessly. */
     def gather(cols: Seq[String], keyName: String = "key",
         valueName: String = "value", dropNulls: Boolean = true,
         where: Option[Column => Column] = None,
@@ -80,7 +116,8 @@ object Reshape {
       val valueType = cols.map(c => df.schema(c).dataType)
         .reduce(graft.core.TypeWidening.widen)
       val pairs: Seq[Column] = lit(cols.size) +: cols.flatMap(c =>
-        Seq(lit(c), col(c).cast(valueType)))
+        Seq(lit(c), graft.core.TypeWidening.alignColumn(
+          col(c), df.schema(c).dataType, valueType)))
       val stacked = df.select(
         (keep.map(col) :+ stack(pairs: _*)
           .as(Seq(keyName, valueName))): _*)
@@ -107,6 +144,27 @@ object Reshape {
       outNames.zipWithIndex.foldLeft(df) { case (d, (nm, i)) =>
         // try_element_at: ragged rows pad with null instead of throwing
         // under ANSI mode (Spark 4 default)
+        d.withColumn(nm, try_element_at(parts, lit(i + 1)))
+      }
+    }
+
+    /** reference `split(col).by { (C)->List }.intoMany`
+      * (`api/split.kt:11-114`): custom splitter — any ARRAY-producing
+      * expression over the column, not just a string pattern. `n = 0`
+      * auto-sizes with one cheap max-`size` scan (an aggregate over the
+      * splitter output only — column-pruned, no data movement), mirroring
+      * the reference's scan-all-rows sizing; pass `n` explicitly to skip
+      * that extra job at scale. */
+    def splitIntoBy(c: String, f: Column => Column, n: Int = 0,
+        names: Seq[String] = Nil): DataFrame = {
+      val parts = f(col(c))
+      val width =
+        if (n > 0) n
+        else df.select(max(size(parts))).head().getInt(0)
+      require(width > 0, s"splitIntoBy($c): splitter produced no parts")
+      val outNames =
+        if (names.nonEmpty) names else (1 to width).map(i => s"splitted$i")
+      outNames.zipWithIndex.foldLeft(df) { case (d, (nm, i)) =>
         d.withColumn(nm, try_element_at(parts, lit(i + 1)))
       }
     }

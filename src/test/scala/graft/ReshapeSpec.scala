@@ -48,6 +48,46 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("gather over struct columns emits struct value cells, widening unequal fields") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 10, "x", 2.5)).toDF("id", "a1", "a2", "b1")
+      .select(col("id"),
+        struct(col("a1").as("n"), col("a2").as("tag")).as("ga"),
+        struct(col("b1").as("n")).as("gb"))
+    val g = df.gather(Seq("ga", "gb"))
+    val vt = g.schema("value").dataType.asInstanceOf[StructType]
+    // widened value struct: n widens int∪double→double, tag nullable
+    assert(vt.fieldNames.toSeq == Seq("n", "tag"))
+    assert(vt("n").dataType == DoubleType)
+    val rows = g.orderBy("key").select("key", "value.n", "value.tag").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ga", "gb"))
+    assert(rows(0).getDouble(1) == 10.0 && rows(0).getString(2) == "x")
+    assert(rows(1).getDouble(1) == 2.5 && rows(1).isNullAt(2))
+  }
+
+  test("pivotAggNested emits value.{aggs} structs; groupByValue flips to agg.{values}") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("x", "A", 1.0), ("x", "B", 2.0), ("y", "A", 4.0))
+      .toDF("g", "k", "v")
+    val sep = df.pivotAggNested(Seq("g"), "k", Seq("A", "B"),
+      Seq("total" -> sum(col("v")), "cnt" -> count(lit(1))),
+      default = Some(0))
+    assert(sep.columns.toSeq == Seq("g", "A", "B"))
+    assert(sep.schema("A").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("total", "cnt"))
+    val y = sep.filter(col("g") === "y").select("B.total", "B.cnt").head()
+    assert(y.getDouble(0) == 0.0 && y.getLong(1) == 0L) // default-filled hole
+    val gbv = df.pivotAggNested(Seq("g"), "k", Seq("A", "B"),
+      Seq("total" -> sum(col("v")), "cnt" -> count(lit(1))),
+      groupByValue = true)
+    assert(gbv.columns.toSeq == Seq("g", "total", "cnt"))
+    assert(gbv.schema("total").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("A", "B"))
+    assert(gbv.filter(col("g") === "x").select("total.B").head().getDouble(0) == 2.0)
+  }
+
   test("splitInto pads ragged splits with null") {
     val s = spark
     import s.implicits._
@@ -56,6 +96,22 @@ class ReshapeSpec extends AnyFunSuite {
     val rows = res.collect()
     assert(rows(0).getString(1) == "a" && rows(0).getString(3) == "c")
     assert(rows(1).getString(1) == "x" && rows(1).isNullAt(2))
+  }
+
+  test("splitIntoBy takes any array expression, auto-sizes via max-size scan") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a b c", "x y").toDF("v")
+    // custom splitter: uppercased words; width discovered from the data
+    val res = df.splitIntoBy("v", c => transform(split(c, " "), w => upper(w)))
+      .orderBy("v").collect()
+    assert(res(0).length == 4, "expected auto-width 3")
+    assert(res(0).getString(1) == "A" && res(0).getString(3) == "C")
+    assert(res(1).getString(2) == "Y" && res(1).isNullAt(3))
+    // explicit n skips the scan and pads/truncates to that width
+    val fixed = df.splitIntoBy("v", c => split(c, " "), n = 2,
+      names = Seq("p1", "p2"))
+    assert(fixed.columns.toSeq == Seq("v", "p1", "p2"))
   }
 
   test("splitIntoRows explodes tokens") {
