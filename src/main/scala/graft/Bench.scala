@@ -12,17 +12,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: one per plan family — scan/filter, hash agg, broadcast
-    * + shuffle joins, pivot, partitioned window, event-time window,
-    * zipWithIndex ids, LSH dedup, ANN top-k, text scoring, union. */
+    * + shuffle joins, as-of join, pivot, partitioned window, event-time
+    * window + sessionize, zipWithIndex ids, LSH dedup + label-propagation
+    * clusters, ANN top-k, text scoring, union. */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
-    "join_inner", "join_left", "join_semi",
+    "join_inner", "join_left", "join_semi", "join_asof",
     "agg_sum_mean_for", "agg_median", "agg_maxby_row",
     "pivot_agg", "union_wide",
     "series_moving_avg", "series_running_sum", "events_window_agg",
+    "events_sessionize",
     "add_row_number", "topk_custom",
     "text_quality", "text_token_count", "dedup_exact",
-    "dedup_minhash_pairs", "sim_bruteforce_topk")
+    "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,7 +40,9 @@ object Bench {
       // the LSH dedup operators persist intermediates and the cache
       // manager matches canonicalized plans — a second rep would measure
       // a warm cache, not a fresh dedup; time those cold, once
-      val repsFor = if (name.startsWith("dedup_minhash")) 1 else reps
+      val repsFor =
+        if (name.startsWith("dedup_minhash") || name == "dedup_clusters") 1
+        else reps
       val sec =
         try {
           val times = (1 to repsFor).map { _ =>

@@ -746,6 +746,26 @@ object SparkEntry {
       |FROM lineitem GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin)),
 
+    Q("pivot_groupbyvalue", (s, dir) => {
+      // groupByValue flips nesting to agg.{values}; flattened rendering
+      SchemaOps.flatten(
+        Tables(s, dir).lineitem
+          .pivotAggNested(Seq("l_linestatus"), "l_returnflag",
+            Seq("A", "N", "R"),
+            Seq("sum_qty" -> round(sum(col("l_quantity")), 2),
+              "cnt" -> count(lit(1))),
+            groupByValue = true, default = Some(0d)))
+        .sortByKeys(SortKey("l_linestatus"))
+    }, Some("""SELECT l_linestatus,
+      |  COALESCE(ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='A'), 2), 0) AS sum_qty_A,
+      |  COALESCE(ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='N'), 2), 0) AS sum_qty_N,
+      |  COALESCE(ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag='R'), 2), 0) AS sum_qty_R,
+      |  COUNT(*) FILTER (WHERE l_returnflag='A') AS cnt_A,
+      |  COUNT(*) FILTER (WHERE l_returnflag='N') AS cnt_N,
+      |  COUNT(*) FILTER (WHERE l_returnflag='R') AS cnt_R
+      |FROM lineitem GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin)),
+
     Q("pivot_matches", (s, dir) => {
       Tables(s, dir).orders
         .pivotMatches(Seq("o_orderpriority"), "o_orderstatus", Seq("F", "O", "P"))
@@ -1271,6 +1291,32 @@ object SparkEntry {
         .selectNames(Seq("query_id", "rank", "neighbor_id"))
         .sortByKeys(SortKey("query_id"), SortKey("rank"))
     }, None), // single-probe IVF is approximate by design — rows-only
+
+    Q("sim_ivf_exhaustive", (s, dir) => {
+      // nprobe = nlist probes every cell: the IVF pipeline (assignment,
+      // multi-probe fan-out, cell join, ranking) becomes EXACT and shares
+      // the brute-force oracle — proving the machinery, not just shape
+      val t = Tables(s, dir)
+      Similarity.ivfTopK(t.embeddings,
+          t.embeddings.filterRows(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 8)
+        .selectNames(Seq("query_id", "rank", "neighbor_id"))
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |  list_sum(list_transform(list_zip(c.embedding, q.qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / greatest(
+      |      sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |      sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      1e-12) AS cos
+      |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+      |SELECT query_id, rank, neighbor_id FROM
+      |  (SELECT query_id, neighbor_id, CAST(row_number() OVER
+      |     (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |   FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("build_paths", (s, _) => {
       IO.dataFrameOfPaths(s, Seq(

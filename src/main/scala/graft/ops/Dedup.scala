@@ -152,26 +152,29 @@ object Dedup {
         .join(labels.select(col("id").as("id_b"), col("cluster")), "id_b")
         .groupBy(col("id_a").as("id"))
         .agg(min(col("cluster")).as("nbr_cluster"))
+      // carry the previous label through the join so the convergence
+      // check is a filter on the SAME cached frame, not an extra join
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          col("cluster").as("__prev"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("id"),
-          col("cluster").as("prev")), "id")
-        .filter(col("cluster") =!= col("prev")).limit(1).count()
+      val changed = next.filter(col("cluster") =!= col("__prev"))
+        .limit(1).count()
       // the superseded round's cache is dead the moment `next` exists
       if (persisted != null) persisted.unpersist()
       persisted = next
-      labels = next
+      labels = next.drop("__prev")
       converged = changed == 0
       i += 1
     }
     // materialize the final labels fully, then drop every upstream cache;
-    // the result itself stays cached and is handed to the caller
+    // the result's backing cache (the last round frame) is handed to the
+    // caller for release
     labels.count()
     internal.release()
-    cache.track(labels)
+    if (persisted != null) cache.track(persisted)
     labels
   }
 

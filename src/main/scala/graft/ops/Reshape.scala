@@ -64,8 +64,12 @@ object Reshape {
       // Spark names multi-agg pivot columns `{value}_{aggName}`
       // (single-agg: just `{value}`)
       def flat(v: Any, an: String): Column = {
-        val c = if (aggs.size == 1) col(s"`${v}`") else col(s"`${v}_$an`")
-        default.fold(c)(d => coalesce(c, lit(d)))
+        val name = if (aggs.size == 1) s"$v" else s"${v}_$an"
+        val c = col(s"`$name`")
+        // cast the fill literal to the column's own type: a 0.0 default
+        // must not widen a long count column to double
+        default.fold(c)(d =>
+          coalesce(c, lit(d).cast(wide.schema(name).dataType)))
       }
       val nested: Seq[Column] =
         if (groupByValue)

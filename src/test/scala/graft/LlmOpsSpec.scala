@@ -146,6 +146,21 @@ class LlmOpsSpec extends AnyFunSuite {
       .forall(_.getLong(1) <= 4))
   }
 
+  test("ivfTopK with nprobe=nlist matches brute force exactly") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = key(Similarity.bruteForceTopK(t.embeddings, queries, k = 5))
+    val ivf = key(Similarity.ivfTopK(t.embeddings, queries, k = 5,
+      nlist = 4, nprobe = 4))
+    assert(ivf == bf, "exhaustive probing must equal brute force")
+    // single probe returns a subset of candidates per query
+    val p1 = Similarity.ivfTopK(t.embeddings, queries, k = 5, nlist = 4)
+    assert(p1.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
   test("multimodal: meta, stub decode, frame sampling shapes") {
     val s = spark
     import s.implicits._

@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("nested pivot is still one shuffle (struct regroup is projection-only)") {
+    val p = plan("pivot_separate")
+    // Spark's pivot is two aggregations (pre-agg on (row,key) then
+    // pivotfirst on row) = 2 hash exchanges; the struct regroup must add
+    // NONE beyond that (plus the query's own final sort exchange)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"struct regroup added a shuffle:\n${p.take(1500)}")
+  }
+
+  test("batch sessionize runs as windows, not per-group state") {
+    val p = plan("events_sessionize")
+    assert(!p.contains("FlatMapGroupsWithState"), p.take(1000))
+    assert(p.contains("Window"), p.take(1000))
+  }
+
   test("native expressions stay inside codegen") {
     val t = Tables(spark, dir)
     val p = t.embeddings
