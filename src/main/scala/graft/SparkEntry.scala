@@ -1442,6 +1442,16 @@ object SparkEntry {
         .sortByKeys(SortKey("n_nationkey"))
     }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    Q("io_orc_roundtrip", (s, dir) => {
+      // ORC write → read back; oracle = the original parquet table, so
+      // the roundtrip proves lossless columnar IO
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_orc_nation"
+      IO.writeOrc(Tables(s, dir).nation, tmp, singleFile = true)
+      IO.readOrc(s, tmp)
+        .selectNames(Seq("n_nationkey", "n_name", "n_regionkey"))
+        .sortByKeys(SortKey("n_nationkey"))
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
     Q("pivot_frames", (s, dir) => {
       // frame cells (array<struct>) rendered as sorted '|'-joined strings
       // so the driver's pandas harness can sort/hash them (VERDICT r2 item 1)

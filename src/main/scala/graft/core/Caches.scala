@@ -10,28 +10,55 @@ import org.apache.spark.sql.DataFrame
   * and `release()` it after their terminal action; callers that don't
   * care (one query, session exits) use the default [[CacheHandle.unmanaged]]
   * sink, which keeps today's leave-it-to-session-teardown behavior without
-  * accumulating references. */
+  * accumulating references.
+  *
+  * Why thunks as well as frames: `Dataset.unpersist` cannot free
+  * `localCheckpoint` blocks (they live at the RDD level), so operators
+  * that truncate lineage register an RDD-level release thunk instead. */
 final class CacheHandle(record: Boolean = true) {
-  private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private val releases =
+    scala.collection.mutable.ArrayBuffer[Boolean => Unit]()
 
   /** Register a persisted frame for later release; returns it unchanged. */
   def track(df: DataFrame): DataFrame = synchronized {
-    if (record) frames += df
+    if (record) releases += (b => df.unpersist(b))
     df
   }
 
-  /** Unpersist every tracked frame and forget them. */
-  def release(blocking: Boolean = false): Unit = synchronized {
-    frames.foreach(_.unpersist(blocking))
-    frames.clear()
+  /** Register an arbitrary release action (receives the blocking flag). */
+  def trackRelease(f: Boolean => Unit): Unit = synchronized {
+    if (record) releases += f
   }
 
-  /** Number of currently tracked (un-released) frames. */
-  def size: Int = synchronized(frames.size)
+  /** Run every registered release and forget them. */
+  def release(blocking: Boolean = false): Unit = synchronized {
+    releases.foreach(_(blocking))
+    releases.clear()
+  }
+
+  /** Number of currently tracked (un-released) resources. */
+  def size: Int = synchronized(releases.size)
 }
 
 object CacheHandle {
   /** No-op sink: tracked frames are not recorded (and so never released
     * here) — cache lifetime falls to SparkSession teardown. */
   val unmanaged: CacheHandle = new CacheHandle(record = false)
+
+  /** Eagerly `localCheckpoint` a SMALL frame and return it with an
+    * RDD-level release thunk. Truncating the lineage makes the frame
+    * independent of upstream caches, so unpersisting those cannot force
+    * a recompute (Spark's non-cascading uncache still re-plans dependent
+    * cache entries and discards their buffers). Driver-side RDD-id
+    * snapshot — call from one thread at a time. Production note: local
+    * checkpoints don't survive executor loss; a cluster job that must
+    * would `setCheckpointDir` and use reliable `checkpoint` instead. */
+  def checkpointSmall(df: DataFrame): (DataFrame, Boolean => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = df.localCheckpoint(eager = true)
+    val fresh = sc.getPersistentRDDs.keySet.diff(before)
+    (ck, b => fresh.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(b))))
+  }
 }

@@ -129,6 +129,22 @@ object Dedup {
     * reachable through near-dup edges. Bounded iterations (component
     * diameters in dedup graphs are tiny — chains of edits); each round is
     * one join + one aggregation, fully distributed. Returns (id, cluster).
+    *
+    * Memory/lineage design:
+    *  - propagation runs ONLY over edge-touched ids (dedup graphs are
+    *    sparse — the overwhelming majority of docs have no near-dup edge
+    *    and are trivially their own cluster; keeping them in the loop
+    *    would shuffle the full corpus every round for nothing);
+    *  - each round's label frame (small by the above) is eagerly
+    *    `localCheckpoint`ed: truncated lineage means freeing the previous
+    *    round — or the LSH caches at the end — can never force a
+    *    recompute (Spark's non-cascading uncache re-plans dependent cache
+    *    entries and discards their buffers, so a merely-persisted chain
+    *    would quietly re-run the whole LSH on next use);
+    *  - every internal cache is released before returning; the ONLY
+    *    retained storage is the final (tiny) label checkpoint, whose
+    *    release thunk goes on the caller's handle. The returned frame is
+    *    a lazy corpus-scan ⋈ labels — cheap to re-run, nothing big held.
     */
   def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
@@ -140,11 +156,15 @@ object Dedup {
     val pairs = internal.track(nearDupPairs(df, textCol, idCol, numHashes,
       bands, shingleN, minJaccard, internal).select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize before fan-out: edges + the seed labels both read this
+    // cache, and concurrent cold reads would re-run the whole LSH verify
+    pairs.count()
     // undirected edge list (both directions) for propagation
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"),
       col("id_a").as("id_b")))
-    var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster"))
-    var persisted: DataFrame = null
+    var (labels, freeLabels) = CacheHandle.checkpointSmall(
+      edges.select(col("id_a").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -153,29 +173,30 @@ object Dedup {
         .groupBy(col("id_a").as("id"))
         .agg(min(col("cluster")).as("nbr_cluster"))
       // carry the previous label through the join so the convergence
-      // check is a filter on the SAME cached frame, not an extra join
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"),
-          col("cluster").as("__prev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // check is a filter on the SAME checkpointed frame, not a join
+      val (next, freeNext) = CacheHandle.checkpointSmall(
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"),
+              coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"),
+            col("cluster").as("__prev")))
       val changed = next.filter(col("cluster") =!= col("__prev"))
         .limit(1).count()
-      // the superseded round's cache is dead the moment `next` exists
-      if (persisted != null) persisted.unpersist()
-      persisted = next
+      // `next` is self-contained — the superseded round frees safely
+      freeLabels(false)
       labels = next.drop("__prev")
+      freeLabels = freeNext
       converged = changed == 0
       i += 1
     }
-    // materialize the final labels fully, then drop every upstream cache;
-    // the result's backing cache (the last round frame) is handed to the
-    // caller for release
-    labels.count()
+    // labels is lineage-independent of the LSH caches — release them all
     internal.release()
-    if (persisted != null) cache.track(persisted)
-    labels
+    cache.trackRelease(freeLabels)
+    // rejoin the edge-free majority (cluster = own id): lazy, re-runnable
+    // at the cost of one corpus scan + a join against the tiny labels
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   // ---- n-gram Jaccard (direct pairwise verify) ------------------------

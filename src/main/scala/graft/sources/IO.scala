@@ -88,6 +88,17 @@ object IO {
     out.write.mode("overwrite").json(path)
   }
 
+  /** Columnar ORC source/sink (beyond the reference's formats — a Spark
+    * deployment reads whatever the lake holds; ORC is the other common
+    * columnar layout and shares parquet's pushdown/pruning behavior). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+  def writeOrc(df: DataFrame, path: String, singleFile: Boolean = false)
+      : Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").orc(path)
+  }
+
   /** reference `DataFrame.read(fileOrUrl)` (`io/guess.kt:26-54`) — format
     * sniffing by extension, CSV fallback. */
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -96,6 +107,7 @@ object IO {
       readJson(spark, path)
     else if (p.endsWith(".tsv")) readTSV(spark, path)
     else if (p.endsWith(".parquet")) spark.read.parquet(path)
+    else if (p.endsWith(".orc")) readOrc(spark, path)
     else readCSV(spark, path)
   }
 

@@ -136,6 +136,25 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup for an ingest pipeline: rows keyed by the
+    * normalized 256-bit content key ([[graft.functions.TextFunctions
+    * .contentKey]], same key as the batch `Dedup.exactDedup`), deduped
+    * with `dropDuplicatesWithinWatermark` — the state store holds one
+    * entry per distinct key only within the watermark horizon, so state
+    * is bounded by ingest rate × `delay`, not by corpus size. Batch
+    * callers use `Dedup.exactDedup`. */
+  def streamingExactDedup(events: DataFrame, textCol: String,
+      tsCol: String, delay: String): DataFrame = {
+    require(events.isStreaming,
+      "streamingExactDedup: batch frames use Dedup.exactDedup")
+    events
+      .withColumn("__key",
+        graft.functions.TextFunctions.contentKey(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+  }
+
   /** Streaming reader over the events table schema (json/parquet dir) —
     * the entry point a production pipeline would use. */
   def readEventStream(spark: SparkSession, path: String): DataFrame =

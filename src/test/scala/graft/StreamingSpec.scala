@@ -74,6 +74,28 @@ class StreamingSpec extends AnyFunSuite {
       "batch path must use the distributed window formulation")
   }
 
+  test("streamingExactDedup drops same-content rows across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = graft.streaming.Streaming.streamingExactDedup(
+      mem.toDF().toDF("ts", "text"), "text", "ts", "1 hour")
+    val q = deduped.writeStream.format("memory")
+      .queryName("graft_sdedup_test").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), "Hello  World"))
+      q.processAllAvailable()
+      // same normalized content, later batch — must be dropped
+      mem.addData((ts("2024-01-01 10:05:00"), "hello world"))
+      mem.addData((ts("2024-01-01 10:06:00"), "something else"))
+      q.processAllAvailable()
+      val rows = s.sql("select text from graft_sdedup_test").collect()
+        .map(_.getString(0)).sorted
+      assert(rows.toSeq == Seq("Hello  World", "something else"), rows.mkString("|"))
+    } finally q.stop()
+  }
+
   test("streaming sessionize keeps sessions open across micro-batches") {
     val s = spark
     import s.implicits._
