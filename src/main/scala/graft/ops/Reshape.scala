@@ -164,8 +164,13 @@ object Reshape {
       val parts = f(col(c))
       val width =
         if (n > 0) n
-        else df.select(max(size(parts))).head().getInt(0)
-      require(width > 0, s"splitIntoBy($c): splitter produced no parts")
+        else {
+          val row = df.select(max(size(parts))).head()
+          if (row.isNullAt(0)) 0 else row.getInt(0)
+        }
+      require(width > 0,
+        s"splitIntoBy($c): splitter produced no parts (empty input?) - " +
+          "pass n explicitly")
       val outNames =
         if (names.nonEmpty) names else (1 to width).map(i => s"splitted$i")
       outNames.zipWithIndex.foldLeft(df) { case (d, (nm, i)) =>
