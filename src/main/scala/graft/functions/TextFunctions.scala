@@ -21,8 +21,15 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => length(t) > 0)
 
-  /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** One-pass fused text statistics (native codegen'd expression) —
+    * chars / punct / token count / token-length sum / per-language
+    * stopword hits. The quality and lang-id formulas below read fields
+    * of this single scan instead of re-tokenizing per metric. */
+  def textStats(c: Column): Column =
+    org.apache.spark.sql.graftnative.NativeFunctions.textStats(c)
+
+  /** Whitespace token count (fused one-pass scan). */
+  def tokenCount(c: Column): Column = textStats(c).getField("ntok")
 
   /** BPE-ish token count: letter runs, single digits, punctuation marks
     * counted separately (a cheap stand-in for a real BPE vocab — the usual
@@ -30,10 +37,12 @@ object TextFunctions {
   def bpeishTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Punctuation character ratio. */
-  def punctRatio(c: Column): Column =
-    (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast(DoubleType) /
-      greatest(length(c).cast(DoubleType), lit(1.0))
+  /** Punctuation character ratio (fused one-pass scan). */
+  def punctRatio(c: Column): Column = {
+    val st = textStats(c)
+    st.getField("punct").cast(DoubleType) /
+      greatest(st.getField("chars").cast(DoubleType), lit(1.0))
+  }
 
   private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "by", "from")
@@ -47,28 +56,33 @@ object TextFunctions {
   /** Fraction of tokens that are (English) stopwords — a standard quality
     * signal. */
   def stopwordRatio(c: Column): Column = {
-    val t = tokens(c)
-    size(filter(t, x => x.isin(enStop: _*))).cast(DoubleType) /
-      greatest(size(t).cast(DoubleType), lit(1.0))
+    val st = textStats(c)
+    st.getField("en").cast(DoubleType) /
+      greatest(st.getField("ntok").cast(DoubleType), lit(1.0))
   }
 
-  /** Mean word length. */
+  /** Mean word length (fused one-pass scan). */
   def meanWordLength(c: Column): Column = {
-    val t = tokens(c)
-    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
-      greatest(size(t).cast(DoubleType), lit(1.0))
+    val st = textStats(c)
+    st.getField("wlen").cast(DoubleType) /
+      greatest(st.getField("ntok").cast(DoubleType), lit(1.0))
   }
 
   /** Composite quality score in [0,1]: length band + punctuation band +
     * stopword presence + word-length band (the classic cheap heuristics —
     * e.g. C4/Gopher-style rules — as one expression). */
   def qualityScore(c: Column): Column = {
-    val n = length(c)
+    val st = textStats(c)
+    val n = st.getField("chars")
+    val ntok = greatest(st.getField("ntok").cast(DoubleType), lit(1.0))
+    val pr = st.getField("punct").cast(DoubleType) /
+      greatest(n.cast(DoubleType), lit(1.0))
+    val sr = st.getField("en").cast(DoubleType) / ntok
+    val mwl = st.getField("wlen").cast(DoubleType) / ntok
     val lengthOk = when(n.between(50, 100000), lit(0.25)).otherwise(lit(0.0))
-    val punctOk  = when(punctRatio(c) < 0.2, lit(0.25)).otherwise(lit(0.0))
-    val stopOk   = when(stopwordRatio(c) > 0.05, lit(0.25)).otherwise(lit(0.0))
-    val wordOk   = when(meanWordLength(c).between(2.0, 12.0), lit(0.25))
-      .otherwise(lit(0.0))
+    val punctOk  = when(pr < 0.2, lit(0.25)).otherwise(lit(0.0))
+    val stopOk   = when(sr > 0.05, lit(0.25)).otherwise(lit(0.0))
+    val wordOk   = when(mwl.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
     lengthOk + punctOk + stopOk + wordOk
   }
 
@@ -76,12 +90,11 @@ object TextFunctions {
     * over the token set, CJK scripts detected by codepoint class; highest
     * score wins, `und` when nothing matches. */
   def langId(c: Column): Column = {
-    val t = tokens(c)
-    def score(stops: Seq[String]): Column =
-      size(filter(t, x => x.isin(stops: _*)))
+    val st = textStats(c)
+    def score(lang: String): Column = st.getField(lang)
     val cjk = length(regexp_replace(c, "[^\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]", ""))
-    val scores = Seq("en" -> score(enStop), "de" -> score(deStop),
-      "fr" -> score(frStop), "es" -> score(esStop))
+    val scores = Seq("en" -> score("en"), "de" -> score("de"),
+      "fr" -> score("fr"), "es" -> score("es"))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)

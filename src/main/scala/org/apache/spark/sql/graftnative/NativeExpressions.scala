@@ -257,8 +257,128 @@ case class MinHashFromLongs(child: Expression, numHashes: Int)
       : MinHashFromLongs = copy(child = newChild)
 }
 
+/** One-pass text statistics for quality scoring / language ID: codepoint
+  * count, ASCII-punctuation count, token count, token-length sum, and
+  * per-language stopword hits — everything the quality/lang-id formulas
+  * need, in a single scan of the UTF-8 bytes. Replaces four regex passes
+  * plus interpreted higher-order `filter`/`aggregate` lambdas per row
+  * (HOFs are CodegenFallback — they evaluate an interpreted expression
+  * tree per element).
+  *
+  * Token semantics match `lower(c)` + `split("\\W+")` + drop-empties for
+  * any input whose lowercase mapping stays within ASCII (Java `\w` is
+  * ASCII-only, so tokens are maximal `[a-z0-9_]` runs after lowercasing
+  * A-Z). Exotic lowercase expansions (e.g. U+0130) differ — documented,
+  * and irrelevant for `\w`-tokenized corpora.
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = TextStats.schema
+  override def prettyName: String = "text_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    // single virtual call into the compiled companion kernel — keeps the
+    // operator inside whole-stage codegen without inlining the scanner
+    val ref = ctx.addReferenceObj("textStatsKernel", TextStats,
+      TextStats.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextStats = copy(child = newChild)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("chars", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("ntok", IntegerType, nullable = false),
+    StructField("wlen", LongType, nullable = false),
+    StructField("en", IntegerType, nullable = false),
+    StructField("de", IntegerType, nullable = false),
+    StructField("fr", IntegerType, nullable = false),
+    StructField("es", IntegerType, nullable = false)))
+
+  // stopwords packed as little-endian longs (all are <= 5 ASCII bytes);
+  // a token longer than 8 bytes can never match and skips the lookup
+  private def pack(w: String): Long = {
+    require(w.length <= 8)
+    var v = 0L
+    var i = w.length - 1
+    while (i >= 0) { v = (v << 8) | (w.charAt(i) & 0xffL); i -= 1 }
+    v
+  }
+  private val en = Array("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "by", "from").map(pack)
+  private val de = Array("der", "die", "das", "und", "oder", "von", "zu",
+    "im", "ist", "es", "dass", "für", "auf", "mit", "als", "bei", "aus")
+    .filter(_.forall(_ < 128)).map(pack)
+  private val fr = Array("le", "la", "les", "et", "ou", "de", "du", "en",
+    "est", "il", "que", "pour", "sur", "avec", "comme", "au", "par", "des").map(pack)
+  private val es = Array("el", "la", "los", "las", "y", "o", "de", "del",
+    "en", "es", "que", "para", "sobre", "con", "como", "al", "por", "un").map(pack)
+
+  private def hits(set: Array[Long], v: Long): Int = {
+    var i = 0
+    while (i < set.length) { if (set(i) == v) return 1; i += 1 }
+    0
+  }
+
+  def compute(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = u.numBytes()
+    var punct = 0
+    var ntok = 0
+    var wlen = 0L
+    var enH = 0; var deH = 0; var frH = 0; var esH = 0
+    var runLen = 0
+    var runPacked = 0L
+    var runFits = true
+    def endRun(): Unit = {
+      if (runLen > 0) {
+        ntok += 1
+        wlen += runLen
+        if (runFits && runLen <= 8) {
+          enH += hits(en, runPacked); deH += hits(de, runPacked)
+          frH += hits(fr, runPacked); esH += hits(es, runPacked)
+        }
+        runLen = 0; runPacked = 0L; runFits = true
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val b = u.getByte(i) & 0xff
+      // ASCII \p{Punct}: 33-47, 58-64, 91-96, 123-126
+      if ((b >= 33 && b <= 47) || (b >= 58 && b <= 64) ||
+          (b >= 91 && b <= 96) || (b >= 123 && b <= 126)) punct += 1
+      // word char after ASCII lowercasing: [a-z0-9_]
+      val lc = if (b >= 'A' && b <= 'Z') b + 32 else b
+      val isWord = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') ||
+        lc == '_'
+      if (isWord) {
+        if (runLen < 8) runPacked |= (lc.toLong << (8 * runLen))
+        else runFits = false
+        runLen += 1
+      } else endRun()
+      i += 1
+    }
+    endRun()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](u.numChars(), punct, ntok, wlen, enH, deH, frH, esH))
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object NativeFunctions {
+  def textStats(c: Column): Column =
+    ExpressionUtils.column(TextStats(ExpressionUtils.expression(c)))
+
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(shingles), numHashes))

@@ -28,6 +28,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 6) // Hello , world ! x 2 (bpe-ish splits x|2)
   }
 
+  test("fused textStats matches the regex/HOF formulations exactly") {
+    val s = spark
+    import s.implicits._
+    // the Column-only formulas the fused native kernel replaced
+    def tokensRef(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "\\W+"), t => length(t) > 0)
+    val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for", "on", "with", "as", "at", "by", "from")
+    def punctRef(c: org.apache.spark.sql.Column) =
+      length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
+    val docs = Tables(s, "/root/testdata/sf0.001").documents
+      .select(col("text"))
+      .unionAll(Seq("", "   ", "!!!", "a", "the the THE, the.",
+        "héllo wörld _under_score_ 123 mixed-CASE Ärger",
+        "x" * 300, ("word " * 20) + "!").toDF("text"))
+    val t = docs.select(
+      graft.functions.TextFunctions.textStats(col("text")).as("st"),
+      length(col("text")).as("chars_ref"),
+      punctRef(col("text")).as("punct_ref"),
+      size(tokensRef(col("text"))).as("ntok_ref"),
+      aggregate(tokensRef(col("text")), lit(0L),
+        (acc, x) => acc + length(x)).as("wlen_ref"),
+      size(filter(tokensRef(col("text")),
+        x => x.isin(enStop: _*))).as("en_ref"))
+    val bad = t.filter(
+      col("st.chars") =!= col("chars_ref") ||
+      col("st.punct") =!= col("punct_ref") ||
+      col("st.ntok") =!= col("ntok_ref") ||
+      col("st.wlen") =!= col("wlen_ref") ||
+      col("st.en") =!= col("en_ref"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+  }
+
   test("langId picks the dominant stopword profile") {
     val s = spark
     import s.implicits._
