@@ -833,6 +833,19 @@ object SparkEntry {
       |  split_part(c_name, '#', 2) AS cust_num
       |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    Q("gather_explode", (s, dir) => {
+      // Many-cell gather: array columns explode one row per element
+      Tables(s, dir).part
+        .addCols("words" -> split(col("p_name"), " "),
+          "types" -> array(col("p_type")))
+        .selectNames(Seq("p_partkey", "words", "types"))
+        .gather(Seq("words", "types"))
+        .sortByKeys(SortKey("p_partkey"), SortKey("key"), SortKey("value"))
+    }, Some("""SELECT p_partkey, 'words' AS key,
+      |  unnest(string_split(p_name, ' ')) AS value FROM part
+      |UNION ALL SELECT p_partkey, 'types', p_type FROM part
+      |ORDER BY p_partkey, key, value""".stripMargin)),
+
     Q("gather_structs", (s, dir) => {
       // ColumnGroup gather: struct-typed value cells, re-projected to
       // scalar fields for the oracle hash

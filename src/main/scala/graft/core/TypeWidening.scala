@@ -107,7 +107,11 @@ object TypeWidening {
         }: _*)
         when(c.isNull, lit(null).cast(t)).otherwise(rebuilt)
       case (ArrayType(f, _), ArrayType(t, _)) =>
-        transform(c, x => alignColumn(x, f, t))
+        // final cast normalizes containsNull — array<string,false> and
+        // array<string,true> inputs must land on ONE type or consumers
+        // like `stack` reject the mismatch
+        if (f == t) c.cast(to)
+        else transform(c, x => alignColumn(x, f, t)).cast(to)
       case (_, t) => c.cast(t)
     }
 

@@ -112,7 +112,8 @@ object Reshape {
         valueName: String = "value", dropNulls: Boolean = true,
         where: Option[Column => Column] = None,
         mapNames: Option[Column => Column] = None,
-        mapValues: Option[Column => Column] = None): DataFrame = {
+        mapValues: Option[Column => Column] = None,
+        explodeMany: Boolean = true): DataFrame = {
       require(cols.nonEmpty, "gather: empty column selection")
       val keep = df.columns.filterNot(cols.toSet).toSeq
       require(!keep.contains(keyName) && !keep.contains(valueName),
@@ -122,9 +123,32 @@ object Reshape {
       val pairs: Seq[Column] = lit(cols.size) +: cols.flatMap(c =>
         Seq(lit(c), graft.core.TypeWidening.alignColumn(
           col(c), df.schema(c).dataType, valueType)))
-      val stacked = df.select(
-        (keep.map(col) :+ stack(pairs: _*)
-          .as(Seq(keyName, valueName))): _*)
+      // reference gather explodes Many (list) cells into one row per
+      // element (`gather.kt:72-73` — `.explode(valuesColumn)`); the
+      // null/where/map hooks then apply per ELEMENT. Implemented as ONE
+      // generator over concat'ed (key, element) structs — `stack` is
+      // unusable here because its type check is strict about array
+      // containsNull while SimplifyCasts strips the normalizing cast.
+      val stacked = valueType match {
+        case ArrayType(elemType, _) if explodeMany =>
+          val branches = cols.map { c =>
+            val aligned = graft.core.TypeWidening.alignColumn(
+              col(c), df.schema(c).dataType, valueType)
+            val mapped = transform(aligned,
+              x => struct(lit(c).as(keyName), x.as(valueName)))
+            if (dropNulls) coalesce(mapped, array())
+            else coalesce(mapped, array(struct(lit(c).as(keyName),
+              lit(null).cast(elemType).as(valueName))))
+          }
+          df.select((keep.map(col) :+
+              explode(concat(branches: _*)).as("__kv")): _*)
+            .select((keep.map(col) :+
+              col(s"__kv.$keyName").as(keyName) :+
+              col(s"__kv.$valueName").as(valueName)): _*)
+        case _ =>
+          df.select((keep.map(col) :+ stack(pairs: _*)
+            .as(Seq(keyName, valueName))): _*)
+      }
       // reference gather hooks (`gather.kt:15-18`): value filter, key
       // rename, value transform — plain post-stack expressions
       val filtered =

@@ -48,6 +48,21 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("gather explodes Many (array) cells per element, like the reference") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Seq("a", "b"), Seq("x"))).toDF("id", "l1", "l2")
+    val g = df.gather(Seq("l1", "l2"))
+    assert(g.schema("value").dataType == StringType)
+    val rows = g.orderBy("key", "value").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("l1", "a"), ("l1", "b"), ("l2", "x")))
+    // keep-arrays escape hatch
+    val kept = df.gather(Seq("l1", "l2"), explodeMany = false)
+    assert(kept.schema("value").dataType.isInstanceOf[ArrayType])
+    assert(kept.count() == 2)
+  }
+
   test("gather over struct columns emits struct value cells, widening unequal fields") {
     val s = spark
     import s.implicits._
