@@ -63,6 +63,31 @@ class ReshapeSpec extends AnyFunSuite {
     assert(kept.count() == 2)
   }
 
+  test("gather ColumnGroups from nested JSON then ungroup (reference GatherTests.kt)") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gather_json")
+    val json =
+      """{"name":"abc","normal":{"c1":"a","c2":"b","c3":"c"},"reversed":{"c1":"c","c2":"b","c3":"a"},"first":{"c1":"c"}}
+        |{"name":"qw","normal":{"c1":"q","c2":"w"},"reversed":{"c1":"w","c2":"q"},"first":{"c1":"q"}}""".stripMargin
+    java.nio.file.Files.writeString(tmp.resolve("d.json"), json)
+    val df = graft.sources.IO.readJson(s, tmp.toString)
+    // struct schemas differ (first has only c1) — widening null-fills
+    val g = graft.core.SchemaOps.unnest(
+      df.gather(Seq("normal", "reversed", "first"), keyName = "mode"),
+      "value")
+    val rows = g.orderBy("name", "mode")
+      .select("name", "mode", "c1", "c2", "c3").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4))))
+    assert(rows.toSeq == Seq(
+      ("abc", "first", "c", None, None),
+      ("abc", "normal", "a", Some("b"), Some("c")),
+      ("abc", "reversed", "c", Some("b"), Some("a")),
+      ("qw", "first", "q", None, None),
+      ("qw", "normal", "q", Some("w"), None),
+      ("qw", "reversed", "w", Some("q"), None)))
+  }
+
   test("gather over struct columns emits struct value cells, widening unequal fields") {
     val s = spark
     import s.implicits._
