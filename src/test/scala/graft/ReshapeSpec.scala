@@ -63,6 +63,23 @@ class ReshapeSpec extends AnyFunSuite {
     assert(kept.count() == 2)
   }
 
+  test("pivot matches then gather-true round-trips the source (DataFrameTests.kt:966-975)") {
+    import graft.ops.RowOps._
+    val filtered = person.dropNulls(Seq("city"))
+      .withColumn("city", lower(col("city")))
+    val cities = Seq("london", "dubai", "moscow", "milan", "tokyo")
+    val matrix = filtered.pivotMatches(Seq("name", "age"), "city", cities)
+    val gathered = matrix.gather(cities, keyName = "city",
+        where = Some(v => v === true))
+      .drop("value")
+      .orderBy("name", "age").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val expected = filtered.select("name", "age", "city")
+      .orderBy("name", "age").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(gathered.toSeq == expected.toSeq)
+  }
+
   test("gather ColumnGroups from nested JSON then ungroup (reference GatherTests.kt)") {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("graft_gather_json")
