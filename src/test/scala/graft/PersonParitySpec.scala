@@ -85,6 +85,20 @@ class PersonParitySpec extends AnyFunSuite {
     assert(at.filter(col("age") === 100).count() == 2)
   }
 
+  test("dropNulls any/all semantics (DataFrameTests.kt:404-460)") {
+    assert(person.dropNulls(Seq("weight"))
+      .filter(col("weight").isNull).count() == 0)
+    // null out Alice's weights, then:
+    val filtered = person.updateWhere("weight",
+      col("name") === "Alice", lit(null).cast(IntegerType))
+    // whereAllNull: drop only rows where BOTH weight and city are null
+    assert(filtered.dropNulls(Seq("weight", "city"),
+      whereAllNull = true).count() == 6)
+    // default any-null: keep rows where both present
+    assert(filtered.dropNulls(Seq("weight", "city")).count() == 3)
+    assert(filtered.dropNulls().count() == 3)
+  }
+
   test("nullToZero (DataFrameTests.kt:277-300)") {
     val w = person.nullToZero(Seq("weight"))
       .sortByKeys(SortKey("name"), SortKey("age"))
