@@ -1120,6 +1120,19 @@ object SparkEntry {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("text_word_stats", (s, dir) => {
+      // mean word length straight off the fused TextStats scan
+      Tables(s, dir).documents
+        .addCols("mwl" -> round(meanWordLength(col("text")), 6))
+        .selectNames(Seq("doc_id", "mwl"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents)
+      |SELECT doc_id, ROUND(COALESCE(list_sum(list_transform(tk, x -> strlen(x))), 0) * 1.0
+      |  / greatest(len(tk), 1), 6) AS mwl
+      |FROM t ORDER BY doc_id""".stripMargin)),
+
     Q("text_quality", (s, dir) => {
       Tables(s, dir).documents
         .addCols("quality" -> round(qualityScore(col("text")), 2),
