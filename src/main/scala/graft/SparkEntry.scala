@@ -538,6 +538,24 @@ object SparkEntry {
       |  ROUND(STDDEV_SAMP(l_quantity), 6) AS std_samp
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("agg_std_stable", (s, dir) => {
+      // numerical-stability pin for stdRef: the +1e11 offset puts the
+      // column in the mean ≫ std regime where the naive
+      // √(Σx² − (Σx)²/n) form cancels catastrophically (≈3-4 significant
+      // digits lost per decade of μ/σ; can go √negative → NaN at scale).
+      // The Welford-stable var_pop formulation matches DuckDB's own
+      // stable VAR_POP to full precision.
+      Tables(s, dir).lineitem
+        .groupAgg(Seq("l_returnflag"), Seq(
+          round(Agg.stdRef(col("l_extendedprice") + lit(1.0e11)), 4)
+            .as("std_ref"),
+          count(col("l_extendedprice")).as("n")))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag,
+      |  ROUND(SQRT(VAR_POP(l_extendedprice + 1e11) * COUNT(l_extendedprice)), 4) AS std_ref,
+      |  COUNT(l_extendedprice) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("agg_median", (s, dir) => {
       Tables(s, dir).lineitem
         .medianFor(Seq("l_returnflag"), Seq("l_quantity", "l_discount"))
@@ -1230,6 +1248,33 @@ object SparkEntry {
         .sortByKeys(SortKey("id_a"), SortKey("id_b"))
     }, None), // simhash = xxhash-based, not SQL-expressible; rows-only
 
+    Q("dedup_simhash_verify", (s, dir) => {
+      // self-differential oracle (the sim_ivf_exhaustive pattern): the
+      // pigeonhole pipeline (hamming ≤ 3 ⇒ at least one identical 16-bit
+      // quarter) must find EXACTLY the pairs a brute-force all-pairs
+      // hamming join finds on the same simhash column. Anti-join both
+      // ways; any missed or spurious pair surfaces as a nonzero count.
+      // DuckDB can't compute xxhash64, but it CAN check the differential
+      // is empty — this converts the rows-only dedup_simhash_pairs into
+      // a true correctness proof of the pigeonhole path.
+      val docs = withExactDups(Tables(s, dir))
+        .selectNames(Seq("doc_id", "text"))
+      val pipe = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+        .selectNames(Seq("id_a", "id_b"))
+      val sigs = docs.select(col("doc_id").as("id"),
+        Dedup.simhash(col("text")).as("sh"))
+      // brute force: all-pairs hamming (inequality-only condition → BNL;
+      // the broadcast side is the tiny (id, sh) projection)
+      val brute = sigs.as("a").crossJoin(broadcast(sigs.as("b")))
+        .filterRows(col("a.id") < col("b.id") &&
+          Dedup.hammingDist(col("a.sh"), col("b.sh")) <= 3)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val missing = brute.join(pipe, Seq("id_a", "id_b"), "left_anti")
+      val extra = pipe.join(brute, Seq("id_a", "id_b"), "left_anti")
+      missing.unionWide(extra)
+        .aggAll(Seq(count(lit(1)).as("mismatches")))
+    }, Some("SELECT CAST(0 AS BIGINT) AS mismatches")),
+
     Q("dedup_ngram_jaccard", (s, dir) => {
       Tables(s, dir).documents
         .addCols("jaccard" -> round(Dedup.ngramJaccard(col("text"),
@@ -1258,7 +1303,23 @@ object SparkEntry {
           minCosine = 0.999999)
         .selectNames(Seq("id_a", "id_b"))
         .sortByKeys(SortKey("id_a"), SortKey("id_b"))
-    }, None), // random-hyperplane recall < 1 in theory; rows-only check
+      // TRUE oracle despite LSH recall < 1 in general: at threshold
+      // 0.999999 only IDENTICAL vectors qualify, and identical vectors
+      // have identical hyperplane signatures → they collide in EVERY
+      // band → structurally guaranteed candidates. Recall is exactly 1
+      // for this threshold, so the brute-force DuckDB join is exact.
+    }, Some("""WITH u AS (SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+      |  / greatest(
+      |      sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |      sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      1e-12) AS cos
+      |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b FROM p WHERE cos >= 0.999999
+      |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dedup_clusters", (s, dir) => {
       Dedup.nearDupClusters(withNearDups(Tables(s, dir)), "text", "doc_id",
@@ -1343,6 +1404,46 @@ object SparkEntry {
       |     (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
       |   FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("sim_lsh_recall", (s, dir) => {
+      // measured-recall differential (VERDICT r3 #3): LSH top-k vs the
+      // exact brute-force top-k on identical inputs. Seeded hyperplanes +
+      // deterministic data ⇒ the recall is a deterministic scalar; DuckDB
+      // checks the invariants it can express — the exact ground-truth
+      // count and a documented recall floor (measured 0.98 at sf0.01,
+      // planes=16, bands=8, k=5; floor 0.33 leaves a 3× margin).
+      val t = Tables(s, dir)
+      val q = t.embeddings.filterRows(col("vec_id") < 10)
+      val approx = Similarity.lshTopK(t.embeddings, q, k = 5)
+        .selectNames(Seq("query_id", "neighbor_id"))
+      val exact = Similarity.bruteForceTopK(t.embeddings, q, k = 5)
+        .selectNames(Seq("query_id", "neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      exact.aggAll(Seq(count(lit(1)).as("n_exact")))
+        .crossJoin(hits.aggAll(Seq(count(lit(1)).as("n_hit"))))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.33).as("recall_ok"))
+    }, Some("SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok")),
+
+    Q("sim_ivf_recall", (s, dir) => {
+      // same differential for single-probe IVF (the production setting):
+      // deterministic recall vs brute force (measured 0.78 at sf0.01,
+      // nlist=8, nprobe=1, k=5; floor 0.25 leaves a 3× margin —
+      // sf-dependent: the sf0.1 curve is in ivfTopK's scaladoc).
+      val t = Tables(s, dir)
+      val q = t.embeddings.filterRows(col("vec_id") < 10)
+      val approx = Similarity.ivfTopK(t.embeddings, q, k = 5, nlist = 8)
+        .selectNames(Seq("query_id", "neighbor_id"))
+      val exact = Similarity.bruteForceTopK(t.embeddings, q, k = 5)
+        .selectNames(Seq("query_id", "neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      exact.aggAll(Seq(count(lit(1)).as("n_exact")))
+        .crossJoin(hits.aggAll(Seq(count(lit(1)).as("n_hit"))))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.25).as("recall_ok"))
+    }, Some("SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok")),
 
     Q("build_paths", (s, _) => {
       IO.dataFrameOfPaths(s, Seq(
@@ -1433,6 +1534,47 @@ object SparkEntry {
     }, Some("""SELECT l_returnflag,
       |  ROUND(SQRT(SUM(l_quantity*l_quantity) - POWER(SUM(l_quantity),2)/COUNT(l_quantity)), 4) AS std_ref
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_salted_skew", (s, dir) => {
+      // the skew-safe two-phase salted aggregation under the oracle gate:
+      // l_returnflag is a 3-value (maximally skewed) key — the salted
+      // plan must hash-match the plain single-shuffle answer
+      Tables(s, dir).lineitem
+        .sumForSalted(Seq("l_returnflag"), Seq("l_quantity"),
+          saltBuckets = 16)
+        .select(col("l_returnflag"), col("count"),
+          round(col("l_quantity"), 2).as("sum_qty"))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag, COUNT(*) AS count,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("join_bucketed", (s, dir) => {
+      // bucketed-storage co-located join under the oracle gate: both
+      // sides written bucketBy(8, join key) via the session catalog, then
+      // joined + aggregated — the repeated-join pattern that skips the
+      // exchange entirely at 100 TB (plan shape pinned in ScaleSpec)
+      val t = Tables(s, dir)
+      IO.writeBucketed(t.orders
+        .filterRows(col("o_orderkey") < 1000)
+        .selectNames(Seq("o_orderkey", "o_custkey")),
+        "graft_orders_bkt", Seq("o_orderkey"), 8)
+      IO.writeBucketed(t.lineitem
+        .filterRows(col("l_orderkey") < 1000)
+        .selectNames(Seq("l_orderkey", "l_quantity")),
+        "graft_lineitem_bkt", Seq("l_orderkey"), 8)
+      s.table("graft_orders_bkt")
+        .join(s.table("graft_lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupAgg(Seq("o_orderkey"), Seq(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty")))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""SELECT o_orderkey, COUNT(*) AS n_items,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey < 1000
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
 
     Q("events_sessionize", (s, dir) => {
       import s.implicits._

@@ -16,12 +16,19 @@ object Agg {
   // ---- aggregate expression builders ---------------------------------
 
   /** Reference-exact "std": √Σ(x−μ)² — NO division by n or n−1
-    * (reference `api/std.kt:58-64` `stdMean`). Expressed algebraically as
-    * √(Σx² − (Σx)²/n) so it runs in ONE aggregation pass and stays inside
-    * whole-stage codegen. Null xs are ignored (reference skips nulls). */
+    * (reference `api/std.kt:58-64` `stdMean`). Expressed as
+    * √(var_pop(x)·n), which is algebraically IDENTICAL (var_pop =
+    * Σ(x−μ)²/n) but numerically stable: Spark's var_pop accumulates
+    * central moments with a Welford-style merge, so a column with
+    * mean ≫ std (prices, ids) never hits the catastrophic cancellation
+    * the naive √(Σx² − (Σx)²/n) form suffers — that form loses all
+    * significant digits (and can go √negative → NaN) once
+    * (σ/μ)² < double epsilon × n. Still ONE aggregation pass, still
+    * inside whole-stage codegen. Null xs are ignored (reference skips
+    * nulls; var_pop and count both skip nulls). */
   def stdRef(c: Column): Column = {
     val x = c.cast(DoubleType)
-    sqrt(sum(x * x) - pow(sum(x), 2) / count(x))
+    sqrt(var_pop(x) * count(x))
   }
 
   /** Sane stddev for real use; ship both (SURVEY §7.3). */
@@ -197,12 +204,17 @@ object Agg {
             min(v).cast(StringType).as(s"__min_$c"),
             max(v).cast(StringType).as(s"__max_$c"))
         }: _*)
-      // mode+freq for ALL columns in one shuffle: stack to (column, value)
-      // rows, count per value, then pick (max count, min value) per column.
-      val stackExpr = s"stack(${cs.size}, " +
-        cs.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
-        ") AS (`column`, `__value`)"
-      val modes = df.selectExpr(stackExpr)
+      // mode+freq for ALL columns in one shuffle: unpivot to (column,
+      // value) rows, count per value, then pick (max count, min value) per
+      // column. Built with the Column API (explode of name/value structs),
+      // not string SQL — a column name containing quotes or backticks is
+      // data here, never parsed.
+      val modes = df
+        .select(explode(array(cs.map(c =>
+          struct(lit(c).as("column"),
+            col(c).cast(StringType).as("__value"))): _*)).as("__kv"))
+        .select(col("__kv.column").as("column"),
+          col("__kv.__value").as("__value"))
         .where(col("__value").isNotNull)
         .groupBy("column", "__value").agg(count(lit(1)).as("__cnt"))
         .groupBy("column")

@@ -60,14 +60,23 @@ object Similarity {
     * path. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val qCount = queries.limit((MaxBroadcastQueries + 1).toInt).count()
+    // The guard and the broadcast share ONE materialization: the skinny
+    // (id, vec) projection is limit-bounded, localCheckpoint'ed (eager),
+    // then counted — an expensive query-side plan (joins/LSH upstream)
+    // runs once, not once per consumer. Checkpoint blocks are freed by
+    // the ContextCleaner when the frame is GC'd.
+    val qSel = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .limit((MaxBroadcastQueries + 1).toInt)
+      .localCheckpoint()
+    val qCount = qSel.count()
     require(qCount <= MaxBroadcastQueries,
       s"bruteForceTopK: query side has > $MaxBroadcastQueries rows - " +
         "broadcasting it would OOM the driver; use lshTopK or ivfTopK " +
         "for large query sets")
+    // qCount ≤ the limit bound, so the limited frame IS the full query set
     val scored = corpus.as("c")
-      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qv"))))
+      .crossJoin(broadcast(qSel))
       .select(col("query_id"), col(s"c.$idCol").as("neighbor_id"),
         cosine(col(s"c.$vecCol"), col("qv")).as("cosine"))
       .filter(col("query_id") =!= col("neighbor_id"))

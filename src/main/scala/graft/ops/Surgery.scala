@@ -72,9 +72,10 @@ object Surgery {
       df.withColumn(name, col(name).cast(to))
 
     /** Null-on-failure cast (`try_cast`): a value the cast can't parse
-      * becomes null instead of failing the job under ANSI mode. */
+      * becomes null instead of failing the job under ANSI mode. Column
+      * API, not string SQL — a backtick in the name is data, not syntax. */
     def tryConvertTo(name: String, to: DataType): DataFrame =
-      df.withColumn(name, expr(s"try_cast(`$name` AS ${to.sql})"))
+      df.withColumn(name, col(name).try_cast(to))
 
     /** epoch millis → timestamp (`api/convert.kt:163-167`). */
     def epochMillisToTimestamp(name: String): DataFrame =

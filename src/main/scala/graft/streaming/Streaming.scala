@@ -117,12 +117,30 @@ object Streaming {
               buf match {
                 case null =>
                   buf = SessionBuf(t, t, 1, e.value)
-                case b if t - b.end <= gapUs =>
-                  buf = b.copy(end = t, n = b.n + 1, total = b.total + e.value)
-                case b =>
+                case b if t > b.end + gapUs =>
+                  // gap past the session envelope: close it, start fresh
                   out += Session(user, fromMicros(b.start), fromMicros(b.end),
                     b.n, b.total)
                   buf = SessionBuf(t, t, 1, e.value)
+                case b if t >= b.start - gapUs =>
+                  // in-session: t falls within gap of the [start, end]
+                  // envelope. A cross-batch out-of-order arrival (allowed
+                  // whenever watermark delay > 0) may land BEFORE the
+                  // buffered end — extend the envelope in either
+                  // direction, never regress it (end = t unconditionally
+                  // would shrink the session and fake a gap for the next
+                  // in-session event).
+                  buf = b.copy(start = math.min(b.start, t),
+                    end = math.max(b.end, t), n = b.n + 1,
+                    total = b.total + e.value)
+                case b =>
+                  // straggler older than start − gap: it belongs to an
+                  // already-emitted earlier session — emit as its own
+                  // single-event session rather than corrupting the open
+                  // one (within-batch order is sorted, so only the head
+                  // of a batch can land here)
+                  out += Session(user, fromMicros(t), fromMicros(t), 1,
+                    e.value)
               }
             }
             if (buf != null) {

@@ -130,4 +130,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(u1.length == 2, s"expected both user-1 sessions, got ${u1.length}")
     } finally q.stop()
   }
+
+  test("streaming sessionize merges out-of-order cross-batch arrivals") {
+    // watermark delay > 0 admits an event in a later micro-batch whose ts
+    // is BEFORE the buffered session end; it must extend the envelope,
+    // never regress it (end = t unconditionally would fake a gap for the
+    // next in-session event and split one session in two)
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event]
+    val sessions = Streaming.sessionizeStream(
+      mem.toDS().withWatermark("ts", "1 hour"), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("graft_sess_ooo_test").outputMode("append").start()
+    try {
+      // batch 1: open session [10:00, 10:08]
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+        Streaming.Event(1L, ts("2024-01-01 10:08:00"), "a", 2.0))
+      q.processAllAvailable()
+      // batch 2: 10:04 arrives out of order (inside the envelope), then
+      // 10:15 (7 min after the TRUE end 10:08 — in-session; 11 min after
+      // the regressed end 10:04 — the buggy code would split here)
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:04:00"), "a", 4.0),
+        Streaming.Event(1L, ts("2024-01-01 10:15:00"), "a", 8.0))
+      q.processAllAvailable()
+      // batch 3: a real gap closes the session
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 11:00:00"), "a", 16.0))
+      q.processAllAvailable()
+      val rows = s.sql("select * from graft_sess_ooo_test").collect()
+      assert(rows.length == 1, s"expected ONE closed session, got ${rows.length}")
+      assert(rows(0).getLong(3) == 4L && rows(0).getDouble(4) == 15.0,
+        s"session must hold all 4 events (sum 15.0), got ${rows(0)}")
+      assert(rows(0).getTimestamp(1) == ts("2024-01-01 10:00:00") &&
+        rows(0).getTimestamp(2) == ts("2024-01-01 10:15:00"))
+    } finally q.stop()
+  }
 }
