@@ -1405,6 +1405,34 @@ object SparkEntry {
       |   FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("sim_ivf_kmeans_exhaustive", (s, dir) => {
+      // exhaustive-mode pin for the Lloyd-refined centroid path: with
+      // nprobe = nlist every cell is probed, so the result must hash-
+      // match brute force NO MATTER what the centroids are — proving the
+      // k-means assignment/fan-out machinery exact, independent of the
+      // (data-dependent) recall at nprobe=1
+      val t = Tables(s, dir)
+      Similarity.ivfTopK(t.embeddings,
+          t.embeddings.filterRows(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 8, kmeansIters = 3)
+        .selectNames(Seq("query_id", "rank", "neighbor_id"))
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |  list_sum(list_transform(list_zip(c.embedding, q.qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / greatest(
+      |      sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |      sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      1e-12) AS cos
+      |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+      |SELECT query_id, rank, neighbor_id FROM
+      |  (SELECT query_id, neighbor_id, CAST(row_number() OVER
+      |     (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |   FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     Q("sim_lsh_recall", (s, dir) => {
       // measured-recall differential (VERDICT r3 #3): LSH top-k vs the
       // exact brute-force top-k on identical inputs. Seeded hyperplanes +
@@ -1640,15 +1668,26 @@ object SparkEntry {
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
     Q("multimodal_decode", (s, dir) => {
-      val docs = Tables(s, dir).documents
-        .addCols("img" -> col("text").cast(BinaryType))
-        .selectNames(Seq("doc_id", "img"))
-      Multimodal.decodeImageFeatures(docs, "img")
+      // REAL codec round-trip: per doc, a generated constant-gray PNG
+      // (dimensions and fill are closed-form functions of doc_id) is
+      // encoded and then decoded by the JDK's ImageIO; width/height/
+      // channels/luma_mean come from actual decoded pixels. DuckDB
+      // verifies against the closed forms — an independent engine
+      // checking a real encode→decode cycle, not a stub.
+      val docs = Tables(s, dir).documents.selectNames(Seq("doc_id"))
+      Multimodal.decodeImageFeatures(
+          Multimodal.encodeTestPng(docs, "doc_id"), "img")
         .select(col("doc_id"), col("image_features.width").as("width"),
           col("image_features.height").as("height"),
-          col("image_features.channels").as("channels"))
+          col("image_features.channels").as("channels"),
+          round(col("image_features.luma_mean"), 6).as("luma"))
         .sortByKeys(SortKey("doc_id"))
-    }, None) // STUB decode — deterministic fake, rows-only check
+    }, Some("""SELECT doc_id,
+      |  CAST(doc_id % 48 + 8 AS INTEGER) AS width,
+      |  CAST(doc_id % 37 + 8 AS INTEGER) AS height,
+      |  CAST(3 AS INTEGER) AS channels,
+      |  ROUND((doc_id % 256) / 255.0, 6) AS luma
+      |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -8,12 +8,18 @@ import org.apache.spark.sql.types._
   * video as opaque `binary` columns with typed metadata, decode/feature/
   * resize/frame-sample as per-partition batch transforms.
   *
-  * The decode kernels are STUBS — this container has no image/audio
-  * codecs, so each kernel derives a DETERMINISTIC FAKE from the bytes
-  * (xxhash-seeded) and is clearly marked. Everything around them — the
-  * schema contract, the partition-batched execution (`mapPartitions`, the
-  * JVM analogue of `mapInPandas` batches), the column plumbing — is real
-  * and is what a production decode would slot into.
+  * IMAGE DECODE IS REAL for the formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio.ImageIO` — no external
+  * dependency): width/height/channels/luma_mean come from actual decoded
+  * pixels, proven end-to-end by the `multimodal_decode` oracle query
+  * (deterministic generated PNGs, DuckDB checks the closed-form
+  * expectations). Bytes that no installed codec accepts fall back to a
+  * DETERMINISTIC FAKE (xxhash-seeded, clearly marked) so the pipeline
+  * shape stays testable with arbitrary blobs. The vision EMBEDDING field
+  * and the audio/video kernels remain stubs — those need model weights /
+  * codecs this container doesn't have; the partition-batched execution
+  * (`mapPartitions`, the JVM analogue of `mapInPandas` batches), schema
+  * contract, and column plumbing around them are real.
   *
   * Scale notes: media blobs make wide rows — the media table should be
   * stored with the binary column in its own parquet column chunk (free
@@ -44,11 +50,16 @@ object Multimodal {
     StructField("luma_mean", DoubleType),
     StructField("embedding", ArrayType(FloatType))))
 
-  /** STUB image decode + feature extract. A real implementation would
-    * decode `bytes` with an image codec and run a vision encoder per
-    * partition-batch; this fake derives (width, height, channels,
-    * luma_mean, 8-dim embedding) deterministically from the blob hash so
-    * tests are stable. Runs per-partition (batched), not per-row UDF. */
+  /** Image decode + feature extract. Bytes any JDK-shipped codec accepts
+    * (PNG/BMP/GIF/JPEG) are REALLY decoded: width/height from the image,
+    * channels from the color model, luma_mean = Σ(r+g+b) / (3·n·255)
+    * computed over the actual pixels with an exact integer sum (one
+    * division at the end — bit-reproducible across engines). The 8-dim
+    * EMBEDDING field stays a deterministic STUB (a real kernel would run
+    * a vision encoder over the same partition batch); undecodable bytes
+    * fall back to the deterministic hash-derived fake so arbitrary blobs
+    * keep the pipeline shape testable. Runs per-partition (batched), not
+    * per-row UDF. */
   def decodeImageFeatures(df: DataFrame, binCol: String,
       as: String = "image_features"): DataFrame = {
     val spark = df.sparkSession
@@ -56,19 +67,80 @@ object Multimodal {
       StructField(as, imageFeatureType))
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
-      // one iterator per partition = one decode batch; a real kernel
-      // would materialize the batch and call the codec/encoder here
+      // one iterator per partition = one decode batch; a real vision
+      // encoder would materialize the batch here — ImageIO decodes
+      // row-at-a-time but amortizes codec lookup per partition
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
         val h = fakeHash(bytes)
-        val feat = Row(
+        val embedding = Array.tabulate(8)(i =>
+          ((h >> (i * 7)) % 97).toFloat / 97f)        // STUB embedding
+        val feat = if (img != null) {
+          val (w, ht) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < ht) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          Row(w, ht, img.getColorModel.getNumComponents,
+            sum.toDouble / (3.0 * w * ht * 255.0), embedding)
+        } else Row(
           (math.abs(h) % 1920 + 32).toInt,            // STUB width
           (math.abs(h >> 11) % 1080 + 32).toInt,      // STUB height
           3,
           (math.abs(h >> 22) % 256).toDouble / 255.0, // STUB luma
-          Array.tabulate(8)(i =>
-            ((h >> (i * 7)) % 97).toFloat / 97f))     // STUB embedding
+          embedding)
         Row.fromSeq(r.toSeq :+ feat)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic test-image generator: for each row, a real
+    * (id%48+8)×(id%37+8) RGB PNG filled with the constant gray value
+    * id%256, encoded by the JDK PNG codec. Gives the decode path
+    * closed-form ground truth (width/height/channels/luma are pure
+    * functions of the id) that an independent engine can verify —
+    * see the `multimodal_decode` oracle query. */
+  def encodeTestPng(df: DataFrame, idCol: String, as: String = "img")
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+ StructField(as, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case other   => other.toString.toLong
+        }
+        val w = (id % 48 + 8).toInt
+        val h = (id % 37 + 8).toInt
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
       }
     }
     spark.createDataFrame(rdd, outSchema)

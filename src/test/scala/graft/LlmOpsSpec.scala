@@ -214,4 +214,44 @@ class LlmOpsSpec extends AnyFunSuite {
     val resized = Multimodal.resizeImage(dec, "image_features", 64, 64)
     assert(resized.select("image_features.width").head().getInt(0) == 64)
   }
+
+  test("multimodal: REAL PNG encode→decode round trip via ImageIO") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(5L, 100L, 300L).toDF("id")
+    val dec = Multimodal.decodeImageFeatures(
+      Multimodal.encodeTestPng(ids, "id"), "img")
+      .select(col("id"), col("image_features.width"),
+        col("image_features.height"), col("image_features.channels"),
+        col("image_features.luma_mean"))
+      .collect().sortBy(_.getLong(0))
+    dec.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 48 + 8).toInt, s"width of $id")
+      assert(r.getInt(2) == (id % 37 + 8).toInt, s"height of $id")
+      assert(r.getInt(3) == 3, s"channels of $id")
+      assert(r.getDouble(4) == (id % 256) / 255.0,
+        s"luma of $id: exact integer-sum mean must equal g/255")
+    }
+  }
+
+  test("kmeansCentroids: distributed Lloyd keeps shape; exhaustive stays exact") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val cts = Similarity.kmeansCentroids(t.embeddings, 4, iters = 2)
+    assert(cts.length == 4)
+    val dim = Similarity.vectorDim(t.embeddings, "embedding")
+    assert(cts.forall(_.length == dim))
+    // refined centroids differ from the seed sample (Lloyd moved them)
+    val seed = Similarity.sampleCentroids(t.embeddings, 4)
+    assert(cts.zip(seed).exists { case (a, b) => !a.sameElements(b) })
+    // exhaustive probing with k-means centroids must still equal brute force
+    val queries = t.embeddings.filter(col("vec_id") < 3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bf = ids(Similarity.bruteForceTopK(t.embeddings, queries, k = 5))
+    val ivf = ids(Similarity.ivfTopK(t.embeddings, queries, k = 5,
+      nlist = 4, nprobe = 4, kmeansIters = 2))
+    assert(ivf == bf, "kmeans exhaustive probing must equal brute force")
+  }
 }
