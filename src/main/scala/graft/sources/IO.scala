@@ -189,11 +189,21 @@ object IO {
     * Uses the session catalog (`saveAsTable` — bucketing metadata lives
     * in the metastore). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${table.replace("`", "``")}`")
+    // overwrite must also cover the ORPHAN-location case: a previous
+    // session's in-memory catalog is gone but its warehouse directory is
+    // not, and saveAsTable refuses to create a table over it
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
+  }
 
   // ---- display sinks --------------------------------------------------
   /** reference `toHTML` + `format{}` cell styling (`io/html.kt:11-56`,

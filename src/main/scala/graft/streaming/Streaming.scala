@@ -173,6 +173,97 @@ object Streaming {
       .drop("__key")
   }
 
+  // ---- streaming near-dup dedup (banded MinHash-LSH over keyed state) --
+  // state classes public for the janino-generated state-store encoder
+  final case class BucketDoc(id: Long, sh: Array[Long], tsUs: Long)
+  final case class BucketState(docs: Array[BucketDoc])
+  final case class NearDupHit(id_a: Long, id_b: Long, jaccard: Double,
+      ts: java.sql.Timestamp)
+
+  /** Streaming near-dup candidate detection: the batch LSH shape
+    * ([[graft.ops.Dedup.nearDupPairs]]) re-expressed over keyed state.
+    * Each doc is shingle-hashed and minhash-banded EXACTLY as in batch
+    * (same native expressions, same band keys — a doc pair collides here
+    * iff it collides in the batch pipeline); the stream is then keyed by
+    * (band, bucket) and each bucket's docs within the watermark horizon
+    * live in `flatMapGroupsWithState`. A new arrival is verified (exact
+    * distinct-shingle Jaccard, identical to the batch verify's
+    * array_intersect/array_union semantics) against the bucket's stored
+    * docs and emits a [[NearDupHit]] per match — so near-dups are caught
+    * ACROSS micro-batches, not just within one.
+    *
+    * Scale design: state is partitioned by the (band, bucket) hash — the
+    * same shuffle contract as the batch self-join — and bounded by the
+    * watermark: `EventTimeTimeout` drops a bucket once the watermark
+    * passes its newest doc + delay, so state ≈ ingest-rate × horizon ×
+    * bands, independent of corpus size. A pair colliding in several bands
+    * emits once per band (same as the batch pipeline pre-dropDuplicates);
+    * route the output through `dropDuplicatesWithinWatermark("id_a",
+    * "id_b")` for exactly-once pairs. Storing shingle sets per bucket
+    * multiplies state by `bands`; a leaner production variant stores only
+    * the minhash signature and verifies approximately — documented
+    * tradeoff, the exact-verify form is what the batch oracle can check.
+    */
+  def streamingNearDupCandidates(docs: DataFrame, textCol: String,
+      idCol: String, tsCol: String, delayMs: Long, numHashes: Int = 64,
+      bands: Int = 16, shingleN: Int = 3, minJaccard: Double = 0.8)
+      : Dataset[NearDupHit] = {
+    require(docs.isStreaming,
+      "streamingNearDupCandidates: batch frames use Dedup.nearDupPairs")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    val exploded = docs
+      .withWatermark(tsCol, s"$delayMs milliseconds")
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        nf.shingleHashes(graft.functions.TextFunctions.tokens(col(textCol)),
+          shingleN).as("sh"))
+      .select(col("id"), col("ts"), col("sh"), posexplode(
+        graft.ops.Dedup.bandKeys(nf.minhashFromLongs(col("sh"), numHashes),
+          bands, r)))
+      .select(col("pos").as("band"), col("col").as("key"), col("id"),
+        col("sh"), col("ts"))
+      .as[(Int, Long, Long, Array[Long], java.sql.Timestamp)]
+    exploded.groupByKey(x => (x._1, x._2))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var all = state.getOption.map(_.docs)
+              .getOrElse(Array.empty[BucketDoc])
+            // deterministic processing order inside the micro-batch
+            val incoming = it.toArray.sortBy(x => (toMicros(x._5), x._3))
+            val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+            incoming.foreach { case (_, _, id, sh, ts) =>
+              if (!all.exists(_.id == id)) { // band self-duplicates
+                val dSet = sh.toSet
+                all.foreach { e =>
+                  if (e.id != id) {
+                    val eSet  = e.sh.toSet
+                    val inter = dSet.intersect(eSet).size
+                    val union = (dSet ++ eSet).size
+                    val j = if (union == 0) 0.0 else inter.toDouble / union
+                    if (j >= minJaccard) {
+                      val (a, b) = if (e.id < id) (e.id, id) else (id, e.id)
+                      out += NearDupHit(a, b, j, ts)
+                    }
+                  }
+                }
+                all = all :+ BucketDoc(id, sh, toMicros(ts))
+              }
+            }
+            state.update(BucketState(all))
+            // drop the bucket when the watermark passes newest + delay
+            state.setTimeoutTimestamp(
+              math.floorDiv(all.map(_.tsUs).max, 1000L) + delayMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming reader over the events table schema (json/parquet dir) —
     * the entry point a production pipeline would use. */
   def readEventStream(spark: SparkSession, path: String): DataFrame =

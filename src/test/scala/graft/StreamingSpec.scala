@@ -166,4 +166,36 @@ class StreamingSpec extends AnyFunSuite {
         rows(0).getTimestamp(2) == ts("2024-01-01 10:15:00"))
     } finally q.stop()
   }
+
+  test("streaming near-dup LSH catches cross-batch near duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val hits = Streaming.streamingNearDupCandidates(
+      mem.toDF().toDF("doc_id", "ts", "text"), "text", "doc_id", "ts",
+      delayMs = 3600L * 1000)
+    val q = hits.writeStream.format("memory").queryName("graft_ndup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: the original doc — nothing to pair with yet
+      mem.addData((1L, ts("2024-01-01 10:00:00"),
+        "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      assert(s.sql("select * from graft_ndup_test").count() == 0)
+      // batch 2: an exact dup (must pair with the batch-1 doc via state)
+      // and an unrelated doc (must not pair with anything)
+      mem.addData(
+        (2L, ts("2024-01-01 10:05:00"),
+          "the quick brown fox jumps over the lazy dog"),
+        (3L, ts("2024-01-01 10:06:00"),
+          "completely different content about spark engines here"))
+      q.processAllAvailable()
+      val pairs = s.sql("select distinct id_a, id_b from graft_ndup_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+      val j = s.sql("select max(jaccard) from graft_ndup_test").head().getDouble(0)
+      assert(j == 1.0, s"exact dup must verify at jaccard 1.0, got $j")
+    } finally q.stop()
+  }
 }

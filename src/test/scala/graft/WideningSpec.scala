@@ -35,6 +35,41 @@ class WideningSpec extends AnyFunSuite {
     forAll(types, types) { (a, b) => assert(widen(a, b) == widen(b, a)) }
   }
 
+  test("widen is associative") {
+    // alignment of N frames folds pairwise — a non-associative lattice
+    // would make the union's result type depend on frame ORDER
+    forAll(types, Gen.zip(types, types)) { case (a, (b, c)) =>
+      assert(widen(widen(a, b), c) == widen(a, widen(b, c)),
+        s"assoc broken for ($a, $b, $c)")
+    }
+  }
+
+  test("union alignment is total over random divergent schemas") {
+    // any two schemas must align: unionByNameWide plans AND executes
+    // (an unresolvable cast or field mismatch throws at analysis)
+    val s = SparkFixture.spark
+    val names = Gen.someOf(Seq("a", "b", "c", "d")).suchThat(_.nonEmpty)
+    val schema: Gen[StructType] = for {
+      ns <- names; ts <- Gen.listOfN(ns.size, types)
+    } yield StructType(ns.zip(ts).map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    }.toSeq)
+    (1 to 40).foreach { i =>
+      val x = schema.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val y = schema.pureApply(Gen.Parameters.default, Seed(i.toLong + 500))
+      val dfx = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], x)
+      val dfy = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], y)
+      val u = graft.core.TypeWidening.unionByNameWide(Seq(dfx, dfy))
+      assert(u.count() == 0L, s"union of empty frames must execute ($x, $y)")
+      // result columns carry the widened type of every contributing input
+      val rt = u.schema.fields.map(f => f.name -> f.dataType).toMap
+      (x.fields ++ y.fields).foreach { f =>
+        assert(widen(rt(f.name), f.dataType) == rt(f.name),
+          s"${f.name}: ${rt(f.name)} cannot absorb input ${f.dataType}")
+      }
+    }
+  }
+
   test("widen is idempotent") {
     forAll(types) { a => assert(widen(a, a) == a) }
   }
