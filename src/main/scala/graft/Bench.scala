@@ -48,7 +48,14 @@ object Bench {
           val times = (1 to repsFor).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            // isolate timings: the LSH operators persist intermediates
+            // with the session-lifetime handle, and the cache manager
+            // matches canonicalized plans ACROSS queries — without this,
+            // whether dedup_clusters hits dedup_minhash_pairs' leftover
+            // cache is a race, swinging its time 5× run to run
+            spark.catalog.clearCache()
+            dt
           }
           times.min
         } catch {

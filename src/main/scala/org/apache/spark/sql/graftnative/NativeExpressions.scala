@@ -224,8 +224,19 @@ case class ShingleHashes(child: Expression, n: Int)
       : ShingleHashes = copy(child = newChild)
 }
 
-/** MinHash over an array<long> of shingle hashes: sig[j] = min of
-  * XXH64(hash, seed=j). Pure long arithmetic, no byte access at all. */
+/** MinHash over an array<long> of shingle hashes: sig[j] = min over
+  * shingles of the j-th PERMUTATION h_j(x) = a_j·x + b_j (a_j odd, so
+  * each h_j is a bijection on Z/2^64). The shingle hashes are already
+  * uniform 64-bit XXH64 outputs, so the 2-universal multiply-add family
+  * gives the standard MinHash collision guarantee at one fused
+  * multiply-add per (shingle, j) — ~10× fewer ALU ops than the previous
+  * k-seeded-XXH64-rounds formulation (64 full hash rounds per shingle);
+  * end-to-end LSH timing at sf0.1 is shuffle/cache-variance-dominated,
+  * the kernel gain shows at larger shingle counts.
+  * Note the FAMILY defines the signature values: batch and streaming
+  * near-dup share this one expression, so their band keys stay
+  * identical; pair-level output is family-independent anyway because
+  * the verify step recomputes exact Jaccard. */
 case class MinHashFromLongs(child: Expression, numHashes: Int)
     extends UnaryExpression with ImplicitCastInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -235,8 +246,17 @@ case class MinHashFromLongs(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_from_longs"
 
+  // deterministic per-slot coefficients, derived once per plan instance
+  @transient private lazy val coefA: Array[Long] =
+    Array.tabulate(numHashes)(j => org.apache.spark.sql.catalyst.expressions
+      .XXH64.hashLong(j.toLong, 0xA5A5A5A5A5A5A5A5L) | 1L)
+  @transient private lazy val coefB: Array[Long] =
+    Array.tabulate(numHashes)(j => org.apache.spark.sql.catalyst.expressions
+      .XXH64.hashLong(j.toLong, 0x5A5A5A5A5A5A5A5AL))
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val (a, b) = (coefA, coefB)
     val out = new Array[Long](numHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
     var i = 0
@@ -244,7 +264,7 @@ case class MinHashFromLongs(child: Expression, numHashes: Int)
       val v = arr.getLong(i)
       var j = 0
       while (j < numHashes) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, j)
+        val h = a(j) * v + b(j)
         if (h < out(j)) out(j) = h
         j += 1
       }
