@@ -190,10 +190,13 @@ object Agg {
       * dependent, `api/describe.kt:44`). */
     def describeAll(cols: Seq[String] = Nil): DataFrame = {
       val cs = if (cols.isEmpty) df.columns.toSeq else cols
+      // exact-name references: a plain col(name) PARSES backticks/dots,
+      // so an exotic column name would break (or redirect) the lookup
+      def v0(c: String) = graft.core.SchemaOps.colAt(Seq(c))
       val statRow = df.agg(
         count(lit(1)).as("__n"),
         cs.flatMap { c =>
-          val v = col(c)
+          val v = v0(c)
           Seq(
             count(v).as(s"__count_$c"),
             count_distinct(v).as(s"__unique_$c"),
@@ -212,7 +215,7 @@ object Agg {
       val modes = df
         .select(explode(array(cs.map(c =>
           struct(lit(c).as("column"),
-            col(c).cast(StringType).as("__value"))): _*)).as("__kv"))
+            v0(c).cast(StringType).as("__value"))): _*)).as("__kv"))
         .select(col("__kv.column").as("column"),
           col("__kv.__value").as("__value"))
         .where(col("__value").isNotNull)
@@ -223,14 +226,15 @@ object Agg {
         .select(col("column"), col("__m.__value").as("__top"),
           col("__m.__cnt").as("__freq"))
       val rows = cs.map { c =>
+        def s0(p: String) = graft.core.SchemaOps.colAt(Seq(p + c))
         statRow.select(
           lit(c).as("column"),
-          col(s"__count_$c").as("count"),
-          (col("__n") - col(s"__count_$c")).as("nulls"),
-          col(s"__unique_$c").as("unique"),
-          col(s"__mean_$c").as("mean"),
-          col(s"__min_$c").as("min"),
-          col(s"__max_$c").as("max"))
+          s0("__count_").as("count"),
+          (col("__n") - s0("__count_")).as("nulls"),
+          s0("__unique_").as("unique"),
+          s0("__mean_").as("mean"),
+          s0("__min_").as("min"),
+          s0("__max_").as("max"))
       }
       rows.reduce(_ union _)
         .join(broadcast(modes), Seq("column"), "left")

@@ -73,9 +73,11 @@ object Surgery {
 
     /** Null-on-failure cast (`try_cast`): a value the cast can't parse
       * becomes null instead of failing the job under ANSI mode. Column
-      * API, not string SQL — a backtick in the name is data, not syntax. */
+      * API with an exact-name reference — a backtick in the name is
+      * data, not syntax (plain col(name) would parse it). */
     def tryConvertTo(name: String, to: DataType): DataFrame =
-      df.withColumn(name, col(name).try_cast(to))
+      df.withColumn(name,
+        graft.core.SchemaOps.colAt(Seq(name)).try_cast(to))
 
     /** epoch millis → timestamp (`api/convert.kt:163-167`). */
     def epochMillisToTimestamp(name: String): DataFrame =

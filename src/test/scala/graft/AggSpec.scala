@@ -102,6 +102,27 @@ class AggSpec extends AnyFunSuite {
     assert(city.getString(4) == "Moscow" && city.getLong(5) == 2) // top, freq
   }
 
+  test("describeAll and tryConvertTo survive quote/backtick column names") {
+    // regression for the string-SQL unpivot/try_cast paths: these names
+    // would have broken (or injected into) the parsed expression
+    val s = SparkFixture.spark
+    import s.implicits._
+    import graft.ops.Surgery._
+    val df = Seq(("1", "x"), ("2", "y"), ("zz", "y"))
+      .toDF("it's `quoted`", "b`tick")
+    val d = df.describeAll().orderBy("column").collect()
+    assert(d.length == 2)
+    assert(d(0).getString(0) == "b`tick" && d(0).getLong(5) == 2) // freq(y)
+    assert(d(1).getString(0) == "it's `quoted`" && d(1).getLong(1) == 3)
+    val c = df.tryConvertTo("it's `quoted`",
+      org.apache.spark.sql.types.IntegerType)
+    assert(c.schema("it's `quoted`").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // unparseable value nulls instead of throwing under ANSI
+    assert(c.filter(graft.core.SchemaOps.colAt(Seq("it's `quoted`")).isNull)
+      .count() == 1)
+  }
+
   test("corrMatrix is symmetric with unit diagonal") {
     val m = person.na.drop().corrMatrix(Seq("age", "weight"))
       .orderBy("column").collect()
