@@ -131,20 +131,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * The HOF formulation (`transform(sequence(0,k-1), j -> array_min(
   * transform(sh, s -> xxhash64(s, j))))`) walks interpreted lambda trees
   * per element × per seed — measured ~20s for 10k docs × 64 seeds at
-  * sf0.1; this loop does the same hashes in compiled code. Eval-based
-  * (CodegenFallback): the per-row virtual call is noise next to the k×|sh|
-  * inner loop. */
+  * sf0.1; this loop does the same hashes in compiled code. Codegen emits a
+  * single call into the compiled companion kernel (the TextStats pattern) —
+  * the per-row virtual call is noise next to the k×|sh| inner loop, and it
+  * keeps the surrounding operator inside whole-stage codegen. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with ImplicitCastInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigKernel", MinHashSignature,
+      MinHashSignature.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c, $numHashes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSignature = copy(child = newChild)
+}
+
+object MinHashSignature {
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val out = new Array[Long](numHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
     var i = 0
@@ -163,9 +177,6 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression)
-      : MinHashSignature = copy(child = newChild)
 }
 
 /** Word-n-gram shingles as 64-bit HASHES, straight from the token array —
@@ -174,8 +185,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * XXH64 chained over the n member tokens' hashes. Jaccard over hashed
   * shingles equals string-shingle Jaccard modulo 2^-64 collisions. */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with ImplicitCastInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(n > 0)
 
   override def inputTypes: Seq[AbstractDataType] =
@@ -183,9 +193,22 @@ case class ShingleHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashKernel", ShingleHashes,
+      ShingleHashes.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleHashes = copy(child = newChild)
+}
+
+object ShingleHashes {
+  def compute(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
     // per-token hashes once
     val th = new Array[Long](m)
@@ -219,9 +242,6 @@ case class ShingleHashes(child: Expression, n: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression)
-      : ShingleHashes = copy(child = newChild)
 }
 
 /** MinHash over an array<long> of shingle hashes: sig[j] = min over
@@ -238,8 +258,7 @@ case class ShingleHashes(child: Expression, n: Int)
   * identical; pair-level output is family-independent anyway because
   * the verify step recomputes exact Jaccard. */
 case class MinHashFromLongs(child: Expression, numHashes: Int)
-    extends UnaryExpression with ImplicitCastInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType))
@@ -271,6 +290,34 @@ case class MinHashFromLongs(child: Expression, numHashes: Int)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // The k×|shingles| multiply-add loop is the hot kernel of LSH dedup —
+  // inlined into the generated Java (not a kernel call) so JIT sees one
+  // flat loop nest; coefficient arrays ride along as plan references.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val a = ctx.addReferenceObj("minhashCoefA", coefA, "long[]")
+    val b = ctx.addReferenceObj("minhashCoefB", coefB, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $v = $c.getLong($i);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $h = $a[$j] * $v + $b[$j];
+         |    if ($h < $out[$j]) $out[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -86,4 +86,17 @@ class PlanSpec extends AnyFunSuite {
     // the `*(n)` prefix marks operators fused into a WholeStageCodegen span
     assert(p.contains("*(1)"), p.take(800))
   }
+
+  test("minhash kernels run inside whole-stage codegen (no fallback)") {
+    // shingle_hashes → minhash_from_longs is the hot path of LSH dedup;
+    // a CodegenFallback here would break fusion of the whole projection
+    val t = Tables(spark, dir)
+    val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    val p = t.documents
+      .select(nf.minhashFromLongs(
+        nf.shingleHashes(graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text")), 3), 64).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), p.take(800))
+  }
 }
