@@ -33,19 +33,18 @@ object Bench {
     Tables(spark, sfDir).lineitem.write.format("noop").mode("overwrite").save()
 
     // two reps, report the min: steady-state throughput (codegen compile
-    // amortizes over a long job; rep 1 alone mostly measures javac)
+    // amortizes over a long job; rep 1 alone mostly measures javac).
+    // Dedup queries get the SAME min-of-2 policy (r5 verdict): the
+    // cache+RDD teardown below makes every rep equally cold, so rep 2 is
+    // a fresh dedup, not a warm-cache read — timing them once exposed
+    // the two most expensive rows to single-run machine noise (±10 s
+    // headline swings across otherwise-identical builds).
     val reps = 2
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      // the LSH dedup operators persist intermediates and the cache
-      // manager matches canonicalized plans — a second rep would measure
-      // a warm cache, not a fresh dedup; time those cold, once
-      val repsFor =
-        if (name.startsWith("dedup_minhash") || name == "dedup_clusters") 1
-        else reps
       val sec =
         try {
-          val times = (1 to repsFor).map { _ =>
+          val times = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val dt = (System.nanoTime() - t0) / 1e9
@@ -55,6 +54,15 @@ object Bench {
             // whether dedup_clusters hits dedup_minhash_pairs' leftover
             // cache is a race, swinging its time 5× run to run
             spark.catalog.clearCache()
+            // clearCache only drops Dataset-level entries; the label-
+            // propagation loop truncates lineage with localCheckpoint,
+            // whose blocks live at the RDD level. Bench calls queries
+            // through the (SparkSession, sfDir) signature, so the
+            // operators run with CacheHandle.unmanaged and their release
+            // thunks never fire — drop every leftover persistent RDD here
+            // or checkpoint blocks accumulate across the 24-query run.
+            val sc = spark.sparkContext
+            sc.getPersistentRDDs.values.foreach(_.unpersist(false))
             dt
           }
           times.min
@@ -84,7 +92,7 @@ object Bench {
       net.map(n => rm("dedup_clusters") - n).getOrElse(0.0)
     val note = "dedup_clusters re-runs the LSH pairs stage timed as " +
       "dedup_minhash_pairs; total counts its net (dedup_clusters_net)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.size - ok.size},"reps":$reps,"timing":"min-of-reps (steady state)","note":"$note","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.size - ok.size},"reps":$reps,"timing":"min-of-reps; all reps cold (caches + checkpoint RDDs dropped between reps)","note":"$note","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1264,11 +1264,9 @@ object SparkEntry {
       val sigs = docs.select(col("doc_id").as("id"),
         Dedup.simhash(col("text")).as("sh"))
       // brute force: all-pairs hamming (inequality-only condition → BNL;
-      // the broadcast side is the tiny (id, sh) projection)
-      val brute = sigs.as("a").crossJoin(broadcast(sigs.as("b")))
-        .filterRows(col("a.id") < col("b.id") &&
-          Dedup.hammingDist(col("a.sh"), col("b.sh")) <= 3)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // the broadcast side is the tiny (id, sh) projection) — guarded
+      // against accidental scale inside simhashBruteForcePairs
+      val brute = Dedup.simhashBruteForcePairs(sigs, maxHamming = 3)
       val missing = brute.join(pipe, Seq("id_a", "id_b"), "left_anti")
       val extra = pipe.join(brute, Seq("id_a", "id_b"), "left_anti")
       missing.unionWide(extra)
@@ -1675,19 +1673,35 @@ object SparkEntry {
       // verifies against the closed forms — an independent engine
       // checking a real encode→decode cycle, not a stub.
       val docs = Tables(s, dir).documents.selectNames(Seq("doc_id"))
+      val embCols = (0 until Multimodal.EmbPlanes).map(i =>
+        col("image_features.embedding").getItem(i).cast("double")
+          .as(s"emb_$i"))
       Multimodal.decodeImageFeatures(
           Multimodal.encodeTestPng(docs, "doc_id"), "img")
-        .select(col("doc_id"), col("image_features.width").as("width"),
-          col("image_features.height").as("height"),
-          col("image_features.channels").as("channels"),
-          round(col("image_features.luma_mean"), 6).as("luma"))
+        .select(col("doc_id") +: col("image_features.width").as("width") +:
+          col("image_features.height").as("height") +:
+          col("image_features.channels").as("channels") +:
+          round(col("image_features.luma_mean"), 6).as("luma") +:
+          embCols: _*)
         .sortByKeys(SortKey("doc_id"))
-    }, Some("""SELECT doc_id,
-      |  CAST(doc_id % 48 + 8 AS INTEGER) AS width,
-      |  CAST(doc_id % 37 + 8 AS INTEGER) AS height,
-      |  CAST(3 AS INTEGER) AS channels,
-      |  ROUND((doc_id % 256) / 255.0, 6) AS luma
-      |FROM documents ORDER BY doc_id""".stripMargin))
+    }, Some {
+      // the embedding is closed-form on the constant-gray test PNGs:
+      // every 8×8-patch cell is exactly g = doc_id % 256, so plane i
+      // projects to g · Σ_j coef(i,j) with coef(i,j) =
+      // floorMod((i·64+j)·2654435761, 1024) − 512 — integer-exact in
+      // both engines (|value| < 2^24 fits Float32 losslessly)
+      val embSql = (0 until 8).map(i =>
+        s"""  CAST((doc_id % 256) * (SELECT SUM((($i*64 + j.range) * 2654435761) % 1024 - 512)
+           |    FROM range(64) j) AS DOUBLE) AS emb_$i""".stripMargin)
+        .mkString(",\n")
+      s"""SELECT doc_id,
+         |  CAST(doc_id % 48 + 8 AS INTEGER) AS width,
+         |  CAST(doc_id % 37 + 8 AS INTEGER) AS height,
+         |  CAST(3 AS INTEGER) AS channels,
+         |  ROUND((doc_id % 256) / 255.0, 6) AS luma,
+         |$embSql
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

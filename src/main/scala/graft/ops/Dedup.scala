@@ -258,6 +258,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hard ceiling on the input row count for [[simhashBruteForcePairs]]:
+    * the all-pairs differential is O(n²) by construction and exists only
+    * to verify the pigeonhole path on test-scale corpora. Same fail-fast
+    * contract as [[Similarity.MaxBroadcastQueries]]. */
+  val MaxBruteForceRows: Long = 100000L
+
+  /** All-pairs simhash hamming join — the verification oracle for
+    * [[simhashPairs]], DELIBERATELY O(n²). Guarded: refuses more than
+    * `maxRows` input rows (limit-bounded count, so the guard never scans
+    * an oversized side) — pointing it at a real corpus fails fast instead
+    * of launching an n² cross join. `sigs` must carry (`id`, `sh`). */
+  def simhashBruteForcePairs(sigs: DataFrame, maxHamming: Int,
+      maxRows: Long = MaxBruteForceRows): DataFrame = {
+    // guard and broadcast share one materialization (bruteForceTopK's
+    // pattern): skinny limit-bounded projection, checkpointed, counted
+    val bounded = sigs.select(col("id"), col("sh"))
+      .limit(math.min(maxRows + 1, Int.MaxValue).toInt)
+      .localCheckpoint()
+    val n = bounded.count()
+    require(n <= maxRows,
+      s"simhashBruteForcePairs: input has > $maxRows rows - the all-pairs " +
+        "differential is O(n^2) and test-scoped; use simhashPairs for " +
+        "real corpora")
+    bounded.as("a").crossJoin(broadcast(bounded.as("b")))
+      .filter(col("a.id") < col("b.id") &&
+        hammingDist(col("a.sh"), col("b.sh")) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
   // ---- embedding cosine near-dup ---------------------------------------
   /** Embedding-cosine near-dup pairs, LSH-bucketed (random hyperplane
     * signatures, banded) — never the all-pairs cross join. See

@@ -13,13 +13,16 @@ import org.apache.spark.sql.types._
   * dependency): width/height/channels/luma_mean come from actual decoded
   * pixels, proven end-to-end by the `multimodal_decode` oracle query
   * (deterministic generated PNGs, DuckDB checks the closed-form
-  * expectations). Bytes that no installed codec accepts fall back to a
-  * DETERMINISTIC FAKE (xxhash-seeded, clearly marked) so the pipeline
-  * shape stays testable with arbitrary blobs. The vision EMBEDDING field
-  * and the audio/video kernels remain stubs — those need model weights /
-  * codecs this container doesn't have; the partition-batched execution
-  * (`mapPartitions`, the JVM analogue of `mapInPandas` batches), schema
-  * contract, and column plumbing around them are real.
+  * expectations). The vision EMBEDDING is likewise real: a fixed seeded
+  * hyperplane projection of the downsampled decoded luma patch — no
+  * model weights, but a genuine pixels→vector function the oracle
+  * re-derives in closed form (see [[decodeImageFeatures]]). Bytes that
+  * no installed codec accepts fall back to a DETERMINISTIC FAKE
+  * (xxhash-seeded, clearly marked) so the pipeline shape stays testable
+  * with arbitrary blobs. The audio/video kernels remain stubs — those
+  * need codecs this container doesn't have; the partition-batched
+  * execution (`mapPartitions`, the JVM analogue of `mapInPandas`
+  * batches), schema contract, and column plumbing around them are real.
   *
   * Scale notes: media blobs make wide rows — the media table should be
   * stored with the binary column in its own parquet column chunk (free
@@ -50,16 +53,33 @@ object Multimodal {
     StructField("luma_mean", DoubleType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** The vision embedding's fixed hyperplanes: 8 planes over the 8×8
+    * luma patch, coefficient (i,j) = floorMod((i·64+j) · 2654435761,
+    * 1024) − 512 (Knuth's multiplicative hash constant). Integer
+    * coefficients make the projection EXACT — every embedding value is an
+    * integer with |v| ≤ 255·64·512 < 2²⁴, representable losslessly in
+    * Float32 — so an independent engine can re-derive it in closed form
+    * (the `multimodal_decode` oracle does, in DuckDB SQL). */
+  val EmbPlanes = 8
+  private val PatchGrid = 8 // 8×8 = 64 luma cells
+  private[ops] def embCoef(i: Int, j: Int): Long =
+    Math.floorMod((i.toLong * 64 + j) * 2654435761L, 1024L) - 512L
+
   /** Image decode + feature extract. Bytes any JDK-shipped codec accepts
     * (PNG/BMP/GIF/JPEG) are REALLY decoded: width/height from the image,
     * channels from the color model, luma_mean = Σ(r+g+b) / (3·n·255)
     * computed over the actual pixels with an exact integer sum (one
     * division at the end — bit-reproducible across engines). The 8-dim
-    * EMBEDDING field stays a deterministic STUB (a real kernel would run
-    * a vision encoder over the same partition batch); undecodable bytes
-    * fall back to the deterministic hash-derived fake so arbitrary blobs
-    * keep the pipeline shape testable. Runs per-partition (batched), not
-    * per-row UDF. */
+    * EMBEDDING is a REAL function of the decoded pixels: the image is
+    * downsampled to an 8×8 integer luma patch (per-cell floor-mean of
+    * per-pixel (r+g+b)/3), then projected onto the 8 fixed [[embCoef]]
+    * hyperplanes — a deterministic, closed-form-verifiable stand-in for
+    * a vision encoder that exercises the identical decode → downsample →
+    * project plumbing (swap the projection for model weights and nothing
+    * else changes). Undecodable bytes fall back to the deterministic
+    * hash-derived fake (clearly marked STUB) so arbitrary blobs keep the
+    * pipeline shape testable. Runs per-partition (batched), not per-row
+    * UDF. */
   def decodeImageFeatures(df: DataFrame, binCol: String,
       as: String = "image_features"): DataFrame = {
     val spark = df.sparkSession
@@ -78,30 +98,49 @@ object Multimodal {
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
             catch { case _: java.io.IOException => null }
-        val h = fakeHash(bytes)
-        val embedding = Array.tabulate(8)(i =>
-          ((h >> (i * 7)) % 97).toFloat / 97f)        // STUB embedding
         val feat = if (img != null) {
           val (w, ht) = (img.getWidth, img.getHeight)
           var sum = 0L
+          val cellSum = new Array[Long](PatchGrid * PatchGrid)
+          val cellCnt = new Array[Long](PatchGrid * PatchGrid)
           var y = 0
           while (y < ht) {
+            val cy = y * PatchGrid / ht
             var x = 0
             while (x < w) {
               val p = img.getRGB(x, y)
-              sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              val rgb = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              sum += rgb
+              val cell = cy * PatchGrid + x * PatchGrid / w
+              cellSum(cell) += rgb / 3 // integer per-pixel luma
+              cellCnt(cell) += 1
               x += 1
             }
             y += 1
           }
+          val embedding = Array.tabulate(EmbPlanes) { i =>
+            var acc = 0L
+            var j = 0
+            while (j < PatchGrid * PatchGrid) {
+              if (cellCnt(j) > 0)
+                acc += embCoef(i, j) * (cellSum(j) / cellCnt(j))
+              j += 1
+            }
+            acc.toFloat // exact: |acc| < 2^24
+          }
           Row(w, ht, img.getColorModel.getNumComponents,
             sum.toDouble / (3.0 * w * ht * 255.0), embedding)
-        } else Row(
-          (math.abs(h) % 1920 + 32).toInt,            // STUB width
-          (math.abs(h >> 11) % 1080 + 32).toInt,      // STUB height
-          3,
-          (math.abs(h >> 22) % 256).toDouble / 255.0, // STUB luma
-          embedding)
+        } else {
+          val h = fakeHash(bytes)
+          val embedding = Array.tabulate(8)(i =>
+            ((h >> (i * 7)) % 97).toFloat / 97f)      // STUB embedding
+          Row(
+            (math.abs(h) % 1920 + 32).toInt,          // STUB width
+            (math.abs(h >> 11) % 1080 + 32).toInt,    // STUB height
+            3,
+            (math.abs(h >> 22) % 256).toDouble / 255.0, // STUB luma
+            embedding)
+        }
         Row.fromSeq(r.toSeq :+ feat)
       }
     }

@@ -49,12 +49,14 @@ case class SimHash64(child: Expression)
       : ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
       s"""
          |int[] $votes = new int[64];
-         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |final int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
          |    long $h = $c.getLong($i);
          |    for (int $j = 0; $j < 64; $j++) {
@@ -301,6 +303,7 @@ case class MinHashFromLongs(child: Expression, numHashes: Int)
     val b = ctx.addReferenceObj("minhashCoefB", coefB, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
       val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val v = ctx.freshName("v")
@@ -308,7 +311,8 @@ case class MinHashFromLongs(child: Expression, numHashes: Int)
       s"""
          |long[] $out = new long[$numHashes];
          |java.util.Arrays.fill($out, Long.MAX_VALUE);
-         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |final int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
          |  long $v = $c.getLong($i);
          |  for (int $j = 0; $j < $numHashes; $j++) {
          |    long $h = $a[$j] * $v + $b[$j];

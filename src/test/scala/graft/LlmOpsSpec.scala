@@ -138,6 +138,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(res.toSet.contains((1L, 2L)))
   }
 
+  test("simhashBruteForcePairs matches the pigeonhole path, fails fast big") {
+    val sigs = docs.select(col("doc_id").as("id"),
+      Dedup.simhash(col("text")).as("sh"))
+    val brute = Dedup.simhashBruteForcePairs(sigs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pipe = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == pipe)
+    // the O(n²) differential refuses real-corpus row counts (r4 advice #2)
+    val s = spark
+    val big = s.range(11).select(col("id"), col("id").as("sh"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashBruteForcePairs(big, maxHamming = 3, maxRows = 10)
+    }
+    assert(e.getMessage.contains("O(n^2)"))
+  }
+
   test("cosine: orthogonal→0, identical→1") {
     val s = spark
     import s.implicits._

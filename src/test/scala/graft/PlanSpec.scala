@@ -92,11 +92,53 @@ class PlanSpec extends AnyFunSuite {
     // a CodegenFallback here would break fusion of the whole projection
     val t = Tables(spark, dir)
     val nf = org.apache.spark.sql.graftnative.NativeFunctions
-    val p = t.documents
+    val q = t.documents
       .select(nf.minhashFromLongs(
         nf.shingleHashes(graft.functions.TextFunctions.tokens(
           org.apache.spark.sql.functions.col("text")), 3), 64).as("sig"))
-      .queryExecution.executedPlan.toString
+    val p = q.queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), p.take(800))
+    // '*(1)' is stamped at planning time whether or not the generated
+    // Java COMPILES (a janino error silently reverts to interpreted when
+    // codegen.fallback=true, the default) — so also execute rows with
+    // fallback off, turning a codegen compile failure into a test failure
+    withConf("spark.sql.codegen.fallback" -> "false") {
+      assert(q.limit(5).collect().length == 5)
+    }
+  }
+
+  test("native kernels: interpreted eval == generated code (parity)") {
+    // Each native expression carries two hand-written kernel copies
+    // (nullSafeEval and the inlined generated Java); a future edit to one
+    // silently diverges depending on execution path. Evaluate the real
+    // document corpus through both paths and require identical results —
+    // checkEvaluation's spirit, over all kernels in one sweep.
+    val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    import org.apache.spark.sql.functions.col
+    def run(): Seq[org.apache.spark.sql.Row] = {
+      val t = Tables(spark, dir)
+      t.documents.orderBy("doc_id").limit(64)
+        .select(
+          nf.minhashFromLongs(nf.shingleHashes(
+            graft.functions.TextFunctions.tokens(col("text")), 3), 64),
+          nf.simhash64(graft.ops.Dedup.tokenHashes(col("text"))),
+          graft.functions.TextFunctions.textStats(col("text")))
+        .collect().toSeq
+    }
+    val genned = withConf("spark.sql.codegen.fallback" -> "false")(run())
+    val interp = withConf(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(run())
+    assert(genned == interp)
+  }
+
+  /** Run `body` with SQLConf overrides, restoring prior values after. */
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val saved = kvs.map { case (k, _) => k -> conf.getOption(k) }
+    kvs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 }
