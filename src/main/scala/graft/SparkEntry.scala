@@ -1524,6 +1524,54 @@ object SparkEntry {
       |FROM documents CROSS JOIN range(4) r
       |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    Q("multimodal_audio", (s, dir) => {
+      // REAL codec round-trip for audio: per doc, a generated square-wave
+      // PCM WAV (amplitude and length are closed-form functions of
+      // doc_id) is encoded with a hand-built RIFF header and decoded by
+      // the JDK's javax.sound.sampled; sample_rate/channels/bits come
+      // from the parsed header, num_samples/mean_abs/peak from the
+      // decoded samples. DuckDB verifies the closed forms.
+      val docs = Tables(s, dir).documents.selectNames(Seq("doc_id"))
+      Multimodal.decodeAudioFeatures(
+          Multimodal.encodeTestWav(docs, "doc_id"), "wav")
+        .select(col("doc_id"),
+          col("audio_features.sample_rate").as("sample_rate"),
+          col("audio_features.channels").as("channels"),
+          col("audio_features.bits").as("bits"),
+          col("audio_features.num_samples").as("num_samples"),
+          col("audio_features.mean_abs").as("mean_abs"),
+          col("audio_features.peak").as("peak"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(16 AS INTEGER) AS bits,
+      |  CAST(doc_id % 800 + 100 AS BIGINT) AS num_samples,
+      |  CAST(doc_id % 1000 + 100 AS DOUBLE) AS mean_abs,
+      |  CAST(doc_id % 1000 + 100 AS INTEGER) AS peak
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("multimodal_resize", (s, dir) => {
+      // REAL pixel resize through a DOUBLE encode→decode cycle: generate
+      // the closed-form PNG, nearest-neighbor resize to 16×12 (re-encoded
+      // PNG), decode again. Dims must be the target, and a constant-gray
+      // source keeps its exact luma through the resample — both checked
+      // by DuckDB in closed form.
+      val docs = Tables(s, dir).documents.selectNames(Seq("doc_id"))
+      Multimodal.decodeImageFeatures(
+          Multimodal.resizeImageBytes(
+            Multimodal.encodeTestPng(docs, "doc_id"), "img", 16, 12),
+          "resized")
+        .select(col("doc_id"), col("image_features.width").as("width"),
+          col("image_features.height").as("height"),
+          round(col("image_features.luma_mean"), 6).as("luma"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  CAST(16 AS INTEGER) AS width,
+      |  CAST(12 AS INTEGER) AS height,
+      |  ROUND((doc_id % 256) / 255.0, 6) AS luma
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ================= extras / streaming-shape =======================
     Q("join_multi", (s, dir) => {
       val t = Tables(s, dir)

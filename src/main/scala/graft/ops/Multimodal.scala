@@ -185,12 +185,177 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB resize: a real kernel re-encodes pixels; the fake rewrites the
-    * metadata contract only (shape plumbing is what's under test). */
+  val audioFeatureType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("num_samples", LongType),
+    StructField("mean_abs", DoubleType),   // exact integer ratio
+    StructField("peak", IntegerType)))
+
+  /** Audio decode + feature extract — REAL for WAV/AIFF/AU PCM (the
+    * JDK's `javax.sound.sampled` ships those codecs; no external
+    * dependency): sample_rate/channels/bits come from the parsed header,
+    * num_samples/mean_abs/peak from the actual decoded 16-bit samples
+    * (integer |sample| sum, one division at the end — bit-reproducible).
+    * Undecodable bytes fall back to the deterministic hash-derived fake
+    * (clearly marked STUB), keeping arbitrary blobs testable. Runs
+    * per-partition like the image path. Proven end-to-end by the
+    * `multimodal_audio` oracle query: generated square-wave WAVs have
+    * closed-form features (mean_abs = peak = the amplitude) that DuckDB
+    * re-derives independently. */
+  def decodeAudioFeatures(df: DataFrame, binCol: String,
+      as: String = "audio_features"): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField(as, audioFeatureType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val feat =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val data = ais.readAllBytes()
+            ais.close()
+            val bits = fmt.getSampleSizeInBits
+            require(bits == 16 && fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            val n = data.length / 2
+            var sumAbs = 0L
+            var peak = 0
+            var i = 0
+            while (i < n) {
+              val lo = data(2 * i) & 0xFF
+              val hi = data(2 * i + 1)
+              val s =
+                if (fmt.isBigEndian) (data(2 * i) << 8) | (data(2 * i + 1) & 0xFF)
+                else (hi << 8) | lo
+              val a = math.abs(s)
+              sumAbs += a
+              if (a > peak) peak = a
+              i += 1
+            }
+            Row(fmt.getSampleRate.toInt, fmt.getChannels, bits,
+              (n / fmt.getChannels).toLong,
+              if (n == 0) 0.0 else sumAbs.toDouble / n, peak)
+          } catch {
+            case _: Exception =>
+              val h = fakeHash(bytes)               // STUB fallback
+              Row((math.abs(h) % 48000 + 8000).toInt, 1, 16,
+                math.abs(h >> 7) % 100000,
+                (math.abs(h >> 17) % 32768).toDouble, // STUB mean
+                (math.abs(h >> 27) % 32768).toInt)    // STUB peak
+          }
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic test-audio generator: per row, a real 16-bit mono PCM
+    * WAV at 8 kHz — a square wave of amplitude `id % 1000 + 100` over
+    * `id % 800 + 100` samples (sign flips every 4 samples), encoded with
+    * a hand-built RIFF header. Every feature of the decoded result is a
+    * closed-form function of the id: mean_abs = peak = amplitude,
+    * num_samples = the sample count — ground truth an independent engine
+    * can verify (see `multimodal_audio`). */
+  def encodeTestWav(df: DataFrame, idCol: String, as: String = "wav")
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+ StructField(as, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case other   => other.toString.toLong
+        }
+        val amp = (id % 1000 + 100).toInt
+        val n = (id % 800 + 100).toInt
+        val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1)                // PCM
+          .putShort(1)                // mono
+          .putInt(8000)               // sample rate
+          .putInt(16000)              // byte rate
+          .putShort(2)                // block align
+          .putShort(16)               // bits
+          .put("data".getBytes("US-ASCII")).putInt(2 * n)
+        var i = 0
+        while (i < n) {
+          bb.putShort(if ((i / 4) % 2 == 0) amp.toShort else (-amp).toShort)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB metadata resize: rewrites the feature struct's dims only —
+    * kept for pipelines that track intended dims without touching blobs.
+    * For a REAL pixel resize use [[resizeImageBytes]]. */
   def resizeImage(df: DataFrame, featCol: String, w: Int, h: Int)
       : DataFrame =
     df.withColumn(featCol, col(featCol)
       .withField("width", lit(w)).withField("height", lit(h)))
+
+  /** REAL image resize: decode (ImageIO), rescale with a DETERMINISTIC
+    * nearest-neighbor pixel map (src = ⌊dst·srcDim/dstDim⌋ — no AA, no
+    * platform-dependent filtering, bit-identical everywhere), re-encode
+    * PNG. Composes with [[decodeImageFeatures]]: resizing a constant
+    * image preserves its luma exactly, which the `multimodal_resize`
+    * oracle checks end-to-end through a double encode→decode cycle.
+    * Undecodable bytes pass through unchanged (a resize of a blob no
+    * codec understands is the identity, not a crash). Per-partition
+    * like the other media kernels. */
+  def resizeImageBytes(df: DataFrame, binCol: String, w: Int, h: Int,
+      as: String = "resized"): DataFrame = {
+    require(w > 0 && h > 0)
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+ StructField(as, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        val out =
+          if (img == null) bytes
+          else {
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            val dst = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < h) {
+              val sy = y * sh / h
+              var x = 0
+              while (x < w) {
+                dst.setRGB(x, y, img.getRGB(x * sw / w, sy))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            bos.toByteArray
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 
   /** STUB video frame-sampling: emits `n` frame rows per video blob with
     * frame_idx + a per-frame fake checksum — the explode/partition shape

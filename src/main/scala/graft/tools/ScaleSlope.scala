@@ -37,13 +37,17 @@ object ScaleSlope {
     // true pair density scales exactly 10×
     val base = graft.Tables(spark, "/root/testdata/sf0.1").documents
       .select(col("doc_id"), col("text"))
-    val tenx = base.crossJoin(
-        spark.range(10).select(col("id").as("rep")))
-      .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
-        regexp_replace(col("text"), lit("(\\w+)"),
-          concat(lit("$1"), col("rep").cast("string"))).as("text"))
-      .repartition(32)
-    time("sf0.1x10", tenx)
+    Seq(10, 100).foreach { reps =>
+      base.crossJoin(
+          spark.range(reps).select(col("id").as("rep")))
+        .select((col("doc_id") * reps + col("rep")).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("$1"), col("rep").cast("string"))).as("text"))
+        .repartition(32)
+        // materialize OUTSIDE the timed region: every point reads parquet
+        .write.mode("overwrite").parquet(s"/tmp/graft_x$reps.parquet")
+      time(s"sf0.1x$reps", spark.read.parquet(s"/tmp/graft_x$reps.parquet"))
+    }
     spark.stop()
   }
 }

@@ -253,6 +253,77 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: REAL PNG decode produces the closed-form embedding") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(5L, 100L, 300L).toDF("id")
+    val dec = Multimodal.decodeImageFeatures(
+      Multimodal.encodeTestPng(ids, "id"), "img")
+      .select(col("id"), col("image_features.embedding"))
+      .collect().sortBy(_.getLong(0))
+    dec.foreach { r =>
+      val id = r.getLong(0)
+      val g = id % 256
+      val emb = r.getSeq[Float](1)
+      assert(emb.length == Multimodal.EmbPlanes)
+      // constant-gray patch: every cell = g, so plane i → g · Σ coef(i,j)
+      (0 until 8).foreach { i =>
+        val si = (0 until 64).map(j =>
+          Math.floorMod((i.toLong * 64 + j) * 2654435761L, 1024L) - 512L).sum
+        assert(emb(i).toLong == g * si, s"emb($i) of id $id")
+      }
+    }
+  }
+
+  test("multimodal: REAL WAV encode→decode round trip via javax.sound") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(5L, 123L, 799L).toDF("id")
+    val dec = Multimodal.decodeAudioFeatures(
+      Multimodal.encodeTestWav(ids, "id"), "wav")
+      .select(col("id"), col("audio_features.sample_rate"),
+        col("audio_features.channels"), col("audio_features.bits"),
+        col("audio_features.num_samples"), col("audio_features.mean_abs"),
+        col("audio_features.peak"))
+      .collect().sortBy(_.getLong(0))
+    dec.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getInt(3) == 16)
+      assert(r.getLong(4) == id % 800 + 100, s"num_samples of $id")
+      // square wave: every |sample| = amplitude, so mean_abs = peak = amp
+      assert(r.getDouble(5) == (id % 1000 + 100).toDouble, s"mean_abs of $id")
+      assert(r.getInt(6) == (id % 1000 + 100).toInt, s"peak of $id")
+    }
+    // undecodable bytes take the clearly-marked deterministic fallback
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "wav")
+    val f = Multimodal.decodeAudioFeatures(junk, "wav")
+      .select(col("audio_features.sample_rate")).head()
+    assert(f.getInt(0) >= 8000) // stub shape, no exception
+  }
+
+  test("multimodal: REAL nearest-neighbor resize through re-encode") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(5L, 200L).toDF("id")
+    val dec = Multimodal.decodeImageFeatures(
+      Multimodal.resizeImageBytes(
+        Multimodal.encodeTestPng(ids, "id"), "img", 16, 12), "resized")
+      .select(col("id"), col("image_features.width"),
+        col("image_features.height"), col("image_features.luma_mean"))
+      .collect().sortBy(_.getLong(0))
+    dec.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 16 && r.getInt(2) == 12, s"dims of $id")
+      // nearest-neighbor resample of a constant image is constant
+      assert(r.getDouble(3) == (id % 256) / 255.0, s"luma of $id preserved")
+    }
+    // undecodable bytes pass through unchanged
+    val junk = Seq((1L, Array[Byte](9, 9, 9))).toDF("id", "img")
+    val out = Multimodal.resizeImageBytes(junk, "img", 4, 4)
+      .select(col("resized")).head().getAs[Array[Byte]](0)
+    assert(out.toSeq == Seq[Byte](9, 9, 9))
+  }
+
   test("kmeansCentroids: distributed Lloyd keeps shape; exhaustive stays exact") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val cts = Similarity.kmeansCentroids(t.embeddings, 4, iters = 2)
