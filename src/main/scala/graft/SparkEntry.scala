@@ -1572,6 +1572,25 @@ object SparkEntry {
       |  ROUND((doc_id % 256) / 255.0, 6) AS luma
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("multimodal_video", (s, dir) => {
+      // REAL multi-frame round-trip: per doc, a generated 4-frame
+      // animated GIF (frame k constant gray (doc_id+16k)%256) is encoded
+      // by the JDK GIF sequence writer and decoded frame-by-frame; every
+      // sampled frame's dims and exact luma are closed-form in DuckDB.
+      val docs = Tables(s, dir).documents.selectNames(Seq("doc_id"))
+      Multimodal.sampleVideoFrames(
+          Multimodal.encodeTestGif(docs, "doc_id", frames = 4), "vid",
+          every = 2)
+        .select(col("doc_id"), col("frame.frame_idx").as("frame_idx"),
+          col("frame.width").as("width"), col("frame.height").as("height"),
+          round(col("frame.luma_mean"), 6).as("luma"))
+        .sortByKeys(SortKey("doc_id"), SortKey("frame_idx"))
+    }, Some("""SELECT doc_id, CAST(k.range * 2 AS INTEGER) AS frame_idx,
+      |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |  ROUND(((doc_id + 16 * (k.range * 2)) % 256) / 255.0, 6) AS luma
+      |FROM documents CROSS JOIN range(2) k
+      |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ================= extras / streaming-shape =======================
     Q("join_multi", (s, dir) => {
       val t = Tables(s, dir)

@@ -359,11 +359,121 @@ object Multimodal {
 
   /** STUB video frame-sampling: emits `n` frame rows per video blob with
     * frame_idx + a per-frame fake checksum — the explode/partition shape
-    * of a real frame sampler. */
+    * of a real frame sampler, for blobs in formats no JDK codec reads
+    * (mp4 etc.). For REAL multi-frame decode use [[sampleVideoFrames]]. */
   def sampleFrames(df: DataFrame, binCol: String, n: Int): DataFrame =
     df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_checksum",
         xxhash64(col(binCol), col("frame_idx")))
+
+  val frameFeatureType: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("luma_mean", DoubleType)))
+
+  /** REAL multi-frame sampling for container formats the JDK decodes
+    * (animated GIF): every `every`-th frame is actually decoded and
+    * measured (exact integer luma sum, like the still-image path),
+    * emitted as one row per sampled frame — the explode shape a video
+    * frame sampler has, with genuine pixels behind it. Blobs no codec
+    * reads multi-frame yield zero rows (callers route those through the
+    * [[sampleFrames]] stub shape instead). Proven end-to-end by the
+    * `multimodal_video` oracle: generated animated GIFs whose frame k is
+    * constant gray (id+16·k)%256 — constant frames survive GIF
+    * palettization losslessly, so decoded luma is closed-form. */
+  def sampleVideoFrames(df: DataFrame, binCol: String, every: Int = 1)
+      : DataFrame = {
+    require(every > 0)
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("frame", frameFeatureType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val frames =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Seq.empty
+            else {
+              val reader = readers.next()
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              val out = (0 until n by every).map { i =>
+                val img = reader.read(i)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Row(i, w, h, sum.toDouble / (3.0 * w * h * 255.0))
+              }
+              reader.dispose()
+              out
+            }
+          } catch { case _: Exception => Seq.empty }
+        frames.map(f => Row.fromSeq(r.toSeq :+ f))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic test-video generator: per row, a real animated GIF of
+    * `frames` frames, each a constant-gray 16×16 image with gray value
+    * (id + 16·k) % 256 for frame k — every decoded frame's luma is a
+    * closed-form function of (id, k), and constant frames are exact
+    * under GIF palettization. Encoded with the JDK GIF sequence writer. */
+  def encodeTestGif(df: DataFrame, idCol: String, frames: Int,
+      as: String = "vid"): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+ StructField(as, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case other   => other.toString.toLong
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var k = 0
+        while (k < frames) {
+          val g = ((id + 16L * k) % 256).toInt
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          k += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 
   private def fakeHash(bytes: Array[Byte]): Long = {
     // xxhash-shaped mixing, deterministic on content; STUB ONLY

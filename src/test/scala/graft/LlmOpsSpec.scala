@@ -324,6 +324,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq[Byte](9, 9, 9))
   }
 
+  test("multimodal: REAL animated-GIF frame sampling via ImageIO") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(3L, 250L).toDF("id")
+    val fr = Multimodal.sampleVideoFrames(
+      Multimodal.encodeTestGif(ids, "id", frames = 4), "vid", every = 2)
+      .select(col("id"), col("frame.frame_idx"), col("frame.width"),
+        col("frame.height"), col("frame.luma_mean"))
+      .collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+    assert(fr.length == 4) // 2 ids × frames 0 and 2
+    fr.foreach { r =>
+      val (id, k) = (r.getLong(0), r.getInt(1))
+      assert(Seq(0, 2).contains(k))
+      assert(r.getInt(2) == 16 && r.getInt(3) == 16)
+      assert(r.getDouble(4) == ((id + 16 * k) % 256) / 255.0,
+        s"frame luma of ($id, $k)")
+    }
+    // non-multi-frame blobs yield zero rows (stub path handles those)
+    val junk = Seq((1L, Array[Byte](0, 1, 2))).toDF("id", "vid")
+    assert(Multimodal.sampleVideoFrames(junk, "vid").count() == 0)
+  }
+
   test("kmeansCentroids: distributed Lloyd keeps shape; exhaustive stays exact") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val cts = Similarity.kmeansCentroids(t.embeddings, 4, iters = 2)
