@@ -376,8 +376,9 @@ object Multimodal {
     * measured (exact integer luma sum, like the still-image path),
     * emitted as one row per sampled frame — the explode shape a video
     * frame sampler has, with genuine pixels behind it. Blobs no codec
-    * reads multi-frame yield zero rows (callers route those through the
-    * [[sampleFrames]] stub shape instead). Proven end-to-end by the
+    * reads yield zero rows (callers route those through the
+    * [[sampleFrames]] stub shape instead); a still image reads as a
+    * single-frame container. Proven end-to-end by the
     * `multimodal_video` oracle: generated animated GIFs whose frame k is
     * constant gray (id+16·k)%256 — constant frames survive GIF
     * palettization losslessly, so decoded luma is closed-form. */

@@ -80,4 +80,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     val empty = Seq.empty[graft.streaming.Streaming.Event].toDS()
     assert(graft.streaming.Streaming.sessionize(empty, 1000).count() == 0)
   }
+
+  test("media kernels on degenerate blobs: null, empty, truncated, 1x1") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Multimodal
+    val blobs = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),    // null cell
+      (2L, Array.empty[Byte]),                 // zero bytes
+      (3L, Array[Byte](82, 73, 70, 70, 0, 0)), // truncated RIFF header
+      (4L, {                                   // real 1x1 PNG
+        val img = new java.awt.image.BufferedImage(1, 1,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        img.setRGB(0, 0, 0x808080)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })).toDF("id", "blob")
+    // image decode: 1x1 decodes for real, the rest take the marked stub
+    val img = Multimodal.decodeImageFeatures(blobs, "blob")
+      .select(col("id"), col("image_features.width"),
+        col("image_features.luma_mean")).collect().sortBy(_.getLong(0))
+    assert(img.length == 4)
+    assert(img(3).getInt(1) == 1 &&
+      img(3).getDouble(2) == 0x80 / 255.0, "1x1 decodes exactly")
+    // audio decode: nothing here is PCM — all four take the stub, no throw
+    assert(Multimodal.decodeAudioFeatures(blobs, "blob").count() == 4)
+    // resize: undecodable passes through, the 1x1 really rescales
+    val rz = Multimodal.resizeImageBytes(blobs, "blob", 4, 4)
+    assert(rz.count() == 4)
+    val rz1 = Multimodal.decodeImageFeatures(
+      rz.filter(col("id") === 4), "resized")
+      .select(col("image_features.width"), col("image_features.luma_mean"))
+      .head()
+    assert(rz1.getInt(0) == 4 && rz1.getDouble(1) == 0x80 / 255.0)
+    // frame sampling: unreadable blobs → zero rows, no throw; the still
+    // PNG reads as a single-frame container (one row)
+    val vf = Multimodal.sampleVideoFrames(blobs, "blob")
+      .select(col("id"), col("frame.frame_idx")).collect()
+    assert(vf.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((4L, 0)))
+  }
 }
