@@ -227,6 +227,22 @@ class StreamingSpec extends AnyFunSuite {
       // identical docs → identical signatures → estimate exactly 1.0
       val j = s.sql("select max(jaccard) from graft_ndup_lean").head().getDouble(0)
       assert(j == 1.0, s"identical signature must estimate 1.0, got $j")
+      // a TRUE near-dup (1 of 60 tokens changed → shingle J = 55/61 ≈
+      // 0.90) across batches: the slot-match estimate is DETERMINISTIC
+      // (fixed hash family, fixed texts) and must clear the 0.8
+      // threshold while staying below 1.0 — proving the estimator
+      // discriminates rather than just flagging identical signatures
+      val baseTokens = (0 until 60).map(i => s"tok$i")
+      mem.addData((9L, ts("2024-01-01 10:07:00"), baseTokens.mkString(" ")))
+      mem.addData((10L, ts("2024-01-01 10:08:00"),
+        baseTokens.updated(30, "changed").mkString(" ")))
+      q.processAllAvailable()
+      val near = s.sql(
+        "select jaccard from graft_ndup_lean where id_a = 9 and id_b = 10")
+        .collect().map(_.getDouble(0))
+      assert(near.nonEmpty, "near-dup pair (9,10) must collide in a band")
+      assert(near.forall(j => j >= 0.6 && j < 1.0),
+        s"estimate should straddle the true J≈0.9, got ${near.toSeq}")
       // the documented state-size bound: exact state grows linearly with
       // doc length (shingle count), lean state is a constant 64 slots —
       // measure both ends of the corpus distribution
