@@ -1591,6 +1591,29 @@ object SparkEntry {
       |FROM documents CROSS JOIN range(2) k
       |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    Q("multimodal_visual_dedup", (s, dir) => {
+      // FULL training-pipeline composition, pixels to pairs: generate
+      // pattern PNGs (8 visually distinct classes; same class ⇒ identical
+      // pixels), REALLY decode them, project to the luma-patch embedding,
+      // and run the banded hyperplane-LSH near-dup operator on the result.
+      // Identical embeddings collide in every band and verify at cosine
+      // exactly 1, and the unit spec pins every cross-class cosine far
+      // below the threshold — so the pair set is closed-form: (a, b) ⇔
+      // a ≡ b (mod 8), which DuckDB derives with no image code at all.
+      val docs = Tables(s, dir).documents.selectNames(Seq("doc_id"))
+      val feat = Multimodal.decodeImageFeatures(
+          Multimodal.encodeTestPatternPng(docs, "doc_id", 8), "img")
+        .select(col("doc_id").as("vec_id"),
+          col("image_features.embedding").as("embedding"))
+      Dedup.embeddingNearDupPairs(feat, "embedding", "vec_id",
+          minCosine = 0.999999)
+        .selectNames(Seq("id_a", "id_b"))
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id AND a.doc_id % 8 = b.doc_id % 8
+      |ORDER BY id_a, id_b""".stripMargin)),
+
     // ================= extras / streaming-shape =======================
     Q("join_multi", (s, dir) => {
       val t = Tables(s, dir)

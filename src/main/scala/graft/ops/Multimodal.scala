@@ -299,6 +299,48 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic PATTERN-image generator for the visual-dedup pipeline
+    * demo: a 16×16 gray PNG whose pixel (x,y) has gray value
+    * (7x + 13y + 31·(id mod k)) mod 256 — exactly `k` distinct images
+    * across all ids, so ids sharing `id mod k` decode to IDENTICAL pixel
+    * grids (hence identical luma-patch embeddings, cosine exactly 1),
+    * while different classes wrap the mod at different places and stay
+    * visually distinct. Gives pixels→embedding→LSH dedup a closed-form
+    * pair oracle: (a, b) pair ⇔ a ≡ b (mod k). */
+  def encodeTestPatternPng(df: DataFrame, idCol: String, k: Int,
+      as: String = "img"): DataFrame = {
+    require(k > 0)
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+ StructField(as, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case other   => other.toString.toLong
+        }
+        val cls = (id % k).toInt
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val g = (7 * x + 13 * y + 31 * cls) % 256
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** STUB metadata resize: rewrites the feature struct's dims only —
     * kept for pipelines that track intended dims without touching blobs.
     * For a REAL pixel resize use [[resizeImageBytes]]. */

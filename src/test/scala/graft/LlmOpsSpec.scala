@@ -346,6 +346,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.sampleVideoFrames(junk, "vid").count() == 0)
   }
 
+  test("visual dedup pipeline: pattern classes separate, same class cosine 1") {
+    val s = spark
+    import s.implicits._
+    // one id per class: all 8 distinct pattern embeddings
+    val ids = (0L until 8L).toDF("id")
+    val emb = Multimodal.decodeImageFeatures(
+      Multimodal.encodeTestPatternPng(ids, "id", 8), "img")
+      .select(col("id"), col("image_features.embedding").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / math.max(na * nb, 1e-12)
+    }
+    // the multimodal_visual_dedup oracle's load-bearing assumption:
+    // every CROSS-class cosine stays far below the 0.999999 threshold
+    // (deterministic patterns + deterministic projection → pin once)
+    for (i <- 0 until 8; j <- i + 1 until 8)
+      assert(cos(emb(i.toLong), emb(j.toLong)) < 0.999,
+        s"classes $i,$j nearly parallel - oracle assumption broken")
+    // and same-class ids decode to bit-identical embeddings
+    val again = Multimodal.decodeImageFeatures(
+      Multimodal.encodeTestPatternPng(Seq(8L, 17L).toDF("id"), "id", 8),
+      "img")
+      .select(col("id"), col("image_features.embedding").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(again(8L).sameElements(emb(0L)) && again(17L).sameElements(emb(1L)))
+  }
+
   test("kmeansCentroids: distributed Lloyd keeps shape; exhaustive stays exact") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val cts = Similarity.kmeansCentroids(t.embeddings, 4, iters = 2)
