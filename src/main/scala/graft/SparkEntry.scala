@@ -1126,6 +1126,22 @@ object SparkEntry {
       |  COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    Q("events_moving_avg_time", (s, dir) => {
+      // time-based trailing window (RANGE frame): per user, mean value
+      // over the last hour of events. Both engines order by integer
+      // epoch micros with a numeric range bound, so frame membership is
+      // exact integer arithmetic — no interval/timezone/nanos drift.
+      Tables(s, dir).events
+        .movingAverageByTime("value", "ts", 3600L * 1000000L,
+          Seq("user_id"), "ma_1h")
+        .select(col("event_id"), col("user_id"),
+          round(col("ma_1h"), 6).as("ma_1h"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""SELECT event_id, user_id,
+      |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS ma_1h
+      |FROM events ORDER BY event_id""".stripMargin)),
+
     // ================= LLM pipeline: text =============================
     Q("text_token_count", (s, dir) => {
       Tables(s, dir).documents

@@ -65,6 +65,23 @@ object Series {
       }
     }
 
+    /** Time-based trailing moving average: mean of `c` over rows whose
+      * event time falls in [t − windowUs, t] within the partition — the
+      * RANGE-frame sibling of the row-count [[movingAverage]], for event
+      * streams where "last hour" matters and row counts don't. Ordering
+      * by epoch micros makes the frame bound exact integer arithmetic
+      * (no interval/timezone drift), and RANGE semantics include ALL
+      * rows tied on the same timestamp in both Spark and any SQL oracle,
+      * so results are deterministic even with duplicate event times.
+      * Same partitioned-window scale shape as the rest of the family:
+      * one hash shuffle, per-partition sort, SortExec spills. */
+    def movingAverageByTime(c: String, tsCol: String, windowUs: Long,
+        partition: Seq[String], as: String): DataFrame = {
+      val w = spec(partition, Seq(unix_micros(col(tsCol))))
+        .rangeBetween(-windowUs, 0)
+      df.withColumn(as, avg(col(c)).over(w))
+    }
+
     /** Running (cumulative) aggregate over the partition. */
     def runningSum(c: String, partition: Seq[String], order: Seq[Column],
         as: String): DataFrame = {

@@ -57,6 +57,32 @@ class SeriesSpec extends AnyFunSuite {
     assert(res.toSeq == Seq(1, 2, 3, 4, 1, 2, 3))
   }
 
+  test("movingAverageByTime: inclusive 1h bound, ties share a frame") {
+    val s = spark
+    import s.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1.0),
+      (1L, ts(30), 3.0),
+      (1L, ts(60), 5.0),   // exactly 1h after the first → still in frame
+      (1L, ts(61), 7.0),   // first row now out of frame
+      (1L, ts(61), 9.0),   // tie: RANGE frame includes BOTH 61-min rows
+      (2L, ts(0), 100.0)   // other partition untouched
+    ).toDF("user_id", "ts", "value")
+    val got = ev.movingAverageByTime("value", "ts", 3600L * 1000000L,
+      Seq("user_id"), "ma")
+      .select(col("user_id"), col("ts"), col("value"), col("ma"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1.0, 1.0),
+      (1L, 3.0, 2.0),              // (1+3)/2
+      (1L, 5.0, 3.0),              // (1+3+5)/3 — boundary row included
+      (1L, 7.0, 6.0),              // (3+5+7+9)/4 — tie partner included
+      (1L, 9.0, 6.0),              // same frame as its tie
+      (2L, 100.0, 100.0)))
+  }
+
   test("spec refuses empty partition keys (scale guard)") {
     intercept[IllegalArgumentException] { Series.spec(Nil, Seq(col("day"))) }
   }
