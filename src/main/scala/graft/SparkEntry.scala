@@ -1143,6 +1143,24 @@ object SparkEntry {
       |FROM events ORDER BY event_id""".stripMargin)),
 
     // ================= LLM pipeline: text =============================
+    Q("text_length_buckets", (s, dir) => {
+      // curriculum/length bucketing: every doc tagged with its exact
+      // token-count decile via rank counts (integer arithmetic, no
+      // global sort of the data — see Agg.rankBuckets). DuckDB derives
+      // the same buckets from first principles with correlated counts.
+      Tables(s, dir).documents
+        .addCols("n_tok" -> tokenCount(col("text")).cast(LongType))
+        .rankBuckets("n_tok", 10)
+        .selectNames(Seq("doc_id", "n_tok", "bucket"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS n_tok
+      |  FROM documents)
+      |SELECT doc_id, n_tok,
+      |  CAST(FLOOR(10 * (SELECT COUNT(*) FROM t t2 WHERE t2.n_tok < t.n_tok) * 1.0
+      |    / (SELECT COUNT(*) FROM t)) AS INTEGER) AS bucket
+      |FROM t ORDER BY doc_id""".stripMargin)),
+
     Q("text_token_count", (s, dir) => {
       Tables(s, dir).documents
         .addCols("n_tok" -> tokenCount(col("text")).cast(LongType),

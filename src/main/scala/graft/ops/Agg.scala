@@ -122,6 +122,38 @@ object Agg {
           cols.map(c => sum(col(c)).as(c)): _*)
     }
 
+    /** Rank-based bucketing for curriculum/length sampling: bucket(x) =
+      * ⌊n · |{rows with score < x}| / N⌋ — every row tagged with its
+      * exact percentile bucket WITHOUT a global sort of the data. Shape:
+      * one groupBy on the score (distinct values only), a window over
+      * that SMALL distinct-value relation to get cumulative counts, and
+      * a broadcast-friendly join back — the 100-TB version of what
+      * `ntile` does with a single-partition global sort. Integer
+      * arithmetic end to end (counts, not interpolated quantiles), so
+      * any engine reproduces it bit-for-bit; ties share a bucket by
+      * construction. Intended for discrete/integer scores (token
+      * counts, rounded quality); a continuous score should be rounded
+      * or bucketed upstream so the distinct-value relation stays small. */
+    def rankBuckets(c: String, n: Int, as: String = "bucket"): DataFrame = {
+      require(n > 0)
+      import org.apache.spark.sql.expressions.Window
+      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      // global window is safe HERE: it runs over distinct score values,
+      // not rows (the same bounded-relation argument as transpose)
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val less = counts
+        .withColumn("__less", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+        .withColumn("__total", sum(col("__cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col(c), col("__less"), col("__total"))
+      df.join(broadcast(less), Seq(c))
+        .withColumn(as,
+          floor(col("__less") * n / col("__total")).cast(IntegerType))
+        .drop("__less", "__total")
+    }
+
     // ---- argmin / argmax whole-row (`minBy`/`maxBy`) -----------------
     /** reference `maxBy(ord)` returns the whole argmax ROW per group
       * (`api/minmaxBy.kt:7-55`). One shuffle: max_by over the packed row

@@ -131,4 +131,17 @@ class AggSpec extends AnyFunSuite {
     assert(math.abs(m(1).getDouble(2) - 1.0) < 1e-9) // corr(weight,weight)
     assert(math.abs(m(0).getDouble(2) - m(1).getDouble(1)) < 1e-9)
   }
+
+  test("rankBuckets: exact rank deciles, ties share a bucket") {
+    val s = spark
+    import s.implicits._
+    // 10 rows, scores 1..10 → bucket(x) = #below(x)·10/10 = rank-1
+    val df = (1 to 10).toDF("v").rankBuckets("v", 10)
+    val got = df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    (1 to 10).foreach(v => assert(got(v) == v - 1, s"score $v"))
+    // ties: 4×a, 4×b, 2×c with n=2 → buckets by cumulative rank counts
+    val t = Seq(1, 1, 1, 1, 5, 5, 5, 5, 9, 9).toDF("v").rankBuckets("v", 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toSet
+    assert(t == Set(1 -> 0, 5 -> 0, 9 -> 1)) // 0·2/10=0, 4·2/10=0, 8·2/10=1
+  }
 }
