@@ -1161,6 +1161,26 @@ object SparkEntry {
       |    / (SELECT COUNT(*) FROM t)) AS INTEGER) AS bucket
       |FROM t ORDER BY doc_id""".stripMargin)),
 
+    Q("text_pack_sequences", (s, dir) => {
+      // sequence packing: docs → ~512-token packs, 8 shards. The whole
+      // assignment is a closed integer formula over (doc_id, n_tok), so
+      // DuckDB re-derives every pack id from first principles.
+      Tables(s, dir).documents
+        .addCols("n_tok" -> tokenCount(col("text")).cast(LongType))
+        .packSequences("doc_id", "n_tok", capacity = 512L, shards = 8)
+        .selectNames(Seq("doc_id", "n_tok", "pack_id"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS n_tok,
+      |  doc_id % 8 AS shard FROM documents),
+      |c AS (SELECT doc_id, n_tok, shard,
+      |  COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM t)
+      |SELECT doc_id, n_tok,
+      |  CAST(FLOOR(pre / 512.0) * 8 + shard AS BIGINT) AS pack_id
+      |FROM c ORDER BY doc_id""".stripMargin)),
+
     Q("text_token_count", (s, dir) => {
       Tables(s, dir).documents
         .addCols("n_tok" -> tokenCount(col("text")).cast(LongType),

@@ -165,6 +165,30 @@ object RowOps {
         .withColumn(as, col("__rn") / size cast LongType).drop("__rn")
     }
 
+    /** Sequence packing for training batches: assign each document to a
+      * pack of ≈`capacity` total tokens. Deterministic greedy contiguous
+      * packing — docs are sharded by `idCol mod shards`, ordered by id
+      * within the shard, and doc d joins pack ⌊preSum(d)/capacity⌋ (the
+      * cumulative token count BEFORE d), so a pack closes once it
+      * crosses the capacity; `pack_id = bin·shards + shard` is globally
+      * unique. Every step is integer arithmetic on a closed formula, so
+      * an independent engine reproduces the exact assignment (oracle
+      * `text_pack_sequences`). Scale shape: the window sorts within
+      * hash-sized shards — `shards` sized to the cluster bounds both
+      * parallelism and per-task sort size; no global sort anywhere. */
+    def packSequences(idCol: String, tokCol: String, capacity: Long,
+        shards: Int, as: String = "pack_id"): DataFrame = {
+      require(capacity > 0 && shards > 0)
+      val shard = pmod(col(idCol), lit(shards.toLong))
+      val w = Window.partitionBy(shard).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__pre", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+        .withColumn(as,
+          (floor(col("__pre") / capacity).cast(LongType) * shards +
+            shard).cast(LongType))
+        .drop("__pre")
+    }
+
     /** reference `api/duplicate.kt` — replicate each row n times. */
     def duplicateRows(n: Int): DataFrame =
       df.withColumn("__dup", explode(lit((1 to n).toArray))).drop("__dup")

@@ -103,4 +103,21 @@ class RowOpsSpec extends AnyFunSuite {
     assert(res.schema("age").dataType ==
       org.apache.spark.sql.types.LongType)
   }
+
+  test("packSequences: greedy contiguous packs close after crossing capacity") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 100L),
+      (5L, 500L)).toDF("doc_id", "n_tok")
+    // shards=2: shard1 = ids 1,3,5 (pre 0,300,600 → bins 0,0,1);
+    //           shard0 = ids 2,4   (pre 0,300   → bins 0,0)
+    val got = docs.packSequences("doc_id", "n_tok", capacity = 512L,
+        shards = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 3L, 2L -> 0L, 4L -> 0L))
+    // law: a pack's pre-sum window spans < capacity before its last doc
+    val one = docs.packSequences("doc_id", "n_tok", 512L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
 }
