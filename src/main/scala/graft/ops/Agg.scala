@@ -147,11 +147,13 @@ object Agg {
         .withColumn("__total", sum(col("__cnt")).over(
           Window.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))
-        .select(col(c), col("__less"), col("__total"))
-      df.join(broadcast(less), Seq(c))
+        .select(col(c).as("__key"), col("__less"), col("__total"))
+      // null-safe join key: a null score is a legitimate rank position
+      // (sorted first), and an EqualTo join would silently DROP those rows
+      df.join(broadcast(less), col(c) <=> col("__key"))
         .withColumn(as,
           floor(col("__less") * n / col("__total")).cast(IntegerType))
-        .drop("__less", "__total")
+        .drop("__key", "__less", "__total")
     }
 
     // ---- argmin / argmax whole-row (`minBy`/`maxBy`) -----------------

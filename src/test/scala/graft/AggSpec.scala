@@ -143,5 +143,12 @@ class AggSpec extends AnyFunSuite {
     val t = Seq(1, 1, 1, 1, 5, 5, 5, 5, 9, 9).toDF("v").rankBuckets("v", 2)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toSet
     assert(t == Set(1 -> 0, 5 -> 0, 9 -> 1)) // 0·2/10=0, 4·2/10=0, 8·2/10=1
+    // null scores rank first and are NOT dropped (null-safe join key)
+    val withNull = Seq[Option[Int]](None, Some(3), Some(7)).toDF("v")
+      .rankBuckets("v", 3)
+    assert(withNull.count() == 3)
+    val nb = withNull.collect()
+      .map(r => Option(r.get(0)) -> r.getInt(1)).toMap
+    assert(nb(None) == 0 && nb(Some(3)) == 1 && nb(Some(7)) == 2)
   }
 }
