@@ -1181,6 +1181,44 @@ object SparkEntry {
       |  CAST(FLOOR(pre / 512.0) * 8 + shard AS BIGINT) AS pack_id
       |FROM c ORDER BY doc_id""".stripMargin)),
 
+    Q("text_repetition", (s, dir) => {
+      // Gopher/C4-style repetition filters: top-bigram share + longest
+      // consecutive token run, exact integer counts in both engines
+      // (gaps-and-islands for runs). Ratio precision note: docs here
+      // have ≤ ~100 bigrams, so the fraction terminates within 6
+      // decimals for every power-of-two denominator — round(6) is
+      // boundary-safe (see graft-pitfalls rounding convention).
+      graft.functions.TextFunctions.repetitionStats(
+          Tables(s, dir).documents, "text", "doc_id")
+        .select(col("id").as("doc_id"),
+          round(col("top_bigram_fraction"), 6).as("top_bigram_fraction"),
+          col("max_token_run"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(toks) AS tok,
+      |  generate_subscripts(toks, 1) AS pos FROM t),
+      |bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+      |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |bf AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS tbf FROM (
+      |    SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram)
+      |  GROUP BY doc_id),
+      |runs AS (SELECT doc_id, MAX(c) AS mr FROM (
+      |    SELECT doc_id, tok, grp, COUNT(*) AS c FROM (
+      |      SELECT doc_id, tok,
+      |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+      |      FROM tk)
+      |    GROUP BY doc_id, tok, grp)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  ROUND(COALESCE(bf.tbf, 0), 6) AS top_bigram_fraction,
+      |  CAST(COALESCE(runs.mr, 0) AS BIGINT) AS max_token_run
+      |FROM documents d
+      |LEFT JOIN bf ON d.doc_id = bf.doc_id
+      |LEFT JOIN runs ON d.doc_id = runs.doc_id
+      |ORDER BY d.doc_id""".stripMargin)),
+
     Q("text_token_count", (s, dir) => {
       Tables(s, dir).documents
         .addCols("n_tok" -> tokenCount(col("text")).cast(LongType),

@@ -119,4 +119,51 @@ object TextFunctions {
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", t)))
   }
+
+  /** Repetition quality stats (the Gopher/C4 family of repetition
+    * filters, token-level): per document,
+    *  - `top_bigram_fraction` — share of all word bigrams taken by the
+    *    most frequent one (boilerplate/listicle detector; Gopher drops
+    *    docs above ~0.2);
+    *  - `max_token_run` — longest run of the SAME token repeated
+    *    consecutively (elision/stutter detector).
+    * Fully distributed: tokens are exploded once, bigram mode is a
+    * groupBy count, runs use the gaps-and-islands window (pos −
+    * row_number per (doc, token) — consecutive equal tokens share a
+    * group id). All windows partition by document, so no global sort;
+    * both stats are exact integer counts an independent engine
+    * re-derives from first principles (oracle `text_repetition`).
+    * Docs with < 2 tokens report fraction 0.0. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val bigrams = df.select(col(idCol).as("id"),
+        explode(shinglesStrict(col(textCol), 2)).as("gram"))
+      .groupBy("id", "gram").count()
+      .groupBy("id").agg(
+        (max(col("count")).cast(DoubleType) /
+          sum(col("count")).cast(DoubleType)).as("top_bigram_fraction"))
+    val w = Window.partitionBy(col("id"), col("tok")).orderBy(col("pos"))
+    val runs = tok
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "tok", "grp").count()
+      .groupBy("id").agg(max(col("count")).as("max_token_run"))
+    df.select(col(idCol).as("id"))
+      .join(bigrams, Seq("id"), "left")
+      .join(runs, Seq("id"), "left")
+      .na.fill(0.0, Seq("top_bigram_fraction"))
+      .na.fill(0L, Seq("max_token_run"))
+  }
+
+  /** Like [[shingles]] but EMPTY (not whole-text) below n tokens —
+    * repetition fractions need "no bigrams" to mean 0, not 1. */
+  private def shinglesStrict(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
 }

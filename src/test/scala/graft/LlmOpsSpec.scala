@@ -123,6 +123,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(res.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
   }
 
+  test("repetitionStats: top-bigram share and gaps-and-islands runs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams ab,ba,ab,ba,ab → top 3/5; runs all 1
+      (2L, "x x x y"),       // run of 3 x; bigrams xx,xx,xy → top 2/3
+      (3L, "solo"),          // < 2 tokens → fraction 0, run 1
+      (4L, "")               // no tokens → fraction 0, run 0
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .repetitionStats(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1) * 1e6).round / 1e6, r.getLong(2))).toMap
+    assert(got(1L) == (0.6, 1L))
+    assert(got(2L) == ((2.0 / 3 * 1e6).round / 1e6, 3L))
+    assert(got(3L) == (0.0, 1L))
+    assert(got(4L) == (0.0, 0L))
+  }
+
   test("ngramJaccard: identical→1, disjoint→0") {
     val s = spark
     import s.implicits._
