@@ -1219,6 +1219,29 @@ object SparkEntry {
       |LEFT JOIN runs ON d.doc_id = runs.doc_id
       |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("text_decontaminate", (s, dir) => {
+      // train/benchmark n-gram decontamination: every corpus doc tagged
+      // with the count of distinct 5-grams it shares with the benchmark
+      // slice (doc_id % 50 == 0). Spark joins on 64-bit shingle hashes
+      // (skinny fixed-width keys); DuckDB re-derives the counts from the
+      // gram STRINGS — same result absent a 2^-64 collision.
+      val docs = Tables(s, dir).documents
+      val bench = docs.filterRows(col("doc_id") % 50 === 0)
+      Dedup.ngramContamination(docs, bench, "text", "doc_id", n = 5)
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(len(tk) - 4),
+      |  i -> array_to_string(tk[i+1:i+5], ' '))) AS gs FROM t),
+      |cg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+      |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+      |hits AS (SELECT cg.doc_id, COUNT(*) AS sn FROM cg
+      |  JOIN bg ON cg.gram = bg.gram GROUP BY cg.doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(hits.sn, 0) AS BIGINT) AS shared_ngrams
+      |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      |ORDER BY d.doc_id""".stripMargin)),
+
     Q("text_token_count", (s, dir) => {
       Tables(s, dir).documents
         .addCols("n_tok" -> tokenCount(col("text")).cast(LongType),

@@ -258,6 +258,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** n-gram decontamination: for every corpus doc, count the DISTINCT
+    * word n-grams it shares with ANY benchmark doc — the standard
+    * train/test-overlap check run before pretraining (drop or flag docs
+    * with `shared_ngrams > 0`). Scale shape: both sides explode to
+    * skinny (id, shingle-hash) pairs — distinct per side, inner-joined
+    * on the 64-bit hash (fixed-width key, never the string), then one
+    * groupBy on the corpus id. The benchmark side is typically tiny
+    * relative to the corpus; Catalyst broadcasts it when its stats
+    * allow. Every corpus doc is returned (left join), `shared_ngrams =
+    * 0` for clean docs. Joining on hashes rather than strings is exact
+    * up to 64-bit collisions (~2⁻⁶⁴ per candidate pair) — the
+    * `text_decontaminate` oracle re-derives the counts from the strings
+    * and has never disagreed. */
+  def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    def grams(df: DataFrame, id: String): DataFrame = df
+      .select(col(id), explode(array_distinct(
+        nf.shingleHashes(tokens(col(textCol)), n))).as("__g"))
+    val corpusGrams = grams(corpus, idCol)
+    val benchGrams  = grams(benchmark, idCol)
+      .select(col("__g")).distinct()
+    val hits = corpusGrams.join(benchGrams, Seq("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("shared_ngrams"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("shared_ngrams"))
+  }
+
   /** Hard ceiling on the input row count for [[simhashBruteForcePairs]]:
     * the all-pairs differential is O(n²) by construction and exists only
     * to verify the pigeonhole path on test-scale corpora. Same fail-fast

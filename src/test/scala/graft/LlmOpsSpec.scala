@@ -142,6 +142,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(4L) == (0.0, 0L))
   }
 
+  test("ngramContamination counts distinct shared n-grams, 0 for clean") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 3-grams w/ bench
+      (2L, "one two three four five six seven"),   // clean
+      (3L, "alpha beta gamma delta q r")           // shares 2 of bench's
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon")     // 3 distinct 3-grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(corpus, bench, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares all 3 bench grams; doc 3 shares the first 2; doc 2 none
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
+  }
+
   test("ngramJaccard: identical→1, disjoint→0") {
     val s = spark
     import s.implicits._
