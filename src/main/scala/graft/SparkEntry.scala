@@ -1242,6 +1242,41 @@ object SparkEntry {
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("sample_mixture", (s, dir) => {
+      // deterministic weighted corpus mixture: "web" slice at 0.8,
+      // "books" slice at 0.3, closed-form selector — DuckDB reproduces
+      // the exact kept-row set with the same integer arithmetic
+      val docs = Tables(s, dir).documents
+      graft.ops.Sampling.mixCorpora(Seq(
+          (docs.filterRows(col("doc_id") < 250), 0.8, "web"),
+          (docs.filterRows(col("doc_id") >= 250), 0.3, "books")),
+        "doc_id")
+        .selectNames(Seq("doc_id", "source"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  CASE WHEN doc_id < 250 THEN 'web' ELSE 'books' END AS source
+      |FROM documents
+      |WHERE ((doc_id % 1048576) * 2654435761) % 1000000 <
+      |  CASE WHEN doc_id < 250 THEN 800000 ELSE 300000 END
+      |ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_stratified", (s, dir) => {
+      // exact 3-per-stratum sample over doc_id % 5 strata, ranked by the
+      // deterministic selector — both engines pick identical rows
+      graft.ops.Sampling.stratifiedSampleExact(
+          Tables(s, dir).documents
+            .addCols("stratum" -> (col("doc_id") % 5)),
+          Seq("stratum"), k = 3, "doc_id")
+        .selectNames(Seq("stratum", "sample_rank", "doc_id"))
+        .sortByKeys(SortKey("stratum"), SortKey("sample_rank"))
+    }, Some("""SELECT stratum, sample_rank, doc_id FROM (
+      |  SELECT doc_id, doc_id % 5 AS stratum,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 5
+      |      ORDER BY ((doc_id % 1048576) * 2654435761) % 1000000, doc_id)
+      |      AS INTEGER) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 3 ORDER BY stratum, sample_rank""".stripMargin)),
+
     Q("text_token_count", (s, dir) => {
       Tables(s, dir).documents
         .addCols("n_tok" -> tokenCount(col("text")).cast(LongType),

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: corpus mixing by
+  * weight and exact per-stratum sampling. Everything here is a CLOSED
+  * INTEGER FORMULA over the row id — no RNG state, no
+  * partition-order dependence — so a mixture is exactly reproducible
+  * across engines, re-runs, and cluster sizes, and an independent
+  * engine can audit precisely which rows were kept (oracles
+  * `sample_mixture`, `sample_stratified`).
+  *
+  * The selector is a Knuth multiplicative hash of the id, reduced
+  * before the multiply so the product never overflows a signed 64-bit
+  * in engines that check overflow (DuckDB): ids are assumed
+  * non-negative (synthetic and snowflake-style ids are).
+  */
+object Sampling {
+
+  /** Deterministic Bernoulli keep-test at `rate` ∈ [0, 1]:
+    * keep ⇔ ((id mod 2²⁰) · 2654435761) mod 10⁶ < rate·10⁶. */
+  def keepFraction(id: Column, rate: Double): Column = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    pmod(pmod(id, lit(1048576L)) * lit(2654435761L), lit(1000000L)) <
+      lit(math.round(rate * 1e6))
+  }
+
+  /** Weighted corpus mixture: each source downsampled to its rate with
+    * the deterministic selector, tagged with its name, unioned by name
+    * with type widening. One scan per source, no shuffle beyond what
+    * the union's consumers ask for. */
+  def mixCorpora(sources: Seq[(DataFrame, Double, String)], idCol: String)
+      : DataFrame = {
+    require(sources.nonEmpty)
+    graft.core.TypeWidening.unionByNameWide(sources.map {
+      case (df, rate, tag) =>
+        df.filter(keepFraction(col(idCol), rate))
+          .withColumn("source", lit(tag))
+    })
+  }
+
+  /** Exact k-per-stratum sample: within each stratum, rows are ranked by
+    * (selector(id), id) — a deterministic pseudo-random total order —
+    * and the first k kept. One hash shuffle on the strata keys; every
+    * engine picks the IDENTICAL rows. */
+  def stratifiedSampleExact(df: DataFrame, strata: Seq[String], k: Int,
+      idCol: String, as: String = "sample_rank"): DataFrame = {
+    require(k > 0 && strata.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val sel = pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L),
+      lit(1000000L))
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(sel, col(idCol))
+    df.withColumn(as, row_number().over(w)).filter(col(as) <= k)
+  }
+}

@@ -159,6 +159,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("sampling: deterministic mixture rates and exact k-per-stratum") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Sampling
+    val ids = s.range(10000).toDF("id")
+    // deterministic: same call twice → identical kept set
+    val a = Sampling.mixCorpora(Seq((ids, 0.3, "x")), "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixCorpora(Seq((ids, 0.3, "x")), "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // rate is honored within a small tolerance on 10k ids
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.02, s"kept ${a.size}")
+    // stratified: exactly k rows per stratum, ranks 1..k, deterministic
+    val strat = Sampling.stratifiedSampleExact(
+      ids.withColumn("g", col("id") % 7), Seq("g"), 4, "id")
+    val perG = strat.groupBy("g").count().collect().map(_.getLong(1))
+    assert(perG.length == 7 && perG.forall(_ == 4))
+    val ranks = strat.filter(col("g") === 0)
+      .select("sample_rank").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("ngramJaccard: identical→1, disjoint→0") {
     val s = spark
     import s.implicits._
