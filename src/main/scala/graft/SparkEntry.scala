@@ -1288,6 +1288,27 @@ object SparkEntry {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("sql_text_stats", (s, dir) => {
+      // SQL surface (SparkSessionExtensions.injectFunction): the native
+      // TextStats kernel called from a query STRING — same codegen'd plan
+      // as the DataFrame path (ExtensionsSpec pins parity + codegen).
+      // Self-register for sessions not built with .withExtensions.
+      org.apache.spark.sql.graftnative.SqlFunctions.register(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
+      s.sql("""SELECT doc_id,
+        |  CAST(st.ntok AS BIGINT) AS n_tok,
+        |  CAST(st.chars AS BIGINT) AS n_chars,
+        |  CAST(st.en AS BIGINT) AS en_hits
+        |FROM (SELECT doc_id, graft_text_stats(text) AS st
+        |      FROM graft_sql_documents)
+        |ORDER BY doc_id""".stripMargin)
+    }, Some("""SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS n_tok,
+      |  length(text) AS n_chars,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) AS en_hits
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("text_word_stats", (s, dir) => {
       // mean word length straight off the fused TextStats scan
       Tables(s, dir).documents

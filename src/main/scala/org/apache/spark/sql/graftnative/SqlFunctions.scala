@@ -1,0 +1,87 @@
+// Shim package (see NativeExpressions.scala) — needs private[sql]
+// FunctionRegistry access for runtime registration.
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the graft native expressions: registered through
+  * `SparkSessionExtensions.injectFunction` (config
+  * `spark.sql.extensions=...` or `.withExtensions(GraftExtensions.inject)`),
+  * so `spark.sql("SELECT graft_text_stats(text).ntok ...")` plans the same
+  * codegen'd Catalyst kernels as the DataFrame API — no UDF wrapping, same
+  * whole-stage fusion. Mirrors the reference's ability to run its operator
+  * surface from query strings while staying Spark-native.
+  */
+object SqlFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(SqlFunctions.getClass.getCanonicalName, null, name,
+      usage, "", "", "", "", "", "", "built-in")
+
+  private def requireArity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+
+  /** Static int parameters (hash counts, shingle widths) must be literals:
+    * they size codegen'd arrays, so a non-literal can't be planned. */
+  private def intLit(name: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: $arg must be an INT literal, got $other")
+  }
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_text_stats"),
+      info("graft_text_stats",
+        "graft_text_stats(text) - one-pass chars/punct/ntok/wlen/lang-hit stats struct"),
+      args => { requireArity("graft_text_stats", args, 1)
+        TextStats(args.head) }),
+
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(array<long>) - 64-bit simhash over token hashes"),
+      args => { requireArity("graft_simhash64", args, 1)
+        SimHash64(args.head) }),
+
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine",
+        "graft_cosine(array<float>, array<float>) - cosine similarity"),
+      args => { requireArity("graft_cosine", args, 2)
+        CosineSimilarity(args(0), args(1)) }),
+
+    (FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(array<string>, n) - distinct xxhash64 of word n-grams"),
+      args => { requireArity("graft_shingle_hashes", args, 2)
+        ShingleHashes(args(0),
+          intLit("graft_shingle_hashes", "n", args(1))) }),
+
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(array<string>, numHashes) - minhash signature of shingle set"),
+      args => { requireArity("graft_minhash", args, 2)
+        MinHashSignature(args(0),
+          intLit("graft_minhash", "numHashes", args(1))) }),
+
+    (FunctionIdentifier("graft_minhash_from_longs"),
+      info("graft_minhash_from_longs",
+        "graft_minhash_from_longs(array<long>, numHashes) - minhash signature of pre-hashed shingles"),
+      args => { requireArity("graft_minhash_from_longs", args, 2)
+        MinHashFromLongs(args(0),
+          intLit("graft_minhash_from_longs", "numHashes", args(1))) }))
+
+  /** Runtime registration for sessions not built with `.withExtensions`
+    * (mirrors `GraftExtensions.topKPerGroup`'s self-register). Idempotent:
+    * `registerFunction` overwrites. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, fnInfo, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fnInfo, builder)
+    }
+}

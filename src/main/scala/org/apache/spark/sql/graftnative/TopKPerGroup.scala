@@ -94,9 +94,14 @@ object GraftStrategy extends SparkStrategy {
 object GraftExtensions {
   /** Wire into a session builder:
     * `.withExtensions(GraftExtensions.inject)` (done by
-    * `graft.GraftSession.build`). */
-  val inject: org.apache.spark.sql.SparkSessionExtensions => Unit =
-    e => e.injectPlannerStrategy(_ => GraftStrategy)
+    * `graft.GraftSession.build`), or externally via
+    * `spark.sql.extensions=org.apache.spark.sql.graftnative.GraftSqlExtensions`.
+    * Injects the heap top-k planner strategy AND the SQL function surface
+    * (`graft_text_stats`, `graft_simhash64`, ... — see [[SqlFunctions]]). */
+  val inject: org.apache.spark.sql.SparkSessionExtensions => Unit = { e =>
+    e.injectPlannerStrategy(_ => GraftStrategy)
+    SqlFunctions.functions.foreach(e.injectFunction)
+  }
 
   /** Top-k rows per group by descending numeric score, heap-executed.
     * Columns are referenced by NAME and resolved against the child's
@@ -118,4 +123,14 @@ object GraftExtensions {
     val plan = TopKPerGroup(groupCols.map(attr), attr(score), k, analyzed)
     org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
   }
+}
+
+/** Config-file entry point: `spark.sql.extensions=org.apache.spark.sql.graftnative.GraftSqlExtensions`
+  * installs the library into ANY session (spark-submit, thrift server,
+  * notebooks) with no code change — the idiomatic way to ship a Spark
+  * library to a 1000-executor cluster. */
+class GraftSqlExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.inject(e)
 }

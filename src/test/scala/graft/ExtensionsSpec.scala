@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.graftnative.{NativeFunctions, SqlFunctions}
+
+/** SQL function surface (SparkSessionExtensions.injectFunction): every
+  * graft native expression is callable from `spark.sql(...)` and plans the
+  * SAME Catalyst kernel as the DataFrame API — checked by value parity and
+  * by the codegen pin (no UDF wrapping, no fallback). */
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val docs = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.createOrReplaceTempView("ext_docs")
+    d
+  }
+
+  test("graft_text_stats: SQL path matches the DataFrame API path") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_text_stats(text) AS st FROM ext_docs""")
+    val viaApi = docs.select(col("doc_id"),
+      NativeFunctions.textStats(col("text")).as("st"))
+    assert(viaSql.orderBy("doc_id").collect().toSeq ===
+      viaApi.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("graft_shingle_hashes + graft_minhash + graft_simhash64 parity") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_minhash_from_longs(
+        |    graft_shingle_hashes(split(lower(text), '\\W+'), 3), 16) AS mh,
+        |  graft_simhash64(
+        |    graft_shingle_hashes(split(lower(text), '\\W+'), 1)) AS sh
+        |FROM ext_docs""".stripMargin)
+    val toks = split(lower(col("text")), "\\W+")
+    val viaApi = docs.select(col("doc_id"),
+      NativeFunctions.minhashFromLongs(
+        NativeFunctions.shingleHashes(toks, 3), 16).as("mh"),
+      NativeFunctions.simhash64(
+        NativeFunctions.shingleHashes(toks, 1)).as("sh"))
+    assert(viaSql.orderBy("doc_id").collect().toSeq ===
+      viaApi.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("graft_minhash (string shingles) and graft_cosine work from SQL") {
+    val r = spark.sql(
+      """SELECT graft_minhash(array('a b c', 'b c d'), 4) AS mh,
+        |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos
+        |""".stripMargin).collect().head
+    assert(r.getSeq[Long](0).length === 4)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("static int parameters must be literals (fail-fast at analysis)") {
+    docs
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_minhash_from_longs(array(1L), CAST(doc_id AS INT)) FROM ext_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("INT literal"), e.getMessage)
+  }
+
+  test("wrong arity fails fast") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash64(array(1L), 2) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("expects 1 argument"), e.getMessage)
+  }
+
+  test("SQL-path expressions stay inside whole-stage codegen") {
+    docs // ensure view
+    val p = spark.sql(
+      """SELECT doc_id, graft_text_stats(text).ntok AS ntok FROM ext_docs""")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(1000))
+    assert(!p.contains("CodegenFallback"), p.take(1000))
+  }
+
+  test("runtime register() is idempotent and keeps the surface callable") {
+    SqlFunctions.register(spark)
+    SqlFunctions.register(spark)
+    val got = spark.sql("SELECT graft_simhash64(array(7L)) AS h")
+      .collect().head.getLong(0)
+    val expected = spark.range(1)
+      .select(NativeFunctions.simhash64(lit(Array(7L))).as("h"))
+      .collect().head.getLong(0)
+    assert(got === expected)
+  }
+}
