@@ -1444,6 +1444,30 @@ object SparkEntry {
         .aggAll(Seq(count(lit(1)).as("mismatches")))
     }, Some("SELECT CAST(0 AS BIGINT) AS mismatches")),
 
+    Q("dedup_paragraphs", (s, dir) => {
+      // keep-first span dedup (RefinedWeb-style paragraph dedup; spans =
+      // 10-word chunks since the synthetic corpus has no paragraph breaks)
+      Dedup.chunkDedup(Tables(s, dir).documents, "text", "doc_id",
+          chunkWords = 10)
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, (pos-1)//10 AS idx,
+      |         string_agg(word, ' ' ORDER BY pos) AS chunk
+      |  FROM w GROUP BY doc_id, (pos-1)//10),
+      |k AS (
+      |  SELECT doc_id, idx, chunk,
+      |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      |  FROM c)
+      |SELECT doc_id,
+      |  coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn=1), '') AS text_dedup,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_ngram_jaccard", (s, dir) => {
       Tables(s, dir).documents
         .addCols("jaccard" -> round(Dedup.ngramJaccard(col("text"),

@@ -346,4 +346,64 @@ object Dedup {
         Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  // ---- paragraph / span dedup -----------------------------------------
+  /** Paragraph-level keep-first dedup (the RefinedWeb/CCNet move: drop a
+    * repeated paragraph EVERYWHERE except its first occurrence, so
+    * boilerplate shared across documents — headers, licence blocks,
+    * navigation chrome — is removed while each document keeps its unique
+    * content). "First" is the global (id, position) order, which is
+    * deterministic and engine-independent.
+    *
+    * `splitRegex` cuts the text into paragraphs (default "\n{2,}"); for
+    * wall-of-text corpora with no newlines, [[chunkDedup]] fixes the span
+    * boundary at every `k` words instead. Reassembly joins kept spans with
+    * a single `joiner` — corpus-pipeline convention (exact inter-paragraph
+    * whitespace is not preserved).
+    *
+    * Scale shape: one shuffle clustering identical spans (window over the
+    * span content — content-collision-free; swap in a 256-bit key to
+    * shuffle hashes instead of text if span text dwarfs it), then one
+    * groupBy(id) to reassemble. Both are hash shuffles; no global sort,
+    * no cross join, span tuples are skinny (id, idx, span).
+    */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      splitRegex: String = "\n{2,}", joiner: String = "\n\n"): DataFrame =
+    spanDedup(df, split(col(textCol), splitRegex), idCol, joiner)
+
+  /** [[paragraphDedup]] with span = every `chunkWords` consecutive words —
+    * the span definition that works for corpora without paragraph breaks
+    * (and the one the oracle checks on the synthetic docs). */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkDedup: chunkWords must be > 0")
+    val words = split(col(textCol), " ")
+    val nChunks = floor((size(words) + lit(chunkWords - 1)) /
+      lit(chunkWords)).cast(IntegerType)
+    val chunks = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => array_join(slice(words, i * chunkWords + 1, lit(chunkWords)), " "))
+    spanDedup(df, chunks, idCol, " ")
+  }
+
+  /** Core keep-first span dedup over a ready array-of-spans column.
+    * Returns (id, text_dedup, n_spans, n_kept). */
+  def spanDedup(df: DataFrame, spans: Column, idCol: String,
+      joiner: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode(spans).as(Seq("__idx", "__span")))
+    // keep-first mark: rank occurrences of identical span content by the
+    // global (id, position) order — rank 1 is the survivor
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__span")).orderBy(col(idCol), col("__idx"))
+    exploded
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("__idx"), col("__span"))))),
+          s => s.getField("__span")), joiner).as("text_dedup"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+  }
 }

@@ -455,4 +455,48 @@ class LlmOpsSpec extends AnyFunSuite {
       nlist = 4, nprobe = 4, kmeansIters = 2))
     assert(ivf == bf, "kmeans exhaustive probing must equal brute force")
   }
+
+  test("paragraphDedup: repeated paragraph survives only at first occurrence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "unique alpha\n\nshared boilerplate\n\nunique beta"),
+      (2L, "shared boilerplate\n\nunique gamma"),
+      (3L, "unique delta\n\nshared boilerplate")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out(0) === ((1L,
+      "unique alpha\n\nshared boilerplate\n\nunique beta", 3L, 3L)))
+    assert(out(1) === ((2L, "unique gamma", 2L, 1L)))
+    assert(out(2) === ((3L, "unique delta", 2L, 1L)))
+  }
+
+  test("paragraphDedup: within-document repeats also collapse; all-dup doc goes empty") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "same para\n\nsame para\n\nother"),
+      (2L, "same para")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "same para\n\nother")
+    assert(out(1).getString(1) === "")
+    assert(out(1).getLong(3) === 0L)
+  }
+
+  test("chunkDedup: ragged tail chunk is its own span") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "d e")).toDF("doc_id", "text")
+    // chunkWords=2 → doc1 spans: "a b","c d","e"; doc2: "d e" (distinct
+    // from doc1's "c d"/"e" — boundaries matter, not bag-of-words)
+    val out = Dedup.chunkDedup(df, "text", "doc_id", chunkWords = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "a b c d e")
+    assert(out(1).getString(1) === "d e")
+  }
 }
