@@ -1309,6 +1309,44 @@ object SparkEntry {
       |    x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) AS en_hits
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("text_pii_scrub", (s, dir) => {
+      // PII scrub: the synthetic corpus carries no PII, so both engines
+      // weave a deterministic email/ip/phone into each doc from doc_id,
+      // then count and redact — exercising detection AND replacement on
+      // the full text. Pure scan-side expressions, no shuffle.
+      val id = col("doc_id")
+      val raw = concat(col("source"), lit(" reach me at user"),
+        id.cast(StringType), lit("@mail.example or 10."),
+        (id % 256).cast(StringType), lit(".0."),
+        ((id * 7) % 256).cast(StringType), lit(" call 555-"),
+        lpad((id % 1000).cast(StringType), 3, "0"), lit("-"),
+        lpad(((id * 37) % 10000).cast(StringType), 4, "0"),
+        lit(" "), col("text"))
+      Tables(s, dir).documents
+        .select(id, raw.as("raw"))
+        .select(id, piiStats(col("raw")).as("st"),
+          scrubPii(col("raw")).as("scrubbed"))
+        .select(id, col("st.emails").as("n_email"), col("st.ips").as("n_ip"),
+          col("st.phones").as("n_phone"), col("scrubbed"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH p AS (SELECT doc_id,
+      |  source || ' reach me at user' || CAST(doc_id AS VARCHAR)
+      |    || '@mail.example or 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |    || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |    || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |    || '-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+      |    || ' ' || text AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+      |FROM p ORDER BY doc_id""".stripMargin)),
+
     Q("text_word_stats", (s, dir) => {
       // mean word length straight off the fused TextStats scan
       Tables(s, dir).documents

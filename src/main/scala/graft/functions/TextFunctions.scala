@@ -110,6 +110,32 @@ object TextFunctions {
   /** Stronger 256-bit content key when collision resistance matters. */
   def contentKey(c: Column): Column = sha2(normalizeText(c), 256)
 
+  // ---- PII --------------------------------------------------------------
+  /** PII patterns chosen from the RE2-compatible regex subset (no
+    * lookaround, no backreferences) so an independent engine reproduces
+    * match-for-match; leftmost-first + greedy semantics agree between
+    * java.util.regex and RE2 for these. Pure scan-side string expressions:
+    * codegen'd, no shuffle — the shape a 100 TB scrub pass needs. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Per-document PII match counts (emails, ipv4s, phones). */
+  def piiStats(c: Column): Column = struct(
+    regexp_count(c, lit(EmailPattern)).cast(LongType).as("emails"),
+    regexp_count(c, lit(Ipv4Pattern)).cast(LongType).as("ips"),
+    regexp_count(c, lit(PhonePattern)).cast(LongType).as("phones"))
+
+  /** Redact PII in place with typed placeholders. Emails first: their
+    * local/domain parts can contain digit runs the narrower patterns
+    * would then half-match. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Word n-gram shingles (dedup building block). Safe on short texts:
     * fewer than n tokens → single shingle of the whole text. */
   def shingles(c: Column, n: Int): Column = {

@@ -456,6 +456,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivf == bf, "kmeans exhaustive probing must equal brute force")
   }
 
+  test("piiStats/scrubPii: counts and typed placeholders; email eats its digits first") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "mail a.b-c%d@sub.domain.org and 192.168.0.1 then 555-123-4567 twice 555-000-9999",
+      "no pii here",
+      "u@10.0.0.1 is not an email but holds an ip"
+    ).toDF("t")
+    val out = df.select(piiStats($"t").as("st"), scrubPii($"t").as("sc"))
+      .select($"st.emails", $"st.ips", $"st.phones", $"sc").collect()
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 1L &&
+      out(0).getLong(2) === 2L)
+    assert(out(0).getString(3) ===
+      "mail <EMAIL> and <IP> then <PHONE> twice <PHONE>")
+    assert(out(1).getString(3) === "no pii here")
+    // numeric-TLD "domain" is not an email; the ip inside still scrubs
+    assert(out(2).getLong(0) === 0L && out(2).getLong(1) === 1L)
+    assert(out(2).getString(3) === "u@<IP> is not an email but holds an ip")
+  }
+
   test("paragraphDedup: repeated paragraph survives only at first occurrence") {
     val s = spark
     import s.implicits._
