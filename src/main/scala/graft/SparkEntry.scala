@@ -1309,6 +1309,18 @@ object SparkEntry {
       |    x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'], x))) AS en_hits
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("text_vocab_topk", (s, dir) => {
+      // corpus vocabulary: top-50 words by term frequency + doc frequency
+      vocabulary(Tables(s, dir).documents, "text", "doc_id", 50)
+        .sortByKeys(SortKey("tf", desc = true), SortKey("word"))
+    }, Some("""WITH w AS (SELECT doc_id,
+      |  unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) AS word
+      |  FROM documents)
+      |SELECT word, CAST(count(*) AS BIGINT) AS tf,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM w GROUP BY word ORDER BY tf DESC, word LIMIT 50""".stripMargin)),
+
     Q("text_pii_scrub", (s, dir) => {
       // PII scrub: the synthetic corpus carries no PII, so both engines
       // weave a deterministic email/ip/phone into each doc from doc_id,

@@ -110,6 +110,23 @@ object TextFunctions {
   /** Stronger 256-bit content key when collision resistance matters. */
   def contentKey(c: Column): Column = sha2(normalizeText(c), 256)
 
+  /** Corpus vocabulary: top-k words by total term frequency, with
+    * document frequency alongside (the IDF building block; also the
+    * tokenizer-training first pass). Shape: explode → one hash shuffle
+    * with map-side partial counts → TakeOrderedAndProject for the top-k
+    * (never a global sort; only k rows reach the driver side of the
+    * plan). Tie-break on the word itself keeps the cut deterministic. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "vocabulary: k must be > 0")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(k)
+  }
+
   // ---- PII --------------------------------------------------------------
   /** PII patterns chosen from the RE2-compatible regex subset (no
     * lookaround, no backreferences) so an independent engine reproduces
