@@ -386,11 +386,21 @@ object Dedup {
   }
 
   /** Core keep-first span dedup over a ready array-of-spans column.
-    * Returns (id, text_dedup, n_spans, n_kept). */
+    * Returns (id, text_dedup, n_spans, n_kept). A NULL (or empty) spans
+    * cell is coalesced to a single empty span so every input id appears
+    * in the output (text_dedup = "" or the shared empty survivor) rather
+    * than vanishing through posexplode-of-null. `__idx`/`__span`/`__rn`
+    * are reserved helper names; the id column may not use them. */
   def spanDedup(df: DataFrame, spans: Column, idCol: String,
       joiner: String): DataFrame = {
+    require(!Set("__idx", "__span", "__rn").contains(idCol),
+      s"spanDedup: id column '$idCol' clashes with a reserved helper name")
+    val safeSpans = {
+      val s = coalesce(spans, array(lit("")))
+      when(size(s) === 0, array(lit(""))).otherwise(s)
+    }
     val exploded = df
-      .select(col(idCol), posexplode(spans).as(Seq("__idx", "__span")))
+      .select(col(idCol), posexplode(safeSpans).as(Seq("__idx", "__span")))
     // keep-first mark: rank occurrences of identical span content by the
     // global (id, position) order — rank 1 is the survivor
     val w = org.apache.spark.sql.expressions.Window

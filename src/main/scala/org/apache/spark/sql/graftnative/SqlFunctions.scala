@@ -33,6 +33,10 @@ object SqlFunctions {
     * they size codegen'd arrays, so a non-literal can't be planned. */
   private def intLit(name: String, arg: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    // analysis-time-foldable int expressions (CAST(2 AS INT), 1+1) arrive
+    // here before constant folding runs — fold them ourselves
+    case other if other.foldable && other.dataType == IntegerType &&
+        other.eval() != null => other.eval().asInstanceOf[Int]
     case other => throw new IllegalArgumentException(
       s"$name: $arg must be an INT literal, got $other")
   }

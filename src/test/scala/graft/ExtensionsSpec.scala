@@ -57,6 +57,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("foldable int expressions are accepted as static parameters") {
+    docs
+    val r = spark.sql(
+      "SELECT graft_minhash_from_longs(array(1L, 2L), CAST(1 + 1 AS INT)) AS sig FROM ext_docs LIMIT 1")
+      .collect().head
+    assert(r.getSeq[Long](0).length === 2)
+  }
+
   test("static int parameters must be literals (fail-fast at analysis)") {
     docs
     val e = intercept[Exception] {

@@ -476,6 +476,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2).getString(3) === "u@<IP> is not an email but holds an ip")
   }
 
+  test("Ipv4Pattern: valid octets only; embedded-run over-match is as documented") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "bad 999.1.2.3 and 256.1.1.1 stay",   // no octet > 255 matches
+      "version 1.2.3.4.5 here",             // documented over-match: first 4
+      "edge 0.0.0.0 and 255.255.255.255 ok"
+    ).toDF("t")
+    val out = df.select(piiStats($"t").as("st"), scrubPii($"t").as("sc"))
+      .select($"st.ips", $"sc").collect()
+    assert(out(0).getLong(0) === 0L)
+    assert(out(0).getString(1) === "bad 999.1.2.3 and 256.1.1.1 stay")
+    assert(out(1).getString(1) === "version <IP>.5 here")
+    assert(out(2).getLong(0) === 2L)
+    assert(out(2).getString(1) === "edge <IP> and <IP> ok")
+  }
+
+  test("spanDedup: NULL text keeps its row instead of vanishing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option("same para\n\nx")), (2L, None), (3L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length === 3, "null-text docs must not be dropped")
+    assert(out(1).getString(1) === "")   // first null doc keeps the empty span
+    assert(out(2).getString(1) === "")
+    assert(out(1).getLong(2) === 1L)     // n_spans = 1 (the coalesced span)
+  }
+
+  test("spanDedup: reserved helper name as id column fails fast") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a")).toDF("__rn", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(df, "text", "__rn")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("paragraphDedup: repeated paragraph survives only at first occurrence") {
     val s = spark
     import s.implicits._
