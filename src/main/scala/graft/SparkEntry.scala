@@ -1511,12 +1511,19 @@ object SparkEntry {
       |k AS (
       |  SELECT doc_id, idx, chunk,
       |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
-      |  FROM c)
-      |SELECT doc_id,
-      |  coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn=1), '') AS text_dedup,
-      |  CAST(count(*) AS BIGINT) AS n_spans,
-      |  CAST(sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      |  FROM c),
+      |d AS (
+      |  SELECT doc_id,
+      |    coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn=1), '') AS text_dedup,
+      |    CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM k GROUP BY doc_id)
+      |SELECT doc_id, text_dedup, n_spans, n_kept FROM d
+      |UNION ALL
+      |SELECT doc_id, '' AS text_dedup, CAST(0 AS BIGINT) AS n_spans,
+      |       CAST(0 AS BIGINT) AS n_kept
+      |FROM documents WHERE text IS NULL
+      |ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_ngram_jaccard", (s, dir) => {
       Tables(s, dir).documents

@@ -386,26 +386,26 @@ object Dedup {
   }
 
   /** Core keep-first span dedup over a ready array-of-spans column.
-    * Returns (id, text_dedup, n_spans, n_kept). A NULL (or empty) spans
-    * cell is coalesced to a single empty span so every input id appears
-    * in the output (text_dedup = "" or the shared empty survivor) rather
-    * than vanishing through posexplode-of-null. `__idx`/`__span`/`__rn`
-    * are reserved helper names; the id column may not use them. */
+    * Returns (id, text_dedup, n_spans, n_kept). Docs whose spans cell is
+    * NULL / empty (or holds only NULL spans) vanish through posexplode;
+    * they are restored by a final left join with (text_dedup = "",
+    * n_spans = 0, n_kept = 0) rather than by injecting a synthetic empty
+    * span — a sentinel would enter the keep-first window and could evict
+    * another doc's *genuine* "" span (e.g. from a leading paragraph
+    * break). `__idx`/`__span`/`__rn` are reserved helper names; the id
+    * column may not use them. */
   def spanDedup(df: DataFrame, spans: Column, idCol: String,
       joiner: String): DataFrame = {
     require(!Set("__idx", "__span", "__rn").contains(idCol),
       s"spanDedup: id column '$idCol' clashes with a reserved helper name")
-    val safeSpans = {
-      val s = coalesce(spans, array(lit("")))
-      when(size(s) === 0, array(lit(""))).otherwise(s)
-    }
     val exploded = df
-      .select(col(idCol), posexplode(safeSpans).as(Seq("__idx", "__span")))
+      .select(col(idCol), posexplode(spans).as(Seq("__idx", "__span")))
+      .where(col("__span").isNotNull)
     // keep-first mark: rank occurrences of identical span content by the
     // global (id, position) order — rank 1 is the survivor
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__span")).orderBy(col(idCol), col("__idx"))
-    exploded
+    val deduped = exploded
       .withColumn("__rn", row_number().over(w))
       .groupBy(col(idCol))
       .agg(
@@ -415,5 +415,12 @@ object Dedup {
           s => s.getField("__span")), joiner).as("text_dedup"),
         count(lit(1)).as("n_spans"),
         sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+    // restore span-less ids; the extra shuffle moves only the skinny id
+    // column and keeps the content pool free of synthetic rows
+    df.select(col(idCol)).join(deduped, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 }

@@ -501,9 +501,26 @@ class LlmOpsSpec extends AnyFunSuite {
     val out = Dedup.paragraphDedup(df, "text", "doc_id")
       .orderBy("doc_id").collect()
     assert(out.length === 3, "null-text docs must not be dropped")
-    assert(out(1).getString(1) === "")   // first null doc keeps the empty span
+    assert(out(1).getString(1) === "")   // restored with empty text...
     assert(out(2).getString(1) === "")
-    assert(out(1).getLong(2) === 1L)     // n_spans = 1 (the coalesced span)
+    assert(out(1).getLong(2) === 0L)     // ...and n_spans = 0: no synthetic
+    assert(out(1).getLong(3) === 0L)     // span enters the content pool
+  }
+
+  test("spanDedup: null-text doc does not evict a genuine empty span") {
+    val s = spark
+    import s.implicits._
+    // doc 1 (lowest id) has NULL text; doc 2's leading "\n\n" produces a
+    // genuine "" first span. A synthetic sentinel span for doc 1 would win
+    // the keep-first window and dedup doc 2's real span away.
+    val df = Seq((1L, Option.empty[String]), (2L, Option("\n\nreal content")))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "" && out(0).getLong(2) === 0L)
+    assert(out(1).getString(1) === "\n\nreal content",
+      "doc 2 must keep its genuine empty span")
+    assert(out(1).getLong(3) === 2L)     // both spans survive
   }
 
   test("spanDedup: reserved helper name as id column fails fast") {
