@@ -134,11 +134,13 @@ object TextFunctions {
     * java.util.regex and RE2 for these. Pure scan-side string expressions:
     * codegen'd, no shuffle — the shape a 100 TB scrub pass needs. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  /** Valid-octet IPv4 (0-255 each; no 999.x matches). Known over-match:
-    * inside a LONGER dotted run ("1.2.3.4.5") the first four octets still
-    * match — excluding that needs lookaround, which is outside the
-    * RE2-compatible subset the oracle engine shares. */
-  val Ipv4Octet = "(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)"
+  /** Valid-octet IPv4 (0-255 each; no 999.x matches). Leading-zero octets
+    * ("010.1.2.3", "1.2.3.007") are accepted — `[01]?\d?\d` reaches every
+    * 0-199 form with up to two leading zeros, matching what loggers emit.
+    * Known over-match: inside a LONGER dotted run ("1.2.3.4.5") the first
+    * four octets still match — excluding that needs lookaround, which is
+    * outside the RE2-compatible subset the oracle engine shares. */
+  val Ipv4Octet = "(?:25[0-5]|2[0-4]\\d|[01]?\\d?\\d)"
   val Ipv4Pattern =
     s"\\b$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\b"
   val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"

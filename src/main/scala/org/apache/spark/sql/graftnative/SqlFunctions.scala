@@ -31,14 +31,20 @@ object SqlFunctions {
 
   /** Static int parameters (hash counts, shingle widths) must be literals:
     * they size codegen'd arrays, so a non-literal can't be planned. */
-  private def intLit(name: String, arg: String, e: Expression): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    // analysis-time-foldable int expressions (CAST(2 AS INT), 1+1) arrive
-    // here before constant folding runs — fold them ourselves
-    case other if other.foldable && other.dataType == IntegerType &&
-        other.eval() != null => other.eval().asInstanceOf[Int]
-    case other => throw new IllegalArgumentException(
-      s"$name: $arg must be an INT literal, got $other")
+  private def intLit(name: String, arg: String, e: Expression): Int = {
+    val folded: Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      // analysis-time-foldable int expressions (CAST(2 AS INT), 1+1) arrive
+      // here before constant folding runs — fold them ourselves. eval() can
+      // still throw (ANSI overflow like CAST(9999999999 AS INT)): a single
+      // guarded eval turns that into the friendly arity error below instead
+      // of a raw runtime exception surfacing mid-analysis.
+      case other if other.foldable && other.dataType == IntegerType =>
+        scala.util.Try(other.eval()).toOption.collect { case v: Int => v }
+      case _ => None
+    }
+    folded.getOrElse(throw new IllegalArgumentException(
+      s"$name: $arg must be an INT literal, got $e"))
   }
 
   val functions: Seq[FunctionDescription] = Seq(

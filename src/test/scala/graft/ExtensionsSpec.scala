@@ -75,6 +75,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("INT literal"), e.getMessage)
   }
 
+  test("foldable param that throws at eval gets the friendly literal error") {
+    docs
+    // ANSI CAST overflow: foldable, IntegerType, but eval() throws — must
+    // surface as the 'must be an INT literal' analysis error, not a raw
+    // ArithmeticException mid-analysis
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_minhash_from_longs(array(1L), CAST(9999999999 AS INT)) FROM ext_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("INT literal"), e.getMessage)
+  }
+
   test("wrong arity fails fast") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_simhash64(array(1L), 2) FROM ext_docs").collect()

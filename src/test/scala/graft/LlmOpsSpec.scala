@@ -482,7 +482,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val df = Seq(
       "bad 999.1.2.3 and 256.1.1.1 stay",   // no octet > 255 matches
       "version 1.2.3.4.5 here",             // documented over-match: first 4
-      "edge 0.0.0.0 and 255.255.255.255 ok"
+      "edge 0.0.0.0 and 255.255.255.255 ok",
+      "zeros 010.1.2.3 and 1.2.3.007 redact too"  // leading-zero octets
     ).toDF("t")
     val out = df.select(piiStats($"t").as("st"), scrubPii($"t").as("sc"))
       .select($"st.ips", $"sc").collect()
@@ -491,6 +492,8 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(1).getString(1) === "version <IP>.5 here")
     assert(out(2).getLong(0) === 2L)
     assert(out(2).getString(1) === "edge <IP> and <IP> ok")
+    assert(out(3).getLong(0) === 2L)
+    assert(out(3).getString(1) === "zeros <IP> and <IP> redact too")
   }
 
   test("spanDedup: NULL text keeps its row instead of vanishing") {
