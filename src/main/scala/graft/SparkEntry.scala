@@ -1359,6 +1359,33 @@ object SparkEntry {
       |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
       |FROM p ORDER BY doc_id""".stripMargin)),
 
+    Q("text_normalize_unicode", (s, dir) => {
+      // ingest canonicalization: NFC + control strip + whitespace hygiene.
+      // The corpus is ASCII, so a messy prefix (decomposed accent, BEL,
+      // DEL, tab runs, CRLF / lone CR) exercises every rule; the suffix
+      // keeps the whole doc text flowing through the kernel's fast path.
+      val messy = concat(
+        lit("Cafe\u0301 \u0007del\u007F\ttabs\t\tx\r\nline\r"),
+          col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), normalizeUnicode(messy).as("norm"))
+        .withColumn("n_chars_norm", length(col("norm")).cast(LongType))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH m AS (SELECT doc_id,
+      |  'Cafe' || chr(769) || ' ' || chr(7) || 'del' || chr(127) || chr(9)
+      |    || 'tabs' || chr(9) || chr(9) || 'x' || chr(13) || chr(10)
+      |    || 'line' || chr(13) || text AS messy
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(
+      |    nfc_normalize(messy),
+      |    '\r\n?', chr(10), 'g'),
+      |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+      |    '[ \t]{2,}', ' ', 'g')) AS norm
+      |  FROM m)
+      |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm
+      |FROM n ORDER BY doc_id""".stripMargin)),
+
     Q("text_word_stats", (s, dir) => {
       // mean word length straight off the fused TextStats scan
       Tables(s, dir).documents

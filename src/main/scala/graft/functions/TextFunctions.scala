@@ -21,6 +21,23 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => length(t) > 0)
 
+  /** Unicode NFC composition (native codegen'd expression; ASCII and
+    * already-normalized fast paths). */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graftnative.NativeFunctions.normalizeNfc(c)
+
+  /** Corpus-ingest canonicalization: NFC-compose, strip non-printing
+    * control characters (keeping \t and \n; \r\n and lone \r become \n),
+    * collapse space/tab runs, trim. Unlike [[normalizeText]] it preserves
+    * case and line structure — the cleanup applied BEFORE training-data
+    * text is stored, not a dedup key. Pure scan-side projection. */
+  def normalizeUnicode(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(nfc(c), "\\r\\n?", "\n"),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]{2,}", " "))
+
   /** One-pass fused text statistics (native codegen'd expression) —
     * chars / punct / token count / token-length sum / per-language
     * stopword hits. The quality and lang-id formulas below read fields

@@ -445,10 +445,56 @@ object TextStats {
   }
 }
 
+/** Unicode NFC normalization (compose decomposed sequences: 'e'+U+0301 →
+  * 'é'). The corpus-ingest canonicalization step — exact-dedup keys and
+  * shingle hashes treat canonically-equal strings as distinct unless the
+  * text is NFC'd first. Two fast paths keep the 100 TB scan cheap: pure
+  * ASCII (numBytes == numChars) returns the input buffer untouched, and
+  * already-normalized text (the overwhelming majority) skips the rewrite
+  * via `Normalizer.isNormalized`. Oracle: DuckDB `nfc_normalize`.
+  */
+case class NormalizeNFC(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeNFC.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("nfcKernel", NormalizeNFC,
+      NormalizeNFC.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NormalizeNFC = copy(child = newChild)
+}
+
+object NormalizeNFC {
+  import java.text.Normalizer
+  def compute(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    // ASCII is closed under NFC; numBytes == numChars ⇔ all single-byte
+    if (u.numBytes() == u.numChars()) return u
+    val s = u.toString
+    if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      Normalizer.normalize(s, Normalizer.Form.NFC))
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object NativeFunctions {
   def textStats(c: Column): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(c)))
+
+  def normalizeNfc(c: Column): Column =
+    ExpressionUtils.column(NormalizeNFC(ExpressionUtils.expression(c)))
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(

@@ -85,7 +85,13 @@ object SqlFunctions {
         "graft_minhash_from_longs(array<long>, numHashes) - minhash signature of pre-hashed shingles"),
       args => { requireArity("graft_minhash_from_longs", args, 2)
         MinHashFromLongs(args(0),
-          intLit("graft_minhash_from_longs", "numHashes", args(1))) }))
+          intLit("graft_minhash_from_longs", "numHashes", args(1))) }),
+
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC composition (ASCII fast path)"),
+      args => { requireArity("graft_nfc", args, 1)
+        NormalizeNFC(args.head) }))
 
   /** Runtime registration for sessions not built with `.withExtensions`
     * (mirrors `GraftExtensions.topKPerGroup`'s self-register). Idempotent:

@@ -496,6 +496,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3).getString(1) === "zeros <IP> and <IP> redact too")
   }
 
+  test("normalizeUnicode: NFC composes, controls strip, whitespace collapses") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "Cafe\u0301 x",            // decomposed accent → composed
+      "a\u0007b\u007Fc",         // BEL / DEL stripped
+      "a\r\nb\rc",               // CRLF and lone CR → \n
+      "a  b\t\tc \t d",          // space/tab runs → one space
+      "  plain ascii  ",         // fast path + trim
+      "p\tq"                     // a LONE tab survives
+    ).toDF("t")
+    val out = df.select(normalizeUnicode($"t")).as[String].collect()
+    assert(out(0) === "Café x")
+    assert(out(0).length === 6)  // composed: one char, not e+combining
+    assert(out(1) === "abc")
+    assert(out(2) === "a\nb\nc")
+    assert(out(3) === "a b c d")
+    assert(out(4) === "plain ascii")
+    assert(out(5) === "p\tq")
+  }
+
+  test("nfc: already-normalized and ASCII inputs pass through; null stays null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Option("café"), Option("ascii"), None).toDF("t")
+    val out = df.select(nfc($"t")).collect()
+    assert(out(0).getString(0) === "café")
+    assert(out(1).getString(0) === "ascii")
+    assert(out(2).isNullAt(0))
+  }
+
   test("spanDedup: NULL text keeps its row instead of vanishing") {
     val s = spark
     import s.implicits._

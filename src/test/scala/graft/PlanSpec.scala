@@ -122,7 +122,10 @@ class PlanSpec extends AnyFunSuite {
           nf.minhashFromLongs(nf.shingleHashes(
             graft.functions.TextFunctions.tokens(col("text")), 3), 64),
           nf.simhash64(graft.ops.Dedup.tokenHashes(col("text"))),
-          graft.functions.TextFunctions.textStats(col("text")))
+          graft.functions.TextFunctions.textStats(col("text")),
+          nf.normalizeNfc(org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("Å é é "),
+            col("text"))))
         .collect().toSeq
     }
     val genned = withConf("spark.sql.codegen.fallback" -> "false")(run())
