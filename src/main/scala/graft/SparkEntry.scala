@@ -1242,6 +1242,22 @@ object SparkEntry {
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("decontaminate_bloom", (s, dir) => {
+      // key-level decontamination: drop corpus docs whose text appears in
+      // the deny slice (doc_id % 17 == 3). The bloom sketch keeps the
+      // definite-clean rows out of the exact verify join entirely; the
+      // result is EXACT at any fpp, so the oracle is the plain anti-join.
+      val docs = Tables(s, dir).documents
+      val deny = docs.filterRows(col("doc_id") % 17 === 3)
+        .selectNames(Seq("text"))
+      Dedup.bloomDecontaminate(docs, deny, "text", "text", fpp = 0.01)
+        .selectNames(Seq("doc_id"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM documents b
+      |  WHERE b.doc_id % 17 = 3 AND b.text = d.text)
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("sample_mixture", (s, dir) => {
       // deterministic weighted corpus mixture: "web" slice at 0.8,
       // "books" slice at 0.3, closed-form selector — DuckDB reproduces

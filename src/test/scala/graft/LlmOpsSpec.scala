@@ -159,6 +159,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("bloomDecontaminate: exact anti-join result at any fpp; nulls kept") {
+    val s = spark
+    import s.implicits._
+    val corpus = s.range(2000).toDF("id")
+      .select($"id", concat(lit("doc "), $"id" % 700).as("key"))
+      .unionAll(Seq((9001L, null.asInstanceOf[String]),
+        (9002L, null.asInstanceOf[String])).toDF("id", "key"))
+    val deny = s.range(100).toDF("x")
+      .select(concat(lit("doc "), $"x" * 7).as("bad")) // every 7th key
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val exact = ids(corpus.join(deny, corpus("key") === deny("bad"),
+      "left_anti"))
+    // a sane fpp and an absurd one (forces false positives through the
+    // verify join) must both reproduce the exact anti-join
+    for (fpp <- Seq(0.01, 0.4)) {
+      val got = ids(graft.ops.Dedup.bloomDecontaminate(
+        corpus, deny, "key", "bad", fpp = fpp))
+      assert(got === exact, s"fpp=$fpp")
+    }
+    assert(exact.contains(9001L) && exact.contains(9002L),
+      "null keys must be kept")
+  }
+
   test("sampling: deterministic mixture rates and exact k-per-stratum") {
     val s = spark
     import s.implicits._

@@ -107,6 +107,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination probes scan-side and codegens") {
+    val t = Tables(spark, dir)
+    import org.apache.spark.sql.functions.col
+    val deny = t.documents
+      .filter(col("doc_id") % 17 === 3).select(col("text"))
+    val q = graft.ops.Dedup.bloomDecontaminate(
+      t.documents, deny, "text", "text", fpp = 0.01)
+    val p = q.queryExecution.executedPlan.toString
+    // the probe literal sits in both branches' scan-side filters
+    assert(p.contains("might_contain"), p.take(1200))
+    // and the probe must actually compile (no silent interpreted fallback)
+    withConf("spark.sql.codegen.fallback" -> "false") {
+      assert(q.count() > 0)
+    }
+  }
+
   test("native kernels: interpreted eval == generated code (parity)") {
     // Each native expression carries two hand-written kernel copies
     // (nullSafeEval and the inlined generated Java); a future edit to one
