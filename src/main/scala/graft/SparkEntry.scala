@@ -12,7 +12,7 @@ import graft.ops.Joins._
 import graft.ops.Reshape._
 import graft.ops.Series._
 import graft.ops.Selection._
-import graft.ops.{Agg, Dedup, Similarity, Multimodal}
+import graft.ops.{Agg, Dedup, Similarity, Multimodal, Web}
 import graft.functions.TextFunctions._
 import graft.sources.IO
 
@@ -1257,6 +1257,73 @@ object SparkEntry {
       |WHERE NOT EXISTS (SELECT 1 FROM documents b
       |  WHERE b.doc_id % 17 = 3 AND b.text = d.text)
       |ORDER BY doc_id""".stripMargin)),
+
+    Q("url_parse", (s, dir) => {
+      // URL components + registrable domain off a deterministic per-doc
+      // URL (prefix/tld vary by doc_id so domains form real groups)
+      val docs = Tables(s, dir).documents
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        element_at(array(lit("www"), lit("cdn"), lit("api")),
+          (id % 3 + 1).cast(IntegerType)),
+        lit("."), col("source"),
+        when(id % 2 === 0, ".org").otherwise(".net"),
+        lit("/docs/"), (id % 11).cast(StringType),
+        lit("/p?page="), (id % 7).cast(StringType),
+        lit("&ref="), col("source"))
+      docs.select(id, Web.urlParts(url).as("u"),
+          Web.urlParam(url, "page").as("page"),
+          Web.registrableDomain(try_parse_url(url, lit("HOST"))).as("domain"))
+        .select(id, col("u.protocol").as("protocol"),
+          col("u.host").as("host"), col("u.path").as("path"),
+          col("u.query").as("query"), col("page"), col("domain"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH u AS (SELECT doc_id,
+      |  'https://' ||
+      |  CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn' ELSE 'api' END
+      |  || '.' || source ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '.org' ELSE '.net' END
+      |  || '/docs/' || CAST(doc_id % 11 AS VARCHAR)
+      |  || '/p?page=' || CAST(doc_id % 7 AS VARCHAR)
+      |  || '&ref=' || source AS url
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+      |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |  regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
+      |  array_to_string((string_split(
+      |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.'))[-2:], '.')
+      |    AS domain
+      |FROM u ORDER BY doc_id""".stripMargin)),
+
+    Q("url_domain_stats", (s, dir) => {
+      // per-registrable-domain roll-up: one parse projection, ONE hash
+      // shuffle with partial aggregation — the per-domain policy shape
+      val docs = Tables(s, dir).documents
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        element_at(array(lit("www"), lit("cdn"), lit("api")),
+          (id % 3 + 1).cast(IntegerType)),
+        lit("."), col("source"),
+        when(id % 2 === 0, ".org").otherwise(".net"),
+        lit("/docs/"), (id % 11).cast(StringType))
+      Web.domainStats(docs.select(id, url.as("url")), "url")
+        .sortByKeys(SortKey("domain"))
+    }, Some("""WITH u AS (SELECT doc_id,
+      |  'https://' ||
+      |  CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn' ELSE 'api' END
+      |  || '.' || source ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '.org' ELSE '.net' END
+      |  || '/docs/' || CAST(doc_id % 11 AS VARCHAR) AS url
+      |  FROM documents),
+      |h AS (SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+      |  FROM u)
+      |SELECT array_to_string((string_split(host, '.'))[-2:], '.') AS domain,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+      |FROM h GROUP BY 1 ORDER BY domain""".stripMargin)),
 
     Q("sample_mixture", (s, dir) => {
       // deterministic weighted corpus mixture: "web" slice at 0.8,

@@ -159,6 +159,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("Web.urlParts/urlParam/registrableDomain") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Web
+    val df = Seq(
+      "https://cdn.src1.org/docs/5/p?page=3&ref=src1",
+      "http://host.net/",
+      "not a url"
+    ).toDF("url")
+    val out = df.select(Web.urlParts($"url").as("u"),
+      Web.urlParam($"url", "page").as("page"),
+      Web.registrableDomain(try_parse_url($"url", lit("HOST"))).as("dom"))
+      .select($"u.protocol", $"u.host", $"u.path", $"u.query", $"page", $"dom")
+      .collect()
+    assert(out(0).toSeq === Seq("https", "cdn.src1.org", "/docs/5/p",
+      "page=3&ref=src1", "3", "src1.org"))
+    assert(out(1).getString(1) === "host.net")
+    assert(out(1).getString(5) === "host.net") // <= 2 labels pass through
+    assert(out(1).isNullAt(4))                 // no query → null param
+    assert(out(2).isNullAt(1) && out(2).isNullAt(5)) // junk → nulls
+  }
+
+  test("Web.domainStats groups hosts under the registrable domain") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Web
+    val df = Seq(
+      "https://www.a.org/x", "https://cdn.a.org/y", "https://www.b.net/z"
+    ).toDF("url")
+    val got = Web.domainStats(df, "url").orderBy("domain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a.org", 2L, 2L), ("b.net", 1L, 1L)))
+  }
+
   test("bloomDecontaminate: exact anti-join result at any fpp; nulls kept") {
     val s = spark
     import s.implicits._
