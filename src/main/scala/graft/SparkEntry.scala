@@ -1258,6 +1258,30 @@ object SparkEntry {
       |  WHERE b.doc_id % 17 = 3 AND b.text = d.text)
       |ORDER BY doc_id""".stripMargin)),
 
+    Q("text_tfidf_topk", (s, dir) => {
+      // top-5 distinctive terms per doc, smoothed tf-idf; membership and
+      // order rank on the 6dp-rounded score with word as tie-break so the
+      // cut is engine-independent
+      tfidfTopTerms(Tables(s, dir).documents, "text", "doc_id", k = 5)
+        .sortByKeys(SortKey("doc_id"), SortKey("rank"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) AS tk FROM documents),
+      |p AS (SELECT doc_id, unnest(tk) AS word FROM t),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM p GROUP BY 1, 2),
+      |dfw AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
+      |  GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS nn FROM documents),
+      |s AS (SELECT doc_id, word, tf, df,
+      |  ROUND(tf * (ln((nn + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+      |  FROM tf JOIN dfw USING (word) CROSS JOIN n),
+      |r AS (SELECT *, CAST(row_number() OVER (
+      |  PARTITION BY doc_id ORDER BY score DESC, word) AS INTEGER) AS rank
+      |  FROM s)
+      |SELECT doc_id, rank, word, tf, df, score FROM r WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin)),
+
     Q("url_parse", (s, dir) => {
       // URL components + registrable domain off a deterministic per-doc
       // URL (prefix/tld vary by doc_id so domains form real groups)

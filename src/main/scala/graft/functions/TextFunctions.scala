@@ -144,6 +144,41 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Smoothed TF-IDF top-k terms per document (sklearn-style idf:
+    * ln((N+1)/(df+1)) + 1, never negative, never /0). The "what is this
+    * document about" primitive — keyword extraction, topic tagging,
+    * per-domain vocabulary drift.
+    *
+    * Scale shape: explode → (id, word) counts with map-side partials →
+    * skinny (word, df) roll-up joined back on the fixed-width word key →
+    * corpus size N arrives as a broadcast 1-row cross join (stays in the
+    * plan; no driver scalar) → per-doc window for the top-k cut. Every
+    * shuffle moves (id, word, count) tuples, never text. Ranking is on
+    * the ROUNDED score (6dp) with the word as tie-break, so the cut is
+    * deterministic and engine-independent. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "tfidfTopTerms: k must be > 0")
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfWord = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val total = df.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfWord, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("score", round(col("tf") *
+        (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),
+        6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("word"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("word"), col("tf"), col("df"),
+        col("score"))
+  }
+
   // ---- PII --------------------------------------------------------------
   /** PII patterns chosen from the RE2-compatible regex subset (no
     * lookaround, no backreferences) so an independent engine reproduces

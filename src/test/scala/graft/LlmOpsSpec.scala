@@ -159,6 +159,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones; k caps per doc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "common common zebra"),   // zebra: df=1, common: df=3
+      (2L, "common xylophone"),
+      (3L, "common words here")
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .tfidfTopTerms(df, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: zebra idf = ln(4/2)+1 ≈ 1.693 beats common tf=2·(ln(4/4)+1)=2
+    // → actually common scores 2.0 > 1.693: tf dominates here. Verify the
+    // exact ordering instead of intuition:
+    val doc1 = got.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq
+    assert(doc1 === Seq((1, "common"), (2, "zebra")))
+    // doc 2: xylophone (1.693) beats common (1.0)
+    val doc2 = got.filter(_._1 == 2L).map(x => (x._2, x._3)).toSeq
+    assert(doc2 === Seq((1, "xylophone"), (2, "common")))
+    // every doc emits at most k rows
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
   test("Web.urlParts/urlParam/registrableDomain") {
     val s = spark
     import s.implicits._
