@@ -1115,6 +1115,32 @@ object SparkEntry {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin)),
 
+    Q("join_range", (s, dir) => {
+      // interval join: price points × overlapping price bands (stride
+      // 2500, width 4000 → most points hit 2 bands). Bucketized to an
+      // equi-join on (bucket) — never the BNL/cartesian Catalyst plans
+      // for a bare inequality condition.
+      val points = Tables(s, dir).lineitem.selectNames(
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      val iv = s.range(40).select(col("id").as("interval_id"),
+        (col("id") * 2500.0).as("lo"),
+        (col("id") * 2500.0 + 4000.0).as("hi"))
+      graft.ops.Extras.rangeJoin(points, "l_extendedprice",
+          iv, "lo", "hi", bucketWidth = 2500.0)
+        .selectNames(Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "interval_id"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"),
+          SortKey("l_quantity"), SortKey("l_extendedprice"),
+          SortKey("interval_id"))
+    }, Some("""WITH iv AS (SELECT i AS interval_id, i*2500.0 AS lo,
+      |  i*2500.0 + 4000.0 AS hi FROM range(40) t(i))
+      |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  interval_id
+      |FROM lineitem JOIN iv
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  interval_id""".stripMargin)),
+
     Q("events_window_agg", (s, dir) => {
       Tables(s, dir).events
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -50,6 +50,43 @@ object Extras {
   def concatAll(frames: Seq[DataFrame]): DataFrame =
     TypeWidening.unionByNameWide(frames)
 
+  /** Bucketized range (interval) join, beyond the reference — the other
+    * join shape Spark cannot plan distributively: `point BETWEEN lo AND
+    * hi` alone is an inequality-only condition, which Catalyst executes
+    * as a broadcast nested loop (or a cartesian product when neither
+    * side fits) — O(|P|·|I|) work at 100 TB. Bucketizing turns it into
+    * an EQUI-join: each interval explodes to the fixed-width buckets it
+    * covers, each point computes its single bucket, the join hash-
+    * partitions on (keys, bucket), and exact half-open containment
+    * [lo, hi) is re-checked post-join. A point lies in exactly ONE
+    * bucket, so no dedup pass is needed — a multi-bucket interval meets
+    * each point only in the point's own bucket.
+    *
+    * `bucketWidth` trades interval fanout (~len/width + 1 rows each)
+    * against in-bucket selectivity; pick it near the median interval
+    * length. Empty/inverted intervals (hi <= lo) match nothing and are
+    * dropped before the explode (Spark's `sequence` would otherwise
+    * count DOWN for them). Output carries all point columns then all
+    * interval columns; shared `keys` names appear twice — select/alias
+    * downstream. */
+  def rangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Double, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "rangeJoin: bucketWidth must be > 0")
+    def bucket(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val pt = points.withColumn("__bucket", bucket(col(pointCol)))
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(
+        sequence(bucket(col(startCol)), bucket(col(endCol)))))
+    val cond = keys.map(k => pt(k) === iv(k))
+      .foldLeft(pt("__bucket") === iv("__bucket") &&
+        pt(pointCol) >= iv(startCol) && pt(pointCol) < iv(endCol))(_ && _)
+    pt.join(iv, cond)
+      .select(points.columns.map(pt(_)) ++
+        intervals.columns.map(iv(_)): _*)
+  }
+
   /** As-of join (time-series enrich, beyond the reference — a staple of
     * training-data pipelines): for every left row, attach the LATEST right
     * row with `rightTs <= leftTs` per key.

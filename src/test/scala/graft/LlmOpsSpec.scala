@@ -159,6 +159,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
   }
 
+  test("rangeJoin: half-open containment, overlaps, and degenerate intervals") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, 0.0), (2L, 5.0), (3L, 10.0), (4L, 99.0), (5L, -3.0))
+      .toDF("pid", "v")
+    val iv = Seq(
+      (10L, 0.0, 10.0),    // [0,10): pids 1,2 — NOT 3 (hi exclusive)
+      (11L, 5.0, 15.0),    // [5,15): pids 2,3 (overlap with 10)
+      (12L, 20.0, 20.0),   // empty → matches nothing
+      (13L, 30.0, 25.0)    // inverted → dropped, not a descending explode
+    ).toDF("interval_id", "lo", "hi")
+    val got = graft.ops.Extras.rangeJoin(points, "v", iv, "lo", "hi",
+        bucketWidth = 4.0)
+      .select("pid", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; k caps per doc") {
     val s = spark
     import s.implicits._

@@ -107,6 +107,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("range join plans as an equi-join on buckets, never BNL/cartesian") {
+    import org.apache.spark.sql.functions.col
+    val points = spark.range(1000).select(
+      col("id").as("pid"), (col("id") * 1.5).as("v"))
+    val iv = spark.range(50).select(col("id").as("ivid"),
+      (col("id") * 30.0).as("lo"), (col("id") * 30.0 + 45.0).as("hi"))
+    val p = graft.ops.Extras.rangeJoin(points, "v", iv, "lo", "hi", 30.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("Join"), p.take(1200))
+  }
+
   test("bloom decontamination probes scan-side and codegens") {
     val t = Tables(spark, dir)
     import org.apache.spark.sql.functions.col
