@@ -1375,6 +1375,29 @@ object SparkEntry {
       |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
       |FROM h GROUP BY 1 ORDER BY domain""".stripMargin)),
 
+    Q("text_decontaminate_bloom", (s, dir) => {
+      // same contract as text_decontaminate, bloom-prefiltered: only
+      // grams the benchmark sketch cannot rule out enter the join. The
+      // result is exact at any fpp, so the oracle is the same
+      // first-principles recount from the gram strings.
+      val docs = Tables(s, dir).documents
+      val bench = docs.filterRows(col("doc_id") % 50 === 0)
+      Dedup.ngramContaminationBloom(docs, bench, "text", "doc_id", n = 5,
+          fpp = 0.01)
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(len(tk) - 4),
+      |  i -> array_to_string(tk[i+1:i+5], ' '))) AS gs FROM t),
+      |cg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+      |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+      |hits AS (SELECT cg.doc_id, COUNT(*) AS sn FROM cg
+      |  JOIN bg ON cg.gram = bg.gram GROUP BY cg.doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(hits.sn, 0) AS BIGINT) AS shared_ngrams
+      |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      |ORDER BY d.doc_id""".stripMargin)),
+
     Q("sample_mixture", (s, dir) => {
       // deterministic weighted corpus mixture: "web" slice at 0.8,
       // "books" slice at 0.3, closed-form selector — DuckDB reproduces

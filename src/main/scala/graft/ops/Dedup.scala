@@ -287,6 +287,39 @@ object Dedup {
       .na.fill(0L, Seq("shared_ngrams"))
   }
 
+  /** [[ngramContamination]] with a bloom prefilter on the corpus grams —
+    * the composition for benchmark sets too large to broadcast: a sketch
+    * of the distinct benchmark gram hashes is probed scan-side, so only
+    * grams that MIGHT be contaminated (true hits + fpp sliver) enter the
+    * shuffle join at all; the join then removes the false positives, and
+    * clean grams never shuffle. Result is EXACT — identical to
+    * [[ngramContamination]] at any fpp — because a gram the sketch rules
+    * out could only have contributed zero to the join anyway. Shuffle
+    * volume drops from |corpus grams| to ~(contaminated + fpp·|corpus
+    * grams|); the corpus is still scanned once. */
+  def ngramContaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      fpp: Double = 1e-3,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    val bloom = org.apache.spark.sql.graftnative.BloomSketch
+    val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol), explode(array_distinct(
+        nf.shingleHashes(tokens(col(textCol)), n))).as("__g"))
+    val benchGrams = cache.track(grams(benchmark)
+      .select(col("__g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nBench = math.max(benchGrams.count(), 1L)
+    val bytes = bloom.buildBytes(benchGrams, col("__g"), nBench, fpp)
+    val hits = grams(corpus)
+      .where(bloom.mightContain(bytes, col("__g")))
+      .join(benchGrams, Seq("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("shared_ngrams"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("shared_ngrams"))
+  }
+
   /** Bloom-filter decontamination: drop every corpus row whose `keyCol`
     * appears in `deny(denyKeyCol)` — EXACT result, bloom-accelerated.
     * The key-level complement of [[ngramContamination]] for deny-lists

@@ -201,6 +201,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("ngramContaminationBloom equals the exact join at any fpp") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta q r")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMap(Dedup.ngramContamination(corpus, bench, "text",
+      "doc_id", 3))
+    for (fpp <- Seq(0.01, 0.4)) {
+      val got = toMap(Dedup.ngramContaminationBloom(corpus, bench, "text",
+        "doc_id", 3, fpp = fpp))
+      assert(got === exact, s"fpp=$fpp")
+    }
+  }
+
   test("Web.urlParts/urlParam/registrableDomain") {
     val s = spark
     import s.implicits._
