@@ -1398,6 +1398,21 @@ object SparkEntry {
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("sample_split", (s, dir) => {
+      // deterministic 80/10/10 train/val/test split — closed integer
+      // selector, so DuckDB re-derives the exact assignment per row
+      graft.ops.Sampling.splitByWeights(Tables(s, dir).documents,
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .selectNames(Seq("doc_id", "split"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  CASE WHEN sel < 800000 THEN 'train'
+      |       WHEN sel < 900000 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  ((doc_id % 1048576) * 2654435761) % 1000000 AS sel
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("sample_mixture", (s, dir) => {
       // deterministic weighted corpus mixture: "web" slice at 0.8,
       // "books" slice at 0.3, closed-form selector — DuckDB reproduces

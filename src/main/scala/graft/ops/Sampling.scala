@@ -40,6 +40,30 @@ object Sampling {
     })
   }
 
+  /** Deterministic train/val/test split: each row goes to the named
+    * split whose cumulative-weight interval contains its selector value
+    * — a disjoint, exhaustive partition (weights normalized to sum 1,
+    * thresholds in integer millionths). Pure projection: no RNG, no
+    * shuffle, reproducible across engines, re-runs, and cluster sizes,
+    * and leakage-auditable — membership is a closed formula of the id,
+    * so train/test contamination can be checked by any engine. */
+  def splitByWeights(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], as: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splitByWeights: weights must be positive")
+    val total = splits.map(_._2).sum
+    val sel = pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L),
+      lit(1000000L))
+    val cuts = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+      .dropRight(1).map(c => math.round(c * 1e6))
+    val expr = cuts.zip(splits.init.map(_._1))
+      .foldRight(lit(splits.last._1): Column) {
+        case ((cut, name), rest) => when(sel < lit(cut), lit(name))
+          .otherwise(rest)
+      }
+    df.withColumn(as, expr)
+  }
+
   /** Exact k-per-stratum sample: within each stratum, rows are ranked by
     * (selector(id), id) — a deterministic pseudo-random total order —
     * and the first k kept. One hash shuffle on the strata keys; every

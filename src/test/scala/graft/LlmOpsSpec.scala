@@ -280,6 +280,29 @@ class LlmOpsSpec extends AnyFunSuite {
       "null keys must be kept")
   }
 
+  test("splitByWeights: disjoint exhaustive assignment near the weights") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Sampling
+    val ids = s.range(20000).toDF("id")
+    val split = Sampling.splitByWeights(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 20000L)          // exhaustive + disjoint
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.02)
+    assert(math.abs(counts("test") / 20000.0 - 0.1) < 0.02)
+    // deterministic: same call, same assignment
+    val again = Sampling.splitByWeights(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).count() === 0L)
+    // un-normalized weights give the same split
+    val scaled = Sampling.splitByWeights(ids, "id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assert(split.exceptAll(scaled).count() === 0L)
+  }
+
   test("sampling: deterministic mixture rates and exact k-per-stratum") {
     val s = spark
     import s.implicits._
