@@ -2138,6 +2138,60 @@ object SparkEntry {
       |  ROUND(SUM(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("agg_rollup", (s, dir) => {
+      // hierarchical subtotals in ONE shuffle (Catalyst Expand) — the
+      // reference needs N re-aggregations + concat for the same report.
+      // grouping_id() tells a subtotal null from a data null; both
+      // engines use the same MSB-first bitmask over the key list.
+      Tables(s, dir).lineitem
+        .rollupAgg(Seq("l_returnflag", "l_linestatus"), Seq(
+          grouping_id().as("gid"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n")))
+        .sortByKeys(SortKey("gid"), SortKey("l_returnflag"),
+          SortKey("l_linestatus"))
+    }, Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST,
+      |  l_linestatus NULLS FIRST""".stripMargin)),
+
+    Q("agg_cube", (s, dir) => {
+      Tables(s, dir).orders
+        .cubeAgg(Seq("o_orderstatus", "o_orderpriority"), Seq(
+          grouping_id().as("gid"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("n")))
+        .sortByKeys(SortKey("gid"), SortKey("o_orderstatus"),
+          SortKey("o_orderpriority"))
+    }, Some("""SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  ROUND(SUM(o_totalprice), 2) AS sum_price, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin)),
+
+    Q("agg_grouping_sets", (s, dir) => {
+      // arbitrary (non-hierarchical) set list: per-flag, per-status, and
+      // grand total — still one Expand + one shuffle
+      Tables(s, dir).lineitem
+        .groupingSetsAgg(
+          Seq(Seq("l_returnflag"), Seq("l_linestatus"), Nil),
+          Seq("l_returnflag", "l_linestatus"), Seq(
+            grouping_id().as("gid"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("n")))
+        .sortByKeys(SortKey("gid"), SortKey("l_returnflag"),
+          SortKey("l_linestatus"))
+    }, Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST,
+      |  l_linestatus NULLS FIRST""".stripMargin)),
+
     Q("join_bucketed", (s, dir) => {
       // bucketed-storage co-located join under the oracle gate: both
       // sides written bucketBy(8, join key) via the session catalog, then

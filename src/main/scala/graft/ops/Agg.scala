@@ -71,6 +71,31 @@ object Agg {
       df.agg(aggs.head, aggs.tail: _*)
     }
 
+    // ---- hierarchical subtotals (beyond parity) -----------------------
+    /** Rollup / cube / grouping-sets multi-agg. The reference has none of
+      * these (SURVEY §2.6 "Not present"); a report that needs per-group,
+      * per-key and grand totals must run the aggregation N times and
+      * concat. Here Catalyst's Expand operator emits each input row once
+      * per grouping set inside a SINGLE shuffle, so subtotal hierarchies
+      * cost one pass over the data regardless of depth — at 100 TB that is
+      * the difference between one scan and |sets| scans. Grouped-out key
+      * columns come back null; `grouping_id()` disambiguates a subtotal
+      * null from a data null. */
+    def rollupAgg(keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+      require(aggs.nonEmpty, "rollupAgg: no aggregates")
+      df.rollup(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    def cubeAgg(keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+      require(aggs.nonEmpty, "cubeAgg: no aggregates")
+      df.cube(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    def groupingSetsAgg(sets: Seq[Seq[String]], keys: Seq[String],
+        aggs: Seq[Column]): DataFrame = {
+      require(aggs.nonEmpty, "groupingSetsAgg: no aggregates")
+      df.groupingSets(sets.map(_.map(col)), keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+
     // ---- per-column batch aggregates (`For` variants) ----------------
     /** reference `sumFor(cols)` — sum each selected column, keeping its
       * name. Spark widens Int→Long, BigDecimal stays decimal, matching the
