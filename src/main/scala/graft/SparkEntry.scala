@@ -1245,6 +1245,48 @@ object SparkEntry {
       |LEFT JOIN runs ON d.doc_id = runs.doc_id
       |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("text_line_filter", (s, dir) => {
+      // C4-style line-level boilerplate filter. The synthetic corpus has
+      // no newlines, so fabricate 12-word lines first (same chunking the
+      // span-dedup oracle uses), then keep lines with >= 12 words that
+      // don't mention 'spark' (a banned-substring rule that actually
+      // fires on this corpus; the terminal-punctuation rule is pinned by
+      // TextSpec on punctuated fixtures instead).
+      import graft.functions.TextFunctions.lineFilterStats
+      val words = split(col("text"), " ")
+      val lastIdx = floor((size(words) - 1).cast(DoubleType) / 12.0)
+        .cast(IntegerType)
+      val fab = array_join(
+        transform(sequence(lit(0), lastIdx),
+          i => array_join(slice(words, i * 12 + 1, lit(12)), " ")), "\n")
+      Tables(s, dir).documents
+        .withColumn("__st", lineFilterStats(fab, minWords = 12,
+          requireTerminalPunct = false, bannedSubstrings = Seq("spark")))
+        .select(col("doc_id"),
+          col("__st.text_clean").as("text_clean"),
+          col("__st.n_lines").as("n_lines"),
+          col("__st.n_kept").as("n_kept"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, (pos-1)//12 AS idx,
+      |         string_agg(word, ' ' ORDER BY pos) AS line,
+      |         count(*) AS wc
+      |  FROM w GROUP BY doc_id, (pos-1)//12),
+      |f AS (
+      |  SELECT doc_id, idx, line,
+      |         (wc >= 12 AND NOT contains(lower(line), 'spark')) AS keep
+      |  FROM l)
+      |SELECT doc_id,
+      |  coalesce(string_agg(line, chr(10) ORDER BY idx)
+      |           FILTER (WHERE keep), '') AS text_clean,
+      |  CAST(count(*) AS INTEGER) AS n_lines,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("text_decontaminate", (s, dir) => {
       // train/benchmark n-gram decontamination: every corpus doc tagged
       // with the count of distinct 5-grams it shares with the benchmark

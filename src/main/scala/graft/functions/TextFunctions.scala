@@ -260,6 +260,41 @@ object TextFunctions {
       .na.fill(0L, Seq("max_token_run"))
   }
 
+  /** C4-style line-level boilerplate filter (reference has nothing like
+    * it; core of a web-corpus cleaning pass). Splits on '\n' and keeps a
+    * line only if it
+    *  - has at least `minWords` whitespace words,
+    *  - (optionally) ends in terminal punctuation `. ! ? "` — the C4
+    *    "looks like prose" rule,
+    *  - contains none of `bannedSubstrings` (case-insensitive; C4 drops
+    *    "javascript", "lorem ipsum", "{").
+    * Returns struct(text_clean, n_lines, n_kept). Pure per-row array
+    * expression — no shuffle, no UDF; a 100 TB cleaning pass stays a
+    * scan-side projection. Null text yields null fields (caller decides
+    * drop vs keep). */
+  def lineFilterStats(c: Column, minWords: Int = 5,
+      requireTerminalPunct: Boolean = true,
+      bannedSubstrings: Seq[String] =
+        Seq("javascript", "lorem ipsum", "{")): Column = {
+    require(minWords >= 0, "lineFilterStats: minWords must be >= 0")
+    val lines = split(c, "\n")
+    val keep = (l: Column) => {
+      val words = filter(split(trim(l), " +"), w => length(w) > 0)
+      val wc = size(words) >= minWords
+      val punct = if (requireTerminalPunct)
+        trim(l).rlike("[.!?\"]$") else lit(true)
+      val ban = bannedSubstrings
+        .map(b => !contains(lower(l), lit(b.toLowerCase)))
+        .foldLeft(lit(true))(_ && _)
+      wc && punct && ban
+    }
+    val kept = filter(lines, keep)
+    struct(
+      array_join(kept, "\n").as("text_clean"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"))
+  }
+
   /** Like [[shingles]] but EMPTY (not whole-text) below n tokens —
     * repetition fractions need "no bigrams" to mean 0, not 1. */
   private def shinglesStrict(c: Column, n: Int): Column = {

@@ -754,4 +754,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(0).getString(1) === "a b c d e")
     assert(out(1).getString(1) === "d e")
   }
+
+  test("lineFilterStats: C4 rules — min words, terminal punct, banned substrings") {
+    val s = spark
+    import s.implicits._
+    val doc = Seq(
+      "This is a perfectly fine prose sentence with many words inside it.",
+      "Too short.",
+      "this line has plenty of words but no terminal punctuation at all",
+      "Enable JavaScript to view the comments powered by a widget today!",
+      "function f() { return 42; } // code noise with enough words here.",
+      "Lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod."
+    ).mkString("\n")
+    val df = Seq(doc, "").toDF("t")
+    val out = df.select(lineFilterStats($"t", minWords = 5).as("st"))
+      .select($"st.text_clean", $"st.n_lines", $"st.n_kept").collect()
+    // only the first line survives every rule
+    assert(out(0).getString(0) ===
+      "This is a perfectly fine prose sentence with many words inside it.")
+    assert(out(0).getInt(1) === 6 && out(0).getInt(2) === 1)
+    // empty text: one empty line, zero kept
+    assert(out(1).getString(0) === "" && out(1).getInt(1) === 1 &&
+      out(1).getInt(2) === 0)
+    // punct rule off: the unpunctuated line comes back too
+    val lax = df.select(lineFilterStats($"t", minWords = 5,
+      requireTerminalPunct = false).as("st"))
+      .select($"st.n_kept").collect()
+    assert(lax(0).getInt(0) === 2)
+    // null text propagates null fields
+    val nul = Seq(Option.empty[String]).toDF("t")
+      .select(lineFilterStats($"t").as("st")).select($"st.n_lines").collect()
+    assert(nul(0).isNullAt(0))
+  }
 }
