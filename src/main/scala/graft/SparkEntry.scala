@@ -1287,6 +1287,36 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("text_lm_perplexity", (s, dir) => {
+      // CCNet-style bigram-LM quality score: the corpus trains its own
+      // smoothed LM, every doc scored by avg token log-prob. Per-bigram
+      // log-probs round to integer micro-units BEFORE summing, so both
+      // engines aggregate exact BIGINTs (no float-order noise); DuckDB
+      // re-derives everything from the same integer counts.
+      graft.functions.TextFunctions.lmScore(
+          Tables(s, dir).documents, "text", "doc_id", alpha = 0.5)
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("sum_lp_micro"), col("avg_logp"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(toks) AS w2,
+      |  generate_subscripts(toks, 1) AS pos FROM t),
+      |bg AS (SELECT a.doc_id, coalesce(b.w2, '<s>') AS w1, a.w2
+      |  FROM tk a LEFT JOIN tk b
+      |    ON a.doc_id = b.doc_id AND b.pos = a.pos - 1),
+      |cbg AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |cug AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS vocab FROM bg),
+      |lp AS (SELECT bg.doc_id,
+      |  CAST(round(ln((c12 + 0.5) / (c1 + 0.5 * vocab)) * 1e6) AS BIGINT) AS lp_micro
+      |  FROM bg JOIN cbg USING (w1, w2) JOIN cug USING (w1) CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+      |  ROUND((SUM(lp_micro) / 1e6) / count(*), 6) AS avg_logp
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("text_decontaminate", (s, dir) => {
       // train/benchmark n-gram decontamination: every corpus doc tagged
       // with the count of distinct 5-grams it shares with the benchmark

@@ -295,6 +295,53 @@ object TextFunctions {
       size(kept).as("n_kept"))
   }
 
+  /** Bigram-LM quality scoring (the CCNet/Wikipedia-perplexity filter
+    * shape): train add-alpha-smoothed bigram counts over the corpus
+    * itself, then score every document by its average token log-prob —
+    * low scores flag gibberish / boilerplate, `ppl = exp(-avg_logp)`.
+    *
+    * Output: (id, n_bigrams, sum_lp_micro, avg_logp). Determinism:
+    * each bigram's `ln((c12+a)/(c1+a*V))` is rounded to integer
+    * MICRO-units (`lp_micro`) BEFORE the per-doc sum, so the aggregate
+    * is an exact BIGINT no matter the reduction order — an independent
+    * engine re-derives it from the same integer counts. `avg_logp` then
+    * divides two exact integers (round 6dp).
+    *
+    * Scale shape: tokens explode once; bigram and context counts are
+    * skinny vocab-sized aggregates with map-side partials (one shuffle
+    * each); they join back on fixed-width word keys; vocab size V rides
+    * a broadcast 1-row cross join (no driver scalar); the final per-doc
+    * aggregation shuffles (id, long) pairs only — text never moves after
+    * the first explode. Sentence start is modeled by a `<s>` context. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, "lmScore: alpha must be > 0 (unseen bigrams)")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+    val bg = toks.select(col("id"), explode(
+      transform(sequence(lit(0), size(col("t")) - 1),
+        i => struct(
+          when(i === 0, lit("<s>")).otherwise(element_at(col("t"), i))
+            .as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1"), col("b.w2"))
+    val cBg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cUg = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = bg.agg(countDistinct(col("w2")).as("__v"))
+    val lp = bg
+      .join(cBg, Seq("w1", "w2")).join(cUg, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp_micro",
+        round(log((col("c12") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("__v"))) * lit(1e6))
+          .cast(LongType))
+    lp.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_logp",
+        round((col("sum_lp_micro") / lit(1e6)) / col("n_bigrams"), 6))
+  }
+
   /** Like [[shingles]] but EMPTY (not whole-text) below n tokens —
     * repetition fractions need "no bigrams" to mean 0, not 1. */
   private def shinglesStrict(c: Column, n: Int): Column = {

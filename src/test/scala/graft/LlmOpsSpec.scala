@@ -786,4 +786,27 @@ class LlmOpsSpec extends AnyFunSuite {
       .select(lineFilterStats($"t").as("st")).select($"st.n_lines").collect()
     assert(nul(0).isNullAt(0))
   }
+
+  test("lmScore: frequent-bigram docs outscore rare-bigram docs; exact integer sums") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "q x"))
+      .toDF("doc_id", "text")
+    val out = lmScore(df, "text", "doc_id").orderBy("id").collect()
+    // n_bigrams = token count (the <s> context covers position 0)
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 2L, 2L))
+    val avg = out.map(r => r.getDouble(3))
+    // "a b" is the corpus's dominant bigram; "q x" occurs once
+    assert(avg(1) > avg(2), s"common bigrams must outscore rare: $avg")
+    // avg_logp is exactly the rounded integer-sum ratio
+    out.foreach { r =>
+      val expect = BigDecimal((r.getLong(2) / 1e6) / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === expect)
+    }
+    // identical docs score identically
+    val dup = Seq((1L, "m n o"), (2L, "m n o")).toDF("doc_id", "text")
+    val d = lmScore(dup, "text", "doc_id").orderBy("id").collect()
+    assert(d(0).getLong(2) === d(1).getLong(2))
+  }
 }
