@@ -2210,6 +2210,22 @@ object SparkEntry {
       |  ROUND(SUM(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("agg_percentiles", (s, dir) => {
+      // exact linear-interpolation percentiles (R-7) — the ground truth
+      // approx_percentile is judged against; both engines share the
+      // interpolation definition so 6dp rounding is comfortably safe
+      Tables(s, dir).lineitem
+        .percentilesFor(Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.75, 0.99))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |  ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+      |  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)),
+
     Q("agg_rollup", (s, dir) => {
       // hierarchical subtotals in ONE shuffle (Catalyst Expand) — the
       // reference needs N re-aggregations + concat for the same report.

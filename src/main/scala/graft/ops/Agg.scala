@@ -112,6 +112,20 @@ object Agg {
       groupAgg(keys, cols.map(c => stdRef(col(c)).as(c)))
     def medianFor(keys: Seq[String], cols: Seq[String]): DataFrame =
       groupAgg(keys, cols.map(c => medianExact(col(c)).as(c)))
+    /** Exact multi-percentile per group (linear interpolation, R-7 — the
+      * same definition DuckDB's `quantile_cont` uses), one column per
+      * requested p. Exact percentile sorts within each group; at scale
+      * prefer `approx_percentile` when a bounded error is acceptable —
+      * this is the ground-truth variant the approximation is judged
+      * against. */
+    def percentilesFor(keys: Seq[String], c: String,
+        ps: Seq[Double]): DataFrame = {
+      require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+        "percentilesFor: percentages must be in [0,1]")
+      groupAgg(keys, ps.map(p =>
+        round(percentile(col(c), lit(p)), 6)
+          .as(s"p${math.round(p * 100)}")))
+    }
 
     // ---- row-expression aggregates (`Of` variants) -------------------
     /** reference `sumOf { rowExpr }` / `minOf` / `maxOf` / `meanOf`
