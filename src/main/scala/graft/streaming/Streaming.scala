@@ -291,6 +291,33 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream equi-join with a time bound (the
+    * impression×click attribution shape). The right event must land in
+    * `[leftTs, leftTs + within]`; both sides carry watermarks so the
+    * state store can discard rows once the watermark passes the bound —
+    * without the time constraint a stream-stream join's state grows
+    * without limit. Inner and leftOuter supported (outer emission waits
+    * for the watermark, per Structured Streaming semantics). State is
+    * hash-partitioned by the join key — the same shuffle contract as a
+    * batch join, so a 1000-executor cluster shards it linearly. Column
+    * names are prefixed `l_`/`r_` to keep the two event schemas apart. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      delay: String, within: String, joinType: String = "inner")
+      : DataFrame = {
+    require(Seq("inner", "leftOuter").contains(joinType),
+      s"streamStreamJoin: unsupported join type $joinType")
+    val l = left.withWatermark(leftTs, delay)
+      .select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+    val r = right.withWatermark(rightTs, delay)
+      .select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r,
+      col(s"l_$leftKey") === col(s"r_$rightKey") &&
+        col(s"r_$rightTs") >= col(s"l_$leftTs") &&
+        col(s"r_$rightTs") <= col(s"l_$leftTs") + expr(s"INTERVAL $within"),
+      joinType)
+  }
+
   /** Streaming reader over the events table schema (json/parquet dir) —
     * the entry point a production pipeline would use. */
   def readEventStream(spark: SparkSession, path: String): DataFrame =

@@ -260,4 +260,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(maxSh > 64, "longest doc should exceed the constant slot count")
     } finally q.stop()
   }
+
+  test("streamStreamJoin attributes clicks to impressions across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val imps = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streaming.streamStreamJoin(
+      imps.toDF().toDF("ad", "its"), clicks.toDF().toDF("ad", "cts"),
+      "ad", "ad", "its", "cts", delay = "5 minutes", within = "10 minutes")
+    val q = joined.select($"l_ad", $"l_its", $"r_cts")
+      .writeStream.format("memory").queryName("graft_ssj_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two impressions, no clicks yet
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // batch 2: click on ad 1 inside the window (cross-batch match),
+      // click on ad 2 an hour later (outside `within` — must NOT match)
+      clicks.addData((1L, ts("2024-01-01 10:04:00")),
+        (2L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val rows = s.sql("select l_ad from graft_ssj_test").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+    } finally q.stop()
+    // state cleanup contract: unbounded join (no time bound) is refused
+    // by requiring the caller to pass `within` — nothing to assert here;
+    // leftOuter variant emits the unmatched impression after watermark
+    assertThrows[IllegalArgumentException] {
+      Streaming.streamStreamJoin(imps.toDF().toDF("ad", "its"),
+        clicks.toDF().toDF("ad", "cts"), "ad", "ad", "its", "cts",
+        "5 minutes", "10 minutes", joinType = "fullOuter")
+    }
+  }
 }
