@@ -1667,6 +1667,30 @@ object SparkEntry {
       |  ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stop_ratio
       |FROM m ORDER BY doc_id""".stripMargin)),
 
+    Q("text_quality_model", (s, dir) => {
+      // logistic quality classifier: smooth [0,1] prose probability from
+      // the same first-principles features the rule-band oracle uses;
+      // DuckDB re-derives the sigmoid from raw text
+      Tables(s, dir).documents
+        .addCols("prose_prob" -> round(qualityModelScore(col("text")), 6))
+        .selectNames(Seq("doc_id", "prose_prob"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |  len(tk) AS ntok,
+      |  (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+      |    / greatest(len(text), 1) AS pr,
+      |  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'))) * 1.0
+      |    / greatest(len(tk), 1) AS sr,
+      |  list_sum(list_transform(tk, x -> strlen(x))) * 1.0 / greatest(len(tk), 1) AS mwl
+      |  FROM t)
+      |SELECT doc_id, ROUND(
+      |  1.0 / (1.0 + exp(-(-2.0 + 0.35 * ln(1.0 + ntok) + 6.0 * sr
+      |    - 8.0 * pr + 0.25 * mwl))), 6) AS prose_prob
+      |FROM m ORDER BY doc_id""".stripMargin)),
+
     Q("text_lang_id", (s, dir) => {
       Tables(s, dir).documents
         .addCols("lang_pred" -> langId(col("text")))

@@ -103,6 +103,28 @@ object TextFunctions {
     lengthOk + punctOk + stopOk + wordOk
   }
 
+  /** Model-based quality score: a logistic (fastText-classifier-style)
+    * model over the fused text features — the "quality classifier" stage
+    * of a training-data pipeline, distilled to a linear model whose
+    * weights ship with the library (favoring stopword-bearing mid-length
+    * prose, penalizing punctuation soup). Unlike [[qualityScore]]'s
+    * hard rule bands this yields a smooth [0,1] probability that can be
+    * thresholded or used for sampling temperature. Same fused one-pass
+    * scan; still a pure scan-side projection. Features: ln(1+tokens),
+    * stopword ratio, punctuation ratio, mean word length. */
+  def qualityModelScore(c: Column): Column = {
+    val st = textStats(c)
+    val ntok = st.getField("ntok").cast(DoubleType)
+    val ntok1 = greatest(ntok, lit(1.0))
+    val pr = st.getField("punct").cast(DoubleType) /
+      greatest(st.getField("chars").cast(DoubleType), lit(1.0))
+    val sr = st.getField("en").cast(DoubleType) / ntok1
+    val mwl = st.getField("wlen").cast(DoubleType) / ntok1
+    val z = lit(-2.0) + lit(0.35) * log(lit(1.0) + ntok) +
+      lit(6.0) * sr - lit(8.0) * pr + lit(0.25) * mwl
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** N-gram language ID heuristic: score each language's stopword profile
     * over the token set, CJK scripts detected by codepoint class; highest
     * score wins, `und` when nothing matches. */
