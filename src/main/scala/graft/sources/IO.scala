@@ -205,6 +205,27 @@ object IO {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Hive-style partitioned + sorted data layout writer — the lakehouse
+    * sink a 100 TB corpus lands in. `repartition(partitionCols)` first:
+    * without it every task holds a writer per output partition and a
+    * 1000-task × 1000-partition write emits a million small files; with
+    * it each partition's rows converge on one task (AQE can still split
+    * a skewed one). `sortWithinPartitions` then orders rows inside each
+    * file so parquet row-group min/max statistics prune reads on the
+    * sort key (the poor man's Z-order for one dimension).
+    * `maxRecordsPerFile` caps file size for the hot-partition case. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      format: String = "parquet", maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned: no partition cols")
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .format(format).save(path)
+  }
+
   // ---- display sinks --------------------------------------------------
   /** reference `toHTML` + `format{}` cell styling (`io/html.kt:11-56`,
     * `api/format.kt:41-138`) — driver-side render of the first `limit`
