@@ -2375,6 +2375,36 @@ object SparkEntry {
         .sortByKeys(SortKey("n_nationkey"))
     }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
+    Q("layout_zorder", (s, dir) => {
+      // 64-bit Morton code (Z-order) of the two orders keys — the
+      // multi-dimension clustering key for data-skipping layouts; pure
+      // shift/mask integer arithmetic DuckDB replays bit-for-bit
+      Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.functions.Layout.zorderValue(
+            col("o_custkey"), col("o_orderkey")).as("zval"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""WITH s0 AS (SELECT o_orderkey, o_custkey,
+      |    o_custkey & 4294967295 AS a, o_orderkey & 4294967295 AS b
+      |  FROM orders),
+      |s1 AS (SELECT o_orderkey, o_custkey,
+      |    (a | (a << 16)) & 281470681808895 AS a,
+      |    (b | (b << 16)) & 281470681808895 AS b FROM s0),
+      |s2 AS (SELECT o_orderkey, o_custkey,
+      |    (a | (a << 8)) & 71777214294589695 AS a,
+      |    (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+      |s3 AS (SELECT o_orderkey, o_custkey,
+      |    (a | (a << 4)) & 1085102592571150095 AS a,
+      |    (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+      |s4 AS (SELECT o_orderkey, o_custkey,
+      |    (a | (a << 2)) & 3689348814741910323 AS a,
+      |    (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+      |s5 AS (SELECT o_orderkey, o_custkey,
+      |    (a | (a << 1)) & 6148914691236517205 AS a,
+      |    (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+      |SELECT o_orderkey, o_custkey, a | (b << 1) AS zval
+      |FROM s5 ORDER BY o_orderkey""".stripMargin)),
+
     Q("io_partitioned_roundtrip", (s, dir) => {
       // hive-style partitioned+sorted layout write → read back; oracle =
       // the original table, proving the layout shuffle/sort/split is

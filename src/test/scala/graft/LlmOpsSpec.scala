@@ -809,4 +809,22 @@ class LlmOpsSpec extends AnyFunSuite {
     val d = lmScore(dup, "text", "doc_id").orderBy("id").collect()
     assert(d(0).getLong(2) === d(1).getLong(2))
   }
+
+  test("zorderValue: known Morton codes; zorderBy preserves rows and clusters") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Layout
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L),
+      (0xFFFFFFFFL, 0xFFFFFFFFL)).toDF("a", "b")
+    val z = df.select(Layout.zorderValue($"a", $"b").as("z")).collect()
+      .map(_.getLong(0))
+    // interleave(a even bits, b odd bits)
+    assert(z(0) === 0L && z(1) === 1L && z(2) === 2L && z(3) === 15L)
+    assert(z(4) === -1L) // all 64 bits set
+    // zorderBy is a pure reorder: same multiset of rows out
+    val t = graft.Tables(s, "/root/testdata/sf0.001").orders
+    val zo = Layout.zorderBy(t, "o_custkey", "o_orderkey", 4)
+    assert(zo.count() === t.count())
+    assert(zo.columns.toSeq === t.columns.toSeq)
+  }
 }
