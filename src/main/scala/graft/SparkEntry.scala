@@ -1380,6 +1380,25 @@ object SparkEntry {
       |SELECT doc_id, rank, word, tf, df, score FROM r WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin)),
 
+    Q("text_chunk_windows", (s, dir) => {
+      // overlapping 64-token windows advancing by 48 (16-token overlap):
+      // the training-prep "overflowing tokens" shape; empty docs keep one
+      // empty chunk so the id set stays total
+      chunkTokenWindows(Tables(s, dir).documents, "doc_id", "text",
+          maxLen = 64, stride = 48)
+        .sortByKeys(SortKey("doc_id"), SortKey("chunk_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\W+'),
+      |    x -> len(x) > 0) AS tk FROM documents),
+      |s AS (SELECT doc_id, tk, len(tk) AS n,
+      |  unnest(range(0, greatest(len(tk) - 1, 0) + 1, 48)) AS st
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(st // 48 AS INTEGER) AS chunk_id,
+      |  CAST(least(64, n - st) AS INTEGER) AS n_tok,
+      |  array_to_string(tk[st + 1 : least(st + 64, n)], ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
+
     Q("url_parse", (s, dir) => {
       // URL components + registrable domain off a deterministic per-doc
       // URL (prefix/tld vary by doc_id so domains form real groups)
@@ -1563,6 +1582,27 @@ object SparkEntry {
       |SELECT word, CAST(count(*) AS BIGINT) AS tf,
       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
       |FROM w GROUP BY word ORDER BY tf DESC, word LIMIT 50""".stripMargin)),
+
+    Q("text_heavy_hitters", (s, dir) => {
+      // Misra-Gries heavy-hitters sketch, run in its provably-exact
+      // regime (k far above the corpus vocabulary size → no evictions →
+      // sketch counts ARE the exact counts; the small-k error bound is
+      // pinned by unit test). Only sketch maps cross the wire.
+      val toks = Tables(s, dir).documents
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("t"))
+      toks.agg(graft.functions.Aggregators
+          .heavyHittersUdaf(1 << 18)(col("t")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e._1").as("word"), col("e._2").as("cnt"))
+        .sortByKeys(SortKey("cnt", desc = true), SortKey("word"))
+        .limit(20)
+    }, Some("""WITH w AS (SELECT
+      |  unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) AS word
+      |  FROM documents)
+      |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |FROM w GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
 
     Q("text_pii_scrub", (s, dir) => {
       // PII scrub: the synthetic corpus carries no PII, so both engines
@@ -1754,6 +1794,64 @@ object SparkEntry {
       |  SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.sa, b.sa)) * 1.0
       |      / len(list_distinct(list_concat(a.sa, b.sa))) >= 0.8)
+      |ORDER BY doc_id""".stripMargin)),
+
+    // incremental (daily-ingest) dedup: batch = exact copies (ids ≡ 0 mod
+    // 5), near copies (≡ 1), genuinely fresh docs (rest). True oracle:
+    // brute-force batch × history jaccard + normalized-text exact layer
+    // (same LSH-recall argument as dedup_minhash_pairs: 32 bands × r=2,
+    // miss < 1e-14 at j ≥ 0.8). Fresh docs share only 4 of 10 distinct
+    // shingles pairwise (j = 0.4), so none can cross the 0.8 bar.
+    Q("dedup_incremental", (s, dir) => {
+      val docs = Tables(s, dir).documents.selectNames(Seq("doc_id", "text"))
+      val id = col("doc_id")
+      val batch = docs.select((id + 20000).as("doc_id"),
+        when(id % 5 === 0, col("text"))
+          .when(id % 5 === 1, concat(col("text"), lit(" graft extra marker")))
+          .otherwise(concat(lit("fresh batch content segment "),
+            id.cast(StringType), lit(" entirely new material rows")))
+          .as("text"))
+      val index = Dedup.buildDedupIndex(docs, "text", "doc_id",
+        numHashes = 64, bands = 32, shingleN = 3)
+      Dedup.incrementalDedup(batch, index, "text", "doc_id",
+          numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+        .selectNames(Seq("doc_id"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, text FROM documents),
+      |b AS (SELECT doc_id + 20000 AS bid,
+      |  CASE WHEN doc_id % 5 = 0 THEN text
+      |       WHEN doc_id % 5 = 1 THEN text || ' graft extra marker'
+      |       ELSE 'fresh batch content segment ' || CAST(doc_id AS VARCHAR)
+      |            || ' entirely new material rows' END AS btext
+      |  FROM h),
+      |hn AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nk
+      |  FROM h),
+      |bn AS (SELECT bid, btext,
+      |    trim(regexp_replace(lower(btext), '\s+', ' ', 'g')) AS nk
+      |  FROM b),
+      |bf AS (SELECT bid, btext, nk, row_number() OVER (
+      |    PARTITION BY nk ORDER BY bid) AS rn FROM bn),
+      |bx AS (SELECT bid, btext FROM bf
+      |  WHERE rn = 1 AND nk NOT IN (SELECT nk FROM hn)),
+      |tb AS (SELECT bid, list_filter(
+      |    regexp_split_to_array(lower(btext), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM bx),
+      |sb AS (SELECT bid, CASE WHEN len(tk) >= 3 THEN
+      |    list_distinct(list_transform(range(len(tk) - 2),
+      |      i -> array_to_string(tk[i+1:i+3], ' ')))
+      |  ELSE [array_to_string(tk, ' ')] END AS sa FROM tb),
+      |th AS (SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM h),
+      |sh2 AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      |    list_distinct(list_transform(range(len(tk) - 2),
+      |      i -> array_to_string(tk[i+1:i+3], ' ')))
+      |  ELSE [array_to_string(tk, ' ')] END AS sa FROM th),
+      |near AS (SELECT DISTINCT a.bid FROM sb a JOIN sh2 c ON
+      |  len(list_intersect(a.sa, c.sa)) * 1.0
+      |    / len(list_distinct(list_concat(a.sa, c.sa))) >= 0.8)
+      |SELECT bid AS doc_id FROM bx
+      |WHERE bid NOT IN (SELECT bid FROM near)
       |ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_simhash_pairs", (s, dir) => {

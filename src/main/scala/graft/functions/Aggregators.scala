@@ -34,4 +34,55 @@ object Aggregators {
 
   /** Column form, usable inside any groupBy().agg(...). */
   def refStdUdaf(c: Column): Column = udaf(refStd).apply(c)
+
+  /** Misra-Gries heavy-hitters sketch: one-pass top-frequency items with
+    * bounded memory, as a typed Aggregator so Catalyst plans the map-side
+    * partial automatically — each task builds a ≤ `k`-entry counter map
+    * and only those maps cross the wire, never the token stream itself
+    * (the exact `vocabulary` roll-up shuffles one (word, count) row per
+    * distinct word; at 100 TB this sketch caps the shuffle at k entries
+    * per task regardless of vocabulary size).
+    *
+    * Guarantees (classic MG + Agarwal et al. mergeable-summaries merge —
+    * combine counts, subtract the (k+1)-th largest, keep positives):
+    *  - every item with true count > N/(k+1) survives in the sketch;
+    *  - each reported count is an UNDERCOUNT by at most N/(k+1);
+    *  - when k ≥ the number of distinct items, nothing is ever evicted
+    *    and the sketch is EXACT — the regime the oracle query pins.
+    */
+  final class HeavyHitters(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    require(k >= 1, "HeavyHitters: k must be >= 1")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      if (x == null) b
+      else b.get(x) match {
+        case Some(c) => b.updated(x, c + 1)
+        case None if b.size < k => b.updated(x, 1L)
+        case None => // decrement-all: one "vote" against every counter
+          b.flatMap { case (t, c) =>
+            if (c > 1) Some(t -> (c - 1)) else None }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = b.foldLeft(a) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c) }
+      if (m.size <= k) m
+      else {
+        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+        m.flatMap { case (t, c) =>
+          if (c - cut > 0) Some(t -> (c - cut)) else None }
+      }
+    }
+    def finish(b: Map[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy { case (t, c) => (-c, t) }
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column form: array<struct<_1: item, _2: count>> sorted by
+    * (count desc, item). */
+  def heavyHittersUdaf(k: Int)(c: Column): Column =
+    udaf(new HeavyHitters(k), Encoders.STRING).apply(c)
 }

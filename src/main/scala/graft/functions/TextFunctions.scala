@@ -364,6 +364,39 @@ object TextFunctions {
         round((col("sum_lp_micro") / lit(1e6)) / col("n_bigrams"), 6))
   }
 
+  /** Chunk each document's token stream into overlapping windows of
+    * `maxLen` tokens advancing by `stride` — the standard training-prep
+    * "overflowing tokens" shape (long doc → model-context-sized pieces,
+    * consecutive windows overlapping by `maxLen - stride` tokens so no
+    * span is ever split across a window boundary it doesn't also appear
+    * whole in).
+    *
+    * Output: (idCol, chunk_id, n_tok, chunk_text), chunk_id 0-based in
+    * document order. A doc with no tokens (empty or null text — null is
+    * folded to "" first) still emits one empty chunk: chunking never
+    * silently drops documents, so downstream joins on idCol stay total.
+    *
+    * Scale shape: the windows are built entirely by array expressions
+    * inside the projection (sequence → posexplode → slice) — scan-side
+    * only, no shuffle, no UDF; output rows ≈ Σ ceil(len/stride), and the
+    * token array is sliced per window, never carried whole through a
+    * shuffle. */
+  def chunkTokenWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxLen: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(maxLen >= 1, "chunkTokenWindows: maxLen must be >= 1")
+    require(stride >= 1, "chunkTokenWindows: stride must be >= 1")
+    val tk = tokens(coalesce(col(textCol), lit("")))
+    df.select(col(idCol), tk.as("__tk"), size(tk).as("__n"))
+      .select(col(idCol), col("__tk"), col("__n"),
+        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+          lit(stride))))
+      .select(col(idCol),
+        col("pos").as("chunk_id"),
+        least(lit(maxLen), col("__n") - col("col")).as("n_tok"),
+        array_join(slice(col("__tk"), col("col") + 1, lit(maxLen)), " ")
+          .as("chunk_text"))
+  }
+
   /** Like [[shingles]] but EMPTY (not whole-text) below n tokens —
     * repetition fractions need "no bigrams" to mean 0, not 1. */
   private def shinglesStrict(c: Column, n: Int): Column = {

@@ -360,6 +360,81 @@ object Dedup {
     clean.unionAll(candidates)
   }
 
+  // ---- incremental (batch-vs-history) dedup ---------------------------
+  /** Signature index over a historical corpus: one row per doc with the
+    * 256-bit exact content key, hashed shingle set, and MinHash-LSH band
+    * keys. This is what a daily-ingest pipeline PERSISTS (parquet, next
+    * to the corpus): re-scanning 100 TB of history text per batch is the
+    * thing it exists to avoid — the index is a few percent of corpus
+    * bytes and carries everything both dedup layers of
+    * [[incrementalDedup]] need. */
+  def buildDedupIndex(history: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    val sh = nf.shingleHashes(tokens(col(textCol)), shingleN)
+    history.select(col(idCol).as("hist_id"),
+        contentKey(col(textCol)).as("ckey"), sh.as("sh"))
+      .withColumn("bk", bandKeys(
+        nf.minhashFromLongs(col("sh"), numHashes), bands, numHashes / bands))
+  }
+
+  /** Incremental dedup — the daily-ingest shape: keep the rows of a NEW
+    * batch that survive
+    *  (a) exact within-batch keep-first on the content key,
+    *  (b) exact anti-join against the history index's content keys,
+    *  (c) near-dup rejection against history: candidates are LSH
+    *      band-key collisions between batch and index, verified by exact
+    *      Jaccard on the hashed shingle sets (≥ `minJaccard` ⇒ drop).
+    * Near-dup WITHIN the batch composes with [[nearDupDedup]] upstream.
+    *
+    * Scale shape: history TEXT is never read — only the index. Layer (b)
+    * is one anti-join on a fixed-width key; layer (c) explodes skinny
+    * (id, band, key) tuples on both sides and equi-joins on (band, key)
+    * — O(n·bands), never batch × history — and the Jaccard verify
+    * re-joins shingle sets BY ID for the ~|candidates| rows only. A
+    * daily batch is ≪ history, so AQE broadcasts the batch side of the
+    * candidate join naturally. */
+  def incrementalDedup(batch: DataFrame, index: DataFrame, textCol: String,
+      idCol: String, numHashes: Int = 64, bands: Int = 32,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    import RowOps._
+    // batch signatures, computed once (consumed by layers a+b and c)
+    val sig = cache.track(batch
+      .withColumn("__ckey", contentKey(col(textCol)))
+      .withColumn("__sh", nf.shingleHashes(tokens(col(textCol)), shingleN))
+      .withColumn("__bk", bandKeys(
+        nf.minhashFromLongs(col("__sh"), numHashes), bands, numHashes / bands))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val afterExact = sig
+      .distinctByFirst(Seq("__ckey"), Seq(col(idCol)))
+      .join(index.select(col("ckey")), col("__ckey") === col("ckey"),
+        "left_anti")
+    val bandsBatch = afterExact
+      .select(col(idCol).as("__bid"), posexplode(col("__bk")))
+      .select(col("__bid"), col("pos").as("__b"), col("col").as("__k"))
+    val bandsHist = index
+      .select(col("hist_id"), posexplode(col("bk")))
+      .select(col("hist_id"), col("pos").as("__b"), col("col").as("__k"))
+    val nearHits = bandsBatch.join(bandsHist, Seq("__b", "__k"))
+      .select(col("__bid"), col("hist_id")).distinct()
+      .join(afterExact.select(col(idCol).as("__bid"), col("__sh").as("__sha")),
+        Seq("__bid"))
+      .join(index.select(col("hist_id"), col("sh").as("__shb")),
+        Seq("hist_id"))
+      .filter(size(array_intersect(col("__sha"), col("__shb")))
+          .cast(DoubleType) /
+        size(array_union(col("__sha"), col("__shb"))).cast(DoubleType)
+          >= minJaccard)
+      .select(col("__bid")).distinct()
+    afterExact
+      .join(nearHits, afterExact(idCol) === nearHits("__bid"), "left_anti")
+      .drop("__ckey", "__sh", "__bk")
+  }
+
   /** Hard ceiling on the input row count for [[simhashBruteForcePairs]]:
     * the all-pairs differential is O(n²) by construction and exists only
     * to verify the pigeonhole path on test-scale corpora. Same fail-fast

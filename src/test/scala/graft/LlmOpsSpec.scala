@@ -28,6 +28,57 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 6) // Hello , world ! x 2 (bpe-ish splits x|2)
   }
 
+  test("chunkTokenWindows: overlap, ragged tail, empty docs, full coverage") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one window
+      (3L, "")                     // no tokens at all
+    ).toDF("doc_id", "text")
+    val r = chunkTokenWindows(df, "doc_id", "text", maxLen = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(r.filter(_._1 == 1L).map(x => (x._2, x._3, x._4)).toSeq == Seq(
+      (0, 4, "a b c d"), (1, 4, "d e f g"), (2, 4, "g h i j"), (3, 1, "j")))
+    assert(r.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "x y")))
+    // empty doc still emits exactly one empty chunk — ids never vanish
+    assert(r.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0, "")))
+    // stride == maxLen → non-overlapping chunks concatenate back exactly
+    val whole = chunkTokenWindows(df.filter($"doc_id" === 1L), "doc_id",
+        "text", maxLen = 3, stride = 3)
+      .orderBy("chunk_id").as[(Long, Int, Int, String)].collect()
+      .map(_._4).mkString(" ")
+    assert(whole == "a b c d e f g h i j")
+  }
+
+  test("HeavyHitters: exact when k ≥ distinct; MG error bound when small") {
+    val s = spark
+    import s.implicits._
+    val truth = Map("a" -> 50L, "b" -> 30L, "c" -> 12L) ++
+      (1 to 8).map(i => s"z$i" -> 1L)
+    val items = truth.toSeq.flatMap { case (t, c) => Seq.fill(c.toInt)(t) }
+    val n = items.size // 100
+    val df = items.toDF("t").repartition(7) // force partials + merges
+    def sketch(k: Int): Seq[(String, Long)] =
+      df.agg(graft.functions.Aggregators.heavyHittersUdaf(k)(col("t")))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1))
+    // k ≥ distinct → no evictions ever → the sketch IS the exact counts,
+    // sorted by (count desc, item)
+    val big = sketch(64)
+    assert(big.toMap == truth)
+    assert(big.head == ("a", 50L))
+    // k=3 → MG bound: undercount ≤ N/(k+1) = 25; anything above 25 survives
+    val small = sketch(3).toMap
+    assert(small.size <= 3)
+    assert(small.contains("a") && small.contains("b"))
+    small.foreach { case (t, c) =>
+      val tc = truth(t)
+      assert(c <= tc && tc - c <= n / 4, s"$t: est $c vs true $tc")
+    }
+  }
+
   test("fused textStats matches the regex/HOF formulations exactly") {
     val s = spark
     import s.implicits._
@@ -121,6 +172,31 @@ class LlmOpsSpec extends AnyFunSuite {
     val res = Dedup.nearDupDedup(docs, "text", "doc_id",
       numHashes = 64, bands = 32, shingleN = 2, minJaccard = 0.5)
     assert(res.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
+
+  test("incrementalDedup: exact + near vs history, keep-first within batch") {
+    val s = spark
+    import s.implicits._
+    val longText = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon" // 20 tokens
+    val history = Seq(
+      (1L, longText),
+      (2L, "spark engines process distributed analytical workloads fast")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, longText),                       // exact copy of history 1
+      (11L, longText.toUpperCase + "  "),    // exact modulo normalization
+      (12L, longText + " appended"),         // near dup: j = 18/19 ≈ 0.947
+      (13L, "totally different brand new batch document here today"),
+      (14L, "totally different brand new batch document here today"), // in-batch dup
+      (15L, "short")                         // sub-shingle-length fresh doc
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildDedupIndex(history, "text", "doc_id",
+      numHashes = 64, bands = 32, shingleN = 3)
+    val kept = Dedup.incrementalDedup(batch, idx, "text", "doc_id",
+        numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(13L, 15L))
   }
 
   test("repetitionStats: top-bigram share and gaps-and-islands runs") {
