@@ -2516,6 +2516,29 @@ object SparkEntry {
     }, Some("""SELECT doc_id, lang, source, n_chars FROM documents
       |ORDER BY doc_id""".stripMargin)),
 
+    Q("io_stats_pruned", (s, dir) => {
+      // data skipping: partitioned+sorted layout split into ~5k-row files
+      // (consecutive sorted runs → tight per-file min/max envelopes), a
+      // per-file stats manifest, then a range scan that reads ONLY the
+      // files whose envelope intersects. Oracle = plain filter on the
+      // original table: pruning must be invisible in the result.
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_stats_li"
+      IO.writePartitioned(Tables(s, dir).lineitem, tmp,
+        partitionCols = Seq("l_returnflag"), sortCols = Seq("l_shipdate"),
+        maxRecordsPerFile = 5000L)
+      val manifest = IO.fileStats(s, tmp, Seq("l_shipdate"))
+      IO.statsPrunedRead(s, tmp, manifest, "l_shipdate",
+          lit("1995-03-01").cast(TimestampType),
+          lit("1995-04-30").cast(TimestampType))
+        .selectNames(Seq("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_shipdate"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1995-03-01'
+      |  AND TIMESTAMP '1995-04-30'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     Q("pivot_frames", (s, dir) => {
       // frame cells (array<struct>) rendered as sorted '|'-joined strings
       // so the driver's pandas harness can sort/hash them (VERDICT r2 item 1)

@@ -226,6 +226,47 @@ object IO {
       .format(format).save(path)
   }
 
+  /** Per-file column-statistics manifest — the data-skipping primitive
+    * (Delta/Iceberg-style file-level min/max, rebuilt over plain
+    * parquet): one distributed scan grouped by `input_file_name()`
+    * collects row count and per-column min/max/null-count. Persisted
+    * next to the data it describes, a 100 TB table's manifest is only
+    * ~(files × cols) rows — the thing a planner can afford to read
+    * before deciding which terabytes NOT to. Pairs with
+    * [[writePartitioned]]: in-file sort + `maxRecordsPerFile` gives
+    * consecutive key runs per file, i.e. tight min/max envelopes. */
+  def fileStats(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats: no stats columns")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(col(c).isNull.cast("long")).as(s"nulls_$c")) }
+    spark.read.parquet(path)
+      .withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stats-pruned range scan: read ONLY the files whose [min, max]
+    * envelope on `keyCol` can intersect [lo, hi], then apply the exact
+    * filter. Result ≡ full scan + filter, row for row: a pruned file's
+    * envelope excludes every candidate row, and rows with a null key
+    * can't satisfy a range predicate in either plan. The kept-file list
+    * is collected driver-side — bounded by the FILE count (manifest
+    * rows, not data rows), exactly what every table-format planner
+    * holds in memory. `basePath` keeps hive-style partition columns in
+    * the pruned read's schema. */
+  def statsPrunedRead(spark: SparkSession, path: String,
+      manifest: DataFrame, keyCol: String, lo: Column, hi: Column): DataFrame = {
+    val kept = manifest
+      .filter(col(s"max_$keyCol") >= lo && col(s"min_$keyCol") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.option("basePath", path).parquet(kept.toSeq: _*)
+    base.filter(col(keyCol).between(lo, hi))
+  }
+
   // ---- display sinks --------------------------------------------------
   /** reference `toHTML` + `format{}` cell styling (`io/html.kt:11-56`,
     * `api/format.kt:41-138`) — driver-side render of the first `limit`

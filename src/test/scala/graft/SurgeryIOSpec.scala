@@ -115,6 +115,38 @@ class SurgeryIOSpec extends AnyFunSuite {
     assert(df.schema("b").dataType.isInstanceOf[StructType]) // nested inference
   }
 
+  test("fileStats manifest prunes files; pruned scan equals full filter") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stats_spec").toString + "/t"
+    // two partitions × sorted key runs split at 25 rows/file → every
+    // file covers a narrow, known key envelope
+    val df = (0 until 200)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i % 7))
+      .toDF("k", "p", "pay")
+    IO.writePartitioned(df, tmp, partitionCols = Seq("p"),
+      sortCols = Seq("k"), maxRecordsPerFile = 25L)
+    val manifest = IO.fileStats(s, tmp, Seq("k"))
+    val nFiles = manifest.count()
+    assert(nFiles >= 8, s"expected >= 8 files, got $nFiles") // 2 × 100/25
+    // narrow range: result identical to the full-scan filter...
+    val pruned = IO.statsPrunedRead(s, tmp, manifest, "k", lit(40L), lit(59L))
+    val full = s.read.parquet(tmp).filter(col("k").between(40L, 59L))
+    assert(pruned.select("k", "p", "pay").except(full.select("k", "p", "pay"))
+      .isEmpty && full.select("k", "p", "pay")
+      .except(pruned.select("k", "p", "pay")).isEmpty)
+    assert(pruned.count() == 20)
+    // ...while actually touching fewer files than the table holds
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched < nFiles, s"no pruning: $touched of $nFiles files")
+    // hive partition column survives the leaf-file read (basePath)
+    assert(pruned.columns.contains("p"))
+    // range beyond every envelope → zero files kept, empty result
+    assert(IO.statsPrunedRead(s, tmp, manifest, "k",
+      lit(10000L), lit(20000L)).isEmpty)
+  }
+
   test("dataFrameOf builders and display sinks") {
     val s = spark
     val df = IO.dataFrameOf(s, Seq("a", "b"), Seq(Seq(1, "x"), Seq(2, "y")))
