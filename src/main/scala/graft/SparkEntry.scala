@@ -12,7 +12,7 @@ import graft.ops.Joins._
 import graft.ops.Reshape._
 import graft.ops.Series._
 import graft.ops.Selection._
-import graft.ops.{Agg, Dedup, Similarity, Multimodal, Web}
+import graft.ops.{Agg, Cdc, Dedup, Events, Similarity, Multimodal, Web}
 import graft.functions.TextFunctions._
 import graft.sources.IO
 
@@ -1167,6 +1167,182 @@ object SparkEntry {
       |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS ma_1h
       |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("series_resample", (s, dir) => {
+      // downsample each user's event stream to 1-hour buckets (mean +
+      // count), materialize the missing buckets in each user's span, and
+      // forward-fill the value — the regularization step every
+      // metrics/feature pipeline runs before modeling. Empty buckets show
+      // n_events = 0 with the carried-forward mean.
+      resampleWithFill(Tables(s, dir).events, "ts", "value",
+          3600L * 1000000L, Seq("user_id"))
+        .select(col("user_id"), col("bucket"),
+          round(col("filled_avg"), 6).as("filled_avg"), col("n_events"))
+        .sortByKeys(SortKey("user_id"), SortKey("bucket"))
+    }, Some("""WITH b AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+      |    AVG(value) AS bucket_avg, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |    UNNEST(generate_series(MIN(bucket), MAX(bucket))) AS bucket
+      |  FROM b GROUP BY user_id),
+      |j AS (
+      |  SELECT g.user_id, g.bucket, b.bucket_avg,
+      |    CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events
+      |  FROM grid g LEFT JOIN b
+      |    ON g.user_id = b.user_id AND g.bucket = b.bucket)
+      |SELECT user_id, bucket,
+      |  ROUND(LAST_VALUE(bucket_avg IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+      |    AS filled_avg,
+      |  n_events
+      |FROM j ORDER BY user_id, bucket""".stripMargin)),
+
+    Q("events_funnel", (s, dir) => {
+      // staged funnel view → click → purchase per user: earliest
+      // strictly-ordered completion, matched timestamps in epoch micros.
+      // One shuffle (groupBy user + in-memory walk), not k join passes;
+      // DuckDB re-derives via the min-cascade joins.
+      Events.funnel(Tables(s, dir).events, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .sortByKeys(SortKey("user_id"))
+    }, Some("""WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+      |  GROUP BY 1)
+      |SELECT s1.user_id, s1.t1 AS stage1_ts, s2.t2 AS stage2_ts,
+      |  s3.t3 AS stage3_ts,
+      |  CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+      |    AS stages_reached
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin)),
+
+    Q("join_salted_skew", (s, dir) => {
+      // skew-salted equi-join: identical rows to the plain join (the
+      // oracle RUNS the plain join), but the shuffle spreads each key
+      // over 8 salts — the straggler-killer for hot keys when the right
+      // side is too big to broadcast.
+      val t = Tables(s, dir)
+      val li = t.lineitem.selectNames(
+        Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      val ord = t.orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey"))
+      graft.ops.Joins.saltedSkewJoin(li, ord, Seq("l_orderkey"), 8)
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_custkey
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("cdc_apply", (s, dir) => {
+      // changelog merge onto a snapshot: updates (key%3), deletes (key%7,
+      // winning seq beats the update), resurrections (key%21 upserted
+      // AFTER its delete), and fresh inserts (key%500 at key+1000000) —
+      // one shuffle, last-writer-wins, oracle re-derives with a window.
+      val ord  = Tables(s, dir).orders
+      val base = ord.selectNames(Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      val upd = ord.where(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit(1L).as("seq"), lit(Cdc.Upsert).as("op"))
+      val del = ord.where(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(2L).as("seq"), lit(Cdc.Delete).as("op"))
+      val res = ord.where(pmod(col("o_orderkey"), lit(21)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2.0).as("o_totalprice"),
+          lit(3L).as("seq"), lit(Cdc.Upsert).as("op"))
+      val ins = ord.where(pmod(col("o_orderkey"), lit(500)) === 0)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit(1L).as("seq"), lit(Cdc.Upsert).as("op"))
+      Cdc.applyChangeLog(base, upd.union(del).union(res).union(ins),
+          Seq("o_orderkey"), "seq", "op")
+        .setCol("o_totalprice", round(col("o_totalprice"), 2))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""WITH log AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(-9223372036854775807 - 1 AS BIGINT) AS seq, 'U' AS op
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0,
+      |    CAST(1 AS BIGINT), 'U' FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(2 AS BIGINT), 'D' FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0,
+      |    CAST(3 AS BIGINT), 'U' FROM orders WHERE o_orderkey % 21 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_custkey, o_totalprice,
+      |    CAST(1 AS BIGINT), 'U' FROM orders WHERE o_orderkey % 500 = 0),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq DESC) AS rn
+      |  FROM log)
+      |SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+      |FROM r WHERE rn = 1 AND op = 'U' ORDER BY o_orderkey""".stripMargin)),
+
+    Q("text_collocations", (s, dir) => {
+      // PMI-ranked adjacent-bigram collocations (phrase mining): counts
+      // are exact integers, pmi rounded to 6dp BEFORE the rank so the
+      // top-40 cut is order-stable in both engines.
+      collocations(Tables(s, dir).documents, "text", 5L, 40)
+    }, Some("""WITH toks AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT t FROM toks WHERE len(t) >= 2),
+      |    LATERAL (SELECT UNNEST(generate_series(1, len(t) - 1)) AS i)),
+      |cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |ca AS (SELECT w1, CAST(SUM(c_ab) AS DOUBLE) AS c_a FROM cab GROUP BY 1),
+      |cb AS (SELECT w2, CAST(SUM(c_ab) AS DOUBLE) AS c_b FROM cab GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS nt FROM cab)
+      |SELECT cab.w1, cab.w2, CAST(c_ab AS BIGINT) AS c_ab,
+      |  ROUND(LN(CAST(c_ab AS DOUBLE) * nt / (c_a * c_b)), 6) AS pmi
+      |FROM cab, ca, cb, n
+      |WHERE cab.w1 = ca.w1 AND cab.w2 = cb.w2 AND c_ab >= 5
+      |ORDER BY pmi DESC, cab.w1, cab.w2 LIMIT 40""".stripMargin)),
+
+    Q("sketch_quantile_verify", (s, dir) => {
+      // approx-quantile sketch accuracy differential: percentile_approx
+      // (Greenwald-Khanna style, mergeable partials — at 100 TB the
+      // sketch IS the quantile operator) at accuracy 10000 carries a
+      // ≤ 1e-4 rank-error guarantee; this row measures the TRUE rank of
+      // each returned quantile against the full data and pins the max
+      // error under 0.01 (100× margin). DuckDB checks the arity exactly.
+      val qsArr = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val li = Tables(s, dir).lineitem.select(col("l_extendedprice").as("x"))
+      val approx = li
+        .agg(percentile_approx(col("x"), array(qsArr.map(lit): _*),
+          lit(10000)).as("vs"))
+        .select(posexplode(col("vs")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")
+        .withColumn("q", element_at(array(qsArr.map(lit): _*), col("i") + 1))
+      li.crossJoin(broadcast(approx))
+        .groupBy(col("q"), col("v"))
+        .agg(sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+        .select(abs(col("le").cast(DoubleType) / col("n") - col("q"))
+          .as("err"))
+        .aggAll(Seq(count(lit(1)).as("n_quantiles"),
+          max(col("err")).as("maxerr")))
+        .select(col("n_quantiles"), (col("maxerr") <= 0.01).as("err_ok"))
+    }, Some("SELECT CAST(5 AS BIGINT) AS n_quantiles, TRUE AS err_ok")),
 
     // ================= LLM pipeline: text =============================
     Q("text_length_buckets", (s, dir) => {

@@ -166,6 +166,53 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** PMI-ranked collocations (phrase mining — the statistic behind
+    * word2vec-style phrase merging and tokenizer vocabulary induction):
+    * for every adjacent token bigram with corpus count ≥ `minCount`,
+    * pmi = ln(c_ab · N / (c_a · c_b)) where N is the total bigram count.
+    * High-PMI pairs co-occur far more than their unigram frequencies
+    * predict ("new york", "machine learning"). Returns the top-k by
+    * (pmi desc, w1, w2) — deterministic because pmi is rounded to 6
+    * decimals BEFORE ranking, so float noise can't flip the order.
+    *
+    * Unigram counts are taken over bigram POSITIONS (left word of each
+    * bigram for c_a, right word for c_b) — the textbook contingency-table
+    * marginals, so the four counts are mutually consistent and every
+    * probability is a true probability (Σ c_a = Σ c_b = N).
+    *
+    * Scale shape: one explode to skinny (w1, w2) pairs → count shuffle
+    * with map-side partials; the two marginal roll-ups reuse the bigram
+    * counts (they aggregate the ALREADY-counted pairs, not the corpus) →
+    * two joins on single-word keys. Text never re-shuffles; everything
+    * after the first count moves (word, count) tuples. Top-k is a sort of
+    * the filtered survivors only (`minCount` is the volume knob).
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "collocations: k must be > 0")
+    require(minCount >= 1, "collocations: minCount must be >= 1")
+    val toks = df.select(tokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+    val pairs = toks.select(explode(
+      transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val cAb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val cA = cAb.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
+    val cB = cAb.groupBy("w2").agg(sum(col("c_ab")).as("c_b"))
+    val n = cAb.agg(sum(col("c_ab")).as("n_total"))
+    cAb.where(col("c_ab") >= minCount)
+      .join(cA, "w1").join(cB, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(
+        log(col("c_ab").cast("double") * col("n_total") /
+          (col("c_a").cast("double") * col("c_b"))), 6))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Smoothed TF-IDF top-k terms per document (sklearn-style idf:
     * ln((N+1)/(df+1)) + 1, never negative, never /0). The "what is this
     * document about" primitive — keyword extraction, topic tagging,

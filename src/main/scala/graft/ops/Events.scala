@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics (beyond the reference): operations over a
+  * (user, timestamp, event_type) stream that need ORDER within each user's
+  * history — the product-analytics sibling of `Streaming.sessionizeBatch`.
+  */
+object Events {
+
+  /** Funnel analysis: for each entity, find the earliest strictly-ordered
+    * completion of `stages` (stage i+1 must occur at a ts strictly AFTER
+    * the matched stage-i event; equal timestamps do NOT advance the funnel,
+    * which keeps semantics engine-independent when events share a
+    * timestamp). Emits one row per entity that reached stage 1, with the
+    * matched timestamp per stage (micros, null = not reached) and the
+    * count of stages reached.
+    *
+    * The match is greedy-earliest: stage 1 matches the entity's first
+    * stage-1 event, stage 2 the first later stage-2 event, and so on —
+    * the standard product-funnel definition, and for strictly-ordered
+    * matching the greedy choice is optimal (taking any later stage-i
+    * event can only shrink the events available to stage i+1).
+    *
+    * Scale shape: ONE shuffle — groupBy entity, collect each entity's
+    * (ts, type) pairs pre-projected to 12 bytes/event, sort in-memory per
+    * entity, walk once with a higher-order `aggregate`. Per-entity state is
+    * its own event list — the same bound as any per-user sessionization;
+    * entities with unbounded histories need a time-range pre-filter, which
+    * composes (`df.filterRows` before the call). No window, no self-join
+    * per stage (k stages would otherwise cost k shuffles).
+    */
+  def funnel(df: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: no stages")
+    require(stages.distinct.size == stages.size,
+      "funnel: repeated stage types are ambiguous")
+    val n = stages.size
+    // skinny per-event payload; only funnel-relevant events are collected
+    val ev = df
+      .where(col(typeCol).isin(stages: _*))
+      .select(col(entityCol),
+        struct(unix_micros(col(tsCol)).as("ts"), col(typeCol).as("et"))
+          .as("e"))
+    val walked = ev.groupBy(col(entityCol))
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+      .withColumn("stages", aggregate(
+        col("evs"),
+        // accumulator: one nullable micros slot per stage
+        struct((0 until n).map(i =>
+          lit(null).cast("long").as(s"t$i")): _*),
+        (acc, e) => {
+          // slot i fills when: still empty, event type matches stage i,
+          // and (i == 0, or slot i-1 filled at a strictly earlier ts)
+          val slots = (0 until n).map { i =>
+            val gate =
+              if (i == 0) e.getField("et") === stages.head
+              else acc.getField(s"t${i - 1}").isNotNull &&
+                e.getField("et") === stages(i) &&
+                e.getField("ts") > acc.getField(s"t${i - 1}")
+            coalesce(acc.getField(s"t$i"),
+              when(gate, e.getField("ts"))).as(s"t$i")
+          }
+          struct(slots: _*)
+        }))
+    val stageCols = (0 until n).map(i =>
+      col(s"stages.t$i").as(s"stage${i + 1}_ts"))
+    val reached = (0 until n).map(i =>
+      when(col(s"stages.t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    walked
+      .select(col(entityCol) +: stageCols :+ reached.as("stages_reached"): _*)
+      .where(col("stage1_ts").isNotNull)
+  }
+}

@@ -63,4 +63,36 @@ object Joins {
       left.join(r2, keys, how)
     }
   }
+
+  /** Skew-salted equi-join (beyond the reference; the join-side sibling of
+    * `Agg.sumForSalted`): when one join key dominates (a hot user, the
+    * empty-string document, a null-ish default), the shuffle hash-partitions
+    * every matching row of BOTH sides onto one task — the classic straggler
+    * that stalls a 1000-executor job on one core. Salting splits each left
+    * row across `salts` sub-keys derived from a hash of the whole row, and
+    * replicates the (small) right side once per salt, so the hot key's probe
+    * work spreads over `salts` tasks. The right side grows `salts`× — use
+    * this when right is the dimension side (or pre-filtered), and prefer
+    * plain broadcast when right fits in memory; salting is the middle
+    * regime: right too big to broadcast, left too skewed to shuffle flat.
+    * Results are identical to the plain join (oracle-pinned): the salt is
+    * an AND-ed equi-key, never a filter. AQE's skew-join handles sort-merge
+    * skew after the fact; explicit salting also covers shuffled-hash plans
+    * and composes with bucketing.
+    *
+    * Only inner/left joins are exposed: for right/full joins the replicated
+    * right side would need a post-join dedup of unmatched copies. */
+  def saltedSkewJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int, how: String = "inner"): DataFrame = {
+    require(salts > 0, "saltedSkewJoin: salts must be > 0")
+    require(how == "inner" || how == "left",
+      s"saltedSkewJoin: only inner/left joins (got $how)")
+    // deterministic per-row salt: hash over ALL left columns — duplicate
+    // rows land on the same salt (harmless), everything else spreads
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", how).drop("__salt")
+  }
 }

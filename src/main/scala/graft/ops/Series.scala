@@ -95,4 +95,45 @@ object Series {
         : DataFrame =
       df.withColumn(as, row_number().over(spec(partition, order)))
   }
+
+  /** Time-series resample with gap fill (beyond the reference — the
+    * downsample-and-regularize step every metrics/feature pipeline needs):
+    * bucket each series into fixed `bucketUs`-micros intervals, aggregate
+    * `valueCol` per bucket (mean + event count), then materialize the
+    * MISSING buckets between each series' first and last bucket and
+    * forward-fill the value from the most recent non-empty bucket. Empty
+    * buckets report `n_events` = 0 and a forward-filled value (null until
+    * the first observation).
+    *
+    * Scale shape: all three stages shuffle on the SAME series key —
+    * groupBy(key, bucket), the per-key min/max grid, and the fill window —
+    * so AQE/exchange reuse keeps it at effectively one partitioning; the
+    * dense-grid explode is bounded by (span/bucketUs) rows per key, a
+    * deliberate densification the caller sizes via `bucketUs`. Never a
+    * global sort; per-key fill state is one running value. Sparse series
+    * with huge spans should pick a coarser bucket — the explode IS the
+    * output size.
+    */
+  def resampleWithFill(df: DataFrame, tsCol: String, valueCol: String,
+      bucketUs: Long, partition: Seq[String]): DataFrame = {
+    require(bucketUs > 0, "resampleWithFill: bucketUs must be > 0")
+    val keys = partition.map(col)
+    val bucketed = df
+      .withColumn("bucket",
+        floor(unix_micros(col(tsCol)) / bucketUs).cast("long"))
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(avg(col(valueCol)).as("bucket_avg"),
+        count(lit(1)).as("n_events"))
+    val grid = bucketed
+      .groupBy(keys: _*)
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(keys :+ explode(sequence(col("__lo"), col("__hi")))
+        .as("bucket"): _*)
+    val w = spec(partition, Seq(col("bucket")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(bucketed, partition :+ "bucket", "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_avg", last(col("bucket_avg"), ignoreNulls = true)
+        .over(w))
+  }
 }

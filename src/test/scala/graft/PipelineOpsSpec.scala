@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.{Cdc, Events, Joins, Series}
+import graft.functions.TextFunctions
+
+/** Round-9 pipeline operators: salted join, CDC merge, resample+fill,
+  * funnel, collocations. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  // ---------------- saltedSkewJoin ----------------
+
+  test("saltedSkewJoin matches the plain join exactly (inner and left)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"))
+      .toDF("k", "lv")
+    val right = Seq((1, 10), (2, 20), (4, 40)).toDF("k", "rv")
+    for (how <- Seq("inner", "left")) {
+      val plain  = left.join(right, Seq("k"), how)
+      val salted = Joins.saltedSkewJoin(left, right, Seq("k"), 5, how)
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      assert(salted.collect().map(_.toSeq).sortBy(_.mkString(","))
+        .toSeq == plain.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq,
+        how)
+    }
+  }
+
+  test("saltedSkewJoin joins on the salt key (plan carries __salt)") {
+    val s = spark
+    import s.implicits._
+    val left  = Seq((1, "a")).toDF("k", "lv")
+    val right = Seq((1, 10)).toDF("k", "rv")
+    val plan = Joins.saltedSkewJoin(left, right, Seq("k"), 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), plan)
+    intercept[IllegalArgumentException] {
+      Joins.saltedSkewJoin(left, right, Seq("k"), 4, "full")
+    }
+  }
+
+  // ---------------- Cdc.applyChangeLog ----------------
+
+  test("applyChangeLog: update, delete, resurrect, insert, untouched") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1, "one"), (2, "two"), (3, "three"), (4, "four"))
+      .toDF("id", "v")
+    val changes = Seq(
+      (1, "ONE", 10L, "U"),   // plain update
+      (2, "dead", 10L, "D"),  // delete
+      (3, "gone", 10L, "D"),  // delete...
+      (3, "back", 20L, "U"),  // ...then resurrect with later seq
+      (5, "five", 10L, "U")   // fresh insert
+    ).toDF("id", "v", "seq", "op")
+    val out = Cdc.applyChangeLog(base, changes, Seq("id"), "seq", "op")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq(1 -> "ONE", 3 -> "back", 4 -> "four", 5 -> "five"))
+  }
+
+  test("applyChangeLog: a change always beats the base snapshot") {
+    val s = spark
+    import s.implicits._
+    val base    = Seq((1, "old")).toDF("id", "v")
+    // even the smallest real seq outranks the base's MinValue
+    val changes = Seq((1, "new", Long.MinValue + 1, "U"))
+      .toDF("id", "v", "seq", "op")
+    val out = Cdc.applyChangeLog(base, changes, Seq("id"), "seq", "op")
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("new"))
+  }
+
+  // ---------------- Series.resampleWithFill ----------------
+
+  test("resampleWithFill densifies gaps and forward-fills") {
+    val s = spark
+    import s.implicits._
+    // user u: events in buckets 0 (v=2,4), 3 (v=10); buckets 1,2 missing
+    val df = Seq(
+      ("u", 5L, 2.0), ("u", 9L, 4.0), ("u", 35L, 10.0),
+      ("w", 12L, 7.0))
+      .toDF("uid", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Series.resampleWithFill(df, "ts", "value", 10L, Seq("uid"))
+      .orderBy("uid", "bucket")
+      .select("uid", "bucket", "filled_avg", "n_events")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("u", 0L, 3.0, 2L),  // mean of 2,4
+      ("u", 1L, 3.0, 0L),  // gap: filled forward, zero events
+      ("u", 2L, 3.0, 0L),
+      ("u", 3L, 10.0, 1L),
+      ("w", 1L, 7.0, 1L))) // single-bucket series: no gaps invented
+  }
+
+  // ---------------- Events.funnel ----------------
+
+  test("funnel: greedy earliest strictly-ordered match") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // u1 completes: view@10, click@20, purchase@30 (noise ignored)
+      ("u1", 10L, "view"), ("u1", 15L, "view"), ("u1", 20L, "click"),
+      ("u1", 25L, "error"), ("u1", 30L, "purchase"),
+      // u2: click BEFORE view never counts; no purchase
+      ("u2", 5L, "click"), ("u2", 10L, "view"), ("u2", 20L, "click"),
+      // u3: click at the SAME ts as view does not advance (strict order)
+      ("u3", 10L, "view"), ("u3", 10L, "click"),
+      // u4: no view at all → no row
+      ("u4", 10L, "purchase"))
+      .toDF("uid", "us", "et")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Events.funnel(df, "uid", "ts", "et",
+        Seq("view", "click", "purchase"))
+      .orderBy("uid").collect().map(r => (r.getString(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getInt(4))).toSeq
+    assert(out == Seq(
+      ("u1", Some(10L), Some(20L), Some(30L), 3),
+      ("u2", Some(10L), Some(20L), None, 2),
+      ("u3", Some(10L), None, None, 1)))
+  }
+
+  // ---------------- TextFunctions.collocations ----------------
+
+  test("collocations: exact PMI values and rank order on a known corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "aa bb cc dd", "aa bb cc ee", "aa bb cc ff", "cc aa bb")
+      .toDF("text")
+    val out = TextFunctions.collocations(docs, "text", 2L, 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // N=11 bigrams. (bb,cc): c_ab=3, c_a(bb)=3, c_b(cc)=3 →
+    // pmi = ln(3·11/9) ≈ 1.299283; (aa,bb): c_ab=4, c_a(aa)=4,
+    // c_b(bb)=4 → pmi = ln(2.75) ≈ 1.011601. The rarer right-word
+    // ranks (bb,cc) FIRST despite its lower raw count — the point of
+    // PMI over frequency.
+    assert(out == Seq(
+      ("bb", "cc", 3L, math.rint(math.log(3.0 * 11 / 9) * 1e6) / 1e6),
+      ("aa", "bb", 4L, math.rint(math.log(2.75) * 1e6) / 1e6)))
+  }
+}
