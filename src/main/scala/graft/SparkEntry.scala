@@ -1230,6 +1230,24 @@ object SparkEntry {
       |  LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin)),
 
+    Q("events_retention", (s, dir) => {
+      // retention cohort matrix: users cohorted by first-activity day,
+      // distinct actives counted per (cohort, day offset). Skinny
+      // (entity, bucket) pairs after the first distinct — raw events
+      // never shuffle twice.
+      Events.retentionCohorts(Tables(s, dir).events, "user_id", "ts",
+          86400L * 1000000L)
+        .sortByKeys(SortKey("cohort"), SortKey("offset"))
+    }, Some("""WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket
+      |  FROM events),
+      |coh AS (SELECT user_id, MIN(bucket) AS cohort FROM act GROUP BY 1)
+      |SELECT c.cohort, a.bucket - c.cohort AS "offset",
+      |  COUNT(*) AS n_active
+      |FROM act a JOIN coh c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin)),
+
     Q("join_salted_skew", (s, dir) => {
       // skew-salted equi-join: identical rows to the plain join (the
       // oracle RUNS the plain join), but the shuffle spreads each key

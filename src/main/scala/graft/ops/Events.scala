@@ -73,4 +73,30 @@ object Events {
       .select(col(entityCol) +: stageCols :+ reached.as("stages_reached"): _*)
       .where(col("stage1_ts").isNotNull)
   }
+
+  /** Retention cohort matrix: entities are cohorted by the time bucket of
+    * their FIRST event; for each (cohort, offset) cell, count the distinct
+    * entities from that cohort active `offset` buckets later. The
+    * product-health table every activation dashboard draws (offset 0 =
+    * cohort size, cells shrink rightward).
+    *
+    * Scale shape: per-entity min (one shuffle on entity, partial-agg
+    * friendly) → distinct (entity, bucket) activity pairs shuffle on the
+    * SAME entity key (exchange reuse) → the final count shuffles the
+    * skinny (cohort, offset) pairs only. No windows, no self-join of the
+    * raw events.
+    */
+  def retentionCohorts(df: DataFrame, entityCol: String, tsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "retentionCohorts: bucketUs must be > 0")
+    val bucket = floor(unix_micros(col(tsCol)) / bucketUs).cast("long")
+    val activity = df
+      .select(col(entityCol), bucket.as("bucket"))
+      .distinct()
+    val cohorts = activity.groupBy(col(entityCol))
+      .agg(min(col("bucket")).as("cohort"))
+    activity.join(cohorts, entityCol)
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

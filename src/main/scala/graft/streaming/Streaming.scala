@@ -324,4 +324,82 @@ object Streaming {
     spark.readStream.schema(
       "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING").parquet(path)
+
+  // ---- custom keyed state: funnel -------------------------------------
+  // evts: (epoch-micros, stage index) — funnel-relevant events only
+  final case class FunnelBuf(firstUs: Long, evts: List[(Long, Int)])
+  final case class FunnelResult(user_id: Long, stages_reached: Int,
+      stage_ts: Seq[Long])
+
+  /** Streaming funnel over a bounded attribution horizon — the streaming
+    * twin of [[graft.ops.Events.funnel]] with EXACT batch semantics: each
+    * user's funnel-relevant events are buffered in keyed state until the
+    * watermark passes `firstEvent + horizon`, then the SAME greedy
+    * strictly-ordered walk runs over the sorted buffer and one final row
+    * emits. Buffering (rather than incremental slot-filling) is what
+    * makes out-of-order arrivals exact: a late early `view` can still
+    * improve stage 1 and unlock a click that a streaming-greedy state
+    * machine would have already rejected.
+    *
+    * State bound: funnel-stage events per user per horizon (skinny
+    * 12-byte pairs), discarded at timeout — the horizon IS the state
+    * knob, the same contract as the LSH bucket state. Events arriving
+    * after the user's funnel closed open a fresh attempt (a second
+    * conversion window), which matches how attribution horizons are
+    * operated. `stage_ts` holds epoch-micros of the reached prefix
+    * (length = `stages_reached`). */
+  def funnelStream(events: Dataset[Event], stages: Seq[String],
+      horizonMs: Long): Dataset[FunnelResult] = {
+    require(stages.nonEmpty, "funnelStream: no stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .filter(e => stageIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          def walk(b: FunnelBuf): FunnelResult = {
+            val horizonUs = horizonMs * 1000L
+            val slots = Array.fill[Long](stages.size)(-1L)
+            b.evts.filter(_._1 <= b.firstUs + horizonUs)
+              .sortBy(identity).foreach { case (ts, si) =>
+                if (slots(si) < 0 &&
+                    (si == 0 || (slots(si - 1) >= 0 && ts > slots(si - 1))))
+                  slots(si) = ts
+              }
+            val reached = slots.takeWhile(_ >= 0)
+            FunnelResult(user, reached.length, reached.toSeq)
+          }
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            // only funnels that STARTED (stage-1 event seen) emit
+            if (b.evts.exists(_._2 == 0)) Iterator.single(walk(b))
+            else Iterator.empty
+          } else {
+            val inc = it.map(e => (toMicros(e.ts), stageIdx(e.event_type)))
+              .toList
+            val buf = state.getOption match {
+              case Some(b) => FunnelBuf(math.min(b.firstUs, inc.map(_._1).min),
+                b.evts ::: inc)
+              case None => FunnelBuf(inc.map(_._1).min, inc)
+            }
+            val timeoutMs = math.floorDiv(buf.firstUs, 1000L) + horizonMs
+            if (timeoutMs <= state.getCurrentWatermarkMs()) {
+              // horizon already closed (stragglers past the watermark):
+              // finalize now — setTimeoutTimestamp below the watermark
+              // would throw
+              state.remove()
+              if (buf.evts.exists(_._2 == 0)) Iterator.single(walk(buf))
+              else Iterator.empty
+            } else {
+              state.update(buf)
+              state.setTimeoutTimestamp(timeoutMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
 }

@@ -124,6 +124,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("u3", Some(10L), None, None, 1)))
   }
 
+  // ---------------- Events.retentionCohorts ----------------
+
+  test("retentionCohorts: cohort by first bucket, distinct actives per cell") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("u1", 5L), ("u1", 6L),   // duplicate activity in bucket 0 counts once
+      ("u1", 15L), ("u1", 35L), // buckets 1, 3
+      ("u2", 2L),               // bucket 0 only
+      ("u3", 12L), ("u3", 25L)) // first bucket 1, active 1, 2
+      .toDF("uid", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Events.retentionCohorts(df, "uid", "ts", 10L)
+      .orderBy("cohort", "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L),  // u1, u2
+      (0L, 1L, 1L),  // u1
+      (0L, 3L, 1L),  // u1
+      (1L, 0L, 1L),  // u3
+      (1L, 1L, 1L))) // u3
+  }
+
   // ---------------- TextFunctions.collocations ----------------
 
   test("collocations: exact PMI values and rank order on a known corpus") {

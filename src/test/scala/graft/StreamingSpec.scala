@@ -294,4 +294,68 @@ class StreamingSpec extends AnyFunSuite {
         "5 minutes", "10 minutes", joinType = "fullOuter")
     }
   }
+
+  test("streaming funnel completes across micro-batches, emits at horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event]
+    val res = Streaming.funnelStream(
+      mem.toDS().withWatermark("ts", "0 seconds"),
+      Seq("view", "click", "purchase"), horizonMs = 60 * 60 * 1000)
+    val q = res.writeStream.format("memory")
+      .queryName("graft_funnel_test").outputMode("append").start()
+    try {
+      // stages arrive in three separate micro-batches — state must carry
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:00:00"), "view", 0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:10:00"), "click", 0),
+        Streaming.Event(1L, ts("2024-01-01 10:20:00"), "purchase", 0))
+      q.processAllAvailable()
+      assert(s.sql("select * from graft_funnel_test").count() == 0,
+        "funnel emitted before its horizon closed")
+      // another user's event advances the watermark past 10:00 + 1h →
+      // user 1's horizon closes and the final walk emits
+      mem.addData(Streaming.Event(2L, ts("2024-01-01 11:30:00"), "view", 0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(2L, ts("2024-01-01 11:40:00"), "view", 0))
+      q.processAllAvailable()
+      val rows = s.sql("select * from graft_funnel_test").collect()
+      assert(rows.length == 1 && rows(0).getLong(0) == 1L)
+      assert(rows(0).getInt(1) == 3)
+      assert(rows(0).getSeq[Long](2).length == 3)
+    } finally q.stop()
+  }
+
+  test("streaming funnel is exact under out-of-order arrival") {
+    // the click lands in a batch BEFORE its qualifying view (view has the
+    // earlier ts but arrives late, inside the watermark). A greedy
+    // slot-filling state machine would reject the click forever; the
+    // buffered walk recovers the exact batch answer.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event]
+    val res = Streaming.funnelStream(
+      mem.toDS().withWatermark("ts", "1 hour"),
+      Seq("view", "click", "purchase"), horizonMs = 60 * 60 * 1000)
+    val q = res.writeStream.format("memory")
+      .queryName("graft_funnel_ooo_test").outputMode("append").start()
+    try {
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:10:00"), "click", 0))
+      q.processAllAvailable()
+      // late-but-in-watermark view, ts BEFORE the click already seen
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:00:00"), "view", 0))
+      q.processAllAvailable()
+      // push the watermark (maxTs − 1h) past 10:00 + 1h
+      mem.addData(Streaming.Event(2L, ts("2024-01-01 12:30:00"), "view", 0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(2L, ts("2024-01-01 12:40:00"), "view", 0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "select * from graft_funnel_ooo_test where user_id = 1").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getInt(1) == 2, "late early view must unlock the click")
+    } finally q.stop()
+  }
 }
