@@ -80,22 +80,24 @@ object Events {
     * product-health table every activation dashboard draws (offset 0 =
     * cohort size, cells shrink rightward).
     *
-    * Scale shape: per-entity min (one shuffle on entity, partial-agg
-    * friendly) → distinct (entity, bucket) activity pairs shuffle on the
-    * SAME entity key (exchange reuse) → the final count shuffles the
-    * skinny (cohort, offset) pairs only. No windows, no self-join of the
-    * raw events.
+    * Scale shape: TWO exchanges total. The raw events shuffle once on the
+    * entity — `collect_set(bucket)` dedups map-side (partial_collect_set),
+    * so the wire carries each entity's distinct bucket set, bounded by the
+    * observation span in buckets, not its event count. Cohort (= set min)
+    * and offsets then derive WITHOUT a second pass over the events — no
+    * join back, no distinct-then-regroup (which would cost two more
+    * shuffles on different keys). The final count moves skinny (cohort,
+    * offset) pairs only.
     */
   def retentionCohorts(df: DataFrame, entityCol: String, tsCol: String,
       bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "retentionCohorts: bucketUs must be > 0")
     val bucket = floor(unix_micros(col(tsCol)) / bucketUs).cast("long")
-    val activity = df
-      .select(col(entityCol), bucket.as("bucket"))
-      .distinct()
-    val cohorts = activity.groupBy(col(entityCol))
-      .agg(min(col("bucket")).as("cohort"))
-    activity.join(cohorts, entityCol)
+    df.select(col(entityCol), bucket.as("bucket"))
+      .groupBy(col(entityCol))
+      .agg(collect_set(col("bucket")).as("buckets"))
+      .select(array_min(col("buckets")).as("cohort"),
+        explode(col("buckets")).as("bucket"))
       .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_active"))
   }

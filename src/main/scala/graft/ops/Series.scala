@@ -105,14 +105,15 @@ object Series {
     * buckets report `n_events` = 0 and a forward-filled value (null until
     * the first observation).
     *
-    * Scale shape: all three stages shuffle on the SAME series key —
-    * groupBy(key, bucket), the per-key min/max grid, and the fill window —
-    * so AQE/exchange reuse keeps it at effectively one partitioning; the
-    * dense-grid explode is bounded by (span/bucketUs) rows per key, a
-    * deliberate densification the caller sizes via `bucketUs`. Never a
-    * global sort; per-key fill state is one running value. Sparse series
-    * with huge spans should pick a coarser bucket — the explode IS the
-    * output size.
+    * Scale shape: the raw events shuffle once on (key, bucket) with full
+    * map-side partial aggregation — a hot key's bucket averages distribute
+    * across tasks; everything after moves one row per (key, bucket): the
+    * per-key min/max grid, the grid⋈agg join, and the fill window all
+    * hash on the key. The dense-grid explode is bounded by
+    * (span/bucketUs) rows per key, a deliberate densification the caller
+    * sizes via `bucketUs`. Never a global sort; per-key fill state is one
+    * running value. Sparse series with huge spans should pick a coarser
+    * bucket — the explode IS the output size.
     */
   def resampleWithFill(df: DataFrame, tsCol: String, valueCol: String,
       bucketUs: Long, partition: Seq[String]): DataFrame = {
