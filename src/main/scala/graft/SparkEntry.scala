@@ -1901,6 +1901,37 @@ object SparkEntry {
       |  ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stop_ratio
       |FROM m ORDER BY doc_id""".stripMargin)),
 
+    Q("text_filter_attrition", (s, dir) => {
+      // the filter funnel: sequential quality-rule attrition — who
+      // entered, who died, who survived, per rule, in one scan + one
+      // 1-row aggregate. DuckDB re-derives every prefix-survival count
+      // from raw text.
+      filterAttrition(Tables(s, dir).documents, "text")
+        .sortByKeys(SortKey("stage"))
+    }, Some("""WITH t AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |m AS (SELECT len(text) AS n,
+      |  (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+      |    / greatest(len(text), 1) AS pr,
+      |  len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'))) * 1.0
+      |    / greatest(len(tk), 1) AS sr,
+      |  list_sum(list_transform(tk, x -> strlen(x))) * 1.0 / greatest(len(tk), 1) AS mwl
+      |  FROM t),
+      |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+      |  CAST(SUM(CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+      |  CAST(SUM(CASE WHEN n BETWEEN 50 AND 100000 AND pr < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |  CAST(SUM(CASE WHEN n BETWEEN 50 AND 100000 AND pr < 0.2 AND sr > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |  CAST(SUM(CASE WHEN n BETWEEN 50 AND 100000 AND pr < 0.2 AND sr > 0.05 AND mwl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+      |  FROM m)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS INTEGER) AS stage, 'length_band' AS rule,
+      |    n0 AS n_in, n0 - s0 AS n_failed, s0 AS n_out FROM f
+      |  UNION ALL SELECT 2, 'punct_ratio', s0, s0 - s1, s1 FROM f
+      |  UNION ALL SELECT 3, 'stopword_ratio', s1, s1 - s2, s2 FROM f
+      |  UNION ALL SELECT 4, 'mean_word_length', s2, s2 - s3, s3 FROM f)
+      |ORDER BY stage""".stripMargin)),
+
     Q("text_quality_model", (s, dir) => {
       // logistic quality classifier: smooth [0,1] prose probability from
       // the same first-principles features the rule-band oracle uses;

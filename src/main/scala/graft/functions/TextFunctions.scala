@@ -103,6 +103,51 @@ object TextFunctions {
     lengthOk + punctOk + stopOk + wordOk
   }
 
+  /** Filter-funnel attrition report: apply the [[qualityScore]] rule
+    * bands SEQUENTIALLY and report, per rule, how many documents entered,
+    * failed, and survived — the "where did my corpus go" table every
+    * filtering pipeline publishes next to its kept set. Rule order
+    * matters (a doc failing two rules is charged to the FIRST), which is
+    * exactly the operational question: what does each stage of MY
+    * pipeline cost me.
+    *
+    * Scale shape: one scan, the fused one-pass [[textStats]] kernel per
+    * doc, ONE 1-row aggregate (all prefix-survival counts as conditional
+    * sums with map-side partials), exploded driver-free into k rule rows.
+    * No shuffle of documents, no per-rule pass.
+    */
+  def filterAttrition(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val st = textStats(col(textCol))
+    val n = st.getField("chars")
+    val ntok = greatest(st.getField("ntok").cast(DoubleType), lit(1.0))
+    val pr = st.getField("punct").cast(DoubleType) /
+      greatest(n.cast(DoubleType), lit(1.0))
+    val sr = st.getField("en").cast(DoubleType) / ntok
+    val mwl = st.getField("wlen").cast(DoubleType) / ntok
+    val rules: Seq[(String, Column)] = Seq(
+      "length_band" -> n.between(50, 100000),
+      "punct_ratio" -> (pr < 0.2),
+      "stopword_ratio" -> (sr > 0.05),
+      "mean_word_length" -> mwl.between(2.0, 12.0))
+    val prefixes = rules.scanLeft(lit(true)) {
+      case (acc, (_, p)) => acc && p
+    }.tail
+    val aggs = count(lit(1)).as("n0") +: prefixes.zipWithIndex.map {
+      case (p, i) => sum(when(p, 1L).otherwise(0L)).as(s"s$i")
+    }
+    val entries = rules.zipWithIndex.map { case ((name, _), i) =>
+      val nIn = if (i == 0) col("n0") else col(s"s${i - 1}")
+      struct(lit(i + 1).as("stage"), lit(name).as("rule"),
+        nIn.as("n_in"), (nIn - col(s"s$i")).as("n_failed"),
+        col(s"s$i").as("n_out"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("r"))
+      .select(col("r.stage"), col("r.rule"), col("r.n_in"),
+        col("r.n_failed"), col("r.n_out"))
+  }
+
   /** Model-based quality score: a logistic (fastText-classifier-style)
     * model over the fused text features — the "quality classifier" stage
     * of a training-data pipeline, distilled to a linear model whose

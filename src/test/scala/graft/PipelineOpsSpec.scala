@@ -147,6 +147,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, 1L, 1L))) // u3
   }
 
+  // ---------------- TextFunctions.filterAttrition ----------------
+
+  test("filterAttrition charges each doc to the FIRST failing rule") {
+    val s = spark
+    import s.implicits._
+    val good = ("the cat sat on the mat and it was a fine day in town " * 3)
+    val docs = Seq(
+      good,          // passes all four rules
+      "hi",          // fails rule 1 (too short)
+      good + " !!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!" +
+        "!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!",
+      // ^ fails rule 2 (punct soup) but NOT rule 1
+      "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"
+      // ^ length ok, punct ok, fails rule 3 (no stopwords)
+    ).toDF("text")
+    val out = TextFunctions.filterAttrition(docs, "text")
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1, "length_band", 4L, 1L, 3L),
+      (2, "punct_ratio", 3L, 1L, 2L),
+      (3, "stopword_ratio", 2L, 1L, 1L),
+      (4, "mean_word_length", 1L, 0L, 1L)))
+  }
+
   // ---------------- TextFunctions.collocations ----------------
 
   test("collocations: exact PMI values and rank order on a known corpus") {
