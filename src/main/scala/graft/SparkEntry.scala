@@ -1733,6 +1733,59 @@ object SparkEntry {
       |  FROM documents)
       |WHERE sample_rank <= 3 ORDER BY stratum, sample_rank""".stripMargin)),
 
+    Q("sample_weighted", (s, dir) => {
+      // weighted sampling WITHOUT replacement via priority sampling:
+      // p = w/u from IEEE-exact arithmetic only (no ln/pow), so both
+      // engines rank bit-identically; est_weight carries the
+      // Duffield–Lund–Thorup unbiased subset-sum estimator.
+      graft.ops.Sampling.prioritySample(
+          Tables(s, dir).documents.selectNames(Seq("doc_id", "n_chars")),
+          "doc_id", "n_chars", 100)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("priority"), 6).as("priority"),
+          round(col("est_weight"), 6).as("est_weight"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH p AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(n_chars AS DOUBLE) * 1000000.0 /
+      |      ((doc_id % 1048576) * 2654435761 % 1000000 + 1) AS priority
+      |  FROM documents),
+      |top AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 101),
+      |tau AS (SELECT CASE WHEN COUNT(*) = 101 THEN MIN(priority)
+      |  ELSE 0.0 END AS t FROM top),
+      |keep AS (SELECT * FROM top ORDER BY priority DESC, doc_id LIMIT 100)
+      |SELECT doc_id, n_chars, ROUND(priority, 6) AS priority,
+      |  ROUND(GREATEST(CAST(n_chars AS DOUBLE), t), 6) AS est_weight
+      |FROM keep, tau ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_source_overlap", (s, dir) => {
+      // cross-source duplicate overlap: a mirror source is planted from
+      // every 20th doc (the synthetic corpus has no organic cross-source
+      // dups — verified), and the matrix reports distinct shared content
+      // keys per source pair. Spark counts 256-bit content keys; DuckDB
+      // counts the normalized strings themselves — equal absent
+      // collisions, which a 256-bit key guarantees.
+      val d = Tables(s, dir).documents
+      val planted = d.where(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("text"), lit("mirror").as("source"))
+      Dedup.sourceOverlap(
+          d.selectNames(Seq("text", "source")).unionWide(planted),
+          "text", "source")
+        .sortByKeys(SortKey("source_a"), SortKey("source_b"))
+    }, Some("""WITH aug AS (
+      |  SELECT source,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS key
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'mirror',
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |d AS (SELECT DISTINCT source, key FROM aug)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM d a JOIN d b ON a.key = b.key AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
     Q("text_token_count", (s, dir) => {
       Tables(s, dir).documents
         .addCols("n_tok" -> tokenCount(col("text")).cast(LongType),

@@ -32,6 +32,30 @@ object Dedup {
       .drop("__key")
   }
 
+  /** Cross-source duplicate overlap matrix (corpus governance: which
+    * sources re-publish each other's content — the table that decides
+    * which source to keep as canonical before dedup). For every unordered
+    * source pair, counts the distinct content keys present in BOTH.
+    *
+    * Scale shape: one shuffle of skinny (256-bit key, source) distinct
+    * pairs — full text never shuffles; the self-join hash-partitions on
+    * the key, and per-key fanout is (sources holding that key)², bounded
+    * by the source count, not the corpus. Collision risk of the 256-bit
+    * key is nil, so counting hashed keys equals counting texts — which is
+    * how an oracle engine without this hash can verify the result from
+    * raw strings. */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String)
+      : DataFrame = {
+    val ks = df.select(contentKey(col(textCol)).as("__key"),
+      col(srcCol).as("__src")).distinct()
+    ks.as("a").join(ks.as("b"),
+        col("a.__key") === col("b.__key") &&
+          col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"),
+        col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // ---- MinHash signatures ----------------------------------------------
   /** k-permutation MinHash signature over word `n`-gram shingles, as one
     * codegen-friendly expression: sig[i] = min over shingles of

@@ -64,6 +64,47 @@ object Sampling {
     df.withColumn(as, expr)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — priority
+    * sampling (Duffield–Lund–Thorup): each row gets priority
+    * p_i = w_i / u_i with u_i = (selector(id)+1)/10⁶ ∈ (0, 1]; the k
+    * highest-priority rows are kept, and each kept row carries the
+    * unbiased subset-sum estimator weight max(w_i, τ) where τ is the
+    * (k+1)-th priority (0 when the input has ≤ k rows — then the sample
+    * is exhaustive and estimator = true weight). Heavy rows are near-
+    * certain picks, light rows keep proportional chances, and
+    * Σ est_weight estimates Σ w over the FULL corpus from k rows — the
+    * audit-friendly way to downsample a weighted corpus.
+    *
+    * Cross-engine exactness without trusting libm: the priority is built
+    * ONLY from IEEE-correctly-rounded ops (integer→double, ×, ÷) — no
+    * ln/pow as classic ES sampling would need — so every engine computes
+    * bit-identical priorities and the top-k cut (tie-broken by id) is
+    * identical everywhere.
+    *
+    * Scale shape: pure projection + TakeOrderedAndProject top-(k+1) —
+    * per-partition heaps, only k+1 rows cross the wire; τ joins back as
+    * a broadcast 1-row literal. Never a global sort. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "prioritySample: k must be > 0")
+    val sel = pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L),
+      lit(1000000L))
+    val withPri = df.withColumn("priority",
+      col(weightCol).cast("double") * lit(1000000.0) /
+        (sel + lit(1L)).cast("double"))
+    val top = withPri.orderBy(col("priority").desc, col(idCol))
+      .limit(k + 1).localCheckpoint()
+    val tau = top.agg(count(lit(1)).as("__n"),
+        min(col("priority")).as("__min"))
+      .select(when(col("__n") === (k + 1), col("__min"))
+        .otherwise(lit(0.0)).as("__tau"))
+    top.orderBy(col("priority").desc, col(idCol)).limit(k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_weight",
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__tau")
+  }
+
   /** Exact k-per-stratum sample: within each stratum, rows are ranked by
     * (selector(id), id) — a deterministic pseudo-random total order —
     * and the first k kept. One hash shuffle on the strata keys; every

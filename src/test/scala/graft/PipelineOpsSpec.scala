@@ -124,6 +124,60 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("u3", Some(10L), None, None, 1)))
   }
 
+  // ---------------- Sampling.prioritySample ----------------
+
+  test("prioritySample: top-k by w/u priority with DLT estimator weight") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 50L).map(i => (i, (i % 7 + 1) * 10.0))
+      .toDF("id", "w")
+    def sel(id: Long) = (id % 1048576L) * 2654435761L % 1000000L
+    def pri(id: Long, w: Double) = w * 1000000.0 / (sel(id) + 1).toDouble
+    val model = (0L until 50L).map(i => (i, (i % 7 + 1) * 10.0))
+      .map { case (i, w) => (i, w, pri(i, w)) }
+      .sortBy { case (i, _, p) => (-p, i) }
+    val tau = model(10)._3
+    val expect = model.take(10)
+      .map { case (i, w, p) => (i, p, math.max(w, tau)) }.sortBy(_._1)
+    val out = graft.ops.Sampling.prioritySample(df, "id", "w", 10)
+      .select("id", "priority", "est_weight")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(out == expect)
+  }
+
+  test("prioritySample: input smaller than k is exhaustive, est = true w") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 5.0), (2L, 7.0)).toDF("id", "w")
+    val out = graft.ops.Sampling.prioritySample(df, "id", "w", 10)
+      .select("id", "est_weight")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 5.0), (2L, 7.0)))
+  }
+
+  // ---------------- Dedup.sourceOverlap ----------------
+
+  test("sourceOverlap counts distinct shared content keys per source pair") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("hello  world", "a"), ("Hello World", "b"),  // same normalized key
+      ("hello world", "c"),                          // in a third source too
+      ("only in a", "a"),
+      ("shared two", "a"), ("shared two", "b"),
+      ("shared two", "b")) // same-source duplicate counts once
+      .toDF("text", "src")
+    val out = graft.ops.Dedup.sourceOverlap(df, "text", "src")
+      .orderBy("source_a", "source_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(out == Seq(
+      ("a", "b", 2L),   // hello-world + shared-two
+      ("a", "c", 1L),
+      ("b", "c", 1L)))
+  }
+
   // ---------------- Events.retentionCohorts ----------------
 
   test("retentionCohorts: cohort by first bucket, distinct actives per cell") {
