@@ -2260,6 +2260,36 @@ object SparkEntry {
       |SELECT s AS id, MIN(d) AS cluster FROM reach GROUP BY s
       |ORDER BY id""".stripMargin)),
 
+    Q("dedup_representatives", (s, dir) => {
+      // keep-BEST policy over the near-dup clusters: longest text wins
+      // (the planted copies are longer, so representatives differ from
+      // keep-first — the policy is doing real work). DuckDB re-derives
+      // labels by recursive fixpoint and the argmax by window rank.
+      val corpus = withNearDups(Tables(s, dir))
+      val clusters = Dedup.nearDupClusters(corpus, "text", "doc_id",
+        numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+      Dedup.clusterRepresentatives(clusters,
+          corpus.addCols("score" -> length(col("text")).cast("long")),
+          "doc_id", "score")
+        .sortByKeys(SortKey("cluster"))
+    }, Some(minhashOracleBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+      |  SELECT a.doc_id AS s, b.doc_id AS d FROM sh a JOIN sh b
+      |  ON a.doc_id <> b.doc_id
+      |  AND len(list_intersect(a.sa, b.sa)) * 1.0
+      |      / len(list_distinct(list_concat(a.sa, b.sa))) >= 0.8),
+      |reach(s, d) AS (
+      |  SELECT doc_id, doc_id FROM sh
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      |lab AS (SELECT s AS id, MIN(d) AS cluster FROM reach GROUP BY s)
+      |SELECT cluster, doc_id, score FROM (
+      |  SELECT l.cluster, u.doc_id, CAST(len(u.text) AS BIGINT) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY l.cluster
+      |      ORDER BY len(u.text) DESC, u.doc_id) AS rn
+      |  FROM lab l JOIN u ON l.id = u.doc_id)
+      |WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
     // ================= LLM pipeline: similarity =======================
     Q("sim_bruteforce_topk", (s, dir) => {
       val t = Tables(s, dir)

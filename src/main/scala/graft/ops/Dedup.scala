@@ -32,6 +32,23 @@ object Dedup {
       .drop("__key")
   }
 
+  /** Keep-BEST dedup policy: given cluster labels (`nearDupClusters`
+    * output: id, cluster) and a per-doc score, pick each cluster's
+    * highest-scoring member (ties → lowest id) — what production
+    * pipelines actually keep (the longest / highest-quality copy), where
+    * keep-first is only the degenerate score=-id case. ONE aggregation
+    * shuffle on the cluster label via ordered-struct max — no window, no
+    * per-cluster sort. */
+  def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    clusters.select(col("id").as(idCol), col("cluster"))
+      .join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni")))
+        .as("m"))
+      .select(col("cluster"), (-col("m.ni")).as(idCol),
+        col("m.s").as(scoreCol))
+
   /** Cross-source duplicate overlap matrix (corpus governance: which
     * sources re-publish each other's content — the table that decides
     * which source to keep as canonical before dedup). For every unordered

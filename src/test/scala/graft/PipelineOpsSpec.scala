@@ -178,6 +178,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", "c", 1L)))
   }
 
+  // ---------------- Dedup.clusterRepresentatives ----------------
+
+  test("clusterRepresentatives keeps max score, ties to lowest id") {
+    val s = spark
+    import s.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("id", "cluster")
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L))
+      .toDF("doc_id", "score")
+    val out = graft.ops.Dedup.clusterRepresentatives(
+        clusters, scored, "doc_id", "score")
+      .orderBy("cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cluster 1: ids 2 and 3 tie at 30 → lowest id (2) wins, not first (1)
+    assert(out == Seq((1L, 2L, 30L), (9L, 9L, 5L)))
+  }
+
   // ---------------- Events.retentionCohorts ----------------
 
   test("retentionCohorts: cohort by first bucket, distinct actives per cell") {
