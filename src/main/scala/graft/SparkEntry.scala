@@ -2290,6 +2290,45 @@ object SparkEntry {
       |  FROM lab l JOIN u ON l.id = u.doc_id)
       |WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
+    Q("graph_pagerank", (s, dir) => {
+      // PageRank over a deterministic synthetic link graph (every doc
+      // links to (id·31 + j) mod N, j ∈ 1..3 — so out-degree is 3 and no
+      // node dangles, keeping the oracle's recursion-free unrolled form
+      // exact). 10 damped power iterations; DuckDB replays all 10 as a
+      // chained-CTE unroll. Ranks ~1/N; 6dp rounding sits ~9 orders
+      // above cross-engine float-sum noise.
+      val docs = Tables(s, dir).documents.selectNames(Seq("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("src"), pmod(col("src") * 31 + col("j"), lit(n)).as("dst"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", damping = 0.85,
+          iters = 10)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some {
+      val steps = (1 to 10).map { k =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    0.15 / cnt.c + 0.85 * COALESCE(SUM(p.rank / 3.0), 0.0) AS rank
+           |  FROM n CROSS JOIN cnt
+           |  LEFT JOIN e ON e.d = n.node
+           |  LEFT JOIN r${k - 1} p ON p.node = e.s
+           |  GROUP BY n.node, cnt.c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents),
+         |n AS (SELECT doc_id AS node FROM documents),
+         |e AS (SELECT doc_id AS s,
+         |  CAST((doc_id * 31 + j) % (SELECT COUNT(*) FROM documents)
+         |    AS BIGINT) AS d
+         |  FROM documents, UNNEST([1, 2, 3]) AS t(j)),
+         |r0 AS (SELECT n.node, 1.0 / cnt.c AS rank FROM n CROSS JOIN cnt),
+         |$steps
+         |SELECT node AS doc_id, ROUND(rank, 6) AS rank FROM r10
+         |ORDER BY doc_id""".stripMargin
+    }),
+
     // ================= LLM pipeline: similarity =======================
     Q("sim_bruteforce_topk", (s, dir) => {
       val t = Tables(s, dir)

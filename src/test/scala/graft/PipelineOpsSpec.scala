@@ -178,6 +178,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", "c", 1L)))
   }
 
+  // ---------------- Graph.pageRank ----------------
+
+  test("pageRank: dangling-node closed form and mass conservation") {
+    val s = spark
+    import s.implicits._
+    // a → b, b dangles. After one iteration from (.5, .5):
+    // dangling mass = .5; r(a) = .15/2 + .85·(0 + .5/2) = 0.2875
+    //                 r(b) = .15/2 + .85·(.5 + .5/2) = 0.7125
+    val e1 = Seq((0L, 1L)).toDF("s", "d")
+    val one = graft.ops.Graph.pageRank(e1, "s", "d", 0.85, 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(one.map(_._1) == Seq(0L, 1L))
+    assert(math.abs(one(0)._2 - 0.2875) < 1e-12 &&
+      math.abs(one(1)._2 - 0.7125) < 1e-12)
+    // larger graph: total mass stays 1 after 10 iterations
+    val e2 = (0L until 30L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 30), (i, (i * 11 + 3) % 30))).toDF("s", "d")
+    val mass = graft.ops.Graph.pageRank(e2, "s", "d", 0.85, 10)
+      .agg(sum(col("rank"))).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass=$mass")
+  }
+
   // ---------------- Dedup.clusterRepresentatives ----------------
 
   test("clusterRepresentatives keeps max score, ties to lowest id") {
