@@ -325,6 +325,48 @@ object Streaming {
       "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING").parquet(path)
 
+  // ---- custom keyed state: CDC upsert view ----------------------------
+  final case class KeyedChange(key: Long, value: Double, seq: Long,
+      op: String)
+  // NOT private (state-store codegen needs the accessors, like SessionBuf)
+  final case class KeyState(seq: Long, value: Double, deleted: Boolean)
+  final case class KeyUpdate(key: Long, value: Double, deleted: Boolean,
+      seq: Long)
+
+  /** Streaming CDC materialized view — the incremental twin of
+    * [[graft.ops.Cdc.applyChangeLog]]: keyed state holds each key's
+    * winning (max-seq) change; a micro-batch emits one [[KeyUpdate]] per
+    * key whose winner CHANGED. Out-of-order deliveries are absorbed by
+    * the same last-writer-wins law the batch operator pins
+    * (CdcLawSpec): a stale lower-seq arrival never regresses state and
+    * emits nothing, a delete wins by seq and emits `deleted = true`, an
+    * upsert after a delete resurrects. No watermark/timeout: the state
+    * IS the view, bounded by live-key cardinality (the same bound as
+    * the table it materializes), hash-sharded by key across the
+    * cluster's state stores. */
+  def cdcStream(changes: Dataset[KeyedChange]): Dataset[KeyUpdate] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, KeyUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[KeyedChange], state: GroupState[KeyState]) =>
+          // winner of this batch's increment (max seq; arrival order
+          // within equal seq is undefined — real changelogs have unique
+          // (key, seq))
+          val inc = it.maxBy(_.seq)
+          val cur = state.getOption
+          if (cur.exists(_.seq >= inc.seq)) Iterator.empty
+          else {
+            val next = KeyState(inc.seq, inc.value,
+              inc.op == graft.ops.Cdc.Delete)
+            state.update(next)
+            Iterator.single(
+              KeyUpdate(key, next.value, next.deleted, next.seq))
+          }
+      }
+  }
+
   // ---- custom keyed state: funnel -------------------------------------
   // evts: (epoch-micros, stage index) — funnel-relevant events only
   final case class FunnelBuf(firstUs: Long, evts: List[(Long, Int)])

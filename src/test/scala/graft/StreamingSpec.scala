@@ -295,6 +295,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcStream: last-writer-wins view, stale arrivals emit nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.KeyedChange]
+    val q = Streaming.cdcStream(mem.toDS())
+      .writeStream.format("memory").queryName("graft_cdc_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streaming.KeyedChange(1L, 1.0, 1L, "U"))
+      q.processAllAvailable()
+      mem.addData(Streaming.KeyedChange(1L, 3.0, 3L, "U"))
+      q.processAllAvailable()
+      // stale out-of-order seq 2 — must NOT regress or emit
+      mem.addData(Streaming.KeyedChange(1L, 9.0, 2L, "U"))
+      q.processAllAvailable()
+      // delete wins; then resurrect (separate micro-batches — within one
+      // batch only the winning change emits)
+      mem.addData(Streaming.KeyedChange(1L, 0.0, 4L, "D"))
+      q.processAllAvailable()
+      mem.addData(Streaming.KeyedChange(1L, 7.0, 5L, "U"))
+      q.processAllAvailable()
+      val rows = s.sql(
+          "select value, deleted, seq from graft_cdc_test order by seq")
+        .collect().map(r => (r.getDouble(0), r.getBoolean(1), r.getLong(2)))
+        .toSeq
+      assert(rows == Seq((1.0, false, 1L), (3.0, false, 3L),
+        (0.0, true, 4L), (7.0, false, 5L)))
+      // final streaming state == batch applyChangeLog on the same log
+      val base = Seq.empty[(Long, Double)].toDF("key", "value")
+      val log = Seq((1L, 1.0, 1L, "U"), (1L, 3.0, 3L, "U"),
+        (1L, 9.0, 2L, "U"), (1L, 0.0, 4L, "D"), (1L, 7.0, 5L, "U"))
+        .toDF("key", "value", "seq", "op")
+      val batch = graft.ops.Cdc.applyChangeLog(base, log, Seq("key"),
+        "seq", "op").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch == Seq((1L, 7.0)) && rows.last._1 == 7.0)
+    } finally q.stop()
+  }
+
   test("streaming funnel completes across micro-batches, emits at horizon") {
     val s = spark
     import s.implicits._
