@@ -2290,6 +2290,43 @@ object SparkEntry {
       |  FROM lab l JOIN u ON l.id = u.doc_id)
       |WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
+    Q("decontaminate_fuzzy", (s, dir) => {
+      // fuzzy (near-dup) decontamination: the benchmark is every 25th doc
+      // with an appended 4-word suffix — contamination the exact n-gram
+      // anti-join misses. The banded train×bench match (benchmark side
+      // broadcast) must find each edited copy plus any organic
+      // near-matches; DuckDB brute-forces all train×bench Jaccards.
+      val t = Tables(s, dir).documents.selectNames(Seq("doc_id", "text"))
+      val bench = t.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" benchmark held out suffix")).as("text"))
+      Dedup.fuzzyContamination(t, bench, "text", "doc_id",
+          numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+        .sortByKeys(SortKey("train_id"), SortKey("bench_id"))
+    }, Some("""WITH tr_t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |tr AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      |    list_distinct(list_transform(range(len(tk) - 2),
+      |      i -> array_to_string(tk[i+1:i+3], ' ')))
+      |  ELSE [array_to_string(tk, ' ')] END AS sa
+      |  FROM tr_t),
+      |be_t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(
+      |    lower(text || ' benchmark held out suffix'), '\W+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |be AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      |    list_distinct(list_transform(range(len(tk) - 2),
+      |      i -> array_to_string(tk[i+1:i+3], ' ')))
+      |  ELSE [array_to_string(tk, ' ')] END AS sa
+      |  FROM be_t)
+      |SELECT t.doc_id AS train_id, b.doc_id AS bench_id
+      |FROM tr t JOIN be b
+      |ON len(list_intersect(t.sa, b.sa)) * 1.0
+      |   / len(list_distinct(list_concat(t.sa, b.sa))) >= 0.8
+      |ORDER BY train_id, bench_id""".stripMargin)),
+
     Q("graph_pagerank", (s, dir) => {
       // PageRank over a deterministic synthetic link graph (every doc
       // links to (id·31 + j) mod N, j ∈ 1..3 — so out-degree is 3 and no

@@ -153,6 +153,57 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** FUZZY decontamination: MinHash near-dup matching BETWEEN two corpora
+    * (train × benchmark) — catches contamination that survives the exact
+    * n-gram check ([[ngramContamination]]/[[bloomDecontaminate]]) because
+    * the benchmark text was lightly edited before leaking into the train
+    * set. Returns (train_id, bench_id) pairs with verified shingle
+    * Jaccard ≥ `minJaccard`.
+    *
+    * Scale shape: the same banded-LSH discipline as [[nearDupPairs]], but
+    * the band join is train × bench and the BENCHMARK side is broadcast —
+    * benchmarks are thousands of documents against a 100 TB train corpus,
+    * so the train side streams through map-side hash probes with NO
+    * shuffle of train candidates at all; only the ~|hits| verify rows
+    * re-join shingles by id. Banding at 32 bands × r=2 misses a
+    * j ≥ 0.8 pair with probability < 1e-14. */
+  def fuzzyContamination(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 64, bands: Int = 32,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(col("id"))
+      .select(col("id"), org.apache.spark.sql.graftnative.NativeFunctions
+        .shingleHashes(tokens(col("__text")), shingleN).as("sh"))
+    def candOf(sh: DataFrame) = sh
+      .select(col("id"), posexplode(
+        bandKeys(org.apache.spark.sql.graftnative.NativeFunctions
+          .minhashFromLongs(col("sh"), numHashes), bands, r)))
+      .select(col("id"), col("pos").as("b"), col("col").as("k"))
+    val shT = cache.track(shingled(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shB = cache.track(shingled(bench)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hits = candOf(shT).as("a")
+      .join(broadcast(candOf(shB)).as("b"),
+        col("a.b") === col("b.b") && col("a.k") === col("b.k"))
+      .select(col("a.id").as("train_id"), col("b.id").as("bench_id"))
+      .dropDuplicates("train_id", "bench_id")
+    hits
+      .join(shT.select(col("id").as("train_id"), col("sh").as("sh_a")),
+        "train_id")
+      .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b")),
+        "bench_id")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast(DoubleType) /
+        size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
+        >= minJaccard)
+      .select("train_id", "bench_id")
+  }
+
   /** Near-dup dedup: drop every doc that near-matches a smaller-id doc
     * (greedy cluster representative = min id; no transitive closure —
     * documented, same policy most pipeline dedups use). */

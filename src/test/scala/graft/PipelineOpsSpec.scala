@@ -178,6 +178,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", "c", 1L)))
   }
 
+  // ---------------- Dedup.fuzzyContamination ----------------
+
+  test("fuzzyContamination finds edited cross-corpus copies, broadcasts bench") {
+    val s = spark
+    import s.implicits._
+    val mk = (seed: Int) => (1 to 60)
+      .map(i => s"w${(i * seed) % 97}").mkString(" ")
+    val train = Seq((1L, mk(3)), (2L, mk(5)), (3L, mk(7))).toDF("id", "text")
+    // bench doc 10 = train doc 2 with a short suffix (near-dup, j≈0.9);
+    // bench doc 11 is unrelated
+    val bench = Seq((10L, mk(5) + " edited tail"), (11L, mk(11)))
+      .toDF("id", "text")
+    val res = graft.ops.Dedup.fuzzyContamination(train, bench, "text", "id",
+      numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), "bench side must broadcast")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 10L)))
+  }
+
   // ---------------- Graph.pageRank ----------------
 
   test("pageRank: dangling-node closed form and mass conservation") {
