@@ -2290,6 +2290,30 @@ object SparkEntry {
       |  FROM lab l JOIN u ON l.id = u.doc_id)
       |WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
+    Q("snapshot_diff", (s, dir) => {
+      // corpus version diff: v2 drops every 30th doc, edits every 11th
+      // survivor, adds a copy of every 40th at id+900000. The operator
+      // derives status from content keys; DuckDB derives it from the
+      // construction rules — agreement proves the key comparison.
+      val v1 = Tables(s, dir).documents.selectNames(Seq("doc_id", "text"))
+      val v2 = v1.where(pmod(col("doc_id"), lit(30)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2 edit"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(v1.where(pmod(col("doc_id"), lit(40)) === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(v1, v2, "text", "doc_id")
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, 'removed' AS status FROM documents
+      |WHERE doc_id % 30 = 0
+      |UNION ALL
+      |SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'changed'
+      |  ELSE 'unchanged' END FROM documents WHERE doc_id % 30 <> 0
+      |UNION ALL
+      |SELECT doc_id + 900000, 'added' FROM documents WHERE doc_id % 40 = 0
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("decontaminate_fuzzy", (s, dir) => {
       // fuzzy (near-dup) decontamination: the benchmark is every 25th doc
       // with an appended 4-word suffix — contamination the exact n-gram

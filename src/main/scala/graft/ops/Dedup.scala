@@ -73,6 +73,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Snapshot diff (dataset versioning): classify every doc id across two
+    * corpus versions as added / removed / changed / unchanged by
+    * comparing 256-bit content keys — the audit table behind "what moved
+    * between crawl v3 and v4". ONE full-outer join on the id; text never
+    * shuffles (keys are computed scan-side), so the cost is two scans +
+    * one skinny shuffle regardless of document size. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), contentKey(col(textCol)).as("__ko"))
+    val n = newDf.select(col(idCol), contentKey(col(textCol)).as("__kn"))
+    o.join(n, Seq(idCol), "full")
+      .select(col(idCol),
+        when(col("__ko").isNull, "added")
+          .when(col("__kn").isNull, "removed")
+          .when(col("__ko") =!= col("__kn"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   // ---- MinHash signatures ----------------------------------------------
   /** k-permutation MinHash signature over word `n`-gram shingles, as one
     * codegen-friendly expression: sig[i] = min over shingles of

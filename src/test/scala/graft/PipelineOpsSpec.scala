@@ -178,6 +178,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", "c", 1L)))
   }
 
+  // ---------------- Dedup.snapshotDiff ----------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "bye")).toDF("id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new"), (4L, "hi")).toDF("id", "text")
+    val out = graft.ops.Dedup.snapshotDiff(v1, v2, "text", "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
   // ---------------- Dedup.fuzzyContamination ----------------
 
   test("fuzzyContamination finds edited cross-corpus copies, broadcasts bench") {
