@@ -2290,6 +2290,31 @@ object SparkEntry {
       |  FROM lab l JOIN u ON l.id = u.doc_id)
       |WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
+    Q("sim_centroids", (s, dir) => {
+      // per-label embedding centroids as skinny (label, dim) rows —
+      // drift detection / class prototypes; one partial-averaged shuffle
+      Similarity.centroidsBy(Tables(s, dir).embeddings, "embedding",
+          "label")
+        .setCol("centroid", round(col("centroid"), 6))
+        .sortByKeys(SortKey("label"), SortKey("dim"))
+    }, Some("""SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+      |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+      |FROM embeddings,
+      |  LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i)
+      |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
+
+    Q("series_zscore", (s, dir) => {
+      // per-user standardization (population σ, unbounded window, one
+      // shuffle) — the anomaly-flagging / feature-scaling primitive
+      standardizeBy(Tables(s, dir).events, "value", Seq("user_id"), "z")
+        .select(col("event_id"), round(col("z"), 6).as("z"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""SELECT event_id,
+      |  ROUND((value - AVG(value) OVER w)
+      |    / NULLIF(STDDEV_POP(value) OVER w, 0.0), 6) AS z
+      |FROM events WINDOW w AS (PARTITION BY user_id)
+      |ORDER BY event_id""".stripMargin)),
+
     Q("snapshot_diff", (s, dir) => {
       // corpus version diff: v2 drops every 30th doc, edits every 11th
       // survivor, adds a copy of every 40th at id+900000. The operator

@@ -96,6 +96,22 @@ object Series {
       df.withColumn(as, row_number().over(spec(partition, order)))
   }
 
+  /** Per-group standardization (z-score): z = (x − μ_g) / σ_g with the
+    * POPULATION stddev over an unbounded partition window — the
+    * StandardScaler-per-key feature step and the basis of per-entity
+    * anomaly flagging (|z| > k). ONE hash shuffle on the keys, no
+    * aggregate+join round trip; constant groups (σ = 0) yield null, not
+    * ±Infinity. */
+  def standardizeBy(df: DataFrame, c: String, partition: Seq[String],
+      as: String): DataFrame = {
+    require(partition.nonEmpty,
+      "standardizeBy: empty partition keys = one global window task")
+    val w = Window.partitionBy(partition.map(col): _*)
+    df.withColumn(as,
+      (col(c) - avg(col(c)).over(w)) /
+        nullif(stddev_pop(col(c)).over(w), lit(0.0)))
+  }
+
   /** Time-series resample with gap fill (beyond the reference — the
     * downsample-and-regularize step every metrics/feature pipeline needs):
     * bucket each series into fixed `bucketUs`-micros intervals, aggregate

@@ -31,6 +31,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graftnative.NativeFunctions.cosineSimilarity(a, b)
 
+  /** Per-key embedding centroids as skinny (key, dim, value) rows —
+    * per-source/cluster mean vectors for drift detection, IVF seeding,
+    * and class prototypes. posexplode → ONE shuffle of (key, dim, float)
+    * triples with full map-side partial averaging; output cardinality is
+    * keys × dim, never corpus-sized. Elements promote to double BEFORE
+    * the mean (float partial sums drift between engines). */
+  def centroidsBy(df: DataFrame, vecCol: String, keyCol: String)
+      : DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)))
+      .groupBy(col(keyCol), col("pos").as("dim"))
+      .agg(avg(col("col").cast("double")).as("centroid"))
+
   /** Deterministic pseudo-random hyperplanes (seeded at plan build — no
     * runtime randomness) packed as a literal matrix; signature bit i =
     * sign(v · plane_i). Returns an array<int> of 0/1. */

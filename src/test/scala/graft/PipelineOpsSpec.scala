@@ -178,6 +178,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("b", "c", 1L)))
   }
 
+  // ---------------- Similarity.centroidsBy / Series.standardizeBy ----
+
+  test("centroidsBy: exact per-key per-dim means") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 6.0f)),
+      (2, Seq(10.0f, 0.0f))).toDF("label", "vec")
+    val out = graft.ops.Similarity.centroidsBy(df, "vec", "label")
+      .orderBy("label", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1, 0, 2.0), (1, 1, 4.0), (2, 0, 10.0), (2, 1, 0.0)))
+  }
+
+  test("standardizeBy: z-scores per group; constant group yields null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val out = graft.ops.Series.standardizeBy(df, "v", Seq("g"), "z")
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), Option(r.get(2)))).toSeq
+    // group a: μ=2, σ_pop=1 → z = ∓1; group b constant → null, not ±Inf
+    assert(out == Seq(("a", Some(-1.0)), ("a", Some(1.0)),
+      ("b", None), ("b", None)))
+  }
+
   // ---------------- Dedup.snapshotDiff ----------------
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {
