@@ -2290,6 +2290,22 @@ object SparkEntry {
       |  FROM lab l JOIN u ON l.id = u.doc_id)
       |WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
+    Q("text_bpe_pairs", (s, dir) => {
+      // one BPE training iteration: frequency-weighted adjacent char
+      // pairs over the vocabulary (argmax = next merge). Exact integer
+      // counts; DuckDB replays tokenize → vocab → char-pair explode.
+      bpePairCounts(Tables(s, dir).documents, "text", 30)
+    }, Some("""WITH wd AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) AS w
+      |  FROM documents),
+      |f AS (SELECT w, COUNT(*) AS freq FROM wd GROUP BY 1),
+      |p AS (SELECT w[i:i] || ' ' || w[i+1:i+1] AS pair, freq
+      |  FROM f, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 1)) AS i)
+      |  WHERE len(w) >= 2)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p
+      |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin)),
+
     Q("sim_centroids", (s, dir) => {
       // per-label embedding centroids as skinny (label, dim) rows —
       // drift detection / class prototypes; one partial-averaged shuffle

@@ -103,6 +103,32 @@ object TextFunctions {
     lengthOk + punctOk + stopOk + wordOk
   }
 
+  /** BPE merge-pair statistics — ONE iteration of byte-pair-encoding
+    * tokenizer training: count adjacent character pairs across the
+    * corpus, weighted by word frequency (the argmax pair is the next BPE
+    * merge). Word-level pre-aggregation is the scale move: the corpus
+    * collapses to its VOCABULARY first (one token shuffle with map-side
+    * partials), and the char-pair explode runs over distinct words only —
+    * pair counting costs O(vocab × word-length), not O(corpus tokens),
+    * exactly how production BPE trainers batch it. Returns the top-k
+    * pairs by weighted count (ties → pair string), each as "a b".
+    */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "bpePairCounts: k must be > 0")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .where(length(col("w")) >= 2)
+    words
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => concat(col("w").substr(i, lit(1)), lit(" "),
+            col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Filter-funnel attrition report: apply the [[qualityScore]] rule
     * bands SEQUENTIALLY and report, per rule, how many documents entered,
     * failed, and survived — the "where did my corpus go" table every

@@ -327,6 +327,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       (4, "mean_word_length", 1L, 0L, 1L)))
   }
 
+  // ---------------- TextFunctions.bpePairCounts ----------------
+
+  test("bpePairCounts: frequency-weighted char pairs over the vocab") {
+    val s = spark
+    import s.implicits._
+    // "ab" ×3, "abc" ×1 → pair "a b": 3+1 = 4; "b c": 1
+    val docs = Seq("ab ab", "ab abc").toDF("text")
+    val out = TextFunctions.bpePairCounts(docs, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 4L), ("b c", 1L)))
+  }
+
   // ---------------- TextFunctions.collocations ----------------
 
   test("collocations: exact PMI values and rank order on a known corpus") {
