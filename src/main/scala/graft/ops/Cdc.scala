@@ -28,8 +28,11 @@ object Cdc {
     *     in favor of the LATER union side is NOT assumed; (key, seq) must be
     *     unique, which every real changelog provides) and `opCol`
     *     ([[Upsert]] or [[Delete]]).
-    *   - base rows rank below every change (seq = MinValue), so a change
-    *     always beats the snapshot.
+    *   - base rows rank below every change: ranking is on
+    *     (seq desc, change-side desc), so even a change carrying
+    *     seq == Long.MinValue (the base sentinel) still outranks the base
+    *     row — "a change always beats the snapshot" holds for the full
+    *     seq domain, not just MinValue+1 and above.
     *
     * Scale shape: union (no shuffle) → one hash shuffle on `keys` → per-key
     * top-1 by seq via running max — a partial-aggregable pattern, skew-safe
@@ -46,9 +49,11 @@ object Cdc {
     val b = base
       .withColumn(seqCol, lit(Long.MinValue))
       .withColumn(opCol, lit(Upsert))
+      .withColumn("__chg", lit(0))
     val c = changes.select((keys ++ payload ++ Seq(seqCol, opCol)).map(col): _*)
+      .withColumn("__chg", lit(1))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc)
+      .orderBy(col(seqCol).desc, col("__chg").desc)
     TypeWidening.unionByNameWide(Seq(b, c))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col(opCol) === Upsert)

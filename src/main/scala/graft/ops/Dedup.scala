@@ -36,18 +36,28 @@ object Dedup {
     * output: id, cluster) and a per-doc score, pick each cluster's
     * highest-scoring member (ties → lowest id) — what production
     * pipelines actually keep (the longest / highest-quality copy), where
-    * keep-first is only the degenerate score=-id case. ONE aggregation
-    * shuffle on the cluster label via ordered-struct max — no window, no
-    * per-cluster sort. */
+    * keep-first is only the degenerate score=-id case.
+    *
+    * Implemented as two partial-aggregable passes — max score per
+    * cluster, then min id among the rows holding that max — rather than
+    * an ordered-struct max over (score, -id): negating the id to invert
+    * its sort order silently casts string ids to double (null
+    * representatives instead of an error) and overflows at
+    * Long.MinValue, so no column is ever negated here and any orderable
+    * id type works. Both aggregations combine map-side; the tie join is
+    * on (cluster, score) against a one-row-per-cluster frame, which AQE
+    * broadcasts when small. */
   def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
-      idCol: String, scoreCol: String): DataFrame =
-    clusters.select(col("id").as(idCol), col("cluster"))
+      idCol: String, scoreCol: String): DataFrame = {
+    val joined = clusters.select(col("id").as(idCol), col("cluster"))
       .join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
-      .groupBy(col("cluster"))
-      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni")))
-        .as("m"))
-      .select(col("cluster"), (-col("m.ni")).as(idCol),
-        col("m.s").as(scoreCol))
+    val best = joined.groupBy(col("cluster"))
+      .agg(max(col(scoreCol)).as(scoreCol))
+    joined.join(best, Seq("cluster", scoreCol))
+      .groupBy(col("cluster"), col(scoreCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col("cluster"), col(idCol), col(scoreCol))
+  }
 
   /** Cross-source duplicate overlap matrix (corpus governance: which
     * sources re-publish each other's content — the table that decides

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import graft.core.CacheHandle
 
 /** Distributed graph analytics beyond connected components
   * (`Dedup.nearDupClusters`): PageRank — the canonical quality/centrality
@@ -25,36 +26,58 @@ object Graph {
     * never a driver-side collect of ranks. N (one long) is the only
     * driver scalar, like the k-means centroid count.
     *
+    * Checkpoint lifetimes mirror `Dedup.nearDupClusters`: each
+    * iteration's rank checkpoint is freed as soon as its successor
+    * materializes, the edge/node/degree checkpoints are freed before
+    * returning (the final ranks frame is lineage-truncated, so it does
+    * not depend on them), and the final rank blocks are registered on
+    * the caller's `cache` handle — long-lived sessions that call this
+    * repeatedly release via `cache.release()` instead of waiting on
+    * driver GC.
+    *
     * Deterministic up to float summation order; callers comparing across
     * engines should round (the oracle rounds to 6dp, with ranks ~1/N the
     * 1e-15 relative float noise sits far below that). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+      damping: Double = 0.85, iters: Int = 10,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     require(damping > 0 && damping < 1, "pageRank: damping must be in (0,1)")
     require(iters >= 1, "pageRank: iters must be >= 1")
-    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("dst"))
-      .localCheckpoint()
-    val nodes = e.select(col("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+    val internal = new CacheHandle
+    val (e, freeE) = CacheHandle.checkpointSmall(
+      edges.select(col(srcCol).as("node"), col(dstCol).as("dst")))
+    internal.trackRelease(freeE)
+    val (nodes, freeNodes) = CacheHandle.checkpointSmall(
+      e.select(col("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    internal.trackRelease(freeNodes)
     val n = nodes.count()
-    val outDeg = e.groupBy(col("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    val (outDeg, freeDeg) = CacheHandle.checkpointSmall(
+      e.groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    internal.trackRelease(freeDeg)
+    var (ranks, freeRanks) = CacheHandle.checkpointSmall(
+      nodes.withColumn("rank", lit(1.0 / n)))
     (1 to iters).foreach { _ =>
       val contribs = ranks.join(outDeg, "node").join(e, "node")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("in_mass"), lit(0.0)) + col("dm") / n))
-            .as("rank"))
-        .localCheckpoint()
+      val (next, freeNext) = CacheHandle.checkpointSmall(
+        nodes.join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("in_mass"), lit(0.0)) + col("dm") / n))
+              .as("rank")))
+      // `next` is self-contained — the superseded round frees safely
+      freeRanks(false)
+      ranks = next
+      freeRanks = freeNext
     }
+    internal.release()
+    cache.trackRelease(freeRanks)
     ranks
   }
 }

@@ -428,7 +428,11 @@ object Streaming {
                 b.evts ::: inc)
               case None => FunnelBuf(inc.map(_._1).min, inc)
             }
-            val timeoutMs = math.floorDiv(buf.firstUs, 1000L) + horizonMs
+            // ceiling division to ms: the timeout must never precede the
+            // micros-precision horizon cutoff (firstUs + horizonMs*1000),
+            // else a boundary event in the final sub-millisecond opens a
+            // spurious fresh attempt instead of completing this funnel
+            val timeoutMs = math.floorDiv(buf.firstUs + 999L, 1000L) + horizonMs
             if (timeoutMs <= state.getCurrentWatermarkMs()) {
               // horizon already closed (stragglers past the watermark):
               // finalize now — setTimeoutTimestamp below the watermark

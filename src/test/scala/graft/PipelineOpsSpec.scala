@@ -64,12 +64,17 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("applyChangeLog: a change always beats the base snapshot") {
     val s = spark
     import s.implicits._
-    val base    = Seq((1, "old")).toDF("id", "v")
-    // even the smallest real seq outranks the base's MinValue
-    val changes = Seq((1, "new", Long.MinValue + 1, "U"))
+    val base    = Seq((1, "old"), (2, "keep")).toDF("id", "v")
+    // a change outranks the base at EVERY seq — including Long.MinValue
+    // itself, which ties the base sentinel and is broken by change-side
+    // rank, not by seq
+    val changes = Seq(
+      (1, "new", Long.MinValue + 1, "U"),
+      (2, "edge", Long.MinValue, "U"))
       .toDF("id", "v", "seq", "op")
     val out = Cdc.applyChangeLog(base, changes, Seq("id"), "seq", "op")
-    assert(out.collect().map(_.getString(1)).toSeq == Seq("new"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("new", "edge"))
   }
 
   // ---------------- Series.resampleWithFill ----------------
@@ -276,6 +281,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // cluster 1: ids 2 and 3 tie at 30 → lowest id (2) wins, not first (1)
     assert(out == Seq((1L, 2L, 30L), (9L, 9L, 5L)))
+  }
+
+  test("clusterRepresentatives: string ids and Long.MinValue ids survive") {
+    val s = spark
+    import s.implicits._
+    // string ids: the old ordered-struct-max impl negated the id, which
+    // implicitly cast strings to double → null representatives
+    val sc = Seq(("a", 1L), ("b", 1L)).toDF("id", "cluster")
+    val ss = Seq(("a", 10L), ("b", 10L)).toDF("doc_id", "score")
+    val sOut = graft.ops.Dedup.clusterRepresentatives(sc, ss, "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sOut == Seq((1L, "a", 10L))) // tie → lexicographically lowest id
+    // Long.MinValue id: negation would overflow back to MinValue
+    val mc = Seq((Long.MinValue, 7L), (4L, 7L)).toDF("id", "cluster")
+    val ms = Seq((Long.MinValue, 3L), (4L, 3L)).toDF("doc_id", "score")
+    val mOut = graft.ops.Dedup.clusterRepresentatives(mc, ms, "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mOut == Seq((7L, Long.MinValue, 3L)))
   }
 
   // ---------------- Events.retentionCohorts ----------------

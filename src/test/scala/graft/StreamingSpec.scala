@@ -397,4 +397,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(0).getInt(1) == 2, "late early view must unlock the click")
     } finally q.stop()
   }
+
+  test("streaming funnel admits a boundary event in the horizon's final sub-ms") {
+    // stage-2 lands at exactly firstUs + horizon micros (5000.5ms + 1000ms),
+    // AFTER an ms-floored timeout (6000ms) would have closed the funnel but
+    // within the micros-precision cutoff walk() enforces. The ceiling-division
+    // timeout keeps the state alive so the event completes the funnel instead
+    // of opening a spurious fresh attempt.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def usTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event]
+    val res = Streaming.funnelStream(
+      mem.toDS().withWatermark("ts", "0 seconds"), Seq("a", "b"), horizonMs = 1000L)
+    val q = res.writeStream.format("memory")
+      .queryName("graft_funnel_boundary_test").outputMode("append").start()
+    try {
+      mem.addData(Streaming.Event(7L, usTs(5000500L), "a", 0))
+      q.processAllAvailable()
+      // two batches pinning the watermark at exactly 6000ms with no user-7
+      // data: a floor-based timeout (6000 <= wm) would fire here
+      mem.addData(Streaming.Event(50L, usTs(6000999L), "a", 0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(51L, usTs(6000999L), "a", 0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(7L, usTs(6000500L), "b", 0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(60L, usTs(3600L * 1000000L), "a", 0))
+      q.processAllAvailable()
+      mem.addData(Streaming.Event(61L, usTs(7200L * 1000000L), "a", 0))
+      q.processAllAvailable()
+      val rows = s.sql(
+          "select stages_reached from graft_funnel_boundary_test where user_id = 7")
+        .collect().map(_.getInt(0)).toSeq
+      assert(rows == Seq(2), s"boundary event must complete the funnel, got $rows")
+    } finally q.stop()
+  }
 }
