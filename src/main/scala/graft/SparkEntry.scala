@@ -2952,6 +2952,46 @@ object SparkEntry {
       |SELECT o_orderkey, o_custkey, a | (b << 1) AS zval
       |FROM s5 ORDER BY o_orderkey""".stripMargin)),
 
+    Q("layout_zorder_nd", (s, dir) => {
+      // 3-dimensional Morton code over the lineitem join keys — real
+      // lakehouse layouts cluster 3-4 keys, not 2. Same shift/mask
+      // integer ladder family as layout_zorder (stride-3 magic masks,
+      // 21 bits/dim); DuckDB replays it bit-for-bit via the
+      // no-overflow form ((x & (m>>s)) << s) | (x & m), identical to
+      // Spark's wrapping (x | x<<s) & m because the pre-mask keeps
+      // exactly the bits the post-mask would have kept
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.Layout.zorderValueN(Seq(
+            col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+            .as("zval"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"))
+    }, Some("""WITH s0 AS (SELECT l_orderkey, l_linenumber,
+      |    l_orderkey & 2097151 AS a, l_partkey & 2097151 AS b,
+      |    l_suppkey & 2097151 AS c FROM lineitem),
+      |s1 AS (SELECT l_orderkey, l_linenumber,
+      |    (((a & 2031616) << 32) | (a & 8725724278095871)) AS a,
+      |    (((b & 2031616) << 32) | (b & 8725724278095871)) AS b,
+      |    (((c & 2031616) << 32) | (c & 8725724278095871)) AS c FROM s0),
+      |s2 AS (SELECT l_orderkey, l_linenumber,
+      |    (((a & 133144051456) << 16) | (a & 8725728556220671)) AS a,
+      |    (((b & 133144051456) << 16) | (b & 8725728556220671)) AS b,
+      |    (((c & 133144051456) << 16) | (c & 8725728556220671)) AS c FROM s1),
+      |s3 AS (SELECT l_orderkey, l_linenumber,
+      |    (((a & 4520096329302256) << 8) | (a & 1157144660301377551)) AS a,
+      |    (((b & 4520096329302256) << 8) | (b & 1157144660301377551)) AS b,
+      |    (((c & 4520096329302256) << 8) | (c & 1157144660301377551)) AS c FROM s2),
+      |s4 AS (SELECT l_orderkey, l_linenumber,
+      |    (((a & 75488908039734028) << 4) | (a & 1207822528635744451)) AS a,
+      |    (((b & 75488908039734028) << 4) | (b & 1207822528635744451)) AS b,
+      |    (((c & 75488908039734028) << 4) | (c & 1207822528635744451)) AS c FROM s3),
+      |s5 AS (SELECT l_orderkey, l_linenumber,
+      |    (((a & 329406144173384850) << 2) | (a & 1317624576693539401)) AS a,
+      |    (((b & 329406144173384850) << 2) | (b & 1317624576693539401)) AS b,
+      |    (((c & 329406144173384850) << 2) | (c & 1317624576693539401)) AS c FROM s4)
+      |SELECT l_orderkey, l_linenumber, a | (b << 1) | (c << 2) AS zval
+      |FROM s5 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     Q("io_partitioned_roundtrip", (s, dir) => {
       // hive-style partitioned+sorted layout write → read back; oracle =
       // the original table, proving the layout shuffle/sort/split is

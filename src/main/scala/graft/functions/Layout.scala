@@ -35,6 +35,90 @@ object Layout {
     spread(a.cast(LongType))
       .bitwiseOR(shiftleft(spread(b.cast(LongType)), 1))
 
+  // stride-3 spread: x's low 21 bits end up at bit positions 0,3,6,…
+  // (the standard 3-D Morton magic-mask ladder, verified exhaustively
+  // against the per-bit definition in LayoutSpec)
+  private val spreadMasks3: Seq[(Int, Long)] = Seq(
+    32 -> 0x001F00000000FFFFL,
+    16 -> 0x001F0000FF0000FFL,
+    8  -> 0x100F00F00F00F00FL,
+    4  -> 0x10C30C30C30C30C3L,
+    2  -> 0x1249249249249249L)
+
+  // stride-4 spread: x's low 16 bits end up at bit positions 0,4,8,…
+  private val spreadMasks4: Seq[(Int, Long)] = Seq(
+    24 -> 0x000000FF000000FFL,
+    12 -> 0x000F000F000F000FL,
+    6  -> 0x0303030303030303L,
+    3  -> 0x1111111111111111L)
+
+  private def spreadWith(c: Column, headMask: Long,
+      ladder: Seq[(Int, Long)]): Column =
+    ladder.foldLeft(c.bitwiseAND(lit(headMask))) {
+      case (x, (s, m)) => (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
+    }
+
+  /** Bits a single dimension keeps in an n-dim 64-bit Morton code:
+    * 32/21/16 for n = 2/3/4 — floor(64/n), the full word split evenly. */
+  def zorderDimBits(dims: Int): Int = dims match {
+    case 2 => 32
+    case 3 => 21
+    case 4 => 16
+    case d => throw new IllegalArgumentException(
+      s"zorder: $d dimensions unsupported (2-4); beyond 4 the per-dim " +
+        "resolution (<16 bits) stops paying for the curve — compose keys " +
+        "or drop low-selectivity dimensions instead")
+  }
+
+  /** n-dimensional 64-bit Morton code (n = 2, 3 or 4): column i takes bit
+    * positions i, i+n, i+2n, … of the result, keeping the low
+    * [[zorderDimBits]] bits of each dimension (mask or rank-bucket wider
+    * domains first — [[zorderByN]] does). Real lakehouse layouts cluster
+    * 3-4 keys; each extra dimension halves-ish per-dim resolution, the
+    * standard Z-order trade. Pure shift/mask integer arithmetic (5/5/4
+    * mask rounds per dimension), codegen'd, replayable bit-for-bit by an
+    * independent engine. */
+  def zorderValueN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorderValueN: ${cols.size} dimensions (want 2-4)")
+    val sp: Column => Column = cols.size match {
+      case 2 => spread
+      case 3 => spreadWith(_, 0x1FFFFFL, spreadMasks3)
+      case 4 => spreadWith(_, 0xFFFFL, spreadMasks4)
+    }
+    cols.zipWithIndex
+      .map { case (c, i) => shiftleft(sp(c.cast(LongType)), i) }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** n-dimensional [[zorderBy]]: range-partition + sort by the n-dim
+    * Morton code so every output file covers a small hyper-rectangle of
+    * the key space and row-group min/max stats prune on ANY of the keys.
+    * Rank normalization (same rationale as [[zorderBy]]) buckets each
+    * dimension into min(2^16, 2^dimBits) exact-percentile buckets before
+    * interleaving — equal bit-weight per dimension regardless of domain
+    * width, and never a global row sort (distinct-value broadcast join). */
+  def zorderByN(df: DataFrame, keys: Seq[String], partitions: Int,
+      normalize: Boolean = true): DataFrame = {
+    require(partitions > 0, "zorderByN: partitions must be > 0")
+    require(keys.size >= 2 && keys.size <= 4,
+      s"zorderByN: ${keys.size} keys (want 2-4)")
+    import graft.ops.Agg.AggDataFrame
+    val buckets = 1 << math.min(16, zorderDimBits(keys.size))
+    val tmp = keys.indices.map(i => s"__z$i")
+    val pre =
+      if (normalize)
+        keys.zip(tmp).foldLeft(df) { case (d, (k, t)) =>
+          d.rankBuckets(k, buckets, t) }
+      else
+        keys.zip(tmp).foldLeft(df) { case (d, (k, t)) =>
+          d.withColumn(t, col(k)) }
+    pre.withColumn("__z", zorderValueN(tmp.map(col)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop(tmp :+ "__z": _*)
+  }
+
   /** Rewrite a frame into Z-order: range-partition + sort by the Morton
     * code of the two cluster keys, ready for a parquet write where every
     * file covers a small rectangle of the (a, b) key space. `repartition

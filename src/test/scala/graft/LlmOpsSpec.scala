@@ -903,4 +903,77 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(zo.count() === t.count())
     assert(zo.columns.toSeq === t.columns.toSeq)
   }
+
+  test("zorderValueN: magic-mask ladders match the per-bit Morton definition") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Layout
+    // naive reference: bit i of dim d lands at result bit i*n + d
+    def naive(xs: Seq[Long]): Long = {
+      val n = xs.size
+      val bits = Layout.zorderDimBits(n)
+      xs.zipWithIndex.map { case (x, d) =>
+        (0 until bits).map(i => ((x >> i) & 1L) << (i * n + d)).reduce(_ | _)
+      }.reduce(_ | _)
+    }
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(3, 4)) {
+      val bits = Layout.zorderDimBits(n)
+      val cases = Seq.fill(500)(Seq.fill(n)(rnd.nextLong() & ((1L << bits) - 1))) ++
+        Seq(Seq.fill(n)(0L), Seq.fill(n)((1L << bits) - 1))
+      val df = cases.map {
+        case Seq(a, b, c) => (a, b, c, 0L)
+        case Seq(a, b, c, d) => (a, b, c, d)
+      }.toDF("a", "b", "c", "d")
+      val got = df.select(Layout.zorderValueN(
+          Seq("a", "b", "c", "d").take(n).map(col)).as("z"))
+        .collect().map(_.getLong(0))
+      val want = cases.map(naive)
+      assert(got.toSeq === want, s"n=$n ladder diverged from per-bit definition")
+      // values above the per-dim budget are masked, never corrupt high bits
+      val over = Seq.fill(n)(-1L) // all 64 bits set
+      val g1 = Seq(over).map { xs => xs.take(n) }.map {
+        case Seq(a, b, c) => (a, b, c, 0L)
+        case Seq(a, b, c, d) => (a, b, c, d)
+      }.toDF("a", "b", "c", "d")
+        .select(Layout.zorderValueN(Seq("a", "b", "c", "d").take(n).map(col)))
+        .collect()(0).getLong(0)
+      assert(g1 === naive(Seq.fill(n)((1L << bits) - 1)))
+    }
+  }
+
+  test("zorderByN: pure reorder; 3-key layout tightens per-file spans on ALL keys") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Layout
+    val li = graft.Tables(s, "/root/testdata/sf0.001").lineitem
+    val keys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val parts = 16
+    val zo = Layout.zorderByN(li, keys, parts)
+    assert(zo.count() === li.count())
+    assert(zo.columns.toSeq === li.columns.toSeq)
+    // per-file (= per-partition) min/max span of each key, z-order vs a
+    // single-key sort layout: the single-key layout is perfect on its
+    // sort key but leaves the OTHER keys' spans at ~full domain width;
+    // z-order must tighten every key's average span well below that
+    def avgSpans(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val spans = df.withColumn("__p", spark_partition_id())
+        .groupBy(col("__p"))
+        .agg(keys.map(k => (max(col(k)) - min(col(k))).as(k)).head,
+          keys.map(k => (max(col(k)) - min(col(k))).as(k)).tail: _*)
+      val row = spans.agg(avg(col(keys.head)).as(keys.head),
+        keys.tail.map(k => avg(col(k)).as(k)): _*).collect()(0)
+      keys.zipWithIndex.map { case (k, i) => k -> row.getDouble(i) }.toMap
+    }
+    val zSpans = avgSpans(zo)
+    val sortedOne = li.repartitionByRange(parts, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    val oSpans = avgSpans(sortedOne)
+    // every non-sort key: z-order spans must be at most 60% of the
+    // single-sort layout's (measured sf0.001: ~25-40%)
+    for (k <- Seq("l_partkey", "l_suppkey")) {
+      assert(zSpans(k) < 0.6 * oSpans(k),
+        s"$k: zorder avg span ${zSpans(k)} !< 0.6 * single-sort ${oSpans(k)}")
+    }
+  }
 }
