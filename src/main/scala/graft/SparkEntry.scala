@@ -2306,6 +2306,384 @@ object SparkEntry {
       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p
       |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin)),
 
+
+    Q("text_bpe_train", (s, dir) => {
+      // k=8 BPE merge rounds trained on the documents corpus: vocab-
+      // batched pair counting + argmax + greedy fold rewrite per round.
+      // DuckDB replays all 8 rounds: per round a pair-count CTE, an
+      // argmax CTE, and a RECURSIVE CTE that walks each word's symbol
+      // array left-to-right applying the round's merge (exact greedy
+      // non-overlap semantics, same as the Spark-side fold)
+      bpeTrain(Tables(s, dir).documents, "text", 8)
+        .sortByKeys(SortKey("step"))
+    }, Some("""WITH RECURSIVE wd AS MATERIALIZED (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) AS w FROM documents),
+      |v0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq,
+      |    list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      |  FROM wd GROUP BY 1),
+      |pc1 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v0, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m1 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc1
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a1 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v0
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m1), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m1), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m1), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m1), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m1), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a1 WHERE pos <= len(syms)),
+      |v1 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a1 WHERE pos > len(syms)),
+      |pc2 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v1, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m2 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc2
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a2 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v1
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m2), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m2), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m2), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m2), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m2), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a2 WHERE pos <= len(syms)),
+      |v2 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a2 WHERE pos > len(syms)),
+      |pc3 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v2, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m3 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc3
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a3 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v2
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m3), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m3), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m3), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m3), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m3), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a3 WHERE pos <= len(syms)),
+      |v3 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a3 WHERE pos > len(syms)),
+      |pc4 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v3, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m4 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc4
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a4 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v3
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m4), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m4), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m4), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m4), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m4), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a4 WHERE pos <= len(syms)),
+      |v4 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a4 WHERE pos > len(syms)),
+      |pc5 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v4, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m5 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc5
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a5 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v4
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m5), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m5), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m5), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m5), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m5), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a5 WHERE pos <= len(syms)),
+      |v5 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a5 WHERE pos > len(syms)),
+      |pc6 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v5, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m6 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc6
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a6 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v5
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m6), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m6), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m6), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m6), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m6), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a6 WHERE pos <= len(syms)),
+      |v6 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a6 WHERE pos > len(syms)),
+      |pc7 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v6, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m7 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc7
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a7 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v6
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m7), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m7), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m7), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m7), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m7), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a7 WHERE pos <= len(syms)),
+      |v7 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a7 WHERE pos > len(syms)),
+      |pc8 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v7, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m8 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc8
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a8 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v7
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m8), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m8), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m8), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m8), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m8), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a8 WHERE pos <= len(syms)),
+      |v8 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a8 WHERE pos > len(syms))
+      |SELECT step, pair, cnt FROM (SELECT 1 AS step, pair, cnt FROM m1
+      |UNION ALL
+      |SELECT 2 AS step, pair, cnt FROM m2
+      |UNION ALL
+      |SELECT 3 AS step, pair, cnt FROM m3
+      |UNION ALL
+      |SELECT 4 AS step, pair, cnt FROM m4
+      |UNION ALL
+      |SELECT 5 AS step, pair, cnt FROM m5
+      |UNION ALL
+      |SELECT 6 AS step, pair, cnt FROM m6
+      |UNION ALL
+      |SELECT 7 AS step, pair, cnt FROM m7
+      |UNION ALL
+      |SELECT 8 AS step, pair, cnt FROM m8) ORDER BY step""".stripMargin)),
+
+    Q("text_bpe_encode", (s, dir) => {
+      // encode-by-merge-replay: the 8 learned merges applied in rank
+      // order to every document, scan-side (merge table baked in as
+      // literals). Oracle = the training replay's FINAL vocab state
+      // joined back through each document's token sequence — encode of
+      // a training doc must reproduce its training-time segmentation
+      val merges = bpeTrainMerges(Tables(s, dir).documents, "text", 8)
+      Tables(s, dir).documents
+        .select(col("doc_id"), concat_ws(" ",
+          bpeEncode(col("text"), merges)).as("encoded"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH RECURSIVE wd AS MATERIALIZED (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) AS w FROM documents),
+      |v0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq,
+      |    list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+      |  FROM wd GROUP BY 1),
+      |pc1 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v0, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m1 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc1
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a1 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v0
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m1), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m1), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m1), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m1), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m1), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a1 WHERE pos <= len(syms)),
+      |v1 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a1 WHERE pos > len(syms)),
+      |pc2 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v1, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m2 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc2
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a2 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v1
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m2), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m2), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m2), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m2), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m2), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a2 WHERE pos <= len(syms)),
+      |v2 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a2 WHERE pos > len(syms)),
+      |pc3 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v2, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m3 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc3
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a3 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v2
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m3), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m3), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m3), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m3), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m3), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a3 WHERE pos <= len(syms)),
+      |v3 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a3 WHERE pos > len(syms)),
+      |pc4 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v3, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m4 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc4
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a4 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v3
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m4), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m4), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m4), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m4), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m4), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a4 WHERE pos <= len(syms)),
+      |v4 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a4 WHERE pos > len(syms)),
+      |pc5 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v4, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m5 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc5
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a5 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v4
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m5), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m5), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m5), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m5), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m5), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a5 WHERE pos <= len(syms)),
+      |v5 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a5 WHERE pos > len(syms)),
+      |pc6 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v5, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m6 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc6
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a6 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v5
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m6), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m6), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m6), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m6), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m6), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a6 WHERE pos <= len(syms)),
+      |v6 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a6 WHERE pos > len(syms)),
+      |pc7 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v6, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m7 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc7
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a7 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v6
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m7), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m7), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m7), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m7), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m7), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a7 WHERE pos <= len(syms)),
+      |v7 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a7 WHERE pos > len(syms)),
+      |pc8 AS MATERIALIZED (SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(freq) AS cnt
+      |  FROM v7, LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i)
+      |  WHERE len(syms) >= 2 GROUP BY 1),
+      |m8 AS MATERIALIZED (SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pc8
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |a8 AS (
+      |  SELECT w, freq, syms, 1 AS pos, []::VARCHAR[] AS out FROM v7
+      |  UNION ALL
+      |  SELECT w, freq, syms,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m8), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m8), ' ', 2)
+      |      THEN pos + 2 ELSE pos + 1 END,
+      |    CASE WHEN pos < len(syms)
+      |      AND syms[pos] = split_part((SELECT pair FROM m8), ' ', 1)
+      |      AND syms[pos+1] = split_part((SELECT pair FROM m8), ' ', 2)
+      |      THEN list_append(out, replace((SELECT pair FROM m8), ' ', ''))
+      |      ELSE list_append(out, syms[pos]) END
+      |  FROM a8 WHERE pos <= len(syms)),
+      |v8 AS MATERIALIZED (SELECT w, freq, out AS syms FROM a8 WHERE pos > len(syms)),
+      |dt AS MATERIALIZED (SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |dw AS (SELECT doc_id, toks[i] AS w, i
+      |  FROM dt, LATERAL (SELECT UNNEST(generate_series(1, len(toks))) AS i))
+      |SELECT dw.doc_id, string_agg(array_to_string(v8.syms, ' '), ' ' ORDER BY dw.i) AS encoded
+      |FROM dw JOIN v8 ON dw.w = v8.w
+      |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin)),
+
     Q("sim_centroids", (s, dir) => {
       // per-label embedding centroids as skinny (label, dim) rows —
       // drift detection / class prototypes; one partial-averaged shuffle

@@ -129,6 +129,110 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Greedy left-to-right application of ONE BPE merge (p, q) to a symbol
+    * array: scan once, replace each non-overlapping adjacent (p, q) with
+    * their concatenation, resuming AFTER the merged pair — the standard
+    * trainer/encoder pass, as a fold: the merged symbol p+q can never
+    * equal p (q is non-empty), so the accumulator's tail is never
+    * re-merged within the pass. `get` (null past the end) instead of
+    * `element_at` keeps the empty-accumulator probe ANSI-safe. */
+  private def applyMerge(syms: Column, p: String, q: String): Column =
+    aggregate(syms,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(p) && x === lit(q),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(p + q))))
+          .otherwise(concat(acc, array(x))))
+
+  /** BPE tokenizer training, k merge rounds: iterate [[bpePairCounts]]'
+    * one step — count frequency-weighted adjacent symbol pairs over the
+    * vocabulary, take the argmax (ties → pair string), merge it
+    * everywhere, repeat. Returns the learned merge table
+    * (step, pair "p q", cnt at selection time) — feed it to
+    * [[bpeEncode]].
+    *
+    * Scale shape (the k-means pattern): the corpus collapses to its
+    * VOCABULARY once (one token shuffle with map-side partials, then a
+    * persisted vocab frame — the 100 TB text is never re-read), and each
+    * round is one vocab-sized aggregate + a ONE-ROW collect (the argmax
+    * pair, the only driver scalar) + a scan-side fold rewrite of the
+    * symbol arrays. Rounds cost O(vocab × word-length), not O(corpus
+    * tokens). Each round's vocab state is checkpointed and the
+    * superseded one freed (the pageRank lifetime pattern). Stops early
+    * if every word is a single symbol. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(numMerges > 0, "bpeTrain: numMerges must be > 0")
+    val spark = df.sparkSession
+    val internal = new graft.core.CacheHandle
+    var (vocab, freeVocab) = graft.core.CacheHandle.checkpointSmall(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), transform(
+          sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    (1 to numMerges).foreach { step =>
+      if (!exhausted) {
+        val top = vocab.where(size(col("syms")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("p"),
+              element_at(col("syms"), i + 1).as("q")))).as("pq"))
+          .groupBy(col("pq"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, concat_ws(" ", col("pq.p"), col("pq.q")))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val r = top(0)
+          val pq = r.getStruct(0)
+          val (p, q) = (pq.getString(0), pq.getString(1))
+          merges += ((step, p, q, r.getLong(1)))
+          val (next, freeNext) = graft.core.CacheHandle.checkpointSmall(
+            vocab.withColumn("syms", applyMerge(col("syms"), p, q)))
+          freeVocab(false)
+          vocab = next
+          freeVocab = freeNext
+        }
+      }
+    }
+    freeVocab(false)
+    internal.release()
+    import spark.implicits._
+    merges.toSeq.map { case (s, p, q, c) => (s, s"$p $q", c) }
+      .toDF("step", "pair", "cnt")
+  }
+
+  /** Collected merge list of [[bpeTrain]] in rank order, for
+    * [[bpeEncode]] — k two-string pairs, the tokenizer model. */
+  def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] =
+    bpeTrain(df, textCol, numMerges).orderBy(col("step")).collect()
+      .map { r =>
+        val Array(p, q) = r.getString(1).split(" ", 2)
+        (p, q)
+      }.toSeq
+
+  /** BPE-encode a text column with a learned merge list: tokenize, split
+    * each token to characters, apply every merge in rank order (the
+    * standard encode = replay-the-merges definition, so encoding a
+    * training document reproduces its final training-time segmentation),
+    * and flatten to one subword-token array per document. Pure scan-side
+    * expression — the merge table is baked into the plan as literals
+    * (tokenizer models are KBs; broadcast-by-literal is the 100 TB
+    * shape), no shuffle, no UDF. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val chars = (w: Column) =>
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    flatten(transform(tokens(text),
+      w => merges.foldLeft(chars(w)) {
+        case (acc, (p, q)) => applyMerge(acc, p, q)
+      }))
+  }
+
   /** Filter-funnel attrition report: apply the [[qualityScore]] rule
     * bands SEQUENTIALLY and report, per rule, how many documents entered,
     * failed, and survived — the "where did my corpus go" table every

@@ -362,6 +362,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Seq(("a b", 4L), ("b c", 1L)))
   }
 
+  test("bpeTrain/bpeEncode: greedy merge semantics, runs, and replay law") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions
+    // corpus engineered so merge 1 = (a,a) [cnt 9 in "aaaa"x3 words] —
+    // the run case where greedy left-to-right differs from naive
+    // re-scanning: "aaaa" must become [aa, aa], "aaa" → [aa, a]
+    val docs = Seq("aaaa aaaa aaaa aaa xy", "xy xy").toDF("text")
+    val merges = TextFunctions.bpeTrain(docs, "text", 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // pairs: (a,a) = 3x3 (from aaaa) + 2 (from aaa) = 11; (x,y) = 3
+    assert(merges == Seq((1, "a a", 11L), (2, "a aa", 3L)) ||
+      merges.head == ((1, "a a", 11L)),
+      s"first merge must be (a,a) with weighted count 11, got $merges")
+    // after merge 1 the vocab pairs are: aaaa→[aa,aa]: (aa,aa)=3;
+    // aaa→[aa,a]: (aa,a)=1; xy: (x,y)=3 → merge 2 = (aa,aa)? no:
+    // ties/count: (aa,aa)=3, (x,y)=3 → tie broken by pair string:
+    // "aa aa" < "x y"
+    assert(merges(1) == ((2, "aa aa", 3L)), s"got ${merges(1)}")
+    // encode replays training segmentation exactly
+    val enc = docs.select(TextFunctions.bpeEncode(col("text"),
+      Seq(("a", "a"), ("aa", "aa"))).as("t")).collect()
+      .map(_.getSeq[String](0).toList).toList
+    assert(enc == List(
+      List("aaaa", "aaaa", "aaaa", "aa", "a", "x", "y"),
+      List("x", "y", "x", "y")))
+    // exhaustion: more rounds than possible merges stops early
+    val tiny = Seq("ab ab").toDF("text")
+    val m2 = TextFunctions.bpeTrain(tiny, "text", 10).collect()
+    assert(m2.length == 1 && m2(0).getString(1) == "a b")
+    // no leaked persisted RDDs from the per-round checkpoints
+    assert(s.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   // ---------------- TextFunctions.collocations ----------------
 
   test("collocations: exact PMI values and rank order on a known corpus") {
