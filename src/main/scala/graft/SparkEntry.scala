@@ -2241,6 +2241,59 @@ object SparkEntry {
       |SELECT id_a, id_b FROM p WHERE cos >= 0.999999
       |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dedup_semantic", (s, dir) => {
+      // SemDeDup composition on planted duplicates: every embedding gets
+      // an exact copy at vec_id+10000 → 500 semantic clusters of 2; the
+      // copy pair ties on distance-to-centroid so keep-farthest falls to
+      // the lowest-id member (the original). Exhaustive within-cell
+      // pairs (recall 1 by construction) + deterministic sampled
+      // centroids make the brute-force DuckDB replay a TRUE oracle:
+      // same argmax assignment (tie → highest cell), same pair set,
+      // same recursive min-label fixpoint, same representative argmax
+      val e = Tables(s, dir).embeddings.selectNames(Seq("vec_id", "embedding"))
+      val dup = e.unionWide(e.select((col("vec_id") + 10000).as("vec_id"),
+        col("embedding")))
+      Dedup.semanticDedup(dup, "embedding", "vec_id",
+          nlist = 8, minCosine = 0.85)
+        .setCol("score", round(col("score"), 6))
+        .sortByKeys(SortKey("id"))
+    }, Some("""WITH RECURSIVE u AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+      |cs AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |    embedding AS cv
+      |  FROM (SELECT * FROM u ORDER BY vec_id LIMIT 8)),
+      |sc AS MATERIALIZED (SELECT u.vec_id AS id, u.embedding AS v, cs.cell,
+      |    (list_sum(list_transform(list_zip(u.embedding, cs.cv),
+      |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+      |    / greatest(
+      |        sqrt(list_sum(list_transform(u.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |        sqrt(list_sum(list_transform(cs.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |        1e-12)) AS s
+      |  FROM u CROSS JOIN cs),
+      |asn AS MATERIALIZED (SELECT id, v, CAST(cell AS INTEGER) AS cell, -s AS score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell DESC) AS rn
+      |    FROM sc)
+      |  WHERE rn = 1),
+      |e0 AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b FROM asn a JOIN asn b
+      |  ON a.cell = b.cell AND a.id < b.id AND
+      |    (list_sum(list_transform(list_zip(a.v, b.v),
+      |      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+      |    / greatest(
+      |        sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |        sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |        1e-12)) >= 0.85),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM e0
+      |  UNION ALL SELECT id_b, id_a FROM e0),
+      |reach(s, d) AS (SELECT id, id FROM asn
+      |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      |lab AS MATERIALIZED (SELECT s AS id, MIN(d) AS cluster FROM reach GROUP BY s),
+      |rep AS (SELECT id, cluster, score,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY score DESC, id) AS rn
+      |  FROM lab JOIN asn USING (id))
+      |SELECT id, cell, cluster, ROUND(score, 6) AS score, (rn = 1) AS kept
+      |FROM rep JOIN asn USING (id, score) ORDER BY id""".stripMargin)),
+
     Q("dedup_clusters", (s, dir) => {
       Dedup.nearDupClusters(withNearDups(Tables(s, dir)), "text", "doc_id",
           numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)

@@ -279,6 +279,27 @@ object Dedup {
     // materialize before fan-out: edges + the seed labels both read this
     // cache, and concurrent cold reads would re-run the whole LSH verify
     pairs.count()
+    val labels = propagateMinLabels(pairs, maxIters, cache)
+    // labels is lineage-independent of the LSH caches — release them all
+    internal.release()
+    // rejoin the edge-free majority (cluster = own id): lazy, re-runnable
+    // at the cost of one corpus scan + a join against the tiny labels
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
+  /** Min-label propagation (connected components) over a MATERIALIZED
+    * (id_a, id_b) pair frame — the loop [[nearDupClusters]] always ran,
+    * extracted so pair generators other than text LSH (e.g.
+    * [[semanticDedup]]'s embedding-cell pairs) reuse it. Returns the
+    * labels of edge-touched ids only (id, cluster); callers left-join
+    * and coalesce to cover the edge-free majority. The final label
+    * checkpoint's release goes on `cache`; every intermediate round is
+    * freed inside the loop. `pairs` must already be persisted/
+    * checkpointed — the loop reads it every round. */
+  def propagateMinLabels(pairs: DataFrame, maxIters: Int = 10,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     // undirected edge list (both directions) for propagation
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"),
       col("id_a").as("id_b")))
@@ -309,14 +330,8 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    // labels is lineage-independent of the LSH caches — release them all
-    internal.release()
     cache.trackRelease(freeLabels)
-    // rejoin the edge-free majority (cluster = own id): lazy, re-runnable
-    // at the cost of one corpus scan + a join against the tiny labels
-    df.select(col(idCol).as("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    labels
   }
 
   // ---- n-gram Jaccard (direct pairwise verify) ------------------------
@@ -613,6 +628,108 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  // ---- semantic dedup (SemDeDup composition) ---------------------------
+  /** Semantic dedup, the SemDeDup shape (Abbas et al. 2023): cluster the
+    * embedding space (k-means cells), find near-duplicate pairs WITHIN
+    * each cell, connected-components them, and keep one representative
+    * per cluster — the member FARTHEST from its cell centroid (max
+    * `score = -cos(v, centroid)`, ties → lowest id), preserving
+    * diversity while dropping semantic copies. Composes the three
+    * existing pieces: [[graft.ops.Similarity]] centroids/assignment,
+    * within-cell pair generation, [[propagateMinLabels]], and the
+    * [[clusterRepresentatives]] argmax.
+    *
+    * Returns (id, cell, cluster, score, kept): every input row labeled
+    * with its cell, its semantic cluster (min reachable id; own id when
+    * unclustered), its diversity score, and whether it survives.
+    *
+    * Scale shape: centroids are nlist×dim literals (broadcast by
+    * construction, the IVF pattern) — assignment never shuffles the
+    * corpus. Pair generation joins on the cell key — ONE hash shuffle of
+    * skinny (id, v, cell) rows, never a global cross join; candidate
+    * volume is Σ cell². For cells too big for that quadratic,
+    * `lshInCell = true` adds banded hyperplane signatures AND-ed into
+    * the join key (the [[embeddingNearDupPairs]] move, scoped per cell)
+    * — same plan shape, candidates shrink to band collisions, recall
+    * follows the LSH curve (exact at cosine ≈ 1 since identical vectors
+    * share every band). Propagation touches edge-touched ids only.
+    *
+    * `kmeansIters > 0` refines centroids with distributed Lloyd
+    * ([[Similarity.kmeansCentroids]]); 0 keeps the deterministic sampled
+    * seed (engine-independent, the oracle path). */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 8, minCosine: Double = 0.85, kmeansIters: Int = 0,
+      lshInCell: Boolean = false, planes: Int = 16, bands: Int = 4,
+      seed: Long = 42L, maxIters: Int = 10,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    require(nlist >= 1, "semanticDedup: nlist must be >= 1")
+    val centroids =
+      if (kmeansIters > 0)
+        Similarity.kmeansCentroids(df, nlist, kmeansIters, vecCol, idCol)
+      else Similarity.sampleCentroids(df, nlist, vecCol, idCol)
+    // argmax cell + centroid similarity in one greatest(struct) pass:
+    // ties break to the HIGHEST cell index (struct lexicographic max)
+    val scored = centroids.zipWithIndex.map { case (ct, i) =>
+      struct(Similarity.cosine(col("v"), lit(ct)).as("s"),
+        lit(i).as("i"))
+    }
+    val internal = new CacheHandle
+    val assigned = internal.track(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("__b",
+          if (scored.size > 1) greatest(scored: _*) else scored.head)
+        .select(col("id"), col("v"), col("__b.i").as("cell"),
+          (-col("__b.s")).as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand =
+      if (!lshInCell)
+        assigned.as("a").join(assigned.as("b").hint("shuffle_hash"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.v").as("va"), col("b.v").as("vb"))
+      else {
+        val dim = Similarity.vectorDim(df, vecCol)
+        val r = planes / bands
+        val keyed = assigned.select(col("id"), col("cell"), posexplode(
+          bandKeys(Similarity.hyperplaneSignature(col("v"), dim, planes,
+            seed), bands, r)))
+          .select(col("id"), col("cell"), col("pos").as("bd"),
+            col("col").as("k"))
+        keyed.as("a")
+          .join(keyed.as("b").hint("shuffle_hash"),
+            col("a.cell") === col("b.cell") && col("a.bd") === col("b.bd") &&
+              col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .join(assigned.select(col("id").as("id_a"), col("v").as("va")),
+            "id_a")
+          .join(assigned.select(col("id").as("id_b"), col("v").as("vb")),
+            "id_b")
+      }
+    val pairs = internal.track(cand
+      .filter(Similarity.cosine(col("va"), col("vb")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairs.count()
+    val labels = propagateMinLabels(pairs, maxIters, cache)
+    // full labeling: edge-free rows are their own cluster
+    val labeled = assigned.select(col("id"), col("cell"), col("score"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("cluster"), col("id")).as("cluster"), col("score"))
+    // keep-farthest-from-centroid representative (ties → lowest id)
+    val reps = clusterRepresentatives(
+      labeled.select(col("id"), col("cluster")), labeled, "id", "score")
+      .select(col("cluster"), col("id").as("__rep"))
+    val out = labeled.join(reps, Seq("cluster"), "left")
+      .select(col("id"), col("cell"), col("cluster"), col("score"),
+        (col("id") === col("__rep")).as("kept"))
+    // labels are checkpointed (lineage-free); the output recomputes the
+    // scan-side assignment on use — nothing big stays pinned
+    internal.release()
+    out
   }
 
   // ---- paragraph / span dedup -----------------------------------------

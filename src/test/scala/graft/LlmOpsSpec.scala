@@ -976,4 +976,53 @@ class LlmOpsSpec extends AnyFunSuite {
         s"$k: zorder avg span ${zSpans(k)} !< 0.6 * single-sort ${oSpans(k)}")
     }
   }
+
+  test("semanticDedup: planted copies cluster; keep-FARTHEST-from-centroid wins") {
+    val s = spark
+    import s.implicits._
+    // v1 == v2 exact copy; v3 within cos 0.95 of them; v4 orthogonal;
+    // v5 opposite. Sampled centroids (first nlist=2 by id) are both
+    // (1,0) — identical, so every row ties and falls to cell 1
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0.95f, 0.3122499f)),
+      (4L, Seq(0f, 1f)), (5L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val h = new graft.core.CacheHandle
+    val r = graft.ops.Dedup.semanticDedup(emb, "embedding", "vec_id",
+        nlist = 2, minCosine = 0.85, cache = h)
+      .orderBy("id")
+      .select("id", "cluster", "kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    h.release(blocking = true)
+    assert(r.map(x => (x._1, x._2)) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L)))
+    // cluster {1,2,3}: scores -1, -1, -0.95 → id 3 (farthest from the
+    // centroid) is the diversity-preserving keeper; singletons keep
+    assert(r.filter(_._3).map(_._1) == Seq(3L, 4L, 5L))
+  }
+
+  test("semanticDedup: lshInCell finds exact copies (all bands collide); cache hygiene") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0f, 0f)),   // exact copies
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val before = s.sparkContext.getPersistentRDDs.size
+    val handle = new graft.core.CacheHandle
+    val r = graft.ops.Dedup.semanticDedup(emb, "embedding", "vec_id",
+        nlist = 1, minCosine = 0.999, lshInCell = true, cache = handle)
+      .orderBy("id")
+      .select("id", "cluster").as[(Long, Long)].collect().toSeq
+    // identical vectors share every hyperplane band → pair (1,2) is
+    // guaranteed regardless of the LSH curve; orthogonal rows stay solo
+    assert(r == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)))
+    assert(handle.size == 1,
+      s"expected only the labels checkpoint on the handle, got ${handle.size}")
+    assert(s.sparkContext.getPersistentRDDs.size == before + 1,
+      "internal assignment/pair caches leaked past semanticDedup")
+    handle.release(blocking = true)
+    assert(s.sparkContext.getPersistentRDDs.size == before)
+  }
 }
