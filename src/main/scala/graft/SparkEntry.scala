@@ -3064,7 +3064,7 @@ object SparkEntry {
     Q("multimodal_frames", (s, dir) => {
       val docs = Tables(s, dir).documents
         .addCols("vid" -> col("text").cast(BinaryType))
-      Multimodal.sampleFrames(docs, "vid", 4)
+      Multimodal.sampleFrames(docs, "vid", 4, allowStubFrames = true)
         .selectNames(Seq("doc_id", "frame_idx"))
         .sortByKeys(SortKey("doc_id"), SortKey("frame_idx"))
     }, Some("""SELECT doc_id, CAST(r.range AS INTEGER) AS frame_idx

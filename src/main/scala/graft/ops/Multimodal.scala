@@ -76,12 +76,17 @@ object Multimodal {
     * hyperplanes — a deterministic, closed-form-verifiable stand-in for
     * a vision encoder that exercises the identical decode → downsample →
     * project plumbing (swap the projection for model weights and nothing
-    * else changes). Undecodable bytes fall back to the deterministic
-    * hash-derived fake (clearly marked STUB) so arbitrary blobs keep the
-    * pipeline shape testable. Runs per-partition (batched), not per-row
-    * UDF. */
+    * else changes). Null bytes yield a null feature struct (plain SQL
+    * null propagation — missing media is data, not an error). Non-null
+    * bytes NO codec reads FAIL FAST by default, with the blob's magic
+    * bytes in the message — a pipeline must never mistake fabricated
+    * features for decoded ones; `allowStubFeatures = true` opts into the
+    * deterministic hash-derived fake (clearly marked STUB) for
+    * shape-testing arbitrary blobs. Runs per-partition (batched), not
+    * per-row UDF. */
   def decodeImageFeatures(df: DataFrame, binCol: String,
-      as: String = "image_features"): DataFrame = {
+      as: String = "image_features",
+      allowStubFeatures: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField(as, imageFeatureType))
@@ -130,6 +135,11 @@ object Multimodal {
           }
           Row(w, ht, img.getColorModel.getNumComponents,
             sum.toDouble / (3.0 * w * ht * 255.0), embedding)
+        } else if (bytes == null) {
+          null // null blob → null struct, never an error
+        } else if (!allowStubFeatures) {
+          throw undecodable("decodeImageFeatures", "image", bytes,
+            "allowStubFeatures")
         } else {
           val h = fakeHash(bytes)
           val embedding = Array.tabulate(8)(i =>
@@ -198,14 +208,17 @@ object Multimodal {
     * dependency): sample_rate/channels/bits come from the parsed header,
     * num_samples/mean_abs/peak from the actual decoded 16-bit samples
     * (integer |sample| sum, one division at the end — bit-reproducible).
-    * Undecodable bytes fall back to the deterministic hash-derived fake
-    * (clearly marked STUB), keeping arbitrary blobs testable. Runs
+    * Null bytes yield a null feature struct; non-null bytes the JDK
+    * audio stack can't parse FAIL FAST by default (magic bytes in the
+    * message) — `allowStubFeatures = true` opts into the deterministic
+    * hash-derived fake (clearly marked STUB) for shape-testing. Runs
     * per-partition like the image path. Proven end-to-end by the
     * `multimodal_audio` oracle query: generated square-wave WAVs have
     * closed-form features (mean_abs = peak = the amplitude) that DuckDB
     * re-derives independently. */
   def decodeAudioFeatures(df: DataFrame, binCol: String,
-      as: String = "audio_features"): DataFrame = {
+      as: String = "audio_features",
+      allowStubFeatures: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
       StructField(as, audioFeatureType))
@@ -214,7 +227,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val feat =
-          try {
+          if (bytes == null) null // null blob → null struct
+          else try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             val fmt = ais.getFormat
@@ -242,12 +256,15 @@ object Multimodal {
               (n / fmt.getChannels).toLong,
               if (n == 0) 0.0 else sumAbs.toDouble / n, peak)
           } catch {
-            case _: Exception =>
+            case _: Exception if allowStubFeatures =>
               val h = fakeHash(bytes)               // STUB fallback
               Row((math.abs(h) % 48000 + 8000).toInt, 1, 16,
                 math.abs(h >> 7) % 100000,
                 (math.abs(h >> 17) % 32768).toDouble, // STUB mean
                 (math.abs(h >> 27) % 32768).toInt)    // STUB peak
+            case e: Exception =>
+              throw undecodable("decodeAudioFeatures", "audio", bytes,
+                "allowStubFeatures", e)
           }
         Row.fromSeq(r.toSeq :+ feat)
       }
@@ -402,11 +419,21 @@ object Multimodal {
   /** STUB video frame-sampling: emits `n` frame rows per video blob with
     * frame_idx + a per-frame fake checksum — the explode/partition shape
     * of a real frame sampler, for blobs in formats no JDK codec reads
-    * (mp4 etc.). For REAL multi-frame decode use [[sampleVideoFrames]]. */
-  def sampleFrames(df: DataFrame, binCol: String, n: Int): DataFrame =
+    * (mp4 etc.). EVERY output row is fabricated, so the call FAILS FAST
+    * unless the caller states `allowStubFrames = true` — a pipeline must
+    * opt into fake frame checksums explicitly, never receive them by
+    * default. For REAL multi-frame decode use [[sampleVideoFrames]]. */
+  def sampleFrames(df: DataFrame, binCol: String, n: Int,
+      allowStubFrames: Boolean = false): DataFrame = {
+    require(allowStubFrames,
+      "sampleFrames emits STUB frame checksums only (no JDK codec reads " +
+        "mp4-style containers); pass allowStubFrames = true to opt in, " +
+        "or use sampleVideoFrames for containers the JDK really decodes " +
+        "(animated GIF / still images)")
     df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_checksum",
         xxhash64(col(binCol), col("frame_idx")))
+  }
 
   val frameFeatureType: StructType = StructType(Seq(
     StructField("frame_idx", IntegerType),
@@ -516,6 +543,18 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Fail-fast error for non-null bytes no codec reads: carries the
+    * container's magic bytes so the message names WHAT arrived (an mp4's
+    * `....ftyp`, a WebP's `RIFF....WEBP`) and how to opt into the stub. */
+  private def undecodable(op: String, kind: String, bytes: Array[Byte],
+      flag: String, cause: Throwable = null): IllegalArgumentException = {
+    val magic = bytes.take(12).map(b => f"$b%02x").mkString(" ")
+    new IllegalArgumentException(
+      s"$op: undecodable $kind bytes (${bytes.length} bytes, magic " +
+        s"[$magic]) — no JDK codec matched; pass $flag = true to tag " +
+        s"the row with deterministic STUB features instead", cause)
   }
 
   private def fakeHash(bytes: Array[Byte]): Long = {

@@ -97,15 +97,25 @@ class EdgeCaseSpec extends AnyFunSuite {
         javax.imageio.ImageIO.write(img, "png", bos)
         bos.toByteArray
       })).toDF("id", "blob")
-    // image decode: 1x1 decodes for real, the rest take the marked stub
-    val img = Multimodal.decodeImageFeatures(blobs, "blob")
+    // default path: garbage bytes FAIL FAST (never silent fake features)
+    val e = intercept[Exception] {
+      Multimodal.decodeImageFeatures(blobs, "blob").count()
+    }
+    def chainMsgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chainMsgs(t.getCause)
+    assert(chainMsgs(e).contains("allowStubFeatures"), chainMsgs(e))
+    // opt-in: 1x1 decodes for real, null → null struct, garbage → stub
+    val img = Multimodal.decodeImageFeatures(blobs, "blob",
+        allowStubFeatures = true)
       .select(col("id"), col("image_features.width"),
         col("image_features.luma_mean")).collect().sortBy(_.getLong(0))
     assert(img.length == 4)
+    assert(img(0).isNullAt(1), "null blob propagates a null struct")
     assert(img(3).getInt(1) == 1 &&
       img(3).getDouble(2) == 0x80 / 255.0, "1x1 decodes exactly")
-    // audio decode: nothing here is PCM — all four take the stub, no throw
-    assert(Multimodal.decodeAudioFeatures(blobs, "blob").count() == 4)
+    // audio decode: nothing here is PCM — stubs need the opt-in too
+    assert(Multimodal.decodeAudioFeatures(blobs, "blob",
+      allowStubFeatures = true).count() == 4)
     // resize: undecodable passes through, the 1x1 really rescales
     val rz = Multimodal.resizeImageBytes(blobs, "blob", 4, 4)
     assert(rz.count() == 4)

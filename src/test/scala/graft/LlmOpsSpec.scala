@@ -499,14 +499,22 @@ class LlmOpsSpec extends AnyFunSuite {
     val meta = Multimodal.withMediaMeta(df, "img", "image", "png")
     val m = meta.select("img_meta.byte_len", "img_meta.media_type").head()
     assert(m.getLong(0) == 10L && m.getString(1) == "image")
-    val dec = Multimodal.decodeImageFeatures(meta, "img")
+    val dec = Multimodal.decodeImageFeatures(meta, "img",
+      allowStubFeatures = true)
     val f = dec.select("image_features.width", "image_features.embedding").head()
     assert(f.getInt(0) > 0 && f.getSeq[Float](1).size == 8)
     // determinism: same bytes → same features
-    val f2 = Multimodal.decodeImageFeatures(meta, "img")
+    val f2 = Multimodal.decodeImageFeatures(meta, "img",
+        allowStubFeatures = true)
       .select("image_features.width").head()
     assert(f.getInt(0) == f2.getInt(0))
-    val frames = Multimodal.sampleFrames(df, "img", 3)
+    // the all-stub frame sampler refuses to run without the opt-in
+    val denied = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(df, "img", 3)
+    }
+    assert(denied.getMessage.contains("allowStubFrames"))
+    val frames = Multimodal.sampleFrames(df, "img", 3,
+      allowStubFrames = true)
     assert(frames.count() == 3)
     val resized = Multimodal.resizeImage(dec, "image_features", 64, 64)
     assert(resized.select("image_features.width").head().getInt(0) == 64)
@@ -573,9 +581,18 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getDouble(5) == (id % 1000 + 100).toDouble, s"mean_abs of $id")
       assert(r.getInt(6) == (id % 1000 + 100).toInt, s"peak of $id")
     }
-    // undecodable bytes take the clearly-marked deterministic fallback
+    // undecodable bytes FAIL FAST by default, magic bytes in the message
     val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "wav")
-    val f = Multimodal.decodeAudioFeatures(junk, "wav")
+    val thrown = intercept[Exception] {
+      Multimodal.decodeAudioFeatures(junk, "wav")
+        .select(col("audio_features.sample_rate")).head()
+    }
+    def chainMsgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chainMsgs(t.getCause)
+    assert(chainMsgs(thrown).contains("magic [01 02 03]"), chainMsgs(thrown))
+    // ... and take the clearly-marked deterministic fallback on opt-in
+    val f = Multimodal.decodeAudioFeatures(junk, "wav",
+        allowStubFeatures = true)
       .select(col("audio_features.sample_rate")).head()
     assert(f.getInt(0) >= 8000) // stub shape, no exception
   }
