@@ -368,8 +368,13 @@ object Streaming {
   }
 
   // ---- custom keyed state: funnel -------------------------------------
-  // evts: (epoch-micros, stage index) — funnel-relevant events only
-  final case class FunnelBuf(firstUs: Long, evts: List[(Long, Int)])
+  // evts: (epoch-micros, stage index) — funnel-relevant events only.
+  // done = result already emitted early; the buffer is dropped and the
+  // empty tombstone absorbs intra-horizon stragglers until the horizon
+  // timeout clears it (state residency shrinks from the event buffer to
+  // ~16 bytes the moment the funnel completes)
+  final case class FunnelBuf(firstUs: Long, evts: List[(Long, Int)],
+      done: Boolean = false)
   final case class FunnelResult(user_id: Long, stages_reached: Int,
       stage_ts: Seq[Long])
 
@@ -389,7 +394,20 @@ object Streaming {
     * after the user's funnel closed open a fresh attempt (a second
     * conversion window), which matches how attribution horizons are
     * operated. `stage_ts` holds epoch-micros of the reached prefix
-    * (length = `stages_reached`). */
+    * (length = `stages_reached`).
+    *
+    * EARLY EMIT: a COMPLETED funnel emits as soon as the watermark
+    * passes its completion timestamp instead of waiting out the full
+    * horizon — provably final, because every later-admitted event has
+    * event time above the watermark ≥ the completion time, and the
+    * greedy earliest-completion walk is invariant under adding events at
+    * or after its final slot. The buffer is then dropped; a `done`
+    * tombstone (no events) holds the horizon window so intra-horizon
+    * stragglers are absorbed exactly as the buffering path would have
+    * (they cannot change the emitted result and must not open a fresh
+    * attempt), keeping the emitted row set IDENTICAL to the
+    * timeout-only implementation while completed funnels stop paying
+    * buffer residency for the rest of their horizon. */
   def funnelStream(events: Dataset[Event], stages: Seq[String],
       horizonMs: Long): Dataset[FunnelResult] = {
     require(stages.nonEmpty, "funnelStream: no stages")
@@ -414,37 +432,82 @@ object Streaming {
             val reached = slots.takeWhile(_ >= 0)
             FunnelResult(user, reached.length, reached.toSeq)
           }
+          // ceiling division to ms: the timeout must never precede the
+          // micros-precision horizon cutoff (firstUs + horizonMs*1000),
+          // else a boundary event in the final sub-millisecond opens a
+          // spurious fresh attempt instead of completing this funnel
+          def horizonTimeoutMs(firstUs: Long): Long =
+            math.floorDiv(firstUs + 999L, 1000L) + horizonMs
+          def ceilMs(us: Long): Long = math.floorDiv(us + 999L, 1000L)
+          val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
             val b = state.get
-            state.remove()
-            // only funnels that STARTED (stage-1 event seen) emit
-            if (b.evts.exists(_._2 == 0)) Iterator.single(walk(b))
-            else Iterator.empty
-          } else {
-            val inc = it.map(e => (toMicros(e.ts), stageIdx(e.event_type)))
-              .toList
-            val buf = state.getOption match {
-              case Some(b) => FunnelBuf(math.min(b.firstUs, inc.map(_._1).min),
-                b.evts ::: inc)
-              case None => FunnelBuf(inc.map(_._1).min, inc)
-            }
-            // ceiling division to ms: the timeout must never precede the
-            // micros-precision horizon cutoff (firstUs + horizonMs*1000),
-            // else a boundary event in the final sub-millisecond opens a
-            // spurious fresh attempt instead of completing this funnel
-            val timeoutMs = math.floorDiv(buf.firstUs + 999L, 1000L) + horizonMs
-            if (timeoutMs <= state.getCurrentWatermarkMs()) {
-              // horizon already closed (stragglers past the watermark):
-              // finalize now — setTimeoutTimestamp below the watermark
-              // would throw
+            if (b.done) { // tombstone: result emitted early; horizon over
               state.remove()
-              if (buf.evts.exists(_._2 == 0)) Iterator.single(walk(buf))
-              else Iterator.empty
-            } else {
-              state.update(buf)
-              state.setTimeoutTimestamp(timeoutMs)
               Iterator.empty
+            } else {
+              val res = walk(b)
+              if (res.stages_reached == stages.size &&
+                  wm < horizonTimeoutMs(b.firstUs)) {
+                // early completion timeout (set below when the funnel
+                // completed before its completion ts cleared the
+                // watermark): emit now, tombstone out the horizon
+                state.update(FunnelBuf(b.firstUs, Nil, done = true))
+                state.setTimeoutTimestamp(horizonTimeoutMs(b.firstUs))
+                Iterator.single(res)
+              } else {
+                state.remove()
+                // only funnels that STARTED (stage-1 event seen) emit
+                if (b.evts.exists(_._2 == 0)) Iterator.single(res)
+                else Iterator.empty
+              }
             }
+          } else state.getOption match {
+            case Some(b) if b.done =>
+              // stragglers for an already-emitted funnel: provably unable
+              // to change the result (event time ≥ watermark ≥ completion
+              // ts) and must not open a fresh attempt inside the horizon —
+              // absorb them, exactly like the buffering path would
+              if (horizonTimeoutMs(b.firstUs) <= wm) state.remove()
+              Iterator.empty
+            case prev =>
+              val inc = it.map(e => (toMicros(e.ts), stageIdx(e.event_type)))
+                .toList
+              val buf = prev match {
+                case Some(b) => FunnelBuf(
+                  math.min(b.firstUs, inc.map(_._1).min), b.evts ::: inc)
+                case None => FunnelBuf(inc.map(_._1).min, inc)
+              }
+              val timeoutMs = horizonTimeoutMs(buf.firstUs)
+              val res = walk(buf)
+              val complete = res.stages_reached == stages.size
+              if (complete && ceilMs(res.stage_ts.last) <= wm) {
+                // EARLY EMIT: completion ts already under the watermark —
+                // no admissible future event can improve the walk
+                if (timeoutMs <= wm) state.remove()
+                else {
+                  state.update(FunnelBuf(buf.firstUs, Nil, done = true))
+                  state.setTimeoutTimestamp(timeoutMs)
+                }
+                Iterator.single(res)
+              } else if (timeoutMs <= wm) {
+                // horizon already closed (stragglers past the watermark):
+                // finalize now — setTimeoutTimestamp below the watermark
+                // would throw
+                state.remove()
+                if (buf.evts.exists(_._2 == 0)) Iterator.single(res)
+                else Iterator.empty
+              } else {
+                state.update(buf)
+                // a completed funnel just waiting for its completion ts to
+                // clear the watermark wakes at that moment, not at the
+                // horizon — the timeout branch finishes the early emit
+                state.setTimeoutTimestamp(
+                  if (complete)
+                    math.max(ceilMs(res.stage_ts.last), wm + 1L)
+                  else timeoutMs)
+                Iterator.empty
+              }
           }
       }
   }

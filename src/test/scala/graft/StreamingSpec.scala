@@ -334,7 +334,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming funnel completes across micro-batches, emits at horizon") {
+  test("streaming funnel completes across micro-batches, emits EARLY at completion") {
     val s = spark
     import s.implicits._
     implicit val sq = s.sqlContext
@@ -352,17 +352,29 @@ class StreamingSpec extends AnyFunSuite {
         Streaming.Event(1L, ts("2024-01-01 10:20:00"), "purchase", 0))
       q.processAllAvailable()
       assert(s.sql("select * from graft_funnel_test").count() == 0,
-        "funnel emitted before its horizon closed")
-      // another user's event advances the watermark past 10:00 + 1h →
-      // user 1's horizon closes and the final walk emits
+        "result emitted before the watermark cleared its completion ts")
+      // watermark passes the COMPLETION ts (10:20) while still 30 min
+      // short of the horizon (11:00) → the completed funnel emits NOW
+      mem.addData(Streaming.Event(2L, ts("2024-01-01 10:30:00"), "view", 0))
+      q.processAllAvailable()
+      val early = s.sql("select * from graft_funnel_test").collect()
+      assert(early.length == 1 && early(0).getLong(0) == 1L,
+        "completed funnel must emit before its horizon closes")
+      assert(early(0).getInt(1) == 3)
+      assert(early(0).getSeq[Long](2).length == 3)
+      // intra-horizon straggler after the early emit: absorbed by the
+      // tombstone — must NOT open a fresh attempt or emit a second row
+      mem.addData(Streaming.Event(1L, ts("2024-01-01 10:35:00"), "view", 0))
+      q.processAllAvailable()
+      // push the watermark past 10:00 + 1h: the tombstone clears silently
       mem.addData(Streaming.Event(2L, ts("2024-01-01 11:30:00"), "view", 0))
       q.processAllAvailable()
       mem.addData(Streaming.Event(2L, ts("2024-01-01 11:40:00"), "view", 0))
       q.processAllAvailable()
-      val rows = s.sql("select * from graft_funnel_test").collect()
-      assert(rows.length == 1 && rows(0).getLong(0) == 1L)
-      assert(rows(0).getInt(1) == 3)
-      assert(rows(0).getSeq[Long](2).length == 3)
+      val rows = s.sql(
+        "select * from graft_funnel_test where user_id = 1").collect()
+      assert(rows.length == 1, s"identical-row-set law broken: ${rows.toSeq}")
+      assert(rows(0).getInt(1) == 3 && rows(0).getSeq[Long](2).length == 3)
     } finally q.stop()
   }
 
