@@ -370,6 +370,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the run case where greedy left-to-right differs from naive
     // re-scanning: "aaaa" must become [aa, aa], "aaa" → [aa, a]
     val docs = Seq("aaaa aaaa aaaa aaa xy", "xy xy").toDF("text")
+    // snapshot, not isEmpty: the fixture session is shared across suites
+    // and other specs legitimately hold unmanaged caches
+    val rddsBefore = s.sparkContext.getPersistentRDDs.keySet
     val merges = TextFunctions.bpeTrain(docs, "text", 2)
       .orderBy("step").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
@@ -394,7 +397,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val m2 = TextFunctions.bpeTrain(tiny, "text", 10).collect()
     assert(m2.length == 1 && m2(0).getString(1) == "a b")
     // no leaked persisted RDDs from the per-round checkpoints
-    assert(s.sparkContext.getPersistentRDDs.isEmpty)
+    assert(s.sparkContext.getPersistentRDDs.keySet == rddsBefore)
   }
 
   // ---------------- TextFunctions.collocations ----------------
