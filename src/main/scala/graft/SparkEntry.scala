@@ -1733,6 +1733,28 @@ object SparkEntry {
       |  FROM documents)
       |WHERE sample_rank <= 3 ORDER BY stratum, sample_rank""".stripMargin)),
 
+    Q("sample_token_budget", (s, dir) => {
+      // token-budget mixing: each source keeps the maximal
+      // selector-ordered PREFIX whose cumulative token count fits 600 —
+      // LLM mixtures are specified in tokens, not rows. Both engines
+      // compute the identical integer token counts, selector order, and
+      // running sum, so the kept set matches row-for-row.
+      graft.ops.Sampling.sampleToTokenBudget(
+          Tables(s, dir).documents
+            .addCols("n_tok" -> tokenCount(col("text")).cast(LongType)),
+          Seq("source"), "n_tok", "doc_id", budget = 600L)
+        .selectNames(Seq("source", "doc_id", "n_tok", "cum_tokens"))
+        .sortByKeys(SortKey("source"), SortKey("doc_id"))
+    }, Some("""SELECT source, doc_id, n_tok, cum_tokens FROM (
+      |  SELECT source, doc_id, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY source
+      |      ORDER BY ((doc_id % 1048576) * 2654435761) % 1000000, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM (SELECT source, doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents))
+      |WHERE cum_tokens <= 600 ORDER BY source, doc_id""".stripMargin)),
+
     Q("sample_weighted", (s, dir) => {
       // weighted sampling WITHOUT replacement via priority sampling:
       // p = w/u from IEEE-exact arithmetic only (no ln/pow), so both
@@ -2882,6 +2904,35 @@ object SparkEntry {
       |SELECT query_id, rank, neighbor_id FROM
       |  (SELECT query_id, neighbor_id, CAST(row_number() OVER
       |     (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |   FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("sim_hard_negatives", (s, dir) => {
+      // hard-negative mining: per anchor, top-5 most-similar vectors of a
+      // DIFFERENT label — rank determinism follows the bruteforce
+      // pattern (cosine desc, neighbor_id tiebreak); output omits the
+      // raw cosine, matching sim_bruteforce_topk's float discipline
+      val t = Tables(s, dir)
+      Similarity.hardNegatives(t.embeddings,
+          t.embeddings.filterRows(col("vec_id") < 8), k = 5)
+        .selectNames(Seq("query_id", "rank", "neighbor_id",
+          "neighbor_label"))
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+      |  label AS anchor_label FROM embeddings WHERE vec_id < 8),
+      |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |  c.label AS neighbor_label,
+      |  list_sum(list_transform(list_zip(c.embedding, q.qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / greatest(
+      |      sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |      sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      1e-12) AS cos
+      |  FROM q CROSS JOIN embeddings c WHERE c.label <> q.anchor_label)
+      |SELECT query_id, rank, neighbor_id, neighbor_label FROM
+      |  (SELECT query_id, neighbor_id, neighbor_label,
+      |     CAST(row_number() OVER (PARTITION BY query_id
+      |       ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
       |   FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 

@@ -119,4 +119,39 @@ object Sampling {
       .orderBy(sel, col(idCol))
     df.withColumn(as, row_number().over(w)).filter(col(as) <= k)
   }
+
+  /** Token-budget sampling — corpus mixing by TOKEN share, not row count
+    * (LLM mixtures are specified in tokens; a row quota over-weights
+    * short-document sources). Within each group, rows are ranked by the
+    * deterministic (selector(id), id) order and the maximal PREFIX whose
+    * cumulative `tokenCol` stays ≤ `budget` is kept, with the running
+    * total exposed as `as`.
+    *
+    * PREFIX semantics, deliberately: the cut is "sum of everything kept
+    * so far ≤ budget", never a greedy skip-over-the-big-row backfill —
+    * skip-greedy is order-fragile knapsack that no independent engine
+    * can replay from a window spec, while the prefix rule is ONE
+    * cumulative-sum window any engine reproduces row-for-row. A
+    * document larger than the whole budget therefore blocks its tail —
+    * size budgets above the max document (or pre-split with
+    * `chunkTokenWindows`).
+    *
+    * Scale shape: one hash shuffle on the group keys; the cumulative sum
+    * is a single sort-based window per group — no global sort, no
+    * driver-side accumulation; group sizes bound the per-task sort, the
+    * same contract as every grouped window here. */
+  def sampleToTokenBudget(df: DataFrame, groupCols: Seq[String],
+      tokenCol: String, idCol: String, budget: Long,
+      as: String = "cum_tokens"): DataFrame = {
+    require(budget > 0, "sampleToTokenBudget: budget must be > 0")
+    require(groupCols.nonEmpty, "sampleToTokenBudget: no group columns")
+    import org.apache.spark.sql.expressions.Window
+    val sel = pmod(pmod(col(idCol), lit(1048576L)) * lit(2654435761L),
+      lit(1000000L))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(sel, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, sum(col(tokenCol)).over(w))
+      .filter(col(as) <= budget)
+  }
 }

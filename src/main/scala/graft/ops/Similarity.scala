@@ -98,6 +98,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (query) row, the k corpus rows MOST similar by cosine whose
+    * `labelCol` DIFFERS from the anchor's — the near-misses that teach a
+    * retriever the decision boundary, where random negatives teach
+    * nothing. Same broadcast contract as [[bruteForceTopK]] (anchors ≤
+    * [[MaxBroadcastQueries]], enforced with the limit-bounded count):
+    * the corpus never shuffles for scoring; the label-mismatch filter
+    * prunes candidates BEFORE the per-anchor top-k window, so positives
+    * never ride the shuffle either. For anchor sets past the broadcast
+    * bound, run [[lshTopK]]/[[ivfTopK]] with an over-fetched k and
+    * filter labels after — same semantics, LSH recall curve. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0, "hardNegatives: k must be > 0")
+    val qSel = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("anchor_label"))
+      .limit((MaxBroadcastQueries + 1).toInt)
+      .localCheckpoint()
+    val qCount = qSel.count()
+    require(qCount <= MaxBroadcastQueries,
+      s"hardNegatives: anchor side has > $MaxBroadcastQueries rows - " +
+        "broadcasting it would OOM the driver; over-fetch with lshTopK/" +
+        "ivfTopK and filter labels instead")
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(qSel))
+      .filter(col(s"c.$labelCol") =!= col("anchor_label"))
+      .select(col("query_id"), col("anchor_label"),
+        col(s"c.$idCol").as("neighbor_id"),
+        col(s"c.$labelCol").as("neighbor_label"),
+        cosine(col(s"c.$vecCol"), col("qv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed top-k: both sides signed with the same hyperplanes,
     * banded; candidates = bucket collisions only. Recall < 1.0 by design —
     * raise `bands`/lower `rowsPerBand` to trade cost for recall. */

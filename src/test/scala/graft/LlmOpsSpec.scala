@@ -994,6 +994,55 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleToTokenBudget: prefix rule, per-group independence, oversized row blocks") {
+    val s = spark
+    import s.implicits._
+    // selector((id % 2^20)·2654435761 % 10^6): id1→435761, id2→871522,
+    // id3→307283, id4→743044 → group-a order 3, 1, 4, 2
+    val df = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 300L),
+      (5L, "b", 1000L), (6L, "b", 100L)
+    ).toDF("id", "grp", "n_tok")
+    val kept = graft.ops.Sampling.sampleToTokenBudget(
+        df, Seq("grp"), "n_tok", "id", budget = 650L)
+      .select("id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // group a: order 3,1,4,2 → cum 300,600,900,1200 → keep {3,1}
+    assert(kept.keySet.intersect(Set(1L, 2L, 3L, 4L)) == Set(3L, 1L))
+    assert(kept(3L) == 300L && kept(1L) == 600L)
+    // group b: order 5 (sel 178805), 6 (614566); the oversized first row
+    // overflows the budget and — prefix semantics, as documented —
+    // blocks the whole tail even though row 6 alone would fit
+    assert(kept.keySet.intersect(Set(5L, 6L)).isEmpty)
+    // a budget covering everything keeps everything
+    assert(graft.ops.Sampling.sampleToTokenBudget(
+      df, Seq("grp"), "n_tok", "id", budget = 10000L).count() == 6)
+  }
+
+  test("hardNegatives: same-label rows never surface; rank order; fail-fast bound") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.99f, 0.141f), 0), // same label as anchor
+      (2L, Seq(0.98f, 0.199f), 1), (3L, Seq(0.7f, 0.714f), 1),
+      (4L, Seq(0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 0L), k = 2)
+      .orderBy("rank")
+      .select("rank", "neighbor_id", "neighbor_label")
+      .as[(Int, Long, Int)].collect().toSeq
+    // vec 1 is the MOST similar overall but shares the anchor's label —
+    // the hard negatives are 2 (cos≈0.98) then 3 (cos≈0.7)
+    assert(r == Seq((1, 2L, 1), (2, 3L, 1)), r.toString)
+    val big = s.range(Similarity.MaxBroadcastQueries + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"), lit(0).as("label"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(big, big, k = 1)
+    }
+    assert(e.getMessage.contains("lshTopK"))
+  }
+
   test("semanticDedup: planted copies cluster; keep-FARTHEST-from-centroid wins") {
     val s = spark
     import s.implicits._
