@@ -2936,6 +2936,50 @@ object SparkEntry {
       |   FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("sim_pq_topk", (s, dir) => {
+      // product quantization + ADC: codes from deterministic sub-sliced
+      // centroids, approximate distance = ordered sum of table lookups.
+      // Every arithmetic step (slice, squared-L2 fold, argmin tie→lowest
+      // code, j-ordered ADC fold) is replayed by DuckDB with the same
+      // operation order, so ranks match bit-for-bit
+      val t = Tables(s, dir)
+      Similarity.pqTopK(t.embeddings,
+          t.embeddings.filterRows(col("vec_id") < 6), k = 5,
+          m = 8, ksub = 16)
+        .selectNames(Seq("query_id", "rank", "neighbor_id"))
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, Some("""WITH seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |cb AS (SELECT j.j, seeds.c,
+      |    list_slice(seeds.embedding, j.j*8 + 1, j.j*8 + 8) AS cv
+      |  FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j),
+      |enc AS (SELECT vec_id, j, c AS code FROM (
+      |  SELECT e.vec_id, cb.j, cb.c,
+      |    row_number() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+      |      list_sum(list_transform(
+      |        list_zip(list_slice(e.embedding, cb.j*8 + 1, cb.j*8 + 8), cb.cv),
+      |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), cb.c) AS rn
+      |  FROM embeddings e CROSS JOIN cb)
+      |  WHERE rn = 1),
+      |qt AS (SELECT q.vec_id AS query_id, cb.j, cb.c,
+      |    list_sum(list_transform(
+      |      list_zip(list_slice(q.embedding, cb.j*8 + 1, cb.j*8 + 8), cb.cv),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+      |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 6),
+      |s AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
+      |    list_sum(list(qt.dist ORDER BY qt.j)) AS adc
+      |  FROM enc JOIN qt ON qt.j = enc.j AND qt.c = enc.code
+      |  WHERE enc.vec_id <> qt.query_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, neighbor_id FROM
+      |  (SELECT query_id, neighbor_id, CAST(row_number() OVER
+      |     (PARTITION BY query_id ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+      |   FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     Q("sim_lsh_topk", (s, dir) => {
       val t = Tables(s, dir)
       Similarity.lshTopK(t.embeddings,

@@ -238,6 +238,130 @@ object Similarity {
     df.withColumn(as, explode(transform(top, x => x.getField("i"))))
   }
 
+  // ---- product quantization (PQ) --------------------------------------
+  /** Squared-L2 between two float vectors, accumulated in DOUBLE in list
+    * order — both engines fold left over the same elements, so the sum
+    * is bit-reproducible (the PQ ranking key). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Product-quantization codebook (Jégou et al., the IVF-PQ building
+    * block): the vector space splits into `m` contiguous subspaces and
+    * each learns `ksub` centroids. Deterministic training — subspace j's
+    * centroids are the j-th slices of the first `ksub` corpus vectors by
+    * id — so an independent engine derives the identical codebook (the
+    * oracle path, same convention as [[sampleCentroids]]). `iters > 0`
+    * refines every subspace with distributed Lloyd in ONE pass per
+    * iteration across ALL subspaces: assign codes scan-side (broadcast
+    * codebook literals), posexplode each slice to skinny
+    * (subspace, code, pos, x) rows, one partial-averaged hash shuffle,
+    * and collect only the m×ksub×d mean matrix (e.g. 8×16×8 ≈ 1k
+    * doubles) — the [[kmeansCentroids]] pattern, vectorized over
+    * subspaces. Returns codebook(j)(c) = the c-th centroid of
+    * subspace j. */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      iters: Int = 0): Seq[Seq[Array[Float]]] = {
+    require(m >= 1 && ksub >= 1, "pqTrain: m and ksub must be >= 1")
+    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "pqTrain: empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val d = dim / m
+    var cb: Seq[Seq[Array[Float]]] =
+      (0 until m).map(j => seeds.toSeq.map(_.slice(j * d, (j + 1) * d)))
+    for (_ <- 0 until iters) {
+      // one job updates every subspace: skinny (j, code_j, pos, x) rows
+      val means = pqEncode(corpus, cb, vecCol)
+        .select(posexplode(col("codes")).as(Seq("j", "code")), col(vecCol))
+        .select(col("j"), col("code"), posexplode(
+          slice(col(vecCol), col("j") * lit(d) + lit(1), lit(d))))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .collect()
+      val next = cb.map(_.map(_.clone()).toArray).toArray
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      // a code that lost all members keeps its previous centroid
+      cb = next.toSeq.map(_.toSeq)
+    }
+    cb
+  }
+
+  /** PQ encoding: each vector compresses to `m` small codes — code j =
+    * argmin squared-L2 between the vector's j-th slice and subspace j's
+    * centroids (ties → lowest code, via lexicographic struct min). The
+    * codebook rides as broadcast literals; encoding is scan-side
+    * column work, NO shuffle — at 100 TB this is the point: 4·dim bytes
+    * of float per row become m single-byte codes (64× smaller at
+    * dim=64/m=8), and downstream ANN scans the codes, not the floats. */
+  def pqEncode(df: DataFrame, codebook: Seq[Seq[Array[Float]]],
+      vecCol: String = "embedding", as: String = "codes"): DataFrame = {
+    val m = codebook.size
+    val d = codebook.head.head.length
+    val codes = (0 until m).map { j =>
+      val sub = slice(col(vecCol), j * d + 1, d)
+      val scored = codebook(j).zipWithIndex.map { case (ct, c) =>
+        struct(l2sq(sub, lit(ct)).as("d"), lit(c).as("c"))
+      }
+      (if (scored.size > 1) least(scored: _*) else scored.head)
+        .getField("c")
+    }
+    df.withColumn(as, array(codes: _*))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): queries stay
+    * full-precision; each query precomputes its m×ksub distance table
+    * (squared-L2 from its slice to every subspace centroid), and a
+    * corpus row's approximate distance is the sum of m TABLE LOOKUPS
+    * selected by its codes — no float vector is ever read at query
+    * time. Queries + tables broadcast under the [[MaxBroadcastQueries]]
+    * bound (same enforced guard as [[bruteForceTopK]]); the encoded
+    * corpus never shuffles; per-query top-k via window on (distance asc,
+    * neighbor_id). Approximation error is the quantization error —
+    * recall vs brute force is pinned by unit; `m = 1, ksub ≥ corpus`
+    * degenerates to exact L2 ranking (also pinned). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, vecCol: String = "embedding",
+      idCol: String = "vec_id", trainIters: Int = 0): DataFrame = {
+    require(k > 0, "pqTopK: k must be > 0")
+    val codebook = pqTrain(corpus, m, ksub, vecCol, idCol, trainIters)
+    val d = codebook.head.head.length
+    val coded = pqEncode(corpus, codebook, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    // per-query ADC table: tab(j)(c) = l2sq(query slice j, centroid c)
+    val tab = array((0 until m).map { j =>
+      val sub = slice(col("qv"), j * d + 1, d)
+      array(codebook(j).map(ct => l2sq(sub, lit(ct))): _*)
+    }: _*)
+    val qSel = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .limit((MaxBroadcastQueries + 1).toInt)
+      .localCheckpoint()
+    require(qSel.count() <= MaxBroadcastQueries,
+      s"pqTopK: query side has > $MaxBroadcastQueries rows - " +
+        "broadcasting it would OOM the driver; route queries through " +
+        "ivfTopK cells first")
+    val qTab = qSel.select(col("query_id"), tab.as("qtab"))
+    val scored = coded
+      .crossJoin(broadcast(qTab))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("qtab"), j + lit(1)),
+            element_at(col("codes"), j + lit(1)) + lit(1)))
+          .as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF top-k: the corpus is assigned to its single nearest cell; each
     * query probes its `nprobe` nearest cells (recall/cost knob: probing
     * more cells recovers neighbors that fell across a cell boundary —

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 import graft.ops.{Dedup, Similarity, Multimodal}
 
@@ -1043,6 +1044,78 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lshTopK"))
   }
 
+  def pqPairKeys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("pqTopK: degenerate exactness law and code bounds") {
+    val s = spark
+    import s.implicits._
+    val t = Tables(s, "/root/testdata/sf0.001")
+    val n = t.embeddings.count().toInt
+    val queries = t.embeddings.filter(col("vec_id") < 10)
+    // independently computed exact squared-L2 top-5 (cross join + window)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id"))
+    val exact = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(t.embeddings
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.l2sq(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    // LAW: m=1, ksub=n makes every corpus vector its own (sole nearest)
+    // centroid, so ADC distance IS exact squared-L2 — identical ranking
+    val degen = Similarity.pqTopK(t.embeddings, queries, k = 5,
+      m = 1, ksub = n)
+    assert(pqPairKeys(degen) == pqPairKeys(exact))
+    // every query returns exactly k ranked rows on the quantized path
+    val pq = Similarity.pqTopK(t.embeddings, queries, k = 5,
+      m = 8, ksub = 16)
+    assert(pq.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+    // codes: m entries, all in [0, ksub)
+    val codes = Similarity.pqEncode(t.embeddings,
+        Similarity.pqTrain(t.embeddings, 8, 16))
+      .select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("pqTopK: Lloyd-trained codebook recall at sf0.01") {
+    // recall claims need enough pairs to be signal, not noise: at
+    // sf0.001 (50 vectors) one flipped neighbor moves recall by 0.02 on
+    // 50 pairs; measured there, untrained 0.22 vs trained 0.16 is a
+    // coin toss. At sf0.01 (500 vectors, 100 pairs) the probe sweep is
+    // unambiguous: training helps every (m, ksub) config (+0.04..+0.12,
+    // e.g. m=8/ksub=16 0.17 -> 0.26, m=8/ksub=64 0.26 -> 0.34).
+    // Absolute recall is modest BY NATURE here: synthetic near-uniform
+    // embeddings are PQ's worst case (distances concentrate, quantized
+    // ranks scramble) — same documented behavior as the IVF specs.
+    val s = spark
+    import s.implicits._
+    val t = Tables(s, "/root/testdata/sf0.01")
+    val queries = t.embeddings.filter(col("vec_id") < 20)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id"))
+    val exact = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(t.embeddings
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.l2sq(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val truth = pqPairKeys(exact)
+    val hit0 = pqPairKeys(Similarity.pqTopK(t.embeddings, queries, k = 5,
+      m = 8, ksub = 16)).intersect(truth).size.toDouble / truth.size
+    val hit3 = pqPairKeys(Similarity.pqTopK(t.embeddings, queries, k = 5,
+      m = 8, ksub = 16, trainIters = 3)).intersect(truth).size.toDouble /
+      truth.size
+    assert(hit3 >= hit0 - 0.03, s"Lloyd hurt recall: $hit0 -> $hit3")
+    assert(hit3 >= 0.2, s"trained PQ recall@5 vs exact L2 = $hit3")
+  }
+
   test("semanticDedup: planted copies cluster; keep-FARTHEST-from-centroid wins") {
     val s = spark
     import s.implicits._
@@ -1075,7 +1148,12 @@ class LlmOpsSpec extends AnyFunSuite {
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0f, 0f)),   // exact copies
       (3L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0f, 1f))
     ).toDF("vec_id", "embedding")
-    val before = s.sparkContext.getPersistentRDDs.size
+    // track NEW persisted RDDs only: the fixture session is shared
+    // across suites, other specs hold unmanaged caches, and the
+    // ContextCleaner may drop those asynchronously mid-test — counts
+    // and whole-set equality are both racy
+    val beforeIds = s.sparkContext.getPersistentRDDs.keySet
+    def newIds = s.sparkContext.getPersistentRDDs.keySet -- beforeIds
     val handle = new graft.core.CacheHandle
     val r = graft.ops.Dedup.semanticDedup(emb, "embedding", "vec_id",
         nlist = 1, minCosine = 0.999, lshInCell = true, cache = handle)
@@ -1086,9 +1164,9 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)))
     assert(handle.size == 1,
       s"expected only the labels checkpoint on the handle, got ${handle.size}")
-    assert(s.sparkContext.getPersistentRDDs.size == before + 1,
-      "internal assignment/pair caches leaked past semanticDedup")
+    assert(newIds.size == 1,
+      s"internal assignment/pair caches leaked past semanticDedup: $newIds")
     handle.release(blocking = true)
-    assert(s.sparkContext.getPersistentRDDs.size == before)
+    assert(newIds.isEmpty)
   }
 }

@@ -396,8 +396,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val tiny = Seq("ab ab").toDF("text")
     val m2 = TextFunctions.bpeTrain(tiny, "text", 10).collect()
     assert(m2.length == 1 && m2(0).getString(1) == "a b")
-    // no leaked persisted RDDs from the per-round checkpoints
-    assert(s.sparkContext.getPersistentRDDs.keySet == rddsBefore)
+    // no leaked persisted RDDs from the per-round checkpoints (NEW ids
+    // only — old ids may be dropped asynchronously by the ContextCleaner)
+    assert((s.sparkContext.getPersistentRDDs.keySet -- rddsBefore).isEmpty)
   }
 
   // ---------------- TextFunctions.collocations ----------------

@@ -65,7 +65,11 @@ class ScaleSpec extends AnyFunSuite {
   test("dedup cache hygiene: no orphaned persisted RDDs after release") {
     val s = spark
     val docs = Tables(s, "/root/testdata/sf0.001").documents
-    val before = s.sparkContext.getPersistentRDDs.size
+    // track NEW persisted RDDs only: the fixture session is shared
+    // across suites and the ContextCleaner may asynchronously drop other
+    // specs' unmanaged caches mid-test, so counts are racy
+    val beforeIds = s.sparkContext.getPersistentRDDs.keySet
+    def newIds = s.sparkContext.getPersistentRDDs.keySet -- beforeIds
     // nearDupClusters releases its internal pairs/shingle/candidate caches
     // itself; only the materialized result frame stays, on the handle
     val handle = new graft.core.CacheHandle
@@ -73,16 +77,15 @@ class ScaleSpec extends AnyFunSuite {
       docs, "text", "doc_id", cache = handle)
     assert(clusters.count() > 0)
     assert(handle.size == 1, s"expected only the labels cache, got ${handle.size}")
-    assert(s.sparkContext.getPersistentRDDs.size == before + 1,
-      "internal LSH caches leaked past nearDupClusters")
+    assert(newIds.size == 1,
+      s"internal LSH caches leaked past nearDupClusters: $newIds")
     handle.release(blocking = true)
-    assert(s.sparkContext.getPersistentRDDs.size == before,
-      "handle.release() left persisted RDDs behind")
+    assert(newIds.isEmpty, "handle.release() left persisted RDDs behind")
     // pairs path: caches live on the caller's handle, released explicitly
     val h2 = new graft.core.CacheHandle
     val pairs = graft.ops.Dedup.nearDupPairs(docs, "text", "doc_id", cache = h2)
     assert(pairs.count() >= 0 && h2.size == 2)
     h2.release(blocking = true)
-    assert(s.sparkContext.getPersistentRDDs.size == before)
+    assert(newIds.isEmpty)
   }
 }
