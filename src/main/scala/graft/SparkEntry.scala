@@ -1755,6 +1755,52 @@ object SparkEntry {
       |      x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents))
       |WHERE cum_tokens <= 600 ORDER BY source, doc_id""".stripMargin)),
 
+    Q("sample_dsir", (s, dir) => {
+      // DSIR importance scoring: every doc scored by how target-like
+      // its hashed unigram+bigram profile is (target = three sources'
+      // docs). Buckets come from SHA-256 prefixes (both engines hash
+      // identically), per-bucket log-ratios round to integer micros
+      // BEFORE summing (the lm_perplexity convention), so doc scores
+      // are exact BIGINT sums in both engines.
+      val docs = Tables(s, dir).documents
+      val target = docs.filterRows(
+        col("source").isin("src1", "src2", "src3"))
+      graft.ops.Sampling.importanceScores(docs, target, "text", "doc_id",
+          buckets = 256, alpha = 0.5)
+        .selectNames(Seq("doc_id", "n_grams", "score_micro", "score"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH tt AS (SELECT doc_id, source,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, source, unnest(list_concat(toks,
+      |    CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
+      |      i -> toks[i] || ' ' || toks[i+1]) ELSE [] END)) AS gram FROM tt),
+      |b AS (SELECT doc_id, source,
+      |    CAST(concat('0x', substr(sha256(gram), 1, 8)) AS BIGINT) % 256 AS bucket
+      |  FROM g),
+      |cr AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+      |ct AS (SELECT bucket, count(*) AS c FROM b
+      |  WHERE source IN ('src1', 'src2', 'src3') GROUP BY bucket),
+      |tr AS (SELECT count(*) AS t FROM b),
+      |tg AS (SELECT count(*) AS t FROM b
+      |  WHERE source IN ('src1', 'src2', 'src3')),
+      |lr AS (SELECT s.bucket,
+      |    CAST(round(ln(((coalesce(ct.c, 0) + 0.5) * (tr.t + 128.0)) /
+      |                  ((coalesce(cr.c, 0) + 0.5) * (tg.t + 128.0))) * 1e6)
+      |      AS BIGINT) AS lr_micro
+      |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) s
+      |  LEFT JOIN cr USING (bucket) LEFT JOIN ct USING (bucket)
+      |  CROSS JOIN tr CROSS JOIN tg),
+      |pd AS (SELECT b.doc_id, count(*) AS n_grams,
+      |    SUM(lr.lr_micro) AS score_micro
+      |  FROM b JOIN lr USING (bucket) GROUP BY b.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(pd.score_micro, 0) AS BIGINT) AS score_micro,
+      |  ROUND(coalesce(pd.score_micro, 0) / 1e6, 6) AS score
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("sample_weighted", (s, dir) => {
       // weighted sampling WITHOUT replacement via priority sampling:
       // p = w/u from IEEE-exact arithmetic only (no ln/pow), so both

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic sampling for training-data pipelines: corpus mixing by
   * weight and exact per-stratum sampling. Everything here is a CLOSED
@@ -153,5 +154,99 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(as, sum(col(tokenCol)).over(w))
       .filter(col(as) <= budget)
+  }
+
+  // ---- DSIR importance selection ------------------------------------
+
+  /** Hashed n-gram feature buckets (word unigrams + adjacent bigrams),
+    * the DSIR feature space: bucket(g) = first 8 hex chars of
+    * SHA-256(g) parsed as an integer, mod `buckets`. SHA-256 is the
+    * repo's cross-engine hash convention (see `contentKey`): any engine
+    * reproduces the exact bucket ids, so feature extraction — not just
+    * the final answer — is independently auditable. Scan-side array
+    * expression, no shuffle, no UDF. */
+  def gramBuckets(text: Column, buckets: Int): Column = {
+    val t = graft.functions.TextFunctions.tokens(text)
+    // guard: sequence(1, 0) would DESCEND in Spark, fabricating grams
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(t, bigrams), g =>
+      conv(substring(sha2(g, 256), 1, 8), 16, 10).cast("long")
+        % lit(buckets.toLong))
+  }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): every raw doc is
+    * scored by how target-like its hashed n-gram profile is —
+    * score(doc) = Σ_grams log( p_target(bucket) / p_raw(bucket) ), with
+    * add-`alpha` smoothing over the `buckets`-bucket feature space.
+    *
+    * Cross-engine exactness: per-bucket log-ratios round to integer
+    * MICRO-units before any summation (the `lmScore` convention), so
+    * doc scores are exact BIGINT sums — no float-accumulation-order
+    * noise — and DuckDB re-derives identical scores from the same
+    * integer bucket counts (oracle `sample_dsir`).
+    *
+    * Scale shape: both corpora scan ONCE into skinny (id, bucket) long
+    * pairs; the bucket statistics collapse to `buckets` rows (map-side
+    * partial count → one tiny shuffle) and ride back as a BROADCAST
+    * join table; totals are broadcast 1-row aggregates (no driver
+    * scalar); the per-doc aggregation shuffles (id, long) pairs only.
+    * Text never moves after the first explode. Docs with no grams
+    * (null/empty text) keep score 0 and n_grams 0 — scoring is total,
+    * downstream joins never lose rows.
+    *
+    * Output: (idCol, n_grams, score_micro, score = score_micro/1e6 at
+    * 6dp). Higher score = more target-like. */
+  def importanceScores(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 1024, alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2, "importanceScores: need at least 2 buckets")
+    require(alpha > 0, "importanceScores: alpha must be > 0 (unseen buckets)")
+    val rawB = raw.select(col(idCol),
+      explode(gramBuckets(col(textCol), buckets)).as("__bucket"))
+    val tgtB = target.select(
+      explode(gramBuckets(col(textCol), buckets)).as("__bucket"))
+    val cRaw = rawB.groupBy(col("__bucket")).agg(count(lit(1)).as("__cr"))
+    val cTgt = tgtB.groupBy(col("__bucket")).agg(count(lit(1)).as("__ct"))
+    val tRaw = rawB.agg(count(lit(1)).as("__tr"))
+    val tTgt = tgtB.agg(count(lit(1)).as("__tt"))
+    // dense bucket spine: unseen buckets still get a smoothed ratio
+    val spine = raw.sparkSession.range(buckets.toLong)
+      .select(col("id").as("__bucket"))
+    val ab = lit(alpha * buckets)
+    val table = spine
+      .join(cRaw, Seq("__bucket"), "left").join(cTgt, Seq("__bucket"), "left")
+      .crossJoin(broadcast(tRaw)).crossJoin(broadcast(tTgt))
+      .select(col("__bucket"),
+        round(log(((coalesce(col("__ct"), lit(0L)) + lit(alpha)) *
+                   (col("__tr") + ab)) /
+                  ((coalesce(col("__cr"), lit(0L)) + lit(alpha)) *
+                   (col("__tt") + ab))) * lit(1e6))
+          .cast(LongType).as("__lr_micro"))
+    val perDoc = rawB.join(broadcast(table), Seq("__bucket"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("__lr_micro")).as("score_micro"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+      .withColumn("score", round(col("score_micro") / lit(1e6), 6))
+  }
+
+  /** DSIR selection: keep the `n` most target-like raw docs by
+    * importance score, deterministic tie-break on id. orderBy + limit
+    * plans as TakeOrderedAndProject — a per-partition heap + driver
+    * merge of n rows, NEVER a global sort (the same guarantee
+    * `prioritySample` documents). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, n: Int, buckets: Int = 1024,
+      alpha: Double = 0.5): DataFrame = {
+    require(n > 0, "dsirSelect: n must be > 0")
+    importanceScores(raw, target, textCol, idCol, buckets, alpha)
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(n)
   }
 }

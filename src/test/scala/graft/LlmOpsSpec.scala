@@ -1020,6 +1020,44 @@ class LlmOpsSpec extends AnyFunSuite {
       df, Seq("grp"), "n_tok", "id", budget = 10000L).count() == 6)
   }
 
+  test("importanceScores/dsirSelect: target-like docs rank higher; scoring is total") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      (1L, "apple apple apple"),   // pure target-vocabulary
+      (2L, "zebra zebra zebra"),   // pure off-target vocabulary
+      (3L, "apple zebra"),         // mixed
+      (4L, "")                     // no grams at all
+    ).toDF("doc_id", "text")
+    val target = Seq((9L, "apple apple apple apple")).toDF("doc_id", "text")
+    val scores = graft.ops.Sampling.importanceScores(
+        raw, target, "text", "doc_id", buckets = 4096, alpha = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // total: every raw id appears, the gram-less doc with (0, 0)
+    assert(scores.keySet == Set(1L, 2L, 3L, 4L))
+    assert(scores(4L) == ((0L, 0L)))
+    // n_grams = tokens + adjacent bigrams
+    assert(scores(1L)._1 == 5L && scores(3L)._1 == 3L)
+    // ranking: target-vocabulary docs above mixed above off-target
+    assert(scores(1L)._2 > scores(3L)._2 &&
+      scores(3L)._2 > scores(2L)._2, scores.toString)
+    // selection keeps the top n by (score desc, id). The gram-less doc
+    // (score 0) outranks the mixed doc: its zebra-side grams carry
+    // strong negative log-ratios while the shared apple grams are near
+    // 0 (both corpora contain them), so "no evidence" beats "mostly
+    // off-target evidence" — the importance-weight semantics
+    assert(scores(3L)._2 < 0L)
+    val sel = graft.ops.Sampling.dsirSelect(
+        raw, target, "text", "doc_id", n = 2, buckets = 4096)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sel == Seq(1L, 4L), sel.toString)
+    // buckets stay in range
+    val bs = raw.select(explode(graft.ops.Sampling.gramBuckets(
+      col("text"), 64)).as("b")).collect().map(_.getLong(0))
+    assert(bs.nonEmpty && bs.forall(b => b >= 0 && b < 64))
+  }
+
   test("hardNegatives: same-label rows never surface; rank order; fail-fast bound") {
     val s = spark
     import s.implicits._
