@@ -3026,6 +3026,71 @@ object SparkEntry {
       |   FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("sim_ivfpq_topk", (s, dir) => {
+      // IVF-PQ (IVFADC): coarse L2 cells + PQ-coded residuals + per-
+      // probed-cell ADC tables. DuckDB replays every stage with the
+      // same operation order — float residual subtraction, double
+      // promotion inside each squared-L2 fold, argmin ties to lowest
+      // id, j-ordered ADC fold — so ranks match bit-for-bit
+      val t = Tables(s, dir)
+      Similarity.ivfPqTopK(t.embeddings,
+          t.embeddings.filterRows(col("vec_id") < 6), k = 5,
+          nlist = 4, nprobe = 2, m = 8, ksub = 16)
+        .selectNames(Seq("query_id", "rank", "neighbor_id"))
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, Some("""WITH co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+      |    embedding AS cv
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)),
+      |ca AS (SELECT vec_id, cell, embedding FROM (
+      |  SELECT e.vec_id, co.c AS cell, e.embedding,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(e.embedding, co.cv),
+      |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), co.c) AS rn
+      |  FROM embeddings e CROSS JOIN co) WHERE rn = 1),
+      |rs AS (SELECT ca.vec_id, ca.cell,
+      |    list_transform(list_zip(ca.embedding, co.cv), p -> p[1] - p[2]) AS r
+      |  FROM ca JOIN co ON co.c = ca.cell),
+      |cb AS (SELECT j.j, s.sc AS c, list_slice(s.r, j.j*8 + 1, j.j*8 + 8) AS cv
+      |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sc, r
+      |        FROM (SELECT * FROM rs ORDER BY vec_id LIMIT 16)) s
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j),
+      |enc AS (SELECT vec_id, cell, j, c AS code FROM (
+      |  SELECT rs.vec_id, rs.cell, cb.j, cb.c,
+      |    row_number() OVER (PARTITION BY rs.vec_id, cb.j ORDER BY
+      |      list_sum(list_transform(
+      |        list_zip(list_slice(rs.r, cb.j*8 + 1, cb.j*8 + 8), cb.cv),
+      |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), cb.c) AS rn
+      |  FROM rs CROSS JOIN cb) WHERE rn = 1),
+      |qp AS (SELECT query_id, cell, qv FROM (
+      |  SELECT q.vec_id AS query_id, co.c AS cell, q.embedding AS qv,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(q.embedding, co.cv),
+      |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), co.c) AS rn
+      |  FROM embeddings q CROSS JOIN co WHERE q.vec_id < 6) WHERE rn <= 2),
+      |qr AS (SELECT qp.query_id, qp.cell,
+      |    list_transform(list_zip(qp.qv, co.cv), p -> p[1] - p[2]) AS r
+      |  FROM qp JOIN co ON co.c = qp.cell),
+      |qt AS (SELECT qr.query_id, qr.cell, cb.j, cb.c,
+      |    list_sum(list_transform(
+      |      list_zip(list_slice(qr.r, cb.j*8 + 1, cb.j*8 + 8), cb.cv),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+      |  FROM qr CROSS JOIN cb),
+      |s AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
+      |    list_sum(list(qt.dist ORDER BY qt.j)) AS adc
+      |  FROM enc JOIN qt ON qt.cell = enc.cell AND qt.j = enc.j
+      |    AND qt.c = enc.code
+      |  WHERE enc.vec_id <> qt.query_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, neighbor_id FROM
+      |  (SELECT query_id, neighbor_id, CAST(row_number() OVER
+      |     (PARTITION BY query_id ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+      |   FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     Q("sim_lsh_topk", (s, dir) => {
       val t = Tables(s, dir)
       Similarity.lshTopK(t.embeddings,

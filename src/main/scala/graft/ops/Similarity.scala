@@ -403,4 +403,89 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-PQ top-k — the composed billion-scale ANN architecture (Jégou
+    * et al.'s IVFADC): a coarse quantizer routes every corpus vector to
+    * its nearest of `nlist` cells BY SQUARED-L2 (the PQ metric, ties →
+    * lowest cell), and PQ encodes each vector's RESIDUAL (v − cell
+    * centroid) — residuals concentrate near 0, so the same code budget
+    * quantizes them far better than raw vectors. Each query probes its
+    * `nprobe` nearest cells and carries a PER-CELL residual ADC table;
+    * a candidate's distance is m table lookups, and since both
+    * residuals subtract the SAME probed-cell centroid, ADC approximates
+    * ‖q − v‖² directly (exactly, at ksub ≥ corpus — the pinned law).
+    *
+    * Scale shape: cell assignment, residuals, and codes are all
+    * scan-side expressions over broadcast centroid literals — the
+    * corpus never shuffles to build the index; the candidate join
+    * co-locates on the CELL key (one skinny shuffle of
+    * (cell, id, codes) rows — the float vectors never move), and the
+    * query side (queries × nprobe rows + their m×ksub tables) is
+    * broadcast under the enforced bound. Candidate volume is
+    * nprobe/nlist of the corpus instead of all of it — the IVF
+    * pruning PQ alone lacks — and each candidate costs m lookups
+    * instead of a dim-length float scan. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      trainIters: Int = 0): DataFrame = {
+    require(k > 0, "ivfPqTopK: k must be > 0")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"ivfPqTopK: nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val coarse = sampleCentroids(corpus, nlist, vecCol, idCol)
+    val cmat = array(coarse.map(ct => lit(ct)): _*)
+    def cellOf(v: Column): Column = {
+      val scored = coarse.zipWithIndex.map { case (ct, i) =>
+        struct(l2sq(v, lit(ct)).as("d"), lit(i).as("c"))
+      }
+      (if (scored.size > 1) least(scored: _*) else scored.head)
+        .getField("c")
+    }
+    // float subtraction, same as the oracle replays it
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(cmat, cell + lit(1)), (x, y) => x - y)
+    val corpusResid = corpus
+      .withColumn("__cell", cellOf(col(vecCol)))
+      .withColumn("__resid", residual(col(vecCol), col("__cell")))
+    val codebook = pqTrain(corpusResid, m, ksub, "__resid", idCol,
+      trainIters)
+    val d = codebook.head.head.length
+    val coded = pqEncode(corpusResid, codebook, "__resid")
+      .select(col("__cell"), col(idCol).as("neighbor_id"), col("codes"))
+    val qSel = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .limit((MaxBroadcastQueries + 1).toInt)
+      .localCheckpoint()
+    require(qSel.count() * nprobe <= MaxBroadcastQueries,
+      s"ivfPqTopK: queries x nprobe exceeds $MaxBroadcastQueries - " +
+        "broadcasting the probe tables would OOM the driver; shrink the " +
+        "query batch")
+    // nprobe nearest cells by (distance, cell id) — one probe row each,
+    // with its OWN residual and ADC table against that cell's frame
+    val qScored = array(coarse.zipWithIndex.map { case (ct, i) =>
+      struct(l2sq(col("qv"), lit(ct)).as("d"), lit(i).as("c"))
+    }: _*)
+    val probes = qSel
+      .withColumn("__cell", explode(transform(
+        slice(sort_array(qScored, asc = true), 1, nprobe),
+        x => x.getField("c"))))
+      .withColumn("__qresid", residual(col("qv"), col("__cell")))
+    val tab = array((0 until m).map { j =>
+      val sub = slice(col("__qresid"), j * d + 1, d)
+      array(codebook(j).map(ct => l2sq(sub, lit(ct))): _*)
+    }: _*)
+    val qTab = probes.select(col("query_id"), col("__cell"),
+      tab.as("qtab"))
+    val scored = coded.join(broadcast(qTab), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("qtab"), j + lit(1)),
+            element_at(col("codes"), j + lit(1)) + lit(1)))
+          .as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

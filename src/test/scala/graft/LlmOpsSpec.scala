@@ -1120,6 +1120,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("ivfPqTopK: exhaustive degenerate exactness; probe pruning shape") {
+    val s = spark
+    import s.implicits._
+    val t = Tables(s, "/root/testdata/sf0.001")
+    val n = t.embeddings.count().toInt
+    val queries = t.embeddings.filter(col("vec_id") < 8)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id"))
+    val exact = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(t.embeddings
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.l2sq(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    // LAW: nprobe = nlist probes every cell, and ksub = n makes every
+    // residual its own codebook entry (code distance 0) — ADC becomes
+    // ||(q-c)-(v-c)||², the probed-cell centroid cancels, and the
+    // ranking equals exact L2. (The cancellation is algebraic over
+    // float-rounded residuals; equality of the top-5 SETS is what the
+    // law pins, and it holds on this data.)
+    val degen = Similarity.ivfPqTopK(t.embeddings, queries, k = 5,
+      nlist = 4, nprobe = 4, m = 1, ksub = n)
+    assert(pqPairKeys(degen) == pqPairKeys(exact))
+    // pruned path: with >k candidates in every probed pair of cells,
+    // each query still gets exactly k ranked rows, and candidates only
+    // come from probed cells (nprobe/nlist pruning — fewer scored rows
+    // than the n-1 a full scan would touch)
+    val pruned = Similarity.ivfPqTopK(t.embeddings, queries, k = 5,
+      nlist = 4, nprobe = 2, m = 8, ksub = 16)
+    assert(pruned.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+    // guard: queries x nprobe over the broadcast bound fails fast
+    val big = s.range(Similarity.MaxBroadcastQueries / 2 + 1)
+      .select(col("id").as("vec_id"),
+        array((0 until 64).map(_ => lit(0.5f)): _*).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(t.embeddings, big, k = 1, nlist = 4, nprobe = 2)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
+
   test("pqTopK: Lloyd-trained codebook recall at sf0.01") {
     // recall claims need enough pairs to be signal, not noise: at
     // sf0.001 (50 vectors) one flipped neighbor moves recall by 0.02 on
