@@ -1574,6 +1574,52 @@ object SparkEntry {
       |SELECT doc_id, rank, word, tf, df, score FROM r WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin)),
 
+    Q("text_bm25_topk", (s, dir) => {
+      // BM25 retrieval (Lucene formulation): 4 fixed query strings, each
+      // keeping its top-5 docs. Per-term contributions round to integer
+      // micros BEFORE the per-pair sum (the lm_perplexity convention) so
+      // both engines rank exact BIGINTs; ties break on doc_id.
+      import s.implicits._
+      val queries = Seq(
+        (1, "spark join batch"), (2, "hash merge sort window"),
+        (3, "fast query filter scan"), (4, "customer order line value"))
+        .toDF("query_id", "qtext")
+      graft.functions.TextFunctions.bm25TopK(
+          Tables(s, dir).documents, "text", "doc_id",
+          queries, "query_id", "qtext", k = 5)
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, Some("""WITH q AS (SELECT * FROM (VALUES
+      |  (1, 'spark join batch'), (2, 'hash merge sort window'),
+      |  (3, 'fast query filter scan'), (4, 'customer order line value'))
+      |  AS v(query_id, qtext)),
+      |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+      |  '\W+'), x -> len(x) > 0) AS tk FROM documents),
+      |p AS (SELECT doc_id, unnest(tk) AS term FROM t),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM p GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |  FROM p GROUP BY 1),
+      |dfw AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+      |  GROUP BY 1),
+      |st AS (SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS nn,
+      |  (SELECT avg(dl) FROM dl) AS avgdl),
+      |qt AS (SELECT DISTINCT query_id, term FROM (SELECT query_id,
+      |  unnest(list_filter(regexp_split_to_array(lower(qtext), '\W+'),
+      |    x -> len(x) > 0)) AS term FROM q)),
+      |m AS (SELECT qt.query_id, tf.doc_id,
+      |  CAST(round(ln(1.0 + (nn - df + 0.5) / (df + 0.5)) *
+      |    ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6)
+      |    AS BIGINT) AS c_micro
+      |  FROM tf JOIN qt USING (term) JOIN dfw USING (term)
+      |  JOIN dl USING (doc_id) CROSS JOIN st),
+      |sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(c_micro) AS BIGINT) AS score_micro FROM m GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank FROM sc)
+      |SELECT query_id, rank, doc_id, n_terms, score_micro,
+      |  ROUND(score_micro / 1e6, 6) AS score
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     Q("text_chunk_windows", (s, dir) => {
       // overlapping 64-token windows advancing by 48 (16-token overlap):
       // the training-prep "overflowing tokens" shape; empty docs keep one
@@ -1697,6 +1743,37 @@ object SparkEntry {
       |  ((doc_id % 1048576) * 2654435761) % 1000000 AS sel
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_split_leakage", (s, dir) => {
+      // leakage-safe 80/10/10 split: near-dup clusters (planted copies at
+      // id+10000) hash as a UNIT, so a doc and its near-copy can never
+      // straddle splits. DuckDB re-derives the cluster fixpoint by
+      // recursive CTE, then replays the closed integer selector on the
+      // cluster label.
+      graft.ops.Sampling.leakageSafeSplit(withNearDups(Tables(s, dir)), "text",
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          numHashes = 64, bands = 32, shingleN = 3, minJaccard = 0.8)
+        .selectNames(Seq("doc_id", "split"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(minhashOracleBase.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+      |  SELECT a.doc_id AS s, b.doc_id AS d FROM sh a JOIN sh b
+      |  ON a.doc_id <> b.doc_id
+      |  AND len(list_intersect(a.sa, b.sa)) * 1.0
+      |      / len(list_distinct(list_concat(a.sa, b.sa))) >= 0.8),
+      |reach(s, d) AS (
+      |  SELECT doc_id, doc_id FROM sh
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      |lab AS (SELECT s AS id, MIN(d) AS cluster FROM reach GROUP BY s),
+      |sel AS (SELECT u.doc_id,
+      |  ((coalesce(l.cluster, u.doc_id) % 1048576) * 2654435761) % 1000000
+      |    AS sv
+      |  FROM u LEFT JOIN lab l ON u.doc_id = l.id)
+      |SELECT doc_id,
+      |  CASE WHEN sv < 800000 THEN 'train'
+      |       WHEN sv < 900000 THEN 'val' ELSE 'test' END AS split
+      |FROM sel ORDER BY doc_id""".stripMargin)),
 
     Q("sample_mixture", (s, dir) => {
       // deterministic weighted corpus mixture: "web" slice at 0.8,
@@ -2262,6 +2339,46 @@ object SparkEntry {
       |       CAST(0 AS BIGINT) AS n_kept
       |FROM documents WHERE text IS NULL
       |ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_spans", (s, dir) => {
+      // exact duplicated-substring spans (Lee et al. 2022 shape): plant
+      // copies by appending text||' '||text docs for doc_id % 20 == 0 —
+      // the planted doc reports ONE interval covering both copies (seam
+      // windows are unique but the copies' intervals touch) and the
+      // original's whole token stream is flagged too. Spark counts
+      // 128-bit sha2 gram keys; DuckDB re-derives from gram STRINGS —
+      // same result absent a 2^-64 collision.
+      val docs = Tables(s, dir).documents
+      val planted = docs.filterRows(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val corpus = docs.selectNames(Seq("doc_id", "text"))
+        .unionWide(planted)
+      Dedup.duplicateSpans(corpus, "text", "doc_id", l = 10)
+        .sortByKeys(SortKey("doc_id"), SortKey("span_id"))
+    }, Some("""WITH u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' ' || text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+      |  '\W+'), x -> len(x) > 0) AS tk FROM u),
+      |i AS (SELECT doc_id, tk, unnest(range(len(tk) - 9)) AS st FROM t),
+      |g AS (SELECT doc_id, st, st + 9 AS en,
+      |  array_to_string(tk[st+1:st+10], ' ') AS gram FROM i),
+      |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |d AS (SELECT g.doc_id, g.st, g.en FROM g JOIN c USING (gram)),
+      |w AS (SELECT doc_id, st, en, max(en) OVER (PARTITION BY doc_id
+      |  ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |  AS pmax FROM d),
+      |n AS (SELECT doc_id, st, en, SUM(CASE WHEN pmax IS NULL OR
+      |  st > pmax + 1 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+      |  ORDER BY st ROWS UNBOUNDED PRECEDING) AS grp FROM w),
+      |sp AS (SELECT doc_id, grp, min(st) AS s, max(en) AS e
+      |  FROM n GROUP BY 1, 2)
+      |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY s) AS INTEGER) AS span_id,
+      |  CAST(s AS BIGINT) AS start_tok, CAST(e AS BIGINT) AS end_tok,
+      |  CAST(e - s + 1 AS BIGINT) AS n_tok
+      |FROM sp ORDER BY doc_id, span_id""".stripMargin)),
 
     Q("dedup_ngram_jaccard", (s, dir) => {
       Tables(s, dir).documents

@@ -423,6 +423,76 @@ object TextFunctions {
         col("score"))
   }
 
+  /** BM25 top-k full-text retrieval (Robertson-Spärck Jones; the Lucene
+    * `BM25Similarity` formulation): score every (query, document) pair by
+    * Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)), and keep each query's top-k
+    * documents. The retrieval primitive behind corpus search, RAG
+    * candidate generation, and query-based subset selection — the
+    * reference has keyword `filter`s but nothing rank-aware
+    * (cf. `api/filter.kt`).
+    *
+    * Query terms are DISTINCT per query (duplicate words in a query
+    * string don't double-score — Lucene's behavior for unboosted terms).
+    * Determinism: each per-term contribution is rounded to integer
+    * MICRO-units before the per-pair sum (the `lmScore` convention), so
+    * scores are exact BIGINTs no matter the reduction order and an
+    * independent engine re-derives them bit-for-bit; ranking orders on
+    * (score_micro desc, doc id asc).
+    *
+    * Scale shape: the corpus tokenizes ONCE into skinny (id, term, tf)
+    * postings and (id, dl) lengths (one count shuffle each, map-side
+    * partials); N/avgdl ride a broadcast 1-row cross join (no driver
+    * scalar). The query term table is broadcast — postings are pruned to
+    * query terms BEFORE touching df or dl, so the joins after the first
+    * filter move only matching postings (≪ corpus for real queries); the
+    * final top-k is a per-query window over matches, never a global
+    * sort. Text never moves after the explode. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, queries: org.apache.spark.sql.DataFrame,
+      qIdCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "bm25TopK: k must be > 0")
+    require(k1 >= 0, "bm25TopK: k1 must be >= 0")
+    require(b >= 0 && b <= 1, "bm25TopK: b must be in [0,1]")
+    val toks = docs
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("__id")).agg(count(lit(1)).as("dl"))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N counts ALL docs (token-less ones included — they have dl rows
+    // only when they produced tokens, but df/avgdl follow Lucene: avgdl
+    // over docs with tokens, N over the corpus)
+    val stats = docs.agg(countDistinct(col(idCol)).as("__n"))
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("__avgdl"))))
+    val qTerms = queries
+      .select(col(qIdCol).as("__qid"),
+        explode(tokens(col(qTextCol))).as("term"))
+      .distinct()
+    val matched = tf.join(broadcast(qTerms), "term")
+      .join(dfTerm, "term")
+      .join(dl, "__id")
+      .crossJoin(broadcast(stats))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val wTf = col("tf").cast(DoubleType) * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    val scored = matched
+      .withColumn("c_micro",
+        round(idf * wTf * lit(1e6)).cast(LongType))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_micro")).as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("score_micro").desc, col("__id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(qIdCol), col("rank"), col("__id").as(idCol),
+        col("n_terms"), col("score_micro"),
+        round(col("score_micro") / lit(1e6), 6).as("score"))
+  }
+
   // ---- PII --------------------------------------------------------------
   /** PII patterns chosen from the RE2-compatible regex subset (no
     * lookaround, no backreferences) so an independent engine reproduces

@@ -808,4 +808,70 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** EXACT duplicated-substring detection at token granularity (the
+    * "deduplicating training data" span-level pass of Lee et al. 2022,
+    * re-expressed for Spark): find every maximal token interval whose
+    * every L-token window occurs at least `minCount` times corpus-wide.
+    * Sliding L-grams (stride 1 — unlike [[chunkDedup]]'s disjoint
+    * chunks, a duplicate is caught at ANY alignment) are counted
+    * globally; positions of repeated grams merge into maximal per-doc
+    * intervals (overlapping OR adjacent — two abutting duplicated
+    * windows chain, so a verbatim copy of a whole n-token document
+    * reports as ONE [0, n−1] span, and a doc that repeats its own text
+    * twice reports one interval covering both copies: the seam windows
+    * are unique but the copies' intervals touch).
+    *
+    * Output: (id, span_id, start_tok, end_tok, n_tok), span_id 1-based
+    * in position order; only documents containing duplicated spans
+    * appear (report shape — callers strip or mask with the span list).
+    *
+    * Scale shape: the corpus tokenizes once and explodes to skinny
+    * (gram-key, id, start) triples — the gram itself never moves; keys
+    * are 128-bit sha2 prefixes (fixed width; a collision needs 2^64
+    * grams, and the oracle re-derives from gram STRINGS to prove the
+    * hashed path exact). One count shuffle with map-side partials finds
+    * repeated keys; survivors hash-join back (shuffle-hash pinned — the
+    * dup-key side is a filtered aggregate, orders of magnitude smaller
+    * than the positions side); interval merging is the gaps-and-islands
+    * window pair partitioned per doc — no global sort anywhere. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      l: Int, minCount: Long = 2): DataFrame = {
+    require(l >= 2, "duplicateSpans: l must be >= 2")
+    require(minCount >= 2, "duplicateSpans: minCount must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
+    val grams = df.select(col(idCol).as("id"), posexplode(
+        when(size(tk) >= l,
+          transform(sequence(lit(0), size(tk) - l),
+            i => substring(
+              sha2(concat_ws(" ", slice(tk, i + 1, lit(l))), 256), 1, 32)))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("st", "key")))
+    val dupKeys = grams.groupBy(col("key"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+      .select(col("key"))
+    val hits = grams.join(dupKeys.hint("shuffle_hash"), "key")
+      .select(col("id"), col("st").cast(LongType).as("st"),
+        (col("st") + lit(l - 1)).cast(LongType).as("en"))
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = hits
+      .withColumn("pmax", max(col("en")).over(wPrev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("st") > col("pmax") + 1, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("grp", sum(col("brk")).over(wRun))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("st")).as("start_tok"), max(col("en")).as("end_tok"))
+    spans
+      .withColumn("span_id", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("start_tok"))))
+      .select(col("id").as(idCol), col("span_id"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tok"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.core.CacheHandle
 
 /** Deterministic sampling for training-data pipelines: corpus mixing by
   * weight and exact per-stratum sampling. Everything here is a CLOSED
@@ -63,6 +64,34 @@ object Sampling {
           .otherwise(rest)
       }
     df.withColumn(as, expr)
+  }
+
+  /** Leakage-safe train/val/test split: [[splitByWeights]] applied to
+    * NEAR-DUP CLUSTER labels instead of row ids, so a document and all
+    * its near-duplicates always land in the SAME split — the guard
+    * against the classic eval-contamination failure where a test doc's
+    * near-copy sits in train and the benchmark silently measures
+    * memorization. Singleton docs (no near-dup edge) hash their own id
+    * (cluster = id for them), so the weights still hold in expectation
+    * over the corpus.
+    *
+    * Scale shape: [[Dedup.nearDupClusters]] does the heavy lifting
+    * (banded LSH candidates, min-label propagation over edge-touched ids
+    * only); the split itself is the same closed integer selector as
+    * [[splitByWeights]] — deterministic, engine-auditable — evaluated on
+    * the skinny (id, cluster) frame, then one join back on the id key.
+    * Text never moves beyond what clustering itself shuffles. */
+  def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
+      splits: Seq[(String, Double)], as: String = "split",
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      minJaccard: Double = 0.8, maxIters: Int = 10,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    val clusters = Dedup.nearDupClusters(df, textCol, idCol, numHashes,
+      bands, shingleN, minJaccard, maxIters, cache)
+    val assigned = splitByWeights(
+      clusters.select(col("id").as(idCol), col("cluster")),
+      "cluster", splits, as)
+    df.join(assigned.select(col(idCol), col(as)), Seq(idCol))
   }
 
   /** Deterministic weighted sampling WITHOUT replacement — priority

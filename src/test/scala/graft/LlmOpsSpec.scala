@@ -1250,4 +1250,86 @@ class LlmOpsSpec extends AnyFunSuite {
     handle.release(blocking = true)
     assert(newIds.isEmpty)
   }
+
+  test("bm25TopK: exact Lucene-formula scores, distinct query terms, k cut") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana cherry")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10, "apple banana apple"), (20, "durian"))
+      .toDF("query_id", "qtext")
+    val r = bm25TopK(corpus, "text", "doc_id", queries, "query_id",
+        "qtext", k = 2)
+      .orderBy("query_id", "rank")
+      .select("query_id", "rank", "doc_id", "n_terms", "score_micro")
+      .as[(Int, Int, Long, Long, Long)].collect().toSeq
+    // mirror of the operator's double arithmetic (N=3, avgdl=3)
+    def contrib(tf: Long, dl: Long, dfT: Long): Long =
+      math.round(math.log(1.0 + (3L - dfT + 0.5) / (dfT + 0.5)) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))) * 1e6)
+    val d1 = contrib(2, 3, 2) + contrib(1, 3, 2) // apple tf2 + banana tf1
+    val d3 = contrib(3, 4, 2)                    // banana tf3
+    // duplicate "apple" in the query scores once (distinct terms);
+    // d2 (lowest) is cut by k=2; the no-match query vanishes
+    assert(r == Seq((10, 1, 1L, 2L, d1), (10, 2, 3L, 1L, d3)))
+  }
+
+  test("duplicateSpans: interval chaining, cross-doc copies, guards") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),          // c d e shared with doc 2
+      (2L, "x y c d e z"),
+      (3L, "p q r s p q r s"),      // self-repeat: intervals chain to one
+      (4L, "solo unique words only here")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.duplicateSpans(df, "text", "doc_id", l = 3)
+      .orderBy("doc_id", "span_id")
+      .select("doc_id", "span_id", "start_tok", "end_tok", "n_tok")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // doc 3: grams (p q r)@0,4 and (q r s)@1,5 repeat → intervals
+    // [0,2],[1,3],[4,6],[5,7] merge ([1,3] overlaps [0,2]; [4,6] is
+    // ADJACENT to [0,3]) into the single span [0,7]
+    assert(r == Seq(
+      (1L, 1, 2L, 4L, 3L), (2L, 1, 2L, 4L, 3L), (3L, 1, 0L, 7L, 8L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.duplicateSpans(df, "text", "doc_id", l = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.duplicateSpans(df, "text", "doc_id", l = 3,
+        minCount = 1)
+    }
+  }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits") {
+    val s = spark
+    import s.implicits._
+    val base = (0L until 40L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+    // near-copies of every 4th doc at id+1000: same text + one extra token
+    val copies = base.filter(_._1 % 4 == 0).map { case (i, t) =>
+      (i + 1000L, s"$t extramarker") }
+    val df = (base ++ copies).toDF("doc_id", "text")
+    val r = graft.ops.Sampling.leakageSafeSplit(df, "text", "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        shingleN = 3, minJaccard = 0.7)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(r.size == df.count())
+    // every planted pair shares one split — the leakage guarantee
+    for (i <- 0L until 40L if i % 4 == 0)
+      assert(r(i) == r(i + 1000L), s"pair ($i, ${i + 1000L}) straddles")
+    // the cluster label is min(id) = the original's id, so pairs land
+    // exactly where splitByWeights sends the ORIGINAL id; singletons
+    // hash their own id
+    val expected = graft.ops.Sampling.splitByWeights(
+        df.select(col("doc_id"),
+          when(col("doc_id") >= 1000L, col("doc_id") - 1000L)
+            .otherwise(col("doc_id")).as("cluster")),
+        "cluster", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(r == expected)
+  }
 }
