@@ -2380,6 +2380,58 @@ object SparkEntry {
       |  CAST(e - s + 1 AS BIGINT) AS n_tok
       |FROM sp ORDER BY doc_id, span_id""".stripMargin)),
 
+    Q("dedup_strip", (s, dir) => {
+      // the rewrite side of dedup_spans: drop all but one copy of every
+      // duplicated substring. Plants cover BOTH duplication shapes —
+      // self-repeats (text||' '||text at id+1000000) shed their second
+      // copy, verbatim copy-docs (identical text at id+2000000) strip to
+      // empty because the lower-id original holds every rank-1 gram.
+      // DuckDB replays survivorship token-by-token from gram STRINGS.
+      val docs = Tables(s, dir).documents
+      val selfRep = docs.filterRows(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val copies = docs.filterRows(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))
+      val corpus = docs.selectNames(Seq("doc_id", "text"))
+        .unionWide(selfRep).unionWide(copies)
+      Dedup.stripDuplicates(corpus, "text", "doc_id", l = 10)
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' ' || text
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+      |  lower(coalesce(text, '')), '\W+'), x -> len(x) > 0) AS tk FROM u),
+      |i AS (SELECT doc_id, tk, unnest(range(len(tk) - 9)) AS st FROM t),
+      |g AS (SELECT doc_id, st, st + 9 AS en,
+      |  array_to_string(tk[st+1:st+10], ' ') AS gram FROM i),
+      |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |o AS (SELECT g.doc_id, g.st, g.en, row_number() OVER (
+      |  PARTITION BY gram ORDER BY g.doc_id, g.st) = 1 AS keep
+      |  FROM g JOIN c USING (gram)),
+      |p AS (SELECT doc_id, unnest(tk) AS tok,
+      |  generate_subscripts(tk, 1) - 1 AS pos FROM t),
+      |f AS (SELECT p.doc_id, p.tok, p.pos,
+      |  EXISTS(SELECT 1 FROM o WHERE o.doc_id = p.doc_id AND NOT o.keep
+      |    AND p.pos BETWEEN o.st AND o.en) AS in_rm,
+      |  EXISTS(SELECT 1 FROM o WHERE o.doc_id = p.doc_id AND o.keep
+      |    AND p.pos BETWEEN o.st AND o.en) AS in_kp
+      |  FROM p),
+      |d AS (SELECT doc_id,
+      |  string_agg(tok, ' ' ORDER BY pos)
+      |    FILTER (WHERE NOT (in_rm AND NOT in_kp)) AS text_dedup,
+      |  CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(CASE WHEN in_rm AND NOT in_kp THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_removed
+      |  FROM f GROUP BY doc_id)
+      |SELECT u.doc_id, coalesce(d.text_dedup, '') AS text_dedup,
+      |  coalesce(d.n_tok, 0) AS n_tok,
+      |  coalesce(d.n_removed, 0) AS n_removed
+      |FROM u LEFT JOIN d USING (doc_id)
+      |ORDER BY u.doc_id""".stripMargin)),
+
     Q("dedup_ngram_jaccard", (s, dir) => {
       Tables(s, dir).documents
         .addCols("jaccard" -> round(Dedup.ngramJaccard(col("text"),

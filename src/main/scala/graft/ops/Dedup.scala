@@ -874,4 +874,75 @@ object Dedup {
         col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok") + 1).as("n_tok"))
   }
+
+  /** The REWRITE side of [[duplicateSpans]]: drop all but one copy of
+    * every duplicated substring (Lee et al. 2022 semantics) and return
+    * every doc as (id, text_dedup, n_tok, n_removed), text token-joined.
+    *
+    * Survivorship is decided per duplicated L-GRAM occurrence: rank
+    * occurrences of each repeated gram by the global (id, pos) order —
+    * rank 1 survives. A token is spliced out iff some redundant
+    * (rank > 1) occurrence covers it AND no surviving (rank-1) occurrence
+    * does. That gives the right answer for both duplication shapes: a
+    * verbatim copy-doc loses its whole text (every covering occurrence is
+    * redundant — the original holds all the rank-1s), while a doc that
+    * repeats its own text keeps the first copy (its grams are the global
+    * firsts) and sheds the second — the seam windows are unique, so they
+    * confer no protection. Ties can't happen: (id, pos) is unique per
+    * occurrence.
+    *
+    * Scale shape: same skinny gram pipeline as [[duplicateSpans]] (the
+    * gram string never shuffles — 128-bit sha2 keys), one extra window
+    * over each repeated key's occurrences (tiny: only duplicated grams),
+    * and the splice joins the per-doc covering interval lists (few —
+    * they're dup regions) back to flagged docs only; clean docs pass
+    * through the left join untouched. */
+  def stripDuplicates(df: DataFrame, textCol: String, idCol: String,
+      l: Int, minCount: Long = 2): DataFrame = {
+    require(l >= 2, "stripDuplicates: l must be >= 2")
+    require(minCount >= 2, "stripDuplicates: minCount must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    // null text folds to "" so the rewrite is TOTAL — every input id
+    // comes back (with n_tok = 0), unlike the report-shaped sibling
+    val tk = graft.functions.TextFunctions.tokens(
+      coalesce(col(textCol), lit("")))
+    val grams = df.select(col(idCol).as("id"), posexplode(
+        when(size(tk) >= l,
+          transform(sequence(lit(0), size(tk) - l),
+            i => substring(
+              sha2(concat_ws(" ", slice(tk, i + 1, lit(l))), 256), 1, 32)))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("st", "key")))
+    val dupKeys = grams.groupBy(col("key"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+      .select(col("key"))
+    val occ = grams.join(dupKeys.hint("shuffle_hash"), "key")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("id"), col("st"))))
+      .select(col("id"), col("st").cast(LongType).as("st"),
+        (col("st") + lit(l - 1)).cast(LongType).as("en"),
+        (col("__rn") === 1).as("keep"))
+    val byDoc = occ.groupBy(col("id")).agg(
+      collect_list(when(!col("keep"), struct(col("st"), col("en"))))
+        .as("__rm"),
+      collect_list(when(col("keep"), struct(col("st"), col("en"))))
+        .as("__kp"))
+    def covered(arr: Column, p: Column): Column =
+      exists(arr, r => p >= r.getField("st") && p <= r.getField("en"))
+    df.select(col(idCol).as("id"), tk.as("__tk"))
+      .join(byDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        filter(transform(col("__tk"), (t, i) => struct(i.as("p"), t.as("t"))),
+          e => col("__rm").isNull ||
+            !(covered(col("__rm"), e.getField("p")) &&
+              !covered(col("__kp"), e.getField("p")))).as("__kept"),
+        size(col("__tk")).cast(LongType).as("n_tok"))
+      .select(col(idCol),
+        array_join(transform(col("__kept"), e => e.getField("t")), " ")
+          .as("text_dedup"),
+        col("n_tok"),
+        (col("n_tok") - size(col("__kept"))).cast(LongType)
+          .as("n_removed"))
+  }
 }

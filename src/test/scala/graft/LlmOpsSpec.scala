@@ -1304,6 +1304,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stripDuplicates: copy-doc empties, self-repeat keeps first copy") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),           // verbatim copy → strips to empty
+      (3L, "p q r s p q r s"),       // self-repeat → keeps first copy
+      (4L, "solo unique words only here"),
+      (5L, null.asInstanceOf[String]) // null text → total output, 0 toks
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.stripDuplicates(df, "text", "doc_id", l = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text_dedup", "n_tok", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "a b c d e f", 6L, 0L),
+      (2L, "", 6L, 6L),
+      (3L, "p q r s", 8L, 4L),
+      (4L, "solo unique words only here", 5L, 0L),
+      (5L, "", 0L, 0L)))
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits") {
     val s = spark
     import s.implicits._
