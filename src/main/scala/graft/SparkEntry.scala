@@ -3393,6 +3393,45 @@ object SparkEntry {
     }, Some("""SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
       |TRUE AS err_ok FROM documents""".stripMargin)),
 
+    Q("sketch_cms_verify", (s, dir) => {
+      // Count-min sketch differential: token frequencies estimated from
+      // a 4×256 sketch vs exact counts on identical input. The sketch is
+      // overcount-only and ε-bounded — both pinned as booleans
+      // (deterministic: seeded murmur over fixed data, no RNG). DuckDB
+      // checks what it can express exactly: the true counts + TRUE flags.
+      val words = Tables(s, dir).documents
+        .select(explode(tokens(col("text"))).as("w"))
+      val sk = words.aggAll(Seq(
+        graft.functions.Aggregators.countMinUdaf(4, 256)(col("w"))
+          .as("cms"),
+        count(lit(1)).as("n_tok")))
+      val probes = Seq("data", "query", "spark", "window", "nosuchword")
+      val est = sk.select(col("n_tok"), explode(array(probes.map(p =>
+          struct(lit(p).as("word"),
+            graft.functions.Aggregators.cmsEstimate(col("cms"), p, 4, 256)
+              .as("est"))): _*)).as("pr"))
+        .select(col("pr.word").as("word"), col("pr.est").as("est"),
+          col("n_tok"))
+      val exact = words.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      est.join(exact, est("word") === exact("w"), "left")
+        .select(col("word"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).as("ge_ok"),
+          ((col("est") - coalesce(col("exact"), lit(0L)))
+            .cast(DoubleType) <= lit(math.E / 256) * col("n_tok"))
+            .as("bound_ok"))
+        .sortByKeys(SortKey("word"))
+    }, Some("""WITH p AS (SELECT unnest(list_filter(
+      |  regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS w
+      |  FROM documents),
+      |pr AS (SELECT * FROM (VALUES ('data'), ('query'), ('spark'),
+      |  ('window'), ('nosuchword')) AS v(word)),
+      |e AS (SELECT w, CAST(count(*) AS BIGINT) AS exact FROM p GROUP BY 1)
+      |SELECT pr.word, coalesce(e.exact, 0) AS exact,
+      |  TRUE AS ge_ok, TRUE AS bound_ok
+      |FROM pr LEFT JOIN e ON pr.word = e.w
+      |ORDER BY pr.word""".stripMargin)),
+
     Q("build_paths", (s, _) => {
       IO.dataFrameOfPaths(s, Seq(
         Seq("id") -> Seq(1, 2),

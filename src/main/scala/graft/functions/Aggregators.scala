@@ -85,4 +85,70 @@ object Aggregators {
     * (count desc, item). */
   def heavyHittersUdaf(k: Int)(c: Column): Column =
     udaf(new HeavyHitters(k), Encoders.STRING).apply(c)
+
+  /** Count-min row bucket for `key` at hash row `row`: seeded Murmur3 of
+    * the UTF-16 string, floor-mod width. Shared by sketch build (per
+    * input row) and probe (folded into the plan as a literal index) —
+    * the two MUST agree or estimates are garbage. Deterministic across
+    * JVMs/runs: MurmurHash3 is a pure function of (bytes, seed). */
+  def cmsBucket(key: String, row: Int, width: Int): Int =
+    math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c + row),
+      width)
+
+  /** Count-min sketch (Cormode–Muthukrishnan): `depth × width` counter
+    * grid; every item increments one counter per row (seeded hash),
+    * point estimate = MIN over rows — an OVERCOUNT only (collisions add,
+    * never subtract), with est ≤ true + e/width·N at probability
+    * ≥ 1 − e^−depth. The frequency-sketch complement to [[HeavyHitters]]
+    * (which keeps top items but forgets the rest): CMS answers "how
+    * often did THIS key occur" for ANY key in fixed memory.
+    *
+    * Buffer = flat Array[Long] of depth·width (row-major) — merge is
+    * elementwise sum, so Catalyst plans map-side partials and only
+    * depth·width longs per task cross the wire, never the stream. The
+    * 100 TB shape: the sketch IS the aggregation (exact per-key counts
+    * need a vocabulary-sized shuffle; this caps at a few KB per task
+    * regardless of cardinality). */
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth >= 1, "CountMin: depth must be >= 1")
+    require(width >= 2, "CountMin: width must be >= 2")
+    def zero: Array[Long] = new Array[Long](depth * width)
+    def reduce(b: Array[Long], x: String): Array[Long] = {
+      if (x != null) {
+        var r = 0
+        while (r < depth) {
+          b(r * width + cmsBucket(x, r, width)) += 1L
+          r += 1
+        }
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column form over a string column. */
+  def countMinUdaf(depth: Int, width: Int)(c: Column): Column =
+    udaf(new CountMin(depth, width), Encoders.STRING).apply(c)
+
+  /** Point estimate for a PLAN-TIME key against a built sketch column:
+    * min over the depth rows, each index folded to a literal via
+    * [[cmsBucket]] — pure element_at/least projection, no UDF at probe
+    * time. */
+  def cmsEstimate(cms: Column, key: String, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, least, lit}
+    val cells = (0 until depth).map(r =>
+      element_at(cms, lit(r * width + cmsBucket(key, r, width) + 1)))
+    if (cells.size == 1) cells.head else least(cells: _*)
+  }
 }

@@ -1326,6 +1326,29 @@ class LlmOpsSpec extends AnyFunSuite {
       (5L, "", 0L, 0L)))
   }
 
+  test("CountMin: overcount-only, exact in the wide regime, merge across partitions") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Aggregators.{countMinUdaf, cmsEstimate}
+    val items = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(7)("gamma") ++ Seq(null.asInstanceOf[String])
+    // 8 partitions force real partial/merge paths
+    val df = items.toDF("w").repartition(8)
+    val sk = df.agg(countMinUdaf(4, 1024)($"w").as("cms"))
+    val r = sk.select(
+        cmsEstimate($"cms", "alpha", 4, 1024).as("a"),
+        cmsEstimate($"cms", "beta", 4, 1024).as("b"),
+        cmsEstimate($"cms", "gamma", 4, 1024).as("g"),
+        cmsEstimate($"cms", "missing", 4, 1024).as("m"))
+      .as[(Long, Long, Long, Long)].head()
+    // 3 keys in a 4×1024 grid: no 4-row collision (deterministic hash)
+    // → estimates are exact; nulls never count; absent key reads 0
+    assert(r == ((50L, 30L, 7L, 0L)))
+    intercept[IllegalArgumentException] {
+      new graft.functions.Aggregators.CountMin(0, 16)
+    }
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits") {
     val s = spark
     import s.implicits._
