@@ -12,7 +12,7 @@ import graft.ops.Joins._
 import graft.ops.Reshape._
 import graft.ops.Series._
 import graft.ops.Selection._
-import graft.ops.{Agg, Cdc, Dedup, Events, Similarity, Multimodal, Web}
+import graft.ops.{Agg, Cdc, Dedup, Eval, Events, Similarity, Multimodal, Web}
 import graft.functions.TextFunctions._
 import graft.sources.IO
 
@@ -1619,6 +1619,121 @@ object SparkEntry {
       |SELECT query_id, rank, doc_id, n_terms, score_micro,
       |  ROUND(score_micro / 1e6, 6) AS score
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("text_rouge", (s, dir) => {
+      // bigram ROUGE between consecutive docs (cand = doc, ref = next
+      // doc): multiset-clipped overlap; ratios round 6dp from mirrored
+      // operation orders; DuckDB replays the clipped counts from the
+      // same list comprehension the array expression computes.
+      val t = Tables(s, dir).documents
+      val a = t.select(col("doc_id"), col("text").as("cand"))
+      val b = t.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.rougeN(col("cand"), col("ref"), 2)
+            .as("r"))
+        .select(col("doc_id"), col("r.overlap").as("overlap"),
+          col("r.cand_grams").as("cand_grams"),
+          col("r.ref_grams").as("ref_grams"),
+          col("r.precision").as("precision"), col("r.recall").as("recall"),
+          col("r.f1").as("f1"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH pair AS (SELECT a.doc_id, a.text AS cand, b.text AS ref
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      |tok AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(cand), '\W+'),
+      |    x -> len(x) > 0) AS tc,
+      |  list_filter(regexp_split_to_array(lower(ref), '\W+'),
+      |    x -> len(x) > 0) AS tr FROM pair),
+      |gm AS (SELECT doc_id,
+      |  CASE WHEN len(tc) >= 2 THEN list_transform(range(len(tc) - 1),
+      |    i -> array_to_string(tc[i+1:i+2], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END AS gc,
+      |  CASE WHEN len(tr) >= 2 THEN list_transform(range(len(tr) - 1),
+      |    i -> array_to_string(tr[i+1:i+2], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END AS gr FROM tok),
+      |ov AS (SELECT doc_id,
+      |  CAST(coalesce(list_sum(list_transform(list_distinct(gc),
+      |    g -> least(len(list_filter(gc, x -> x = g)),
+      |               len(list_filter(gr, x -> x = g))))), 0) AS BIGINT)
+      |    AS overlap,
+      |  CAST(len(gc) AS BIGINT) AS cand_grams,
+      |  CAST(len(gr) AS BIGINT) AS ref_grams FROM gm),
+      |pr AS (SELECT doc_id, overlap, cand_grams, ref_grams,
+      |  CASE WHEN cand_grams > 0 THEN ROUND(overlap / cand_grams, 6)
+      |    ELSE 0.0 END AS precision,
+      |  CASE WHEN ref_grams > 0 THEN ROUND(overlap / ref_grams, 6)
+      |    ELSE 0.0 END AS recall FROM ov)
+      |SELECT doc_id, overlap, cand_grams, ref_grams, precision, recall,
+      |  CASE WHEN precision + recall > 0
+      |    THEN ROUND(2.0 * precision * recall / (precision + recall), 6)
+      |    ELSE 0.0 END AS f1
+      |FROM pr ORDER BY doc_id""".stripMargin)),
+
+    Q("text_jsd", (s, dir) => {
+      // Jensen-Shannon divergence between the two corpus halves' term
+      // distributions — per-term contributions round to integer NANOS
+      // before the sum (exact BIGINT aggregate), jsd = nano/1e9.
+      val docs = Tables(s, dir).documents
+      Eval.corpusDivergence(docs.filterRows(col("doc_id") < 250),
+        docs.filterRows(col("doc_id") >= 250), "text")
+    }, Some("""WITH wa AS (SELECT unnest(list_filter(
+      |  regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS w
+      |  FROM documents WHERE doc_id < 250),
+      |wb AS (SELECT unnest(list_filter(
+      |  regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS w
+      |  FROM documents WHERE doc_id >= 250),
+      |ca AS (SELECT w, CAST(count(*) AS BIGINT) AS cca FROM wa GROUP BY 1),
+      |cb AS (SELECT w, CAST(count(*) AS BIGINT) AS ccb FROM wb GROUP BY 1),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM wa),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM wb),
+      |j AS (SELECT coalesce(ca.cca, 0) AS cca, coalesce(cb.ccb, 0) AS ccb,
+      |  na, nb FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+      |  CROSS JOIN na CROSS JOIN nb),
+      |t AS (SELECT CAST(round((
+      |  CASE WHEN cca > 0 THEN 0.5 * (cca / na) *
+      |    ln((cca / na) / ((cca / na + ccb / nb) / 2.0)) ELSE 0.0 END +
+      |  CASE WHEN ccb > 0 THEN 0.5 * (ccb / nb) *
+      |    ln((ccb / nb) / ((cca / na + ccb / nb) / 2.0)) ELSE 0.0 END
+      |  ) * 1e9) AS BIGINT) AS nano FROM j)
+      |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(nano) AS BIGINT) AS jsd_nano,
+      |  ROUND(sum(nano) / 1e9, 6) AS jsd FROM t""".stripMargin)),
+
+    Q("label_kappa", (s, dir) => {
+      // Cohen's kappa between two deterministic length-band "annotators"
+      // (cuts 500/1000 vs 480/1050): real po/pe/chance-correction math
+      // over a replayable contingency table.
+      val docs = Tables(s, dir).documents
+      val len = length(col("text"))
+      val la = when(len < 500, "short").when(len < 1000, "medium")
+        .otherwise("long")
+      val lb = when(len < 480, "short").when(len < 1050, "medium")
+        .otherwise("long")
+      Eval.agreementKappa(docs.select(la.as("a"), lb.as("b")), "a", "b")
+    }, Some("""WITH l AS (SELECT
+      |  CASE WHEN length(text) < 500 THEN 'short'
+      |       WHEN length(text) < 1000 THEN 'medium'
+      |       ELSE 'long' END AS a,
+      |  CASE WHEN length(text) < 480 THEN 'short'
+      |       WHEN length(text) < 1050 THEN 'medium'
+      |       ELSE 'long' END AS b
+      |  FROM documents),
+      |cell AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM l
+      |  GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+      |ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS ag FROM cell
+      |  WHERE a = b),
+      |ma AS (SELECT a, sum(c) AS na_k FROM cell GROUP BY 1),
+      |mb AS (SELECT b, sum(c) AS nb_k FROM cell GROUP BY 1),
+      |pp AS (SELECT CAST(coalesce(sum(na_k * nb_k), 0) AS BIGINT) AS pp
+      |  FROM ma JOIN mb ON ma.a = mb.b),
+      |r AS (SELECT n.n, ROUND(ag.ag / n.n, 6) AS po,
+      |  ROUND(pp.pp / n.n / n.n, 6) AS pe FROM n, ag, pp)
+      |SELECT n, po, pe, CASE WHEN pe = 1.0 THEN 1.0
+      |  ELSE ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+      |FROM r""".stripMargin)),
 
     Q("text_chunk_windows", (s, dir) => {
       // overlapping 64-token windows advancing by 48 (16-token overlap):

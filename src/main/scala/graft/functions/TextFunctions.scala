@@ -689,6 +689,35 @@ object TextFunctions {
           .as("chunk_text"))
   }
 
+  /** ROUGE-N overlap between a candidate and a reference text: n-gram
+    * MULTISET overlap (each gram credits min(count_cand, count_ref) —
+    * the standard clipped count, so repeating a reference gram can't
+    * inflate the score), reported as
+    * struct(overlap, cand_grams, ref_grams, precision, recall, f1).
+    * The summarization/decontamination eval primitive; ratios round to
+    * 6dp so both engines agree bit-for-bit; degenerate sides (no grams)
+    * report 0.0, never null/NaN.
+    *
+    * Scale shape: pure per-row array expression over the two gram
+    * multisets (distinct-gram loop × contains scan — quadratic in DOC
+    * grams, not corpus) — scan-side, no shuffle, no UDF. */
+  def rougeN(cand: Column, ref: Column, n: Int): Column = {
+    val gc = shinglesStrict(cand, n)
+    val gr = shinglesStrict(ref, n)
+    val overlap = aggregate(array_distinct(gc), lit(0L),
+      (acc, g) => acc +
+        least(size(filter(gc, x => x === g)),
+          size(filter(gr, x => x === g))).cast(LongType))
+    val nc = size(gc).cast(LongType)
+    val nr = size(gr).cast(LongType)
+    val p = when(nc > 0, round(overlap / nc, 6)).otherwise(lit(0.0))
+    val r = when(nr > 0, round(overlap / nr, 6)).otherwise(lit(0.0))
+    val f1 = when(p + r > 0, round(lit(2.0) * p * r / (p + r), 6))
+      .otherwise(lit(0.0))
+    struct(overlap.as("overlap"), nc.as("cand_grams"), nr.as("ref_grams"),
+      p.as("precision"), r.as("recall"), f1.as("f1"))
+  }
+
   /** Like [[shingles]] but EMPTY (not whole-text) below n tokens —
     * repetition fractions need "no bigrams" to mean 0, not 1. */
   private def shinglesStrict(c: Column, n: Int): Column = {

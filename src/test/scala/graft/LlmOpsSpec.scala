@@ -1349,6 +1349,55 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rougeN: clipped multiset overlap, degenerate sides") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a b c a b", "a b d a b"), // "a b"×2 both sides → overlap 2 of 4
+      ("a b c", "x"),             // ref has no bigrams → recall/f1 = 0
+      ("", "a b")                 // cand empty
+    ).toDF("cand", "ref")
+    val r = df.select(rougeN(col("cand"), col("ref"), 2).as("r"))
+      .select("r.overlap", "r.cand_grams", "r.ref_grams", "r.precision",
+        "r.recall", "r.f1")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(r(0) == ((2L, 4L, 4L, 0.5, 0.5, 0.5)))
+    assert(r(1) == ((0L, 2L, 0L, 0.0, 0.0, 0.0)))
+    assert(r(2) == ((0L, 0L, 1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("corpusDivergence: 0 on identical corpora, ln 2 on disjoint") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("red green blue", "red green").toDF("text")
+    val b = Seq("cyan magenta yellow", "cyan magenta").toDF("text")
+    val same = graft.ops.Eval.corpusDivergence(a, a, "text")
+      .select("jsd_nano").as[Long].head()
+    assert(same == 0L) // p = q term-by-term → every contribution exactly 0
+    val disj = graft.ops.Eval.corpusDivergence(a, b, "text")
+      .select("jsd").as[Double].head()
+    assert(math.abs(disj - math.log(2.0)) < 1e-5,
+      s"disjoint corpora should hit the ln 2 bound, got $disj")
+  }
+
+  test("agreementKappa: textbook 2x2 contingency") {
+    val s = spark
+    import s.implicits._
+    // po = 35/50 = 0.7; pe = (25·30 + 25·20)/50² = 0.5; κ = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq((null.asInstanceOf[String], "yes")) // null label → excluded
+    val r = graft.ops.Eval.agreementKappa(rows.toDF("a", "b"), "a", "b")
+      .select("n", "po", "pe", "kappa")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r == ((50L, 0.7, 0.5, 0.4)))
+    // degenerate: single shared label → pe = 1 → κ pinned to 1
+    val one = graft.ops.Eval.agreementKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .select("kappa").as[Double].head()
+    assert(one == 1.0)
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits") {
     val s = spark
     import s.implicits._
