@@ -3175,6 +3175,40 @@ object SparkEntry {
       |   / len(list_distinct(list_concat(t.sa, b.sa))) >= 0.8
       |ORDER BY train_id, bench_id""".stripMargin)),
 
+    Q("graph_triangles", (s, dir) => {
+      // per-node triangle counts + clustering coefficient on a
+      // deterministic 40-node graph derived from doc ids (dense enough
+      // for real triangles). DuckDB replays normalize → degree-orient →
+      // wedge join → closing-edge join → 3-way credit exactly.
+      val e = Tables(s, dir).documents.select(
+        (col("doc_id") % 40).as("a"),
+        ((col("doc_id") * 7 + 3) % 40).as("b"))
+      graft.ops.Graph.triangleCounts(e, "a", "b")
+        .sortByKeys(SortKey("node"))
+    }, Some("""WITH e0 AS (SELECT doc_id % 40 AS a,
+      |  (doc_id * 7 + 3) % 40 AS b FROM documents),
+      |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM e0 WHERE a <> b),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+      |  SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+      |rk AS (SELECT und.u, und.v, du.deg AS du, dv.deg AS dv FROM und
+      |  JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v),
+      |ori AS (SELECT
+      |  CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS s,
+      |  CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS d FROM rk),
+      |tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      |  FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.d < e2.d
+      |  JOIN und ON und.u = e1.d AND und.v = e2.d),
+      |cr AS (SELECT n, CAST(count(*) AS BIGINT) AS triangles FROM (
+      |  SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri) GROUP BY 1)
+      |SELECT deg.n AS node, deg.deg,
+      |  coalesce(cr.triangles, 0) AS triangles,
+      |  CASE WHEN deg.deg >= 2 THEN ROUND(2.0 * coalesce(cr.triangles, 0)
+      |    / (deg.deg * (deg.deg - 1)), 6) ELSE 0.0 END AS cc
+      |FROM deg LEFT JOIN cr ON deg.n = cr.n
+      |ORDER BY node""".stripMargin)),
+
     Q("graph_pagerank", (s, dir) => {
       // PageRank over a deterministic synthetic link graph (every doc
       // links to (id·31 + j) mod N, j ∈ 1..3 — so out-degree is 3 and no

@@ -80,4 +80,66 @@ object Graph {
     cache.trackRelease(freeRanks)
     ranks
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected graph given as an edge list (duplicate / reversed / self
+    * edges tolerated — normalized first). Returns
+    * (node, deg, triangles, cc) for every node, cc = 2T/(deg·(deg−1))
+    * rounded 6dp (0.0 below degree 2). Triangle density is the
+    * community-structure signal PageRank can't see (spam farms are
+    * high-rank but triangle-poor; organic neighborhoods are clustered).
+    *
+    * Enumeration is the Schank–Wagner "forward" algorithm: orient every
+    * edge from its lower (degree, id) endpoint to the higher — in any
+    * triangle only the minimum-rank vertex then has TWO outgoing edges,
+    * so counting wedges (s→d1, s→d2) closed by the undirected edge
+    * {d1, d2} sees each triangle exactly once, no post-dedup.
+    *
+    * Scale shape: degree ORIENTATION is the part that survives skew —
+    * oriented out-degrees are O(√m) on any graph (arboricity bound), so
+    * the wedge self-join fans out Σ d_out² ≤ O(m^1.5) instead of the
+    * Σ deg² a naive wedge join pays on power-law graphs (a single
+    * 10⁶-degree hub would otherwise emit 10¹² wedges). Joins: normalize
+    * (one distinct shuffle) → skinny degree rollup → wedge self-join on
+    * the source key → closing hash join on the canonical (lo, hi) pair
+    * (shuffle-hash pinned: the edge side is ≪ the wedge side; sort-merge
+    * would sort the wedges for nothing) → 3 credit rows per triangle →
+    * one count shuffle. Every wire row is a pair/triple of longs. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val deg = und.select(col("u").as("n"))
+      .union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    val tri = ranked.as("e1")
+      .join(ranked.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.d") < col("e2.d"))
+      .select(col("e1.s").as("a"), col("e1.d").as("b"), col("e2.d").as("c"))
+      .join(und.hint("shuffle_hash"),
+        col("u") === col("b") && col("v") === col("c"))
+      .select(col("a"), col("b"), col("c"))
+    val credits = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    deg.join(credits, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc",
+        when(col("deg") >= 2,
+          round(lit(2.0) * col("triangles") /
+            (col("deg") * (col("deg") - lit(1L))), 6))
+          .otherwise(lit(0.0)))
+  }
 }

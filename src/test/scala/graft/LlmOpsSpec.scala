@@ -1398,6 +1398,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(one == 1.0)
   }
 
+  test("triangleCounts: K4 + pendant, duplicate/reversed/self edges normalized") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5-1; noise:
+    // a reversed duplicate, an exact duplicate, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)
+    ).toDF("a", "b")
+    val r = graft.ops.Graph.triangleCounts(edges, "a", "b")
+      .orderBy("node")
+      .select("node", "deg", "triangles", "cc")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // node 1 has deg 4 (K4 + pendant): cc = 2*3/(4*3) = 0.5;
+    // nodes 2-4 have deg 3: cc = 2*3/(3*2) = 1.0; pendant cc = 0
+    assert(r == Seq(
+      (1L, 4L, 3L, 0.5), (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0),
+      (4L, 3L, 3L, 1.0), (5L, 1L, 0L, 0.0)))
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits") {
     val s = spark
     import s.implicits._
