@@ -1735,6 +1735,54 @@ object SparkEntry {
       |  ELSE ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
       |FROM r""".stripMargin)),
 
+    Q("label_report", (s, dir) => {
+      // per-class precision/recall/F1: truth = the 500/1000 length-band
+      // annotator, pred = the 480/1050 one — off-diagonal mass lands in
+      // fp/fn so the report does real work.
+      val docs = Tables(s, dir).documents
+      val len = length(col("text"))
+      val la = when(len < 500, "short").when(len < 1000, "medium")
+        .otherwise("long")
+      val lb = when(len < 480, "short").when(len < 1050, "medium")
+        .otherwise("long")
+      Eval.classificationReport(docs.select(la.as("t"), lb.as("p")),
+          "t", "p")
+        .sortByKeys(SortKey("label"))
+    }, Some("""WITH l AS (SELECT
+      |  CASE WHEN length(text) < 500 THEN 'short'
+      |       WHEN length(text) < 1000 THEN 'medium'
+      |       ELSE 'long' END AS t,
+      |  CASE WHEN length(text) < 480 THEN 'short'
+      |       WHEN length(text) < 1050 THEN 'medium'
+      |       ELSE 'long' END AS p
+      |  FROM documents),
+      |cell AS (SELECT t, p, CAST(count(*) AS BIGINT) AS c FROM l
+      |  GROUP BY 1, 2),
+      |lab AS (SELECT DISTINCT t AS label FROM cell
+      |  UNION SELECT DISTINCT p FROM cell),
+      |tp AS (SELECT t AS label, c AS tp FROM cell WHERE t = p),
+      |tt AS (SELECT t AS label, CAST(sum(c) AS BIGINT) AS support
+      |  FROM cell GROUP BY 1),
+      |pt AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS predicted
+      |  FROM cell GROUP BY 1),
+      |j AS (SELECT lab.label,
+      |  coalesce(tt.support, 0) AS support,
+      |  coalesce(tp.tp, 0) AS tp,
+      |  coalesce(pt.predicted, 0) - coalesce(tp.tp, 0) AS fp,
+      |  coalesce(tt.support, 0) - coalesce(tp.tp, 0) AS fn
+      |  FROM lab LEFT JOIN tp USING (label) LEFT JOIN tt USING (label)
+      |  LEFT JOIN pt USING (label)),
+      |pr AS (SELECT label, support, tp, fp, fn,
+      |  CASE WHEN tp + fp > 0 THEN ROUND(tp / (tp + fp), 6)
+      |    ELSE 0.0 END AS precision,
+      |  CASE WHEN support > 0 THEN ROUND(tp / support, 6)
+      |    ELSE 0.0 END AS recall FROM j)
+      |SELECT label, support, tp, fp, fn, precision, recall,
+      |  CASE WHEN precision + recall > 0
+      |    THEN ROUND(2.0 * precision * recall / (precision + recall), 6)
+      |    ELSE 0.0 END AS f1
+      |FROM pr ORDER BY label""".stripMargin)),
+
     Q("text_chunk_windows", (s, dir) => {
       // overlapping 64-token windows advancing by 48 (16-token overlap):
       // the training-prep "overflowing tokens" shape; empty docs keep one

@@ -59,6 +59,56 @@ object Eval {
       .withColumn("jsd", round(col("jsd_nano") / lit(1e9), 6))
   }
 
+  /** Per-class precision/recall/F1 against a truth column — the
+    * classifier-QA report for label pipelines (quality classifiers,
+    * lang-id, toxicity tags). Returns one row per label seen in EITHER
+    * column: (label, support, tp, fp, fn, precision, recall, f1);
+    * support = truth occurrences, fp/fn derived from the marginals
+    * (fp = predicted − tp, fn = support − tp), ratios rounded 6dp with
+    * 0.0 on empty denominators, f1 from the ROUNDED p/r (mirrored by
+    * the oracle). Null in either column excludes the row.
+    *
+    * Scale shape: ONE corpus-sized shuffle builds the (truth, pred)
+    * contingency cells; everything after — label set, diagonal,
+    * marginals — rolls up the already-counted cells (label space ≪
+    * corpus), joined on the label key. */
+  def classificationReport(df: DataFrame, truthCol: String,
+      predCol: String): DataFrame = {
+    val cell = df
+      .where(col(truthCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("c"))
+    val labels = cell.select(col("t").as("label"))
+      .union(cell.select(col("p").as("label"))).distinct()
+    val tp = cell.where(col("t") === col("p"))
+      .select(col("t").as("label"), col("c").as("tp"))
+    val truthTot = cell.groupBy(col("t").as("label"))
+      .agg(sum(col("c")).as("support"))
+    val predTot = cell.groupBy(col("p").as("label"))
+      .agg(sum(col("c")).as("predicted"))
+    val j = labels
+      .join(tp, Seq("label"), "left")
+      .join(truthTot, Seq("label"), "left")
+      .join(predTot, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("predicted"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+    val p = when(col("tp") + col("fp") > 0,
+      round(col("tp") / (col("tp") + col("fp")), 6)).otherwise(lit(0.0))
+    val r = when(col("support") > 0,
+      round(col("tp") / col("support"), 6)).otherwise(lit(0.0))
+    j.withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Cohen's kappa between two categorical label columns over the same
     * rows — the inter-annotator / model-vs-model agreement measure that
     * corrects for chance: κ = (p_o − p_e)/(1 − p_e) with p_o the

@@ -1418,6 +1418,26 @@ class LlmOpsSpec extends AnyFunSuite {
       (4L, 3L, 3L, 1.0), (5L, 1L, 0L, 0.0)))
   }
 
+  test("classificationReport: per-class PRF incl. never-predicted label") {
+    val s = spark
+    import s.implicits._
+    // truth: 3a 2b 1c; pred never says c, misfires once on a and b+c
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "a"), ("c", "b"))
+    val r = graft.ops.Eval.classificationReport(rows.toDF("t", "p"),
+        "t", "p")
+      .orderBy("label")
+      .select("label", "support", "tp", "fp", "fn", "precision",
+        "recall", "f1")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // a: tp2 fp1 fn1 → p=2/3 r=2/3; b: tp1 fp2 fn1 → p=1/3 r=1/2;
+    // c: never predicted → all zeros except support/fn
+    assert(r(0) == (("a", 3L, 2L, 1L, 1L, 0.666667, 0.666667, 0.666667)))
+    assert(r(1) == (("b", 2L, 1L, 2L, 1L, 0.333333, 0.5, 0.4)))
+    assert(r(2) == (("c", 1L, 0L, 0L, 1L, 0.0, 0.0, 0.0)))
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits") {
     val s = spark
     import s.implicits._
