@@ -1629,15 +1629,8 @@ object SparkEntry {
       val a = t.select(col("doc_id"), col("text").as("cand"))
       val b = t.select((col("doc_id") - 1).as("doc_id"),
         col("text").as("ref"))
-      a.join(b, Seq("doc_id"))
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.rougeN(col("cand"), col("ref"), 2)
-            .as("r"))
-        .select(col("doc_id"), col("r.overlap").as("overlap"),
-          col("r.cand_grams").as("cand_grams"),
-          col("r.ref_grams").as("ref_grams"),
-          col("r.precision").as("precision"), col("r.recall").as("recall"),
-          col("r.f1").as("f1"))
+      graft.functions.TextFunctions.rougeReport(a.join(b, Seq("doc_id")),
+          "doc_id", "cand", "ref", 2)
         .sortByKeys(SortKey("doc_id"))
     }, Some("""WITH pair AS (SELECT a.doc_id, a.text AS cand, b.text AS ref
       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),

@@ -698,9 +698,13 @@ object TextFunctions {
     * 6dp so both engines agree bit-for-bit; degenerate sides (no grams)
     * report 0.0, never null/NaN.
     *
-    * Scale shape: pure per-row array expression over the two gram
-    * multisets (distinct-gram loop × contains scan — quadratic in DOC
-    * grams, not corpus) — scan-side, no shuffle, no UDF. */
+    * SHORT-TEXT form: a pure per-row array expression whose
+    * distinct-gram × contains scan is quadratic in the row's grams AND
+    * re-derives the gram arrays inside the HOF lambda — fine for
+    * titles/snippets, hostile to documents (measured: pathological on
+    * ~50-gram docs at sf0.1 — the repeated subtree evaluation, not the
+    * row count). Document-scale scoring uses [[rougeReport]], the
+    * linear explode-and-count form the oracle query runs. */
   def rougeN(cand: Column, ref: Column, n: Int): Column = {
     val gc = shinglesStrict(cand, n)
     val gr = shinglesStrict(ref, n)
@@ -716,6 +720,47 @@ object TextFunctions {
       .otherwise(lit(0.0))
     struct(overlap.as("overlap"), nc.as("cand_grams"), nr.as("ref_grams"),
       p.as("precision"), r.as("recall"), f1.as("f1"))
+  }
+
+  /** Document-scale [[rougeN]]: same clipped-multiset semantics as the
+    * scalar form (bit-identical results), computed the distributed way —
+    * each side explodes ONCE to (key, gram) counts (two count shuffles
+    * with map-side partials), overlap = Σ min(count_cand, count_ref)
+    * via a skinny join on the (key, gram) key, gram totals roll up the
+    * already-counted cells. Linear in corpus grams; nothing quadratic,
+    * nothing re-evaluated per element. Rows whose sides share no gram
+    * (or have none) still report, with overlap 0. */
+  def rougeReport(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      candCol: String, refCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "rougeReport: n must be >= 1")
+    def gramCounts(c: String, cnt: String): org.apache.spark.sql.DataFrame =
+      df.select(col(keyCol), explode(shinglesStrict(col(c), n)).as("g"))
+        .groupBy(col(keyCol), col("g")).agg(count(lit(1)).as(cnt))
+    val gc = gramCounts(candCol, "cc")
+    val gr = gramCounts(refCol, "rc")
+    val ov = gc.join(gr, Seq(keyCol, "g"))
+      .groupBy(col(keyCol))
+      .agg(sum(least(col("cc"), col("rc"))).as("overlap"))
+    val nc = gc.groupBy(col(keyCol)).agg(sum(col("cc")).as("cand_grams"))
+    val nr = gr.groupBy(col(keyCol)).agg(sum(col("rc")).as("ref_grams"))
+    val j = df.select(col(keyCol))
+      .join(ov, Seq(keyCol), "left")
+      .join(nc, Seq(keyCol), "left")
+      .join(nr, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("cand_grams"), lit(0L)).as("cand_grams"),
+        coalesce(col("ref_grams"), lit(0L)).as("ref_grams"))
+    val p = when(col("cand_grams") > 0,
+      round(col("overlap") / col("cand_grams"), 6)).otherwise(lit(0.0))
+    val r = when(col("ref_grams") > 0,
+      round(col("overlap") / col("ref_grams"), 6)).otherwise(lit(0.0))
+    j.withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6))
+          .otherwise(lit(0.0)))
   }
 
   /** Like [[shingles]] but EMPTY (not whole-text) below n tokens —

@@ -1366,6 +1366,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(2) == ((0L, 0L, 1L, 0.0, 0.0, 0.0)))
   }
 
+  test("rougeReport: bit-identical to scalar rougeN, total over no-overlap rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c a b", "a b d a b"),
+      (2L, "a b c", "x"),
+      (3L, "", "a b"),
+      (4L, "p q r", "z z z") // no shared gram — must still report
+    ).toDF("id", "cand", "ref")
+    val viaScalar = df.select(col("id"),
+        rougeN(col("cand"), col("ref"), 2).as("r"))
+      .select(col("id"), col("r.overlap"), col("r.cand_grams"),
+        col("r.ref_grams"), col("r.precision"), col("r.recall"),
+        col("r.f1"))
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    val viaReport = rougeReport(df, "id", "cand", "ref", 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(viaReport == viaScalar)
+    assert(viaReport.map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("corpusDivergence: 0 on identical corpora, ln 2 on disjoint") {
     val s = spark
     import s.implicits._
