@@ -3155,6 +3155,39 @@ object SparkEntry {
       |FROM events WINDOW w AS (PARTITION BY user_id)
       |ORDER BY event_id""".stripMargin)),
 
+    Q("series_winsorize", (s, dir) => {
+      // per-group outlier capping at the exact [p5, p95] (R-7 = DuckDB
+      // quantile_cont): bounds round 6dp BEFORE clipping so the clip
+      // decision is engine-independent; in-range values pass through
+      // exact
+      winsorizeBy(Tables(s, dir).lineitem, "l_extendedprice",
+          Seq("l_returnflag"), 0.05, 0.95)
+        .selectNames(Seq("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_extendedprice_w"))
+        .sortByKeys(SortKey("l_orderkey"), SortKey("l_linenumber"))
+    }, Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  least(greatest(l_extendedprice,
+      |    ROUND(quantile_cont(l_extendedprice, 0.05) OVER w, 6)),
+      |    ROUND(quantile_cont(l_extendedprice, 0.95) OVER w, 6))
+      |    AS l_extendedprice_w
+      |FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("series_robust_z", (s, dir) => {
+      // per-user median/MAD z-score (1.4826 consistency constant; MAD=0
+      // → null) — the outlier-resistant sibling of series_zscore
+      robustZBy(Tables(s, dir).events, "value", Seq("user_id"))
+        .selectNames(Seq("event_id", "value_rz"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""WITH m AS (SELECT event_id, user_id, value,
+      |  quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+      |  FROM events),
+      |d AS (SELECT *, abs(value - med) AS dev FROM m)
+      |SELECT event_id, ROUND((value - med) /
+      |  NULLIF(1.4826 * quantile_cont(dev, 0.5)
+      |    OVER (PARTITION BY user_id), 0.0), 6) AS value_rz
+      |FROM d ORDER BY event_id""".stripMargin)),
+
     Q("snapshot_diff", (s, dir) => {
       // corpus version diff: v2 drops every 30th doc, edits every 11th
       // survivor, adds a copy of every 40th at id+900000. The operator

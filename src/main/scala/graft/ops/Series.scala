@@ -112,6 +112,54 @@ object Series {
         nullif(stddev_pop(col(c)).over(w), lit(0.0)))
   }
 
+  /** Per-group winsorization: clip `c` to its group's [lo, hi] exact
+    * percentiles (R-7 interpolation — DuckDB `quantile_cont` parity,
+    * same as `percentilesFor`) — the outlier-capping data-cleaning step
+    * that keeps rows (unlike a filter) while bounding the tails feature
+    * scaling/aggregates see. Bounds round to 6dp BEFORE clipping so the
+    * clip decision is engine-independent; in-range values pass through
+    * EXACT (no arithmetic touches them). Same one-shuffle window shape
+    * as [[standardizeBy]]: percentiles are window aggregates over the
+    * unbounded partition, no aggregate+join round trip. Adds `{c}_w`. */
+  def winsorizeBy(df: DataFrame, c: String, partition: Seq[String],
+      lo: Double, hi: Double): DataFrame = {
+    require(partition.nonEmpty,
+      "winsorizeBy: empty partition keys = one global window task")
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      "winsorizeBy: need 0 <= lo < hi <= 1")
+    val w = Window.partitionBy(partition.map(col): _*)
+    val qlo = round(percentile(col(c), lit(lo)).over(w), 6)
+    val qhi = round(percentile(col(c), lit(hi)).over(w), 6)
+    df.withColumn(s"${c}_w", least(greatest(col(c), qlo), qhi))
+  }
+
+  /** Per-group ROBUST z-score: (x − median) / (1.4826·MAD), the
+    * outlier-resistant alternative to [[standardizeBy]] (one wild value
+    * drags a mean/σ z-score; the median/MAD version shrugs it off —
+    * the standard data-QC scoring for heavy-tailed metrics). MAD =
+    * median(|x − median|), both medians exact R-7; 1.4826 is the normal
+    * consistency constant, so thresholds transfer from σ-land. MAD = 0
+    * (over half the group tied) yields null, never ±Inf. Two window
+    * passes over the SAME partitioning — Spark reuses the single hash
+    * shuffle; rounding at 6dp happens on the OUTPUT (median/MAD are
+    * interpolated doubles, the ratio mirrors engine-for-engine). Adds
+    * `{c}_rz`. */
+  def robustZBy(df: DataFrame, c: String, partition: Seq[String])
+      : DataFrame = {
+    require(partition.nonEmpty,
+      "robustZBy: empty partition keys = one global window task")
+    val w = Window.partitionBy(partition.map(col): _*)
+    val med = percentile(col(c), lit(0.5)).over(w)
+    val dev = abs(col(c) - med)
+    val withDev = df.withColumn("__med", med).withColumn("__dev", dev)
+    val mad = percentile(col("__dev"), lit(0.5)).over(w)
+    withDev
+      .withColumn(s"${c}_rz",
+        round((col(c) - col("__med")) /
+          nullif(lit(1.4826) * mad, lit(0.0)), 6))
+      .drop("__med", "__dev")
+  }
+
   /** Time-series resample with gap fill (beyond the reference — the
     * downsample-and-regularize step every metrics/feature pipeline needs):
     * bucket each series into fixed `bucketUs`-micros intervals, aggregate

@@ -87,6 +87,36 @@ class SeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Series.spec(Nil, Seq(col("day"))) }
   }
 
+  test("winsorizeBy: exact R-7 bounds clip tails, body passes through exact") {
+    val s = spark
+    import s.implicits._
+    // group g: 1..10 → p10 = 1.9, p90 = 9.1 (R-7); 1→1.9, 10→9.1
+    val d = (1 to 10).map(i => ("g", i.toDouble)).toDF("k", "x")
+    val r = graft.ops.Series.winsorizeBy(d, "x", Seq("k"), 0.1, 0.9)
+      .orderBy("x").select("x", "x_w").as[(Double, Double)]
+      .collect().toSeq
+    assert(r.head == ((1.0, 1.9)))
+    assert(r.last == ((10.0, 9.1)))
+    // everything strictly inside the bounds is untouched, bit-for-bit
+    assert(r.filter(v => v._1 > 1.9 && v._1 < 9.1).forall(v => v._1 == v._2))
+  }
+
+  test("robustZBy: median/MAD scoring, MAD=0 group yields null") {
+    val s = spark
+    import s.implicits._
+    // group a: 1,2,3,4,100 → med 3, |dev| = 2,1,0,1,97 → MAD 1
+    // group b: constant → MAD 0 → null
+    val d = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
+      Seq(5.0, 5.0, 5.0).map(("b", _))).toDF("k", "x")
+    val r = graft.ops.Series.robustZBy(d, "x", Seq("k"))
+      .select("k", "x", "x_rz").as[(String, Double, Option[Double])]
+      .collect().toSeq.sortBy(v => (v._1, v._2))
+    val a = r.filter(_._1 == "a").map(_._3.get)
+    // (x − 3)/1.4826: the outlier scores 65.4, the body stays small
+    assert(a == Seq(-1.348982, -0.674491, 0.0, 0.674491, 65.425604))
+    assert(r.filter(_._1 == "b").forall(_._3.isEmpty))
+  }
+
   test("partitioned window plans have partition keys in Window exec") {
     val plan = df.diff("temp", Seq("city"), Seq(col("day")), "d")
       .queryExecution.executedPlan.toString
