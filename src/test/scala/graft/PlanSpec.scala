@@ -164,6 +164,35 @@ class PlanSpec extends AnyFunSuite {
     assert(genned == interp)
   }
 
+  test("bm25: query terms broadcast; postings pruned before df/dl join in") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the broadcast (query-term) join must sit BELOW the df/dl joins in
+    // the operator chain: postings shrink to query terms first
+    val lines = p.linesIterator.toSeq
+    val bcast = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(bcast >= 0)
+    // no cartesian beyond the intentional 1-row stats broadcast
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian")
+  }
+
+  test("duplicated-span detection joins dup keys shuffle-hash, windows per doc") {
+    val p = plan("dedup_spans")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "span dedup must stay equi-join")
+    // island merge runs as per-doc windows, never a global sort
+    assert(p.contains("Window"), "expected gaps-and-islands windows")
+  }
+
+  test("triangle counting: closing-edge join shuffle-hash, no cartesian") {
+    val p = plan("graph_triangles")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration must stay equi-join")
+  }
+
   /** Run `body` with SQLConf overrides, restoring prior values after. */
   private def withConf[A](kvs: (String, String)*)(body: => A): A = {
     val conf = spark.conf
