@@ -496,6 +496,46 @@ object SparkEntry {
     // ================= §2.6 grouping & aggregation ====================
     Q("q1_agg", (s, dir) => q1Agg(Tables(s, dir)), Some(q1Sql)),
 
+    Q("q3_shipping", (s, dir) => {
+      // TPC-H Q3 shape (shippriority column absent from the synthetic
+      // schema → orderpriority): filtered BUILDING customers broadcast
+      // as the dim side, date filters pushed to both fact scans, one
+      // agg shuffle, top-10 by revenue with a fully deterministic
+      // tie-break.
+      val t = Tables(s, dir)
+      val cut = lit("1995-03-15").cast(TimestampType)
+      val cust = t.customer
+        .filterRows(col("c_mktsegment") === "BUILDING")
+        .selectNames(Seq("c_custkey"))
+      val ord = t.orders.filterRows(col("o_orderdate") < cut)
+        .selectNames(Seq("o_orderkey", "o_custkey", "o_orderdate",
+          "o_orderpriority"))
+      val li = t.lineitem.filterRows(col("l_shipdate") > cut)
+        .selectNames(Seq("l_orderkey", "l_extendedprice", "l_discount"))
+      li.join(ord.join(broadcast(cust),
+            col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupAgg(Seq("l_orderkey", "o_orderdate", "o_orderpriority"),
+          Seq(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue")))
+        .setCol("o_orderdate", col("o_orderdate").cast(StringType))
+        .sortByKeys(SortKey("revenue", desc = true), SortKey("o_orderdate"),
+          SortKey("l_orderkey"))
+        .takeRows(10)
+        .selectNames(Seq("l_orderkey", "revenue", "o_orderdate",
+          "o_orderpriority"))
+    }, Some("""SELECT l_orderkey,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin)),
+
     Q("agg_count_where", (s, dir) => {
       Tables(s, dir).events
         .groupAgg(Seq("event_type"), Seq(
