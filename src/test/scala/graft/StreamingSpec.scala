@@ -25,6 +25,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
+  test("CountMin + HeavyHitters aggregate over a real stream (mergeable state)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Aggregators.{countMinUdaf, cmsEstimate, heavyHittersUdaf}
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val sketched = mem.toDF().toDF("w")
+      .agg(countMinUdaf(4, 1024)($"w").as("cms"),
+        heavyHittersUdaf(4)($"w").as("hh"))
+    val q = sketched.writeStream.format("memory")
+      .queryName("graft_cms_stream").outputMode("complete").start()
+    try {
+      // counts split ACROSS micro-batches: the final estimate proves the
+      // sketch state merges batch-over-batch, not per-batch
+      mem.addData(Seq.fill(30)("alpha") ++ Seq.fill(4)("beta"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(20)("alpha") ++ Seq.fill(3)("gamma"): _*)
+      q.processAllAvailable()
+      val r = s.sql("SELECT * FROM graft_cms_stream")
+        .select(cmsEstimate($"cms", "alpha", 4, 1024).as("a"),
+          cmsEstimate($"cms", "beta", 4, 1024).as("b"),
+          element_at($"hh", 1).getField("_1").as("top"))
+        .as[(Long, Long, String)].head()
+      assert(r == ((50L, 4L, "alpha")))
+    } finally q.stop()
+  }
+
   test("windowedAgg runs as a real stream with watermark") {
     val s = spark
     import s.implicits._
