@@ -440,14 +440,16 @@ object TextFunctions {
     * independent engine re-derives them bit-for-bit; ranking orders on
     * (score_micro desc, doc id asc).
     *
-    * Scale shape: the corpus tokenizes ONCE into skinny (id, term, tf)
-    * postings and (id, dl) lengths (one count shuffle each, map-side
-    * partials); N/avgdl ride a broadcast 1-row cross join (no driver
-    * scalar). The query term table is broadcast — postings are pruned to
-    * query terms BEFORE touching df or dl, so the joins after the first
-    * filter move only matching postings (≪ corpus for real queries); the
-    * final top-k is a per-query window over matches, never a global
-    * sort. Text never moves after the explode. */
+    * Scale shape: the corpus tokenizes and explodes ONCE into skinny
+    * (id, term, tf) postings (one count shuffle with map-side
+    * partials); doc lengths, term document-frequencies, AND avgdl are
+    * all rollups of the already-counted postings — the PMI-marginals
+    * pattern, nothing re-reads text. N/avgdl ride a broadcast 1-row
+    * cross join (no driver scalar). The query term table is broadcast —
+    * postings are pruned to query terms BEFORE touching df or dl, so
+    * the joins after the first filter move only matching postings
+    * (≪ corpus for real queries); the final top-k is a per-query window
+    * over matches, never a global sort. */
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, queries: org.apache.spark.sql.DataFrame,
       qIdCol: String, qTextCol: String, k: Int,
@@ -455,11 +457,11 @@ object TextFunctions {
     require(k > 0, "bm25TopK: k must be > 0")
     require(k1 >= 0, "bm25TopK: k1 must be >= 0")
     require(b >= 0 && b <= 1, "bm25TopK: b must be in [0,1]")
-    val toks = docs
+    val tf = docs
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(col("__id"), col("term"))
+      .groupBy(col("__id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("__id")).agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy(col("__id")).agg(sum(col("tf")).as("dl"))
     val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // N counts ALL docs (token-less ones included — they have dl rows
     // only when they produced tokens, but df/avgdl follow Lucene: avgdl
