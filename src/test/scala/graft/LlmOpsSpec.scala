@@ -1463,6 +1463,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(2) == (("c", 1L, 0L, 0L, 1L, 0.0, 0.0, 0.0)))
   }
 
+  test("new-op edge cases: no matches, no duplicates, no triangles") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    // BM25: query matching nothing → empty result, not an error
+    val qs = Seq((1, "nosuchterm")).toDF("query_id", "qtext")
+    assert(bm25TopK(docs, "text", "doc_id", qs, "query_id", "qtext",
+      k = 3).count() == 0)
+    // duplicateSpans: nothing repeats → empty report
+    assert(graft.ops.Dedup.duplicateSpans(docs, "text", "doc_id", l = 2)
+      .count() == 0)
+    // stripDuplicates stays total even when nothing strips
+    val st = graft.ops.Dedup.stripDuplicates(docs, "text", "doc_id", l = 2)
+      .orderBy("doc_id").select("text_dedup", "n_removed")
+      .as[(String, Long)].collect().toSeq
+    assert(st == Seq(("alpha beta", 0L), ("gamma delta", 0L)))
+    // triangle-free graph (a path) → all zeros, nodes still reported
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val tr = graft.ops.Graph.triangleCounts(path, "a", "b")
+      .orderBy("node").select("node", "triangles")
+      .as[(Long, Long)].collect().toSeq
+    assert(tr == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+    // rougeReport on an empty frame → empty, no plan-time failure
+    assert(rougeReport(docs.where(lit(false)), "doc_id", "text", "text", 2)
+      .count() == 0)
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits") {
     val s = spark
     import s.implicits._
