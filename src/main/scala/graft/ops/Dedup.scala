@@ -923,7 +923,26 @@ object Dedup {
       .select(col("id"), col("st").cast(LongType).as("st"),
         (col("st") + lit(l - 1)).cast(LongType).as("en"),
         (col("__rn") === 1).as("keep"))
-    val byDoc = occ.groupBy(col("id")).agg(
+    // merge each side's occurrence intervals per doc BEFORE the splice
+    // (coverage is invariant under union-merge): the containment probe
+    // then scans a handful of islands, not raw occurrences — a fully
+    // self-duplicated doc has O(tokens) occurrences but O(1) islands,
+    // and without this the probe is quadratic in the doc's dup region
+    val wPrev = Window.partitionBy(col("id"), col("keep"))
+      .orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id"), col("keep"))
+      .orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = occ
+      .withColumn("__pmax", max(col("en")).over(wPrev))
+      .withColumn("__brk",
+        when(col("__pmax").isNull || col("st") > col("__pmax") + 1, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__grp", sum(col("__brk")).over(wRun))
+      .groupBy(col("id"), col("keep"), col("__grp"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+    val byDoc = islands.groupBy(col("id")).agg(
       collect_list(when(!col("keep"), struct(col("st"), col("en"))))
         .as("__rm"),
       collect_list(when(col("keep"), struct(col("st"), col("en"))))
