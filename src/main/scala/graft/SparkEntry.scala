@@ -2628,6 +2628,58 @@ object SparkEntry {
       |FROM u LEFT JOIN d USING (doc_id)
       |ORDER BY u.doc_id""".stripMargin)),
 
+    Q("decontaminate_spans", (s, dir) => {
+      // SURGICAL decontamination: docs at doc_id%9==0 get a benchmark
+      // member's text appended (donor = (doc_id%10)*50, always a %50==0
+      // bench id) — the operator strips the quote, not the page; bench
+      // members themselves strip to empty. DuckDB replays token-level
+      // coverage from gram STRINGS.
+      val docs = Tables(s, dir).documents
+      val bench = docs.filterRows(col("doc_id") % 50 === 0)
+        .selectNames(Seq("text"))
+      val donor = docs.select(col("doc_id").as("bid"),
+        col("text").as("btext"))
+      val corpus = docs.selectNames(Seq("doc_id", "text"))
+        .join(donor, (col("doc_id") % 10) * 50 === col("bid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" "), col("btext")))
+            .otherwise(col("text")).as("text"))
+      Dedup.decontaminateSpans(corpus, bench, "text", "doc_id", l = 10)
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH dn AS (SELECT d.doc_id, CASE WHEN d.doc_id % 9 = 0
+      |  THEN d.text || ' ' || b.text ELSE d.text END AS text
+      |  FROM documents d JOIN documents b
+      |  ON b.doc_id = (d.doc_id % 10) * 50),
+      |t AS (SELECT doc_id, list_filter(regexp_split_to_array(
+      |  lower(coalesce(text, '')), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM dn),
+      |bt AS (SELECT list_filter(regexp_split_to_array(
+      |  lower(coalesce(text, '')), '\W+'), x -> len(x) > 0) AS tk
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |bg AS (SELECT DISTINCT array_to_string(tk[st+1:st+10], ' ') AS gram
+      |  FROM (SELECT tk, unnest(range(len(tk) - 9)) AS st FROM bt)),
+      |i AS (SELECT doc_id, tk, unnest(range(len(tk) - 9)) AS st FROM t),
+      |g AS (SELECT doc_id, st, st + 9 AS en,
+      |  array_to_string(tk[st+1:st+10], ' ') AS gram FROM i),
+      |h AS (SELECT g.doc_id, g.st, g.en FROM g JOIN bg USING (gram)),
+      |p AS (SELECT doc_id, unnest(tk) AS tok,
+      |  generate_subscripts(tk, 1) - 1 AS pos FROM t),
+      |f AS (SELECT p.doc_id, p.tok, p.pos,
+      |  EXISTS(SELECT 1 FROM h WHERE h.doc_id = p.doc_id
+      |    AND p.pos BETWEEN h.st AND h.en) AS rm FROM p),
+      |d2 AS (SELECT doc_id,
+      |  string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm)
+      |    AS text_clean,
+      |  CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      |  FROM f GROUP BY doc_id)
+      |SELECT dn.doc_id, coalesce(d2.text_clean, '') AS text_clean,
+      |  coalesce(d2.n_tok, 0) AS n_tok,
+      |  coalesce(d2.n_removed, 0) AS n_removed
+      |FROM dn LEFT JOIN d2 USING (doc_id)
+      |ORDER BY dn.doc_id""".stripMargin)),
+
     Q("dedup_ngram_jaccard", (s, dir) => {
       Tables(s, dir).documents
         .addCols("jaccard" -> round(Dedup.ngramJaccard(col("text"),

@@ -875,6 +875,75 @@ object Dedup {
         (col("end_tok") - col("start_tok") + 1).as("n_tok"))
   }
 
+  /** SURGICAL span-level decontamination: splice out of every corpus
+    * document each token interval covered by an L-gram that appears
+    * ANYWHERE in the benchmark — the middle ground between
+    * [[ngramContamination]] (tag only) and [[bloomDecontaminate]] (drop
+    * the whole doc): a crawl page that quotes one eval question loses
+    * the quote, not the page. Returns (id, text_clean, n_tok,
+    * n_removed), total over the corpus (null text → 0-token row).
+    * A doc that IS a benchmark member strips to empty; the seam tokens
+    * around an embedded quote survive (their windows straddle out of
+    * the quote and aren't benchmark grams).
+    *
+    * Scale shape: both sides collapse to skinny 128-bit gram keys (the
+    * gram string never moves); the benchmark side is distinct grams —
+    * eval sets are tiny, so the semi-join resolves broadcast under AQE;
+    * corpus-side hits merge per doc to islands (gaps-and-islands
+    * windows) and the splice probes the merged interval list only.
+    * Corpus text is read once and only flagged docs' token arrays are
+    * rebuilt. */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, l: Int): DataFrame = {
+    require(l >= 2, "decontaminateSpans: l must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val tk = graft.functions.TextFunctions.tokens(
+      coalesce(col(textCol), lit("")))
+    def gramsOf(df: DataFrame, withId: Boolean): DataFrame = {
+      val g = posexplode(
+        when(size(tk) >= l,
+          transform(sequence(lit(0), size(tk) - l),
+            i => substring(
+              sha2(concat_ws(" ", slice(tk, i + 1, lit(l))), 256), 1, 32)))
+          .otherwise(array().cast("array<string>")))
+      if (withId)
+        df.select(col(idCol).as("id"), g.as(Seq("st", "key")))
+      else df.select(g.as(Seq("st", "key"))).select(col("key")).distinct()
+    }
+    val hits = gramsOf(corpus, withId = true)
+      .join(gramsOf(benchmark, withId = false), Seq("key"), "left_semi")
+      .select(col("id"), col("st").cast(LongType).as("st"),
+        (col("st") + lit(l - 1)).cast(LongType).as("en"))
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = hits
+      .withColumn("__pmax", max(col("en")).over(wPrev))
+      .withColumn("__brk",
+        when(col("__pmax").isNull || col("st") > col("__pmax") + 1, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__grp", sum(col("__brk")).over(wRun))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("st"), col("en"))).as("__rm"))
+    corpus.select(col(idCol).as("id"), tk.as("__tk"))
+      .join(islands, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        filter(transform(col("__tk"), (t, i) => struct(i.as("p"), t.as("t"))),
+          e => col("__rm").isNull || !exists(col("__rm"), r =>
+            e.getField("p") >= r.getField("st") &&
+              e.getField("p") <= r.getField("en"))).as("__kept"),
+        size(col("__tk")).cast(LongType).as("n_tok"))
+      .select(col(idCol),
+        array_join(transform(col("__kept"), e => e.getField("t")), " ")
+          .as("text_clean"),
+        col("n_tok"),
+        (col("n_tok") - size(col("__kept"))).cast(LongType)
+          .as("n_removed"))
+  }
+
   /** The REWRITE side of [[duplicateSpans]]: drop all but one copy of
     * every duplicated substring (Lee et al. 2022 semantics) and return
     * every doc as (id, text_dedup, n_tok, n_removed), text token-joined.

@@ -1490,6 +1490,30 @@ class LlmOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("decontaminateSpans: strips the quote, not the page; bench member empties") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "q1 q2 q3 a b c"),        // leading benchmark quote
+      (2L, "x y q1 q2 q3 z"),        // embedded quote, seam tokens live
+      (3L, "clean doc nothing here"),
+      (4L, "q1 q2 q3"),              // IS the benchmark member
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val bench = Seq("q1 q2 q3").toDF("text")
+    val r = graft.ops.Dedup.decontaminateSpans(corpus, bench, "text",
+        "doc_id", l = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text_clean", "n_tok", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "a b c", 6L, 3L),
+      (2L, "x y z", 6L, 3L),
+      (3L, "clean doc nothing here", 4L, 0L),
+      (4L, "", 3L, 3L),
+      (5L, "", 0L, 0L)))
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits") {
     val s = spark
     import s.implicits._
