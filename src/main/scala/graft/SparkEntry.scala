@@ -1816,6 +1816,95 @@ object SparkEntry {
       |    ELSE 0.0 END AS f1
       |FROM pr ORDER BY label""".stripMargin)),
 
+    Q("label_auc", (s, dir) => {
+      // exact tie-aware AUC-ROC via per-distinct-score counts: score =
+      // (len%97)/97, label = len>290 — deterministic, tie-rich (97
+      // buckets over 500 docs), both replayable to the last bit (every
+      // U term is a multiple of 0.5 → order-free double sum)
+      val docs = Tables(s, dir).documents
+      val len = length(col("text"))
+      Eval.aucRoc(docs.select((len % 97 / lit(97.0)).as("score"),
+        when(len > 290, 1).otherwise(0).as("y")), "score", "y")
+    }, Some("""WITH r AS (SELECT (length(text) % 97) / 97.0 AS s,
+      |  CASE WHEN length(text) > 290 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |bs AS (SELECT s,
+      |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |  CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n
+      |  FROM r GROUP BY 1),
+      |wd AS (SELECT p, n, coalesce(sum(n) OVER (ORDER BY s
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below
+      |  FROM bs)
+      |SELECT CAST(sum(p + n) AS BIGINT) AS n,
+      |  CAST(sum(p) AS BIGINT) AS positives,
+      |  CAST(sum(n) AS BIGINT) AS negatives,
+      |  ROUND(sum(p * (n_below + n / 2.0)) / (sum(p) * sum(n)), 6) AS auc
+      |FROM wd""".stripMargin)),
+
+    Q("label_calibration", (s, dir) => {
+      // 10-bin reliability + Brier for the same deterministic scorer;
+      // per-row squares/probs round to nanos before summing so the
+      // aggregates are exact BIGINTs in any order
+      val docs = Tables(s, dir).documents
+      val len = length(col("text"))
+      Eval.calibrationReport(
+          docs.select((len % 97 / lit(97.0)).as("p"),
+            when(len > 290, 1).otherwise(0).as("y")), "p", "y", bins = 10)
+        .sortByKeys(SortKey("bin"))
+    }, Some("""WITH r AS (SELECT (length(text) % 97) / 97.0 AS p,
+      |  CASE WHEN length(text) > 290 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+      |  CAST(round(p * 1e9) AS BIGINT) AS pn,
+      |  CAST(round((p - y) * (p - y) * 1e9) AS BIGINT) AS sn, y FROM r),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(pn) AS BIGINT) AS spn, CAST(sum(sn) AS BIGINT) AS ssn,
+      |  CAST(sum(y) AS BIGINT) AS np FROM b GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+      |  CAST(sum(ssn) AS BIGINT) AS st FROM g)
+      |SELECT bin, n, ROUND(spn / 1e9 / n, 6) AS mean_pred,
+      |  ROUND(np / CAST(n AS DOUBLE), 6) AS frac_pos,
+      |  ROUND(st / 1e9 / nt, 6) AS brier
+      |FROM g CROSS JOIN t ORDER BY bin""".stripMargin)),
+
+    Q("label_kappa_weighted", (s, dir) => {
+      // quadratic weighted kappa over the ordinal length bands — for
+      // k=3 a one-band miss costs 1/4 of a two-band miss
+      val docs = Tables(s, dir).documents
+      val len = length(col("text"))
+      val la = when(len < 500, "short").when(len < 1000, "medium")
+        .otherwise("long")
+      val lb = when(len < 480, "short").when(len < 1050, "medium")
+        .otherwise("long")
+      Eval.weightedKappa(docs.select(la.as("a"), lb.as("b")), "a", "b",
+        Seq("short", "medium", "long"))
+    }, Some("""WITH l AS (SELECT
+      |  CASE WHEN length(text) < 500 THEN 'short'
+      |       WHEN length(text) < 1000 THEN 'medium'
+      |       ELSE 'long' END AS a,
+      |  CASE WHEN length(text) < 480 THEN 'short'
+      |       WHEN length(text) < 1050 THEN 'medium'
+      |       ELSE 'long' END AS b
+      |  FROM documents),
+      |m AS (SELECT
+      |  CASE a WHEN 'short' THEN 0 WHEN 'medium' THEN 1 ELSE 2 END AS ia,
+      |  CASE b WHEN 'short' THEN 0 WHEN 'medium' THEN 1 ELSE 2 END AS ib
+      |  FROM l),
+      |cell AS (SELECT ia, ib, CAST(count(*) AS BIGINT) AS c FROM m
+      |  GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+      |wo AS (SELECT CAST(sum((ia - ib) * (ia - ib) * c) AS BIGINT) AS wo
+      |  FROM cell),
+      |ma AS (SELECT ia, CAST(sum(c) AS BIGINT) AS ca FROM cell GROUP BY 1),
+      |mb AS (SELECT ib, CAST(sum(c) AS BIGINT) AS cb FROM cell GROUP BY 1),
+      |we AS (SELECT CAST(sum((ia - ib) * (ia - ib) * ca * cb) AS BIGINT)
+      |  AS we FROM ma CROSS JOIN mb),
+      |r AS (SELECT n.n, ROUND(wo.wo / n.n, 6) AS po_w,
+      |  ROUND(we.we / n.n / n.n, 6) AS pe_w FROM n, wo, we)
+      |SELECT n, po_w, pe_w, CASE WHEN pe_w = 0.0 THEN 1.0
+      |  ELSE ROUND(1.0 - po_w / pe_w, 6) END AS kappa_w
+      |FROM r""".stripMargin)),
+
     Q("text_chunk_windows", (s, dir) => {
       // overlapping 64-token windows advancing by 48 (16-token overlap):
       // the training-prep "overflowing tokens" shape; empty docs keep one

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,6 +57,119 @@ object Eval {
         round(contrib * lit(1e9)).cast(LongType).as("nano"))
       .agg(count(lit(1)).as("n_terms"), sum(col("nano")).as("jsd_nano"))
       .withColumn("jsd", round(col("jsd_nano") / lit(1e9), 6))
+  }
+
+  /** Exact AUC-ROC of a score column against a binary label — the
+    * threshold-free classifier metric (quality/toxicity classifier QA).
+    * Mann–Whitney formulation with exact tie handling: collapse the
+    * corpus to per-DISTINCT-SCORE (positives, negatives) counts first —
+    * the scale move: the only corpus-sized work is ONE count shuffle,
+    * and the rank arithmetic runs over distinct scores (≪ corpus) —
+    * then U = Σ_s p_s·(N_below(s) + n_s/2), AUC = U/(P·N). Returns ONE
+    * row (n, positives, negatives, auc 6dp); degenerate single-class
+    * input yields null auc. Ordering ascending by score; ties
+    * contribute the exact ½ credit, no randomization. */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u = byScore
+      .withColumn("n_below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(
+        sum(col("p") + col("n")).as("n_rows"),
+        sum(col("p")).as("positives"),
+        sum(col("n")).as("negatives"),
+        sum(col("p") * (col("n_below") + col("n") / lit(2.0))).as("u"))
+    u.select(col("n_rows").as("n"), col("positives"), col("negatives"),
+      when(col("positives") > 0 && col("negatives") > 0,
+        round(col("u") / (col("positives") * col("negatives")), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("auc"))
+  }
+
+  /** Probability-calibration report for a [0,1] score column: global
+    * Brier score + per-bin reliability (n, mean predicted, observed
+    * positive rate). Determinism: per-row (p−y)² and p round to integer
+    * NANOS before summing (exact BIGINT aggregates, order-free); ratios
+    * round 6dp. Bin = floor(p·bins) clamped so p = 1.0 lands in the top
+    * bin. ONE count shuffle on the bin key; the global row is a rollup
+    * of the bins. Returns one row per non-empty bin:
+    * (bin, n, mean_pred, frac_pos, brier) — brier repeated per row
+    * (engines compare it everywhere, and the report stays one frame). */
+  def calibrationReport(df: DataFrame, probCol: String, labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, "calibrationReport: bins must be >= 1")
+    val p = col(probCol)
+    val y = col(labelCol).cast(DoubleType)
+    val binned = df
+      .where(p.isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(p * lit(bins)).cast(IntegerType), lit(bins - 1))
+          .as("bin"),
+        round(p * lit(1e9)).cast(LongType).as("p_nano"),
+        round((p - y) * (p - y) * lit(1e9)).cast(LongType).as("sq_nano"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("pos"))
+    val perBin = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      sum(col("p_nano")).as("pn"),
+      sum(col("sq_nano")).as("sn"),
+      sum(col("pos")).as("np"))
+    val tot = perBin.agg(sum(col("n")).as("nt"), sum(col("sn")).as("st"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        round(col("pn") / lit(1e9) / col("n"), 6).as("mean_pred"),
+        round(col("np") / col("n").cast(DoubleType), 6).as("frac_pos"),
+        round(col("st") / lit(1e9) / col("nt"), 6).as("brier"))
+  }
+
+  /** Quadratic WEIGHTED kappa over ordinal labels (Cohen 1968) — the
+    * agreement metric when disagreeing by one band should cost less
+    * than disagreeing by three (ratings, quality tiers):
+    * κ_w = 1 − Σ w_ij·o_ij / Σ w_ij·e_ij, w_ij = (i−j)²/(k−1)², with
+    * e the outer product of the marginals. `order` fixes the label →
+    * index mapping (labels outside it are excluded). Same scale shape
+    * as [[agreementKappa]]: one contingency shuffle, everything after
+    * rolls up the counted cells; the e-matrix join is label² rows.
+    * Exact integer/rational arithmetic until the final 6dp rounds
+    * (weighted sums carry (i−j)² as integers; the /(k−1)² constant
+    * cancels in the ratio, so it is never materialized). Returns ONE
+    * row (n, po_w, pe_w, kappa_w) with po_w/pe_w the weighted
+    * DISagreement rates (6dp), κ_w from the rounded pair. */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String,
+      order: Seq[String]): DataFrame = {
+    require(order.size >= 2, "weightedKappa: need >= 2 ordered labels")
+    require(order.distinct.size == order.size,
+      "weightedKappa: order must not repeat labels")
+    def idx(c: Column): Column = order.zipWithIndex.foldLeft(
+      lit(null).cast(IntegerType)) { case (acc, (l, i)) =>
+        when(c === l, lit(i)).otherwise(acc) }
+    val cell = df
+      .select(idx(col(aCol)).as("ia"), idx(col(bCol)).as("ib"))
+      .where(col("ia").isNotNull && col("ib").isNotNull)
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+    val n = cell.agg(sum(col("c")).as("n"))
+    val wObs = cell.agg(sum(
+      (col("ia") - col("ib")) * (col("ia") - col("ib")) * col("c"))
+      .as("wo"))
+    val ma = cell.groupBy(col("ia")).agg(sum(col("c")).as("ca"))
+    val mb = cell.groupBy(col("ib")).agg(sum(col("c")).as("cb"))
+    val wExp = ma.crossJoin(mb).agg(sum(
+      (col("ia") - col("ib")) * (col("ia") - col("ib")) *
+        col("ca") * col("cb")).as("we"))
+    val row = n.crossJoin(broadcast(wObs)).crossJoin(broadcast(wExp))
+    // po_w = Σw·o/n, pe_w = Σw·e/n² (the /(k−1)² normalizer cancels in
+    // κ_w = 1 − po_w/pe_w, so neither engine materializes it)
+    row.select(col("n"),
+        round(col("wo") / col("n"), 6).as("po_w"),
+        round(col("we") / col("n") / col("n"), 6).as("pe_w"))
+      .withColumn("kappa_w",
+        when(col("pe_w") === 0.0, lit(1.0))
+          .otherwise(round(lit(1.0) - col("po_w") / col("pe_w"), 6)))
   }
 
   /** Per-class precision/recall/F1 against a truth column — the

@@ -1405,6 +1405,57 @@ class LlmOpsSpec extends AnyFunSuite {
       s"disjoint corpora should hit the ln 2 bound, got $disj")
   }
 
+  test("aucRoc: exact tie handling, degenerate single class") {
+    val s = spark
+    import s.implicits._
+    // pos scores {0.8, 0.6}, neg {0.4, 0.6}: U = 1·1.5 + 1·2 = 3.5,
+    // AUC = 3.5/4 (the tie at 0.6 contributes exactly half credit)
+    val d = Seq((0.8, 1), (0.6, 1), (0.6, 0), (0.4, 0)).toDF("score", "y")
+    val r = graft.ops.Eval.aucRoc(d, "score", "y")
+      .select("n", "positives", "negatives", "auc")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((4L, 2L, 2L, 0.875)))
+    // perfect separation → 1.0; single class → null (0·N denominator)
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("score", "y")
+    assert(graft.ops.Eval.aucRoc(perfect, "score", "y")
+      .select("auc").as[Double].head() == 1.0)
+    val mono = Seq((0.9, 1), (0.8, 1)).toDF("score", "y")
+    assert(graft.ops.Eval.aucRoc(mono, "score", "y")
+      .select("auc").as[Option[Double]].head().isEmpty)
+  }
+
+  test("calibrationReport: nano-exact brier, bin stats, p=1 top bin") {
+    val s = spark
+    import s.implicits._
+    val d = (Seq.fill(4)((0.2, 0)) ++ Seq((0.2, 1)) ++
+      Seq.fill(2)((0.95, 1)) ++ Seq((1.0, 1))).toDF("p", "y")
+    val r = graft.ops.Eval.calibrationReport(d, "p", "y", bins = 10)
+      .orderBy("bin")
+      .select("bin", "n", "mean_pred", "frac_pos", "brier")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    // brier = (4·0.04 + 0.64 + 2·0.0025 + 0)/8 = 0.805/8 = 0.100625
+    assert(r == Seq(
+      (2, 5L, 0.2, 0.2, 0.100625),
+      (9, 3L, 0.966667, 1.0, 0.100625)))
+  }
+
+  test("weightedKappa: k=2 quadratic equals plain kappa; order guard") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = graft.ops.Eval.weightedKappa(rows.toDF("a", "b"), "a", "b",
+        Seq("no", "yes"))
+      .select("n", "po_w", "pe_w", "kappa_w")
+      .as[(Long, Double, Double, Double)].head()
+    // for k=2 the quadratic weights are 0/1 → κ_w = the plain κ = 0.4
+    assert(r == ((50L, 0.3, 0.5, 0.4)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Eval.weightedKappa(rows.toDF("a", "b"), "a", "b",
+        Seq("solo"))
+    }
+  }
+
   test("agreementKappa: textbook 2x2 contingency") {
     val s = spark
     import s.implicits._
