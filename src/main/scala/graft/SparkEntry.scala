@@ -3336,6 +3336,31 @@ object SparkEntry {
       |FROM events WINDOW w AS (PARTITION BY user_id)
       |ORDER BY event_id""".stripMargin)),
 
+    Q("series_ewma", (s, dir) => {
+      // per-user bounded EWMA (α=1/2, K=4): weights are exact binary
+      // halves built by repeated multiplication (no pow), the weighted
+      // sum is a fixed-order expression tree — bit-identical across
+      // engines before the 6dp round
+      ewmaBy(Tables(s, dir).events, "value", Seq("user_id"),
+          Seq("ts", "event_id"), alpha = 0.5, k = 4, as = "ewma")
+        .selectNames(Seq("event_id", "ewma"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""SELECT event_id, ROUND((
+      |  CASE WHEN value IS NOT NULL THEN value * 1.0 ELSE 0.0 END +
+      |  CASE WHEN lag(value, 1) OVER w IS NOT NULL
+      |    THEN lag(value, 1) OVER w * 0.5 ELSE 0.0 END +
+      |  CASE WHEN lag(value, 2) OVER w IS NOT NULL
+      |    THEN lag(value, 2) OVER w * 0.25 ELSE 0.0 END +
+      |  CASE WHEN lag(value, 3) OVER w IS NOT NULL
+      |    THEN lag(value, 3) OVER w * 0.125 ELSE 0.0 END) / (
+      |  CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END +
+      |  CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END +
+      |  CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END +
+      |  CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
+      |  ), 6) AS ewma
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin)),
+
     Q("series_winsorize", (s, dir) => {
       // per-group outlier capping at the exact [p5, p95] (R-7 = DuckDB
       // quantile_cont): bounds round 6dp BEFORE clipping so the clip

@@ -160,6 +160,45 @@ object Series {
       .drop("__med", "__dev")
   }
 
+  /** Per-key exponential moving average with a BOUNDED window (the
+    * K-term truncation of EWMA): smoothed_t =
+    * Σ_{j<K} (1−α)^j·x_{t−j} / Σ_{j<K, t−j exists} (1−α)^j — truncated
+    * tail, head-normalized (the first rows average over what exists, so
+    * the series starts unbiased instead of anchored to x_0). The
+    * metrics-smoothing/trend primitive `movingAverage` can't express
+    * (recency-weighted, smooth decay).
+    *
+    * Determinism without libm: the weights (1−α)^j are built by
+    * repeated MULTIPLICATION at plan time (j ≤ K literals — no pow),
+    * and the weighted sum is a FIXED-ORDER expression tree over the K
+    * lags, so every engine computes bit-identical doubles; output
+    * rounds 6dp. Scale shape: K lag() calls over ONE window spec = one
+    * hash shuffle on the keys + per-key sort, identical to
+    * [[movingAverage]]; K is a literal, the expression stays in
+    * whole-stage codegen. Nulls inside the window simply drop out of
+    * both sums (their weight joins the missing-head handling). */
+  def ewmaBy(df: DataFrame, c: String, partition: Seq[String],
+      orderCols: Seq[String], alpha: Double, k: Int, as: String): DataFrame = {
+    require(partition.nonEmpty,
+      "ewmaBy: empty partition keys = one global window task")
+    require(orderCols.nonEmpty, "ewmaBy: need an ordering (make it TOTAL " +
+      "— add a tiebreak column, or lag() peers are engine-dependent)")
+    require(alpha > 0 && alpha < 1, "ewmaBy: alpha must be in (0,1)")
+    require(k >= 1, "ewmaBy: k must be >= 1")
+    val w = Window.partitionBy(partition.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val weights = Iterator.iterate(1.0)(_ * (1.0 - alpha)).take(k).toSeq
+    val terms = weights.zipWithIndex.map { case (wt, j) =>
+      val x = if (j == 0) col(c) else lag(col(c), j).over(w)
+      (when(x.isNotNull, x * lit(wt)).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn(as,
+      when(den > 0, round(num / den, 6)).otherwise(lit(null).cast("double")))
+  }
+
   /** Time-series resample with gap fill (beyond the reference — the
     * downsample-and-regularize step every metrics/feature pipeline needs):
     * bucket each series into fixed `bucketUs`-micros intervals, aggregate

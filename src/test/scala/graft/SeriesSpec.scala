@@ -117,6 +117,24 @@ class SeriesSpec extends AnyFunSuite {
     assert(r.filter(_._1 == "b").forall(_._3.isEmpty))
   }
 
+  test("ewmaBy: head-normalized bounded decay, null-transparent") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(("a", 1, Some(1.0)), ("a", 2, Some(2.0)),
+      ("a", 3, None), ("a", 4, Some(4.0)), ("b", 1, Some(7.0)))
+      .toDF("k", "t", "x")
+    val r = graft.ops.Series.ewmaBy(d, "x", Seq("k"), Seq("t"),
+        alpha = 0.5, k = 3, as = "e")
+      .orderBy("k", "t").select("k", "t", "e")
+      .as[(String, Int, Option[Double])].collect().toSeq
+    // a@1: 1/1; a@2: (2+0.5)/1.5; a@3: null x drops out of BOTH sums →
+    // (0.5·2+0.25·1)/0.75; a@4: (4+0.25·2)/1.25; b@1 head = own value
+    assert(r == Seq(
+      ("a", 1, Some(1.0)), ("a", 2, Some(1.666667)),
+      ("a", 3, Some(1.666667)), ("a", 4, Some(3.6)),
+      ("b", 1, Some(7.0))))
+  }
+
   test("partitioned window plans have partition keys in Window exec") {
     val plan = df.diff("temp", Seq("city"), Seq(col("day")), "d")
       .queryExecution.executedPlan.toString
