@@ -1521,6 +1521,76 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("pipeline_clean_corpus", (s, dir) => {
+      // END-TO-END cleaning pipeline composition — the "switch your
+      // pipeline to this library" showcase: PII scrub → token-count
+      // quality gate → exact keep-first dedup (dedup sees gate
+      // survivors only — cheap filters run first), with per-doc
+      // attribution (kept, reason). Exact copies planted at id+10000
+      // (same woven raw, so scrubbed text collides); every stage reuses
+      // an oracle-proven fragment.
+      val id = col("doc_id")
+      val raw = concat(col("source"), lit(" reach me at user"),
+        id.cast(StringType), lit("@mail.example or 10."),
+        (id % 256).cast(StringType), lit(".0."),
+        ((id * 7) % 256).cast(StringType), lit(" call 555-"),
+        lpad((id % 1000).cast(StringType), 3, "0"), lit("-"),
+        lpad(((id * 37) % 10000).cast(StringType), 4, "0"),
+        lit(" "), col("text"))
+      val base = Tables(s, dir).documents.select(id, raw.as("raw"))
+      val copies = base.filterRows(id % 20 === 0)
+        .select((id + 10000).as("doc_id"), col("raw"))
+      val corpus = base.unionWide(copies)
+      val gated = corpus
+        .select(col("doc_id"), scrubPii(col("raw")).as("clean"))
+        .withColumn("n_tok", size(tokens(col("clean"))).cast(LongType))
+        .withColumn("pass_gate", col("n_tok") >= 40)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("clean")).orderBy(col("doc_id"))
+      val firsts = gated.where(col("pass_gate"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), (col("rn") === 1).as("first"))
+      gated.join(firsts, Seq("doc_id"), "left")
+        .withColumn("reason",
+          when(!col("pass_gate"), lit("too_short"))
+            .when(!col("first"), lit("duplicate"))
+            .otherwise(lit("ok")))
+        .select(col("doc_id"), (col("reason") === "ok").as("kept"),
+          col("reason"), col("n_tok"),
+          when(col("reason") === "ok", col("clean")).otherwise(lit(""))
+            .as("final_text"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH b AS (SELECT doc_id,
+      |  source || ' reach me at user' || CAST(doc_id AS VARCHAR)
+      |    || '@mail.example or 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |    || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |    || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |    || '-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+      |    || ' ' || text AS raw
+      |  FROM documents),
+      |u AS (SELECT doc_id, raw FROM b
+      |  UNION ALL SELECT doc_id + 10000, raw FROM b WHERE doc_id % 20 = 0),
+      |s AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\.(?:25[0-5]|2[0-4]\d|[01]?\d?\d)\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+      |  FROM u),
+      |tk AS (SELECT doc_id, clean, CAST(len(list_filter(
+      |  regexp_split_to_array(lower(clean), '\W+'), x -> len(x) > 0))
+      |  AS BIGINT) AS n_tok FROM s),
+      |g AS (SELECT *, n_tok >= 40 AS pass_gate FROM tk),
+      |r AS (SELECT doc_id, row_number() OVER (PARTITION BY clean
+      |  ORDER BY doc_id) = 1 AS first FROM g WHERE pass_gate),
+      |f AS (SELECT g.doc_id, g.clean, g.n_tok,
+      |  CASE WHEN NOT g.pass_gate THEN 'too_short'
+      |       WHEN NOT r.first THEN 'duplicate'
+      |       ELSE 'ok' END AS reason
+      |  FROM g LEFT JOIN r USING (doc_id))
+      |SELECT doc_id, reason = 'ok' AS kept, reason, n_tok,
+      |  CASE WHEN reason = 'ok' THEN clean ELSE '' END AS final_text
+      |FROM f ORDER BY doc_id""".stripMargin)),
+
     Q("text_lm_perplexity", (s, dir) => {
       // CCNet-style bigram-LM quality score: the corpus trains its own
       // smoothed LM, every doc scored by avg token log-prob. Per-bigram
