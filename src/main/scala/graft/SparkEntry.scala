@@ -2857,6 +2857,53 @@ object SparkEntry {
       |  / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
       |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_containment", (s, dir) => {
+      // asymmetric containment: each doc vs itself embedded in a longer
+      // wrapper — containment from the doc side is 1.0 (every shingle
+      // survives) while Jaccard is diluted by the wrapper; also scored
+      // vs a disjoint-vocabulary string (→ 0.0)
+      val wrapper = concat(lit("prefix words before quote "), col("text"),
+        lit(" suffix words after quote"))
+      Tables(s, dir).documents
+        .addCols(
+          "cont_in_wrapper" -> round(Dedup.ngramContainment(col("text"),
+            wrapper, 3), 6),
+          "jac_wrapper" -> round(Dedup.ngramJaccard(col("text"),
+            wrapper, 3), 6),
+          "cont_disjoint" -> round(Dedup.ngramContainment(col("text"),
+            lit("zz yy xx ww vv uu tt ss"), 3), 6))
+        .selectNames(Seq("doc_id", "cont_in_wrapper", "jac_wrapper",
+          "cont_disjoint"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) AS tk,
+      |  list_filter(regexp_split_to_array(lower(
+      |    'prefix words before quote ' || text ||
+      |    ' suffix words after quote'), '\W+'), x -> len(x) > 0) AS tw,
+      |  list_filter(regexp_split_to_array('zz yy xx ww vv uu tt ss',
+      |    '\W+'), x -> len(x) > 0) AS td
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(tk) >= 3 THEN list_transform(
+      |    range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))
+      |    ELSE [array_to_string(tk, ' ')] END) AS sa,
+      |  list_distinct(CASE WHEN len(tw) >= 3 THEN list_transform(
+      |    range(len(tw) - 2), i -> array_to_string(tw[i+1:i+3], ' '))
+      |    ELSE [array_to_string(tw, ' ')] END) AS sw,
+      |  list_distinct(CASE WHEN len(td) >= 3 THEN list_transform(
+      |    range(len(td) - 2), i -> array_to_string(td[i+1:i+3], ' '))
+      |    ELSE [array_to_string(td, ' ')] END) AS sd
+      |  FROM t)
+      |SELECT doc_id,
+      |  ROUND(len(list_intersect(sa, sw)) * 1.0 / len(sa), 6)
+      |    AS cont_in_wrapper,
+      |  ROUND(len(list_intersect(sa, sw)) * 1.0
+      |    / len(list_distinct(list_concat(sa, sw))), 6) AS jac_wrapper,
+      |  ROUND(len(list_intersect(sa, sd)) * 1.0 / len(sa), 6)
+      |    AS cont_disjoint
+      |FROM sh ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_embedding_pairs", (s, dir) => {
       // self-pairs via duplicated embeddings: identical vectors → cosine 1
       val t = Tables(s, dir)

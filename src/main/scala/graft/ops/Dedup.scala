@@ -342,6 +342,21 @@ object Dedup {
       size(array_union(sa, sb)).cast(DoubleType)
   }
 
+  /** ASYMMETRIC n-gram containment |shingles(a) ∩ shingles(b)| /
+    * |shingles(a)| — "how much of A sits inside B" (quote/subset
+    * detection Jaccard can't see: a tweet quoted whole inside a long
+    * article has tiny Jaccard but containment ≈ 1 from the tweet's
+    * side). Null when A has no shingles; same scan-side shape as
+    * [[ngramJaccard]]. */
+  def ngramContainment(a: Column, b: Column, n: Int): Column = {
+    val (sa, sb) = (array_distinct(shingles(a, n)),
+      array_distinct(shingles(b, n)))
+    when(size(sa) > 0,
+      size(array_intersect(sa, sb)).cast(DoubleType) /
+        size(sa).cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+  }
+
   // ---- SimHash ---------------------------------------------------------
   /** Per-token 64-bit hashes — materialize this as a column once, then
     * feed [[simhashFromHashes]] (keeps the bit loop from re-tokenizing). */
