@@ -346,15 +346,19 @@ object Dedup {
     * |shingles(a)| — "how much of A sits inside B" (quote/subset
     * detection Jaccard can't see: a tweet quoted whole inside a long
     * article has tiny Jaccard but containment ≈ 1 from the tweet's
-    * side). Null when A has no shingles; same scan-side shape as
-    * [[ngramJaccard]]. */
+    * side). NULL text on either side propagates null EXPLICITLY —
+    * without the guard, [[shingles]]' whole-text fallback turns a null
+    * into the [""] singleton and the score silently reads 0.0 while a
+    * SQL replay reads NULL (a latent cross-engine divergence this
+    * corpus never triggers but a real one would). Same scan-side shape
+    * as [[ngramJaccard]]. */
   def ngramContainment(a: Column, b: Column, n: Int): Column = {
     val (sa, sb) = (array_distinct(shingles(a, n)),
       array_distinct(shingles(b, n)))
-    when(size(sa) > 0,
-      size(array_intersect(sa, sb)).cast(DoubleType) /
-        size(sa).cast(DoubleType))
-      .otherwise(lit(null).cast(DoubleType))
+    when(a.isNull || b.isNull, lit(null).cast(DoubleType))
+      .otherwise(
+        size(array_intersect(sa, sb)).cast(DoubleType) /
+          size(sa).cast(DoubleType))
   }
 
   // ---- SimHash ---------------------------------------------------------

@@ -1541,6 +1541,26 @@ class LlmOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("ngramContainment: asymmetric, quote scores 1.0, empty side null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a b c d", "x y a b c d z w")).toDF("q", "doc")
+    val r = df.select(
+        graft.ops.Dedup.ngramContainment(col("q"), col("doc"), 3).as("c_q"),
+        graft.ops.Dedup.ngramContainment(col("doc"), col("q"), 3).as("c_d"),
+        round(graft.ops.Dedup.ngramJaccard(col("q"), col("doc"), 3), 6)
+          .as("j"))
+      .as[(Double, Double, Double)].head()
+    assert(r._1 == 1.0)        // every quote shingle is in the doc
+    assert(r._2 < 0.5)         // but the doc is NOT inside the quote
+    assert(r._3 < 1.0)         // and Jaccard dilutes the signal
+    val n = Seq((null.asInstanceOf[String], "a b c"))
+      .toDF("q", "doc")
+      .select(graft.ops.Dedup.ngramContainment(col("q"), col("doc"), 3))
+      .as[Option[Double]].head()
+    assert(n.isEmpty)
+  }
+
   test("decontaminateSpans: strips the quote, not the page; bench member empties") {
     val s = spark
     import s.implicits._

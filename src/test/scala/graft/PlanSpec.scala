@@ -193,6 +193,21 @@ class PlanSpec extends AnyFunSuite {
       "triangle enumeration must stay equi-join")
   }
 
+  test("span decontamination and pipeline stay equi-join, windows per doc") {
+    for (q <- Seq("decontaminate_spans", "pipeline_clean_corpus")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q must stay equi-join")
+    }
+  }
+
+  test("ewma is ONE window over the partition keys (no agg+join round trip)") {
+    val p = plan("series_ewma")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly one Window exec, got $windows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   /** Run `body` with SQLConf overrides, restoring prior values after. */
   private def withConf[A](kvs: (String, String)*)(body: => A): A = {
     val conf = spark.conf
