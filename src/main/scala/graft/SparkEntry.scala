@@ -1911,6 +1911,38 @@ object SparkEntry {
       |  ROUND(sum(p * (n_below + n / 2.0)) / (sum(p) * sum(n)), 6) AS auc
       |FROM wd""".stripMargin)),
 
+    Q("label_pr_auc", (s, dir) => {
+      // average precision (PR-AUC, sklearn step rule) for the same
+      // deterministic scorer — per-term products round to nanos before
+      // the sum so the aggregate is an exact BIGINT in any order
+      val docs = Tables(s, dir).documents
+      val len = length(col("text"))
+      Eval.averagePrecision(docs.select((len % 97 / lit(97.0)).as("score"),
+        when(len > 290, 1).otherwise(0).as("y")), "score", "y")
+    }, Some("""WITH r AS (SELECT (length(text) % 97) / 97.0 AS s,
+      |  CASE WHEN length(text) > 290 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |bs AS (SELECT s,
+      |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |  CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n
+      |  FROM r GROUP BY 1),
+      |wk AS (SELECT p, n,
+      |  sum(p) OVER (ORDER BY s DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |  sum(n) OVER (ORDER BY s DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      |  FROM bs),
+      |tt AS (SELECT CAST(sum(p) AS BIGINT) AS pos_t,
+      |  CAST(sum(n) AS BIGINT) AS neg_t FROM wk),
+      |tm AS (SELECT pos_t, neg_t, CASE WHEN pos_t > 0 THEN
+      |  CAST(round((p / pos_t) * (tp / (tp + fp)) * 1e9) AS BIGINT)
+      |  ELSE 0 END AS nano FROM wk CROSS JOIN tt)
+      |SELECT CAST(pos_t + neg_t AS BIGINT) AS n, pos_t AS positives,
+      |  neg_t AS negatives,
+      |  CASE WHEN pos_t > 0 THEN ROUND(sum(nano) / 1e9, 6)
+      |    ELSE NULL END AS ap
+      |FROM tm GROUP BY pos_t, neg_t""".stripMargin)),
+
     Q("label_calibration", (s, dir) => {
       // 10-bin reliability + Brier for the same deterministic scorer;
       // per-row squares/probs round to nanos before summing so the

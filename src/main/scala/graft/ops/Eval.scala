@@ -92,6 +92,50 @@ object Eval {
         .otherwise(lit(null).cast(DoubleType)).as("auc"))
   }
 
+  /** Average precision (PR-AUC) — the ranking metric that matters when
+    * positives are RARE (quality/toxicity filters at real-world base
+    * rates, where ROC-AUC flatters): AP = Σ_s ΔRecall(s)·Precision(s)
+    * over distinct scores in DESCENDING order (sklearn's
+    * `average_precision_score` step rule; ties grouped at their score,
+    * no interpolation). Same scale shape as [[aucRoc]]: ONE count
+    * shuffle collapses the corpus to per-distinct-score (pos, neg)
+    * counts, the running sums walk distinct scores only. Each term
+    * rounds to integer NANOS before the final sum (exact BIGINT — the
+    * term product is inexact, so order-free summation needs the
+    * convention). Returns (n, positives, negatives, ap 6dp); no
+    * positives → null ap. */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = byScore
+      .withColumn("tp", sum(col("p")).over(w))
+      .withColumn("fp", sum(col("n")).over(w))
+    val tot = walked.agg(sum(col("p")).as("pos_t"), sum(col("n")).as("neg_t"))
+    val terms = walked.crossJoin(broadcast(tot))
+      .select(col("pos_t"), col("neg_t"),
+        // guard BEFORE the division: under ANSI, p/0 throws, and the
+        // zero-positive case must fall through to the null ap below
+        when(col("pos_t") > 0,
+          round((col("p") / col("pos_t")) *
+            (col("tp") / (col("tp") + col("fp"))) * lit(1e9))
+            .cast(LongType))
+          .otherwise(lit(0L)).as("nano"))
+    terms
+      .groupBy(col("pos_t"), col("neg_t"))
+      .agg(sum(col("nano")).as("ap_nano"))
+      .select((col("pos_t") + col("neg_t")).as("n"),
+        col("pos_t").as("positives"), col("neg_t").as("negatives"),
+        when(col("pos_t") > 0, round(col("ap_nano") / lit(1e9), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("ap"))
+  }
+
   /** Probability-calibration report for a [0,1] score column: global
     * Brier score + per-bin reliability (n, mean predicted, observed
     * positive rate). Determinism: per-row (p−y)² and p round to integer

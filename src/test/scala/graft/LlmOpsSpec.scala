@@ -1424,6 +1424,23 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("auc").as[Option[Double]].head().isEmpty)
   }
 
+  test("averagePrecision: sklearn step rule, perfect and degenerate cases") {
+    val s = spark
+    import s.implicits._
+    // scores desc: 0.9(+), 0.7(−), 0.5(+) → AP = ½·1 + ½·(2/3) = 5/6
+    val d = Seq((0.9, 1), (0.7, 0), (0.5, 1)).toDF("score", "y")
+    val r = graft.ops.Eval.averagePrecision(d, "score", "y")
+      .select("n", "positives", "negatives", "ap")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((3L, 2L, 1L, 0.833333)))
+    val perfect = Seq((0.9, 1), (0.2, 0)).toDF("score", "y")
+    assert(graft.ops.Eval.averagePrecision(perfect, "score", "y")
+      .select("ap").as[Double].head() == 1.0)
+    val nopos = Seq((0.9, 0), (0.2, 0)).toDF("score", "y")
+    assert(graft.ops.Eval.averagePrecision(nopos, "score", "y")
+      .select("ap").as[Option[Double]].head().isEmpty)
+  }
+
   test("calibrationReport: nano-exact brier, bin stats, p=1 top bin") {
     val s = spark
     import s.implicits._
