@@ -1391,6 +1391,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaReport.map(_._1) == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("ROUGE law: distributed report == scalar form on random corpora") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocabulary + short texts → heavy multiset collisions, the
+    // adversarial regime for clipped counting (repeats inside one text)
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val text = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val genPair = for { c <- text; r <- text } yield (c, r)
+    (1 to 8).foreach { trial =>
+      val pairs = Gen.listOfN(25, genPair)
+        .pureApply(Gen.Parameters.default, Seed(trial.toLong))
+        .zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+      val df = pairs.toDF("id", "cand", "ref")
+      val scalar = df
+        .select(col("id"), rougeN(col("cand"), col("ref"), 2).as("r"))
+        .select(col("id"), col("r.overlap"), col("r.precision"),
+          col("r.recall"), col("r.f1"))
+        .orderBy("id").collect().toSeq
+      val report = rougeReport(df, "id", "cand", "ref", 2)
+        .select(col("id"), col("overlap"), col("precision"),
+          col("recall"), col("f1"))
+        .orderBy("id").collect().toSeq
+      assert(report == scalar, s"trial $trial diverged")
+    }
+  }
+
   test("corpusDivergence: 0 on identical corpora, ln 2 on disjoint") {
     val s = spark
     import s.implicits._
