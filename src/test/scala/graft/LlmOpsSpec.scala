@@ -1420,6 +1420,68 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stripDuplicates differential: matches an independent reference model") {
+    // a driver-side from-first-principles model of the Lee-style
+    // survivorship semantics (NOT monotone in the corpus: adding a copy
+    // of a doc can PROTECT it — the original becomes the rank-1
+    // survivor of its whole text and kp-coverage shields tokens a
+    // cross-doc rank-2 occurrence would otherwise remove; a naive
+    // "copies never perturb originals" law is false and a prior version
+    // of this test proved it)
+    def model(corpus: Seq[(Long, String)], l: Int)
+        : Map[Long, (String, Long, Long)] = {
+      val grams = scala.collection.mutable.Map
+        .empty[String, List[(Long, Int)]]
+      val toks = corpus.map { case (i, t) =>
+        i -> (if (t == null) Array.empty[String]
+              else t.split("\\W+").filter(_.nonEmpty).map(_.toLowerCase))
+      }.toMap
+      for ((i, tk) <- toks; st <- 0 to tk.length - l)
+        grams.updateWith(tk.slice(st, st + l).mkString(" ")) {
+          case Some(x) => Some((i, st) :: x); case None => Some(List((i, st)))
+        }
+      val kp = scala.collection.mutable.Map
+        .empty[Long, List[(Int, Int)]].withDefaultValue(Nil)
+      val rm = scala.collection.mutable.Map
+        .empty[Long, List[(Int, Int)]].withDefaultValue(Nil)
+      for ((_, occs) <- grams if occs.size >= 2) {
+        val sorted = occs.sorted
+        val (fi, fs) = sorted.head
+        kp(fi) = (fs, fs + l - 1) :: kp(fi)
+        for ((i, st) <- sorted.tail) rm(i) = (st, st + l - 1) :: rm(i)
+      }
+      toks.map { case (i, tk) =>
+        def cov(xs: List[(Int, Int)], p: Int) =
+          xs.exists { case (a, b) => a <= p && p <= b }
+        val kept = tk.zipWithIndex.collect {
+          case (w, p) if !(cov(rm(i), p) && !cov(kp(i), p)) => w }
+        i -> (kept.mkString(" "), tk.length.toLong,
+          (tk.length - kept.length).toLong)
+      }
+    }
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee", "ff")
+    val text = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    (1 to 6).foreach { trial =>
+      val texts = Gen.listOfN(12, text)
+        .pureApply(Gen.Parameters.default, Seed(trial.toLong))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // append a copy so cross-doc duplication always fires
+      val corpus = texts :+ (100L, texts(trial % texts.size)._2)
+      val expected = model(corpus, 3)
+      val got = graft.ops.Dedup
+        .stripDuplicates(corpus.toDF("doc_id", "text"), "text", "doc_id", 3)
+        .select("doc_id", "text_dedup", "n_tok", "n_removed")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got == expected, s"trial $trial diverged from the model")
+    }
+  }
+
   test("corpusDivergence: 0 on identical corpora, ln 2 on disjoint") {
     val s = spark
     import s.implicits._
