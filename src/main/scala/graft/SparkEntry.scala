@@ -2936,6 +2936,67 @@ object SparkEntry {
       |    AS cont_disjoint
       |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_setsim_join", (s, dir) => {
+      // EXACT prefix-filter similarity join (no LSH false negatives):
+      // the oracle brute-forces ALL pairs — any qualifying pair the
+      // prefix filter missed would hash-mismatch, so this row verifies
+      // the exactness claim itself, not just the arithmetic
+      Dedup.setSimilarityJoin(withNearDups(Tables(s, dir)), "text",
+          "doc_id", 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, Some("""WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' graft extra marker' FROM documents),
+      |d AS (SELECT doc_id, list_distinct(list_filter(
+      |    regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) AS tk FROM u),
+      |d2 AS (SELECT * FROM d WHERE len(tk) > 0),
+      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |  len(list_intersect(a.tk, b.tk)) AS i,
+      |  len(a.tk) AS sa, len(b.tk) AS sb
+      |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id)
+      |SELECT ida AS id_a, idb AS id_b,
+      |  ROUND(i * 1.0 / (sa + sb - i), 6) AS jaccard
+      |FROM p WHERE i * 1.0 / (sa + sb - i) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dedup_edit_verify", (s, dir) => {
+      // char-level Levenshtein refinement on the jaccard-qualifying set:
+      // the planted copies append " graft extra marker" (lev = 19 on the
+      // normalized text), so edit_sim separates long docs (kept) from
+      // short ones (dropped) at the 0.8 floor — both branches exercised
+      Dedup.editVerifiedPairs(withNearDups(Tables(s, dir)), "text",
+          "doc_id", 0.6, 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .withColumn("edit_sim", round(col("edit_sim"), 6))
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, Some("""WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' graft extra marker' FROM documents),
+      |n AS (SELECT doc_id,
+      |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM u),
+      |d AS (SELECT doc_id, list_distinct(list_filter(
+      |    regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) AS tk FROM u),
+      |d2 AS (SELECT * FROM d WHERE len(tk) > 0),
+      |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |  len(list_intersect(a.tk, b.tk)) AS i,
+      |  len(a.tk) AS sa, len(b.tk) AS sb
+      |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id),
+      |j AS (SELECT ida, idb, i * 1.0 / (sa + sb - i) AS jac FROM p
+      |  WHERE i * 1.0 / (sa + sb - i) >= 0.6),
+      |e AS (SELECT ida, idb, jac,
+      |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS lev,
+      |  1.0 - levenshtein(na.nt, nb.nt) * 1.0
+      |    / greatest(len(na.nt), len(nb.nt)) AS es
+      |  FROM j JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb)
+      |SELECT ida AS id_a, idb AS id_b, ROUND(jac, 6) AS jaccard, lev,
+      |  ROUND(es, 6) AS edit_sim
+      |FROM e WHERE es >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+
     Q("dedup_embedding_pairs", (s, dir) => {
       // self-pairs via duplicated embeddings: identical vectors → cosine 1
       val t = Tables(s, dir)

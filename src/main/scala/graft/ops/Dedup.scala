@@ -1052,4 +1052,115 @@ object Dedup {
         (col("n_tok") - size(col("__kept"))).cast(LongType)
           .as("n_removed"))
   }
+
+  // ---- exact set-similarity join (prefix filtering) -------------------
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin family — Bayardo et al., WWW 2007; Xiao et al., WWW 2008):
+    * every unordered pair of docs whose word-token-SET Jaccard is
+    * ≥ `threshold`, with NO false negatives — the guarantee banded
+    * MinHash ([[nearDupPairs]]) only approaches probabilistically.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. Reference semantics:
+    * the pairwise layer under `similarity.kt:31-58`, made total.
+    *
+    * Candidate generation rests on the prefix-filter lemma: order all
+    * tokens by ascending global document frequency (rarest first, ties
+    * by token — a total order both engines can reproduce) and keep each
+    * doc's first |x| − ceil(t·|x|) + 1 tokens. If jac(a,b) ≥ t then
+    * o = |a∩b| ≥ ceil(t·max(|a|,|b|)), and two sets sharing o tokens
+    * must share one inside their (|x| − o + 1)-prefixes — the globally
+    * smallest common token sits at rank ≤ |x| − o + 1 in both (pigeonhole:
+    * all o common tokens order at or after it). So one equi-join on
+    * prefix tokens finds every qualifying pair; there is no all-pairs
+    * cross join anywhere. The ceil takes a −1e-9 nudge so double
+    * rounding can only ever LENGTHEN a prefix, never shorten it below
+    * the lemma's requirement.
+    *
+    * Scale shape (what survives 100 TB):
+    *  - frequency order makes prefix tokens the RAREST in the corpus, so
+    *    the candidate join buckets are the smallest available ones —
+    *    candidate volume is Σ_prefix-token df², which rare-first
+    *    minimizes; boilerplate tokens enter a prefix only for docs that
+    *    are almost entirely boilerplate; residual hot tokens are
+    *    AQE-skew-split in the shuffle-hash join;
+    *  - only skinny (token, id, |set|) triples shuffle for candidates,
+    *    and the length filter min ≥ t·max (with float-safety slack)
+    *    prunes before any set is compared;
+    *  - token sets re-join BY ID only for the ~|candidates| verify rows
+    *    (the [[nearDupPairs]] discipline);
+    *  - the df-count and the per-doc rare-first sort are two aggregations
+    *    over exploded (id, token) pairs — linear in corpus tokens, and
+    *    the sorted-set frame persists once for prefix generation plus
+    *    both verify joins. */
+  def setSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val ex = df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("__t"))
+    val dfreq = ex.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val sorted = cache.track(ex.join(dfreq, "__t")
+      .groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__df"), col("__t")))),
+        e => e.getField("__t")).as("__tk"))
+      .withColumn("__sz", size(col("__tk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val prefLen = (col("__sz") -
+      ceil(col("__sz") * threshold - lit(1e-9)) + 1).cast(IntegerType)
+    val pref = sorted.select(col("id"), col("__sz"),
+      explode(slice(col("__tk"), lit(1), prefLen)).as("__t"))
+    val cand = pref.as("a")
+      .join(pref.as("b").hint("shuffle_hash"),
+        col("a.__t") === col("b.__t") && col("a.id") < col("b.id") &&
+          least(col("a.__sz"), col("b.__sz")).cast(DoubleType) >=
+            greatest(col("a.__sz"), col("b.__sz")) * threshold - lit(1e-6))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sorted.select(col("id").as("id_a"), col("__tk").as("__ta")),
+        "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("__tk").as("__tb")),
+        "id_b")
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))).cast(DoubleType))
+      .withColumn("jaccard", col("__i") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[setSimilarityJoin]] with a CHARACTER-level edit-distance refinement:
+    * among the exact Jaccard-qualifying pairs, also computes Levenshtein
+    * distance on the normalized texts and keeps pairs whose normalized
+    * edit similarity 1 − lev/max(len) is ≥ `minEditSim`. Token-set
+    * Jaccard is order-blind (it cannot tell "a b c" from "c b a"); the
+    * edit layer restores sequence sensitivity, which is how near-dup
+    * REVIEW queues rank candidate pairs. Semantics are explicitly "edit
+    * filter ON the jaccard-qualifying set", so the composition stays
+    * exactly reproducible by any engine with a Levenshtein primitive.
+    *
+    * Scale shape: the edit distance — O(len_a·len_b) per pair, the most
+    * expensive step — runs ONLY on the ~|qualifying| verified pairs, and
+    * texts join in by id at that final stage; the corpus-wide phases
+    * never touch character-level comparison. */
+  def editVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, minEditSim: Double,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    val norm = df.select(col(idCol).as("id"),
+      normalizeText(col(textCol)).as("__nt"))
+    setSimilarityJoin(df, textCol, idCol, threshold, cache)
+      .join(norm.select(col("id").as("id_a"), col("__nt").as("__na")),
+        "id_a")
+      .join(norm.select(col("id").as("id_b"), col("__nt").as("__nb")),
+        "id_b")
+      .withColumn("lev", levenshtein(col("__na"), col("__nb"))
+        .cast(LongType))
+      .withColumn("edit_sim", lit(1.0) - col("lev").cast(DoubleType) /
+        greatest(length(col("__na")), length(col("__nb")))
+          .cast(DoubleType))
+      .filter(col("edit_sim") >= minEditSim)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("lev"),
+        col("edit_sim"))
+  }
 }

@@ -1721,4 +1721,73 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(r == expected)
   }
+
+  test("setSimilarityJoin differential: equals brute force on random corpora") {
+    // tiny vocabulary → token sets collide and Jaccard values land ON
+    // the threshold boundary (sets of size ≤ 6 hit 1/2, 2/4, 3/6, ...
+    // exactly at t = 0.5), exercising the prefix-length ceil edge and
+    // the >= comparison; the model is an independent driver-side brute
+    // force over the same tokenization
+    def model(corpus: Seq[(Long, String)], t: Double)
+        : Set[(Long, Long, Double)] = {
+      val sets = corpus.map { case (i, s) =>
+        i -> s.split("\\W+").filter(_.nonEmpty).map(_.toLowerCase).toSet
+      }.filter(_._2.nonEmpty)
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size.toDouble
+        jac = inter / (sa.size + sb.size - inter)
+        if jac >= t
+      } yield (ia, ib, jac)).toSet
+    }
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "c", "d", "ee", "ff")
+    val text = Gen.choose(0, 8)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (trial <- 1 to 6; t <- Seq(0.5, 0.8)) {
+      val corpus = Gen.listOfN(14, text)
+        .pureApply(Gen.Parameters.default, Seed(trial.toLong))
+        .zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      val got = Dedup
+        .setSimilarityJoin(corpus.toDF("doc_id", "text"), "text", "doc_id", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == model(corpus, t), s"trial $trial t=$t diverged")
+    }
+  }
+
+  test("setSimilarityJoin: threshold 1.0 finds exactly the exact-set dups") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha"),  // same SET, different order/counts
+      (3L, "alpha beta delta"),
+      (4L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val r = Dedup.setSimilarityJoin(df, "text", "doc_id", 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(r == Set((1L, 2L, 1.0)))
+  }
+
+  test("editVerifiedPairs: order-blind jaccard pairs split by edit layer") {
+    val s = spark
+    import s.implicits._
+    // 1↔2: identical text — jaccard 1, lev 0. 1↔3: same token SET
+    // scrambled — jaccard 1, but edit distance is large, so a strict
+    // edit floor drops it while a loose one keeps it.
+    val df = Seq(
+      (1L, "north south east west center"),
+      (2L, "north south east west center"),
+      (3L, "center west east south north")
+    ).toDF("doc_id", "text")
+    val loose = Dedup.editVerifiedPairs(df, "text", "doc_id", 0.9, 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val strict = Dedup.editVerifiedPairs(df, "text", "doc_id", 0.9, 0.9)
+      .select("id_a", "id_b", "lev").as[(Long, Long, Long)].collect().toSet
+    assert(strict == Set((1L, 2L, 0L)))
+  }
 }
