@@ -3628,6 +3628,63 @@ object SparkEntry {
       |SELECT doc_id + 900000, 'added' FROM documents WHERE doc_id % 40 = 0
       |ORDER BY doc_id""".stripMargin)),
 
+    Q("snapshot_patch", (s, dir) => {
+      // the minimal delta between the snapshot_diff fixture versions:
+      // deletes for dropped ids, upserts carrying the NEW payload for
+      // edited + added ids, nothing for unchanged rows
+      val v1 = Tables(s, dir).documents.selectNames(Seq("doc_id", "text"))
+      val v2 = v1.where(pmod(col("doc_id"), lit(30)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2 edit"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(v1.where(pmod(col("doc_id"), lit(40)) === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      Dedup.snapshotPatch(v1, v2, "doc_id")
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+      |FROM documents WHERE doc_id % 30 = 0
+      |UNION ALL
+      |SELECT doc_id, 'upsert', text || ' v2 edit' FROM documents
+      |WHERE doc_id % 30 <> 0 AND doc_id % 11 = 0
+      |UNION ALL
+      |SELECT doc_id + 900000, 'upsert', text FROM documents
+      |WHERE doc_id % 40 = 0
+      |ORDER BY doc_id""".stripMargin)),
+
+    Q("snapshot_patch_apply", (s, dir) => {
+      // the roundtrip law as an oracle row: applying the patch to v1
+      // must reconstruct v2 exactly — DuckDB builds v2 directly from
+      // the construction rules and never sees the patch
+      val v1 = Tables(s, dir).documents.selectNames(Seq("doc_id", "text"))
+      val v2 = v1.where(pmod(col("doc_id"), lit(30)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2 edit"))).otherwise(col("text"))
+            .as("text"))
+        .unionByName(v1.where(pmod(col("doc_id"), lit(40)) === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      Dedup.applySnapshotPatch(v1, Dedup.snapshotPatch(v1, v2, "doc_id"),
+          "doc_id")
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, CASE WHEN doc_id % 11 = 0
+      |  THEN text || ' v2 edit' ELSE text END AS text
+      |FROM documents WHERE doc_id % 30 <> 0
+      |UNION ALL
+      |SELECT doc_id + 900000, text FROM documents WHERE doc_id % 40 = 0
+      |ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_kfold", (s, dir) => {
+      // deterministic cross-validation folds: SHA-256-prefix bucket of
+      // the id's decimal rendering mod k — DuckDB replays the hash
+      graft.ops.Sampling.kFold(
+          Tables(s, dir).documents.selectNames(Seq("doc_id")), "doc_id", 5)
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, CAST(
+      |  CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 5 AS INTEGER) AS fold
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("decontaminate_fuzzy", (s, dir) => {
       // fuzzy (near-dup) decontamination: the benchmark is every 25th doc
       // with an appended 4-word suffix — contamination the exact n-gram

@@ -101,6 +101,48 @@ object Dedup {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Minimal patch transforming snapshot `oldDf` into `newDf`: one row
+    * per differing id — op = "upsert" (added or changed ids, payload =
+    * the NEW row) or "delete" (removed ids, payload null). The inverse
+    * of [[applySnapshotPatch]]: `apply(old, patch(old, new)) ≡ new`
+    * row-for-row (the CI law pinned by unit test), which is what makes
+    * incremental corpus publication safe — ship the patch, not the
+    * 100 TB snapshot.
+    *
+    * Scale shape: one full-outer join hash-partitioned on the id; rows
+    * compare by a null-safe struct equality over the payload columns, so
+    * unchanged rows are dropped map-side after the join and only the
+    * (usually tiny) changed set survives. */
+  def snapshotPatch(oldDf: DataFrame, newDf: DataFrame, idCol: String)
+      : DataFrame = {
+    val payload = newDf.columns.filter(_ != idCol).toSeq
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      "snapshotPatch: snapshots must share a schema")
+    val o = oldDf.select(col(idCol),
+      struct(payload.map(col): _*).as("__po"))
+    val n = newDf.select(col(idCol),
+      struct(payload.map(col): _*).as("__pn"))
+    o.join(n, Seq(idCol), "full")
+      .filter(!(col("__po") <=> col("__pn")))
+      .select(col(idCol) +:
+        when(col("__pn").isNull, "delete").otherwise("upsert").as("op") +:
+        payload.map(c => col(s"__pn.$c").as(c)): _*)
+  }
+
+  /** Applies a [[snapshotPatch]] to a snapshot: deletes and replaced
+    * rows drop, upsert payloads union in. One left-anti-shaped join on
+    * the id plus a union — the MERGE INTO shape without sequence
+    * numbers (a patch is a complete, conflict-free delta by
+    * construction; for incremental CHANGELOGS with competing writers
+    * use [[Cdc.applyChangeLog]]). */
+  def applySnapshotPatch(oldDf: DataFrame, patch: DataFrame, idCol: String)
+      : DataFrame = {
+    val payload = oldDf.columns.filter(_ != idCol).toSeq
+    oldDf.join(patch.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(patch.filter(col("op") === "upsert")
+        .select(col(idCol) +: payload.map(col): _*))
+  }
+
   // ---- MinHash signatures ----------------------------------------------
   /** k-permutation MinHash signature over word `n`-gram shingles, as one
     * codegen-friendly expression: sig[i] = min over shingles of

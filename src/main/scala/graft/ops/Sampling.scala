@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.core.CacheHandle
 
 /** Deterministic sampling for training-data pipelines: corpus mixing by
@@ -64,6 +64,26 @@ object Sampling {
           .otherwise(rest)
       }
     df.withColumn(as, expr)
+  }
+
+  /** Deterministic k-fold assignment for cross-validation: fold i ∈
+    * [0, k) from the first 8 hex digits of SHA-256 over the id's decimal
+    * rendering (the [[gramBuckets]] discipline) — a pure scan-side
+    * projection any engine with a sha256 primitive replays
+    * integer-for-integer (no RNG state, no global sort, no shuffle), so
+    * fold membership is stable across runs, engines and partitionings.
+    * SHA mixing matters here: the [[splitByWeights]] Knuth selector is
+    * affine mod k, which on SEQUENTIAL ids collapses to `id mod k` —
+    * a systematic stride no one wants correlated with their folds.
+    * Train/test for fold i = (fold =!= i, fold === i). For corpora with
+    * near-duplicates, assign folds to CLUSTER labels (the
+    * [[leakageSafeSplit]] discipline) rather than raw ids. */
+  def kFold(df: DataFrame, idCol: String, k: Int, as: String = "fold")
+      : DataFrame = {
+    require(k >= 2, s"kFold: k must be >= 2, got $k")
+    df.withColumn(as,
+      (conv(substring(sha2(col(idCol).cast("string"), 256), 1, 8), 16, 10)
+        .cast(LongType) % lit(k.toLong)).cast(IntegerType))
   }
 
   /** Leakage-safe train/val/test split: [[splitByWeights]] applied to

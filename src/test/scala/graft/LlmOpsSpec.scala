@@ -1722,6 +1722,62 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r == expected)
   }
 
+  test("kFold: deterministic disjoint exhaustive folds, near-balanced") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 5000L).toDF("id")
+    val f = graft.ops.Sampling.kFold(ids, "id", 5)
+      .select("id", "fold").as[(Long, Int)].collect()
+    assert(f.length == 5000 && f.forall(x => x._2 >= 0 && x._2 < 5))
+    val sizes = f.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.size == 5 && sizes.values.forall(n =>
+      math.abs(n - 1000) < 150), s"unbalanced: $sizes")
+    // stable across recomputation (pure function of the id)
+    val again = graft.ops.Sampling.kFold(ids, "id", 5)
+      .select("id", "fold").as[(Long, Int)].collect()
+    assert(f.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("snapshotPatch/applySnapshotPatch: roundtrip law + minimality") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 4) {
+      // old = ids 0..19; new drops ids ≡ trial (mod 7), edits ids ≡ 1
+      // (mod 5), adds 100..102; nulls sprinkled to exercise <=> equality
+      val old = (0L until 20L)
+        .map(i => (i, if (i % 9 == 0) null else s"doc $i", i * trial))
+        .toDF("id", "text", "v")
+      val nw = (0L until 20L).filter(_ % 7 != trial % 7)
+        .map(i => (i, if (i % 5 == 1) s"doc $i edited"
+                      else if (i % 9 == 0) null else s"doc $i", i * trial))
+        .toDF("id", "text", "v")
+        .unionByName(Seq((100L, "new a", 1L), (101L, null, 2L),
+          (102L, "new c", 3L)).toDF("id", "text", "v"))
+      val patch = graft.ops.Dedup.snapshotPatch(old, nw, "id")
+      // minimality: only genuinely differing ids appear
+      val oldM = old.as[(Long, String, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val nwM = nw.as[(Long, String, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val expectedOps = (oldM.keySet ++ nwM.keySet).flatMap { id =>
+        (oldM.get(id), nwM.get(id)) match {
+          case (Some(a), Some(b)) if a == b => None
+          case (_, Some(_)) => Some(id -> "upsert")
+          case (Some(_), None) => Some(id -> "delete")
+          case _ => None
+        }
+      }
+      assert(patch.select("id", "op").as[(Long, String)].collect().toSet
+        == expectedOps, s"trial $trial patch mismatch")
+      // the law: apply(old, patch(old, new)) == new
+      val applied = graft.ops.Dedup.applySnapshotPatch(old, patch, "id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(applied.sameElements(
+        nw.as[(Long, String, Long)].collect().sortBy(_._1)),
+        s"trial $trial roundtrip broke")
+    }
+  }
+
   test("setSimilarityJoin differential: equals brute force on random corpora") {
     // tiny vocabulary → token sets collide and Jaccard values land ON
     // the threshold boundary (sets of size ≤ 6 hit 1/2, 2/4, 3/6, ...
