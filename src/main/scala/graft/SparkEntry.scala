@@ -12,7 +12,7 @@ import graft.ops.Joins._
 import graft.ops.Reshape._
 import graft.ops.Series._
 import graft.ops.Selection._
-import graft.ops.{Agg, Cdc, Dedup, Eval, Events, Similarity, Multimodal, Web}
+import graft.ops.{Agg, Cdc, Dedup, Eval, Events, Linkage, Similarity, Multimodal, Web}
 import graft.functions.TextFunctions._
 import graft.sources.IO
 
@@ -90,6 +90,97 @@ object SparkEntry {
     val d = t.documents
     d.unionWide(d.withColumn("doc_id", col("doc_id") + 10000))
   }
+
+  // Entity-resolution fixture: every customer plus, for custkey % 3 == 0,
+  // a perturbed duplicate — name gains a token, segment is lost, balance
+  // drifts +0.003. Ids globally unique: base = 2k, dupe = 2k+1; `fresh`
+  // ranks the dupe as the newer record for survivorship.
+  private def linkageRecords(t: Tables): DataFrame = {
+    val c = t.customer
+    c.select(
+      (col("c_custkey") * 2).as("id"),
+      lower(col("c_name")).as("name"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("bal"),
+      col("c_nationkey").as("nation"),
+      lit(1L).as("fresh"))
+    .unionWide(c.where(col("c_custkey") % 3 === 0).select(
+      (col("c_custkey") * 2 + 1).as("id"),
+      concat(lower(col("c_name")), lit(" inc")).as("name"),
+      lit(null).cast(StringType).as("segment"),
+      (col("c_acctbal") + lit(0.003)).as("bal"),
+      col("c_nationkey").as("nation"),
+      lit(2L).as("fresh")))
+  }
+  // Linkage blocking keys: nation (capped — big nations are stop-word
+  // blocks) + last-6-digits of the name (the discriminating key that
+  // survives the dupe's appended token).
+  private val linkageKeys: Seq[Column] =
+    Seq(col("nation"), substring(col("name"), 13, 6))
+  private val linkageRules = Seq(
+    Linkage.FieldRule.tokenJaccard("name", 1000000L),
+    Linkage.FieldRule.editSimilarity("name", 500000L),
+    Linkage.FieldRule.exact("segment", 300000L, -300000L),
+    Linkage.FieldRule.numericWithin("bal", 0.01, 400000L, -400000L))
+  // DuckDB replay of records → blocking (incl. the ≤80 cap) → scoring;
+  // every weight is exact BIGINT micros (the one IEEE ×/÷ per rule is
+  // replayed in the same order).
+  private val linkageSqlBase = """WITH RECURSIVE recs AS (
+    |  SELECT c_custkey * 2 AS id, lower(c_name) AS name,
+    |         c_mktsegment AS segment, c_acctbal AS bal,
+    |         c_nationkey AS nation, CAST(1 AS BIGINT) AS fresh
+    |  FROM customer
+    |  UNION ALL
+    |  SELECT c_custkey * 2 + 1, lower(c_name) || ' inc', NULL,
+    |         c_acctbal + 0.003, c_nationkey, CAST(2 AS BIGINT)
+    |  FROM customer WHERE c_custkey % 3 = 0),
+    |k1 AS (SELECT nation AS bk, id FROM recs WHERE nation IS NOT NULL),
+    |k1k AS (SELECT bk FROM k1 GROUP BY bk HAVING count(*) <= 80),
+    |p1 AS (SELECT a.id AS id_a, b.id AS id_b
+    |  FROM k1 a JOIN k1k ON a.bk = k1k.bk
+    |  JOIN k1 b ON a.bk = b.bk AND a.id < b.id),
+    |k2 AS (SELECT substr(name, 13, 6) AS bk, id FROM recs
+    |  WHERE substr(name, 13, 6) IS NOT NULL),
+    |p2 AS (SELECT a.id AS id_a, b.id AS id_b
+    |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.id < b.id),
+    |pairs AS (SELECT DISTINCT id_a, id_b FROM
+    |  (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+    |feat AS (
+    |  SELECT p.id_a, p.id_b, a.name AS na, b.name AS nb,
+    |    a.segment AS sa, b.segment AS sb, a.bal AS ba, b.bal AS bb,
+    |    list_distinct(list_filter(regexp_split_to_array(lower(a.name), '\W+'),
+    |      x -> len(x) > 0)) AS ta,
+    |    list_distinct(list_filter(regexp_split_to_array(lower(b.name), '\W+'),
+    |      x -> len(x) > 0)) AS tb
+    |  FROM pairs p JOIN recs a ON a.id = p.id_a JOIN recs b ON b.id = p.id_b),
+    |feat2 AS (
+    |  SELECT id_a, id_b, na, nb, sa, sb, ba, bb,
+    |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+    |    CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS BIGINT) AS uni,
+    |    CAST(greatest(len(na), len(nb)) AS BIGINT) AS L,
+    |    CAST(levenshtein(na, nb) AS BIGINT) AS d
+    |  FROM feat),
+    |scored AS (
+    |  SELECT id_a, id_b,
+    |    CAST(CASE WHEN na IS NULL OR nb IS NULL THEN 0
+    |         WHEN uni = 0 THEN 1000000
+    |         ELSE FLOOR((inter * 2 - uni) * 1000000.0 / uni) END AS BIGINT)
+    |      AS w_name_jac,
+    |    CAST(CASE WHEN na IS NULL OR nb IS NULL THEN 0
+    |         WHEN L = 0 THEN 500000
+    |         ELSE FLOOR(((L - d) * 2 - L) * 500000.0 / L) END AS BIGINT)
+    |      AS w_name_edit,
+    |    CAST(CASE WHEN sa IS NOT DISTINCT FROM sb THEN 300000
+    |         ELSE -300000 END AS BIGINT) AS w_segment_eq,
+    |    CAST(CASE WHEN ba IS NULL OR bb IS NULL THEN 0
+    |         WHEN abs(ba - bb) <= 0.01 THEN 400000
+    |         ELSE -400000 END AS BIGINT) AS w_bal_near
+    |  FROM feat2),
+    |sc AS (SELECT id_a, id_b, w_name_jac, w_name_edit, w_segment_eq,
+    |  w_bal_near,
+    |  w_name_jac + w_name_edit + w_segment_eq + w_bal_near AS score
+    |  FROM scored)
+    |""".stripMargin
 
   private val qs: Seq[Q] = Seq(
 
@@ -4624,7 +4715,62 @@ object SparkEntry {
          |  ROUND((doc_id % 256) / 255.0, 6) AS luma,
          |$embSql
          |FROM documents ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // ============== §2.12 entity resolution (record linkage) ==========
+    Q("linkage_block", (s, dir) => {
+      // multi-pass blocking with the oversized-block cap: big nations are
+      // stop-word blocks (dropped), the name-digits key pairs each dupe
+      // with its base. DuckDB replays both passes and the cap.
+      Linkage.blockCandidates(linkageRecords(Tables(s, dir)), "id",
+          linkageKeys, maxBlockSize = 80)
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, Some(linkageSqlBase +
+      "SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b")),
+
+    Q("linkage_score", (s, dir) => {
+      // Fellegi–Sunter-style pair scoring: per-field comparator weights in
+      // exact BIGINT micros (token Jaccard, Levenshtein similarity,
+      // null-safe equality, numeric tolerance) + their sum.
+      val recs = linkageRecords(Tables(s, dir))
+      Linkage.scorePairs(recs, "id",
+          Linkage.blockCandidates(recs, "id", linkageKeys, maxBlockSize = 80),
+          linkageRules)
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, Some(linkageSqlBase +
+      "SELECT * FROM sc ORDER BY id_a, id_b")),
+
+    Q("linkage_golden", (s, dir) => {
+      // end-to-end: block → score → threshold clusters (label propagation
+      // = DuckDB recursive-CTE fixpoint) → golden records with field-level
+      // survivorship (fresh desc, id asc; nulls backfilled from older
+      // members — the dupe's lost segment returns from its base row).
+      val recs = linkageRecords(Tables(s, dir))
+      val scored = Linkage.scorePairs(recs, "id",
+        Linkage.blockCandidates(recs, "id", linkageKeys, maxBlockSize = 80),
+        linkageRules)
+      Linkage.goldenRecords(recs, "id",
+          Linkage.linkClusters(scored, 600000L), "fresh")
+        .sortByKeys(SortKey("cluster"))
+    }, Some(linkageSqlBase + """, m AS
+      |  (SELECT id_a, id_b FROM sc WHERE score >= 600000),
+      |e AS (SELECT id_a AS s, id_b AS d FROM m UNION
+      |      SELECT id_b, id_a FROM m),
+      |reach(s, d) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+      |lab AS (SELECT s AS id, MIN(d) AS cluster FROM reach GROUP BY s),
+      |mem AS (SELECT COALESCE(l.cluster, r.id) AS cluster, r.id, r.name,
+      |    r.segment, r.bal, r.nation, r.fresh
+      |  FROM recs r LEFT JOIN lab l ON r.id = l.id)
+      |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+      |  FIRST(id ORDER BY fresh DESC, id) AS id,
+      |  FIRST(name ORDER BY (name IS NULL), fresh DESC, id) AS name,
+      |  FIRST(segment ORDER BY (segment IS NULL), fresh DESC, id) AS segment,
+      |  FIRST(bal ORDER BY (bal IS NULL), fresh DESC, id) AS bal,
+      |  FIRST(nation ORDER BY (nation IS NULL), fresh DESC, id) AS nation
+      |FROM mem GROUP BY cluster ORDER BY cluster""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
