@@ -112,6 +112,24 @@ object SparkEntry {
       col("c_nationkey").as("nation"),
       lit(2L).as("fresh")))
   }
+  // SCD2 fixture: the orders table AS a changelog — custkey is the
+  // dimension key, order date the version seq, 'F' status a delete.
+  private def scd2Changelog(t: Tables): DataFrame =
+    t.orders.select(
+      col("o_custkey").as("k"),
+      col("o_totalprice").as("price"),
+      col("o_orderdate").as("seq"),
+      when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U"))
+        .as("op"))
+  private val scd2SqlBase = """WITH ch AS (SELECT o_custkey AS k,
+    |  o_totalprice AS price, o_orderdate AS seq,
+    |  CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+    |  FROM orders),
+    |w AS (SELECT k, price, seq, op,
+    |  LEAD(seq) OVER (PARTITION BY k ORDER BY seq, op, price) AS valid_to
+    |  FROM ch)
+    |""".stripMargin
+
   // Linkage blocking keys: nation (capped — big nations are stop-word
   // blocks) + last-6-digits of the name (the discriminating key that
   // survives the dupe's appended token).
@@ -4770,7 +4788,42 @@ object SparkEntry {
       |  FIRST(segment ORDER BY (segment IS NULL), fresh DESC, id) AS segment,
       |  FIRST(bal ORDER BY (bal IS NULL), fresh DESC, id) AS bal,
       |  FIRST(nation ORDER BY (nation IS NULL), fresh DESC, id) AS nation
-      |FROM mem GROUP BY cluster ORDER BY cluster""".stripMargin))
+      |FROM mem GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // ================= §2.12 SCD2 / bitemporal ========================
+    Q("cdc_scd2", (s, dir) => {
+      // type-2 history from the orders changelog: custkey versions by
+      // order date, 'F' status = delete (closes the interval, no row).
+      // 32 duplicate (key, seq) pairs in the data exercise the
+      // deterministic (seq, op, payload) tiebreak.
+      Cdc.scd2Build(scd2Changelog(Tables(s, dir)), Seq("k"), "seq", "op")
+        .sortByKeys(SortKey("k"), SortKey("valid_from"), SortKey("price"))
+    }, Some(scd2SqlBase +
+      """SELECT k, price, seq AS valid_from, valid_to,
+      |  (valid_to IS NULL) AS is_current
+      |FROM w WHERE op <> 'D' ORDER BY k, valid_from, price""".stripMargin)),
+
+    Q("cdc_pit_join", (s, dir) => {
+      // point-in-time lookup: each event joins the dimension version in
+      // force AT its timestamp (equi-join on key + residual interval
+      // predicate — never a range-join cross product; SCD2 disjointness
+      // guarantees ≤ 1 match). Events in a delete gap / unknown keys
+      // keep nulls (left join totality).
+      val t = Tables(s, dir)
+      val dim = Cdc.scd2Build(scd2Changelog(t), Seq("k"), "seq", "op")
+      val facts = t.events.select(col("event_id"),
+        col("user_id").as("k"), col("ts"))
+      Cdc.pointInTimeJoin(facts, dim, Seq("k"), "ts")
+        .selectNames(Seq("event_id", "k", "ts", "price", "valid_from"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some(scd2SqlBase +
+      """, hist AS (SELECT k, price, seq AS valid_from, valid_to
+      |  FROM w WHERE op <> 'D')
+      |SELECT e.event_id, e.user_id AS k, e.ts, h.price, h.valid_from
+      |FROM events e LEFT JOIN hist h ON e.user_id = h.k
+      |  AND e.ts >= h.valid_from
+      |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+      |ORDER BY e.event_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
