@@ -12,7 +12,7 @@ import graft.ops.Joins._
 import graft.ops.Reshape._
 import graft.ops.Series._
 import graft.ops.Selection._
-import graft.ops.{Agg, Cdc, Dedup, Eval, Events, Linkage, Similarity, Multimodal, Web}
+import graft.ops.{Agg, Cdc, Dedup, Eval, Events, Linkage, Quality, Similarity, Multimodal, Web}
 import graft.functions.TextFunctions._
 import graft.sources.IO
 
@@ -4823,7 +4823,65 @@ object SparkEntry {
       |FROM events e LEFT JOIN hist h ON e.user_id = h.k
       |  AND e.ts >= h.valid_from
       |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
-      |ORDER BY e.event_id""".stripMargin))
+      |ORDER BY e.event_id""".stripMargin)),
+
+    // ================= §2.12 data-quality expectations ================
+    Q("quality_report", (s, dir) => {
+      // Deequ-style suite: 4 row-predicate checks fuse into ONE scan,
+      // two uniqueness aggregates, one referential join. Verdicts are
+      // exact BIGINT arithmetic; DuckDB re-derives every count.
+      val t = Tables(s, dir)
+      val ev = t.events.withColumn("v",
+        when(col("value") < 1.0, lit(null).cast(DoubleType))
+          .otherwise(col("value")))
+      Quality.report(ev, Seq(
+        Quality.notNull("v", 900000L),
+        Quality.inRange("value", 0.0, 100.0, 800000L),
+        Quality.matchesPattern("event_type", "^[a-z]+$"),
+        Quality.inSet("event_type",
+          Seq("click", "view", "purchase", "signup"), 700000L),
+        Quality.Unique(Seq("event_id")),
+        Quality.Unique(Seq("user_id", "event_type"), 100000L),
+        Quality.RefIntegrity("user_id", t.customer, "c_custkey")))
+        .sortByKeys(SortKey("check"))
+    }, Some("""WITH ev AS (SELECT *,
+      |  CASE WHEN value < 1.0 THEN NULL ELSE value END AS v FROM events),
+      |raw AS (
+      |  SELECT 'not_null:v' AS chk, count(*) AS n_total,
+      |    sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_ok,
+      |    900000 AS mrm FROM ev
+      |  UNION ALL
+      |  SELECT 'in_range:value', count(*),
+      |    sum(CASE WHEN value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END),
+      |    800000 FROM ev
+      |  UNION ALL
+      |  SELECT 'pattern:event_type', count(*),
+      |    sum(CASE WHEN regexp_matches(event_type, '^[a-z]+$')
+      |        THEN 1 ELSE 0 END), 1000000 FROM ev
+      |  UNION ALL
+      |  SELECT 'in_set:event_type', count(*),
+      |    sum(CASE WHEN event_type IN ('click','view','purchase','signup')
+      |        THEN 1 ELSE 0 END), 700000 FROM ev
+      |  UNION ALL
+      |  SELECT 'unique:event_id', sum(c),
+      |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 1000000
+      |  FROM (SELECT count(*) AS c FROM ev GROUP BY event_id)
+      |  UNION ALL
+      |  SELECT 'unique:user_id,event_type', sum(c),
+      |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 100000
+      |  FROM (SELECT count(*) AS c FROM ev GROUP BY user_id, event_type)
+      |  UNION ALL
+      |  SELECT 'ref:user_id', count(*),
+      |    sum(CASE WHEN user_id IN (SELECT c_custkey FROM customer)
+      |        THEN 1 ELSE 0 END), 1000000 FROM ev)
+      |SELECT chk AS "check", CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(n_ok AS BIGINT) AS n_ok,
+      |  CAST(CASE WHEN n_total = 0 THEN 1000000
+      |    ELSE FLOOR(n_ok * 1000000.0 / n_total) END AS BIGINT)
+      |    AS ratio_micros,
+      |  CAST(mrm AS BIGINT) AS min_ratio_micros,
+      |  (n_total = 0 OR n_ok * 1000000 >= mrm * n_total) AS passed
+      |FROM raw ORDER BY chk""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

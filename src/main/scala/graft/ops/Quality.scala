@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the Deequ/Great-Expectations
+  * shape): a suite of checks evaluated against a frame in as few passes
+  * as the checks admit, yielding a small report frame — the gate a
+  * 100 TB ingest runs before a corpus snapshot is blessed. Reference
+  * analogue: the describe/schema surface (`api/describe.kt`) reports
+  * what the data IS; this asserts what it MUST be.
+  *
+  * Exactness: every verdict is BIGINT arithmetic — `passed` compares
+  * `n_ok · 10⁶ ≥ minRatioMicros · n_total` (exact while both products
+  * stay under 2⁶³, i.e. up to ~9·10¹² rows per check); `ratio_micros`
+  * is the one IEEE ×/÷ (display only), replayed in the same order by
+  * any engine. An EMPTY frame passes every check vacuously (ratio 10⁶).
+  *
+  * Scale shape: all row-predicate checks ([[Quality.NotNull]],
+  * [[Quality.InRange]], [[Quality.MatchesPattern]], [[Quality.InSet]],
+  * [[Quality.Satisfies]]) fuse into ONE aggregate scan — adding a 20th
+  * check costs a column, not a pass. Each [[Quality.Unique]] adds one
+  * hash aggregate on its key; each [[Quality.RefIntegrity]] adds one
+  * join against the DISTINCT reference keys (no fanout; Catalyst
+  * broadcasts small dimensions). The report itself is a handful of
+  * 1-row frames unioned — nothing wide ever leaves the executors.
+  */
+object Quality {
+
+  sealed trait Check { def name: String; def minRatioMicros: Long }
+
+  /** Share of rows where `pred` holds (null-safe: null → fail). */
+  final case class Satisfies(name: String, pred: Column,
+      minRatioMicros: Long = 1000000L) extends Check
+
+  def notNull(colName: String, minRatioMicros: Long = 1000000L): Satisfies =
+    Satisfies("not_null:" + colName, col(colName).isNotNull, minRatioMicros)
+
+  def inRange(colName: String, lo: Double, hi: Double,
+      minRatioMicros: Long = 1000000L): Satisfies =
+    Satisfies(s"in_range:$colName",
+      col(colName) >= lit(lo) && col(colName) <= lit(hi), minRatioMicros)
+
+  /** RE2-compatible patterns only (runs under Java regex here; keeping
+    * to the common subset keeps the check portable across engines). */
+  def matchesPattern(colName: String, pattern: String,
+      minRatioMicros: Long = 1000000L): Satisfies =
+    Satisfies(s"pattern:$colName", col(colName).rlike(pattern),
+      minRatioMicros)
+
+  def inSet(colName: String, values: Seq[Any],
+      minRatioMicros: Long = 1000000L): Satisfies =
+    Satisfies(s"in_set:$colName", col(colName).isin(values: _*),
+      minRatioMicros)
+
+  /** Share of rows whose key value is held by exactly one row. */
+  final case class Unique(cols: Seq[String],
+      minRatioMicros: Long = 1000000L) extends Check {
+    val name: String = "unique:" + cols.mkString(",")
+  }
+
+  /** Share of rows whose `colName` value exists in `ref.refCol`
+    * (referential integrity; null foreign keys fail). */
+  final case class RefIntegrity(colName: String, ref: DataFrame,
+      refCol: String, minRatioMicros: Long = 1000000L) extends Check {
+    val name: String = s"ref:$colName"
+  }
+
+  /** Evaluate `checks` against `df` → report frame
+    * (check, n_total, n_ok, ratio_micros, min_ratio_micros, passed),
+    * one row per check: row-predicate checks first (the fused scan),
+    * then unique/referential checks, each group in declaration order. */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "Quality.report: need >= 1 check")
+    val scalar = checks.collect { case s: Satisfies => s }
+    val scalarRows: Option[DataFrame] = if (scalar.isEmpty) None else {
+      val aggs = count(lit(1)).as("__n") +: scalar.zipWithIndex.map {
+        case (s, i) =>
+          sum(coalesce(s.pred, lit(false)).cast("long")).as(s"__ok_$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val rows = scalar.zipWithIndex.map { case (s, i) =>
+        struct(lit(s.name).as("check"), col("__n").as("n_total"),
+          coalesce(col(s"__ok_$i"), lit(0L)).as("n_ok"),
+          lit(s.minRatioMicros).as("min_ratio_micros"))
+      }
+      Some(one.select(explode(array(rows: _*)).as("r")).select("r.*"))
+    }
+    val rest = checks.collect {
+      case u: Unique =>
+        df.groupBy(u.cols.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c")), lit(0L)).as("n_total"),
+            coalesce(sum(when(col("__c") === 1L, 1L).otherwise(0L)),
+              lit(0L)).as("n_ok"))
+          .select(lit(u.name).as("check"), col("n_total"), col("n_ok"),
+            lit(u.minRatioMicros).as("min_ratio_micros"))
+      case r: RefIntegrity =>
+        val refKeys = r.ref.select(col(r.refCol).as("__ref")).distinct()
+        df.select(col(r.colName).as("__fk"))
+          .join(refKeys, col("__fk") === col("__ref"), "left")
+          .agg(count(lit(1)).as("n_total"),
+            coalesce(sum(when(col("__ref").isNotNull, 1L).otherwise(0L)),
+              lit(0L)).as("n_ok"))
+          .select(lit(r.name).as("check"), col("n_total"), col("n_ok"),
+            lit(r.minRatioMicros).as("min_ratio_micros"))
+    }
+    val all = (scalarRows.toSeq ++ rest).reduce(_ unionByName _)
+    all.select(col("check"), col("n_total"), col("n_ok"),
+      when(col("n_total") === 0L, lit(1000000L))
+        .otherwise(floor(col("n_ok") * lit(1000000.0) / col("n_total"))
+          .cast("long")).as("ratio_micros"),
+      col("min_ratio_micros"),
+      (col("n_total") === 0L ||
+        col("n_ok") * lit(1000000L) >=
+          col("min_ratio_micros") * col("n_total")).as("passed"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Quality
+
+class QualitySpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def byName(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[String]("check") ->
+      ((r.getAs[Long]("n_total"), r.getAs[Long]("n_ok"),
+        r.getAs[Long]("ratio_micros"), r.getAs[Boolean]("passed")))).toMap
+
+  test("report: fused scalar checks — exact counts, micro ratios, " +
+      "null predicate fails the row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, Option("a"), Option(10.0)), (2, Option("b"), Option(250.0)),
+      (3, Option.empty[String], Option(50.0)),
+      (4, Option("c"), Option.empty[Double])
+    ).toDF("id", "tag", "v")
+    val rep = byName(Quality.report(df, Seq(
+      Quality.notNull("tag"),                       // 3/4
+      Quality.inRange("v", 0, 100, 500000L),        // 2/4 (null + 250 fail)
+      Quality.matchesPattern("tag", "^[ab]$", 400000L), // 2/4
+      Quality.inSet("id", Seq(1, 2, 3, 4)))))       // 4/4
+    assert(rep("not_null:tag") == ((4L, 3L, 750000L, false)))
+    assert(rep("in_range:v") == ((4L, 2L, 500000L, true)))
+    assert(rep("pattern:tag") == ((4L, 2L, 500000L, true)))
+    assert(rep("in_set:id") == ((4L, 4L, 1000000L, true)))
+  }
+
+  test("report: unique counts rows whose key is singleton; " +
+      "ref integrity nulls and misses fail") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Option(10)), (1, Option(20)), (2, Option(30)),
+      (3, Option.empty[Int])).toDF("k", "fk")
+    val ref = Seq(10, 30, 99).toDF("rk")
+    val rep = byName(Quality.report(df, Seq(
+      Quality.Unique(Seq("k"), 400000L),
+      Quality.RefIntegrity("fk", ref, "rk", 400000L))))
+    // k: {1,1,2,3} → 2 singleton rows of 4
+    assert(rep("unique:k") == ((4L, 2L, 500000L, true)))
+    // fk: 10 ✓, 20 ✗, 30 ✓, null ✗
+    assert(rep("ref:fk") == ((4L, 2L, 500000L, true)))
+  }
+
+  test("report: empty frame passes everything vacuously") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "x")).toDF("k", "t").where(lit(false))
+    val rep = byName(Quality.report(df, Seq(
+      Quality.notNull("t"), Quality.Unique(Seq("k")))))
+    assert(rep("not_null:t") == ((0L, 0L, 1000000L, true)))
+    assert(rep("unique:k") == ((0L, 0L, 1000000L, true)))
+  }
+
+  test("report: passed is exact integer arithmetic at the boundary") {
+    val s = spark
+    import s.implicits._
+    // 1/3 ok with threshold 333333 (pass: 3·333333 = 999999 ≤ 1000000)
+    // and 333334 (fail: 1000002 > 1000000)
+    val df = Seq(Option(1), None, None).toDF("v")
+    val rep = Quality.report(df, Seq(
+      Quality.notNull("v", 333333L), Quality.notNull("v", 333334L)))
+      .collect().map(r => (r.getAs[Long]("min_ratio_micros"),
+        r.getAs[Boolean]("passed"))).toMap
+    assert(rep(333333L) && !rep(333334L))
+  }
+
+  test("report: duplicate ref keys do not fan out the count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1, 2).toDF("fk")
+    val ref = Seq(1, 1, 1).toDF("rk")
+    val rep = byName(Quality.report(df,
+      Seq(Quality.RefIntegrity("fk", ref, "rk"))))
+    assert(rep("ref:fk") == ((2L, 1L, 500000L, false)))
+  }
+}
