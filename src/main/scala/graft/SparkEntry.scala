@@ -2320,9 +2320,10 @@ object SparkEntry {
         .sortByKeys(SortKey("source"), SortKey("doc_id"))
     }, Some("""SELECT source, doc_id, n_tok, cum_tokens FROM (
       |  SELECT source, doc_id, n_tok,
-      |    SUM(n_tok) OVER (PARTITION BY source
+      |    CAST(SUM(n_tok) OVER (PARTITION BY source
       |      ORDER BY ((doc_id % 1048576) * 2654435761) % 1000000, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
       |  FROM (SELECT source, doc_id,
       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
       |      x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents))
@@ -3903,6 +3904,53 @@ object SparkEntry {
          |SELECT node AS doc_id, ROUND(rank, 6) AS rank FROM r10
          |ORDER BY doc_id""".stripMargin
     }),
+
+    Q("graph_components", (s, dir) => {
+      // pointer-jumping connected components on a deterministic
+      // functional graph (doc_id → (doc_id·7) mod 250: several hundred
+      // nodes, a handful of long-tailed components). DuckDB re-derives
+      // min-reachable labels as a recursive-CTE fixpoint — algorithm-
+      // independent ground truth for the prop+jump loop.
+      val e = Tables(s, dir).documents.select(
+        col("doc_id").as("a"), ((col("doc_id") * 7) % 250).as("b"))
+      graft.ops.Graph.connectedComponents(e, "a", "b")
+        .sortByKeys(SortKey("node"))
+    }, Some("""WITH RECURSIVE e0 AS (
+      |  SELECT doc_id AS a, (doc_id * 7) % 250 AS b FROM documents),
+      |e AS (SELECT a, b FROM e0 WHERE a <> b
+      |  UNION SELECT b, a FROM e0 WHERE a <> b),
+      |n AS (SELECT DISTINCT a AS node FROM e),
+      |reach(s, d) AS (
+      |  SELECT node, node FROM n
+      |  UNION
+      |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
+      |SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s
+      |ORDER BY node""".stripMargin)),
+
+    Q("graph_bfs", (s, dir) => {
+      // multi-source BFS: exact hop distance from the doc_id % 100 = 0
+      // seed set, radius 6, over the same functional graph. DuckDB
+      // walks all bounded paths (UNION ALL + depth guard) and takes the
+      // per-node MIN — frontier-correctness checked path-by-path.
+      val t = Tables(s, dir)
+      val e = t.documents.select(
+        col("doc_id").as("a"), ((col("doc_id") * 7) % 250).as("b"))
+      val seeds = t.documents.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("node"))
+      graft.ops.Graph.bfsDistances(e, "a", "b", seeds, maxHops = 6)
+        .sortByKeys(SortKey("node"))
+    }, Some("""WITH RECURSIVE e0 AS (
+      |  SELECT doc_id AS a, (doc_id * 7) % 250 AS b FROM documents),
+      |e AS (SELECT a, b FROM e0 WHERE a <> b
+      |  UNION SELECT b, a FROM e0 WHERE a <> b),
+      |walk(node, dist) AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+      |  WHERE doc_id % 100 = 0
+      |  UNION ALL
+      |  SELECT e.b, w.dist + 1 FROM walk w JOIN e ON w.node = e.a
+      |  WHERE w.dist < 6)
+      |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk
+      |GROUP BY node ORDER BY node""".stripMargin)),
 
     // ================= LLM pipeline: similarity =======================
     Q("sim_bruteforce_topk", (s, dir) => {

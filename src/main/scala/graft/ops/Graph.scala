@@ -142,4 +142,144 @@ object Graph {
             (col("deg") * (col("deg") - lit(1L))), 6))
           .otherwise(lit(0.0)))
   }
+
+  /** Connected components with POINTER JUMPING — the O(log diameter)
+    * sibling of `Dedup.propagateMinLabels` (which needs O(diameter)
+    * rounds: a 10⁶-node chain, the shape URL-graph tails and citation
+    * chains actually take, would run a million label-prop rounds).
+    * Returns (node, component) for every node appearing in `edges`,
+    * component = minimum node id reachable from it.
+    *
+    * Each round does two monotone label updates:
+    *   1. PROPAGATE: l(v) ← min(l(v), min over neighbors u of l(u)) —
+    *      the label-prop step, one skinny join + partial-agg shuffle.
+    *   2. JUMP: l(v) ← min(l(v), l(l(v))) — follow the parent pointer
+    *      one hop (labels are node ids, so the label frame joins
+    *      itself). This is pointer doubling: a chain of parent links
+    *      halves every round, so chains of length d collapse in
+    *      O(log d) rounds where propagate-only walks them one hop per
+    *      round. Labels only decrease and min-reachable is a fixpoint
+    *      of both steps, so the result equals label propagation's
+    *      (pinned by GraphSpec's law on random graphs).
+    *
+    * Scale shape: every frame on the wire is a (long, long) pair —
+    * payloads never enter the loop. Per round: one adjacency⋈labels
+    * hash join + map-side-combined min, one labels⋈labels self-join,
+    * one checkpoint; superseded rounds free inside the loop (the
+    * nearDupClusters lifetime pattern) and the final checkpoint's
+    * release registers on `cache`. Convergence = no label changed,
+    * checked as a limit-1 count on the already-checkpointed frame. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    val internal = new CacheHandle
+    val (adj, freeAdj) = CacheHandle.checkpointSmall(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .where(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct())
+    internal.trackRelease(freeAdj)
+    // l0(v) = min(v, min neighbor) — one round of propagation for free
+    var (labels, freeLabels) = CacheHandle.checkpointSmall(
+      adj.groupBy(col("a").as("node"))
+        .agg(least(col("a"), min(col("b"))).as("label")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNbr = adj
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("label")).as("nl"))
+      val prop = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("label"),
+          col("label").as("__prev"))
+      // jump: l(l(v)) — the label IS a node id, so self-join resolves it
+      val (next, freeNext) = CacheHandle.checkpointSmall(
+        prop.join(
+            labels.select(col("node").as("label"),
+              col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("ll"), col("label")))
+              .as("label"),
+            col("__prev")))
+      val changed = next.filter(col("label") =!= col("__prev"))
+        .limit(1).count()
+      freeLabels(false)
+      labels = next.drop("__prev")
+      freeLabels = freeNext
+      converged = changed == 0
+      i += 1
+    }
+    internal.release()
+    cache.trackRelease(freeLabels)
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Multi-source BFS hop distances: (node, dist) for every node within
+    * `maxHops` undirected hops of any source, dist = exact minimum hop
+    * count (sources themselves at 0). The reachability radius primitive
+    * behind crawl-frontier scoping, link-spam blast-radius audits, and
+    * "how far is this doc from a trusted seed set" quality signals.
+    *
+    * Scale shape: TRUE frontier expansion, not Bellman-Ford rounds over
+    * all nodes — round k joins only the nodes first reached at k−1
+    * against the adjacency list (skinny long pairs), anti-joins the
+    * already-settled set, and checkpoints both. In BFS every frontier
+    * label is final the round it appears (all edges weight 1), so no
+    * relaxation ever revisits a settled node: total work is
+    * O(edges touched) across ALL rounds, the sequential-BFS bound.
+    * Early-exits when the frontier empties; superseded checkpoints free
+    * inside the loop; the final settled frame's release goes on
+    * `cache`. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    require(maxHops >= 0, "bfsDistances: maxHops must be >= 0")
+    require(sources.columns.contains("node"),
+      "bfsDistances: sources needs a 'node' column")
+    val internal = new CacheHandle
+    val (adj, freeAdj) = CacheHandle.checkpointSmall(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .where(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct())
+    internal.trackRelease(freeAdj)
+    var (settled, freeSettled) = CacheHandle.checkpointSmall(
+      sources.select(col("node")).distinct()
+        .select(col("node"), lit(0L).as("dist")))
+    var (frontier, freeFrontier) = (settled, freeSettled)
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val (nextFrontier, freeNF) = CacheHandle.checkpointSmall(
+        frontier.select(col("node").as("a"))
+          .join(adj, "a")
+          .select(col("b").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop).as("dist")))
+      val (nextSettled, freeNS) = CacheHandle.checkpointSmall(
+        settled.union(nextFrontier))
+      // frontier round k is contained in settled round k — free both
+      if (!(freeFrontier eq freeSettled)) freeFrontier(false)
+      freeSettled(false)
+      frontier = nextFrontier
+      freeFrontier = freeNF
+      settled = nextSettled
+      freeSettled = freeNS
+    }
+    if (!(freeFrontier eq freeSettled)) freeFrontier(false)
+    internal.release()
+    cache.trackRelease(freeSettled)
+    settled
+  }
 }

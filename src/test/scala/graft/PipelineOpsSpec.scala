@@ -266,6 +266,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(mass - 1.0) < 1e-9, s"mass=$mass")
   }
 
+  // ---------------- Graph.connectedComponents / bfsDistances ----------------
+
+  test("connectedComponents: chain collapses in O(log d) rounds; equals label prop") {
+    val s = spark
+    import s.implicits._
+    // a 64-node chain + a separate triangle: propagate-only needs ~64
+    // rounds, pointer jumping must finish inside maxIters = 10
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val edges = (chain ++ tri).toDF("a", "b")
+    val got = graft.ops.Graph.connectedComponents(edges, "a", "b",
+        maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 63L).forall(got(_) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(got.size == 67)
+    // law: identical labels to min-label propagation on a random-ish graph
+    val rnd = (0L until 80L).map(i => (i, (i * 13 + 5) % 40)).toDF("a", "b")
+    val cc = graft.ops.Graph.connectedComponents(rnd, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = rnd.where(col("a") =!= col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b")).cache()
+    val lp = graft.ops.Dedup.propagateMinLabels(pairs, maxIters = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    pairs.unpersist()
+    assert(cc == lp, "pointer jumping must agree with label propagation")
+  }
+
+  test("bfsDistances: exact hops, horizon cutoff, multi-source min") {
+    val s = spark
+    import s.implicits._
+    // chain 0-1-...-9 plus isolated edge (50, 51)
+    val edges = ((0L until 9L).map(i => (i, i + 1)) :+ (50L, 51L))
+      .toDF("a", "b")
+    val seeds = Seq(0L, 6L).toDF("node")
+    val got = graft.ops.Graph.bfsDistances(edges, "a", "b", seeds,
+        maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // node 4 is 4 hops from 0 but 2 from 6; node 5 is min(5, 1) = 1
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 2L, 5L -> 1L, 6L -> 0L, 7L -> 1L, 8L -> 2L, 9L -> 3L),
+      s"got $got")
+    // horizon 0 = sources only; unreachable component never appears
+    val zero = graft.ops.Graph.bfsDistances(edges, "a", "b", seeds,
+        maxHops = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(zero == Map(0L -> 0L, 6L -> 0L))
+  }
+
   // ---------------- Dedup.clusterRepresentatives ----------------
 
   test("clusterRepresentatives keeps max score, ties to lowest id") {
