@@ -2329,6 +2329,69 @@ object SparkEntry {
       |      x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents))
       |WHERE cum_tokens <= 600 ORDER BY source, doc_id""".stripMargin)),
 
+    Q("mix_temperature", (s, dir) => {
+      // temperature-scaled mixture plan (α = 0.5): per-source token
+      // totals → sqrt-scaled micro weights → budget split + repeat
+      // factors. sqrt is IEEE-correctly-rounded in both engines and
+      // every ratio parenthesizes identically, so the table matches
+      // bit-for-bit.
+      graft.ops.Sampling.temperatureMixture(
+          Tables(s, dir).documents
+            .addCols("n_tok" -> tokenCount(col("text")).cast(LongType)),
+          "source", "n_tok", tokenBudget = 100000L)
+        .sortByKeys(SortKey("source"))
+    }, Some("""WITH c AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens
+      |  FROM (SELECT source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents)
+      |  GROUP BY source),
+      |sc AS (SELECT source, tokens,
+      |  CAST(ROUND(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS s
+      |  FROM c),
+      |t AS (SELECT CAST(SUM(s) AS BIGINT) AS tt FROM sc),
+      |w AS (SELECT source, tokens,
+      |  CAST(ROUND(CAST(s AS DOUBLE) * 1e6 / CAST(tt AS DOUBLE)) AS BIGINT)
+      |    AS weight_micro FROM sc CROSS JOIN t),
+      |w2 AS (SELECT source, tokens, weight_micro,
+      |  CAST(ROUND(100000.0 * (CAST(weight_micro AS DOUBLE) / 1000000.0))
+      |    AS BIGINT) AS target_tokens FROM w)
+      |SELECT source, tokens, weight_micro, target_tokens,
+      |  ROUND(CAST(target_tokens AS DOUBLE) / CAST(tokens AS DOUBLE), 4)
+      |    AS repeat_factor
+      |FROM w2 ORDER BY source""".stripMargin)),
+
+    Q("series_interval_union", (s, dir) => {
+      // union-of-intervals: each event opens a [ts, ts + value minutes)
+      // busy span; overlapping/touching spans per user merge into
+      // islands. Distinct-busy-time is then a plain SUM over islands —
+      // the overlap-safe aggregate raw durations can't give. Integer
+      // micros end-to-end.
+      val iv = Tables(s, dir).events.select(col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          round(col("value") * 60000000).cast(LongType)).as("e"))
+      graft.ops.Series.mergeIntervals(iv, Seq("user_id"), "s", "e")
+        .selectNames(Seq("user_id", "island_start", "island_end",
+          "n_merged"))
+        .sortByKeys(SortKey("user_id"), SortKey("island_start"))
+    }, Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+      |  epoch_us(ts) + CAST(ROUND(value * 60000000) AS BIGINT) AS e
+      |  FROM events),
+      |f AS (SELECT user_id, s, e,
+      |  CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS nf FROM iv),
+      |g AS (SELECT user_id, s, e,
+      |  SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f)
+      |SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_merged
+      |FROM g GROUP BY user_id, island
+      |ORDER BY user_id, island_start""".stripMargin)),
+
     Q("sample_dsir", (s, dir) => {
       // DSIR importance scoring: every doc scored by how target-like
       // its hashed unigram+bigram profile is (target = three sources'
@@ -4929,7 +4992,60 @@ object SparkEntry {
       |    AS ratio_micros,
       |  CAST(mrm AS BIGINT) AS min_ratio_micros,
       |  (n_total = 0 OR n_ok * 1000000 >= mrm * n_total) AS passed
-      |FROM raw ORDER BY chk""".stripMargin))
+      |FROM raw ORDER BY chk""".stripMargin)),
+
+    Q("quality_profile", (s, dir) => {
+      // column-profile sweep: one unpivot + ONE hash agg computes
+      // rows/nulls/exact-distinct/min/max for every profiled column.
+      // Values profile through their string form (BIGINT→VARCHAR is
+      // identical in both engines; doubles deliberately excluded).
+      Quality.profileTable(Tables(s, dir).documents,
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .sortByKeys(SortKey("column"))
+    }, Some("""SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nulls,
+      |  CAST(COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT)
+      |    AS n_distinct,
+      |  MIN(CAST(doc_id AS VARCHAR)) AS min_str,
+      |  MAX(CAST(doc_id AS VARCHAR)) AS max_str FROM documents
+      |UNION ALL
+      |SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'source', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(COUNT(DISTINCT source) AS BIGINT), MIN(source), MAX(source)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(COUNT(DISTINCT CAST(n_chars AS VARCHAR)) AS BIGINT),
+      |  MIN(CAST(n_chars AS VARCHAR)), MAX(CAST(n_chars AS VARCHAR))
+      |FROM documents
+      |ORDER BY "column"""".stripMargin)),
+
+    Q("audit_fingerprint", (s, dir) => {
+      // order-independent snapshot checksum over the documents table:
+      // per-row 60-bit SHA-256 prefixes reduced by XOR + modular sum +
+      // count — commutative aggregates, so any engine / partitioning /
+      // row order reproduces the row bit-for-bit.
+      Quality.tableFingerprint(Tables(s, dir).documents,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }, Some("""WITH h AS (SELECT CAST(concat('0x', substr(sha256(
+      |  concat_ws(chr(1),
+      |    coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+      |    coalesce(text, chr(0)),
+      |    coalesce(lang, chr(0)),
+      |    coalesce(source, chr(0)),
+      |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15))
+      |  AS BIGINT) AS h FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_hash,
+      |  CAST(COALESCE(SUM(h % 1000003), 0) AS BIGINT) AS sum_mod
+      |FROM h""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

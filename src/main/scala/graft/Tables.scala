@@ -17,16 +17,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType; read nanos as long and convert (values are
-    * micro-aligned, no precision loss). */
+  /** events.parquet's `ts` encoding varies by generator version:
+    * TIMESTAMP(NANOS) (older driver rounds — surfaces as long under
+    * `nanosAsLong`, or refuses to map), or TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (current rounds — Spark reads
+    * TIMESTAMP_NTZ). Normalize every encoding to a plain TimestampType
+    * in the UTC session so downstream `window`/`unix_micros` queries and
+    * the DuckDB oracle's `epoch_us` see identical instants. */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, NOT `/`: epoch nanos exceed double's 2^53 mantissa,
-    // so float division is off by ±1 microsecond
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      // integer `div`, NOT `/`: epoch nanos exceed double's 2^53
+      // mantissa, so float division is off by ±1 microsecond
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ wall-clock == UTC instant under the UTC session timezone
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -298,4 +298,54 @@ object Sampling {
       .orderBy(col("score_micro").desc, col(idCol).asc)
       .limit(n)
   }
+
+  /** Temperature-scaled mixture plan (the multilingual/multi-source
+    * sampling rule of mBERT/XLM-R/Gopher: sample source i with
+    * probability ∝ cᵢ^α, α ∈ (0, 1] — α=1 is natural proportions, lower
+    * α up-weights small sources). Rolls the corpus up to per-source
+    * token totals and emits the MIXING TABLE a training-data scheduler
+    * consumes: (source, tokens, weight_micro, target_tokens,
+    * repeat_factor) where target_tokens splits `tokenBudget` by the
+    * α-scaled weights and repeat_factor = target/actual is the epoch
+    * multiplier (>1 ⇒ the source repeats, the small-language oversampling
+    * effect α exists to produce).
+    *
+    * Cross-engine exactness: cᵢ^α rounds to integer MICRO units BEFORE
+    * normalization (the lmScore convention) — with the default α = 0.5
+    * the power is `sqrt`, correctly rounded by IEEE 754 in every engine,
+    * so the micro weights are bit-reproducible; weight_micro divides
+    * exact BIGINTs and target_tokens parenthesizes as
+    * round(budget · (weight_micro / 10⁶)) — one double product both
+    * engines evaluate identically. General α uses pow (documented
+    * half-ulp caveat; the oracle pins α = 0.5).
+    *
+    * Scale shape: ONE partial-aggregated count shuffle over the corpus
+    * (skinny (source, n) pairs); everything after runs on the
+    * sources-sized frame — the 1-row total joins back as a broadcast
+    * cross, the 100 TB of text never moves. */
+  def temperatureMixture(df: DataFrame, sourceCol: String,
+      tokenCol: String, tokenBudget: Long, alpha: Double = 0.5)
+      : DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperatureMixture: alpha in (0,1]")
+    require(tokenBudget > 0, "temperatureMixture: budget must be > 0")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol)).as("tokens"))
+    val powered = if (alpha == 0.5) sqrt(col("tokens").cast("double"))
+      else pow(col("tokens").cast("double"), lit(alpha))
+    val scaled = counts.withColumn("__s",
+      round(powered * lit(1e6)).cast("long"))
+    val total = scaled.agg(sum(col("__s")).as("__t"))
+    scaled.crossJoin(broadcast(total))
+      .withColumn("weight_micro",
+        round(col("__s").cast("double") * lit(1e6) /
+          col("__t").cast("double")).cast("long"))
+      .withColumn("target_tokens",
+        round(lit(tokenBudget.toDouble) *
+          (col("weight_micro").cast("double") / lit(1e6))).cast("long"))
+      .withColumn("repeat_factor",
+        round(col("target_tokens").cast("double") /
+          col("tokens").cast("double"), 4))
+      .select(col("source"), col("tokens"), col("weight_micro"),
+        col("target_tokens"), col("repeat_factor"))
+  }
 }

@@ -240,4 +240,52 @@ object Series {
       .withColumn("filled_avg", last(col("bucket_avg"), ignoreNulls = true)
         .over(w))
   }
+
+  /** Per-key UNION OF INTERVALS (gaps-and-islands): merge every
+    * overlapping-or-touching [start, end] pair into maximal islands —
+    * the "total session coverage / distinct busy time" primitive SQL
+    * aggregates can't express directly (SUM over raw durations double-
+    * counts overlaps). Returns one row per island:
+    * (keys…, island_start, island_end, n_merged), from which coverage
+    * per key is a plain downstream SUM of (island_end − island_start).
+    *
+    * Semantics: intervals merge when `start ≤ max(end so far)` in
+    * (start, end) order — overlap AND abutment both merge (a session
+    * ending at t and one starting at t are one busy span); half-open
+    * callers who want touch-splits can pre-subtract 1 from ends. Rows
+    * with null start/end are dropped (an interval without bounds has no
+    * extent). Callers must guarantee `end ≥ start`; a reversed interval
+    * participates with its raw bounds (it sorts by its start and its
+    * small end never extends the running max) rather than being
+    * silently clamped — pre-filter if upstream can produce them.
+    *
+    * Scale shape: ONE hash shuffle on the keys — the running-max window,
+    * the island-flag running sum, and the final island aggregation all
+    * partition identically, so Catalyst plans a single Exchange and the
+    * two window passes + partial-agg run inside it. Per-key state is one
+    * running max — no joins, no explode, no global sort; skew equals key
+    * skew (a key's intervals sort within its partition, the documented
+    * window-op bound). */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals: partition keys required " +
+      "(global-merge on one task is fatal at scale)")
+    val wOrd = spec(keyCols, Seq(col(startCol), col(endCol)))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val clean = df
+      .where(col(startCol).isNotNull && col(endCol).isNotNull)
+    val flagged = clean
+      .withColumn("__pmax", max(col(endCol)).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull ||
+          col(startCol) > col("__pmax"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+    flagged
+      .groupBy((keyCols.map(col) :+ col("__island")): _*)
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
 }

@@ -80,4 +80,44 @@ class QualitySpec extends AnyFunSuite {
       Seq(Quality.RefIntegrity("fk", ref, "rk"))))
     assert(rep("ref:fk") == ((2L, 1L, 500000L, false)))
   }
+
+  test("profileTable: rows/nulls/distinct/min/max per column, one agg") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option("b")), (2L, Option("a")), (3L, None),
+      (4L, Option("a"))).toDF("id", "tag")
+    val got = Quality.profileTable(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(5)))))
+      .toMap
+    assert(got("id") == ((4L, 0L, 4L, Some("1"), Some("4"))))
+    assert(got("tag") == ((4L, 1L, 2L, Some("a"), Some("b"))))
+    // all-null column: min/max null, distinct 0
+    val alln = Seq(Option.empty[String], None).toDF("x")
+    val gn = Quality.profileTable(alln, Seq("x")).collect().head
+    assert(gn.getLong(1) == 2L && gn.getLong(2) == 2L &&
+      gn.getLong(3) == 0L && gn.isNullAt(4) && gn.isNullAt(5))
+  }
+
+  test("tableFingerprint: order/partition-independent, content-sensitive") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, Option("x")), (2L, Option("y")), (3L, None))
+      .toDF("id", "v")
+    val f1 = Quality.tableFingerprint(a, Seq("id", "v")).collect().head
+    // reversed order, different partitioning → identical fingerprint
+    val b = Seq((3L, Option.empty[String]), (2L, Option("y")),
+      (1L, Option("x"))).toDF("id", "v").repartition(7)
+    val f2 = Quality.tableFingerprint(b, Seq("id", "v")).collect().head
+    assert(f1 == f2)
+    // null vs empty string must differ
+    val c = Seq((1L, Option("x")), (2L, Option("y")), (3L, Option("")))
+      .toDF("id", "v")
+    val f3 = Quality.tableFingerprint(c, Seq("id", "v")).collect().head
+    assert(f1 != f3)
+    // empty frame: zeros, not nulls
+    val e = Quality.tableFingerprint(a.limit(0), Seq("id", "v"))
+      .collect().head
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.getLong(2) == 0L)
+  }
 }

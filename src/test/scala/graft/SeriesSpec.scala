@@ -142,4 +142,53 @@ class SeriesSpec extends AnyFunSuite {
     assert(!plan.contains("Window [") || plan.contains("partitionBy") ||
       plan.contains("city"))
   }
+
+  test("mergeIntervals: overlap and abutment merge, gaps split, nulls drop") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      // key a: [0,10] ∪ [5,8] (contained) ∪ [10,20] (touching) → [0,20];
+      // then a gap, [30,40] alone
+      ("a", Some(0L), Some(10L)), ("a", Some(5L), Some(8L)),
+      ("a", Some(10L), Some(20L)), ("a", Some(30L), Some(40L)),
+      // key b: same bounds as a's first island — keys never cross-merge
+      ("b", Some(15L), Some(25L)),
+      // null bounds drop
+      ("b", None, Some(99L)), ("b", Some(99L), None)
+    ).toDF("k", "s", "e")
+    val got = Series.mergeIntervals(iv, Seq("k"), "s", "e")
+      .orderBy("k", "island_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("a", 0L, 20L, 3L), ("a", 30L, 40L, 1L),
+      ("b", 15L, 25L, 1L)), s"got $got")
+    // single Exchange: windows and the island agg share the key partitioning
+    val plan = Series.mergeIntervals(iv, Seq("k"), "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n$plan")
+  }
+
+  test("temperatureMixture: sqrt weights, budget split, repeat factors") {
+    val s = spark
+    import s.implicits._
+    // tokens: small=100, big=400 → sqrt 10, 20 → weights 1/3, 2/3
+    val df = Seq(("small", 60L), ("small", 40L), ("big", 400L))
+      .toDF("src", "n")
+    val got = graft.ops.Sampling.temperatureMixture(df, "src", "n",
+        tokenBudget = 300L)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("big", 400L, 666667L, 200L, 0.5),
+      ("small", 100L, 333333L, 100L, 1.0)), s"got $got")
+    // α = 1 is natural proportions: weights equal token shares
+    val nat = graft.ops.Sampling.temperatureMixture(df, "src", "n",
+        tokenBudget = 500L, alpha = 1.0)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(nat == Seq(("big", 800000L, 400L), ("small", 200000L, 100L)),
+      s"got $nat")
+  }
 }
