@@ -4994,6 +4994,162 @@ object SparkEntry {
       |  (n_total = 0 OR n_ok * 1000000 >= mrm * n_total) AS passed
       |FROM raw ORDER BY chk""".stripMargin)),
 
+    Q("text_novelty", (s, dir) => {
+      // first-occurrence novelty: share of each doc's distinct 3-gram
+      // shingles that the corpus first sees IN this doc (by min doc_id).
+      // Spark counts 128-bit gram keys; DuckDB re-derives from gram
+      // STRINGS — proving the hashed path exact.
+      Dedup.noveltyScores(Tables(s, dir).documents, "text", "doc_id",
+          shingleN = 3)
+        .sortByKeys(SortKey("id"))
+    }, Some("""WITH tt AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [] END)) AS gram FROM tt),
+      |f AS (SELECT gram, MIN(doc_id) AS first_id FROM g GROUP BY gram),
+      |pd AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+      |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+      |SELECT d.doc_id AS id,
+      |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+      |  CASE WHEN coalesce(pd.n_grams, 0) > 0
+      |    THEN CAST(ROUND(pd.n_novel * 1000000.0 / pd.n_grams) AS BIGINT)
+      |    ELSE NULL END AS novelty_micro
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |ORDER BY id""".stripMargin)),
+
+    Q("sim_rank_fusion", (s, dir) => {
+      // hybrid retrieval: fuse full-vector cosine top-20 with a
+      // truncated-subspace (first 8 dims) cosine top-20 via reciprocal-
+      // rank fusion. Only RANKS cross into the fusion, each list's
+      // 1/(60+rank) contribution micro-rounded before the BIGINT sum.
+      val t = Tables(s, dir)
+      val qs = t.embeddings.filterRows(col("vec_id") < 5)
+      val listA = Similarity.bruteForceTopK(t.embeddings, qs, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      val cut8 = (d: DataFrame) => d.select(col("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding"))
+      val listB = Similarity.bruteForceTopK(cut8(t.embeddings), cut8(qs),
+          k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Similarity.rankFusion(Seq(listA, listB), k = 60, topN = 10)
+        .selectNames(Seq("query_id", "id", "rrf_micro", "fused_rank"))
+        .sortByKeys(SortKey("query_id"), SortKey("fused_rank"))
+    }, Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |sA AS (SELECT q.query_id, c.vec_id AS id,
+      |  list_sum(list_transform(list_zip(c.embedding, q.qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / greatest(
+      |      sqrt(list_sum(list_transform(c.embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |      sqrt(list_sum(list_transform(q.qv,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      1e-12) AS cos
+      |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+      |rA AS (SELECT query_id, id, rank FROM
+      |  (SELECT query_id, id, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, id) AS INTEGER) AS rank FROM sA)
+      |  WHERE rank <= 20),
+      |q8 AS (SELECT vec_id AS query_id, embedding[1:8] AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |sB AS (SELECT q8.query_id, c.vec_id AS id,
+      |  list_sum(list_transform(list_zip(c.embedding[1:8], q8.qv),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / greatest(
+      |      sqrt(list_sum(list_transform(c.embedding[1:8],
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |      sqrt(list_sum(list_transform(q8.qv,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      1e-12) AS cos
+      |  FROM q8 CROSS JOIN embeddings c WHERE c.vec_id <> q8.query_id),
+      |rB AS (SELECT query_id, id, rank FROM
+      |  (SELECT query_id, id, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, id) AS INTEGER) AS rank FROM sB)
+      |  WHERE rank <= 20),
+      |u AS (SELECT query_id, id,
+      |    CAST(ROUND(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM rA
+      |  UNION ALL
+      |  SELECT query_id, id,
+      |    CAST(ROUND(1000000.0 / (60 + rank)) AS BIGINT) FROM rB),
+      |fs AS (SELECT query_id, id, CAST(SUM(c) AS BIGINT) AS rrf_micro
+      |  FROM u GROUP BY query_id, id)
+      |SELECT query_id, id, rrf_micro, fused_rank FROM
+      |  (SELECT query_id, id, rrf_micro,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_micro DESC, id) AS INTEGER) AS fused_rank
+      |   FROM fs)
+      |WHERE fused_rank <= 10
+      |ORDER BY query_id, fused_rank""".stripMargin)),
+
+    Q("label_fleiss", (s, dir) => {
+      // Fleiss' kappa over three deterministic synthetic raters (length
+      // bands offset by 137 chars each, 4 categories). Contingency
+      // aggregates are exact BIGINTs; po/pe/kappa replay the identical
+      // double parenthesization in both engines.
+      val rater = (off: Int) =>
+        (floor((col("n_chars") + off) / 300.0).cast(LongType) % 4)
+      val rated = Tables(s, dir).documents.select(col("doc_id"),
+        explode(array(rater(137), rater(274), rater(411))).as("label"))
+      Eval.fleissKappa(rated, "doc_id", "label")
+    }, Some("""WITH r AS (
+      |  SELECT doc_id,
+      |    CAST(FLOOR((n_chars + 137) / 300.0) AS BIGINT) % 4 AS label
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(FLOOR((n_chars + 274) / 300.0) AS BIGINT) % 4
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(FLOOR((n_chars + 411) / 300.0) AS BIGINT) % 4
+      |  FROM documents),
+      |cells AS (SELECT doc_id, label, COUNT(*) AS nic FROM r GROUP BY 1, 2),
+      |pi AS (SELECT doc_id, SUM(nic) AS n, SUM(nic * (nic - 1)) AS ai
+      |  FROM cells GROUP BY 1),
+      |tops AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(ai) AS BIGINT) AS a FROM pi),
+      |m AS (SELECT CAST(SUM(sc * sc) AS BIGINT) AS b FROM
+      |  (SELECT label, SUM(nic) AS sc FROM cells GROUP BY 1)),
+      |base AS (SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+      |  ROUND(CAST(a AS DOUBLE) /
+      |    CAST(n_items * 3 * 2 AS DOUBLE), 6) AS po,
+      |  ROUND(CAST(b AS DOUBLE) /
+      |    CAST((n_items * 3) * (n_items * 3) AS DOUBLE), 6) AS pe
+      |  FROM tops CROSS JOIN m)
+      |SELECT n_items, n_raters, po, pe,
+      |  CASE WHEN pe = 1.0 THEN 1.0
+      |    ELSE ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+      |FROM base""".stripMargin)),
+
+    Q("io_compaction_plan", (s, dir) => {
+      // compaction planning over a synthetic per-partition file manifest
+      // (deterministic sizes from the order key): cumulative-bucket
+      // packing into 1 MiB output groups — pure window arithmetic both
+      // engines replay row-for-row.
+      val files = Tables(s, dir).orders.select(
+        col("o_orderpriority").as("p"), col("o_orderkey").as("f"),
+        ((col("o_orderkey") % 997) * 1024 + 4096).as("bytes"))
+      IO.compactionPlan(files, "bytes", "f", 1048576L, Seq("p"))
+        .sortByKeys(SortKey("p"), SortKey("grp"))
+    }, Some("""WITH files AS (SELECT o_orderpriority AS p, o_orderkey AS f,
+      |  (o_orderkey % 997) * 1024 + 4096 AS bytes FROM orders),
+      |c AS (SELECT p, f, bytes,
+      |  CAST(SUM(bytes) OVER (PARTITION BY p ORDER BY f
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum FROM files),
+      |g AS (SELECT p, f, bytes, (cum - 1) // 1048576 AS g0 FROM c),
+      |d AS (SELECT p, f, bytes,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY p ORDER BY g0) AS BIGINT)
+      |    AS grp FROM g)
+      |SELECT p, grp, CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+      |  MIN(f) AS first, MAX(f) AS last
+      |FROM d GROUP BY p, grp ORDER BY p, grp""".stripMargin)),
+
     Q("quality_profile", (s, dir) => {
       // column-profile sweep: one unpivot + ONE hash agg computes
       // rows/nulls/exact-distinct/min/max for every profiled column.

@@ -1205,4 +1205,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"), col("lev"),
         col("edit_sim"))
   }
+
+  /** First-occurrence NOVELTY scoring (the D4/"data diet" ordering
+    * signal): for each document, the fraction of its distinct n-gram
+    * shingles whose corpus-wide FIRST occurrence (minimum id) is this
+    * document — 10⁶-scaled. A verbatim re-crawl scores 0, fresh content
+    * scores 10⁶, quote-heavy pages land between; ordering by id makes
+    * the score a deterministic function of the corpus, so re-runs and
+    * engines agree exactly. Output: every input row as
+    * (id, n_grams, n_novel, novelty_micro) — gram-less docs (null/short
+    * text) carry n_grams = 0 and a NULL score, never a fabricated 0
+    * (a doc with nothing to judge is not "all duplicate").
+    *
+    * Scale shape: the corpus tokenizes once and explodes to skinny
+    * (128-bit gram key, id) pairs — gram strings never move (the
+    * duplicateSpans convention; the oracle re-derives from STRINGS to
+    * prove the hashed path exact). One partial-aggregated min shuffle
+    * finds each gram's first doc; hits join back shuffle-hash-pinned on
+    * the gram key (first-occurrence side ≪ occurrence side after
+    * aggregation — sort-merge would sort the big side for nothing);
+    * the per-doc rollup is one more skinny shuffle on id. */
+  def noveltyScores(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    require(shingleN >= 1, "noveltyScores: shingleN must be >= 1")
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
+    val gramArr = when(size(tk) >= shingleN,
+      array_distinct(transform(sequence(lit(0), size(tk) - shingleN),
+        i => substring(
+          sha2(concat_ws(" ", slice(tk, i + 1, lit(shingleN))), 256),
+          1, 32))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(idCol).as("id"),
+      explode(gramArr).as("key"))
+    val first = grams.groupBy(col("key"))
+      .agg(min(col("id")).as("first_id"))
+    val perDoc = grams
+      .join(first.hint("shuffle_hash"), "key")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0L,
+          round(col("n_novel") * lit(1000000.0) / col("n_grams"))
+            .cast(LongType))
+          .otherwise(lit(null).cast(LongType)).as("novelty_micro"))
+  }
 }

@@ -303,4 +303,57 @@ object Eval {
           .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")),
             6)))
   }
+
+  /** Fleiss' kappa (1971) — chance-corrected agreement for MANY raters
+    * per item, the multi-annotator sibling of [[agreementKappa]] (which
+    * handles exactly two): the labeling-QA gate when every doc gets 3+
+    * crowd/model judgments. Requires the same rater count n on every
+    * item (the statistic is undefined otherwise) — verified with a
+    * 1-row aggregate and failed FAST, never silently averaged away.
+    *
+    * Exactness: both observed and expected agreement are ratios of
+    * exact BIGINT aggregates (A = Σᵢ Σ_c n_ic(n_ic−1),
+    * B = Σ_c (Σᵢ n_ic)²), combined in DOUBLE with a fixed
+    * parenthesization — Po = A/(N·n·(n−1)), Pe = B/(N·n)²,
+    * κ = (Po−Pe)/(1−Pe), each rounded 6dp — so any engine holding the
+    * integers (exact under 2⁵³ ratings — beyond any labeling campaign)
+    * reproduces the row bit-for-bit. Perfect expected agreement
+    * (Pe = 1: every rating one category) pins κ = 1.
+    *
+    * Scale shape: ONE hash aggregation on (item, label) builds the
+    * contingency cells; every later frame is cells-, items- or
+    * categories-sized; the scalars meet in a broadcast-joined 1-row
+    * frame. Output: (n_items, n_raters, po, pe, kappa). */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(itemCol).as("item"), col(labelCol).as("lab"))
+      .agg(count(lit(1)).as("nic"))
+    val perItem = cells.groupBy(col("item"))
+      .agg(sum(col("nic")).as("n"),
+        sum(col("nic") * (col("nic") - lit(1L))).as("a_i"))
+    val raterCounts = perItem.select(col("n")).distinct().limit(2)
+      .collect().map(_.getLong(0))
+    require(raterCounts.length == 1,
+      s"fleissKappa: unequal rater counts per item " +
+        s"(saw ${raterCounts.mkString(", ")}…)")
+    val n = raterCounts.head
+    require(n >= 2, "fleissKappa: need >= 2 raters per item")
+    val top = perItem.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("a_i")), lit(0L)).as("a"))
+    val marg = cells.groupBy(col("lab"))
+      .agg(sum(col("nic")).as("s_c"))
+      .agg(coalesce(sum(col("s_c") * col("s_c")), lit(0L)).as("b"))
+    top.crossJoin(broadcast(marg))
+      .select(col("n_items"), lit(n).as("n_raters"),
+        round(col("a").cast(DoubleType) /
+          (col("n_items") * lit(n) * lit(n - 1L)).cast(DoubleType), 6)
+          .as("po"),
+        round(col("b").cast(DoubleType) /
+          ((col("n_items") * lit(n)) * (col("n_items") * lit(n)))
+            .cast(DoubleType), 6).as("pe"))
+      .withColumn("kappa",
+        when(col("pe") === 1.0, lit(1.0))
+          .otherwise(round((col("po") - col("pe")) /
+            (lit(1.0) - col("pe")), 6)))
+  }
 }

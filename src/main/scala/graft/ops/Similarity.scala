@@ -488,4 +488,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval merge: given several per-query rankings of the same
+    * candidate space (BM25, embedding ANN, recency, …), score each
+    * (query, id) by Σ_lists 1/(k + rank) and re-rank. Robust to
+    * incomparable raw scores because only RANKS enter; a candidate
+    * missing from a list simply contributes nothing there.
+    *
+    * Exactness: each list's contribution rounds to integer MICRO units
+    * before the sum (the lmScore convention), so fused scores are exact
+    * BIGINT sums any engine reproduces; ties break on id ascending.
+    * Output: (query_id, id, rrf_micro, fused_rank), topN per query.
+    *
+    * Scale shape: inputs are already top-k lists — skinny
+    * (query_id, id, rank) triples, bounded by queries × k × lists. One
+    * union (no shuffle) → one hash aggregation on (query_id, id) → the
+    * per-query re-rank window partitions on query_id: candidate sets
+    * per query are ≤ k · lists rows, so the window never sees corpus-
+    * scale data. */
+  def rankFusion(rankings: Seq[DataFrame], k: Int = 60, topN: Int = 10)
+      : DataFrame = {
+    require(rankings.nonEmpty, "rankFusion: no rankings")
+    require(k >= 1, "rankFusion: k must be >= 1")
+    require(topN >= 1, "rankFusion: topN must be >= 1")
+    val cols = Seq("query_id", "id", "rank")
+    val contrib = rankings.map { r =>
+      require(cols.forall(r.columns.contains),
+        s"rankFusion: each ranking needs columns $cols")
+      r.select(col("query_id"), col("id"),
+        round(lit(1000000.0) / (lit(k) + col("rank")))
+          .cast(LongType).as("c"))
+    }.reduce(_ unionByName _)
+    val fused = contrib.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("rrf_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("id").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topN)
+  }
 }

@@ -310,4 +310,54 @@ object IO {
       c -> rows.map(_.get(i)).toSeq
     }.toMap
   }
+
+  /** Small-file COMPACTION plan (the OPTIMIZE/rewrite step every
+    * lakehouse table needs after streaming or partitioned ingest):
+    * CUMULATIVE-BUCKET packing — walk each partition's files in
+    * `orderCol` order and bucket by floor((running bytes − 1) /
+    * targetBytes), i.e. output groups are the targetBytes-aligned
+    * slices of the byte-cumulative file list. The stateless window form
+    * of bin packing: reset-accumulator greedy needs sequential state no
+    * SQL window carries, while this rule is one running sum — same plan
+    * from any engine, and each group's bytes stay under targetBytes
+    * plus its largest boundary-straddling file (an oversized file
+    * absorbs the bucket its cumulative end lands in, trailing
+    * neighbors included). Order-preserving: consecutive files
+    * co-locate, so in-file sort runs survive the rewrite — the
+    * writePartitioned/fileStats envelope benefit.
+    *
+    * Output: one row per planned output group —
+    * (partition cols…, grp, n_files, bytes, first, last) with `grp`
+    * dense 1-based per partition and first/last the `orderCol` bounds
+    * of the files it swallows.
+    *
+    * Scale shape: runs over the MANIFEST (one row per file — what a
+    * table-format planner holds), not the data: windows partition on
+    * the table partition keys, one hash shuffle of file-count rows. An
+    * unpartitioned table runs one global window over its file list —
+    * planner-scale by construction, same bound as [[statsPrunedRead]]'s
+    * kept-file collect. */
+  def compactionPlan(files: DataFrame, sizeCol: String, orderCol: String,
+      targetBytes: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes > 0, "compactionPlan: targetBytes must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val part =
+      if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionCols.map(col): _*)
+    val wRun = part.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = files
+      .withColumn("__cum", sum(col(sizeCol)).over(wRun))
+      // integer `div`, not `/`: float division of byte totals loses
+      // exactness past 2^53 (9 PB of cumulative bytes per partition)
+      .withColumn("__grp", expr(s"(__cum - 1) div ${targetBytes}L"))
+    val wDense = part.orderBy(col("__grp"))
+    planned
+      .withColumn("grp", dense_rank().over(wDense).cast(LongType))
+      .groupBy((partitionCols.map(col) :+ col("grp")): _*)
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("bytes"),
+        min(col(orderCol)).as("first"),
+        max(col(orderCol)).as("last"))
+  }
 }

@@ -1846,4 +1846,29 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("id_a", "id_b", "lev").as[(Long, Long, Long)].collect().toSet
     assert(strict == Set((1L, 2L, 0L)))
   }
+
+  test("noveltyScores: copies score 0, fresh 1e6, mixes between, short null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option("alpha beta gamma delta")),      // grams: abg, bgd
+      (2L, Option("alpha beta gamma delta")),      // exact copy → 0
+      (3L, Option("alpha beta gamma zeta eta")),   // abg seen; bgz, gze new
+      (4L, Option("one two three")),               // wholly fresh → 1e6
+      (5L, Option("tiny")),                        // < 3 tokens → no grams
+      (6L, Option.empty[String])                   // null text
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(df, "text", "doc_id", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got(1L) == ((2L, 2L, Some(1000000L))))
+    assert(got(2L) == ((2L, 0L, Some(0L))))
+    // doc 3: grams (alpha beta gamma) first in doc 1; (beta gamma zeta),
+    // (gamma zeta eta) first here → 2/3
+    assert(got(3L) == ((3L, 2L, Some(666667L))))
+    assert(got(4L) == ((1L, 1L, Some(1000000L))))
+    assert(got(5L) == ((0L, 0L, None)))
+    assert(got(6L) == ((0L, 0L, None)))
+    assert(got.size == 6)
+  }
 }

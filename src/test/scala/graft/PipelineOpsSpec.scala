@@ -315,6 +315,78 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(zero == Map(0L -> 0L, 6L -> 0L))
   }
 
+  // ---------------- Similarity.rankFusion ----------------
+
+  test("rankFusion: micro contributions sum, missing-list candidates, ties") {
+    val s = spark
+    import s.implicits._
+    // query 1: list A ranks (10, 11), list B ranks (11, 12)
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "id", "rank")
+    val got = graft.ops.Similarity.rankFusion(Seq(a, b), k = 60, topN = 10)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // 11: round(1e6/62) + round(1e6/61) = 16129 + 16393 = 32522
+    // 10: round(1e6/61) = 16393; 12: round(1e6/62) = 16129
+    assert(got == Seq((11L, 32522L, 1), (10L, 16393L, 2),
+      (12L, 16129L, 3)), s"got $got")
+    // exact tie (same ranks in both lists) breaks on id ascending
+    val t1 = Seq((1L, 7L, 1), (1L, 5L, 2)).toDF("query_id", "id", "rank")
+    val t2 = Seq((1L, 5L, 1), (1L, 7L, 2)).toDF("query_id", "id", "rank")
+    val tie = graft.ops.Similarity.rankFusion(Seq(t1, t2), topN = 2)
+      .orderBy("fused_rank").collect().map(_.getLong(1)).toSeq
+    assert(tie == Seq(5L, 7L))
+  }
+
+  // ---------------- Eval.fleissKappa ----------------
+
+  test("fleissKappa: perfect agreement, pe=1 pin, unequal raters fail fast") {
+    val s = spark
+    import s.implicits._
+    // two raters, two items, both agree, two categories used
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("item", "label")
+    val p = graft.ops.Eval.fleissKappa(perfect, "item", "label")
+      .collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 1.0 && p.getDouble(3) == 0.5 &&
+      p.getDouble(4) == 1.0)
+    // every rating one category: pe = 1 → kappa pinned to 1
+    val uni = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("item", "label")
+    val u = graft.ops.Eval.fleissKappa(uni, "item", "label").collect().head
+    assert(u.getDouble(3) == 1.0 && u.getDouble(4) == 1.0)
+    // unequal rater counts must fail fast, not average away
+    val bad = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("item", "label")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Eval.fleissKappa(bad, "item", "label")
+    }
+    assert(e.getMessage.contains("unequal rater counts"))
+  }
+
+  // ---------------- IO.compactionPlan ----------------
+
+  test("compactionPlan: cumulative buckets, dense ids, partition isolation") {
+    val s = spark
+    import s.implicits._
+    val files = Seq(
+      ("p1", 1L, 6L), ("p1", 2L, 6L), ("p1", 3L, 6L),
+      // p2 leads with an oversized file; the trailing small file shares
+      // the bucket its cumulative end lands in
+      ("p2", 1L, 25L), ("p2", 2L, 3L)
+    ).toDF("p", "f", "bytes")
+    val got = graft.sources.IO.compactionPlan(files, "bytes", "f", 10L,
+        Seq("p"))
+      .orderBy("p", "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("p1", 1L, 1L, 6L, 1L, 1L),   // cum 6 → bucket 0
+      ("p1", 2L, 2L, 12L, 2L, 3L),  // cums 12, 18 → bucket 1
+      ("p2", 1L, 2L, 28L, 1L, 2L)), // cums 25, 28 → bucket 2, dense → 1
+      s"got $got")
+  }
+
   // ---------------- Dedup.clusterRepresentatives ----------------
 
   test("clusterRepresentatives keeps max score, ties to lowest id") {
