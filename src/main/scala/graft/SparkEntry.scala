@@ -4994,6 +4994,123 @@ object SparkEntry {
       |  (n_total = 0 OR n_ok * 1000000 >= mrm * n_total) AS passed
       |FROM raw ORDER BY chk""".stripMargin)),
 
+    Q("quality_histogram", (s, dir) => {
+      // exact equi-depth histogram of n_chars: R-7 decile edges rounded
+      // 6dp BEFORE bucketing, last bin closed — both engines bucket
+      // identically, bin counts are exact.
+      Quality.histogram(Tables(s, dir).documents, "n_chars", bins = 10)
+        .sortByKeys(SortKey("bin"))
+    }, Some("""WITH e AS (SELECT [
+      |  ROUND(quantile_cont(n_chars, 0.0), 6),
+      |  ROUND(quantile_cont(n_chars, 0.1), 6),
+      |  ROUND(quantile_cont(n_chars, 0.2), 6),
+      |  ROUND(quantile_cont(n_chars, 0.3), 6),
+      |  ROUND(quantile_cont(n_chars, 0.4), 6),
+      |  ROUND(quantile_cont(n_chars, 0.5), 6),
+      |  ROUND(quantile_cont(n_chars, 0.6), 6),
+      |  ROUND(quantile_cont(n_chars, 0.7), 6),
+      |  ROUND(quantile_cont(n_chars, 0.8), 6),
+      |  ROUND(quantile_cont(n_chars, 0.9), 6),
+      |  ROUND(quantile_cont(n_chars, 1.0), 6)] AS edges
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |b AS (SELECT CAST(len(list_filter(e.edges[2:10],
+      |    x -> d.n_chars >= x)) + 1 AS BIGINT) AS bin
+      |  FROM documents d CROSS JOIN e WHERE d.n_chars IS NOT NULL),
+      |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
+      |SELECT g.bin, e.edges[CAST(g.bin AS INTEGER)] AS lo,
+      |  e.edges[CAST(g.bin AS INTEGER) + 1] AS hi,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |FROM (SELECT unnest(generate_series(1, 10)) AS bin) g
+      |CROSS JOIN e LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin)),
+
+    Q("quality_psi_drift", (s, dir) => {
+      // PSI drift: current snapshot drops every doc above 900 chars —
+      // the upper decile bins empty out and the report quantifies it.
+      // Buckets come from BASE deciles; add-half smoothing; per-bin
+      // contributions round to integer nanos before any rollup.
+      val base = Tables(s, dir).documents
+      Quality.psiDrift(base, base.filterRows(col("n_chars") <= 900),
+          "n_chars", bins = 10)
+        .sortByKeys(SortKey("bin"))
+    }, Some("""WITH e AS (SELECT [
+      |  ROUND(quantile_cont(n_chars, 0.0), 6),
+      |  ROUND(quantile_cont(n_chars, 0.1), 6),
+      |  ROUND(quantile_cont(n_chars, 0.2), 6),
+      |  ROUND(quantile_cont(n_chars, 0.3), 6),
+      |  ROUND(quantile_cont(n_chars, 0.4), 6),
+      |  ROUND(quantile_cont(n_chars, 0.5), 6),
+      |  ROUND(quantile_cont(n_chars, 0.6), 6),
+      |  ROUND(quantile_cont(n_chars, 0.7), 6),
+      |  ROUND(quantile_cont(n_chars, 0.8), 6),
+      |  ROUND(quantile_cont(n_chars, 0.9), 6),
+      |  ROUND(quantile_cont(n_chars, 1.0), 6)] AS edges
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |bb AS (SELECT CAST(len(list_filter(e.edges[2:10],
+      |    x -> d.n_chars >= x)) + 1 AS BIGINT) AS bin
+      |  FROM documents d CROSS JOIN e WHERE d.n_chars IS NOT NULL),
+      |bc AS (SELECT bin, COUNT(*) AS base_n FROM bb GROUP BY bin),
+      |cb AS (SELECT CAST(len(list_filter(e.edges[2:10],
+      |    x -> d.n_chars >= x)) + 1 AS BIGINT) AS bin
+      |  FROM documents d CROSS JOIN e
+      |  WHERE d.n_chars IS NOT NULL AND d.n_chars <= 900),
+      |cc AS (SELECT bin, COUNT(*) AS cur_n FROM cb GROUP BY bin),
+      |j AS (SELECT g.bin, e.edges[CAST(g.bin AS INTEGER)] AS lo,
+      |  e.edges[CAST(g.bin AS INTEGER) + 1] AS hi,
+      |  CAST(coalesce(bc.base_n, 0) AS BIGINT) AS base_n,
+      |  CAST(coalesce(cc.cur_n, 0) AS BIGINT) AS cur_n
+      |  FROM (SELECT unnest(generate_series(1, 10)) AS bin) g
+      |  CROSS JOIN e LEFT JOIN bc USING (bin) LEFT JOIN cc USING (bin)),
+      |t AS (SELECT j.*, SUM(base_n) OVER () AS bt, SUM(cur_n) OVER () AS ct
+      |  FROM j)
+      |SELECT bin, lo, hi, base_n, cur_n,
+      |  CAST(ROUND(((base_n + 0.5) / (bt + 0.5 * 10)
+      |      - (cur_n + 0.5) / (ct + 0.5 * 10))
+      |    * ln(((base_n + 0.5) / (bt + 0.5 * 10))
+      |      / ((cur_n + 0.5) / (ct + 0.5 * 10))) * 1e9) AS BIGINT)
+      |    AS contrib_nano
+      |FROM t ORDER BY bin""".stripMargin)),
+
+    Q("sim_quantize_int8", (s, dir) => {
+      // symmetric int8 embedding quantization: max-abs scale, integer
+      // codes, nano-exact reconstruction MSE audit — all scan-side,
+      // DuckDB replays the list arithmetic bit-for-bit.
+      Similarity.quantizeInt8(Tables(s, dir).embeddings)
+        .sortByKeys(SortKey("vec_id"))
+    }, Some("""WITH v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, vv,
+      |  list_max(list_transform(vv, x -> abs(x))) AS sc FROM v),
+      |c AS (SELECT vec_id, sc, vv,
+      |  CASE WHEN sc IS NULL OR sc = 0
+      |    THEN list_transform(vv, x -> CAST(0 AS INTEGER))
+      |    ELSE list_transform(vv, x -> CAST(ROUND(x / sc * 127.0)
+      |      AS INTEGER)) END AS codes FROM s)
+      |SELECT vec_id, ROUND(sc, 6) AS scale, codes,
+      |  CASE WHEN len(vv) > 0 THEN CAST(ROUND(list_sum(
+      |    list_transform(list_zip(vv, codes),
+      |      p -> (p[1] - CAST(p[2] AS DOUBLE) * sc / 127.0)
+      |         * (p[1] - CAST(p[2] AS DOUBLE) * sc / 127.0)))
+      |    / len(vv) * 1e9) AS BIGINT) ELSE NULL END AS mse_nano
+      |FROM c ORDER BY vec_id""".stripMargin)),
+
+    Q("agg_skew_report", (s, dir) => {
+      // key-skew diagnostics on events.user_id: top-10 heaviest keys
+      // with share and ×-median weight — the report read before
+      // reaching for salting. Exact counts, exact median, micro ratios.
+      Agg.skewReport(Tables(s, dir).events, Seq("user_id"), topK = 10)
+        .sortByKeys(SortKey("rank"))
+    }, Some("""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+      |  COUNT(*) AS cnt FROM events GROUP BY 1),
+      |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+      |  quantile_cont(cnt, 0.5) AS med FROM c),
+      |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+      |    AS rank, key, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(ROUND(cnt * 1000000.0 / total) AS BIGINT) AS share_micro,
+      |  CAST(ROUND(cnt * 1000000.0 / med) AS BIGINT) AS x_median_micro
+      |FROM top CROSS JOIN st ORDER BY rank""".stripMargin)),
+
     Q("text_novelty", (s, dir) => {
       // first-occurrence novelty: share of each doc's distinct 3-gram
       // shingles that the corpus first sees IN this doc (by min doc_id).

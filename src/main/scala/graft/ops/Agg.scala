@@ -337,4 +337,45 @@ object Agg {
       long.groupBy("column").pivot("var2", cs).agg(first(col("value")))
     }
   }
+
+  /** Join/aggregation SKEW diagnostics for a key: the report a pipeline
+    * owner reads BEFORE reaching for [[saltedAggregate]] /
+    * `Joins.saltedJoin` — the top-`topK` heaviest key values with their
+    * absolute and relative weight. Columns: (rank, key, cnt,
+    * share_micro = 10⁶·cnt/total, x_median_micro = 10⁶·cnt/median
+    * per-key count). A healthy key shows x_median ≈ 10⁶; a key whose
+    * top entry reads 10⁹ (1000× the median) is the one that strands a
+    * 100 TB shuffle on one task, and its x_median is exactly the salt
+    * fan-out that would level it.
+    *
+    * Scale shape: ONE partial-aggregated count shuffle over the data
+    * (the same cost the skewed join itself would pay on its build
+    * side); the median of per-key counts is an exact-percentile
+    * aggregate over the KEY-cardinality frame; top-k plans as
+    * TakeOrderedAndProject — per-partition heaps, never a global sort.
+    * Ties break on the key string ascending. */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 20)
+      : DataFrame = {
+    require(keys.nonEmpty, "skewReport: no key columns")
+    require(topK >= 1, "skewReport: topK must be >= 1")
+    val keyStr = concat_ws("\u0001",
+      keys.map(k => coalesce(col(k).cast("string"), lit("\u0000"))): _*)
+    val counts = df.select(keyStr.as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("__total"),
+      percentile(col("cnt"), lit(0.5)).as("__med"))
+    val top = counts.crossJoin(broadcast(stats))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+    import org.apache.spark.sql.expressions.Window
+    top.withColumn("rank",
+        row_number().over(Window.partitionBy()
+          .orderBy(col("cnt").desc, col("key").asc)).cast(LongType))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt") * lit(1000000.0) / col("__total"))
+          .cast(LongType).as("share_micro"),
+        round(col("cnt") * lit(1000000.0) / col("__med"))
+          .cast(LongType).as("x_median_micro"))
+  }
 }

@@ -177,4 +177,100 @@ object Quality {
         coalesce(expr("bit_xor(__h)"), lit(0L)).as("xor_hash"),
         coalesce(sum(col("__h") % 1000003L), lit(0L)).as("sum_mod"))
   }
+
+  /** Exact EQUI-DEPTH histogram edges for `valueCol`: the 1-row frame
+    * (edges array of `bins`+1 exact R-7 percentiles at i/bins, each
+    * rounded 6dp BEFORE anything buckets against them — the winsorize
+    * convention, so the bucketing decision is engine-independent).
+    * Shared by [[histogram]] and [[psiDrift]]; exposed so drift checks
+    * can bucket TODAY's data by YESTERDAY's persisted edges. */
+  def histogramEdges(df: DataFrame, valueCol: String, bins: Int)
+      : DataFrame = {
+    require(bins >= 2, "histogramEdges: bins must be >= 2")
+    val ps = (0 to bins).map(i =>
+      round(percentile(col(valueCol), lit(i.toDouble / bins)), 6))
+    df.where(col(valueCol).isNotNull)
+      .agg(array(ps: _*).as("edges"))
+  }
+
+  /** Bin index (1-based) of `v` against an `edges` array of B+1
+    * ascending bounds: bin i covers [e_i, e_i+1) with the LAST bin
+    * closed; values outside the range clip into the end bins (the PSI
+    * convention — drift beyond the historical range lands in, and
+    * inflates, the boundary bin rather than vanishing). Pure array
+    * expression: 1 + count of interior edges ≤ v. */
+  def binOf(v: Column, edges: Column): Column =
+    (size(filter(slice(edges, lit(2), size(edges) - 2), e => v >= e)) + 1)
+      .cast("long")
+
+  /** Exact equi-depth HISTOGRAM of `valueCol`: `bins` rows
+    * (bin, lo, hi, n) with edges at the exact i/bins percentiles —
+    * near-equal counts by construction (equal absent ties), the value-
+    * distribution view [[profileTable]]'s min/max can't give. Null
+    * values drop (no position on the value axis; count them with
+    * [[profileTable]]); tie-emptied bins still appear with n = 0.
+    *
+    * Scale shape: ONE exact-percentile aggregation (the agg_percentiles
+    * path) → edges broadcast back as a 1-row frame → scan-side bin
+    * assignment → one `bins`-row count shuffle; the bins grid is a
+    * `sequence` explode of the 1-row edges frame, so empty bins
+    * materialize without a driver loop. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    val edges = histogramEdges(df, valueCol, bins)
+    val counts = df.where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(binOf(col(valueCol), col("edges")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    edges.select(explode(sequence(lit(1L), lit(bins.toLong))).as("bin"),
+        col("edges"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        element_at(col("edges"), col("bin").cast("int")).as("lo"),
+        element_at(col("edges"), col("bin").cast("int") + 1).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Population-stability-index DRIFT report between a BASE snapshot and
+    * a CURRENT one: bucket both by the base's exact equi-depth edges,
+    * then per bin the PSI contribution (p−q)·ln(p/q) with add-½
+    * smoothed shares (no ±∞ on empty bins). Rules of thumb for the sum:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 act. Output:
+    * (bin, lo, hi, base_n, cur_n, contrib_nano) — contributions round
+    * to integer NANOS before any consumer sums them (the JSD
+    * convention), so the report and every rollup of it are exact
+    * BIGINTs both engines reproduce.
+    *
+    * Scale shape: one exact-percentile pass over base, one scan-side
+    * bucket + `bins`-row count shuffle per side, `bins`-row joins —
+    * nothing row-scale ever joins row-scale. Out-of-range current
+    * values clip into the boundary bins by [[binOf]], so range drift
+    * registers instead of dropping. */
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    val edges = histogramEdges(base, valueCol, bins)
+    def side(df: DataFrame, as: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .crossJoin(broadcast(edges))
+        .select(binOf(col(valueCol), col("edges")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val joined = edges
+      .select(explode(sequence(lit(1L), lit(bins.toLong))).as("bin"),
+        col("edges"))
+      .join(side(base, "base_n"), Seq("bin"), "left")
+      .join(side(current, "cur_n"), Seq("bin"), "left")
+      .select(col("bin"),
+        element_at(col("edges"), col("bin").cast("int")).as("lo"),
+        element_at(col("edges"), col("bin").cast("int") + 1).as("hi"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    // bins-row frame: the totals window runs over `bins` rows, never
+    // data rows
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val bt = sum(col("base_n")).over(w)
+    val ct = sum(col("cur_n")).over(w)
+    val p = (col("base_n") + lit(0.5)) / (bt + lit(0.5) * lit(bins.toDouble))
+    val q = (col("cur_n") + lit(0.5)) / (ct + lit(0.5) * lit(bins.toDouble))
+    joined.withColumn("contrib_nano",
+      round((p - q) * log(p / q) * lit(1e9)).cast("long"))
+  }
 }

@@ -527,4 +527,42 @@ object Similarity {
     fused.withColumn("fused_rank", row_number().over(w))
       .filter(col("fused_rank") <= topN)
   }
+
+  /** Symmetric per-vector INT8 quantization (max-abs scaling, the
+    * standard embedding-storage compression: 4·dim float bytes → dim
+    * byte codes + one scale): code_j = round(x_j / scale · 127),
+    * scale = max|x_j|. Returns (idCol, scale, codes, mse_nano) — the
+    * reconstruction mean-squared-error Σ(x_j − code_j·scale/127)²/dim
+    * rounded to integer NANOS, so the quality audit column is an exact
+    * BIGINT any engine reproduces (the raw codes already are integers).
+    * Zero/empty vectors carry scale 0 and all-zero codes, never a
+    * division blowup.
+    *
+    * Scale shape: pure scan-side array expressions — no shuffle, no
+    * UDF, no collect; floats promote to double before any arithmetic
+    * and both the scale fold and the MSE fold are fixed-order
+    * (array_max / sequential aggregate), so codes AND audit match
+    * bit-for-bit across engines. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast(DoubleType))
+    val scale = array_max(transform(v, x => abs(x)))
+    val codes = when(scale.isNull || scale === 0.0,
+      transform(v, _ => lit(0).cast("int")))
+      .otherwise(transform(v, x =>
+        round(x / scale * lit(127.0)).cast("int")))
+    val dq = (c: Column) => c.cast(DoubleType) * col("scale") / lit(127.0)
+    df.select(col(idCol), round(scale, 6).as("scale_r6"),
+        scale.as("scale"), v.as("__v"), codes.as("codes"))
+      .withColumn("mse_nano",
+        when(size(col("__v")) > 0,
+          round(aggregate(
+            zip_with(col("__v"), col("codes"),
+              (x, c) => (x - dq(c)) * (x - dq(c))),
+            lit(0.0), (acc, e) => acc + e) /
+            size(col("__v")) * lit(1e9)).cast(LongType))
+          .otherwise(lit(null).cast(LongType)))
+      .select(col(idCol), col("scale_r6").as("scale"), col("codes"),
+        col("mse_nano"))
+  }
 }

@@ -338,6 +338,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tie == Seq(5L, 7L))
   }
 
+  // ---------------- Similarity.quantizeInt8 ----------------
+
+  test("quantizeInt8: max-abs codes, zero-vector guard, mse audit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),   // scale 2: codes 64, -127, 32
+      (2L, Seq(0.0f, 0.0f)),          // zero vector → scale 0, codes 0
+      (3L, Seq(127.0f))               // single value → code 127, mse 0
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.quantizeInt8(df)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Int](2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got(0)._2 == 2.0 &&
+      got(0)._3 == Seq(64, -127, 32), s"got ${got(0)}")
+    assert(got(1)._2 == 0.0 && got(1)._3 == Seq(0, 0) && got(1)._4 == 0L)
+    assert(got(2)._3 == Seq(127) && got(2)._4 == 0L)
+    // codes bounded by construction
+    assert(got.flatMap(_._3).forall(c => c >= -127 && c <= 127))
+  }
+
+  // ---------------- Agg.skewReport ----------------
+
+  test("skewReport: heavy key surfaces with share and x-median weight") {
+    val s = spark
+    import s.implicits._
+    // key "hot" 8 rows; 4 singleton keys → median per-key count 1
+    val df = (Seq.fill(8)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val got = graft.ops.Agg.skewReport(df, Seq("k"), topK = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // hot: share 8/12 = 666667 micro; ×median = 8e6 (median count 1)
+    assert(got.head == ((1L, "hot", 8L, 666667L, 8000000L)), s"got $got")
+    assert(got.map(_._2) == Seq("hot", "a", "b"))
+  }
+
   // ---------------- Eval.fleissKappa ----------------
 
   test("fleissKappa: perfect agreement, pe=1 pin, unequal raters fail fast") {

@@ -99,6 +99,42 @@ class QualitySpec extends AnyFunSuite {
       gn.getLong(3) == 0L && gn.isNullAt(4) && gn.isNullAt(5))
   }
 
+  test("histogram: equi-depth bins, clipping, empty-bin rows, null drop") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => Option(i.toDouble)).toDF("v")
+      .union(Seq(Option.empty[Double]).toDF("v"))
+    val got = Quality.histogram(df, "v", 4)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    // quartile edges of 1..100 (R-7): 1, 25.75, 50.5, 75.25, 100
+    assert(got == Seq((1L, 1.0, 25.75, 25L), (2L, 25.75, 50.5, 25L),
+      (3L, 50.5, 75.25, 25L), (4L, 75.25, 100.0, 25L)), s"got $got")
+    // heavy ties: constant column still yields all bins (empties at 0)
+    val const = Seq.fill(10)(5.0).toDF("v")
+    val cg = Quality.histogram(const, "v", 4).orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(cg.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(cg.map(_._2).sum == 10L)
+  }
+
+  test("psiDrift: identical snapshots near zero, tail cut registers high") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 200).map(_.toDouble).toDF("v")
+    val same = Quality.psiDrift(base, base, "v", bins = 10)
+      .agg(sum(col("contrib_nano"))).head.getLong(0)
+    assert(same == 0L, s"identical snapshots must give PSI 0, got $same")
+    // cut the top 30%: out-of-range semantics keep every current row
+    // (clipped into bins), and PSI crosses the 0.25 'act' threshold
+    val drift = Quality.psiDrift(base, base.where(col("v") <= 140), "v", 10)
+    val rows = drift.orderBy("bin").collect()
+    assert(rows.map(_.getAs[Long]("cur_n")).sum == 140L)
+    val psi = rows.map(_.getAs[Long]("contrib_nano")).sum / 1e9
+    assert(psi > 0.25, s"tail cut should breach 0.25, got $psi")
+  }
+
   test("tableFingerprint: order/partition-independent, content-sensitive") {
     val s = spark
     import s.implicits._
