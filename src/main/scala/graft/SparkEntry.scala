@@ -4994,6 +4994,124 @@ object SparkEntry {
       |  (n_total = 0 OR n_ok * 1000000 >= mrm * n_total) AS passed
       |FROM raw ORDER BY chk""".stripMargin)),
 
+    Q("agg_weighted_median", (s, dir) => {
+      // quantity-weighted median price per returnflag: lower/type-1
+      // rule, BIGINT threshold test — the picked row is a data value
+      // both engines select identically.
+      Agg.weightedPercentile(
+          Tables(s, dir).lineitem
+            .addCols("w" -> round(col("l_quantity")).cast(LongType)),
+          Seq("l_returnflag"), "l_extendedprice", "w", pMicro = 500000L,
+          as = "wmedian")
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""WITH c AS (SELECT l_returnflag, l_extendedprice,
+      |  CAST(ROUND(l_quantity) AS BIGINT) AS w FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |    AND CAST(ROUND(l_quantity) AS BIGINT) > 0),
+      |r AS (SELECT l_returnflag, l_extendedprice,
+      |  CAST(SUM(w) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum,
+      |  CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      |  FROM c)
+      |SELECT l_returnflag, MIN(CASE WHEN cum * 1000000 >= 500000 * tot
+      |  THEN l_extendedprice END) AS wmedian
+      |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("quality_benford", (s, dir) => {
+      // Benford first-digit audit of rounded order totals: digit from
+      // the BIGINT's string form (never log10), expected shares and χ²
+      // terms micro/nano-rounded.
+      Quality.benfordReport(
+          Tables(s, dir).orders
+            .addCols("v" -> round(col("o_totalprice")).cast(LongType)),
+          "v")
+        .sortByKeys(SortKey("digit"))
+    }, Some("""WITH d AS (SELECT CAST(substr(CAST(
+      |    CAST(ROUND(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+      |    AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice IS NOT NULL
+      |    AND CAST(ROUND(o_totalprice) AS BIGINT) > 0),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |g AS (SELECT unnest(generate_series(1, 9)) AS digit),
+      |j AS (SELECT g.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |  FROM g LEFT JOIN c USING (digit)),
+      |t AS (SELECT j.*, SUM(n) OVER () AS tot,
+      |  ln(1.0 + 1.0 / digit) / ln(10.0) AS es FROM j)
+      |SELECT digit, n,
+      |  CAST(ROUND(n * 1000000.0 / tot) AS BIGINT) AS share_micro,
+      |  CAST(ROUND(es * 1e6) AS BIGINT) AS expected_micro,
+      |  CAST(ROUND((n - es * tot) * (n - es * tot) / (es * tot) * 1e9)
+      |    AS BIGINT) AS chi_nano
+      |FROM t ORDER BY digit""".stripMargin)),
+
+    Q("url_canonical_dedup", (s, dir) => {
+      // canonical-URL dedup: uppercase scheme/host, trailing slashes,
+      // tracking params and fragments all collapse to one key; DuckDB
+      // re-derives the canonical form from the construction arithmetic
+      // (an independent path — it never parses the URL).
+      val id = col("doc_id")
+      val url = concat(lit("HTTP://WWW."), col("source"), lit(".com/p/"),
+        (id % 40).cast(StringType),
+        when(id % 7 === 0, lit("/")).otherwise(lit("")),
+        when(id % 3 === 0,
+          concat(lit("?utm_source=x"), id.cast(StringType)))
+          .when(id % 3 === 1, lit("?id=7&utm_b=2"))
+          .otherwise(lit("")),
+        when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+      Tables(s, dir).documents
+        .select(id, graft.ops.Web.canonicalizeUrl(url).as("curl"))
+        .groupBy(col("curl"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_dups"))
+        .sortByKeys(SortKey("curl"))
+    }, Some("""SELECT 'http://www.' || source || '.com/p/' ||
+      |    CAST(doc_id % 40 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 1 THEN '?id=7' ELSE '' END AS curl,
+      |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+      |FROM documents GROUP BY curl ORDER BY curl""".stripMargin)),
+
+    Q("text_boilerplate", (s, dir) => {
+      // corpus-level boilerplate: a per-source header line planted into
+      // every doc (100% share → stripped at the 60% threshold) plus a
+      // 25%-share promo line (kept); the doc's own text survives.
+      val d2 = Tables(s, dir).documents.select(col("doc_id"), col("source"),
+        concat(lit("header of "), col("source"), lit("\n"),
+          when(col("doc_id") % 4 === 0, lit("promo line\n"))
+            .otherwise(lit("")),
+          col("text")).as("t"))
+      graft.functions.TextFunctions.stripBoilerplateLines(
+          d2, "t", "source", "doc_id", minShareMicro = 600000L)
+        .sortByKeys(SortKey("id"))
+    }, Some("""WITH d2 AS (SELECT doc_id, source,
+      |  'header of ' || source || chr(10) ||
+      |  CASE WHEN doc_id % 4 = 0 THEN 'promo line' || chr(10) ELSE '' END
+      |  || text AS t FROM documents),
+      |g AS (SELECT source, COUNT(*) AS g_docs FROM d2
+      |  WHERE t IS NOT NULL GROUP BY source),
+      |ln AS (SELECT DISTINCT doc_id, source, unnest(string_split(t,
+      |  chr(10))) AS line FROM d2 WHERE t IS NOT NULL),
+      |lc AS (SELECT source, line, COUNT(DISTINCT doc_id) AS ld
+      |  FROM ln GROUP BY source, line),
+      |bl AS (SELECT lc.source, list(lc.line) AS blines
+      |  FROM lc JOIN g USING (source)
+      |  WHERE lc.ld * 1000000 >= 600000 * g.g_docs GROUP BY lc.source)
+      |SELECT d2.doc_id AS id, d2.source AS "group",
+      |  CASE WHEN d2.t IS NULL THEN NULL
+      |    ELSE array_to_string(list_filter(string_split(d2.t, chr(10)),
+      |      x -> NOT coalesce(list_contains(bl.blines, x), FALSE)),
+      |      chr(10)) END AS text_clean,
+      |  CAST(CASE WHEN d2.t IS NULL THEN 0
+      |    ELSE len(string_split(d2.t, chr(10))) END AS BIGINT) AS n_lines,
+      |  CAST(CASE WHEN d2.t IS NULL THEN 0
+      |    ELSE len(string_split(d2.t, chr(10))) -
+      |      len(list_filter(string_split(d2.t, chr(10)),
+      |        x -> NOT coalesce(list_contains(bl.blines, x), FALSE)))
+      |    END AS BIGINT) AS n_removed
+      |FROM d2 LEFT JOIN bl ON d2.source = bl.source
+      |ORDER BY id""".stripMargin)),
+
     Q("quality_histogram", (s, dir) => {
       // exact equi-depth histogram of n_chars: R-7 decile edges rounded
       // 6dp BEFORE bucketing, last bin closed — both engines bucket

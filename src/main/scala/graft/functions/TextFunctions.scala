@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -773,5 +773,70 @@ object TextFunctions {
       transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** CORPUS-level boilerplate line removal (the CCNet/C4 "common
+    * crawl template" pass [[lineFilterStats]] can't do: that one judges
+    * each line in isolation; this one strips lines BECAUSE the rest of
+    * the group's documents carry them — nav bars, cookie banners,
+    * copyright footers). A line is boilerplate within its `groupCol`
+    * (domain/source) when it appears in ≥ minShareMicro·10⁻⁶ of the
+    * group's documents. Returns every input row as (id, group,
+    * text_clean, n_lines, n_removed): surviving lines rejoin with the
+    * separator in original order; all-boilerplate docs come back as ''
+    * (stripped, not dropped); null-text docs pass through null.
+    *
+    * The boilerplate decision is exact BIGINT arithmetic —
+    * docs-with-line·10⁶ ≥ minShareMicro·group-docs — and repeated lines
+    * inside one doc count that doc once (distinct doc count).
+    *
+    * Scale shape: lines explode scan-side with their position; the
+    * frequency pass shuffles skinny (group, 128-bit line key, id)
+    * triples — line TEXT does shuffle in the rebuild pass, but only
+    * once and keyed by id (the unavoidable cost of re-assembling
+    * documents); the boilerplate set is (group, key)-sized and hash-
+    * joins in shuffle-hash-pinned. Rebuild order is the explode
+    * position, restored by one array_sort of (pos, line) structs per
+    * doc — per-doc state, no global sort. */
+  def stripBoilerplateLines(df: DataFrame, textCol: String,
+      groupCol: String, idCol: String, minShareMicro: Long,
+      sep: String = "\n"): DataFrame = {
+    require(minShareMicro > 0L && minShareMicro <= 1000000L,
+      "stripBoilerplateLines: minShareMicro in (0, 1e6]")
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      col(textCol).as("text"))
+    val docsPerGroup = base.where(col("text").isNotNull)
+      .groupBy(col("grp")).agg(count(lit(1)).as("g_docs"))
+    val lines = base.where(col("text").isNotNull)
+      .select(col("id"), col("grp"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("key", substring(sha2(col("line"), 256), 1, 32))
+    val lineDocs = lines.select(col("grp"), col("key"), col("id"))
+      .distinct()
+      .groupBy(col("grp"), col("key"))
+      .agg(count(lit(1)).as("l_docs"))
+    val boiler = lineDocs.join(docsPerGroup, "grp")
+      .where(col("l_docs") * lit(1000000L) >=
+        lit(minShareMicro) * col("g_docs"))
+      .select(col("grp"), col("key"))
+    val kept = lines
+      .join(boiler.hint("shuffle_hash").withColumn("__b", lit(1)),
+        Seq("grp", "key"), "left")
+      .withColumn("__keep", col("__b").isNull)
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), sep).as("text_clean"))
+    base.select(col("id"), col("grp").as("group"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("group"),
+        when(col("n_lines").isNull, lit(null).cast("string"))
+          .otherwise(col("text_clean")).as("text_clean"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 }

@@ -338,6 +338,46 @@ object Agg {
     }
   }
 
+  /** Exact WEIGHTED percentile per group (lower/"type-1" rule, no
+    * interpolation): the smallest value whose cumulative weight reaches
+    * p — weighted median at pMicro = 500000. The aggregate behind
+    * "median document length in TOKENS" (each doc weighs its tokens):
+    * the unweighted median answers a different question the moment
+    * weights vary.
+    *
+    * Exactness: the threshold test is pure BIGINT — cumw·10⁶ ≥
+    * pMicro·total — so the picked row is engine-independent (exact while
+    * total weight ≤ ~9·10¹² per group); the returned value is a data
+    * value, never an interpolation. Ties in the value are safe: the
+    * cumulative frame is RANGE (all peers of a value accumulate
+    * together), so tie order can't move the threshold crossing. Rows
+    * with null value or null/≤0 weight drop.
+    *
+    * Scale shape: ONE hash shuffle on the keys; the RANGE window and the
+    * final min-aggregate share its partitioning. Weights must be
+    * integers — scale fractional weights to micro units upstream. */
+  def weightedPercentile(df: DataFrame, keys: Seq[String],
+      valueCol: String, weightCol: String, pMicro: Long,
+      as: String = "wpct"): DataFrame = {
+    require(keys.nonEmpty, "weightedPercentile: partition keys required")
+    require(pMicro >= 0L && pMicro <= 1000000L,
+      "weightedPercentile: pMicro in [0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val clean = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0L)
+    val wCum = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    clean
+      .withColumn("__cum", sum(col(weightCol)).over(wCum))
+      .withColumn("__tot", sum(col(weightCol)).over(wAll))
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("__cum") * lit(1000000L) >=
+        lit(pMicro) * col("__tot"), col(valueCol))).as(as))
+  }
+
   /** Join/aggregation SKEW diagnostics for a key: the report a pipeline
     * owner reads BEFORE reaching for [[saltedAggregate]] /
     * `Joins.saltedJoin` — the top-`topK` heaviest key values with their

@@ -273,4 +273,42 @@ object Quality {
     joined.withColumn("contrib_nano",
       round((p - q) * log(p / q) * lit(1e9)).cast("long"))
   }
+
+  /** Benford first-digit audit of a positive INTEGER column — the
+    * fabricated-data smoke test (organically-grown magnitudes follow
+    * P(d) = log₁₀(1 + 1/d); uniform generators, copy-paste padding, and
+    * unit mix-ups don't). Output: one row per digit 1–9 with
+    * (digit, n, share_micro, expected_micro, chi_nano) — chi_nano the
+    * (obs − exp)²/exp χ² term in integer nanos; Σ/1e9 against the
+    * χ²(8) critical values is the verdict. Rows ≤ 0 or null are out of
+    * scope and drop (Benford is a positive-magnitude law).
+    *
+    * The first digit comes from the BIGINT's STRING form, never from
+    * log10 arithmetic — an exact decision any engine reproduces (a
+    * half-ulp log10 at a power of ten would misfile the whole bucket).
+    * Scale shape: one scan-side digit projection → one 9-key count
+    * shuffle with map-side partials; the totals window runs over the
+    * 9-row frame. */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .where(col(valueCol).isNotNull && col(valueCol) > 0L)
+      .select(substring(col(valueCol).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val joined = grid.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(w))
+    // ln(1+1/d)/ln(10) — Spark's log(base, x) lowers to exactly this,
+    // the form the oracle replays
+    val expShare = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    val expN = expShare * col("__tot")
+    joined.select(col("digit"), col("n"),
+      round(col("n") * lit(1000000.0) / col("__tot")).cast("long")
+        .as("share_micro"),
+      round(expShare * lit(1e6)).cast("long").as("expected_micro"),
+      round((col("n") - expN) * (col("n") - expN) / expN * lit(1e9))
+        .cast("long").as("chi_nano"))
+  }
 }

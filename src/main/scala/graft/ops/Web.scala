@@ -48,4 +48,32 @@ object Web {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("__host")).as("n_hosts"))
   }
+
+  /** URL canonicalization for dedup keys: lowercase scheme and host,
+    * drop the fragment, drop tracking query parameters (key matches a
+    * `dropParamPrefixes` prefix), keep the remaining query in original
+    * order, strip the path's trailing slashes. The web-corpus reality
+    * this serves: the same page arrives as `HTTP://Example.com/p/1`,
+    * `…/p/1/`, `…/p/1?utm_source=feed#top` — exact dedup on the raw
+    * string keeps all of them. Malformed URLs (no parseable host) →
+    * null, so junk never fabricates a dedup key. Pure scan-side
+    * expression over Spark's codegen'd ParseUrl + array built-ins. */
+  def canonicalizeUrl(c: Column,
+      dropParamPrefixes: Seq[String] =
+        Seq("utm_", "fbclid", "gclid", "ref")): Column = {
+    val proto = lower(try_parse_url(c, lit("PROTOCOL")))
+    val host = lower(try_parse_url(c, lit("HOST")))
+    val path = regexp_replace(
+      coalesce(try_parse_url(c, lit("PATH")), lit("")), "/+$", "")
+    val rawQ = try_parse_url(c, lit("QUERY"))
+    val keptParams = filter(split(rawQ, "&"), p => {
+      val key = element_at(split(p, "="), 1)
+      dropParamPrefixes.map(pre => startswith(key, lit(pre)))
+        .reduce(_ || _).unary_!
+    })
+    val query = when(rawQ.isNull || size(keptParams) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(keptParams, "&")))
+    when(proto.isNull || host.isNull, lit(null).cast("string"))
+      .otherwise(concat(proto, lit("://"), host, path, query))
+  }
 }

@@ -338,6 +338,105 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tie == Seq(5L, 7L))
   }
 
+  // ---------------- Agg.weightedPercentile ----------------
+
+  test("weightedPercentile: weighted median shifts with weights, ties safe") {
+    val s = spark
+    import s.implicits._
+    // values 1..4 weight 1 → median (p=.5) is 2 (cum 2 ≥ 2 = .5·4)
+    val flat = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L),
+      ("g", 4.0, 1L)).toDF("k", "v", "w")
+    val m1 = graft.ops.Agg.weightedPercentile(flat, Seq("k"), "v", "w",
+      500000L).collect().head.getDouble(1)
+    assert(m1 == 2.0)
+    // weight piled on 4 drags the weighted median there
+    val heavy = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L),
+      ("g", 4.0, 10L)).toDF("k", "v", "w")
+    val m2 = graft.ops.Agg.weightedPercentile(heavy, Seq("k"), "v", "w",
+      500000L).collect().head.getDouble(1)
+    assert(m2 == 4.0)
+    // duplicate values accumulate as peers (RANGE frame): p=.5 of
+    // weights (1,1,1,9) on values (5,5,5,9) → cum at value 5 is 3 < 6,
+    // so 9 wins; zero/negative weights drop
+    val ties = Seq(("g", 5.0, 1L), ("g", 5.0, 1L), ("g", 5.0, 1L),
+      ("g", 9.0, 9L), ("g", 0.5, 0L), ("g", 0.1, -3L)).toDF("k", "v", "w")
+    val m3 = graft.ops.Agg.weightedPercentile(ties, Seq("k"), "v", "w",
+      500000L).collect().head.getDouble(1)
+    assert(m3 == 9.0)
+    // p = 0 picks the minimum (cum ≥ 0 everywhere)
+    val m0 = graft.ops.Agg.weightedPercentile(flat, Seq("k"), "v", "w",
+      0L).collect().head.getDouble(1)
+    assert(m0 == 1.0)
+  }
+
+  // ---------------- Quality.benfordReport ----------------
+
+  test("benfordReport: string-form digits, all 9 rows, positives only") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 19L, 123L, 2L, 250L, 9L, -5L, 0L)
+      .toDF("v")
+      .union(Seq(Option.empty[Long]).toDF("v"))
+    val got = graft.ops.Quality.benfordReport(df, "v")
+      .orderBy("digit")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // digits of 1, 19, 123, 2, 250, 9 → 1:3, 2:2, 9:1; -5, 0, null drop
+    assert(got.map(_._1) == (1L to 9L))
+    assert(got.map(_._2) == Seq(3L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    // expected shares sum to ~1e6 micros
+    val exp = graft.ops.Quality.benfordReport(df, "v")
+      .agg(sum(col("expected_micro"))).head.getLong(0)
+    assert(math.abs(exp - 1000000L) <= 5L, s"expected sum $exp")
+  }
+
+  // ---------------- Web.canonicalizeUrl ----------------
+
+  test("canonicalizeUrl: case, slash, fragment, tracking params; junk null") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      "HTTP://Example.COM/p/1",
+      "http://example.com/p/1/",
+      "http://example.com/p/1?utm_source=feed#top",
+      "http://example.com/p/1?id=7&utm_b=2&ref=x",
+      "not a url at all"
+    ).toDF("u")
+    val got = urls.select(graft.ops.Web.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got(0) == Some("http://example.com/p/1"))
+    assert(got(1) == Some("http://example.com/p/1"))
+    assert(got(2) == Some("http://example.com/p/1"))
+    assert(got(3) == Some("http://example.com/p/1?id=7"))
+    assert(got(4).isEmpty)
+  }
+
+  // ---------------- TextFunctions.stripBoilerplateLines ----------------
+
+  test("stripBoilerplateLines: group-share threshold, order kept, nulls pass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "d1", Option("nav bar\nunique one\nfooter")),
+      (2L, "d1", Option("nav bar\nunique two\nfooter")),
+      (3L, "d1", Option("nav bar\nunique three")),
+      (4L, "d2", Option("nav bar\nother domain text")),
+      (5L, "d2", Option.empty[String])
+    ).toDF("id", "dom", "text")
+    // d1: nav bar 3/3, footer 2/3 → at 2/3 threshold both strip
+    val got = graft.functions.TextFunctions.stripBoilerplateLines(
+        df, "text", "dom", "id", minShareMicro = 660000L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(2)), r.getLong(3), r.getLong(4))).toSeq
+    assert(got(0) == ((1L, Some("unique one"), 3L, 2L)), s"got ${got(0)}")
+    assert(got(1) == ((2L, Some("unique two"), 3L, 2L)))
+    assert(got(2) == ((3L, Some("unique three"), 2L, 1L)))
+    // d2 has ONE doc: its every line is 100% share → stripped to empty
+    assert(got(3) == ((4L, Some(""), 2L, 2L)))
+    // null text passes through as null with zero counts
+    assert(got(4) == ((5L, None, 0L, 0L)))
+  }
+
   // ---------------- Similarity.quantizeInt8 ----------------
 
   test("quantizeInt8: max-abs codes, zero-vector guard, mse audit") {
