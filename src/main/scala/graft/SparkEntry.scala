@@ -4994,6 +4994,96 @@ object SparkEntry {
       |  (n_total = 0 OR n_ok * 1000000 >= mrm * n_total) AS passed
       |FROM raw ORDER BY chk""".stripMargin)),
 
+    Q("events_transitions", (s, dir) => {
+      // first-order Markov transition matrix between event types, per
+      // user ordered by (ts, event_id) — a total order, so "previous
+      // event" is engine-independent. Row-conditional probabilities in
+      // exact micros.
+      graft.ops.Events.transitionMatrix(Tables(s, dir).events,
+          "user_id", Seq("ts", "event_id"), "event_type")
+        .sortByKeys(SortKey("from_type"), SortKey("to_type"))
+    }, Some("""WITH p AS (SELECT
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS from_type,
+      |  event_type AS to_type FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+      |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST(ROUND(n * 1000000.0 /
+      |    SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_micro
+      |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    Q("events_top_paths", (s, dir) => {
+      // funnel discovery: the 15 most common 3-event prefix paths.
+      // DuckDB rebuilds each user's ordered prefix with a list
+      // aggregate — an independent construction of the same paths.
+      graft.ops.Events.topPaths(Tables(s, dir).events,
+          "user_id", Seq("ts", "event_id"), "event_type",
+          maxLen = 3, k = 15)
+        .sortByKeys(SortKey("rank"))
+    }, Some("""WITH u AS (SELECT user_id,
+      |  array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>')
+      |    AS path
+      |  FROM events GROUP BY user_id),
+      |c AS (SELECT path, COUNT(*) AS n_entities FROM u GROUP BY path
+      |  ORDER BY n_entities DESC, path LIMIT 15)
+      |SELECT CAST(row_number() OVER (ORDER BY n_entities DESC, path)
+      |    AS BIGINT) AS rank, path, CAST(n_entities AS BIGINT)
+      |    AS n_entities
+      |FROM c ORDER BY rank""".stripMargin)),
+
+    Q("series_drop_repeats", (s, dir) => {
+      // state-change compression: per user in (ts, event_id) order,
+      // drop events repeating the previous event_type — transitions
+      // survive, steady-state repeats vanish.
+      Tables(s, dir).events
+        .dropConsecutiveRepeats(Seq("user_id"), Seq("ts", "event_id"),
+          Seq("event_type"))
+        .selectNames(Seq("user_id", "event_id", "event_type"))
+        .sortByKeys(SortKey("user_id"), SortKey("event_id"))
+    }, Some("""SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+      |ORDER BY user_id, event_id""".stripMargin)),
+
+    Q("label_ab_test", (s, dir) => {
+      // two-proportion z-test: odd vs even user ids, conversion =
+      // purchase event. Counts from ONE fused aggregation; z in exact
+      // nanos from a fixed parenthesization.
+      graft.ops.Eval.abTest(
+        Tables(s, dir).events
+          .addCols("grp" -> when(col("user_id") % 2 === 0, lit("a"))
+            .otherwise(lit("b"))),
+        "grp", col("event_type") === "purchase", "a", "b")
+    }, Some("""WITH t AS (SELECT
+      |  SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+      |  SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |    THEN 1 ELSE 0 END) AS conv_a,
+      |  SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b,
+      |  SUM(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+      |    THEN 1 ELSE 0 END) AS conv_b
+      |  FROM events),
+      |d AS (SELECT CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(conv_a AS BIGINT) AS conv_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+      |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+      |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+      |  (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) /
+      |    (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+      |  FROM t)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(ROUND(ra * 1e6) AS BIGINT) AS rate_a_micro,
+      |  CAST(ROUND(rb * 1e6) AS BIGINT) AS rate_b_micro,
+      |  CAST(ROUND((rb - ra) * 1e6) AS BIGINT) AS lift_micro,
+      |  CAST(ROUND((rb - ra) / sqrt(pool * (1.0 - pool) *
+      |    (1.0 / n_a + 1.0 / n_b)) * 1e9) AS BIGINT) AS z_nano
+      |FROM d""".stripMargin)),
+
     Q("agg_weighted_median", (s, dir) => {
       // quantity-weighted median price per returnflag: lower/type-1
       // rule, BIGINT threshold test — the picked row is a data value

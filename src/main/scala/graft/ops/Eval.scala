@@ -324,6 +324,54 @@ object Eval {
     * contingency cells; every later frame is cells-, items- or
     * categories-sized; the scalars meet in a broadcast-joined 1-row
     * frame. Output: (n_items, n_raters, po, pe, kappa). */
+  /** Two-proportion A/B test (pooled z): one row
+    * (n_a, conv_a, n_b, conv_b, rate_a_micro, rate_b_micro, lift_micro,
+    * z_nano) comparing conversion between the `aVal` and `bVal` groups
+    * of `groupCol` — the experiment read-out behind every data-driven
+    * filter/ranking rollout decision. lift = rate_b − rate_a;
+    * z = lift / √(p̂(1−p̂)(1/n_a+1/n_b)) with p̂ the pooled rate
+    * (null when either group is empty or p̂ ∈ {0, 1} — a degenerate
+    * pool has no variance). |z| ≥ 1.96 ⇒ p < 0.05 two-sided.
+    *
+    * Exactness: counts are exact BIGINTs from ONE fused conditional
+    * aggregation (no per-group pass); every derived stat is a fixed
+    * parenthesization over those integers, micro/nano-rounded — any
+    * engine holding the counts reproduces the row bit-for-bit.
+    * Scale shape: one 1-row aggregate scan; nothing else. */
+  def abTest(df: DataFrame, groupCol: String, convCol: Column,
+      aVal: String, bVal: String): DataFrame = {
+    val g = col(groupCol)
+    val conv = coalesce(convCol.cast("boolean"), lit(false)).cast("long")
+    val one = df.where(g === aVal || g === bVal).agg(
+      sum(when(g === aVal, 1L).otherwise(0L)).as("n_a"),
+      sum(when(g === aVal, conv).otherwise(0L)).as("conv_a"),
+      sum(when(g === bVal, 1L).otherwise(0L)).as("n_b"),
+      sum(when(g === bVal, conv).otherwise(0L)).as("conv_b"))
+    val na = coalesce(col("n_a"), lit(0L)).cast(DoubleType)
+    val nb = coalesce(col("n_b"), lit(0L)).cast(DoubleType)
+    val ca = coalesce(col("conv_a"), lit(0L)).cast(DoubleType)
+    val cb = coalesce(col("conv_b"), lit(0L)).cast(DoubleType)
+    val ra = ca / na
+    val rb = cb / nb
+    val pool = (ca + cb) / (na + nb)
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / na + lit(1.0) / nb))
+    one.select(
+      coalesce(col("n_a"), lit(0L)).as("n_a"),
+      coalesce(col("conv_a"), lit(0L)).as("conv_a"),
+      coalesce(col("n_b"), lit(0L)).as("n_b"),
+      coalesce(col("conv_b"), lit(0L)).as("conv_b"),
+      when(na > 0, round(ra * lit(1e6)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("rate_a_micro"),
+      when(nb > 0, round(rb * lit(1e6)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("rate_b_micro"),
+      when(na > 0 && nb > 0, round((rb - ra) * lit(1e6)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("lift_micro"),
+      when(na > 0 && nb > 0 && pool > 0.0 && pool < 1.0,
+        round((rb - ra) / se * lit(1e9)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_nano"))
+  }
+
   def fleissKappa(df: DataFrame, itemCol: String, labelCol: String)
       : DataFrame = {
     val cells = df.groupBy(col(itemCol).as("item"), col(labelCol).as("lab"))

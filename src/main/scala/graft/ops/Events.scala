@@ -101,4 +101,70 @@ object Events {
       .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** First-order TRANSITION MATRIX between event types — the Markov
+    * view of user behavior ([[funnel]] checks ONE prescribed path; this
+    * surfaces what users actually do next). Per entity, events order by
+    * `orderCols` (caller supplies a TOTAL order — ties would make
+    * "previous event" a coin flip) and each consecutive pair counts
+    * once. Output: (from_type, to_type, n, p_micro) with p_micro the
+    * 10⁶-scaled row-conditional probability n / Σ n over the same
+    * from_type. Each entity's first event has no predecessor and
+    * contributes no pair.
+    *
+    * Scale shape: ONE hash shuffle on the entity (the lag window),
+    * then a (types²)-key count shuffle with map-side partials; the
+    * per-from totals are a window over the types²-row frame. Skew =
+    * entity skew, the documented window bound. */
+  def transitionMatrix(df: DataFrame, entityCol: String,
+      orderCols: Seq[String], typeCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "transitionMatrix: need an event order")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val pairs = df
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs.withColumn("p_micro",
+      round(col("n") * lit(1000000.0) / sum(col("n")).over(wFrom))
+        .cast("long"))
+  }
+
+  /** Top-k most-common event PATHS (funnel discovery: the prefix
+    * sequences users actually walk, counted exactly). Per entity, the
+    * first `maxLen` events in `orderCols` order join into a
+    * "a>b>c" path string; paths count across entities and the k most
+    * common return as (rank, path, n_entities). Ties break on the path
+    * string ascending.
+    *
+    * Scale shape: one entity-key shuffle (row_number window + ordered
+    * rebuild — per-entity state is ≤ maxLen structs), one path-key
+    * count shuffle with partials, top-k as TakeOrderedAndProject —
+    * never a global sort. */
+  def topPaths(df: DataFrame, entityCol: String, orderCols: Seq[String],
+      typeCol: String, maxLen: Int, k: Int): DataFrame = {
+    require(maxLen >= 1, "topPaths: maxLen must be >= 1")
+    require(k >= 1, "topPaths: k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val paths = df
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxLen)
+      .groupBy(col(entityCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col(typeCol)
+          .as("t")))), s => s.getField("t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col("path").asc)
+      .limit(k)
+    paths.withColumn("rank",
+        row_number().over(Window.partitionBy()
+          .orderBy(col("n_entities").desc, col("path").asc)).cast("long"))
+      .select(col("rank"), col("path"), col("n_entities"))
+  }
 }

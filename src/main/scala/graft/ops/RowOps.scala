@@ -197,5 +197,27 @@ object RowOps {
       * union (caller builds the frame with the session). */
     def appendRows(other: DataFrame): DataFrame =
       graft.core.TypeWidening.unionByNameWide(Seq(df, other))
+
+    /** Drop rows whose `valueCols` all equal the PREVIOUS row's within
+      * the (keys, order) sequence — state-change compression for
+      * sensor/status streams (keep transitions, drop steady-state
+      * repeats). NULL-safe: null ≡ null counts as a repeat (`<=>`), so
+      * a run of nulls collapses like any other run; the first row per
+      * key always survives. Callers supply a TOTAL order — ties would
+      * make "previous" nondeterministic. ONE hash shuffle (the lag
+      * window); filter is scan-side after it. */
+    def dropConsecutiveRepeats(keys: Seq[String], orderCols: Seq[String],
+        valueCols: Seq[String]): DataFrame = {
+      require(keys.nonEmpty, "dropConsecutiveRepeats: partition keys")
+      require(orderCols.nonEmpty && valueCols.nonEmpty,
+        "dropConsecutiveRepeats: need order and value columns")
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+      val repeat = valueCols.map(c =>
+        lag(col(c), 1).over(w) <=> col(c)).reduce(_ && _)
+      val first = row_number().over(w) === 1
+      df.withColumn("__keep", first || !repeat)
+        .where(col("__keep")).drop("__keep")
+    }
   }
 }

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.ops.{Cdc, Events, Joins, Series}
+import graft.ops.RowOps._
 import graft.functions.TextFunctions
 
 /** Round-9 pipeline operators: salted join, CDC merge, resample+fill,
@@ -336,6 +337,91 @@ class PipelineOpsSpec extends AnyFunSuite {
     val tie = graft.ops.Similarity.rankFusion(Seq(t1, t2), topN = 2)
       .orderBy("fused_rank").collect().map(_.getLong(1)).toSeq
     assert(tie == Seq(5L, 7L))
+  }
+
+  // ---------------- Events.transitionMatrix / topPaths ----------------
+
+  test("transitionMatrix: lag pairs, conditional micros, first event free") {
+    val s = spark
+    import s.implicits._
+    // user 1: a→b→a→b ; user 2: a→b — pairs: a→b ×3, b→a ×1
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (1L, 4L, "b"), (2L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("u", "seq", "t")
+    val got = graft.ops.Events.transitionMatrix(ev, "u", Seq("seq"), "t")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("a", "b")) == ((3L, 1000000L)))
+    assert(got(("b", "a")) == ((1L, 1000000L)))
+    assert(got.size == 2)
+    // split destination: a→b, a→c from one source → 500000 each
+    val ev2 = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "a"),
+      (2L, 2L, "c")).toDF("u", "seq", "t")
+    val g2 = graft.ops.Events.transitionMatrix(ev2, "u", Seq("seq"), "t")
+      .collect().map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(g2 == Map("b" -> 500000L, "c" -> 500000L))
+  }
+
+  test("topPaths: ordered prefixes, maxLen cut, count ties on path") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "x"), (3L, 2L, "y"),
+      (4L, 1L, "x"), (4L, 2L, "y")
+    ).toDF("u", "seq", "t")
+    val got = graft.ops.Events.topPaths(ev, "u", Seq("seq"), "t",
+        maxLen = 3, k = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    // a>b>c from users 1 (cut at 3) and 2; x>y from 3 and 4 — tie on
+    // count breaks lexicographically
+    assert(got == Seq((1L, "a>b>c", 2L), (2L, "x>y", 2L)), s"got $got")
+  }
+
+  // ---------------- RowOps.dropConsecutiveRepeats ----------------
+
+  test("dropConsecutiveRepeats: runs collapse, transitions survive, nulls") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 1L, Option("up")), (1L, 2L, Option("up")), (1L, 3L, Option("down")),
+      (1L, 4L, Option("down")), (1L, 5L, Option("up")),
+      (1L, 6L, None), (1L, 7L, None), (1L, 8L, Option("up")),
+      (2L, 1L, Option("up"))
+    ).toDF("k", "seq", "v")
+    val got = df.dropConsecutiveRepeats(Seq("k"), Seq("seq"), Seq("v"))
+      .orderBy("k", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // kept: 1,3,5 (null run collapses to 6), 8; key 2's first row
+    assert(got == Seq((1L, 1L), (1L, 3L), (1L, 5L), (1L, 6L), (1L, 8L),
+      (2L, 1L)), s"got $got")
+  }
+
+  // ---------------- Eval.abTest ----------------
+
+  test("abTest: exact counts, z sign, degenerate pool null") {
+    val s = spark
+    import s.implicits._
+    // a: 4 rows 1 conv (25%); b: 4 rows 3 conv (75%) → lift +500000
+    val df = Seq(("a", true), ("a", false), ("a", false), ("a", false),
+      ("b", true), ("b", true), ("b", true), ("b", false),
+      ("c", true)).toDF("g", "conv")
+    val r = graft.ops.Eval.abTest(df, "g", col("conv"), "a", "b")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 1L, 4L, 3L)))
+    assert(r.getLong(4) == 250000L && r.getLong(5) == 750000L)
+    assert(r.getLong(6) == 500000L)
+    // z = 0.5 / sqrt(.5·.5·(1/4+1/4)) = 1.414213562…
+    assert(math.abs(r.getLong(7) - 1414213562L) <= 1L, s"z=${r.getLong(7)}")
+    // all-convert pool → z null, rates still reported
+    val deg = Seq(("a", true), ("b", true)).toDF("g", "conv")
+    val d = graft.ops.Eval.abTest(deg, "g", col("conv"), "a", "b")
+      .collect().head
+    assert(d.isNullAt(7) && d.getLong(4) == 1000000L)
   }
 
   // ---------------- Agg.weightedPercentile ----------------
