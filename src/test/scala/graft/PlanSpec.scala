@@ -208,6 +208,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("skew report and top paths plan top-k as TakeOrderedAndProject") {
+    val p1 = plan("agg_skew_report")
+    assert(p1.contains("TakeOrderedAndProject"),
+      "skewReport top-k must be a heap, not a global sort:\n" + p1.take(800))
+    val p2 = plan("events_top_paths")
+    assert(p2.contains("TakeOrderedAndProject"),
+      "topPaths top-k must be a heap, not a global sort:\n" + p2.take(800))
+  }
+
+  test("weighted percentile: one Exchange — window and agg share the keys") {
+    val p = plan("agg_weighted_median")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected one hash Exchange, got $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("novelty: first-occurrence join is shuffle-hash, never sort-merge") {
+    val p = plan("text_novelty")
+    assert(p.contains("ShuffledHashJoin"),
+      "gram join-back must be shuffle-hash pinned:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("histogram/psi: edges broadcast back, bins-only aggregation") {
+    val p = plan("quality_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "1-row edges frame must broadcast:\n" + p.take(1200))
+  }
+
   /** Run `body` with SQLConf overrides, restoring prior values after. */
   private def withConf[A](kvs: (String, String)*)(body: => A): A = {
     val conf = spark.conf
