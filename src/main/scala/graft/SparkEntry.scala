@@ -4994,6 +4994,45 @@ object SparkEntry {
       |  (n_total = 0 OR n_ok * 1000000 >= mrm * n_total) AS passed
       |FROM raw ORDER BY chk""".stripMargin)),
 
+    Q("basket_rules", (s, dir) => {
+      // association rules over order baskets (lineitem parts per order):
+      // top-20 co-occurring part pairs with support, confidence, lift.
+      // Quadratic pair fanout guarded by the basket-size cap.
+      graft.ops.Events.associationRules(Tables(s, dir).lineitem,
+          "l_orderkey", "l_partkey", maxBasketSize = 10, k = 20)
+        .sortByKeys(SortKey("item_a"), SortKey("item_b"))
+    }, Some("""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |capped AS (SELECT b, i FROM (
+      |  SELECT b, i, COUNT(*) OVER (PARTITION BY b) AS sz FROM items)
+      |  WHERE sz <= 10),
+      |nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM capped),
+      |ic AS (SELECT i, COUNT(*) AS n_i FROM capped GROUP BY i),
+      |pc AS (SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS n_pair
+      |  FROM capped l JOIN capped r ON l.b = r.b AND l.i < r.i
+      |  GROUP BY 1, 2 ORDER BY n_pair DESC, item_a, item_b LIMIT 20)
+      |SELECT pc.item_a, pc.item_b, CAST(pc.n_pair AS BIGINT) AS n_pair,
+      |  CAST(a.n_i AS BIGINT) AS n_a, CAST(bb.n_i AS BIGINT) AS n_b,
+      |  CAST(ROUND(pc.n_pair * 1000000.0 / a.n_i) AS BIGINT)
+      |    AS conf_a_to_b_micro,
+      |  CAST(ROUND(CAST(nb.n_baskets AS DOUBLE) * pc.n_pair * 1000000.0
+      |    / (CAST(a.n_i AS DOUBLE) * bb.n_i)) AS BIGINT) AS lift_micro
+      |FROM pc JOIN ic a ON a.i = pc.item_a
+      |JOIN ic bb ON bb.i = pc.item_b CROSS JOIN nb
+      |ORDER BY item_a, item_b""".stripMargin)),
+
+    Q("series_percent_rank", (s, dir) => {
+      // rank-based quantile normalization of event values per user —
+      // identical percent_rank semantics in both engines, 6dp.
+      graft.ops.Series.percentRankBy(
+          Tables(s, dir).events, "value", Seq("user_id"))
+        .selectNames(Seq("user_id", "event_id", "pr"))
+        .sortByKeys(SortKey("user_id"), SortKey("event_id"))
+    }, Some("""SELECT user_id, event_id,
+      |  ROUND(percent_rank() OVER (PARTITION BY user_id ORDER BY value),
+      |    6) AS pr
+      |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
     Q("events_transitions", (s, dir) => {
       // first-order Markov transition matrix between event types, per
       // user ordered by (ts, event_id) — a total order, so "previous

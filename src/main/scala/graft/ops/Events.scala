@@ -134,6 +134,65 @@ object Events {
         .cast("long"))
   }
 
+  /** Association rules from co-occurrence (the market-basket /
+    * co-view primitive): for every unordered item pair inside a basket,
+    * support, per-item baskets, confidence and lift. Output (one row
+    * per pair a < b): (item_a, item_b, n_pair, n_a, n_b,
+    * conf_a_to_b_micro = 10⁶·n_pair/n_a, lift_micro =
+    * 10⁶·N·n_pair/(n_a·n_b)), the `k` strongest pairs by
+    * (n_pair desc, item_a, item_b).
+    *
+    * Baskets wider than `maxBasketSize` DISTINCT items are dropped
+    * before pairing — the quadratic guard (a single 10⁵-item power
+    * basket would emit 5·10⁹ pairs and strand the job; production
+    * basket mining caps exactly like this). Dropped baskets leave all
+    * counts, so n_a/n_b/N are measured over the SAME capped universe
+    * the pairs are — ratios stay consistent.
+    *
+    * Scale shape: distinct (basket, item) once (one shuffle); the
+    * basket-size cap is a count window over the same partitioning; the
+    * pair self-join hash-partitions on the basket key with per-basket
+    * fanout ≤ maxBasketSize²/2; pair counting and item counting are
+    * partial-aggregated count shuffles; top-k is
+    * TakeOrderedAndProject. Lift's N rides in as a broadcast 1-row
+    * frame. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int, k: Int): DataFrame = {
+    require(maxBasketSize >= 2, "associationRules: maxBasketSize >= 2")
+    require(k >= 1, "associationRules: k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("b"))
+    val items = df
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .withColumn("__sz", count(lit(1)).over(wB))
+      .where(col("__sz") <= maxBasketSize)
+      .drop("__sz")
+    val nBaskets = items.select(col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = items.groupBy(col("i"))
+      .agg(count(lit(1)).as("n_i"))
+    val pairs = items.as("l")
+      .join(items.as("r"), col("l.b") === col("r.b") &&
+        col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("item_a"), col("r.i").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
+      .limit(k)
+    pairs
+      .join(itemCounts.select(col("i").as("item_a"),
+        col("n_i").as("n_a")), "item_a")
+      .join(itemCounts.select(col("i").as("item_b"),
+        col("n_i").as("n_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        col("n_a"), col("n_b"),
+        round(col("n_pair") * lit(1000000.0) / col("n_a"))
+          .cast("long").as("conf_a_to_b_micro"),
+        round(col("n_baskets").cast("double") * col("n_pair") *
+          lit(1000000.0) / (col("n_a").cast("double") * col("n_b")))
+          .cast("long").as("lift_micro"))
+  }
+
   /** Top-k most-common event PATHS (funnel discovery: the prefix
     * sequences users actually walk, counted exactly). Per entity, the
     * first `maxLen` events in `orderCols` order join into a

@@ -241,6 +241,20 @@ object Series {
         .over(w))
   }
 
+  /** Rank-based quantile normalization: per group, replace a metric
+    * with its percent_rank ∈ [0, 1] (6dp) — the distribution-free
+    * feature transform (heavy-tailed raw metrics become uniform; two
+    * sources' incomparable score scales become comparable). Ties share
+    * a rank (SQL percent_rank semantics: (rank−1)/(n−1)); single-row
+    * groups normalize to 0.0. ONE hash shuffle (the window); 6dp
+    * rounding BEFORE any downstream comparison keeps thresholds
+    * engine-independent (the winsorize convention). */
+  def percentRankBy(df: DataFrame, c: String, partition: Seq[String],
+      as: String = "pr"): DataFrame = {
+    val w = spec(partition, Seq(col(c)))
+    df.withColumn(as, round(percent_rank().over(w), 6))
+  }
+
   /** Per-key UNION OF INTERVALS (gaps-and-islands): merge every
     * overlapping-or-touching [start, end] pair into maximal islands —
     * the "total session coverage / distinct busy time" primitive SQL

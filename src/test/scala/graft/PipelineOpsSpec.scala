@@ -381,6 +381,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a>b>c", 2L), (2L, "x>y", 2L)), s"got $got")
   }
 
+  // ---------------- Events.associationRules ----------------
+
+  test("associationRules: support/confidence/lift, cap drops wide baskets") {
+    val s = spark
+    import s.implicits._
+    // baskets: {x,y} ×3, {x,z} ×1, {y} ×1 → N=5 capped baskets, plus a
+    // wide basket (5 items > cap 4) that must vanish from every count
+    val rows =
+      Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"),
+        (4L, "x"), (4L, "z"), (5L, "y")) ++
+      (1 to 5).map(i => (9L, s"w$i"))
+    val df = rows.toDF("basket", "item")
+    val got = graft.ops.Events.associationRules(df, "basket", "item",
+        maxBasketSize = 4, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // x,y: pair 3, n_x 4, n_y 4, conf 750000, lift 5·3/(4·4) = 937500
+    assert(got(("x", "y")) == ((3L, 4L, 4L, 750000L, 937500L)),
+      s"got ${got(("x", "y"))}")
+    // x,z: pair 1, conf 1/4, lift 5·1/(4·1) = 1250000
+    assert(got(("x", "z")) == ((1L, 4L, 1L, 250000L, 1250000L)))
+    // nothing from the wide basket
+    assert(!got.keys.exists(p => p._1.startsWith("w") ||
+      p._2.startsWith("w")))
+  }
+
+  // ---------------- Series.percentRankBy ----------------
+
+  test("percentRankBy: uniform ranks, tie sharing, singleton zero") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 40.0),
+      ("solo", 7.0)).toDF("k", "v")
+    val got = graft.ops.Series.percentRankBy(df, "v", Seq("k"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    // (rank-1)/(n-1) over 4 rows: 10→0, 20→1/3 (both), 40→1
+    assert(got == Set(("g", 10.0, 0.0), ("g", 20.0, 0.333333),
+      ("g", 40.0, 1.0), ("solo", 7.0, 0.0)), s"got $got")
+  }
+
   // ---------------- RowOps.dropConsecutiveRepeats ----------------
 
   test("dropConsecutiveRepeats: runs collapse, transitions survive, nulls") {
