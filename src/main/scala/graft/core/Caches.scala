@@ -56,7 +56,22 @@ object CacheHandle {
   def checkpointSmall(df: DataFrame): (DataFrame, Boolean => Unit) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val ck = df.localCheckpoint(eager = true)
+    val ck0 = df.localCheckpoint(eager = true)
+    // Cap pathological size ESTIMATES: localCheckpoint copies the
+    // checkpointed plan's estimated stats into the new LogicalRDD, and
+    // join estimates MULTIPLY — so iterated self-join loops (connected
+    // components, BFS, label prop, k-means) square the BigInt estimate
+    // every round until the driver burns minutes per round in
+    // BigInteger multiplies during join-size estimation (flat 0.4 s
+    // rounds explode ×2.5/round past ~17 iterations — measured, see
+    // StatsReset). No REAL size exceeds Long.MaxValue bytes; anything
+    // above it is inflation, and stripping it only flips broadcast
+    // decisions that the inflated estimate had already forced off.
+    val ck =
+      if (ck0.queryExecution.optimizedPlan.stats.sizeInBytes >
+          BigInt(Long.MaxValue))
+        org.apache.spark.sql.graftnative.StatsReset.resetStats(ck0)
+      else ck0
     val fresh = sc.getPersistentRDDs.keySet.diff(before)
     (ck, b => fresh.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(b))))

@@ -143,34 +143,45 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
-  /** Connected components with POINTER JUMPING — the O(log diameter)
-    * sibling of `Dedup.propagateMinLabels` (which needs O(diameter)
-    * rounds: a 10⁶-node chain, the shape URL-graph tails and citation
-    * chains actually take, would run a million label-prop rounds).
-    * Returns (node, component) for every node appearing in `edges`,
-    * component = minimum node id reachable from it.
+  /** Connected components with POINTER JUMPING — the accelerated
+    * sibling of `Dedup.propagateMinLabels`. Returns (node, component)
+    * for every node appearing in `edges`, component = minimum node id
+    * reachable from it.
     *
     * Each round does two monotone label updates:
     *   1. PROPAGATE: l(v) ← min(l(v), min over neighbors u of l(u)) —
     *      the label-prop step, one skinny join + partial-agg shuffle.
-    *   2. JUMP: l(v) ← min(l(v), l(l(v))) — follow the parent pointer
-    *      one hop (labels are node ids, so the label frame joins
-    *      itself). This is pointer doubling: a chain of parent links
-    *      halves every round, so chains of length d collapse in
-    *      O(log d) rounds where propagate-only walks them one hop per
-    *      round. Labels only decrease and min-reachable is a fixpoint
-    *      of both steps, so the result equals label propagation's
-    *      (pinned by GraphSpec's law on random graphs).
+    *   2. JUMP: l(v) ← min(l(v), l'(l'(v))) where l' is THIS round's
+    *      propagated map — composing the updated map with itself
+    *      (pointer doubling: a chain of parent links halves per
+    *      round).
     *
-    * Scale shape: every frame on the wire is a (long, long) pair —
-    * payloads never enter the loop. Per round: one adjacency⋈labels
-    * hash join + map-side-combined min, one labels⋈labels self-join,
-    * one checkpoint; superseded rounds free inside the loop (the
+    * Round bound, honestly: on graphs whose label chains align with
+    * the topology (a long path with ids increasing along it — the
+    * adversarial case for plain label prop, which walks it one hop per
+    * round) the jump doubles reach and the loop converges in O(log d)
+    * rounds (pinned by the 64-chain unit: ≤ 10 rounds). On graphs with
+    * SCRAMBLED ids the jump's gain is data-dependent — the known min
+    * can sit adjacent to you and teach nothing — so the worst case
+    * stays O(d) rounds; true worst-case-O(log) CC needs edge-rewriting
+    * star contractions, a different cost/complexity trade. Rounds are
+    * cheap (every frame is (long, long) pairs), so the pragmatic
+    * contract is: iterate until CONVERGED, and THROW if `maxIters` is
+    * hit first — silently returning partially-propagated labels would
+    * mislabel components, and no caller can detect it downstream.
+    *
+    * Scale shape: per round one adjacency⋈labels hash join +
+    * map-side-combined min, one self-join of the propagated map, one
+    * checkpoint; superseded rounds free inside the loop (the
     * nearDupClusters lifetime pattern) and the final checkpoint's
     * release registers on `cache`. Convergence = no label changed,
-    * checked as a limit-1 count on the already-checkpointed frame. */
+    * checked as a limit-1 count on the already-checkpointed frame.
+    * (`CacheHandle.checkpointSmall` also caps the Catalyst size
+    * ESTIMATE each round — see `StatsReset`: without it, self-join
+    * loops square the BigInt estimate per round and the driver's
+    * join-size estimation goes exponential past ~17 rounds.) */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 25,
+      maxIters: Int = 60,
       cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     val internal = new CacheHandle
     val (adj, freeAdj) = CacheHandle.checkpointSmall(
@@ -193,16 +204,17 @@ object Graph {
       val viaNbr = adj
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a").as("node")).agg(min(col("label")).as("nl"))
-      val prop = labels.join(viaNbr, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label")))
-            .as("label"),
-          col("label").as("__prev"))
-      // jump: l(l(v)) — the label IS a node id, so self-join resolves it
+      val (prop, freeProp) = CacheHandle.checkpointSmall(
+        labels.join(viaNbr, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nl"), col("label")))
+              .as("label"),
+            col("label").as("__prev")))
+      // jump: l'(l'(v)) over THIS round's propagated map — the label IS
+      // a node id, so the map self-joins (pointer doubling)
       val (next, freeNext) = CacheHandle.checkpointSmall(
         prop.join(
-            labels.select(col("node").as("label"),
-              col("label").as("ll")),
+            prop.select(col("node").as("label"), col("label").as("ll")),
             Seq("label"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("ll"), col("label")))
@@ -210,11 +222,20 @@ object Graph {
             col("__prev")))
       val changed = next.filter(col("label") =!= col("__prev"))
         .limit(1).count()
+      freeProp(false)
       freeLabels(false)
       labels = next.drop("__prev")
       freeLabels = freeNext
       converged = changed == 0
       i += 1
+    }
+    if (!converged) {
+      freeLabels(false)
+      internal.release()
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIters rounds — " +
+          "partial labels would silently mislabel components; raise " +
+          "maxIters (rounds are skinny-frame cheap)")
     }
     internal.release()
     cache.trackRelease(freeLabels)

@@ -88,4 +88,32 @@ class ScaleSpec extends AnyFunSuite {
     h2.release(blocking = true)
     assert(newIds.isEmpty)
   }
+
+  test("checkpointSmall caps squared size estimates (self-join loops stay flat)") {
+    // join estimates MULTIPLY children's BigInt sizeInBytes, and
+    // localCheckpoint copies the product into the new LogicalRDD — an
+    // iterated self-join loop squares it per round until join-size
+    // estimation alone costs minutes (BigInteger Toom-Cook on
+    // million-bit estimates; measured ×2.5/round past ~17 rounds before
+    // the cap). 22 rounds would reach ~2^(20·2^22) bits uncapped; the
+    // cap keeps every round's estimate within one squaring of
+    // Long.MaxValue.
+    val s = spark
+    import graft.core.CacheHandle
+    var (labels, free) = CacheHandle.checkpointSmall(
+      s.range(100).select(col("id").as("node"), col("id").as("label")))
+    (1 to 22).foreach { _ =>
+      val (next, f2) = CacheHandle.checkpointSmall(
+        labels.join(labels.select(col("node").as("label"),
+          col("label").as("ll")), Seq("label"), "left")
+          .select(col("node"),
+            coalesce(col("ll"), col("label")).as("label")))
+      free(false); labels = next; free = f2
+    }
+    val bits =
+      labels.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= 140, s"size estimate must stay capped, got $bits bits")
+    assert(labels.count() == 100)
+    free(false)
+  }
 }
