@@ -4994,6 +4994,85 @@ object SparkEntry {
       |  (n_total = 0 OR n_ok * 1000000 >= mrm * n_total) AS passed
       |FROM raw ORDER BY chk""".stripMargin)),
 
+    Q("series_cusum", (s, dir) => {
+      // one-sided CUSUM drift alarms per user: values fold in integer
+      // micros (S <- max(0, S + x - 150)), DuckDB replays the exact
+      // BIGINT recurrence with a struct-state list_reduce.
+      graft.ops.Series.cusum(Tables(s, dir).events,
+          Seq("user_id"), Seq("ts", "event_id"), "value",
+          driftMicro = 150000000L, thresholdMicro = 1000000000L)
+        .sortByKeys(SortKey("user_id"))
+    }, Some("""WITH e AS (SELECT user_id, ts, event_id,
+      |  CAST(ROUND(value * 1000000.0) AS BIGINT) - 150000000 AS d
+      |  FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT user_id, ts, event_id,
+      |  CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS pf FROM e),
+      |s AS (SELECT user_id, pf - LEAST(CAST(0 AS BIGINT),
+      |  CAST(MIN(pf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+      |    AS exc FROM p)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(exc) AS BIGINT) AS max_cusum_micro,
+      |  MAX(exc) >= 1000000000 AS alarm
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("events_attribution", (s, dir) => {
+      // first-touch attribution: purchases credited to the entry event
+      // type of their 30-minute-gap session.
+      graft.ops.Events.firstTouchAttribution(Tables(s, dir).events,
+          "user_id", "ts", Seq("ts", "event_id"), "event_type",
+          convType = "purchase", gapUs = 1800000000L)
+        .sortByKeys(SortKey("first_type"))
+    }, Some("""WITH w AS (SELECT user_id, event_type, event_id,
+      |  epoch_us(ts) AS t FROM events),
+      |s AS (SELECT *, CASE WHEN
+      |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      > 1800000000
+      |    OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      IS NULL THEN 1 ELSE 0 END AS nw FROM w),
+      |s2 AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+      |  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |  CURRENT ROW) AS sess FROM s),
+      |f AS (SELECT *, first_value(event_type) OVER (
+      |  PARTITION BY user_id, sess ORDER BY t, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft FROM s2)
+      |SELECT ft AS first_type, CAST(COUNT(*) AS BIGINT) AS n_conversions
+      |FROM f WHERE event_type = 'purchase' GROUP BY ft
+      |ORDER BY first_type""".stripMargin)),
+
+    Q("dedup_rate_report", (s, dir) => {
+      // per-source duplication-rate governance rollup: a mirror source
+      // planted from every 20th doc; cross-source duplicates charge the
+      // LATER source (keep-first by id). DuckDB counts from normalized
+      // strings — the hashed path proven equal.
+      val d = Tables(s, dir).documents
+      val planted = d.where(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          lit("mirror").as("source"))
+      Dedup.dedupRateReport(
+          d.selectNames(Seq("doc_id", "text", "source"))
+            .unionWide(planted),
+          "text", "doc_id", "source")
+        .sortByKeys(SortKey("source"))
+    }, Some("""WITH aug AS (
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS key
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, 'mirror',
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |keep AS (SELECT key, MIN(doc_id) AS k FROM aug GROUP BY key)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN a.doc_id <> keep.k THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dupes,
+      |  CAST(ROUND(SUM(CASE WHEN a.doc_id <> keep.k THEN 1 ELSE 0 END)
+      |    * 1000000.0 / COUNT(*)) AS BIGINT) AS dup_rate_micro
+      |FROM aug a JOIN keep USING (key) GROUP BY source
+      |ORDER BY source""".stripMargin)),
+
     Q("basket_rules", (s, dir) => {
       // association rules over order baskets (lineitem parts per order):
       // top-20 co-occurring part pairs with support, confidence, lift.

@@ -32,6 +32,35 @@ object Dedup {
       .drop("__key")
   }
 
+  /** Per-source exact-duplication rate report — the corpus-governance
+    * rollup read BEFORE committing to a dedup pass ("which feeds are
+    * recycling content, and how much of the budget would dedup
+    * reclaim"). A row is a duplicate iff its normalized content key
+    * has a smaller-id holder anywhere in the corpus (the exactDedup
+    * keep-first rule — cross-source duplicates charge the LATER
+    * source). Output: (source, n_docs, n_dupes, dup_rate_micro).
+    *
+    * Scale shape: scan-side 256-bit keys; one partial-aggregated min
+    * shuffle over (key → min id); the winners frame re-joins
+    * shuffle-hash on the key (aggregated side ≪ corpus side); one
+    * (sources)-cardinality rollup. Text never shuffles — only keys and
+    * ids move. */
+  def dedupRateReport(df: DataFrame, textCol: String, idCol: String,
+      srcCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(srcCol).as("source"),
+      contentKey(col(textCol)).as("__key"))
+    val keep = keyed.groupBy(col("__key"))
+      .agg(min(col("id")).as("__keep"))
+    keyed.join(keep.hint("shuffle_hash"), "__key")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id") =!= col("__keep"), 1L).otherwise(0L))
+          .as("n_dupes"))
+      .withColumn("dup_rate_micro",
+        round(col("n_dupes") * lit(1000000.0) / col("n_docs"))
+          .cast(LongType))
+  }
+
   /** Keep-BEST dedup policy: given cluster labels (`nearDupClusters`
     * output: id, cluster) and a per-doc score, pick each cluster's
     * highest-scoring member (ties → lowest id) — what production

@@ -134,6 +134,48 @@ object Events {
         .cast("long"))
   }
 
+  /** FIRST-TOUCH conversion attribution: sessionize each entity's
+    * stream by inactivity gap, then credit every conversion event to
+    * its session's FIRST event type — "which entry channel produced
+    * the purchase", the question raw conversion counts can't answer.
+    * Output: (first_type, n_conversions), one row per entry type that
+    * produced at least one conversion.
+    *
+    * Sessions and firsts are deterministic under the caller-supplied
+    * total order (ties in ts alone would make "first" a coin flip —
+    * pass a tiebreaker column). Gap semantics match `sessionize`: a
+    * new session starts when the gap since the PREVIOUS event exceeds
+    * `gapUs` micros.
+    *
+    * Scale shape: ONE hash shuffle on the entity — the lag window, the
+    * session running sum, and the per-session first_value all share
+    * its partitioning (one Exchange in the plan); the rollup then
+    * moves (types)-cardinality pairs. */
+  def firstTouchAttribution(df: DataFrame, entityCol: String,
+      tsCol: String, orderCols: Seq[String], typeCol: String,
+      convType: String, gapUs: Long): DataFrame = {
+    require(orderCols.nonEmpty, "firstTouchAttribution: need an order")
+    require(gapUs > 0, "firstTouchAttribution: gapUs must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ts = unix_micros(col(tsCol))
+    val sess = df
+      .withColumn("__new",
+        when(ts - lag(ts, 1).over(w) > gapUs ||
+          lag(ts, 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(wRun))
+    val wSess = Window.partitionBy(col(entityCol), col("__sess"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess
+      .withColumn("__first", first(col(typeCol)).over(wSess))
+      .where(col(typeCol) === convType)
+      .groupBy(col("__first").as("first_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
   /** Association rules from co-occurrence (the market-basket /
     * co-view primitive): for every unordered item pair inside a basket,
     * support, per-item baskets, confidence and lift. Output (one row

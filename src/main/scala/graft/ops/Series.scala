@@ -241,6 +241,49 @@ object Series {
         .over(w))
   }
 
+  /** One-sided CUSUM change detection per key (Page 1954): fold
+    * S ← max(0, S + x − drift) over the key's ordered values and report
+    * the maximum excursion — the sequential-drift alarm a plain
+    * threshold-on-mean can't give (many small persistent upshifts
+    * accumulate; isolated spikes decay). Output one row per key:
+    * (keys…, n, max_cusum_micro, alarm = max ≥ threshold).
+    *
+    * Exactness: values round to integer MICRO units BEFORE the fold
+    * (the lmScore convention), so the entire recurrence is BIGINT
+    * max/add — any engine replaying the fold gets the identical
+    * excursion. Callers encode target + slack into `driftMicro`
+    * (classic CUSUM: μ + k). Null values drop.
+    *
+    * Scale shape: ONE hash shuffle (groupBy key, collect ordered
+    * (order, x) pairs — 16 bytes/event map-side); the fold is a
+    * per-key higher-order `aggregate`, the funnel pattern; per-key
+    * state is its own event list, the documented sessionization
+    * bound. */
+  def cusum(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      valueCol: String, driftMicro: Long, thresholdMicro: Long)
+      : DataFrame = {
+    require(keys.nonEmpty, "cusum: partition keys required")
+    require(orderCols.nonEmpty, "cusum: need a total order")
+    val x = round(col(valueCol) * lit(1000000.0)).cast("long")
+    val ev = df.where(col(valueCol).isNotNull)
+      .select(keys.map(col) :+
+        struct((orderCols.map(col) :+ x.as("x")): _*).as("e"): _*)
+    ev.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(col("e"))).as("evs"))
+      .withColumn("acc", aggregate(col("evs"),
+        struct(lit(0L).as("s"), lit(0L).as("m")),
+        (acc, e) => {
+          val s2 = greatest(lit(0L),
+            acc.getField("s") + e.getField("x") - lit(driftMicro))
+          struct(s2.as("s"),
+            greatest(acc.getField("m"), s2).as("m"))
+        }))
+      .select(keys.map(col) :+ col("n") :+
+        col("acc.m").as("max_cusum_micro") :+
+        (col("acc.m") >= thresholdMicro).as("alarm"): _*)
+  }
+
   /** Rank-based quantile normalization: per group, replace a metric
     * with its percent_rank ∈ [0, 1] (6dp) — the distribution-free
     * feature transform (heavy-tailed raw metrics become uniform; two

@@ -381,6 +381,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a>b>c", 2L), (2L, "x>y", 2L)), s"got $got")
   }
 
+  // ---------------- Series.cusum ----------------
+
+  test("cusum: fold matches prefix-sum identity; reset and alarm") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    // drift 150: values 200,200 → S 50,100; dip then spike: 100 resets
+    // to 0, 260 → 110
+    val ev = Seq(
+      (1L, t(1), 1L, 200.0), (1L, t(2), 2L, 200.0),
+      (2L, t(1), 1L, 100.0), (2L, t(2), 2L, 260.0),
+      (3L, t(1), 1L, 10.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.ops.Series.cusum(ev, Seq("user_id"),
+        Seq("ts", "event_id"), "value",
+        driftMicro = 150000000L, thresholdMicro = 100000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 100000000L, true),
+      (2L, 2L, 110000000L, true), (3L, 1L, 0L, false)), s"got $got")
+  }
+
+  // ---------------- Events.firstTouchAttribution ----------------
+
+  test("firstTouchAttribution: session entry gets the credit, gaps split") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val gap = 60L // seconds
+    val ev = Seq(
+      // user 1 session A: view → click → purchase (credit: view)
+      (1L, t(0), 1L, "view"), (1L, t(10), 2L, "click"),
+      (1L, t(20), 3L, "purchase"),
+      // user 1 session B after a gap: click → purchase (credit: click)
+      (1L, t(200), 4L, "click"), (1L, t(210), 5L, "purchase"),
+      // user 2: purchase opens its own session (credit: purchase)
+      (2L, t(0), 1L, "purchase"),
+      // user 3: no purchase → no credit
+      (3L, t(0), 1L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Events.firstTouchAttribution(ev, "user_id", "ts",
+        Seq("ts", "event_id"), "event_type", "purchase",
+        gapUs = gap * 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("view" -> 1L, "click" -> 1L, "purchase" -> 1L),
+      s"got $got")
+  }
+
+  // ---------------- Dedup.dedupRateReport ----------------
+
+  test("dedupRateReport: later source charged, normalization folds case") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "Hello  World", "a"),   // keeper (lowest id for the key)
+      (2L, "hello world", "b"),    // dup of 1 after normalization
+      (3L, "unique text", "b"),
+      (4L, "hello world", "b")     // another dup
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Dedup.dedupRateReport(df, "text", "doc_id",
+        "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1L, 0L, 0L), ("b", 3L, 2L, 666667L)),
+      s"got $got")
+  }
+
   // ---------------- Events.associationRules ----------------
 
   test("associationRules: support/confidence/lift, cap drops wide baskets") {
