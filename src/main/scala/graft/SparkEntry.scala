@@ -5399,8 +5399,12 @@ object SparkEntry {
     Q("sim_quantize_int8", (s, dir) => {
       // symmetric int8 embedding quantization: max-abs scale, integer
       // codes, nano-exact reconstruction MSE audit — all scan-side,
-      // DuckDB replays the list arithmetic bit-for-bit.
+      // DuckDB replays the list arithmetic bit-for-bit. The codes array
+      // is rendered as a ','-joined string so the driver's pandas harness
+      // can sort/hash it (VERDICT r12 item 1).
       Similarity.quantizeInt8(Tables(s, dir).embeddings)
+        .setCol("codes",
+          concat_ws(",", transform(col("codes"), c => c.cast("string"))))
         .sortByKeys(SortKey("vec_id"))
     }, Some("""WITH v AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
@@ -5412,7 +5416,8 @@ object SparkEntry {
       |    THEN list_transform(vv, x -> CAST(0 AS INTEGER))
       |    ELSE list_transform(vv, x -> CAST(ROUND(x / sc * 127.0)
       |      AS INTEGER)) END AS codes FROM s)
-      |SELECT vec_id, ROUND(sc, 6) AS scale, codes,
+      |SELECT vec_id, ROUND(sc, 6) AS scale,
+      |  array_to_string(codes, ',') AS codes,
       |  CASE WHEN len(vv) > 0 THEN CAST(ROUND(list_sum(
       |    list_transform(list_zip(vv, codes),
       |      p -> (p[1] - CAST(p[2] AS DOUBLE) * sc / 127.0)

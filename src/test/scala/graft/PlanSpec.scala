@@ -239,6 +239,28 @@ class PlanSpec extends AnyFunSuite {
       "1-row edges frame must broadcast:\n" + p.take(1200))
   }
 
+  test("every oracle-checked query emits comparator-sortable columns only") {
+    // The driver's comparator loads both results into pandas and sorts ALL
+    // columns by name before hashing; a top-level array/map/struct column
+    // crashes the lexsort ('unhashable type: numpy.ndarray' — VERDICT r12
+    // item 1). Audit the ANALYZED schema of every query that has an oracle
+    // so no raw container type ever reaches the harness again. Queries
+    // without an oracle get a rows-only check and are exempt.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val hostile = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, dir).schema
+      val bad = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+    }
+    assert(hostile.isEmpty,
+      "serialize these columns (concat_ws convention):\n" +
+        hostile.mkString("\n"))
+  }
+
   /** Run `body` with SQLConf overrides, restoring prior values after. */
   private def withConf[A](kvs: (String, String)*)(body: => A): A = {
     val conf = spark.conf
