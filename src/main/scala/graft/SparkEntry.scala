@@ -4995,9 +4995,10 @@ object SparkEntry {
       |FROM raw ORDER BY chk""".stripMargin)),
 
     Q("series_cusum", (s, dir) => {
-      // one-sided CUSUM drift alarms per user: values fold in integer
-      // micros (S <- max(0, S + x - 150)), DuckDB replays the exact
-      // BIGINT recurrence with a struct-state list_reduce.
+      // one-sided CUSUM drift alarms per user: S <- max(0, S + x - 150)
+      // in integer micros, computed via the prefix-sum identity
+      // S_n = P_n - min(0, running-min P) — both engines run the same
+      // two-window BIGINT form.
       graft.ops.Series.cusum(Tables(s, dir).events,
           Seq("user_id"), Seq("ts", "event_id"), "value",
           driftMicro = 150000000L, thresholdMicro = 1000000000L)

@@ -254,34 +254,38 @@ object Series {
     * excursion. Callers encode target + slack into `driftMicro`
     * (classic CUSUM: μ + k). Null values drop.
     *
-    * Scale shape: ONE hash shuffle (groupBy key, collect ordered
-    * (order, x) pairs — 16 bytes/event map-side); the fold is a
-    * per-key higher-order `aggregate`, the funnel pattern; per-key
-    * state is its own event list, the documented sessionization
-    * bound. */
+    * Implementation: the Page recursion S_n = max(0, S_{n−1} + y_n)
+    * with y = x − drift has the closed form S_n = P_n − min(0,
+    * min_{j≤n} P_j) over the prefix sums P — so the fold rewrites to
+    * two running windows (prefix sum, then running min of it), no
+    * per-key array materialization. `orderCols` must totally order
+    * each key's events (ties would make the running min, and hence
+    * the excursion, order-dependent).
+    *
+    * Scale shape: ONE hash shuffle — the two windows and the final
+    * max/count aggregate all partition on `keys`, so Catalyst plans a
+    * single Exchange and the aggregate reuses the windows' output
+    * partitioning. Per-key state is two running BIGINTs; a hot key
+    * costs its sort within the partition, never an in-memory event
+    * array (the r12 collect_list form bounded keys by executor
+    * memory; this form bounds them by spill-able sort). */
   def cusum(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
       valueCol: String, driftMicro: Long, thresholdMicro: Long)
       : DataFrame = {
     require(keys.nonEmpty, "cusum: partition keys required")
     require(orderCols.nonEmpty, "cusum: need a total order")
     val x = round(col(valueCol) * lit(1000000.0)).cast("long")
-    val ev = df.where(col(valueCol).isNotNull)
-      .select(keys.map(col) :+
-        struct((orderCols.map(col) :+ x.as("x")): _*).as("e"): _*)
-    ev.groupBy(keys.map(col): _*)
+    val w = spec(keys, orderCols.map(col))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.where(col(valueCol).isNotNull)
+      .withColumn("__p", sum(x - lit(driftMicro)).over(w))
+      .withColumn("__s", col("__p") -
+        least(lit(0L), min(col("__p")).over(w)))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        array_sort(collect_list(col("e"))).as("evs"))
-      .withColumn("acc", aggregate(col("evs"),
-        struct(lit(0L).as("s"), lit(0L).as("m")),
-        (acc, e) => {
-          val s2 = greatest(lit(0L),
-            acc.getField("s") + e.getField("x") - lit(driftMicro))
-          struct(s2.as("s"),
-            greatest(acc.getField("m"), s2).as("m"))
-        }))
-      .select(keys.map(col) :+ col("n") :+
-        col("acc.m").as("max_cusum_micro") :+
-        (col("acc.m") >= thresholdMicro).as("alarm"): _*)
+        max(col("__s")).as("max_cusum_micro"))
+      .select(keys.map(col) :+ col("n") :+ col("max_cusum_micro") :+
+        (col("max_cusum_micro") >= thresholdMicro).as("alarm"): _*)
   }
 
   /** Rank-based quantile normalization: per group, replace a metric

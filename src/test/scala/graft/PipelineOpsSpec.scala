@@ -404,6 +404,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, 2L, 110000000L, true), (3L, 1L, 0L, false)), s"got $got")
   }
 
+  test("cusum: hot key with 1e6 events stays window-bound") {
+    // the r12 collect_list form built a 1M-element array for this key;
+    // the prefix-sum identity sorts within the partition instead. A
+    // constant +1-micro drift makes the expected excursion exactly n.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val n = 1000000L
+    val ev = s.range(n).select(
+      lit(1L).as("user_id"),
+      timestamp_seconds(col("id")).as("ts"),
+      col("id").as("event_id"),
+      lit(151.0).as("value"))
+    val got = graft.ops.Series.cusum(ev, Seq("user_id"),
+        Seq("ts", "event_id"), "value",
+        driftMicro = 150000000L, thresholdMicro = 1000000L)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == n && r.getLong(2) == n * 1000000L &&
+      r.getBoolean(3), s"got ${r.mkString(",")}")
+  }
+
   // ---------------- Events.firstTouchAttribution ----------------
 
   test("firstTouchAttribution: session entry gets the credit, gaps split") {

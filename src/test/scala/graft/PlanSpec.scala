@@ -239,6 +239,15 @@ class PlanSpec extends AnyFunSuite {
       "1-row edges frame must broadcast:\n" + p.take(1200))
   }
 
+  test("cusum: one Exchange, windows only — no aggregate-to-array") {
+    val p = plan("series_cusum")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected one hash Exchange, got $exchanges:\n${p.take(1500)}")
+    assert(!p.contains("collect_list"),
+      "cusum must stay the two-window prefix-sum identity:\n" + p.take(800))
+  }
+
   test("every oracle-checked query emits comparator-sortable columns only") {
     // The driver's comparator loads both results into pandas and sorts ALL
     // columns by name before hashing; a top-level array/map/struct column
