@@ -5071,7 +5071,7 @@ object SparkEntry {
       |    AS BIGINT) AS n_dupes,
       |  CAST(ROUND(SUM(CASE WHEN a.doc_id <> keep.k THEN 1 ELSE 0 END)
       |    * 1000000.0 / COUNT(*)) AS BIGINT) AS dup_rate_micro
-      |FROM aug a JOIN keep USING (key) GROUP BY source
+      |FROM aug a LEFT JOIN keep USING (key) GROUP BY source
       |ORDER BY source""".stripMargin)),
 
     Q("basket_rules", (s, dir) => {

@@ -39,6 +39,9 @@ object Dedup {
     * has a smaller-id holder anywhere in the corpus (the exactDedup
     * keep-first rule — cross-source duplicates charge the LATER
     * source). Output: (source, n_docs, n_dupes, dup_rate_micro).
+    * Null-text rows COUNT in n_docs (they are real rows in the feed's
+    * budget) but are never duplicates — the keep join is a left join,
+    * and a null content key matches nothing.
     *
     * Scale shape: scan-side 256-bit keys; one partial-aggregated min
     * shuffle over (key → min id); the winners frame re-joins
@@ -49,9 +52,9 @@ object Dedup {
       srcCol: String): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(srcCol).as("source"),
       contentKey(col(textCol)).as("__key"))
-    val keep = keyed.groupBy(col("__key"))
+    val keep = keyed.where(col("__key").isNotNull).groupBy(col("__key"))
       .agg(min(col("id")).as("__keep"))
-    keyed.join(keep.hint("shuffle_hash"), "__key")
+    keyed.join(keep.hint("shuffle_hash"), Seq("__key"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("id") =!= col("__keep"), 1L).otherwise(0L))

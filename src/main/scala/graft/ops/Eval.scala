@@ -304,26 +304,6 @@ object Eval {
             6)))
   }
 
-  /** Fleiss' kappa (1971) — chance-corrected agreement for MANY raters
-    * per item, the multi-annotator sibling of [[agreementKappa]] (which
-    * handles exactly two): the labeling-QA gate when every doc gets 3+
-    * crowd/model judgments. Requires the same rater count n on every
-    * item (the statistic is undefined otherwise) — verified with a
-    * 1-row aggregate and failed FAST, never silently averaged away.
-    *
-    * Exactness: both observed and expected agreement are ratios of
-    * exact BIGINT aggregates (A = Σᵢ Σ_c n_ic(n_ic−1),
-    * B = Σ_c (Σᵢ n_ic)²), combined in DOUBLE with a fixed
-    * parenthesization — Po = A/(N·n·(n−1)), Pe = B/(N·n)²,
-    * κ = (Po−Pe)/(1−Pe), each rounded 6dp — so any engine holding the
-    * integers (exact under 2⁵³ ratings — beyond any labeling campaign)
-    * reproduces the row bit-for-bit. Perfect expected agreement
-    * (Pe = 1: every rating one category) pins κ = 1.
-    *
-    * Scale shape: ONE hash aggregation on (item, label) builds the
-    * contingency cells; every later frame is cells-, items- or
-    * categories-sized; the scalars meet in a broadcast-joined 1-row
-    * frame. Output: (n_items, n_raters, po, pe, kappa). */
   /** Two-proportion A/B test (pooled z): one row
     * (n_a, conv_a, n_b, conv_b, rate_a_micro, rate_b_micro, lift_micro,
     * z_nano) comparing conversion between the `aVal` and `bVal` groups
@@ -372,6 +352,26 @@ object Eval {
         .otherwise(lit(null).cast("long")).as("z_nano"))
   }
 
+  /** Fleiss' kappa (1971) — chance-corrected agreement for MANY raters
+    * per item, the multi-annotator sibling of [[agreementKappa]] (which
+    * handles exactly two): the labeling-QA gate when every doc gets 3+
+    * crowd/model judgments. Requires the same rater count n on every
+    * item (the statistic is undefined otherwise) — verified with a
+    * 1-row aggregate and failed FAST, never silently averaged away.
+    *
+    * Exactness: both observed and expected agreement are ratios of
+    * exact BIGINT aggregates (A = Σᵢ Σ_c n_ic(n_ic−1),
+    * B = Σ_c (Σᵢ n_ic)²), combined in DOUBLE with a fixed
+    * parenthesization — Po = A/(N·n·(n−1)), Pe = B/(N·n)²,
+    * κ = (Po−Pe)/(1−Pe), each rounded 6dp — so any engine holding the
+    * integers (exact under 2⁵³ ratings — beyond any labeling campaign)
+    * reproduces the row bit-for-bit. Perfect expected agreement
+    * (Pe = 1: every rating one category) pins κ = 1.
+    *
+    * Scale shape: ONE hash aggregation on (item, label) builds the
+    * contingency cells; every later frame is cells-, items- or
+    * categories-sized; the scalars meet in a broadcast-joined 1-row
+    * frame. Output: (n_items, n_raters, po, pe, kappa). */
   def fleissKappa(df: DataFrame, itemCol: String, labelCol: String)
       : DataFrame = {
     val cells = df.groupBy(col(itemCol).as("item"), col(labelCol).as("lab"))

@@ -211,12 +211,15 @@ object Quality {
     * [[profileTable]]); tie-emptied bins still appear with n = 0.
     *
     * Scale shape: ONE exact-percentile aggregation (the agg_percentiles
-    * path) → edges broadcast back as a 1-row frame → scan-side bin
+    * path), materialized EAGERLY as a 1-row local checkpoint so the two
+    * consumers below (bin assignment + bins grid) never re-run the
+    * full-table percentile scan → edges broadcast back → scan-side bin
     * assignment → one `bins`-row count shuffle; the bins grid is a
     * `sequence` explode of the 1-row edges frame, so empty bins
     * materialize without a driver loop. */
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
-    val edges = histogramEdges(df, valueCol, bins)
+    val (edges, _) = graft.core.CacheHandle.checkpointSmall(
+      histogramEdges(df, valueCol, bins))
     val counts = df.where(col(valueCol).isNotNull)
       .crossJoin(broadcast(edges))
       .select(binOf(col(valueCol), col("edges")).as("bin"))
@@ -240,14 +243,18 @@ object Quality {
     * convention), so the report and every rollup of it are exact
     * BIGINTs both engines reproduce.
     *
-    * Scale shape: one exact-percentile pass over base, one scan-side
-    * bucket + `bins`-row count shuffle per side, `bins`-row joins —
-    * nothing row-scale ever joins row-scale. Out-of-range current
-    * values clip into the boundary bins by [[binOf]], so range drift
-    * registers instead of dropping. */
+    * Scale shape: ONE exact-percentile pass over base — materialized
+    * eagerly as a 1-row local checkpoint, since three subplans consume
+    * it (each side's bucketing + the bins grid) and would otherwise
+    * each re-run the full base-table scan — then one scan-side bucket +
+    * `bins`-row count shuffle per side, `bins`-row joins — nothing
+    * row-scale ever joins row-scale. Out-of-range current values clip
+    * into the boundary bins by [[binOf]], so range drift registers
+    * instead of dropping. */
   def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
       bins: Int = 10): DataFrame = {
-    val edges = histogramEdges(base, valueCol, bins)
+    val (edges, _) = graft.core.CacheHandle.checkpointSmall(
+      histogramEdges(base, valueCol, bins))
     def side(df: DataFrame, as: String): DataFrame =
       df.where(col(valueCol).isNotNull)
         .crossJoin(broadcast(edges))

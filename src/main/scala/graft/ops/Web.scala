@@ -51,16 +51,23 @@ object Web {
 
   /** URL canonicalization for dedup keys: lowercase scheme and host,
     * drop the fragment, drop tracking query parameters (key matches a
-    * `dropParamPrefixes` prefix), keep the remaining query in original
-    * order, strip the path's trailing slashes. The web-corpus reality
-    * this serves: the same page arrives as `HTTP://Example.com/p/1`,
-    * `…/p/1/`, `…/p/1?utm_source=feed#top` — exact dedup on the raw
-    * string keeps all of them. Malformed URLs (no parseable host) →
-    * null, so junk never fabricates a dedup key. Pure scan-side
-    * expression over Spark's codegen'd ParseUrl + array built-ins. */
+    * `dropParamPrefixes` prefix OR equals a `dropParamsExact` name),
+    * keep the remaining query in original order, strip the path's
+    * trailing slashes. The web-corpus reality this serves: the same
+    * page arrives as `HTTP://Example.com/p/1`, `…/p/1/`,
+    * `…/p/1?utm_source=feed#top` — exact dedup on the raw string keeps
+    * all of them. Malformed URLs (no parseable host) → null, so junk
+    * never fabricates a dedup key. Pure scan-side expression over
+    * Spark's codegen'd ParseUrl + array built-ins.
+    *
+    * `ref`/`fbclid`/`gclid` match EXACTLY, not as prefixes — a prefix
+    * `ref` would swallow legitimate params (refresh, ref_id, refund_id)
+    * and merge genuinely distinct URLs into one dedup key. Only `utm_`
+    * keeps prefix semantics (the family is open-ended by convention). */
   def canonicalizeUrl(c: Column,
-      dropParamPrefixes: Seq[String] =
-        Seq("utm_", "fbclid", "gclid", "ref")): Column = {
+      dropParamPrefixes: Seq[String] = Seq("utm_"),
+      dropParamsExact: Seq[String] = Seq("fbclid", "gclid", "ref"))
+      : Column = {
     val proto = lower(try_parse_url(c, lit("PROTOCOL")))
     val host = lower(try_parse_url(c, lit("HOST")))
     val path = regexp_replace(
@@ -68,7 +75,8 @@ object Web {
     val rawQ = try_parse_url(c, lit("QUERY"))
     val keptParams = filter(split(rawQ, "&"), p => {
       val key = element_at(split(p, "="), 1)
-      dropParamPrefixes.map(pre => startswith(key, lit(pre)))
+      (dropParamPrefixes.map(pre => startswith(key, lit(pre))) ++
+        dropParamsExact.map(name => key === lit(name)))
         .reduce(_ || _).unary_!
     })
     val query = when(rawQ.isNull || size(keptParams) === 0, lit(""))

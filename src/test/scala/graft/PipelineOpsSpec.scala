@@ -462,14 +462,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, "Hello  World", "a"),   // keeper (lowest id for the key)
       (2L, "hello world", "b"),    // dup of 1 after normalization
       (3L, "unique text", "b"),
-      (4L, "hello world", "b")     // another dup
+      (4L, "hello world", "b"),    // another dup
+      (5L, null: String, "c")      // null text: in n_docs, never a dupe
     ).toDF("doc_id", "text", "source")
     val got = graft.ops.Dedup.dedupRateReport(df, "text", "doc_id",
         "source")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).sortBy(_._1).toSeq
-    assert(got == Seq(("a", 1L, 0L, 0L), ("b", 3L, 2L, 666667L)),
-      s"got $got")
+    assert(got == Seq(("a", 1L, 0L, 0L), ("b", 3L, 2L, 666667L),
+      ("c", 1L, 0L, 0L)), s"got $got")
   }
 
   // ---------------- Events.associationRules ----------------
@@ -618,6 +619,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       "http://example.com/p/1/",
       "http://example.com/p/1?utm_source=feed#top",
       "http://example.com/p/1?id=7&utm_b=2&ref=x",
+      "http://example.com/p/1?refresh=1&ref_id=9",
       "not a url at all"
     ).toDF("u")
     val got = urls.select(graft.ops.Web.canonicalizeUrl(col("u")).as("c"))
@@ -626,7 +628,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1) == Some("http://example.com/p/1"))
     assert(got(2) == Some("http://example.com/p/1"))
     assert(got(3) == Some("http://example.com/p/1?id=7"))
-    assert(got(4).isEmpty)
+    // 'ref' drops exactly: refresh/ref_id are NOT tracking params
+    assert(got(4) == Some("http://example.com/p/1?refresh=1&ref_id=9"))
+    assert(got(5).isEmpty)
   }
 
   // ---------------- TextFunctions.stripBoilerplateLines ----------------
