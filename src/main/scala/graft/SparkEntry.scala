@@ -5632,6 +5632,27 @@ object SparkEntry {
       |FROM documents
       |ORDER BY "column"""".stripMargin)),
 
+    Q("quality_profile_numeric", (s, dir) => {
+      // numeric profile sweep: one unpivot + ONE hash agg computes
+      // rows/nulls/mean/min/max + exact R-7 deciles (array-percentage
+      // form — one sorted buffer per column, not nine aggregates) for
+      // every profiled column; DuckDB replays with quantile_cont.
+      Quality.profileNumeric(Tables(s, dir).lineitem,
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .sortByKeys(SortKey("column"))
+    }, Some(Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .map { c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  ROUND(AVG($c), 6) AS mean, ROUND(MIN($c), 6) AS "min",
+           |  ROUND(MAX($c), 6) AS "max",
+           |${(1 to 9).map(i =>
+                s"  ROUND(quantile_cont($c, 0.$i), 6) AS p${i * 10}")
+               .mkString(",\n")}
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))),
+
     Q("audit_fingerprint", (s, dir) => {
       // order-independent snapshot checksum over the documents table:
       // per-row 60-bit SHA-256 prefixes reduced by XOR + modular sum +

@@ -122,8 +122,13 @@ object Quality {
     * n_distinct counts distinct non-null strings — the type-agnostic
     * contract any engine reproduces (numeric-typed min/max/quantiles
     * live in `describe`/`summarize`; this sweep covers every column in
-    * one uniform pass). Distinct counts are EXACT — swap in the HLL
-    * sketch aggregate when a 100 TB profile can tolerate ±2%.
+    * one uniform pass). Distinct counts are EXACT by default;
+    * `approxDistinct = true` swaps in the HLL++ sketch aggregate
+    * (`approx_count_distinct`, default rsd 5%; measured ±2-3% on this
+    * corpus — see the QualitySpec error pin) whose partials are
+    * fixed-size sketches instead of per-partition distinct sets, the
+    * right trade at a 100 TB profile where the exact form's hash
+    * aggregate must hold every distinct string per column.
     *
     * Scale shape: the frame unpivots scan-side into skinny
     * (column, value-string) pairs — no join, no driver loop over
@@ -134,18 +139,60 @@ object Quality {
     * The column-name key has exactly `cols.size` distinct values, so
     * parallelism within one huge column comes from the partial
     * aggregation, not the final `cols.size`-row reduce. */
-  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileTable(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profileTable: no columns to profile")
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("column"),
           col(c).cast("string").as("value"))): _*)).as("p"))
       .select(col("p.column").as("column"), col("p.value").as("value"))
+    val distinctAgg =
+      if (approxDistinct) approx_count_distinct(col("value"))
+      else countDistinct(col("value"))
     pairs.groupBy(col("column"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col("value")).as("n_distinct"),
+        distinctAgg.as("n_distinct"),
         min(col("value")).as("min_str"),
         max(col("value")).as("max_str"))
+  }
+
+  /** Numeric per-column profile — [[profileTable]]'s typed sibling for
+    * the columns where lexicographic min/max lie: one row per column
+    * with (column, n_rows, n_nulls, mean, min, max, p10…p90) — exact
+    * R-7 linear-interpolation deciles (the agg_percentiles path), the
+    * Deequ-analyzer shape read before writing numeric expectations.
+    * Non-numeric inputs cast to DOUBLE up front (uncastable → null, so
+    * a mistyped column profiles as all-null instead of failing late);
+    * every statistic rounds 6dp (the winsorize convention — engine-
+    * independent downstream comparisons).
+    *
+    * Scale shape: like [[profileTable]], the frame unpivots scan-side
+    * into skinny (column, double) pairs and ONE hash aggregation on the
+    * column name computes all 14 stats — the deciles share a single
+    * sorted-percentile buffer per column via the array-percentage form,
+    * not nine separate aggregates. Exact percentiles hold a per-column
+    * value buffer; for a 100 TB profile swap the call site to
+    * `approx_percentile` or profile a sampled partition — the contract
+    * here is the exact ground truth the sketch is judged against. */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric: no columns to profile")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          col(c).cast("double").as("value"))): _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.value").as("value"))
+    val decs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    pairs.groupBy(col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        round(avg(col("value")), 6).as("mean"),
+        round(min(col("value")), 6).as("min"),
+        round(max(col("value")), 6).as("max"),
+        percentile(col("value"), decs).as("__d"))
+      .select(col("column") +: col("n_rows") +: col("n_nulls") +:
+        col("mean") +: col("min") +: col("max") +:
+        (1 to 9).map(i =>
+          round(element_at(col("__d"), i), 6).as(s"p${i * 10}")): _*)
   }
 
   /** Order-independent table fingerprint: ONE row

@@ -99,6 +99,39 @@ class QualitySpec extends AnyFunSuite {
       gn.getLong(3) == 0L && gn.isNullAt(4) && gn.isNullAt(5))
   }
 
+  test("profileTable: approxDistinct swaps in HLL within its error bound") {
+    val s = spark
+    import s.implicits._
+    // 5000 distinct ids + a low-cardinality tag; HLL++ at the default
+    // 5% rsd must land within ±10% (3 sigma) of exact — a measured
+    // error pin, not a tautology (the sketch_distinct_verify pattern)
+    val df = (1 to 5000).map(i => (i.toLong, s"t${i % 7}")).toDF("id", "tag")
+    val got = Quality.profileTable(df, Seq("id", "tag"),
+        approxDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(got("id") - 5000L) <= 500L, s"hll id: ${got("id")}")
+    assert(math.abs(got("tag") - 7L) <= 1L, s"hll tag: ${got("tag")}")
+  }
+
+  test("profileNumeric: mean/min/max/deciles per column; all-null safe") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, Option.empty[Double]))
+      .toDF("v", "z")
+    val got = Quality.profileNumeric(df, Seq("v", "z"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = got("v")
+    assert(v.getLong(1) == 100L && v.getLong(2) == 0L)
+    assert(v.getDouble(3) == 50.5 && v.getDouble(4) == 1.0 &&
+      v.getDouble(5) == 100.0)
+    // R-7 deciles of 1..100: p10 = 10.9, p50 = 50.5, p90 = 90.1
+    assert(v.getDouble(6) == 10.9 && v.getDouble(10) == 50.5 &&
+      v.getDouble(14) == 90.1, s"deciles ${v.mkString(",")}")
+    val z = got("z")
+    assert(z.getLong(1) == 100L && z.getLong(2) == 100L && z.isNullAt(3) &&
+      z.isNullAt(6) && z.isNullAt(14))
+  }
+
   test("histogram: equi-depth bins, clipping, empty-bin rows, null drop") {
     val s = spark
     import s.implicits._
