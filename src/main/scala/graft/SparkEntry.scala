@@ -5599,6 +5599,29 @@ object SparkEntry {
       |  MIN(f) AS first, MAX(f) AS last
       |FROM d GROUP BY p, grp ORDER BY p, grp""".stripMargin)),
 
+    Q("io_compaction_apply", (s, dir) => {
+      // small-file compaction EXECUTED end-to-end: a 500-row-per-file
+      // partitioned layout packs into 64 KiB planned groups, each group
+      // rewritten as one sorted file via stage-and-rename; oracle = the
+      // original table — the rewrite must be invisible to readers.
+      val base = System.getProperty("java.io.tmpdir")
+      val src = base + "/graft_compact_src"
+      val dst = base + "/graft_compact_dst"
+      IO.writePartitioned(Tables(s, dir).documents, src,
+        partitionCols = Seq("lang"), sortCols = Seq("doc_id"),
+        maxRecordsPerFile = 500L)
+      val stats = IO.fileStats(s, src, Seq("doc_id", "lang"))
+        .withColumn("file", regexp_replace(col("file"), "^file:/+", "/"))
+      val manifest = IO.fsManifest(s, src).join(stats, Seq("file"))
+        .withColumn("lang", col("min_lang"))
+      IO.compactFiles(s, manifest, dst, "file", "bytes", "min_doc_id",
+        "doc_id", targetBytes = 64L * 1024, partitionCols = Seq("lang"))
+      s.read.parquet(dst)
+        .selectNames(Seq("doc_id", "lang", "source", "n_chars"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("quality_profile", (s, dir) => {
       // column-profile sweep: one unpivot + ONE hash agg computes
       // rows/nulls/exact-distinct/min/max for every profiled column.

@@ -338,7 +338,20 @@ object IO {
     * planner-scale by construction, same bound as [[statsPrunedRead]]'s
     * kept-file collect. */
   def compactionPlan(files: DataFrame, sizeCol: String, orderCol: String,
-      targetBytes: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+      targetBytes: Long, partitionCols: Seq[String] = Nil): DataFrame =
+    assignGroups(files, sizeCol, orderCol, targetBytes, partitionCols)
+      .groupBy((partitionCols.map(col) :+ col("grp")): _*)
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("bytes"),
+        min(col(orderCol)).as("first"),
+        max(col(orderCol)).as("last"))
+
+  /** Per-FILE group assignment shared by [[compactionPlan]] (which
+    * aggregates it) and [[compactFiles]] (which executes it): the input
+    * manifest plus a dense 1-based `grp` per partition. */
+  private def assignGroups(files: DataFrame, sizeCol: String,
+      orderCol: String, targetBytes: Long,
+      partitionCols: Seq[String]): DataFrame = {
     require(targetBytes > 0, "compactionPlan: targetBytes must be > 0")
     import org.apache.spark.sql.expressions.Window
     val part =
@@ -346,18 +359,120 @@ object IO {
       else Window.partitionBy(partitionCols.map(col): _*)
     val wRun = part.orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val planned = files
+    val wDense = part.orderBy(col("__grp"))
+    files
       .withColumn("__cum", sum(col(sizeCol)).over(wRun))
       // integer `div`, not `/`: float division of byte totals loses
       // exactness past 2^53 (9 PB of cumulative bytes per partition)
       .withColumn("__grp", expr(s"(__cum - 1) div ${targetBytes}L"))
-    val wDense = part.orderBy(col("__grp"))
-    planned
       .withColumn("grp", dense_rank().over(wDense).cast(LongType))
-      .groupBy((partitionCols.map(col) :+ col("grp")): _*)
-      .agg(count(lit(1)).as("n_files"),
-        sum(col(sizeCol)).as("bytes"),
-        min(col(orderCol)).as("first"),
-        max(col(orderCol)).as("last"))
+  }
+
+  /** File-system manifest: one row (file, bytes) per DATA file under
+    * `path` (recursive; `_`/`.`-prefixed bookkeeping files skipped) —
+    * the size side of a compaction manifest, joined with [[fileStats]]
+    * for per-file key envelopes. Driver-side listing, bounded by the
+    * FILE count like every table-format planner. Paths normalize the
+    * local `file:` scheme away so they join against
+    * `input_file_name()`-derived manifests. */
+  def fsManifest(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+        buf += ((st.getPath.toString.replaceFirst("^file:/+", "/"),
+          st.getLen))
+    }
+    spark.createDataFrame(buf.toSeq).toDF("file", "bytes")
+  }
+
+  /** EXECUTE a [[compactionPlan]]: rewrite the small files described by
+    * `manifest` into ONE parquet file per planned group under
+    * `destPath`, preserving the hive partition layout (`partitionCols`
+    * values become `col=value` directories) and sorting each output
+    * file by `dataOrderCol` (so the rewrite keeps, and tightens, the
+    * [[fileStats]] min/max envelopes). `destPath` is replaced
+    * (compaction is a full rewrite of the described layout). Returns
+    * one row per written file: (partitionCols…, grp, n_files_in,
+    * out_file). Verify with [[graft.ops.Quality.tableFingerprint]] —
+    * before == after is the integrity contract.
+    *
+    * `manifest` needs (`fileCol` path, `sizeCol` bytes, `orderCol`
+    * per-file key — e.g. the [[fileStats]] min of the sort key — and
+    * the partition value columns): build it by joining [[fsManifest]]
+    * with [[fileStats]].
+    *
+    * Scale shape: the plan is computed distributed and collected at
+    * MANIFEST scale (one row per input file — what any table-format
+    * committer holds); each group is then an independent
+    * read→sort→write-one-file Spark job, scheduled `maxParallel` at a
+    * time from a driver pool (the Delta OPTIMIZE shape — group jobs
+    * fan out across the cluster; no committer contention because each
+    * group stages in its own temp dir and atomically renames into
+    * place). Per-group memory is ~targetBytes and spills. */
+  def compactFiles(spark: SparkSession, manifest: DataFrame,
+      destPath: String, fileCol: String, sizeCol: String, orderCol: String,
+      dataOrderCol: String, targetBytes: Long,
+      partitionCols: Seq[String] = Nil, maxParallel: Int = 8): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val destRoot = new Path(destPath)
+    val destFs = destRoot.getFileSystem(hconf)
+    if (destFs.exists(destRoot)) destFs.delete(destRoot, true)
+    destFs.mkdirs(destRoot)
+    val assigned = assignGroups(manifest, sizeCol, orderCol, targetBytes,
+      partitionCols)
+    val rows = assigned.select((partitionCols.map(c =>
+        col(c).cast("string")) :+ col("grp") :+ col(fileCol)): _*)
+      .collect()
+    val groups = rows.toSeq.groupBy { r =>
+        (partitionCols.indices.map(r.getString).toList,
+          r.getLong(partitionCols.size))
+      }
+      .toSeq.sortBy { case ((pvals, grp), _) => (pvals.mkString("/"), grp) }
+      .map { case ((pvals, grp), rs) =>
+        (pvals, grp, rs.map(_.getString(partitionCols.size + 1)).sorted) }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxParallel, groups.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val written =
+      try Await.result(Future.sequence(groups.map { case (pvals, grp, files) =>
+        Future {
+          val partDir = partitionCols.zip(pvals)
+            .map { case (c, v) => s"$c=$v" }.mkString("/")
+          val outDir =
+            if (partDir.isEmpty) destRoot else new Path(destRoot, partDir)
+          val tmp = new Path(destRoot,
+            s".graft_compact_tmp_${java.util.UUID.randomUUID}")
+          spark.read.parquet(files: _*)
+            .coalesce(1).sortWithinPartitions(col(dataOrderCol))
+            .write.parquet(tmp.toString)
+          val fs = tmp.getFileSystem(hconf)
+          val partFile = fs.listStatus(tmp).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error(s"compactFiles: no output for group $grp"))
+          fs.mkdirs(outDir)
+          val out = new Path(outDir, f"compact-$grp%05d.parquet")
+          if (!fs.rename(partFile, out))
+            sys.error(s"compactFiles: rename failed for $out")
+          fs.delete(tmp, true)
+          org.apache.spark.sql.Row.fromSeq(
+            pvals ++ Seq(grp, files.length.toLong,
+              out.toString.replaceFirst("^file:/+", "/")))
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
+    val schema = StructType(
+      partitionCols.map(c => StructField(c, StringType)) ++ Seq(
+        StructField("grp", LongType), StructField("n_files_in", LongType),
+        StructField("out_file", StringType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(written.asJava, schema)
   }
 }

@@ -747,6 +747,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("compactFiles: one file per planned group; fingerprint unchanged") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.IO
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_compact_unit").toString
+    val src = base + "/src"
+    val dst = base + "/dst"
+    val df = (1 to 2000).map(i => (i.toLong, s"g${i % 2}", s"payload $i"))
+      .toDF("id", "g", "payload")
+    IO.writePartitioned(df, src, partitionCols = Seq("g"),
+      sortCols = Seq("id"), maxRecordsPerFile = 100L)
+    val stats = IO.fileStats(s, src, Seq("id", "g"))
+      .withColumn("file", regexp_replace(col("file"), "^file:/+", "/"))
+    val manifest = IO.fsManifest(s, src).join(stats, Seq("file"))
+      .withColumn("g", col("min_g"))
+    val nSrcFiles = manifest.count()
+    val plan = IO.compactionPlan(manifest, "bytes", "min_id", 8192L,
+      Seq("g")).collect()
+    val written = IO.compactFiles(s, manifest, dst, "file", "bytes",
+      "min_id", "id", 8192L, partitionCols = Seq("g")).collect()
+    // one output file per planned group, and fewer files than the input
+    assert(written.length == plan.length, s"${written.length} != ${plan.length}")
+    assert(written.length < nSrcFiles)
+    assert(written.map(_.getString(3)).distinct.length == written.length)
+    // integrity: order-independent fingerprint before == after
+    val cols = Seq("id", "g", "payload")
+    val fp = (p: String) => graft.ops.Quality.tableFingerprint(
+      s.read.parquet(p).select(cols.map(col): _*), cols).collect().head
+    assert(fp(src) == fp(dst))
+    // each output file is internally sorted by the data order column
+    val perFile = s.read.parquet(dst)
+      .withColumn("f", input_file_name())
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("f")).orderBy(monotonically_increasing_id())))
+      .withColumn("sorted_rn", row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy(col("f")).orderBy(col("id"))))
+    assert(perFile.filter(col("rn") =!= col("sorted_rn")).count() == 0)
+  }
+
   // ---------------- Dedup.clusterRepresentatives ----------------
 
   test("clusterRepresentatives keeps max score, ties to lowest id") {
