@@ -3990,6 +3990,26 @@ object SparkEntry {
       |SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s
       |ORDER BY node""".stripMargin)),
 
+    Q("graph_components_star", (s, dir) => {
+      // alternating large-star/small-star contraction (Kiveris 2014) on
+      // the same functional graph as graph_components — same recursive-
+      // CTE ground truth, proving the O(log^2 n)-round algorithm exact.
+      val e = Tables(s, dir).documents.select(
+        col("doc_id").as("a"), ((col("doc_id") * 7) % 250).as("b"))
+      graft.ops.Graph.connectedComponentsStar(e, "a", "b")
+        .sortByKeys(SortKey("node"))
+    }, Some("""WITH RECURSIVE e0 AS (
+      |  SELECT doc_id AS a, (doc_id * 7) % 250 AS b FROM documents),
+      |e AS (SELECT a, b FROM e0 WHERE a <> b
+      |  UNION SELECT b, a FROM e0 WHERE a <> b),
+      |n AS (SELECT DISTINCT a AS node FROM e),
+      |reach(s, d) AS (
+      |  SELECT node, node FROM n
+      |  UNION
+      |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
+      |SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s
+      |ORDER BY node""".stripMargin)),
+
     Q("graph_bfs", (s, dir) => {
       // multi-source BFS: exact hop distance from the doc_id % 100 = 0
       // seed set, radius 6, over the same functional graph. DuckDB

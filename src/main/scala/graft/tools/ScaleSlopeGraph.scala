@@ -33,7 +33,13 @@ object ScaleSlopeGraph {
     val spark = graft.GraftSession.build()
     import graft.ops.{Dedup, Graph, Series}
 
-    def timed(op: String, label: String, n: Long)(body: => DataFrame): Unit = {
+    // optional arg: comma-separated op filter (re-measure single rows)
+    val only: Set[String] = args.headOption
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty)
+    def timed(op: String, label: String, n: Long)(body: => DataFrame): Unit =
+      if (only.isEmpty || only(op)) timedAlways(op, label, n)(body)
+
+    def timedAlways(op: String, label: String, n: Long)(body: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       body.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -87,7 +93,7 @@ object ScaleSlopeGraph {
     }
 
     // --- text: token-suffixed replicas (the ScaleSlope construction) --
-    for ((label, r) <- Seq(("x1", 1), ("x10", 10))) {
+    for ((label, r) <- Seq(("x1", 1), ("x10", 10), ("x100", 100))) {
       val corpus =
         if (r == 1) docs.select(col("doc_id"), col("text"))
         else docs.crossJoin(spark.range(r).select(col("id").as("rep")))

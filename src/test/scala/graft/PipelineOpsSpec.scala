@@ -295,6 +295,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cc == lp, "pointer jumping must agree with label propagation")
   }
 
+  test("connectedComponentsStar: scrambled-id 1k chain, few rounds; law") {
+    val s = spark
+    import s.implicits._
+    // the measured prop+jump adversary (r13 probe: > 64 rounds on this
+    // exact graph): a 1000-node chain whose ids are a seeded shuffle —
+    // star contraction must finish within its O(log^2 n) budget
+    val n = 1000
+    val perm = new scala.util.Random(42).shuffle((0 until n).toVector)
+    val chain = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong))
+      .toDF("a", "b")
+    val got = graft.ops.Graph.connectedComponentsStar(chain, "a", "b",
+        maxIters = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "one component labeled by min id")
+    // law: identical labels to prop+jump on graphs the latter handles
+    val rnd = (0L until 80L).map(i => (i, (i * 13 + 5) % 40)).toDF("a", "b")
+    val star = graft.ops.Graph.connectedComponentsStar(rnd, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val jump = graft.ops.Graph.connectedComponents(rnd, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == jump, "star contraction must agree with prop+jump")
+    // self-loop-only nodes are out of scope, like connectedComponents
+    val loops = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    val lr = graft.ops.Graph.connectedComponentsStar(loops, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lr == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("bfsDistances: exact hops, horizon cutoff, multi-source min") {
     val s = spark
     import s.implicits._
