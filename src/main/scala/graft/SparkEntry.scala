@@ -5696,6 +5696,139 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))),
 
+    Q("quality_ks_drift", (s, dir) => {
+      // exact two-sample KS over the psi_drift fixture (current drops
+      // docs above 900 chars): sup|ECDF diff| on exact cross-multiplied
+      // integers, ONE double division at the end. The ECDF prefix sums
+      // run through globalCumSum's bucketed kernel — no global window.
+      val base = Tables(s, dir).documents
+      Quality.ksDrift(base, base.filterRows(col("n_chars") <= 900),
+        "n_chars")
+    }, Some("""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |c AS (SELECT CAST(n_chars AS DOUBLE) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars <= 900),
+      |u AS (SELECT v, 1 AS bn, 0 AS cn FROM b
+      |  UNION ALL SELECT v, 0, 1 FROM c),
+      |vc AS (SELECT v, SUM(bn) AS bn, SUM(cn) AS cn FROM u GROUP BY v),
+      |cm AS (SELECT v, SUM(bn) OVER (ORDER BY v) AS cb,
+      |  SUM(cn) OVER (ORDER BY v) AS cc FROM vc),
+      |t AS (SELECT (SELECT COUNT(*) FROM b) AS nb,
+      |  (SELECT COUNT(*) FROM c) AS nc)
+      |SELECT CAST(t.nb AS BIGINT) AS n_base, CAST(t.nc AS BIGINT) AS n_cur,
+      |  CAST(ROUND(CAST(MAX(ABS(CAST(cb AS HUGEINT) * t.nc
+      |      - CAST(cc AS HUGEINT) * t.nb)) AS DOUBLE) * 1e9
+      |    / (CAST(t.nb AS DOUBLE) * CAST(t.nc AS DOUBLE))) AS BIGINT)
+      |    AS d_nano
+      |FROM cm, t GROUP BY t.nb, t.nc""".stripMargin)),
+
+    Q("quality_chi_drift", (s, dir) => {
+      // chi-square homogeneity over the same drift fixture, on the
+      // CATEGORICAL axis (lang mix): per-lang (obs−exp)²/exp summed
+      // over both sides, integer nanos before any rollup.
+      val base = Tables(s, dir).documents
+      Quality.chiSquareDrift(base, base.filterRows(col("n_chars") <= 900),
+          "lang")
+        .sortByKeys(SortKey("category"))
+    }, Some("""WITH u AS (
+      |  SELECT COALESCE(CAST(lang AS VARCHAR), '(null)') AS category,
+      |    1 AS bn, 0 AS cn FROM documents
+      |  UNION ALL
+      |  SELECT COALESCE(CAST(lang AS VARCHAR), '(null)'), 0, 1
+      |  FROM documents WHERE n_chars <= 900),
+      |k AS (SELECT category, CAST(SUM(bn) AS BIGINT) AS base_n,
+      |  CAST(SUM(cn) AS BIGINT) AS cur_n FROM u GROUP BY category),
+      |w AS (SELECT *, CAST(SUM(base_n) OVER () AS DOUBLE) AS bt,
+      |  CAST(SUM(cur_n) OVER () AS DOUBLE) AS ct FROM k)
+      |SELECT category, base_n, cur_n,
+      |  CAST(ROUND((
+      |    (base_n - CAST(base_n + cur_n AS DOUBLE) * bt / (bt + ct))
+      |    * (base_n - CAST(base_n + cur_n AS DOUBLE) * bt / (bt + ct))
+      |    / (CAST(base_n + cur_n AS DOUBLE) * bt / (bt + ct))
+      |    + (cur_n - CAST(base_n + cur_n AS DOUBLE) * ct / (bt + ct))
+      |    * (cur_n - CAST(base_n + cur_n AS DOUBLE) * ct / (bt + ct))
+      |    / (CAST(base_n + cur_n AS DOUBLE) * ct / (bt + ct))) * 1e9)
+      |    AS BIGINT) AS chi_nano
+      |FROM w ORDER BY category""".stripMargin)),
+
+    Q("agg_trimmed_mean", (s, dir) => {
+      // 10%-trimmed mean of extended price per return flag: rank
+      // window + final agg share ONE hash Exchange; tie choice can't
+      // change the surviving multiset.
+      Agg.trimmedMeanBy(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          "l_extendedprice", 0.1)
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
+      |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice) AS rn,
+      |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_trimmed,
+      |  ROUND(AVG(l_extendedprice), 6) AS trimmed_mean
+      |FROM r WHERE rn > FLOOR(n * 0.1) AND rn <= n - FLOOR(n * 0.1)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_gini", (s, dir) => {
+      // token-budget concentration across sources: Gini over per-source
+      // n_chars mass — rank·weight products ride 38-digit decimals.
+      Agg.giniConcentration(Tables(s, dir).documents, "source",
+        col("n_chars"))
+    }, Some("""WITH g AS (SELECT
+      |  COALESCE(CAST(source AS VARCHAR), '(null)') AS g,
+      |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS x
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x, g) AS i FROM g)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(x) AS BIGINT) AS total,
+      |  CAST(ROUND((2.0 * CAST(SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT))
+      |      AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+      |    - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e9)
+      |    AS BIGINT) AS gini_nano
+      |FROM r""".stripMargin)),
+
+    Q("label_mannwhitney", (s, dir) => {
+      // rank-sum test: are English docs longer than non-English? Heavy
+      // ties in n_chars exercise the tie-corrected variance; ranks
+      // never materialize per row (distinct-value blocks + globalCumSum).
+      val d = Tables(s, dir).documents
+      Eval.mannWhitneyU(d.filterRows(col("lang") === "en"),
+        d.filterRows(col("lang") =!= "en"), "n_chars")
+    }, Some("""WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v
+      |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+      |b AS (SELECT CAST(n_chars AS DOUBLE) AS v
+      |  FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL),
+      |u AS (SELECT v, 1 AS na, 0 AS nb FROM a
+      |  UNION ALL SELECT v, 0, 1 FROM b),
+      |vc AS (SELECT v, SUM(na) AS na, SUM(nb) AS nb,
+      |  SUM(na) + SUM(nb) AS t FROM u GROUP BY v),
+      |cm AS (SELECT *, SUM(t) OVER (ORDER BY v) AS cumt FROM vc),
+      |agg AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+      |  CAST(SUM(nb) AS BIGINT) AS n_b,
+      |  SUM(CAST(na AS HUGEINT) * (2 * cumt - t + 1)) AS r2a,
+      |  SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+      |  FROM cm)
+      |SELECT n_a, n_b,
+      |  CAST(ROUND(CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+      |    * 1e6 / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+      |    AS BIGINT) AS cles_micro,
+      |  CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+      |      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+      |        - CAST(ties AS DOUBLE)
+      |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+      |      <= 0.0 THEN CAST(0 AS BIGINT)
+      |  ELSE CAST(ROUND(
+      |    (CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+      |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+      |      * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+      |        - CAST(ties AS DOUBLE)
+      |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+      |    * 1e6) AS BIGINT) END AS z_micro
+      |FROM agg""".stripMargin)),
+
     Q("audit_fingerprint", (s, dir) => {
       // order-independent snapshot checksum over the documents table:
       // per-row 60-bit SHA-256 prefixes reduced by XOR + modular sum +

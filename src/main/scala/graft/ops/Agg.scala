@@ -418,4 +418,80 @@ object Agg {
         round(col("cnt") * lit(1000000.0) / col("__med"))
           .cast(LongType).as("x_median_micro"))
   }
+
+  /** Per-group TRIMMED MEAN: drop the ⌊n·trimFrac⌋ lowest and highest
+    * values of `valueCol` in each group, average the rest — the
+    * outlier-robust location estimate between mean (trimFrac 0) and
+    * median (→ 0.5), standard for latency/price/score rollups where a
+    * handful of corrupt rows shouldn't move the metric. Output: one row
+    * per group (keys…, n, n_trimmed, trimmed_mean 6dp).
+    *
+    * Ties are a non-issue by construction: trimming drops the k lowest
+    * ROWS in value order — whichever of several equal values the
+    * row_number picks, the surviving multiset is identical, so the mean
+    * is deterministic even though the row choice isn't.
+    *
+    * Scale shape: the rank window and the final aggregation partition
+    * identically → Catalyst plans ONE hash Exchange; per-group state is
+    * the window sort (spillable), the documented window-op bound. Null
+    * values drop before ranking (no position on the value axis). */
+  def trimmedMeanBy(df: DataFrame, keys: Seq[String], valueCol: String,
+      trimFrac: Double): DataFrame = {
+    require(keys.nonEmpty, "trimmedMeanBy: partition keys required")
+    require(trimFrac >= 0.0 && trimFrac < 0.5,
+      s"trimmedMeanBy: trimFrac must be in [0, 0.5), got $trimFrac")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val ranked = df.where(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", floor(col("__n") * lit(trimFrac)))
+    ranked
+      .where(col("__rn") > col("__k") && col("__rn") <= col("__n") - col("__k"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_trimmed"),
+        round(avg(col(valueCol)), 6).as("trimmed_mean"))
+  }
+
+  /** GINI CONCENTRATION of a weight across groups: ONE row
+    * (n_groups, total, gini_nano) measuring how unequally `weightCol`
+    * mass is spread over `groupCol` levels — 0 = perfectly balanced,
+    * →1 = one group holds everything. The corpus-mixture governance
+    * number: "how concentrated is our token budget across sources?"
+    * (compare before/after [[graft.ops.Sampling.temperatureMixture]]).
+    *
+    * Formula (sorted ascending totals x_1…x_n):
+    * G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n. Σ(i·x_i) rides exact 38-digit
+    * decimals (rank·weight products overflow longs at ~10⁵ groups ×
+    * 10¹⁴ tokens); equal totals in any order give the same sum, so the
+    * rank tie-break is value-order-free. Final division is one double
+    * op rounded to integer nanos, both engines replaying it.
+    *
+    * Scale shape: one group-key count shuffle over the data (map-side
+    * partials); everything after runs on the GROUP-cardinality frame —
+    * the global rank window is groups-scale by contract (sources,
+    * langs, shards — not row keys). Null group is a real level; null
+    * weights count 0. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      weight: Column): DataFrame = {
+    val g = df.groupBy(coalesce(col(groupCol).cast("string"), lit("(null)"))
+        .as("g"))
+      .agg(coalesce(sum(weight), lit(0L)).cast(LongType).as("x"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy().orderBy(col("x"), col("g"))
+    val dec = DecimalType(38, 0)
+    g.withColumn("__i", row_number().over(w).cast(LongType))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("x")), lit(0L)).as("total"),
+        coalesce(sum(col("__i").cast(dec) * col("x").cast(dec)),
+          lit(0L).cast(dec)).as("__ix"))
+      .select(col("n_groups"), col("total"),
+        round((lit(2.0) * col("__ix").cast(DoubleType) /
+          (col("n_groups").cast(DoubleType) * col("total").cast(DoubleType))
+          - (col("n_groups") + lit(1L)).cast(DoubleType) /
+            col("n_groups").cast(DoubleType)) * lit(1e9))
+          .cast(LongType).as("gini_nano"))
+  }
 }

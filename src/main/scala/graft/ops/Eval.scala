@@ -404,4 +404,62 @@ object Eval {
           .otherwise(round((col("po") - col("pe")) /
             (lit(1.0) - col("pe")), 6)))
   }
+
+  /** Two-sample MANN–WHITNEY U (Wilcoxon rank-sum) test — the
+    * nonparametric "is A stochastically larger than B" companion to
+    * [[abTest]] (which needs a binary conversion; this ranks any
+    * ordinal metric, immune to outliers and monotone rescaling). ONE
+    * row: (n_a, n_b, cles_micro, z_micro) —
+    * cles = U_a/(n_a·n_b) ∈ [0,1], the common-language effect size
+    * (= P(a > b) + ½P(a = b), the AUC identity; 0.5 = no effect);
+    * z the tie-corrected normal approximation (positive = A larger),
+    * valid for n ≳ 20 per side. All-tied input (σ = 0) yields z = 0.
+    *
+    * Exactness: ranks never materialize per row — per DISTINCT value,
+    * the tied block's doubled rank sum 2·cumT − t + 1 is an exact
+    * integer, and Σ n_a·(2·cumT − t + 1) = 2·R_a rides 38-digit
+    * decimals; U, the effect size, and the tie term Σ(t³−t) are exact
+    * until the final double division/rounding both engines replay.
+    *
+    * Scale shape: one distinct-value count shuffle (map-side partials),
+    * then [[Series.globalCumSum]]'s bucketed prefix sum for cumT — no
+    * global sort, no single-partition window; the final reduce is a
+    * 1-row full-partial aggregate. */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String)
+      : DataFrame = {
+    def side(df: DataFrame, na: Long, nb: Long): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double").as("v"),
+          lit(na).as("na"), lit(nb).as("nb"))
+    val vc = side(a, 1L, 0L).unionAll(side(b, 0L, 1L))
+      .groupBy(col("v"))
+      .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+    val cum = Series.globalCumSum(vc, "v", Seq("t"), withTotals = false)
+    val dec = DecimalType(38, 0)
+    val r2a = col("na").cast(dec) *
+      (lit(2L) * col("cum_t") - col("t") + lit(1L)).cast(dec)
+    val ties = col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+      col("t").cast(dec)
+    val agg = cum.agg(
+      coalesce(sum(col("na")), lit(0L)).as("n_a"),
+      coalesce(sum(col("nb")), lit(0L)).as("n_b"),
+      coalesce(sum(r2a), lit(0L).cast(dec)).as("__r2a"),
+      coalesce(sum(ties), lit(0L).cast(dec)).as("__ties"))
+    val naD = col("n_a").cast(DoubleType)
+    val nbD = col("n_b").cast(DoubleType)
+    val nD = naD + nbD
+    // 2·U_a = 2·R_a − n_a·(n_a+1), exact until the double casts below
+    val u2 = col("__r2a") - (col("n_a").cast(dec) *
+      (col("n_a") + lit(1L)).cast(dec))
+    val sigma2 = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - col("__ties").cast(DoubleType) /
+        (nD * (nD - lit(1.0))))
+    val z = (u2.cast(DoubleType) - naD * nbD) / (lit(2.0) * sqrt(sigma2))
+    agg.select(col("n_a"), col("n_b"),
+      round(u2.cast(DoubleType) * lit(1e6) / (lit(2.0) * naD * nbD))
+        .cast(LongType).as("cles_micro"),
+      when(sigma2 <= lit(0.0), lit(0L))
+        .otherwise(round(z * lit(1e6)).cast(LongType)).as("z_micro"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Declarative data-quality expectations (the Deequ/Great-Expectations
   * shape): a suite of checks evaluated against a frame in as few passes
@@ -364,5 +365,85 @@ object Quality {
       round(expShare * lit(1e6)).cast("long").as("expected_micro"),
       round((col("n") - expN) * (col("n") - expN) / expN * lit(1e9))
         .cast("long").as("chi_nano"))
+  }
+
+  /** Exact two-sample KOLMOGOROV–SMIRNOV drift statistic between a BASE
+    * and a CURRENT snapshot of a numeric column: ONE row
+    * (n_base, n_cur, d_nano) with D = sup|F_base − F_cur| — the
+    * distribution-free companion to [[psiDrift]] (PSI quantifies drift
+    * per historical bucket; KS detects ANY distributional change,
+    * including within-bucket shape shifts PSI's 10 bins can't see).
+    * Verdict: D·√(n·m/(n+m)) against the Kolmogorov critical values
+    * (1.358 ≈ α 0.05) — derivable from the three output fields.
+    *
+    * Exactness: the sup runs over EXACT integers — at each distinct
+    * value, |cumB·n_cur − cumC·n_base| in 38-digit decimals (cross-
+    * multiplied ECDF numerators; no per-value double division to
+    * accumulate noise); only the final max divides through n_base·n_cur
+    * and rounds to integer nanos, one deterministic IEEE op both
+    * engines replay.
+    *
+    * Scale shape: one distinct-value count shuffle (map-side partial),
+    * then [[Series.globalCumSum]]'s bucketed prefix-sum for the ECDFs —
+    * no single-partition global window, no sort of row-scale data; the
+    * final max is a 1-row full-partial aggregate. */
+  def ksDrift(base: DataFrame, current: DataFrame, valueCol: String)
+      : DataFrame = {
+    def side(df: DataFrame, bn: Long, cn: Long): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double").as("v"),
+          lit(bn).as("bn"), lit(cn).as("cn"))
+    val vc = side(base, 1L, 0L).unionAll(side(current, 0L, 1L))
+      .groupBy(col("v"))
+      .agg(sum(col("bn")).as("bn"), sum(col("cn")).as("cn"))
+    val cum = Series.globalCumSum(vc, "v", Seq("bn", "cn"),
+      withTotals = true)
+    val dec = DecimalType(38, 0)
+    val num = abs(col("cum_bn").cast(dec) * col("total_cn").cast(dec) -
+      col("cum_cn").cast(dec) * col("total_bn").cast(dec))
+    cum.agg(max(col("total_bn")).as("n_base"),
+        max(col("total_cn")).as("n_cur"),
+        max(num).as("__num"))
+      .select(col("n_base"), col("n_cur"),
+        round(col("__num").cast("double") * lit(1e9) /
+          (col("n_base").cast("double") * col("n_cur").cast("double")))
+          .cast("long").as("d_nano"))
+  }
+
+  /** Chi-square HOMOGENEITY drift report between a BASE and a CURRENT
+    * snapshot of a CATEGORICAL column — the discrete companion to
+    * [[ksDrift]] (lang mix, source mix, label mix). One row per
+    * category: (category, base_n, cur_n, chi_nano) — chi_nano the
+    * category's (obs−exp)²/exp χ² contribution summed over both sides,
+    * in integer nanos (the Benford convention: round BEFORE any
+    * rollup). Σ(chi_nano)/1e9 against χ²(k−1) is the verdict; absent
+    * categories contribute through the side that has them (expected
+    * counts under homogeneity are never zero when the category exists
+    * at all). Null category is a real level ("(null)" sentinel) — a
+    * drift toward missingness must register, not vanish.
+    *
+    * Scale shape: one category-key count shuffle per union leg with
+    * map-side partials; the totals window runs over the category-
+    * cardinality frame (categories-scale by contract — this is a
+    * drift check on a categorical column, not a group-by on a key). */
+  def chiSquareDrift(base: DataFrame, current: DataFrame, catCol: String)
+      : DataFrame = {
+    def side(df: DataFrame, bn: Long, cn: Long): DataFrame =
+      df.select(
+        coalesce(col(catCol).cast("string"), lit("(null)")).as("category"),
+        lit(bn).as("bn"), lit(cn).as("cn"))
+    val counts = side(base, 1L, 0L).unionAll(side(current, 0L, 1L))
+      .groupBy(col("category"))
+      .agg(sum(col("bn")).as("base_n"), sum(col("cn")).as("cur_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val bt = sum(col("base_n")).over(w).cast("double")
+    val ct = sum(col("cur_n")).over(w).cast("double")
+    val rowTot = (col("base_n") + col("cur_n")).cast("double")
+    val eb = rowTot * bt / (bt + ct)
+    val ec = rowTot * ct / (bt + ct)
+    val chi = (col("base_n") - eb) * (col("base_n") - eb) / eb +
+      (col("cur_n") - ec) * (col("cur_n") - ec) / ec
+    counts.select(col("category"), col("base_n"), col("cur_n"),
+      round(chi * lit(1e9)).cast("long").as("chi_nano"))
   }
 }

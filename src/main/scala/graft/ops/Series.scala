@@ -288,6 +288,79 @@ object Series {
         (col("max_cusum_micro") >= thresholdMicro).as("alarm"): _*)
   }
 
+  /** Scalable GLOBAL running sum — the ECDF/rank kernel. For every row,
+    * appends `cum_<c>` = the sum of `<c>` over all rows whose `orderCol`
+    * sorts at-or-before this row's, WITHOUT the single-partition global
+    * window (`Window.orderBy` with no partition keys moves the whole
+    * frame through one task — fatal at scale). Classic two-level scan:
+    *
+    *  1. bucket rows by approximate percentiles of `orderCol` (balance
+    *     only — ANY edges give a correct answer; the 1-row edges frame
+    *     is materialized once so every consumer buckets identically);
+    *  2. per-bucket partial totals → driver (≤ `buckets` rows — a
+    *     planner-scale collect, like the graph loops' convergence
+    *     probes) → exclusive prefix offsets joined back broadcast;
+    *  3. within-bucket cumulative window (partitioned by bucket, so
+    *     state stays executor-local) + the bucket's offset.
+    *
+    * Contract: `orderCol` values must be UNIQUE per row (pre-aggregate
+    * ties into one row — the distinct-value ECDF shape) — a tie group
+    * split across bucket edges would otherwise see a partial cumulative;
+    * and non-null (bucket comparisons are undefined on null). Value
+    * columns must be integral (counts/ranks); sums ride exact longs.
+    * `withTotals` appends `total_<c>` literal columns (free — the
+    * driver already holds the partials). 3 passes over the input; the
+    * input is normally an already-aggregated distinct-value frame. */
+  def globalCumSum(df: DataFrame, orderCol: String, valueCols: Seq[String],
+      buckets: Int = 0, withTotals: Boolean = false): DataFrame = {
+    require(valueCols.nonEmpty, "globalCumSum: no value columns")
+    val spark = df.sparkSession
+    val p = math.max(1, if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val bucketed =
+      if (p == 1) df.withColumn("__b", lit(1))
+      else {
+        val probs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
+        val (edges, _) = graft.core.CacheHandle.checkpointSmall(
+          df.agg(approx_percentile(col(orderCol), probs, lit(10000))
+            .as("__edges")))
+        df.crossJoin(broadcast(edges))
+          .withColumn("__b",
+            (size(filter(col("__edges"), e => col(orderCol) > e)) + 1))
+          .drop("__edges")
+      }
+    val partials = bucketed.groupBy(col("__b"))
+      .agg(sum(col(valueCols.head)).cast("long").as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c)).cast("long").as(c)): _*)
+      .collect()
+      .map(r => r.getInt(0) -> valueCols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val totals = valueCols.indices.map(i => partials.map(_._2(i)).sum)
+    // exclusive prefix: bucket b's offset = sum of all earlier buckets
+    val acc = Array.fill(valueCols.length)(0L)
+    val offsets = partials.map { case (b, vs) =>
+      val off = acc.toSeq
+      vs.zipWithIndex.foreach { case (v, i) => acc(i) += v }
+      (b, off)
+    }.toSeq
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val offSchema = StructType(StructField("__b", IntegerType) +:
+      valueCols.map(c => StructField(s"__off_$c", LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offsets.map { case (b, vs) => Row.fromSeq(b +: vs) }, 1), offSchema)
+    val w = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cumCols = valueCols.map(c =>
+      (sum(col(c)).over(w) + col(s"__off_$c")).as(s"cum_$c"))
+    val totCols = if (withTotals)
+      valueCols.zip(totals).map { case (c, t) => lit(t).as(s"total_$c") }
+    else Seq.empty
+    bucketed.join(broadcast(offDf), Seq("__b"))
+      .select(df.columns.map(col) ++ cumCols ++ totCols: _*)
+  }
+
   /** Rank-based quantile normalization: per group, replace a metric
     * with its percent_rank ∈ [0, 1] (6dp) — the distribution-free
     * feature transform (heavy-tailed raw metrics become uniform; two

@@ -151,4 +151,77 @@ class AggSpec extends AnyFunSuite {
       .map(r => Option(r.get(0)) -> r.getInt(1)).toMap
     assert(nb(None) == 0 && nb(Some(3)) == 1 && nb(Some(7)) == 2)
   }
+
+  test("trimmedMeanBy: drops k lowest/highest; frac 0 is the mean; " +
+      "tie choice can't move the result") {
+    val s = spark
+    import s.implicits._
+    // g: 1..10 → k=1 → mean of 2..9 = 5.5; h: outlier-poisoned
+    val df = ((1 to 10).map(v => ("g", v.toDouble)) ++
+      Seq(("h", 1e9), ("h", 2.0), ("h", 3.0), ("h", 4.0), ("h", -1e9)))
+      .toDF("k", "v")
+    val got = Agg.trimmedMeanBy(df, Seq("k"), "v", 0.1)
+      .orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_trimmed"), r.getAs[Double]("trimmed_mean")))
+    // h: n=5 → k=⌊0.5⌋=0, nothing trims → the poisoned mean 1.8 survives
+    assert(got.toSeq == Seq(("g", 10L, 8L, 5.5), ("h", 5L, 5L, 1.8)))
+    // frac 0.2 on h drops both outliers → mean(2,3,4) = 3
+    val h = Agg.trimmedMeanBy(df, Seq("k"), "v", 0.2)
+      .where(col("k") === "h").collect().head
+    assert(h.getAs[Long]("n_trimmed") == 3L &&
+      h.getAs[Double]("trimmed_mean") == 3.0)
+    // all-tied group: any trimmed subset has the same mean
+    val tied = Seq.fill(10)(("t", 7.0)).toDF("k", "v")
+    assert(Agg.trimmedMeanBy(tied, Seq("k"), "v", 0.3)
+      .collect().head.getAs[Double]("trimmed_mean") == 7.0)
+  }
+
+  test("giniConcentration: balanced → 0; one-holder → (n−1)/n; " +
+      "null group is a level") {
+    val s = spark
+    import s.implicits._
+    val eq = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("g", "w")
+    assert(Agg.giniConcentration(eq, "g", col("w")).collect().head
+      .getAs[Long]("gini_nano") == 0L)
+    // all mass in one of 4 groups → G = 3/4
+    val one = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L))
+      .toDF("g", "w")
+    val g1 = Agg.giniConcentration(one, "g", col("w")).collect().head
+    assert(g1.getAs[Long]("n_groups") == 4L &&
+      g1.getAs[Long]("total") == 100L &&
+      g1.getAs[Long]("gini_nano") == 750000000L)
+    val withNull = Seq((Option("a"), 5L), (Option.empty[String], 5L))
+      .toDF("g", "w")
+    val g2 = Agg.giniConcentration(withNull, "g", col("w")).collect().head
+    assert(g2.getAs[Long]("n_groups") == 2L &&
+      g2.getAs[Long]("gini_nano") == 0L)
+  }
+
+  test("mannWhitneyU: separation → cles 1; identity → cles 0.5, z 0; " +
+      "hand case with ties matches the textbook U") {
+    val s = spark
+    import s.implicits._
+    val lo = Seq(1.0, 2.0, 3.0).toDF("v")
+    val hi = Seq(10.0, 11.0, 12.0).toDF("v")
+    val sep = graft.ops.Eval.mannWhitneyU(hi, lo, "v").collect().head
+    assert(sep.getAs[Long]("cles_micro") == 1000000L &&
+      sep.getAs[Long]("z_micro") > 0L)
+    val self = graft.ops.Eval.mannWhitneyU(lo, lo, "v").collect().head
+    assert(self.getAs[Long]("cles_micro") == 500000L &&
+      self.getAs[Long]("z_micro") == 0L)
+    // a={1,2,2}, b={2,3}: ranks 1, 2.5×3(block of three 2s → ranks 2,3,4
+    // average 3), 5 → R_a = 1+3+3 = 7, U_a = 7 − 6 = 1 → cles = 1/6
+    val a = Seq(1.0, 2.0, 2.0).toDF("v")
+    val b = Seq(2.0, 3.0).toDF("v")
+    val h = graft.ops.Eval.mannWhitneyU(a, b, "v").collect().head
+    assert(h.getAs[Long]("n_a") == 3L && h.getAs[Long]("n_b") == 2L)
+    assert(h.getAs[Long]("cles_micro") == 166667L)
+    // all-tied: σ = 0 → z pinned to 0, cles 0.5
+    val t = Seq(5.0, 5.0).toDF("v")
+    val tt = graft.ops.Eval.mannWhitneyU(t, t, "v").collect().head
+    assert(tt.getAs[Long]("cles_micro") == 500000L &&
+      tt.getAs[Long]("z_micro") == 0L)
+  }
 }

@@ -168,6 +168,47 @@ class QualitySpec extends AnyFunSuite {
     assert(psi > 0.25, s"tail cut should breach 0.25, got $psi")
   }
 
+  test("ksDrift: identical → 0; disjoint ranges → 1e9; hand case exact") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Quality.ksDrift(a, a, "v").collect().head
+    assert(same.getAs[Long]("n_base") == 100L &&
+      same.getAs[Long]("n_cur") == 100L &&
+      same.getAs[Long]("d_nano") == 0L)
+    // disjoint supports: sup|F1−F2| = 1
+    val b = (101 to 150).map(_.toDouble).toDF("v")
+    assert(Quality.ksDrift(a, b, "v").collect().head
+      .getAs[Long]("d_nano") == 1000000000L)
+    // hand case: base {1,2,3,4}, cur {3,4}: sup at v=2 → |2/4 − 0/2| = 0.5
+    val h = Quality.ksDrift(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"),
+      Seq(3.0, 4.0).toDF("v"), "v").collect().head
+    assert(h.getAs[Long]("d_nano") == 500000000L)
+  }
+
+  test("chiSquareDrift: homogeneous mix → all-zero chi; " +
+      "null is a real level; counts exact") {
+    val s = spark
+    import s.implicits._
+    val base = (Seq.fill(30)("en") ++ Seq.fill(10)("de")).toDF("lang")
+    // same 3:1 mix at half the size → expected == observed, chi = 0
+    val cur = (Seq.fill(15)("en") ++ Seq.fill(5)("de")).toDF("lang")
+    val rows = Quality.chiSquareDrift(base, cur, "lang")
+      .orderBy("category").collect()
+    assert(rows.map(r => (r.getAs[String]("category"),
+      r.getAs[Long]("base_n"), r.getAs[Long]("cur_n"))).toSeq ==
+      Seq(("de", 10L, 5L), ("en", 30L, 15L)))
+    assert(rows.forall(_.getAs[Long]("chi_nano") == 0L))
+    // missingness drift registers through the "(null)" level
+    val curNull = (Seq.fill(15)(Option("en")) ++ Seq.fill(5)(Option.empty[String]))
+      .toDF("lang")
+    val withNull = Quality.chiSquareDrift(base, curNull, "lang")
+      .orderBy("category").collect()
+    assert(withNull.map(_.getAs[String]("category")).toSeq ==
+      Seq("(null)", "de", "en"))
+    assert(withNull.map(_.getAs[Long]("chi_nano")).sum > 0L)
+  }
+
   test("tableFingerprint: order/partition-independent, content-sensitive") {
     val s = spark
     import s.implicits._

@@ -191,4 +191,36 @@ class SeriesSpec extends AnyFunSuite {
     assert(nat == Seq(("big", 800000L, 400L), ("small", 200000L, 100L)),
       s"got $nat")
   }
+
+  test("globalCumSum: matches the single-partition global window " +
+      "differential across bucket counts; totals exact") {
+    val s = spark
+    import s.implicits._
+    // unique order values, shuffled insertion order, two value columns
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1 to 500).toList)
+      .map(i => (i.toDouble, (i % 7).toLong, (i % 3).toLong))
+    val df = rows.toDF("v", "a", "b").repartition(11)
+    val expect = df
+      .withColumn("cum_a", sum(col("a")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .withColumn("cum_b", sum(col("b")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .orderBy("v").collect()
+      .map(r => (r.getDouble(0), r.getLong(3), r.getLong(4))).toSeq
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Series.globalCumSum(df, "v", Seq("a", "b"),
+          buckets = buckets, withTotals = true)
+        .orderBy("v").collect()
+      assert(got.map(r => (r.getAs[Double]("v"), r.getAs[Long]("cum_a"),
+        r.getAs[Long]("cum_b"))).toSeq == expect,
+        s"buckets=$buckets mismatch")
+      assert(got.head.getAs[Long]("total_a") == rows.map(_._2).sum &&
+        got.head.getAs[Long]("total_b") == rows.map(_._3).sum)
+    }
+  }
 }
