@@ -5463,6 +5463,27 @@ object SparkEntry {
       |  CAST(ROUND(cnt * 1000000.0 / med) AS BIGINT) AS x_median_micro
       |FROM top CROSS JOIN st ORDER BY rank""".stripMargin)),
 
+    Q("text_ngram_diversity", (s, dir) => {
+      // distinct-bigram share per source — the corpus-repetitiveness
+      // gauge; scan-side shingles, two partial-aggregated shuffles,
+      // exact distinct on the (group, gram) frame.
+      graft.functions.TextFunctions.ngramDiversity(
+          Tables(s, dir).documents, "text", "source", n = 2)
+        .sortByKeys(SortKey("group"))
+    }, Some("""WITH t AS (SELECT source AS "group",
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT "group",
+      |  unnest(list_transform(range(len(tk) - 1),
+      |    i -> tk[i+1] || ' ' || tk[i+2])) AS gram
+      |  FROM t WHERE len(tk) >= 2)
+      |SELECT "group", CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+      |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+      |  CAST(ROUND(COUNT(DISTINCT gram) * 1000000.0 / COUNT(*)) AS BIGINT)
+      |    AS diversity_micro
+      |FROM g GROUP BY "group" ORDER BY "group"""".stripMargin)),
+
     Q("text_novelty", (s, dir) => {
       // first-occurrence novelty: share of each doc's distinct 3-gram
       // shingles that the corpus first sees IN this doc (by min doc_id).

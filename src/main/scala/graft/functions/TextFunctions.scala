@@ -839,4 +839,43 @@ object TextFunctions {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
+
+  /** Per-group N-GRAM DIVERSITY (the distinct-n metric): one row per
+    * `groupCol` level with (group, total_ngrams, distinct_ngrams,
+    * diversity_micro = distinct/total in micros) over word n-grams —
+    * the corpus-repetitiveness / generation-diversity gauge (synthetic
+    * or template-stamped sources score LOW; diverse organic text HIGH).
+    * Complements [[repetitionStats]]: that flags repetition WITHIN a
+    * document, this measures it ACROSS a whole source.
+    *
+    * Tokens = [[tokens]] (lowercase, \\W+ split); a doc with < n tokens
+    * contributes no n-grams (no padded singleton — counts stay honest);
+    * groups whose docs are all shorter than n drop (no denominator).
+    * Null/absent text contributes nothing.
+    *
+    * Scale shape: scan-side shingling (no joins), one explode, then two
+    * partial-aggregated shuffles — (group, gram) → per-gram counts,
+    * then group → totals. Exact distinct is the point (an approx
+    * variant is one `approx_count_distinct` swap); the heavy frame is
+    * (group, gram)-cardinality, the same bound the vocabulary/BM25 ops
+    * carry. */
+  def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "ngramDiversity: n must be >= 1")
+    val t = tokens(col(textCol))
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = df.select(col(groupCol).as("group"),
+      explode(grams).as("gram"))
+    exploded.groupBy(col("group"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("group"))
+      .agg(sum(col("cnt")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .select(col("group"), col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams") * lit(1000000.0) /
+          col("total_ngrams")).cast("long").as("diversity_micro"))
+  }
 }

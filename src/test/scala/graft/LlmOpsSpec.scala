@@ -1871,4 +1871,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(6L) == ((0L, 0L, None)))
     assert(got.size == 6)
   }
+
+  test("ngramDiversity: exact bigram totals per group; short docs " +
+      "contribute nothing; gram-less groups drop") {
+    val s = SparkFixture.spark
+    import s.implicits._
+    val df = Seq(
+      ("a", Option("the cat sat")),      // the cat / cat sat
+      ("a", Option("the cat ran")),      // the cat / cat ran
+      ("b", Option("x")),                // 1 token → no bigrams
+      ("b", Option.empty[String]),
+      ("c", Option("go go go go"))       // go go ×3
+    ).toDF("src", "text")
+    val got = ngramDiversity(df, "text", "src", n = 2)
+      .collect().map(r => r.getAs[String]("group") ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams"),
+          r.getAs[Long]("diversity_micro")))).toMap
+    // a: 4 bigrams, 3 distinct ("the cat" twice) → 750000
+    assert(got("a") == ((4L, 3L, 750000L)))
+    // c: 3 copies of one bigram → 333333
+    assert(got("c") == ((3L, 1L, 333333L)))
+    assert(!got.contains("b"), "gram-less group must drop")
+    // unigram mode counts tokens
+    val uni = ngramDiversity(df, "text", "src", n = 1)
+      .collect().map(r => r.getAs[String]("group") ->
+        r.getAs[Long]("total_ngrams")).toMap
+    assert(uni("b") == 1L && uni("a") == 6L)
+  }
 }
