@@ -4010,6 +4010,37 @@ object SparkEntry {
       |SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s
       |ORDER BY node""".stripMargin)),
 
+    Q("graph_kcore", (s, dir) => {
+      // 2-core by parallel peeling on a deliberately tail-heavy graph
+      // (doc_id → (doc_id + doc_id div 3) mod 331: 56 peel rounds at
+      // sf0.01, 33-node surviving core). The oracle UNROLLS 64 peel
+      // rounds as generated CTEs — rounds past the fixpoint are no-ops,
+      // so Spark's iterate-to-fixpoint and the fixed unroll agree.
+      val e = Tables(s, dir).documents.select(
+        col("doc_id").as("a"),
+        ((col("doc_id") + expr("doc_id div 3")) % 331).as("b"))
+      graft.ops.Graph.kCore(e, "a", "b", k = 2)
+        .sortByKeys(SortKey("node"))
+    }, Some {
+      val rounds = 64
+      // MATERIALIZED is load-bearing: each level is referenced three
+      // times, so inlining would expand the CTE tree 3^64-fold
+      val peel = (0 until rounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT a FROM s$i GROUP BY a HAVING COUNT(*) >= 2),
+           |s${i + 1} AS MATERIALIZED (SELECT s.a, s.b FROM s$i s
+           |  JOIN d$i x ON s.a = x.a JOIN d$i y ON s.b = y.a)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT doc_id AS a,
+         |  (doc_id + doc_id // 3) % 331 AS b FROM documents),
+         |s0 AS (SELECT a, b FROM e0 WHERE a <> b
+         |  UNION SELECT b, a FROM e0 WHERE a <> b),
+         |$peel
+         |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM s$rounds GROUP BY a ORDER BY node""".stripMargin
+    }),
+
     Q("graph_bfs", (s, dir) => {
       // multi-source BFS: exact hop distance from the doc_id % 100 = 0
       // seed set, radius 6, over the same functional graph. DuckDB

@@ -416,4 +416,80 @@ object Graph {
     cache.trackRelease(freeSettled)
     settled
   }
+
+  /** k-CORE subgraph: iterative peeling to the maximal subgraph in
+    * which every node keeps degree ≥ k — the standard graph-level
+    * quality/density filter (link-farm and spam-tail pruning keeps the
+    * 2-core's cycles and discards the dangling trees; community mining
+    * starts from dense cores). Returns (node, degree) for every
+    * surviving node, degree measured WITHIN the core.
+    *
+    * Semantics: edges symmetrize and dedupe first (degree = distinct
+    * neighbors, self-loops dropped — the [[connectedComponents]]
+    * convention); each round removes ALL nodes currently under degree
+    * k simultaneously (the textbook parallel peel), so the result is
+    * the unique maximal k-core, independent of removal order. An empty
+    * result (no node survives) is a valid outcome.
+    *
+    * Scale shape: per round ONE map-side-combined degree count plus two
+    * anti-joins of the skinny (a, b) edge frame against the removed-
+    * node set (AQE broadcasts it when small — the common case past the
+    * first rounds); each round's shrunken edge set is checkpointed and
+    * its predecessor freed ([[pageRank]]'s iterate-checkpoint
+    * lifetime). Rounds = peel depth: ≤ the longest chain that must
+    * unravel (a path peels from both ends), bounded O(n) in theory,
+    * tens in practice on organic graphs. Hitting `maxIters` without a
+    * fixpoint THROWS — a partial peel would overstate the core. The
+    * per-round emptiness probe is a bounded driver action (the
+    * [[connectedComponents]] convergence-probe convention). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 100,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val internal = new CacheHandle
+    var (adj, freeAdj) = CacheHandle.checkpointSmall(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .where(col("u").isNotNull && col("v").isNotNull &&
+          col("u") =!= col("v"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct())
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // materialized once per round: the probe and both anti-joins read it
+      val (bad, freeBad) = CacheHandle.checkpointSmall(
+        adj.groupBy(col("a")).agg(count(lit(1)).as("c"))
+          .where(col("c") < k)
+          .select(col("a").as("bad")))
+      if (bad.limit(1).count() == 0L) {
+        freeBad(false)
+        converged = true
+      } else {
+        val (next, freeNext) = CacheHandle.checkpointSmall(
+          adj.join(bad.select(col("bad").as("__ba")),
+              col("a") === col("__ba"), "left_anti")
+            .join(bad.select(col("bad").as("__bb")),
+              col("b") === col("__bb"), "left_anti"))
+        freeBad(false)
+        freeAdj(false)
+        adj = next
+        freeAdj = freeNext
+        i += 1
+      }
+    }
+    if (!converged) {
+      freeAdj(false)
+      internal.release()
+      throw new IllegalStateException(
+        s"kCore: peel not converged after $maxIters rounds — a partial " +
+          "peel would overstate the core; raise maxIters (each round " +
+          "is one skinny-frame count + two anti-joins)")
+    }
+    internal.release()
+    cache.trackRelease(freeAdj)
+    adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -346,6 +346,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(zero == Map(0L -> 0L, 6L -> 0L))
   }
 
+  test("kCore: trees peel off a cycle; cascade peel; empty core valid; " +
+      "degree within core; non-convergence throws") {
+    val s = spark
+    import s.implicits._
+    // triangle {0,1,2} with a 2-deep tail 2-10-11: 11 peels, then 10 —
+    // only the triangle survives k=2, every degree counted in-core
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 10L), (10L, 11L))
+      .toDF("a", "b")
+    val core = graft.ops.Graph.kCore(g, "a", "b", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // k=3 on the same graph: nothing survives — empty frame, no throw
+    assert(graft.ops.Graph.kCore(g, "a", "b", k = 3).count() == 0L)
+    // K4 is its own 3-core
+    val k4 = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j))
+      .toDF("a", "b")
+    val c3 = graft.ops.Graph.kCore(k4, "a", "b", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c3 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a 10-path peels from both ends, 5 rounds — maxIters 2 must THROW
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      graft.ops.Graph.kCore(path, "a", "b", k = 2, maxIters = 2)
+    }
+    // ...and to an empty core with the default budget
+    assert(graft.ops.Graph.kCore(path, "a", "b", k = 2).count() == 0L)
+  }
+
   // ---------------- Similarity.rankFusion ----------------
 
   test("rankFusion: micro contributions sum, missing-list candidates, ties") {
