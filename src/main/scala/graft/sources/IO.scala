@@ -267,6 +267,111 @@ object IO {
     base.filter(col(keyCol).between(lo, hi))
   }
 
+  /** The k double-hashed bloom bit positions of `key`: (h1 + i·h2) mod m
+    * — shared verbatim by [[bloomIndex]] (build) and [[bloomPrunedScan]]
+    * (probe), which is what makes "no false negatives" a construction
+    * property rather than a convention. */
+  private def bloomPositions(key: Column, mBits: Long,
+      numHashes: Int): Column = {
+    // both hashes reduce mod m BEFORE combining: i·h2 on raw 64-bit
+    // hashes overflows ANSI long arithmetic; on residues the products
+    // stay < 32·m (m is capped well under 2⁵⁷ by the build require)
+    val h1 = pmod(xxhash64(key), lit(mBits))
+    val h2 = pmod(xxhash64(key, lit("graft-bloom")), lit(mBits))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => pmod(h1 + i.cast("long") * h2, lit(mBits)))
+  }
+
+  /** Per-file BLOOM-FILTER index for point lookups — the data-skipping
+    * companion to [[fileStats]]/[[statsPrunedRead]]: min/max envelopes
+    * prune RANGE scans but are useless for `key = x` on a column the
+    * layout isn't sorted by; a per-file bloom answers "which files can
+    * contain this exact key" (the Delta/Iceberg bloom index shape).
+    *
+    * Output: a sparse posting manifest (file, word, bits, m_bits,
+    * n_hashes) — one row per 64-bit WORD with any bit set, so index
+    * size tracks actual key mass, not `m_bits`·files. Size it like any
+    * bloom: m ≈ 1.44·log₂(1/fpp)·keys-per-file, k ≈ 0.693·m/n (the
+    * defaults fit ~50k keys/file at ~1% fpp). Null keys are skipped —
+    * a null never equals a probe.
+    *
+    * Scale shape: one scan with scan-side position explode → one
+    * (file, word) bit_or shuffle with map-side partials; output is
+    * manifest-scale. Build once at write time, store next to the data,
+    * reuse across every lookup. */
+  def bloomIndex(spark: SparkSession, path: String, keyCol: String,
+      mBits: Long = 1L << 19, numHashes: Int = 7): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0 && mBits <= (1L << 40),
+      s"bloomIndex: mBits must be a positive multiple of 64 (≤ 2^40), " +
+        s"got $mBits")
+    require(numHashes >= 1 && numHashes <= 32,
+      s"bloomIndex: numHashes in [1, 32], got $numHashes")
+    spark.read.parquet(path)
+      .withColumn("file", input_file_name())
+      .where(col(keyCol).isNotNull)
+      .select(col("file"),
+        explode(bloomPositions(col(keyCol), mBits, numHashes)).as("pos"))
+      .select(col("file"), (col("pos") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, int(pos % 64))").as("bit"))
+      .groupBy(col("file"), col("word"))
+      .agg(expr("bit_or(bit)").as("bits"))
+      .withColumn("m_bits", lit(mBits))
+      .withColumn("n_hashes", lit(numHashes))
+  }
+
+  /** Bloom-pruned POINT-LOOKUP scan: read ONLY the files whose bloom
+    * filter maybe-contains one of `values`, then apply the exact IN
+    * filter. Result ≡ full scan + filter, row for row: a value present
+    * in a file set every one of its bits at build time, so the file
+    * can't fail the membership test (no false negatives); bloom false
+    * POSITIVES only cost an extra file read — the exact filter removes
+    * their rows. At 100 TB this is the difference between "open 3 files"
+    * and "scan the table" for id-lookup debugging, sample extraction,
+    * and tombstone audits.
+    *
+    * The candidate-file list is collected driver-side — bounded by the
+    * FILE count (the [[statsPrunedRead]] planner convention). Probe
+    * values must be passed at the key column's type (they are cast to
+    * the scanned schema's type before hashing, so a Long probe against
+    * a long column hashes identically to the build side). */
+  def bloomPrunedScan(spark: SparkSession, path: String, index: DataFrame,
+      keyCol: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "bloomPrunedScan: no probe values")
+    val full = spark.read.parquet(path)
+    val keyType = full.schema(keyCol).dataType
+    val lits = values.map(v => lit(v).cast(keyType))
+    val meta = index.select(col("m_bits"), col("n_hashes"))
+      .limit(1).collect()
+    val kept: Seq[String] =
+      if (meta.isEmpty) Seq.empty // empty index: no key anywhere
+      else {
+        val (m, kh) = (meta(0).getLong(0), meta(0).getInt(1))
+        val probe = spark.range(values.size)
+          .select(element_at(array(lits: _*), col("id").cast("int") + 1)
+            .as("__v"))
+        val posFrame = probe.select(col("__v"),
+            explode(bloomPositions(col("__v"), m, kh)).as("pos"))
+          .distinct()
+        val nPos = posFrame.groupBy(col("__v"))
+          .agg(count(lit(1)).as("__np"))
+        val matched = posFrame
+          .select(col("__v"), col("pos"),
+            (col("pos") / 64).cast("long").as("word"),
+            expr("shiftleft(1L, int(pos % 64))").as("bit"))
+          .join(index, Seq("word"))
+          .where(col("bits").bitwiseAND(col("bit")) =!= 0L)
+          .groupBy(col("file"), col("__v")).agg(count(lit(1)).as("__ok"))
+        matched.join(nPos, Seq("__v"))
+          .where(col("__ok") === col("__np"))
+          .select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    val base =
+      if (kept.isEmpty) full.limit(0)
+      else spark.read.option("basePath", path).parquet(kept: _*)
+    base.where(col(keyCol).isin(values: _*))
+  }
+
   // ---- display sinks --------------------------------------------------
   /** reference `toHTML` + `format{}` cell styling (`io/html.kt:11-56`,
     * `api/format.kt:41-138`) — driver-side render of the first `limit`

@@ -845,6 +845,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(perFile.filter(col("rn") =!= col("sorted_rn")).count() == 0)
   }
 
+  test("bloomIndex/bloomPrunedScan: pruned read equals full filter, " +
+      "actually skips files, absent keys read nothing wrong") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.IO
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_unit").toString + "/t"
+    // 1000 ids range-split across 8 files → each file holds ~125 ids
+    (0L until 1000L).map(i => (i, s"payload $i")).toDF("id", "payload")
+      .repartitionByRange(8, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val full = s.read.parquet(dir)
+    val nFiles = full.inputFiles.length
+    assert(nFiles == 8, s"expected 8 files, got $nFiles")
+    val idx = IO.bloomIndex(s, dir, "id", mBits = 1L << 14, numHashes = 7)
+    // probe 3 ids from the same range → at most a couple candidate files
+    val got = IO.bloomPrunedScan(s, dir, idx, "id", Seq(10L, 20L, 30L))
+    assert(got.inputFiles.length < nFiles,
+      s"bloom pruned nothing: ${got.inputFiles.length} of $nFiles")
+    assert(got.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(10L, 20L, 30L).map(i => (i, s"payload $i")))
+    // scattered probes still return exactly the full-scan filter rows
+    val scattered = Seq(1L, 500L, 999L)
+    assert(IO.bloomPrunedScan(s, dir, idx, "id", scattered)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == scattered)
+    // absent key: zero rows (exact filter kills any false-positive file)
+    assert(IO.bloomPrunedScan(s, dir, idx, "id", Seq(123456L)).count() == 0L)
+  }
+
   // ---------------- Dedup.clusterRepresentatives ----------------
 
   test("clusterRepresentatives keeps max score, ties to lowest id") {
