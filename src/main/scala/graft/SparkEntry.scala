@@ -5767,6 +5767,33 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))),
 
+    Q("agg_incremental_refresh", (s, dir) => {
+      // materialized-agg maintenance: standing state over pre-1997
+      // orders + one delta batch (1997+) folded in, then finalized.
+      // Oracle recomputes from the WHOLE table — incremental == full
+      // is exactly the monoid law, provable because sums ride exact
+      // BIGINT micros from scan time.
+      val t = Tables(s, dir)
+      val cutoff = lit("1997-01-01").cast(TimestampType)
+      val keys = Seq("o_orderstatus")
+      val state = graft.ops.Incremental.aggState(
+        t.orders.filterRows(col("o_orderdate") < cutoff),
+        keys, "o_totalprice")
+      val delta = graft.ops.Incremental.aggState(
+        t.orders.filterRows(col("o_orderdate") >= cutoff),
+        keys, "o_totalprice")
+      graft.ops.Incremental.finalizeAggState(
+          graft.ops.Incremental.mergeAggState(state, delta, keys), keys)
+        .sortByKeys(SortKey("o_orderstatus"))
+    }, Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS sum_micro,
+      |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+      |      AS DOUBLE) / 1000000.0 / COUNT(o_totalprice), 6) AS mean,
+      |  MIN(o_totalprice) AS "min", MAX(o_totalprice) AS "max"
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin)),
+
     Q("quality_ks_drift", (s, dir) => {
       // exact two-sample KS over the psi_drift fixture (current drops
       // docs above 900 chars): sup|ECDF diff| on exact cross-multiplied

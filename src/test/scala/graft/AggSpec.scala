@@ -199,6 +199,43 @@ class AggSpec extends AnyFunSuite {
       g2.getAs[Long]("gini_nano") == 0L)
   }
 
+  test("Incremental: state(A) ⊕ state(B) == state(A ∪ B) exactly; " +
+      "delta-only keys appear; empty delta is identity; nulls counted") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Incremental._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i => (s"k${i % 5}",
+      if (i % 19 == 0) Option.empty[Double]
+      else Option(rnd.nextDouble() * 1000 - 500))) :+
+      (("knew", Option(42.5)))
+    val all = rows.toDF("k", "v")
+    val a = all.where(abs(hash(col("v"))) % 3 =!= 0 || col("v").isNull)
+    val b = all.where(abs(hash(col("v"))) % 3 === 0 && col("v").isNotNull)
+    def render(df: org.apache.spark.sql.DataFrame) =
+      finalizeAggState(df, Seq("k")).orderBy("k").collect()
+        .map(_.toSeq).toSeq
+    val direct = render(aggState(all, Seq("k"), "v"))
+    val merged = render(mergeAggState(aggState(a, Seq("k"), "v"),
+      aggState(b, Seq("k"), "v"), Seq("k")))
+    assert(merged == direct, "monoid law: split must be invisible")
+    // empty delta: identity
+    val empty = aggState(all.limit(0), Seq("k"), "v")
+    assert(render(mergeAggState(aggState(all, Seq("k"), "v"), empty,
+      Seq("k"))) == direct)
+    // nulls: counted in n, absent from numeric fields
+    val withNulls = Seq(("g", Option(1.0)), ("g", Option.empty[Double]))
+      .toDF("k", "v")
+    val st = aggState(withNulls, Seq("k"), "v").collect().head
+    assert(st.getAs[Long]("n") == 2L && st.getAs[Long]("n_vals") == 1L &&
+      st.getAs[Long]("sum_micro") == 1000000L)
+    // all-null group finalizes with null mean/min/max, n intact
+    val nul = Seq(("z", Option.empty[Double])).toDF("k", "v")
+    val fz = finalizeAggState(aggState(nul, Seq("k"), "v"), Seq("k"))
+      .collect().head
+    assert(fz.getAs[Long]("n") == 1L && fz.isNullAt(3) && fz.isNullAt(4))
+  }
+
   test("mannWhitneyU: separation → cles 1; identity → cles 0.5, z 0; " +
       "hand case with ties matches the textbook U") {
     val s = spark
