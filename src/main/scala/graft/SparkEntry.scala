@@ -5885,6 +5885,72 @@ object SparkEntry {
       |    AS BIGINT) AS gini_nano
       |FROM r""".stripMargin)),
 
+    Q("label_mutual_info", (s, dir) => {
+      // dependence strength between lang and source: per-cell and
+      // per-margin nano-nat contributions rounded before summing, NMI
+      // normalized by the geometric mean of the margin entropies.
+      Eval.mutualInformation(Tables(s, dir).documents, "lang", "source")
+    }, Some("""WITH d AS (SELECT
+      |  COALESCE(CAST(lang AS VARCHAR), '(null)') AS a,
+      |  COALESCE(CAST(source AS VARCHAR), '(null)') AS b
+      |  FROM documents),
+      |cells AS (SELECT a, b, COUNT(*) AS c FROM d GROUP BY a, b),
+      |nn AS (SELECT SUM(c) AS n FROM cells),
+      |mi AS (SELECT CAST(SUM(CAST(ROUND(
+      |    (CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+      |    * ln(CAST(c AS DOUBLE) * CAST(nn.n AS DOUBLE)
+      |      / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS mi_nano
+      |  FROM (SELECT c, SUM(c) OVER (PARTITION BY a) AS ca,
+      |      SUM(c) OVER (PARTITION BY b) AS cb FROM cells) x
+      |  CROSS JOIN nn GROUP BY nn.n),
+      |ha AS (SELECT CAST(SUM(CAST(ROUND(
+      |    -(CAST(mc AS DOUBLE) / CAST(t AS DOUBLE))
+      |    * ln(CAST(mc AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS h_a_nano
+      |  FROM (SELECT SUM(c) AS mc, SUM(SUM(c)) OVER () AS t
+      |    FROM cells GROUP BY a)),
+      |hb AS (SELECT CAST(SUM(CAST(ROUND(
+      |    -(CAST(mc AS DOUBLE) / CAST(t AS DOUBLE))
+      |    * ln(CAST(mc AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS h_b_nano
+      |  FROM (SELECT SUM(c) AS mc, SUM(SUM(c)) OVER () AS t
+      |    FROM cells GROUP BY b))
+      |SELECT CAST(nn.n AS BIGINT) AS n, ha.h_a_nano, hb.h_b_nano,
+      |  mi.mi_nano,
+      |  CASE WHEN ha.h_a_nano <= 0 OR hb.h_b_nano <= 0
+      |    THEN CAST(0 AS BIGINT)
+      |  ELSE CAST(ROUND(CAST(mi.mi_nano AS DOUBLE) * 1e6
+      |    / sqrt(CAST(ha.h_a_nano AS DOUBLE)
+      |      * CAST(hb.h_b_nano AS DOUBLE))) AS BIGINT) END AS nmi_micro
+      |FROM nn, mi, ha, hb""".stripMargin)),
+
+    Q("quality_key_overlap", (s, dir) => {
+      // FK discovery: orders.o_custkey against customer.c_custkey —
+      // containment from the orders side should be exactly 1e6 (every
+      // order's customer exists); skinny distinct-key frames only.
+      val t = Tables(s, dir)
+      Quality.keyOverlap(t.orders, "o_custkey", t.customer, "c_custkey")
+    }, Some("""WITH da AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_custkey IS NOT NULL),
+      |db AS (SELECT DISTINCT c_custkey AS k FROM customer
+      |  WHERE c_custkey IS NOT NULL),
+      |j AS (SELECT (SELECT COUNT(*) FROM da) AS n_a,
+      |  (SELECT COUNT(*) FROM db) AS n_b,
+      |  (SELECT COUNT(*) FROM da JOIN db USING (k)) AS n_common)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  CAST(CASE WHEN n_a = 0 THEN 0
+      |    ELSE ROUND(n_common * 1000000.0 / n_a) END AS BIGINT)
+      |    AS contain_a_micro,
+      |  CAST(CASE WHEN n_b = 0 THEN 0
+      |    ELSE ROUND(n_common * 1000000.0 / n_b) END AS BIGINT)
+      |    AS contain_b_micro,
+      |  CAST(CASE WHEN n_a + n_b = n_common THEN 0
+      |    ELSE ROUND(n_common * 1000000.0 / (n_a + n_b - n_common)) END
+      |    AS BIGINT) AS jaccard_micro
+      |FROM j""".stripMargin)),
+
     Q("label_mannwhitney", (s, dir) => {
       // rank-sum test: are English docs longer than non-English? Heavy
       // ties in n_chars exercise the tie-corrected variance; ranks

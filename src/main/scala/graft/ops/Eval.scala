@@ -405,6 +405,58 @@ object Eval {
             (lit(1.0) - col("pe")), 6)))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * dependence STRENGTH gauge ([[graft.ops.Quality.chiSquareDrift]]'s
+    * χ² answers "is there dependence"; MI answers "how many nats does
+    * knowing A tell you about B" — the feature-selection / leakage-
+    * audit number: a metadata column with high MI against the label is
+    * a leak). ONE row: (n, h_a_nano, h_b_nano, mi_nano, nmi_micro) —
+    * entropies and MI in integer NANO-nats (per-cell contributions
+    * round BEFORE summing, the JSD convention, so any reduction order
+    * and engine agree), NMI = MI/√(H_a·H_b) ∈ [0,1] in micros (0 when
+    * either margin is deterministic — one level has no uncertainty to
+    * explain). Null is a real level on both axes ("(null)" sentinel).
+    *
+    * Scale shape: one (a, b) cell-count shuffle over the data with
+    * map-side partials; margins re-aggregate the CELL frame (never the
+    * data); the three 1-row summaries meet in enforced-broadcast
+    * joins. Everything after the first shuffle is cells-scale —
+    * |A|·|B| by contract (two categorical axes). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    def level(c: String): Column =
+      coalesce(col(c).cast("string"), lit("(null)"))
+    val cells = df.select(level(aCol).as("a"), level(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val nD = sum(col("c")).over(w).cast(DoubleType)
+    val caD = sum(col("c")).over(wa).cast(DoubleType)
+    val cbD = sum(col("c")).over(wb).cast(DoubleType)
+    val cD = col("c").cast(DoubleType)
+    val mi = cells
+      .withColumn("__t", round(cD / nD *
+        log(cD * nD / (caD * cbD)) * lit(1e9)).cast(LongType))
+      .agg(sum(col("c")).as("n"), sum(col("__t")).as("mi_nano"))
+    def margin(c: String, as: String): DataFrame = {
+      val m = cells.groupBy(col(c)).agg(sum(col("c")).as("mc"))
+      val tot = sum(col("mc")).over(w).cast(DoubleType)
+      m.withColumn("__h", round(-(col("mc").cast(DoubleType) / tot) *
+          log(col("mc").cast(DoubleType) / tot) * lit(1e9))
+          .cast(LongType))
+        .agg(coalesce(sum(col("__h")), lit(0L)).as(as))
+    }
+    mi.crossJoin(broadcast(margin("a", "h_a_nano")))
+      .crossJoin(broadcast(margin("b", "h_b_nano")))
+      .select(col("n"), col("h_a_nano"), col("h_b_nano"), col("mi_nano"),
+        when(col("h_a_nano") <= 0L || col("h_b_nano") <= 0L, lit(0L))
+          .otherwise(round(col("mi_nano").cast(DoubleType) * lit(1e6) /
+            sqrt(col("h_a_nano").cast(DoubleType) *
+              col("h_b_nano").cast(DoubleType))).cast(LongType))
+          .as("nmi_micro"))
+  }
+
   /** Two-sample MANN–WHITNEY U (Wilcoxon rank-sum) test — the
     * nonparametric "is A stochastically larger than B" companion to
     * [[abTest]] (which needs a binary conversion; this ranks any

@@ -367,6 +367,44 @@ object Quality {
         .cast("long").as("chi_nano"))
   }
 
+  /** Key JOINABILITY / OVERLAP report between two tables' key columns —
+    * the dataset-discovery and FK-audit primitive: ONE row
+    * (n_a, n_b, n_common, contain_a_micro, contain_b_micro,
+    * jaccard_micro) over the DISTINCT key sets. contain_a = share of
+    * A's keys found in B (≈10⁶ ⇒ A.key is a foreign key into B —
+    * join without row loss); jaccard = symmetric set overlap.
+    * Null keys are excluded (a null joins nothing). Complements the
+    * row-level `RefIntegrity` check in [[report]]: that counts rows
+    * violating an assumed FK, this DISCOVERS whether a key
+    * relationship exists at all.
+    *
+    * Scale shape: two distinct shuffles (map-side partial) + one full
+    * outer join of the skinny distinct-key frames, then a 1-row fully
+    * partial-aggregable reduce — payloads never move. */
+  def keyOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String)
+      : DataFrame = {
+    val da = a.select(col(aCol).as("k")).where(col("k").isNotNull)
+      .distinct().withColumn("__a", lit(1L))
+    val db = b.select(col(bCol).as("k")).where(col("k").isNotNull)
+      .distinct().withColumn("__b", lit(1L))
+    da.join(db, Seq("k"), "full")
+      .agg(coalesce(sum(col("__a")), lit(0L)).as("n_a"),
+        coalesce(sum(col("__b")), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("__a").isNotNull && col("__b").isNotNull,
+          1L)), lit(0L)).as("n_common"))
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        when(col("n_a") === 0L, lit(0L)).otherwise(
+          round(col("n_common") * lit(1000000.0) / col("n_a"))
+            .cast("long")).as("contain_a_micro"),
+        when(col("n_b") === 0L, lit(0L)).otherwise(
+          round(col("n_common") * lit(1000000.0) / col("n_b"))
+            .cast("long")).as("contain_b_micro"),
+        when(col("n_a") + col("n_b") === col("n_common"), lit(0L))
+          .otherwise(round(col("n_common") * lit(1000000.0) /
+            (col("n_a") + col("n_b") - col("n_common"))).cast("long"))
+          .as("jaccard_micro"))
+  }
+
   /** Exact two-sample KOLMOGOROV–SMIRNOV drift statistic between a BASE
     * and a CURRENT snapshot of a numeric column: ONE row
     * (n_base, n_cur, d_nano) with D = sup|F_base − F_cur| — the

@@ -236,6 +236,33 @@ class AggSpec extends AnyFunSuite {
     assert(fz.getAs[Long]("n") == 1L && fz.isNullAt(3) && fz.isNullAt(4))
   }
 
+  test("mutualInformation: independence → 0; determinism → MI = H, " +
+      "NMI = 1; constant margin → NMI 0") {
+    val s = spark
+    import s.implicits._
+    // uniform independent 2×2 → every cell term ln(1) = 0
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("1", "2");
+      _ <- 1 to 25) yield (a, b)).toDF("a", "b")
+    val i = graft.ops.Eval.mutualInformation(ind, "a", "b").collect().head
+    assert(i.getAs[Long]("n") == 100L && i.getAs[Long]("mi_nano") == 0L &&
+      i.getAs[Long]("nmi_micro") == 0L)
+    // a determines b bijectively → MI == H_a == H_b == ln 2, NMI == 1
+    val dep = (Seq.fill(5)(("x", "1")) ++ Seq.fill(5)(("y", "2")))
+      .toDF("a", "b")
+    val d = graft.ops.Eval.mutualInformation(dep, "a", "b").collect().head
+    assert(d.getAs[Long]("mi_nano") == d.getAs[Long]("h_a_nano") &&
+      d.getAs[Long]("h_a_nano") == d.getAs[Long]("h_b_nano"))
+    assert(math.abs(d.getAs[Long]("mi_nano") - 693147181L) <= 2L,
+      s"ln2 nanos, got ${d.getAs[Long]("mi_nano")}")
+    assert(d.getAs[Long]("nmi_micro") == 1000000L)
+    // one-level margin: H_b = 0 → NMI pinned 0, not a division blowup
+    val const = Seq(("x", "k"), ("y", "k")).toDF("a", "b")
+    val c = graft.ops.Eval.mutualInformation(const, "a", "b")
+      .collect().head
+    assert(c.getAs[Long]("h_b_nano") == 0L &&
+      c.getAs[Long]("nmi_micro") == 0L)
+  }
+
   test("mannWhitneyU: separation → cles 1; identity → cles 0.5, z 0; " +
       "hand case with ties matches the textbook U") {
     val s = spark

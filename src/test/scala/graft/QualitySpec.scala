@@ -168,6 +168,32 @@ class QualitySpec extends AnyFunSuite {
     assert(psi > 0.25, s"tail cut should breach 0.25, got $psi")
   }
 
+  test("keyOverlap: containment and jaccard exact; nulls excluded; " +
+      "disjoint and empty sides safe") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(Option(1L), Option(2L), Option(3L), Option(3L),
+      Option.empty[Long]).toDF("k")
+    val b = Seq(2L, 3L, 4L, 5L).toDF("k")
+    val r = Quality.keyOverlap(a, "k", b, "k").collect().head
+    // distinct A = {1,2,3}, B = {2,3,4,5}, common = {2,3}
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("n_common")) == ((3L, 4L, 2L)))
+    assert(r.getAs[Long]("contain_a_micro") == 666667L &&
+      r.getAs[Long]("contain_b_micro") == 500000L &&
+      r.getAs[Long]("jaccard_micro") == 400000L)
+    // disjoint: all ratios zero
+    val dj = Quality.keyOverlap(Seq(1L).toDF("k"), "k",
+      Seq(9L).toDF("k"), "k").collect().head
+    assert(dj.getAs[Long]("n_common") == 0L &&
+      dj.getAs[Long]("jaccard_micro") == 0L)
+    // empty side: no NaN/null ratios
+    val em = Quality.keyOverlap(Seq(1L).toDF("k").limit(0), "k",
+      b, "k").collect().head
+    assert(em.getAs[Long]("n_a") == 0L &&
+      em.getAs[Long]("contain_a_micro") == 0L)
+  }
+
   test("ksDrift: identical → 0; disjoint ranges → 1e9; hand case exact") {
     val s = spark
     import s.implicits._
