@@ -248,6 +248,36 @@ class PlanSpec extends AnyFunSuite {
       "cusum must stay the two-window prefix-sum identity:\n" + p.take(800))
   }
 
+  test("trimmed mean: one hash Exchange — rank window and agg share keys") {
+    val p = plan("agg_trimmed_mean")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected one hash Exchange, got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("ks drift: ECDF windows run bucketed, never single-partition") {
+    val p = plan("quality_ks_drift")
+    // every cumulative window must partition by the prefix-sum bucket —
+    // a Window over SinglePartition would funnel the distinct-value
+    // frame through one task (the exact thing globalCumSum exists to
+    // avoid)
+    val windowLines = p.linesIterator.filter(_.contains("Window "))
+    windowLines.foreach(l => assert(l.contains("__b"),
+      s"unbucketed window in ksDrift plan:\n$l"))
+    assert(p.contains("hashpartitioning(__b"),
+      "expected the within-bucket window Exchange:\n" + p.take(1500))
+  }
+
+  test("ngram diversity: two partial-aggregated shuffles, no joins") {
+    val p = plan("text_ngram_diversity")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected (group,gram) + group Exchanges, got $exchanges:\n" +
+        p.take(1500))
+    assert(!p.contains("Join"), "diversity must stay join-free:\n" +
+      p.take(800))
+  }
+
   test("every oracle-checked query emits comparator-sortable columns only") {
     // The driver's comparator loads both results into pandas and sorts ALL
     // columns by name before hashing; a top-level array/map/struct column
