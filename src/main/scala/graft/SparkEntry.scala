@@ -5993,6 +5993,114 @@ object SparkEntry {
       |    * 1e6) AS BIGINT) END AS z_micro
       |FROM agg""".stripMargin)),
 
+    Q("stat_linregress", (s, dir) => {
+      // per-group OLS via merge-stable single-pass moments (covar_pop /
+      // var_pop / corr — DuckDB's own regr_* definitions): price ~
+      // quantity within each returnflag.
+      graft.ops.Stats.linearRegression(Tables(s, dir).lineitem,
+        "l_quantity", "l_extendedprice", Seq("l_returnflag"))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+      |    AS intercept,
+      |  ROUND(POW(corr(l_extendedprice, l_quantity), 2), 6) AS r2
+      |FROM lineitem
+      |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("stat_spearman", (s, dir) => {
+      // rank correlation with exact fractional tie ranks — quantity vs
+      // price. Ranks derive from value-collapsed counts + globalCumSum
+      // (no single-partition global window); heavy integer-quantity
+      // ties exercise the (a+b)/2 average-rank path.
+      graft.ops.Stats.spearman(Tables(s, dir).lineitem,
+        "l_quantity", "l_extendedprice")
+    }, Some("""WITH p AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+      |  CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |r AS (SELECT
+      |  rank() OVER (ORDER BY x)
+      |    + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+      |  rank() OVER (ORDER BY y)
+      |    + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry FROM p)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(corr(rx, ry), 6) AS rho
+      |FROM r""".stripMargin)),
+
+    Q("stat_anova", (s, dir) => {
+      // one-way ANOVA: does event value differ across event types?
+      // SSW/SSB from per-group stable moments, never raw sums of
+      // squares.
+      graft.ops.Stats.anovaF(Tables(s, dir).events, "value", "event_type")
+    }, Some("""WITH g AS (SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS gn,
+      |  AVG(CAST(value AS DOUBLE)) AS m,
+      |  var_pop(CAST(value AS DOUBLE)) AS v FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |  CAST(SUM(gn) AS BIGINT) AS n, SUM(gn * m) AS sumx,
+      |  SUM(gn * v) AS ssw, SUM(gn * m * m) AS sumnm2 FROM g),
+      |d AS (SELECT k, n, ssw,
+      |  sumnm2 - n * (sumx / n) * (sumx / n) AS ssb FROM a)
+      |SELECT k, n,
+      |  CASE WHEN k >= 2 AND n > k AND ssw > 0
+      |    THEN ROUND((ssb / (k - 1.0)) / (ssw / (n - CAST(k AS DOUBLE))), 6)
+      |    END AS f,
+      |  CASE WHEN ssb + ssw > 0 THEN ROUND(ssb / (ssb + ssw), 6)
+      |    END AS eta_sq
+      |FROM d""".stripMargin)),
+
+    Q("stat_jackknife", (s, dir) => {
+      // delete-a-group jackknife CI for mean(extendedprice), 20
+      // deterministic orderkey-mod buckets — the resampling CI that
+      // needs only k partial sums, no RNG.
+      graft.ops.Stats.jackknifeCi(Tables(s, dir).lineitem,
+        "l_extendedprice", "l_orderkey", k = 20)
+    }, Some("""WITH b AS (SELECT l_orderkey % 20 AS bk,
+      |  CAST(COUNT(*) AS BIGINT) AS bn,
+      |  SUM(CAST(l_extendedprice AS DOUBLE)) AS bs FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_orderkey IS NOT NULL
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(SUM(bn) AS BIGINT) AS nt, SUM(bs) AS st,
+      |  CAST(COUNT(*) AS BIGINT) AS k FROM b),
+      |l AS (SELECT t.nt, t.st, t.k,
+      |  (t.st - b.bs) / (t.nt - b.bn) AS theta FROM b, t),
+      |o AS (SELECT nt, st, k, AVG(theta) AS tbar,
+      |  SUM(theta * theta) AS t2 FROM l GROUP BY 1, 2, 3),
+      |f AS (SELECT nt, k, st / nt AS mean,
+      |  sqrt(greatest((k - 1.0) / k * (t2 - k * tbar * tbar), 0.0)) AS se
+      |  FROM o)
+      |SELECT nt AS n, k, ROUND(mean, 6) AS mean, ROUND(se, 6) AS se,
+      |  ROUND(mean - 1.96 * se, 6) AS lo,
+      |  ROUND(mean + 1.96 * se, 6) AS hi FROM f""".stripMargin)),
+
+    Q("text_zipf", (s, dir) => {
+      // Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
+      // top-500 tokens — corpus-health slope (natural text ≈ −1).
+      // Token counts collapse once; TakeOrdered top-N; the fit windows
+      // run on the 500-row frame.
+      graft.ops.Stats.zipfFit(Tables(s, dir).documents, "text",
+        topN = 500)
+    }, Some("""WITH w AS (SELECT unnest(list_filter(
+      |  regexp_split_to_array(lower(text), '\W+'),
+      |  x -> len(x) > 0)) AS t FROM documents),
+      |c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM c),
+      |top AS (SELECT c, t FROM c ORDER BY c DESC, t LIMIT 500),
+      |r AS (SELECT ln(CAST(row_number()
+      |    OVER (ORDER BY c DESC, t) AS DOUBLE)) AS lr,
+      |  ln(CAST(c AS DOUBLE)) AS lf FROM top),
+      |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS top_n,
+      |  covar_pop(lr, lf) AS cov, var_pop(lr) AS varx,
+      |  AVG(lr) AS mx, AVG(lf) AS my, corr(lr, lf) AS r FROM r)
+      |SELECT vocab, top_n,
+      |  CASE WHEN varx > 0 THEN ROUND(cov / varx, 6) END AS slope,
+      |  CASE WHEN varx > 0 THEN ROUND(my - cov / varx * mx, 6)
+      |    END AS intercept,
+      |  CASE WHEN varx > 0 AND r IS NOT NULL THEN ROUND(r * r, 6)
+      |    END AS r2
+      |FROM f, v""".stripMargin)),
+
     Q("audit_fingerprint", (s, dir) => {
       // order-independent snapshot checksum over the documents table:
       // per-row 60-bit SHA-256 prefixes reduced by XOR + modular sum +

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Classical statistics over distributed frames — the "is this effect
+  * real" layer a training-data pipeline reaches for after the drift /
+  * quality reports (reference ships describe/std/corr primitives,
+  * `api/describe.kt:38-64`, `api/statistics.kt`; regression, rank
+  * correlation, ANOVA and resampling CIs are the natural extension
+  * tier). Cross-engine determinism: closed-form fits ride Spark's
+  * merge-stable single-pass moment aggregates (`covar_pop`/`var_pop`/
+  * `corr` — the same numerically-stable shapes DuckDB's `regr_*`
+  * family uses), and every derived double rounds to 6dp to absorb the
+  * ≤1e-12 relative reduction-order noise.
+  */
+object Stats {
+
+  /** Per-group ordinary least squares y ~ x via single-pass moments:
+    * slope = covar_pop(x,y)/var_pop(x), intercept = ȳ − slope·x̄,
+    * r² = corr(x,y)² — exactly DuckDB's `regr_slope`/`regr_intercept`
+    * definitions. Rows with a null in either column are excluded
+    * (the `regr_*` contract). Degenerate groups (var_pop(x)=0) yield
+    * null slope/intercept/r2. Returns group cols + (n, slope,
+    * intercept, r2), all fit columns rounded 6dp.
+    *
+    * Scale shape: ONE hash aggregate with map-side partials — the
+    * moment accumulators (count + 5 running moments) are a fixed-width
+    * partial per group, so 100 TB of (x, y) pairs reduces to
+    * groups-sized traffic. No second pass, no window, no collect. */
+  def linearRegression(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val fit = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        covar_pop(x, y).as("__cov"),
+        var_pop(x).as("__varx"), var_pop(y).as("__vary"),
+        avg(x).as("__mx"), avg(y).as("__my"))
+    // nullif-guarded denominators: under ANSI mode a 0/0 throws (and
+    // subexpression elimination evaluates divisions even inside a false
+    // when() branch — `corr` itself throws on a constant column, which
+    // is why r² derives from moments: r² = cov²/(varx·vary)); null
+    // propagates instead.
+    val slope = col("__cov") / nullif(col("__varx"), lit(0.0))
+    fit.select(groupCols.map(col) :+ col("n") :+
+      round(slope, 6).as("slope") :+
+      round(col("__my") - slope * col("__mx"), 6).as("intercept") :+
+      round(col("__cov") * col("__cov") /
+        nullif(col("__varx") * col("__vary"), lit(0.0)), 6).as("r2"): _*)
+  }
+
+  /** Spearman rank correlation of two columns — ONE row (n, rho 6dp).
+    * Monotone-association robustness where Pearson (`describe`/`corr`,
+    * reference `api/describe.kt`) assumes linearity. Fractional
+    * average ranks with exact tie handling: a value occupying sorted
+    * positions a..b ranks (a+b)/2 — an exact half-integer, so the
+    * final Pearson-over-ranks runs on exact inputs and 6dp rounding
+    * absorbs only the corr accumulator's own reduction noise.
+    *
+    * Scale shape: the classic global-rank trap is `Window.orderBy`
+    * with no partition key (whole corpus through one task). Instead
+    * each column COLLAPSES to its distinct values (one count shuffle,
+    * map-side partials), ranks derive from [[Series.globalCumSum]]
+    * (bucketed two-level scan, no single-partition stage), and two
+    * skinny value→rank joins decorate the original pairs. Null pairs
+    * excluded. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pairs = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast(DoubleType).as("__x"),
+        col(yCol).cast(DoubleType).as("__y"))
+    def ranks(valueCol: String, rankName: String): DataFrame = {
+      val counts = pairs.groupBy(col(valueCol).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      Series.globalCumSum(counts, "__v", Seq("__c"), withTotals = false)
+        // positions (cum−c+1)..cum → average rank cum − (c−1)/2
+        .select(col("__v").as(valueCol),
+          (col("cum___c").cast(DoubleType) -
+            (col("__c").cast(DoubleType) - lit(1.0)) / lit(2.0))
+            .as(rankName))
+    }
+    pairs
+      .join(ranks("__x", "__rx"), Seq("__x"))
+      .join(ranks("__y", "__ry"), Seq("__y"))
+      .agg(count(lit(1)).as("n"),
+        covar_pop(col("__rx"), col("__ry")).as("__cov"),
+        var_pop(col("__rx")).as("__vx"), var_pop(col("__ry")).as("__vy"))
+      // moments, not `corr` — ANSI corr throws 0/0 on a constant column
+      .select(col("n"), round(col("__cov") /
+        nullif(sqrt(col("__vx") * col("__vy")), lit(0.0)), 6).as("rho"))
+  }
+
+  /** One-way ANOVA: does a numeric outcome differ across k groups?
+    * ONE row (k, n, f, eta_sq) — F = (SSB/(k−1)) / (SSW/(N−k)),
+    * η² = SSB/(SSB+SSW) (effect size), both 6dp; degenerate inputs
+    * (k<2, N≤k, or SSW=0) yield null f. SSW = Σ n_g·var_pop_g and
+    * SSB = Σ n_g·(x̄_g − x̄)² ride the merge-stable moment aggregates,
+    * never raw Σx² (whose cancellation would not survive a cross-
+    * engine 6dp compare at 100 TB magnitudes).
+    *
+    * Scale shape: one hash aggregate to per-group (n, mean, var) —
+    * fixed-width partials — then all remaining arithmetic runs on the
+    * groups-sized frame; the grand mean derives from the group sums
+    * (exact same weighting both engines). */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val g = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), avg(v).as("__m"),
+        var_pop(v).as("__v"))
+    val nD = col("__n").cast(DoubleType)
+    val agg = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n")).as("n"),
+      sum(nD * col("__m")).as("__sumx"),
+      sum(nD * col("__v")).as("ssw"),
+      sum(nD * col("__m") * col("__m")).as("__sumnm2"))
+    val grand = col("__sumx") / nullif(col("n").cast(DoubleType), lit(0.0))
+    // Σ n_g(m_g − m̄)² = Σ n_g m_g² − N m̄²  — both factors group-sized.
+    // nullif-guarded denominators: ANSI mode + subexpression elimination
+    // evaluate divisions eagerly even inside a false when() branch.
+    val ssb = col("__sumnm2") - col("n").cast(DoubleType) * grand * grand
+    val f = (ssb / nullif(col("k").cast(DoubleType) - lit(1.0), lit(0.0))) /
+      nullif(col("ssw") / nullif(col("n").cast(DoubleType) -
+        col("k").cast(DoubleType), lit(0.0)), lit(0.0))
+    agg.select(col("k"), col("n"),
+      when(col("k") >= 2 && col("n") > col("k") && col("ssw") > 0,
+        round(f, 6)).otherwise(lit(null)).as("f"),
+      round(ssb / nullif(ssb + col("ssw"), lit(0.0)), 6).as("eta_sq"))
+  }
+
+  /** Delete-a-group jackknife confidence interval for a column mean —
+    * the resampling CI that actually works at 100 TB (per-row
+    * bootstrap resamples are a non-starter; deleting one of k
+    * deterministic hash buckets at a time needs only k partial sums).
+    * Buckets come from `pmod(bucketKey, k)` — pure integer arithmetic
+    * any engine replays bit-for-bit, no RNG to seed-sync. Leave-one-
+    * out means θ̂ᵢ = (S−sᵢ)/(N−nᵢ); variance is the grouped-jackknife
+    * estimator (k−1)/k · Σ(θ̂ᵢ − θ̄*)². ONE row (n, k, mean, se,
+    * lo, hi) — mean/se/lo/hi 6dp, CI = mean ± 1.96·se.
+    *
+    * Scale shape: one k-group hash aggregate (map-side partials) →
+    * all jackknife arithmetic on the k-row frame via a broadcast
+    * 1-row totals join. Nothing else touches the data. */
+  def jackknifeCi(df: DataFrame, valueCol: String, bucketKeyCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 2, s"jackknife needs >=2 buckets, got $k")
+    val v = col(valueCol).cast(DoubleType)
+    val per = df.where(v.isNotNull && col(bucketKeyCol).isNotNull)
+      .groupBy(pmod(col(bucketKeyCol), lit(k.toLong)).as("__b"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"))
+    val tot = per.agg(sum(col("__n")).as("__nt"), sum(col("__s")).as("__st"),
+      count(lit(1)).as("__k"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(col("__nt"), col("__st"), col("__k"),
+        ((col("__st") - col("__s")) /
+          nullif((col("__nt") - col("__n")).cast(DoubleType), lit(0.0)))
+          .as("__theta"))
+    val kD = col("__k").cast(DoubleType)
+    val out = loo
+      .groupBy(col("__nt"), col("__st"), col("__k"))
+      .agg(avg(col("__theta")).as("__tbar"),
+        sum(col("__theta") * col("__theta")).as("__t2"))
+    val varJack = (kD - lit(1.0)) / nullif(kD, lit(0.0)) *
+      (col("__t2") - kD * col("__tbar") * col("__tbar"))
+    val mean = col("__st") / nullif(col("__nt").cast(DoubleType), lit(0.0))
+    val se = sqrt(greatest(varJack, lit(0.0)))
+    out.select(col("__nt").as("n"), col("__k").as("k"),
+      round(mean, 6).as("mean"), round(se, 6).as("se"),
+      round(mean - lit(1.96) * se, 6).as("lo"),
+      round(mean + lit(1.96) * se, 6).as("hi"))
+  }
+
+  /** Zipf rank-frequency fit over a corpus — ONE row (vocab, top_n,
+    * slope, intercept, r2): OLS of ln(freq) on ln(rank) over the
+    * `topN` most frequent tokens. A healthy natural corpus slopes
+    * ≈ −1; templated / synthetic / boilerplate-heavy corpora bend the
+    * curve — the corpus-health companion to `ngramDiversity`. Ranks
+    * break frequency ties by token (total order both engines).
+    *
+    * Scale shape: corpus collapses to token counts ONCE (explode +
+    * count shuffle, map-side partials); `orderBy.limit(topN)` is
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * row_number window runs on the topN-row frame — bounded by the
+    * `topN` argument, not the corpus. Fit reuses the moment identities
+    * of [[linearRegression]] on ln/ln pairs. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val vocab = counts.agg(count(lit(1)).as("vocab"))
+    val top = counts.orderBy(col("__c").desc, col("__w")).limit(topN)
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__c").desc, col("__w"))))
+      .select(log(col("__rank").cast(DoubleType)).as("__lr"),
+        log(col("__c").cast(DoubleType)).as("__lf"))
+    val fit = top.agg(count(lit(1)).as("top_n"),
+      covar_pop(col("__lr"), col("__lf")).as("__cov"),
+      var_pop(col("__lr")).as("__varx"), var_pop(col("__lf")).as("__vary"),
+      avg(col("__lr")).as("__mx"), avg(col("__lf")).as("__my"))
+    val slope = col("__cov") / nullif(col("__varx"), lit(0.0))
+    fit.crossJoin(broadcast(vocab)).select(col("vocab"), col("top_n"),
+      round(slope, 6).as("slope"),
+      round(col("__my") - slope * col("__mx"), 6).as("intercept"),
+      round(col("__cov") * col("__cov") /
+        nullif(col("__varx") * col("__vary"), lit(0.0)), 6).as("r2"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Stats
+
+class StatsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("linearRegression recovers an exact line and flags degenerate x") {
+    val s = spark
+    import s.implicits._
+    // y = 3x + 2 exactly → slope 3, intercept 2, r2 1
+    val exact = Seq((1.0, 5.0), (2.0, 8.0), (3.0, 11.0), (4.0, 14.0))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val row = Stats.linearRegression(exact, "x", "y", Seq("g")).head()
+    assert(row.getAs[Long]("n") == 4L)
+    assert(row.getAs[Double]("slope") == 3.0)
+    assert(row.getAs[Double]("intercept") == 2.0)
+    assert(row.getAs[Double]("r2") == 1.0)
+    // constant x → null fit, not NaN/crash
+    val degen = Seq((5.0, 1.0), (5.0, 2.0)).toDF("x", "y")
+      .withColumn("g", lit("a"))
+    val d = Stats.linearRegression(degen, "x", "y", Seq("g")).head()
+    assert(d.isNullAt(d.fieldIndex("slope")) &&
+      d.isNullAt(d.fieldIndex("r2")))
+  }
+
+  test("linearRegression ignores null pairs (regr_* contract)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1.0), Some(5.0)), (Some(2.0), Some(8.0)),
+      (None: Option[Double], Some(99.0)), (Some(3.0), None),
+      (Some(3.0), Some(11.0))).toDF("x", "y").withColumn("g", lit("a"))
+    val row = Stats.linearRegression(df, "x", "y", Seq("g")).head()
+    assert(row.getAs[Long]("n") == 3L && row.getAs[Double]("slope") == 3.0)
+  }
+
+  test("spearman: monotone nonlinear → 1; ties use fractional ranks") {
+    val s = spark
+    import s.implicits._
+    // y = x³ is monotone: Pearson < 1 but Spearman = 1 exactly
+    val mono = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0),
+      (5.0, 125.0)).toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y").head().getAs[Double]("rho") == 1.0)
+    // tie case by hand: x=[1,2,2,3] → ranks [1,2.5,2.5,4];
+    // y=[10,20,30,30] → ranks [1,2,3.5,3.5]; Pearson = 3.75/4.5
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 30.0))
+      .toDF("x", "y")
+    val rho = Stats.spearman(ties, "x", "y").head().getAs[Double]("rho")
+    assert(math.abs(rho - 0.833333) < 1e-6, s"rho=$rho")
+  }
+
+  test("anovaF matches the hand-computed F on a textbook 3-group case") {
+    val s = spark
+    import s.implicits._
+    // groups: a=(1,2,3) m=2; b=(2,3,4) m=3; c=(4,5,6) m=5; grand=10/3
+    // SSB = 3·((2-10/3)² + (3-10/3)² + (5-10/3)²) = 3·(16/9+1/9+25/9) = 14
+    // SSW = 2+2+2 = 6; F = (14/2)/(6/6) = 7
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0),
+      ("b", 3.0), ("b", 4.0), ("c", 4.0), ("c", 5.0), ("c", 6.0))
+      .toDF("g", "v")
+    val row = Stats.anovaF(df, "v", "g").head()
+    assert(row.getAs[Long]("k") == 3L && row.getAs[Long]("n") == 9L)
+    assert(math.abs(row.getAs[Double]("f") - 7.0) < 1e-6)
+    assert(math.abs(row.getAs[Double]("eta_sq") - 0.7) < 1e-6)
+    // single group → null F
+    val one = df.where(col("g") === "a")
+    assert(Stats.anovaF(one, "v", "g").head()
+      .isNullAt(2))
+  }
+
+  test("jackknifeCi: zero-variance data → se 0, CI collapses to mean") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i => (i, 5.0)).toDF("id", "v")
+    val row = Stats.jackknifeCi(df, "v", "id", k = 4).head()
+    assert(row.getAs[Double]("mean") == 5.0)
+    assert(row.getAs[Double]("se") == 0.0)
+    assert(row.getAs[Double]("lo") == 5.0 && row.getAs[Double]("hi") == 5.0)
+    assert(row.getAs[Long]("k") == 4L && row.getAs[Long]("n") == 40L)
+  }
+
+  test("jackknifeCi matches the hand formula on an uneven 2-bucket case") {
+    val s = spark
+    import s.implicits._
+    // bucket 0: ids 2,4 → values 10, 20; bucket 1: id 1,3 → 1, 3
+    val df = Seq((2L, 10.0), (4L, 20.0), (1L, 1.0), (3L, 3.0))
+      .toDF("id", "v")
+    val row = Stats.jackknifeCi(df, "v", "id", k = 2).head()
+    // S=34, N=4, mean=8.5; θ̂₀ = (34-30)/2 = 2, θ̂₁ = (34-4)/2 = 15
+    // var = (1/2)·Σ(θᵢ-8.5)² = 0.5·(42.25+42.25) = 42.25 → se 6.5
+    assert(row.getAs[Double]("mean") == 8.5)
+    assert(math.abs(row.getAs[Double]("se") - 6.5) < 1e-9)
+    assert(math.abs(row.getAs[Double]("lo") - (8.5 - 1.96 * 6.5)) < 1e-6)
+  }
+
+  test("zipfFit: exact power law freq = 1000/rank → slope −1, r2 1") {
+    val s = spark
+    import s.implicits._
+    // craft a corpus where token w_r appears floor(1000/r) times
+    val docs = (1 to 20).flatMap { r =>
+      Seq.fill(1000 / r)(f"w$r%02d")
+    }.mkString(" ")
+    val df = Seq(Tuple1(docs)).toDF("text")
+    val row = Stats.zipfFit(df, "text", topN = 20).head()
+    assert(row.getAs[Long]("vocab") == 20L)
+    assert(row.getAs[Long]("top_n") == 20L)
+    // floor() quantization keeps it off exactly −1, but barely
+    val slope = row.getAs[Double]("slope")
+    assert(slope < -0.97 && slope > -1.03, s"slope=$slope")
+    assert(row.getAs[Double]("r2") > 0.999)
+  }
+}
