@@ -5993,6 +5993,62 @@ object SparkEntry {
       |    * 1e6) AS BIGINT) END AS z_micro
       |FROM agg""".stripMargin)),
 
+    Q("graph_degree_stats", (s, dir) => {
+      // structural summary + Newman degree assortativity on the dense
+      // 40-node doc graph (same edge derivation as graph_triangles).
+      val e = Tables(s, dir).documents.select(
+        (col("doc_id") % 40).as("a"),
+        ((col("doc_id") * 7 + 3) % 40).as("b"))
+      graft.ops.Graph.degreeStats(e, "a", "b")
+    }, Some("""WITH e0 AS (SELECT doc_id % 40 AS a,
+      |  (doc_id * 7 + 3) % 40 AS b FROM documents),
+      |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM e0 WHERE a <> b),
+      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |  SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS nodes,
+      |  MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+      |  ROUND(AVG(deg), 6) AS avg_deg FROM deg),
+      |de AS (SELECT u AS a, v AS b FROM und
+      |  UNION ALL SELECT v, u FROM und),
+      |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |  covar_pop(da.deg, db.deg) AS cov,
+      |  var_pop(da.deg) AS va, var_pop(db.deg) AS vb
+      |  FROM de JOIN deg da ON da.n = de.a JOIN deg db ON db.n = de.b)
+      |SELECT nodes, CAST(m // 2 AS BIGINT) AS edges, min_deg, max_deg,
+      |  avg_deg,
+      |  ROUND(cov / nullif(sqrt(va * vb), 0), 6) AS assortativity
+      |FROM ns, dd""".stripMargin)),
+
+    Q("graph_adamic_adar", (s, dir) => {
+      // link prediction on the same 40-node graph: top-30 unlinked
+      // pairs by Adamic-Adar, per-wedge 1/ln(deg) in exact nanos.
+      val e = Tables(s, dir).documents.select(
+        (col("doc_id") % 40).as("a"),
+        ((col("doc_id") * 7 + 3) % 40).as("b"))
+      graft.ops.Graph.adamicAdar(e, "a", "b", topK = 30)
+        .sortByKeys(SortKey("aa_nano", desc = true), SortKey("u"),
+          SortKey("v"))
+    }, Some("""WITH e0 AS (SELECT doc_id % 40 AS a,
+      |  (doc_id * 7 + 3) % 40 AS b FROM documents),
+      |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM e0 WHERE a <> b),
+      |adjx AS (SELECT u AS w, v AS n FROM und
+      |  UNION ALL SELECT v, u FROM und),
+      |deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM adjx GROUP BY 1),
+      |c AS (SELECT adjx.w, adjx.n, deg.deg FROM adjx
+      |  JOIN deg USING (w) WHERE deg.deg <= 10000 AND deg.deg >= 2),
+      |wdg AS (SELECT e1.n AS u, e2.n AS v, e1.deg AS dw FROM c e1
+      |  JOIN c e2 ON e1.w = e2.w AND e1.n < e2.n),
+      |sc AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common,
+      |  CAST(SUM(CAST(ROUND(1e9 / ln(dw)) AS BIGINT)) AS BIGINT)
+      |    AS aa_nano FROM wdg GROUP BY 1, 2),
+      |nf AS (SELECT sc.* FROM sc LEFT JOIN und
+      |  ON und.u = sc.u AND und.v = sc.v WHERE und.u IS NULL)
+      |SELECT u, v, common, aa_nano, ROUND(aa_nano / 1e9, 6) AS aa
+      |FROM nf ORDER BY aa_nano DESC, u, v LIMIT 30""".stripMargin)),
+
     Q("stat_linregress", (s, dir) => {
       // per-group OLS via merge-stable single-pass moments (covar_pop /
       // var_pop / corr — DuckDB's own regr_* definitions): price ~

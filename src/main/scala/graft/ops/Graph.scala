@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.core.CacheHandle
 
 /** Distributed graph analytics beyond connected components
@@ -491,5 +492,102 @@ object Graph {
     internal.release()
     cache.trackRelease(freeAdj)
     adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** One-row structural summary of an undirected graph: node/edge
+    * counts, degree min/max/mean (6dp), and DEGREE ASSORTATIVITY — the
+    * Pearson correlation of endpoint degrees over the symmetrized edge
+    * list (Newman 2002: positive = hubs link hubs, negative =
+    * hub-and-spoke; scraped web graphs and spam farms sit far
+    * negative). Derived from moments (covar_pop/var_pop — the
+    * [[Stats.linearRegression]] convention: ANSI-safe, merge-stable);
+    * a regular graph (zero degree variance) yields null assortativity.
+    *
+    * Scale shape: normalize (one distinct shuffle) → skinny degree
+    * rollup → two hash joins decorating each directed edge with its
+    * endpoint degrees → ONE moment aggregate. Everything on the wire
+    * is pairs of longs; no windows, no collect. */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val deg = und.select(col("u").as("n"))
+      .union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.agg(count(lit(1)).as("nodes"),
+      min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+      round(avg(col("deg")), 6).as("avg_deg"))
+    // both directions: assortativity is over ordered endpoint pairs
+    val dirEdges = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val dd = dirEdges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("__m"),
+        covar_pop(col("da").cast(DoubleType), col("db").cast(DoubleType))
+          .as("__cov"),
+        var_pop(col("da").cast(DoubleType)).as("__va"),
+        var_pop(col("db").cast(DoubleType)).as("__vb"))
+    nodes.crossJoin(broadcast(dd))
+      .select(col("nodes"),
+        (col("__m") / lit(2L)).cast(LongType).as("edges"),
+        col("min_deg"), col("max_deg"), col("avg_deg"),
+        round(col("__cov") /
+          nullif(sqrt(col("__va") * col("__vb")), lit(0.0)), 6)
+          .as("assortativity"))
+  }
+
+  /** Adamic–Adar link prediction: for node pairs NOT already linked,
+    * score = Σ over common neighbors w of 1/ln(deg w) — the standard
+    * "who should be linked" baseline (rare shared neighbors count for
+    * more than hubs everyone shares). Returns the `topK` candidate
+    * pairs (u, v, common, aa_nano, aa) by score (ties broken (u, v)),
+    * with `common` = common-neighbor count. Per-wedge contributions
+    * round to integer NANOS before summing (the repo's exact-BIGINT
+    * reduction convention), `aa` = nanos/1e9 rounded 6dp.
+    *
+    * `maxDegree` CAPS the wedge fan-out: a neighbor w generates
+    * deg(w)² candidate pairs, so one 10⁶-degree hub would emit 10¹²
+    * wedges; hubs above the cap are excluded as wedge CENTERS (their
+    * 1/ln(deg) contribution is the smallest in the sum — the
+    * documented, bounded bias every production AA implementation
+    * takes; degrees themselves stay exact). deg=1 centers generate no
+    * wedge; ln is safe from the =1 singularity because a wedge center
+    * has ≥ 2 neighbors by construction.
+    *
+    * Scale shape: normalize → degree rollup → hub filter → wedge
+    * self-join on the center key (fan-out ≤ maxDegree per center) →
+    * one (pair) hash aggregate → LEFT ANTI against the edge set →
+    * TakeOrderedAndProject top-k. All wire rows are long pairs/triples. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 10000, topK: Int = 100): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val adj = und.select(col("u").as("w"), col("v").as("n"))
+      .union(und.select(col("v").as("w"), col("u").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val centers = adj.join(
+      deg.where(col("deg") <= maxDegree && col("deg") >= 2), "w")
+    val wedges = centers.as("e1")
+      .join(centers.as("e2"),
+        col("e1.w") === col("e2.w") && col("e1.n") < col("e2.n"))
+      .select(col("e1.n").as("u"), col("e2.n").as("v"),
+        col("e1.deg").as("dw"))
+    val scored = wedges
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"),
+        sum(round(lit(1e9) / log(col("dw").cast(DoubleType)))
+          .cast(LongType)).as("aa_nano"))
+      .join(und, Seq("u", "v"), "left_anti")
+    scored
+      .select(col("u"), col("v"), col("common"), col("aa_nano"),
+        round(col("aa_nano") / lit(1e9), 6).as("aa"))
+      .orderBy(col("aa_nano").desc, col("u"), col("v")).limit(topK)
   }
 }

@@ -374,6 +374,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(graft.ops.Graph.kCore(path, "a", "b", k = 2).count() == 0L)
   }
 
+  test("degreeStats: star graph → assortativity exactly −1") {
+    val s = spark
+    import s.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = graft.ops.Graph.degreeStats(star, "a", "b").head()
+    assert(r.getAs[Long]("nodes") == 4L && r.getAs[Long]("edges") == 3L)
+    assert(r.getAs[Long]("min_deg") == 1L && r.getAs[Long]("max_deg") == 3L)
+    assert(r.getAs[Double]("avg_deg") == 1.5)
+    // endpoint-degree pairs (3,1)×3 + (1,3)×3 → perfect anticorrelation
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    // regular graph (cycle): zero degree variance → null, not a throw
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("a", "b")
+    val c = graft.ops.Graph.degreeStats(cyc, "a", "b").head()
+    assert(c.isNullAt(c.fieldIndex("assortativity")))
+  }
+
+  test("adamicAdar: path endpoints score 1/ln 2; linked pairs excluded; " +
+      "hub cap prunes wedge centers") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3: only candidate (1,3) through center 2 (deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = graft.ops.Graph.adamicAdar(path, "a", "b").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[Long]("u"), r.getAs[Long]("v")) == (1L, 3L))
+    assert(r.getAs[Long]("common") == 1L)
+    assert(r.getAs[Long]("aa_nano") == math.round(1e9 / math.log(2.0)))
+    // triangle: every pair already linked → empty
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("a", "b")
+    assert(graft.ops.Graph.adamicAdar(tri, "a", "b").count() == 0L)
+    // star center deg 3: capping maxDegree=2 removes ALL candidates
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    assert(graft.ops.Graph.adamicAdar(star, "a", "b", maxDegree = 2)
+      .count() == 0L)
+    val full = graft.ops.Graph.adamicAdar(star, "a", "b").collect()
+    assert(full.length == 3 &&
+      full.forall(_.getAs[Long]("aa_nano") ==
+        math.round(1e9 / math.log(3.0))))
+  }
+
   // ---------------- Similarity.rankFusion ----------------
 
   test("rankFusion: micro contributions sum, missing-list candidates, ties") {
