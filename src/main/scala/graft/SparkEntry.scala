@@ -6049,6 +6049,62 @@ object SparkEntry {
       |SELECT u, v, common, aa_nano, ROUND(aa_nano / 1e9, 6) AS aa
       |FROM nf ORDER BY aa_nano DESC, u, v LIMIT 30""".stripMargin)),
 
+    Q("events_rfm", (s, dir) => {
+      // RFM quintiles per user — exact ntile semantics via
+      // value-collapsed ranks + globalCumSum (no single-partition
+      // window); DuckDB replays with real ntile() over the same
+      // (metric, user) total order.
+      Events.rfmSegments(Tables(s, dir).events, "user_id", "ts", "value")
+        .sortByKeys(SortKey("user_id"))
+    }, Some("""WITH mx AS (SELECT max(ts) AS maxts FROM events),
+      |u AS (SELECT user_id, max(ts) AS lts,
+      |  CAST(COUNT(*) AS BIGINT) AS frequency,
+      |  ROUND(SUM(COALESCE(value, 0)), 2) AS monetary FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+      |t AS (SELECT user_id, frequency, monetary,
+      |  CAST(date_diff('day', CAST(lts AS DATE), CAST(maxts AS DATE))
+      |    AS BIGINT) AS recency_days FROM u, mx),
+      |sc AS (SELECT *,
+      |  CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+      |    AS BIGINT) AS r,
+      |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f,
+      |  CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m
+      |  FROM t)
+      |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+      |  concat(r, f, m) AS segment
+      |FROM sc ORDER BY user_id""".stripMargin)),
+
+    Q("events_kaplan_meier", (s, dir) => {
+      // Kaplan-Meier survival over per-user lifetimes, censoring users
+      // still active within 7 days of corpus end; per-step ln rounds
+      // to exact nanos before the running product.
+      Events.kaplanMeier(Tables(s, dir).events, "user_id", "ts",
+        horizonDays = 7)
+        .sortByKeys(SortKey("t_days"))
+    }, Some("""WITH mx AS (SELECT max(ts) AS maxts FROM events),
+      |pe AS (SELECT user_id, min(ts) AS fts, max(ts) AS lts
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1),
+      |du AS (SELECT CAST(date_diff('day', CAST(fts AS DATE),
+      |    CAST(lts AS DATE)) AS BIGINT) AS t_days,
+      |  CASE WHEN lts < maxts - INTERVAL 7 DAY THEN 1 ELSE 0 END AS obs
+      |  FROM pe, mx),
+      |g AS (SELECT t_days, CAST(SUM(obs) AS BIGINT) AS events,
+      |  CAST(SUM(1 - obs) AS BIGINT) AS censored FROM du GROUP BY 1),
+      |cm AS (SELECT *, SUM(events + censored) OVER (ORDER BY t_days)
+      |    AS cum, SUM(events + censored) OVER () AS total FROM g),
+      |nr AS (SELECT t_days, events, censored,
+      |  CAST(total - cum + events + censored AS BIGINT) AS n_risk
+      |  FROM cm),
+      |st AS (SELECT *, CAST(ROUND(1e9 * ln(greatest(
+      |  1.0 - CAST(events AS DOUBLE) / n_risk, 1e-12))) AS BIGINT)
+      |  AS step FROM nr),
+      |sv AS (SELECT t_days, n_risk, events, censored,
+      |  SUM(step) OVER (ORDER BY t_days) AS cumstep FROM st)
+      |SELECT t_days, n_risk, events, censored,
+      |  ROUND(exp(cumstep / 1e9), 6) AS survival
+      |FROM sv ORDER BY t_days""".stripMargin)),
+
     Q("stat_linregress", (s, dir) => {
       // per-group OLS via merge-stable single-pass moments (covar_pop /
       // var_pop / corr — DuckDB's own regr_* definitions): price ~

@@ -268,4 +268,133 @@ object Events {
           .orderBy(col("n_entities").desc, col("path").asc)).cast("long"))
       .select(col("rank"), col("path"), col("n_entities"))
   }
+
+  /** RFM segmentation: per entity, Recency (days since last event,
+    * against the corpus max timestamp), Frequency (event count) and
+    * Monetary (Σ value, 2dp), each scored into `tiles` equal-count
+    * tiers (1 = worst, `tiles` = best: most recent / most frequent /
+    * highest spend), `segment` = the concatenated "rfm" digits. Exact
+    * `ntile` semantics — first (n mod k) tiles take the extra row —
+    * with the total order (metric, entity id) so ties are
+    * deterministic in any engine.
+    *
+    * Scale shape: events collapse to one row per entity in ONE shuffle
+    * (count/max/sum partials); everything after runs on the
+    * entities-sized frame. The classic exact-ntile trap is
+    * `Window.orderBy` with no partition key (whole frame through one
+    * task); instead each metric's global row number derives from
+    * value-collapsed counts + [[Series.globalCumSum]] (bucketed
+    * two-level scan) plus a PARTITIONED per-value tie-break window,
+    * and the ntile index is pure arithmetic on (rn, n). Three
+    * entity-frame passes, zero single-partition stages. */
+  def rfmSegments(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, tiles: Int = 5): DataFrame = {
+    require(tiles >= 2, s"rfmSegments: tiles must be >= 2, got $tiles")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val maxTs = df.agg(max(col(tsCol)).as("__maxts"))
+    val per = df
+      .where(col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("frequency"),
+        round(sum(coalesce(col(valueCol), lit(0.0))), 2).as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("recency_days",
+        datediff(to_date(col("__maxts")), to_date(col("__last")))
+          .cast(LongType))
+      .drop("__last", "__maxts")
+    def intDiv(a: Column, b: Column): Column =
+      floor(a / nullif(b.cast(DoubleType), lit(0.0))).cast(LongType)
+    // exact ntile(k) of row rn (1-based) among n: first n%k tiles hold
+    // the extra row
+    def tileIdx(rn: Column, n: Column): Column = {
+      val size = intDiv(n, lit(tiles.toLong))
+      val rem = n % lit(tiles.toLong)
+      when(rn <= rem * (size + lit(1L)),
+        intDiv(rn - lit(1L), size + lit(1L)) + lit(1L))
+        .otherwise(rem +
+          intDiv(rn - lit(1L) - rem * (size + lit(1L)), size) + lit(1L))
+    }
+    // global rn over (key asc, entity asc) without a global window:
+    // value-collapse + globalCumSum + per-value tie-break
+    def scored(in: DataFrame, keyExpr: Column, name: String): DataFrame = {
+      val withKey = in.withColumn("__k", keyExpr.cast(DoubleType))
+      val vc = withKey.groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      val cum = Series.globalCumSum(vc, "__k", Seq("__c"),
+        withTotals = true)
+        .select(col("__k"), (col("cum___c") - col("__c")).as("__below"),
+          col("total___c").as("__n"))
+      val rn = col("__below") +
+        row_number().over(
+          Window.partitionBy(col("__k")).orderBy(col(entityCol)))
+          .cast(LongType)
+      withKey.join(cum, Seq("__k"))
+        .withColumn(name, tileIdx(rn, col("__n")))
+        .drop("__k", "__below", "__n")
+    }
+    val out = scored(scored(scored(per,
+      -col("recency_days"), "r"),
+      col("frequency"), "f"),
+      col("monetary"), "m")
+    out.select(col(entityCol), col("recency_days"), col("frequency"),
+      col("monetary"), col("r"), col("f"), col("m"),
+      concat(col("r").cast("string"), col("f").cast("string"),
+        col("m").cast("string")).as("segment"))
+  }
+
+  /** Kaplan–Meier survival estimate over per-entity lifetimes with
+    * right censoring: lifetime = days between an entity's first and
+    * last event; an entity still active within `horizonDays` of the
+    * corpus max timestamp is CENSORED (its true lifetime is only known
+    * to be ≥ the observed one — dropping such users would bias
+    * survival down, the classic churn-analysis mistake). Returns one
+    * row per distinct lifetime: (t_days, n_risk, events, censored,
+    * survival), S(t) = Π over t'≤t of (1 − d/n) — right-continuous,
+    * censored entities leave the risk set but trigger no factor.
+    *
+    * Cross-engine determinism: each factor's ln rounds to integer
+    * NANOS before the running sum (the lm_perplexity convention — the
+    * product becomes an exact BIGINT prefix sum), survival =
+    * exp(nanos/1e9) rounded 6dp; a 1ulp libm difference cannot move
+    * the 6th decimal. The d = n boundary (risk set wiped out) floors
+    * the factor at 1e-12 so survival rounds to exactly 0 with no ±∞.
+    *
+    * Scale shape: ONE events-sized shuffle (per-entity min/max rollup);
+    * lifetimes then collapse to distinct durations, and both running
+    * quantities (risk-set depletion, log-survival) ride
+    * [[Series.globalCumSum]] over the durations-sized frame — no
+    * global window, no per-key arrays. */
+  def kaplanMeier(df: DataFrame, entityCol: String, tsCol: String,
+      horizonDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val maxTs = df.agg(max(col(tsCol)).as("__maxts"))
+    val per = df
+      .where(col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(min(col(tsCol)).as("__f"), max(col(tsCol)).as("__l"))
+      .crossJoin(broadcast(maxTs))
+      .select(
+        datediff(to_date(col("__l")), to_date(col("__f")))
+          .cast(LongType).as("t_days"),
+        when(col("__l") < col("__maxts") -
+          expr(s"INTERVAL $horizonDays DAYS"), lit(1L)).otherwise(lit(0L))
+          .as("__obs"))
+    val g = per.groupBy(col("t_days"))
+      .agg(sum(col("__obs")).as("events"),
+        sum(lit(1L) - col("__obs")).as("censored"))
+      .withColumn("__t", col("events") + col("censored"))
+    val cum = Series.globalCumSum(g, "t_days", Seq("__t"),
+      withTotals = true)
+      .withColumn("n_risk", col("total___t") - col("cum___t") + col("__t"))
+    val step = cum.withColumn("__step",
+      round(lit(1e9) * log(greatest(
+        lit(1.0) - col("events").cast(DoubleType) /
+          col("n_risk").cast(DoubleType), lit(1e-12)))).cast(LongType))
+    Series.globalCumSum(step.select(col("t_days"), col("n_risk"),
+        col("events"), col("censored"), col("__step")),
+        "t_days", Seq("__step"), withTotals = false)
+      .select(col("t_days"), col("n_risk"), col("events"), col("censored"),
+        round(exp(col("cum___step").cast(DoubleType) / lit(1e9)), 6)
+          .as("survival"))
+  }
 }

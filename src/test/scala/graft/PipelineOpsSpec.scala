@@ -438,6 +438,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tie == Seq(5L, 7L))
   }
 
+  test("rfmSegments: exact ntile remainder split; ties break on entity") {
+    val s = spark
+    import s.implicits._
+    // 7 users, one event each: user u at day u with value u.
+    // All frequencies tie at 1 → tie-break by user id; monetary = u;
+    // recency_days = 7−u (user 7 most recent). ntile(5) over 7 rows:
+    // tile sizes [2,2,1,1,1] → rn→tile = [1,1,2,2,3,4,5].
+    val ev = (1 to 7).map(u => (u.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-${u}%02d 12:00:00"),
+      u.toDouble)).toDF("u", "ts", "v")
+    val got = graft.ops.Events.rfmSegments(ev, "u", "ts", "v")
+      .collect().map(r => r.getAs[Long]("u") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("r"),
+          r.getAs[Long]("f"), r.getAs[Long]("m"),
+          r.getAs[String]("segment"))).toMap
+    val tile = Array(1L, 1L, 2L, 2L, 3L, 4L, 5L)
+    (1 to 7).foreach { u =>
+      val (rd, r, f, m, seg) = got(u.toLong)
+      assert(rd == 7L - u, s"user $u recency $rd")
+      // recency desc puts user 1 first; freq ties resolve by user id;
+      // monetary ascends with u — all three give rank u
+      assert((r, f, m) == ((tile(u - 1), tile(u - 1), tile(u - 1))),
+        s"user $u tiles ($r,$f,$m)")
+      assert(seg == s"${tile(u - 1)}${tile(u - 1)}${tile(u - 1)}")
+    }
+  }
+
+  test("kaplanMeier: hand-computed survival curve with censoring, " +
+      "and a wiped-out risk set → survival exactly 0") {
+    val s = spark
+    import s.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        d * 86400000L)
+    // A: 0→10 obs; B: 2→4 obs; C: 1 only (t=0) obs;
+    // D: 0→29 censored (within 7d of max ts day 29)
+    val ev = Seq(("A", ts(0)), ("A", ts(10)), ("B", ts(2)), ("B", ts(4)),
+      ("C", ts(1)), ("D", ts(0)), ("D", ts(29))).toDF("e", "ts")
+    val got = graft.ops.Events.kaplanMeier(ev, "e", "ts")
+      .collect().map(r => r.getAs[Long]("t_days") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("events"),
+          r.getAs[Long]("censored"), r.getAs[Double]("survival"))).toMap
+    assert(got(0L) == ((4L, 1L, 0L, 0.75)))
+    assert(got(2L) == ((3L, 1L, 0L, 0.5)))
+    assert(got(10L) == ((2L, 1L, 0L, 0.25)))
+    assert(got(29L) == ((1L, 0L, 1L, 0.25))) // censor: no factor
+    // both remaining entities fail at t=5 → factor floors, S = 0
+    val wipe = Seq(("A", ts(0)), ("A", ts(5)), ("B", ts(1)), ("B", ts(6)),
+      ("E", ts(30))).toDF("e", "ts")
+    val w = graft.ops.Events.kaplanMeier(wipe, "e", "ts")
+      .collect().map(r => r.getAs[Long]("t_days") ->
+        r.getAs[Double]("survival")).toMap
+    assert(w(0L) == 1.0 && w(5L) == 0.0)
+  }
+
   // ---------------- Events.transitionMatrix / topPaths ----------------
 
   test("transitionMatrix: lag pairs, conditional micros, first event free") {
