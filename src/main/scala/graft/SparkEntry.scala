@@ -6049,6 +6049,69 @@ object SparkEntry {
       |SELECT u, v, common, aa_nano, ROUND(aa_nano / 1e9, 6) AS aa
       |FROM nf ORDER BY aa_nano DESC, u, v LIMIT 30""".stripMargin)),
 
+    Q("quality_fd_check", (s, dir) => {
+      // functional-dependency audit: user_id → event_type is (by
+      // construction) violated; report the top-20 offending keys.
+      Quality.fdViolations(Tables(s, dir).events, Seq("user_id"),
+        "event_type", topK = 20)
+        .sortByKeys(SortKey("n_dep", desc = true), SortKey("user_id"))
+    }, Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_dep,
+      |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_null_dep
+      |FROM events WHERE user_id IS NOT NULL GROUP BY 1
+      |HAVING COUNT(DISTINCT event_type) > 1
+      |ORDER BY n_dep DESC, user_id LIMIT 20""".stripMargin)),
+
+    Q("text_readability", (s, dir) => {
+      // Flesch reading ease per doc: vowel-group syllables, [.!?]+
+      // sentences — plain SQL expressions DuckDB replays term-for-term.
+      val f = graft.functions.TextFunctions.fleschReadability(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), f.getField("n_words").as("n_words"),
+          f.getField("n_sentences").as("n_sentences"),
+          f.getField("n_syllables").as("n_syllables"),
+          f.getField("flesch").as("flesch"), f.getField("band").as("band"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS words,
+      |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+      |  CAST(ns AS BIGINT) AS n_sentences,
+      |  CAST(coalesce(list_sum(list_transform(words, x ->
+      |    greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+      |    AS BIGINT) AS n_syllables FROM w),
+      |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0 THEN ROUND(206.835
+      |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+      |    END AS flesch FROM m)
+      |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+      |  CASE WHEN flesch IS NULL THEN NULL
+      |    WHEN flesch >= 90 THEN 'very_easy'
+      |    WHEN flesch >= 70 THEN 'easy'
+      |    WHEN flesch >= 50 THEN 'medium'
+      |    WHEN flesch >= 30 THEN 'hard'
+      |    ELSE 'very_hard' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin)),
+
+    Q("sim_random_projection", (s, dir) => {
+      // deterministic-Rademacher JL projection 64-d → 16-d; exact
+      // integer ten-thousandths, ','-joined for the comparator.
+      Similarity.randomProjection(Tables(s, dir).embeddings)
+        .sortByKeys(SortKey("vec_id"))
+    }, Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |  array_to_string(list_transform(generate_series(0, 15), j ->
+      |    CAST(CAST(ROUND(list_sum(list_transform(
+      |      generate_series(1, len(embedding)), i ->
+      |        CAST(embedding[i] AS DOUBLE) *
+      |        (CASE WHEN (((i - 1) * 73856093 + j * 19349663)
+      |          % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)))
+      |      / sqrt(16.0) * 1e4) AS BIGINT) AS VARCHAR)), ',') AS proj
+      |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     Q("events_rfm", (s, dir) => {
       // RFM quintiles per user — exact ntile semantics via
       // value-collapsed ranks + globalCumSum (no single-partition

@@ -103,6 +103,48 @@ object TextFunctions {
     lengthOk + punctOk + stopOk + wordOk
   }
 
+  /** Per-document Flesch reading-ease metrics as a struct
+    * (n_words, n_sentences, n_syllables, flesch 4dp, band) — the
+    * readability heuristic a quality filter buckets on (very low
+    * scores flag legalese/OCR noise, absurdly high ones flag word
+    * salad). Syllables use the standard vowel-group approximation
+    * (runs of [aeiouy], min 1 per word); sentences count [.!?]+ runs
+    * (min 1). 206.835 − 1.015·(W/S) − 84.6·(Y/W); empty text → null
+    * score and band. Bands: ≥90 very_easy, ≥70 easy, ≥50 medium,
+    * ≥30 hard, else very_hard.
+    *
+    * Everything is plain codegen'd SQL expressions (split /
+    * regexp_extract_all / HOF fold — no UDF), deliberately
+    * DuckDB-replayable term for term, and a pure scan-side projection:
+    * no shuffle at any scale. */
+  def fleschReadability(c: Column): Column = {
+    val words = filter(split(lower(c), "\\s+"), w => length(w) > 0)
+    val nw = size(words)
+    val syl = aggregate(
+      transform(words, w => greatest(
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast(LongType)),
+      lit(0L), (a, x) => a + x)
+    val ns = greatest(size(regexp_extract_all(c, lit("[.!?]+"), lit(0))),
+      lit(1))
+    // nullif guards: ANSI double division throws on /0, and
+    // subexpression elimination may evaluate the false when() branch
+    val score = round(lit(206.835) -
+      lit(1.015) * (nw.cast(DoubleType) / ns.cast(DoubleType)) -
+      lit(84.6) * (syl.cast(DoubleType) /
+        nullif(nw.cast(DoubleType), lit(0.0))), 4)
+    val flesch = when(nw > 0, score).otherwise(lit(null).cast(DoubleType))
+    val band = when(flesch.isNull, lit(null).cast("string"))
+      .when(flesch >= 90, lit("very_easy"))
+      .when(flesch >= 70, lit("easy"))
+      .when(flesch >= 50, lit("medium"))
+      .when(flesch >= 30, lit("hard"))
+      .otherwise(lit("very_hard"))
+    struct(nw.cast(LongType).as("n_words"), ns.cast(LongType)
+        .as("n_sentences"), syl.as("n_syllables"),
+      flesch.as("flesch"), band.as("band"))
+  }
+
   /** BPE merge-pair statistics — ONE iteration of byte-pair-encoding
     * tokenizer training: count adjacent character pairs across the
     * corpus, weighted by word frequency (the argmax pair is the next BPE

@@ -484,4 +484,35 @@ object Quality {
     counts.select(col("category"), col("base_n"), col("cur_n"),
       round(chi * lit(1e9)).cast("long").as("chi_nano"))
   }
+
+  /** Functional-dependency violation report: does `detCols → depCol`
+    * hold? Returns the `topK` determinant keys with MORE than one
+    * distinct non-null dependent value — (det cols…, n_rows, n_dep,
+    * n_null_dep), ordered (n_dep desc, det asc) so ties cut
+    * deterministically. An empty result means the FD holds (modulo
+    * nulls — `n_null_dep` counts dependent nulls separately rather
+    * than folding them into the distinct count, so a key whose only
+    * "second value" is NULL does not flag). The schema-discovery /
+    * data-contract primitive: "order_id determines status" is an
+    * assertion this report either certifies or refutes with the
+    * offending keys in hand.
+    *
+    * Scale shape: one exact `countDistinct` aggregate — Catalyst
+    * expands it to the standard two-level plan ((det, dep) partial
+    * dedup, then per-det rollup: two shuffles, both map-side-combined,
+    * no row wider than the key pair); the violation filter prunes
+    * before the TakeOrderedAndProject top-k. */
+  def fdViolations(df: DataFrame, detCols: Seq[String], depCol: String,
+      topK: Int = 20): DataFrame = {
+    require(detCols.nonEmpty, "fdViolations: need >=1 determinant column")
+    val g = df
+      .where(detCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(detCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(depCol)).as("n_dep"),
+        sum(when(col(depCol).isNull, 1L).otherwise(0L)).as("n_null_dep"))
+    g.where(col("n_dep") > 1)
+      .orderBy(col("n_dep").desc +: detCols.map(c => col(c).asc): _*)
+      .limit(topK)
+  }
 }

@@ -836,6 +836,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.flatMap(_._3).forall(c => c >= -127 && c <= 127))
   }
 
+  test("randomProjection: deterministic Rademacher signs, exact " +
+      "ten-thousandths, k columns") {
+    val s = spark
+    import s.implicits._
+    def sign(i: Long, j: Long): Double =
+      if (((i * 73856093L + j * 19349663L) % 1000003L) % 2L == 0L) 1.0
+      else -1.0
+    val v = Seq(1.0f, 2.0f, 3.0f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.randomProjection(df, k = 4).head()
+    assert(got.getAs[Long]("dim") == 3L)
+    val proj = got.getAs[String]("proj").split(",").map(_.toLong)
+    assert(proj.length == 4)
+    val want = (0 until 4).map { j =>
+      val sum = v.indices.map(i => v(i).toDouble * sign(i, j)).sum
+      math.round(sum / math.sqrt(4.0) * 1e4)
+    }
+    assert(proj.toSeq == want, s"${proj.toSeq} vs $want")
+    // same input → same output (no hidden RNG state)
+    val again = graft.ops.Similarity.randomProjection(df, k = 4).head()
+    assert(again.getAs[String]("proj") == got.getAs[String]("proj"))
+  }
+
+  test("fleschReadability: hand-computed score, bands, empty → null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("The cat sat.", 1L), ("", 2L)).toDF("t", "id")
+    val f = graft.functions.TextFunctions.fleschReadability(col("t"))
+    val rows = df.select(col("id"), f.as("r")).orderBy("id").collect()
+    val r1 = rows(0).getStruct(1)
+    // 3 words, 1 sentence, 1 vowel-group each → 206.835−3.045−84.6
+    assert(r1.getAs[Long]("n_words") == 3L)
+    assert(r1.getAs[Long]("n_sentences") == 1L)
+    assert(r1.getAs[Long]("n_syllables") == 3L)
+    assert(r1.getAs[Double]("flesch") == 119.19)
+    assert(r1.getAs[String]("band") == "very_easy")
+    val r2 = rows(1).getStruct(1)
+    assert(r2.getAs[Long]("n_words") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("flesch")) &&
+      r2.isNullAt(r2.fieldIndex("band")))
+  }
+
   // ---------------- Agg.skewReport ----------------
 
   test("skewReport: heavy key surfaces with share and x-median weight") {

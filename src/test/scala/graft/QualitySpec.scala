@@ -256,4 +256,26 @@ class QualitySpec extends AnyFunSuite {
       .collect().head
     assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.getLong(2) == 0L)
   }
+
+  test("fdViolations: violated keys surface, null-only second value " +
+      "does not flag, holds-FD yields empty") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option("a")), (1L, Option("b")), (1L, Option("a")), // violates
+      (2L, Option("a")), (2L, Option.empty[String]),           // null only
+      (3L, Option("c")), (3L, Option("c"))                     // holds
+    ).toDF("k", "v")
+    val got = Quality.fdViolations(df, Seq("k"), "v").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("k") == 1L && r.getAs[Long]("n_rows") == 3L &&
+      r.getAs[Long]("n_dep") == 2L && r.getAs[Long]("n_null_dep") == 0L)
+    // key 2 is reported nowhere, but its null count is visible if asked
+    val all = Quality.fdViolations(df.where(col("k") === 2), Seq("k"), "v")
+    assert(all.count() == 0L)
+    // FD that holds globally → empty report
+    val ok = Seq((1L, "x"), (2L, "y"), (1L, "x")).toDF("k", "v")
+    assert(Quality.fdViolations(ok, Seq("k"), "v").count() == 0L)
+  }
 }
