@@ -6049,6 +6049,119 @@ object SparkEntry {
       |SELECT u, v, common, aa_nano, ROUND(aa_nano / 1e9, 6) AS aa
       |FROM nf ORDER BY aa_nano DESC, u, v LIMIT 30""".stripMargin)),
 
+    Q("events_attribution_linear", (s, dir) => {
+      // linear multi-touch: per-conversion equal micro-credits to every
+      // touch at-or-before it in-session, via ONE descending suffix-sum
+      // window (never the touches x conversions self-join).
+      graft.ops.Events.linearAttribution(Tables(s, dir).events,
+          "user_id", "ts", Seq("ts", "event_id"), "event_type",
+          convType = "purchase", gapUs = 1800000000L)
+        .sortByKeys(SortKey("touch_type"))
+    }, Some("""WITH w AS (SELECT user_id, event_type, event_id,
+      |  epoch_us(ts) AS t FROM events),
+      |s AS (SELECT *, CASE WHEN
+      |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      > 1800000000
+      |    OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      IS NULL THEN 1 ELSE 0 END AS nw FROM w),
+      |s2 AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+      |  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |  CURRENT ROW) AS sess FROM s),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id, sess
+      |  ORDER BY t, event_id) AS BIGINT) AS rn FROM s2),
+      |cb AS (SELECT *, CASE WHEN event_type = 'purchase'
+      |  THEN CAST(ROUND(1e6 / rn) AS BIGINT) ELSE 0 END AS contrib
+      |  FROM r),
+      |cr AS (SELECT *, SUM(contrib) OVER (PARTITION BY user_id, sess
+      |  ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |  CURRENT ROW) AS credit FROM cb)
+      |SELECT event_type AS touch_type,
+      |  CAST(SUM(credit) AS BIGINT) AS credit_micro,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches
+      |FROM cr GROUP BY 1 ORDER BY touch_type""".stripMargin)),
+
+    Q("events_attribution_last", (s, dir) => {
+      // last-touch: conversions credit the most recent NON-conversion
+      // in-session touch; no prior touch → the '(none)' bucket.
+      graft.ops.Events.lastTouchAttribution(Tables(s, dir).events,
+          "user_id", "ts", Seq("ts", "event_id"), "event_type",
+          convType = "purchase", gapUs = 1800000000L)
+        .sortByKeys(SortKey("last_type"))
+    }, Some("""WITH w AS (SELECT user_id, event_type, event_id,
+      |  epoch_us(ts) AS t FROM events),
+      |s AS (SELECT *, CASE WHEN
+      |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      > 1800000000
+      |    OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      IS NULL THEN 1 ELSE 0 END AS nw FROM w),
+      |s2 AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+      |  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |  CURRENT ROW) AS sess FROM s),
+      |p AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+      |    THEN event_type END IGNORE NULLS) OVER (
+      |  PARTITION BY user_id, sess ORDER BY t, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      |  FROM s2)
+      |SELECT COALESCE(prev, '(none)') AS last_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_conversions
+      |FROM p WHERE event_type = 'purchase' GROUP BY 1
+      |ORDER BY last_type""".stripMargin)),
+
+    Q("events_time_to_convert", (s, dir) => {
+      // view → purchase latency: clock opens at each user's FIRST view,
+      // closes at the first purchase at-or-after it; exact R-7
+      // percentiles in seconds.
+      graft.ops.Events.timeToConversion(Tables(s, dir).events,
+        "user_id", "ts", "event_type", startType = "view",
+        convType = "purchase")
+    }, Some("""WITH b AS (SELECT user_id, event_type, ts FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |st AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_started
+      |  FROM b WHERE event_type = 'view'),
+      |ws AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |  OVER (PARTITION BY user_id) AS strt FROM b),
+      |cv AS (SELECT user_id, CAST((epoch_us(min(ts)) -
+      |    epoch_us(min(strt))) // 1000000 AS BIGINT) AS delta_s
+      |  FROM ws WHERE event_type = 'purchase' AND strt IS NOT NULL
+      |    AND ts >= strt GROUP BY 1),
+      |d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+      |  ROUND(quantile_cont(delta_s, 0.5), 6) AS median_s,
+      |  ROUND(quantile_cont(delta_s, 0.9), 6) AS p90_s FROM cv)
+      |SELECT n_started, n_converted,
+      |  CAST(ROUND(1e6 * n_converted / n_started) AS BIGINT)
+      |    AS rate_micro, median_s, p90_s
+      |FROM d, st""".stripMargin)),
+
+    Q("text_hapax", (s, dir) => {
+      // hapax/dis legomena corpus-health report over documents.
+      graft.ops.Stats.hapaxReport(Tables(s, dir).documents, "text")
+    }, Some("""WITH w AS (SELECT unnest(list_filter(
+      |  regexp_split_to_array(lower(text), '\W+'),
+      |  x -> len(x) > 0)) AS t FROM documents),
+      |c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1)
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+      |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS hapax_ratio
+      |FROM c""".stripMargin)),
+
+    Q("sim_norm_stats", (s, dir) => {
+      // embedding L2-norm audit; per-row fixed-order fold rounded 6dp
+      // BEFORE the corpus stats.
+      Similarity.normStats(Tables(s, dir).embeddings)
+    }, Some("""WITH n AS (SELECT ROUND(sqrt(list_sum(list_transform(
+      |  embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+      |  AS nr FROM embeddings)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN nr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero,
+      |  MIN(nr) AS min_norm, MAX(nr) AS max_norm,
+      |  ROUND(AVG(nr), 6) AS avg_norm,
+      |  ROUND(quantile_cont(nr, 0.5), 6) AS p50_norm
+      |FROM n""".stripMargin)),
+
     Q("quality_fd_check", (s, dir) => {
       // functional-dependency audit: user_id → event_type is (by
       // construction) violated; report the top-20 offending keys.

@@ -269,6 +269,134 @@ object Events {
       .select(col("rank"), col("path"), col("n_entities"))
   }
 
+  /** LINEAR multi-touch attribution: every event at-or-before a
+    * conversion inside the same gap-session shares the conversion's
+    * credit equally — the model marketing teams reach for when
+    * first-touch ([[firstTouchAttribution]]) over-rewards the entry
+    * channel. A conversion at session position r grants each of the r
+    * touches ≤ r exactly round(10⁶/r) micro-credits (per-touch micros
+    * round BEFORE summing — exact integers any engine replays; the ≤1
+    * micro lost per conversion to rounding is documented, not hidden).
+    * Returns (touch_type, credit_micro, n_touches) over ALL event
+    * types, zero-credit rows included.
+    *
+    * The per-touch credit Σ_{conversions c: r_c ≥ r} round(10⁶/r_c)
+    * is a SUFFIX sum over the session — so the whole model is one
+    * descending-order running-sum window, not the touches×conversions
+    * self-join the naive formulation pays (a 10⁴-event session would
+    * fan out 10⁸ pairs). Scale shape: ONE entity-key Exchange
+    * (sessionize + rank + suffix sum share it) then a type-key count
+    * shuffle. */
+  def linearAttribution(df: DataFrame, entityCol: String, tsCol: String,
+      orderCols: Seq[String], typeCol: String, convType: String,
+      gapUs: Long): DataFrame = {
+    require(orderCols.nonEmpty, "linearAttribution: need an order")
+    require(gapUs > 0, "linearAttribution: gapUs must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ts = unix_micros(col(tsCol))
+    val sess = df
+      .withColumn("__new",
+        when(ts - lag(ts, 1).over(w) > gapUs ||
+          lag(ts, 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(wRun))
+    val wSess = Window.partitionBy(col(entityCol), col("__sess"))
+      .orderBy(orderCols.map(col): _*)
+    val ranked = sess.withColumn("__rn", row_number().over(wSess))
+      .withColumn("__contrib",
+        when(col(typeCol) === convType,
+          round(lit(1e6) / col("__rn")).cast(LongType)).otherwise(lit(0L)))
+    val wSuffix = Window.partitionBy(col(entityCol), col("__sess"))
+      .orderBy(col("__rn").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("__credit", sum(col("__contrib")).over(wSuffix))
+      .groupBy(col(typeCol).as("touch_type"))
+      .agg(sum(col("__credit")).as("credit_micro"),
+        count(lit(1)).as("n_touches"))
+  }
+
+  /** LAST-TOUCH attribution: each conversion credits the most recent
+    * NON-conversion event before it in the same gap-session (the
+    * "closer" channel); a conversion with no prior touch in its
+    * session lands in the `(none)` bucket rather than silently
+    * self-crediting. Returns (last_type, n_conversions).
+    *
+    * Scale shape: the same single entity-key Exchange as
+    * [[firstTouchAttribution]] — sessionize, then one ignore-nulls
+    * running last_value over rows strictly before the current one;
+    * conversions filter and count per attributed type. */
+  def lastTouchAttribution(df: DataFrame, entityCol: String,
+      tsCol: String, orderCols: Seq[String], typeCol: String,
+      convType: String, gapUs: Long): DataFrame = {
+    require(orderCols.nonEmpty, "lastTouchAttribution: need an order")
+    require(gapUs > 0, "lastTouchAttribution: gapUs must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ts = unix_micros(col(tsCol))
+    val sess = df
+      .withColumn("__new",
+        when(ts - lag(ts, 1).over(w) > gapUs ||
+          lag(ts, 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(wRun))
+    val wPrev = Window.partitionBy(col(entityCol), col("__sess"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sess
+      .withColumn("__prev",
+        last(when(col(typeCol) =!= convType, col(typeCol)),
+          ignoreNulls = true).over(wPrev))
+      .where(col(typeCol) === convType)
+      .groupBy(coalesce(col("__prev"), lit("(none)")).as("last_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** Time-to-conversion funnel summary: per entity, the FIRST
+    * `startType` event opens the clock and the first `convType` event
+    * at-or-after it closes it. ONE row: (n_started, n_converted,
+    * rate_micro, median_s, p90_s) — conversion rate in exact micros,
+    * latency percentiles (R-7, 6dp) in seconds. Entities that convert
+    * before ever starting do NOT count as conversions (the ts ≥ start
+    * guard), the subtle funnel-integrity rule naive min/min joins get
+    * wrong.
+    *
+    * Scale shape: one entity-key Exchange (partition-window min-start
+    * shared by every row, conversions filter against it in the same
+    * pass — no second aggregate + join-back), one entity rollup, then
+    * 1-row frames meet in broadcast cross joins. */
+  def timeToConversion(df: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, startType: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val base = df.where(col(entityCol).isNotNull && col(tsCol).isNotNull)
+    val started = base.where(col(typeCol) === startType)
+      .agg(countDistinct(col(entityCol)).as("n_started"))
+    val w = Window.partitionBy(col(entityCol))
+    val conv = base
+      .withColumn("__start",
+        min(when(col(typeCol) === startType, col(tsCol))).over(w))
+      .where(col(typeCol) === convType && col("__start").isNotNull &&
+        col(tsCol) >= col("__start"))
+      .groupBy(col(entityCol))
+      .agg(((unix_micros(min(col(tsCol))) -
+        unix_micros(min(col("__start")))) / lit(1000000L))
+        .cast(LongType).as("__delta_s"))
+    val dist = conv.agg(count(lit(1)).as("n_converted"),
+      round(percentile(col("__delta_s"), lit(0.5)), 6).as("median_s"),
+      round(percentile(col("__delta_s"), lit(0.9)), 6).as("p90_s"))
+    dist.crossJoin(broadcast(started))
+      .select(col("n_started"), col("n_converted"),
+        round(lit(1e6) * col("n_converted").cast(DoubleType) /
+          nullif(col("n_started").cast(DoubleType), lit(0.0)))
+          .cast(LongType).as("rate_micro"),
+        col("median_s"), col("p90_s"))
+  }
+
   /** RFM segmentation: per entity, Recency (days since last event,
     * against the corpus max timestamp), Frequency (event count) and
     * Monetary (Σ value, 2dp), each scored into `tiles` equal-count

@@ -601,4 +601,26 @@ object Similarity {
     df.select(col(idCol), size(col(vecCol)).cast(LongType).as("dim"),
       concat_ws(",", transform(proj, p => p.cast("string"))).as("proj"))
   }
+
+  /** Embedding-norm audit — ONE row (n, n_zero, min_norm, max_norm,
+    * avg_norm, p50_norm, all 6dp): the sanity check before any cosine
+    * pipeline (un-normalized vectors silently break cosine-as-dot
+    * shortcuts; zero vectors NaN-poison similarity). Each row's L2
+    * norm is a fixed-order fold (Σx² left-to-right, then sqrt) rounded
+    * 6dp BEFORE the corpus stats, so every engine aggregates identical
+    * inputs; p50 is the exact R-7 median.
+    *
+    * Scale shape: scan-side per-row fold + one aggregate (the exact
+    * median sorts norm values — 8 bytes/row; swap for approx_percentile
+    * if even that is too hot at 100 TB). */
+  def normStats(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast(DoubleType))
+    val norm = round(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)), 6)
+    df.select(norm.as("__n"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__n") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("__n")).as("min_norm"), max(col("__n")).as("max_norm"),
+        round(avg(col("__n")), 6).as("avg_norm"),
+        round(percentile(col("__n"), lit(0.5)), 6).as("p50_norm"))
+  }
 }

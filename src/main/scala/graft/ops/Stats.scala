@@ -213,4 +213,29 @@ object Stats {
       round(col("__cov") * col("__cov") /
         nullif(col("__varx") * col("__vary"), lit(0.0)), 6).as("r2"))
   }
+
+  /** Hapax-legomena report — ONE row (n_tokens, vocab, hapax, dis,
+    * hapax_ratio 6dp): how much of the vocabulary occurs exactly once
+    * (hapax) or twice (dis). The quick corpus-health companion to
+    * [[zipfFit]]: natural corpora sit near 40–60% hapax; far below
+    * suggests templated/duplicated text, far above suggests OCR noise
+    * or tokenizer breakage.
+    *
+    * Scale shape: the corpus collapses to token counts ONCE (explode +
+    * count shuffle with map-side partials); the report is one
+    * conditional aggregate over the vocab-sized frame. */
+  def hapaxReport(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    counts.agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax"),
+      sum(when(col("__c") === 2, 1L).otherwise(0L)).as("dis"))
+      .withColumn("hapax_ratio",
+        round(col("hapax").cast(DoubleType) /
+          nullif(col("vocab").cast(DoubleType), lit(0.0)), 6))
+  }
 }

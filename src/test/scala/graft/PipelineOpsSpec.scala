@@ -438,6 +438,89 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tie == Seq(5L, 7L))
   }
 
+  test("linearAttribution: suffix-sum credits equal the per-conversion " +
+      "1/r shares; sessions split credit") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // one session: a@1, b@2, p@3, p@4 → contribs 1e6/3, 1e6/4
+    val ev = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (1L, ts(3), 3L, "p"), (1L, ts(4), 4L, "p"))
+      .toDF("u", "ts", "event_id", "t")
+    val got = graft.ops.Events.linearAttribution(ev, "u", "ts",
+      Seq("ts", "event_id"), "t", "p", gapUs = 1800000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") == ((583333L, 1L))) // 333333 + 250000
+    assert(got("b") == ((583333L, 1L)))
+    assert(got("p") == ((833333L, 2L))) // rn3 credit + rn4 self 250000
+    // a gap splits the session: the early touch earns nothing
+    val ev2 = Seq((1L, ts(1), 1L, "a"), (1L, ts(4000), 2L, "b"),
+      (1L, ts(4001), 3L, "p")).toDF("u", "ts", "event_id", "t")
+    val g2 = graft.ops.Events.linearAttribution(ev2, "u", "ts",
+      Seq("ts", "event_id"), "t", "p", gapUs = 1800000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2("a") == 0L && g2("b") == 500000L && g2("p") == 500000L)
+  }
+
+  test("lastTouchAttribution: closest non-conversion touch wins; bare " +
+      "conversion lands in (none)") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // u1: a, p, p → both purchases credit a (conv rows skipped looking
+    // back); u2: lone purchase → (none)
+    val ev = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "p"),
+      (1L, ts(3), 3L, "p"), (2L, ts(1), 4L, "p"))
+      .toDF("u", "ts", "event_id", "t")
+    val got = graft.ops.Events.lastTouchAttribution(ev, "u", "ts",
+      Seq("ts", "event_id"), "t", "p", gapUs = 1800000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 2L, "(none)" -> 1L))
+  }
+
+  test("timeToConversion: clock opens at first start; conversions " +
+      "before it do not count") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "purchase"),  // converts, 10 s
+      (2L, ts(5), "purchase"), (2L, ts(7), "view"),   // purchase precedes
+      (3L, ts(0), "view")                             // never converts
+    ).toDF("u", "ts", "t")
+    val r = graft.ops.Events.timeToConversion(ev, "u", "ts", "t",
+      "view", "purchase").head()
+    assert(r.getAs[Long]("n_started") == 3L)
+    assert(r.getAs[Long]("n_converted") == 1L)
+    assert(r.getAs[Long]("rate_micro") == 333333L)
+    assert(r.getAs[Double]("median_s") == 10.0)
+    assert(r.getAs[Double]("p90_s") == 10.0)
+  }
+
+  test("hapaxReport: counts and ratio on a hand corpus") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1("a a b c")).toDF("text")
+    val r = graft.ops.Stats.hapaxReport(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 4L && r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("hapax") == 2L && r.getAs[Long]("dis") == 1L)
+    assert(r.getAs[Double]("hapax_ratio") == 0.666667)
+  }
+
+  test("normStats: exact norms, zero-vector count, R-7 median") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.normStats(df).head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Double]("min_norm") == 0.0)
+    assert(r.getAs[Double]("max_norm") == 5.0)
+    assert(r.getAs[Double]("avg_norm") == 2.0)
+    assert(r.getAs[Double]("p50_norm") == 1.0)
+  }
+
   test("rfmSegments: exact ntile remainder split; ties break on entity") {
     val s = spark
     import s.implicits._
