@@ -6049,6 +6049,73 @@ object SparkEntry {
       |SELECT u, v, common, aa_nano, ROUND(aa_nano / 1e9, 6) AS aa
       |FROM nf ORDER BY aa_nano DESC, u, v LIMIT 30""".stripMargin)),
 
+    Q("events_cohort_ltv", (s, dir) => {
+      // cohort-month LTV curves: purchase revenue cumulating over
+      // months-since-cohort; per-cell 2dp rounding BEFORE the
+      // sequential per-cohort cumsum keeps both engines bit-equal.
+      Events.cohortLtv(Tables(s, dir).events, "user_id", "ts",
+          "event_type", revenueType = "purchase", valueCol = "value")
+        .sortByKeys(SortKey("cohort_month"), SortKey("age_month"))
+    }, Some("""WITH b AS (SELECT user_id, ts, event_type, value
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |co AS (SELECT user_id, date_trunc('month', min(ts)) AS cm
+      |  FROM b GROUP BY 1),
+      |sz AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM co GROUP BY 1),
+      |ce AS (SELECT co.cm, CAST(date_diff('month', co.cm,
+      |    date_trunc('month', b.ts)) AS INTEGER) AS age_month,
+      |  ROUND(SUM(CASE WHEN b.event_type = 'purchase'
+      |    THEN COALESCE(b.value, 0) ELSE 0 END), 2) AS revenue
+      |  FROM b JOIN co USING (user_id) GROUP BY 1, 2),
+      |cw AS (SELECT *, ROUND(SUM(revenue) OVER (PARTITION BY cm
+      |  ORDER BY age_month ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |  CURRENT ROW), 2) AS cum_revenue FROM ce)
+      |SELECT strftime(cw.cm, '%Y-%m') AS cohort_month, age_month, n_users,
+      |  revenue, cum_revenue,
+      |  CAST(ROUND(1e6 * cum_revenue / n_users) AS BIGINT) AS ltv_micro
+      |FROM cw JOIN sz ON sz.cm = cw.cm
+      |ORDER BY cohort_month, age_month""".stripMargin)),
+
+    Q("graph_ppr", (s, dir) => {
+      // personalized PageRank from the doc_id%50 seed set over the
+      // out-degree-3 synthetic graph (no dangling nodes, so the
+      // 10-step oracle unroll needs no dangling term).
+      val docs = Tables(s, dir).documents.selectNames(Seq("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .select(col("src"), pmod(col("src") * 31 + col("j"), lit(n)).as("dst"))
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+          docs.where(pmod(col("doc_id"), lit(50)) === 0), "doc_id",
+          damping = 0.85, iters = 10)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some {
+      val steps = (1 to 10).map { k =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    CASE WHEN n.node % 50 = 0 THEN 0.15 / sc.c ELSE 0.0 END
+           |      + 0.85 * COALESCE(SUM(p.rank / 3.0), 0.0) AS rank
+           |  FROM n CROSS JOIN sc
+           |  LEFT JOIN e ON e.d = n.node
+           |  LEFT JOIN r${k - 1} p ON p.node = e.s
+           |  GROUP BY n.node, sc.c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |n AS (SELECT doc_id AS node FROM documents),
+         |e AS (SELECT doc_id AS s,
+         |  CAST((doc_id * 31 + j) % (SELECT COUNT(*) FROM documents)
+         |    AS BIGINT) AS d
+         |  FROM documents, UNNEST([1, 2, 3]) AS t(j)),
+         |r0 AS (SELECT n.node, CASE WHEN n.node % 50 = 0
+         |  THEN 1.0 / sc.c ELSE 0.0 END AS rank FROM n CROSS JOIN sc),
+         |$steps
+         |SELECT node AS doc_id, ROUND(rank, 6) AS rank FROM r10
+         |ORDER BY doc_id""".stripMargin
+    }),
+
     Q("events_attribution_linear", (s, dir) => {
       // linear multi-touch: per-conversion equal micro-credits to every
       // touch at-or-before it in-session, via ONE descending suffix-sum

@@ -397,6 +397,59 @@ object Events {
         col("median_s"), col("p90_s"))
   }
 
+  /** Cohort LTV curves: entities cohort by the calendar month of their
+    * FIRST event; revenue (Σ `valueCol` over `revenueType` events)
+    * accumulates per cohort over months-since-cohort age. One row per
+    * (cohort_month — a "yyyy-MM" string, the engine-independent
+    * calendar key — age_month): (n_users, revenue, cum_revenue — both
+    * 2dp, ltv_micro = 10⁶·cum_revenue/n_users rounded) — the
+    * "how much is a January user worth by month 3" table.
+    *
+    * Cross-engine determinism: per-cell revenue rounds to 2dp BEFORE
+    * the cumulative window, and both engines then run the same
+    * sequential per-cohort cumsum over identical doubles — bit-equal;
+    * ltv divides the exact same pair.
+    *
+    * Scale shape: one entity rollup (min ts → cohort), one skinny
+    * join-back decorating events with their entity's cohort, one
+    * (cohort, age) hash aggregate, then PARTITIONED (per-cohort)
+    * cumulative windows over the cells frame — cohorts × ages rows,
+    * never events. Cohort sizes ride the same entity rollup. */
+  def cohortLtv(df: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, revenueType: String, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val base = df.where(col(entityCol).isNotNull && col(tsCol).isNotNull)
+    val cohorts = base.groupBy(col(entityCol))
+      .agg(date_trunc("month", min(col(tsCol))).as("cohort_month"))
+    val sizes = cohorts.groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("n_users"))
+    val cells = base
+      .join(cohorts, Seq(entityCol))
+      .select(col("cohort_month"),
+        months_between(date_trunc("month", col(tsCol)),
+          col("cohort_month")).cast(IntegerType).as("age_month"),
+        when(col(typeCol) === revenueType,
+          coalesce(col(valueCol), lit(0.0))).otherwise(lit(0.0))
+          .as("__rev"))
+      .groupBy(col("cohort_month"), col("age_month"))
+      .agg(round(sum(col("__rev")), 2).as("revenue"))
+    val wCum = Window.partitionBy(col("cohort_month"))
+      .orderBy(col("age_month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue", round(sum(col("revenue")).over(wCum), 2))
+      .join(sizes, Seq("cohort_month"))
+      .select(date_format(col("cohort_month"), "yyyy-MM")
+          .as("cohort_month"),
+        col("age_month"), col("n_users"), col("revenue"),
+        col("cum_revenue"),
+        round(lit(1e6) * col("cum_revenue") /
+          nullif(col("n_users").cast(DoubleType), lit(0.0)))
+          .cast(LongType).as("ltv_micro"))
+  }
+
   /** RFM segmentation: per entity, Recency (days since last event,
     * against the corpus max timestamp), Frequency (event count) and
     * Monetary (Σ value, 2dp), each scored into `tiles` equal-count

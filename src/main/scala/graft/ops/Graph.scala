@@ -82,6 +82,73 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank: teleport lands on the `seeds` node set
+    * (uniformly) instead of all nodes — rank'(v) = (1−d)·p(v) +
+    * d·(Σ_{u→v} rank(u)/outdeg(u) + dangling·p(v)), p(v) = 1/|S| on
+    * seeds, 0 elsewhere. THE similarity-to-a-set signal: "pages like
+    * my trusted domains" (TrustRank-style quality propagation),
+    * "items near this user's history". Seeds arrive as a DataFrame —
+    * a 10⁸-node seed set never rides the driver.
+    *
+    * Same iterate-checkpoint skeleton as [[pageRank]] (one rank⋈edge
+    * join + one dst rollup per iteration, dangling as a broadcast
+    * 1-row aggregate, superseded checkpoints freed in-loop); the
+    * teleport column is decorated onto the checkpointed node frame
+    * once. |S| is the only extra driver scalar. Seeds not present in
+    * the graph still receive teleport mass (they are added to the
+    * node set) — dropping them would silently re-normalize p. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      damping: Double = 0.85, iters: Int = 10,
+      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+    require(damping > 0 && damping < 1,
+      "personalizedPageRank: damping must be in (0,1)")
+    require(iters >= 1, "personalizedPageRank: iters must be >= 1")
+    val internal = new CacheHandle
+    val (e, freeE) = CacheHandle.checkpointSmall(
+      edges.select(col(srcCol).as("node"), col(dstCol).as("dst")))
+    internal.trackRelease(freeE)
+    val (seedSet, freeSeeds) = CacheHandle.checkpointSmall(
+      seeds.select(col(seedCol).as("node")).distinct())
+    internal.trackRelease(freeSeeds)
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val (nodes, freeNodes) = CacheHandle.checkpointSmall(
+      e.select(col("node"))
+        .union(e.select(col("dst").as("node")))
+        .union(seedSet.select(col("node")))
+        .distinct()
+        .join(seedSet.select(col("node"), lit(1.0 / nSeeds).as("__p")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__p"), lit(0.0)).as("tele")))
+    internal.trackRelease(freeNodes)
+    val (outDeg, freeDeg) = CacheHandle.checkpointSmall(
+      e.groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    internal.trackRelease(freeDeg)
+    var (ranks, freeRanks) = CacheHandle.checkpointSmall(
+      nodes.select(col("node"), col("tele").as("rank")))
+    (1 to iters).foreach { _ =>
+      val contribs = ranks.join(outDeg, "node").join(e, "node")
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val (next, freeNext) = CacheHandle.checkpointSmall(
+        nodes.join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit(1 - damping) * col("tele") + lit(damping) *
+              (coalesce(col("in_mass"), lit(0.0)) +
+                col("dm") * col("tele"))).as("rank")))
+      freeRanks(false)
+      ranks = next
+      freeRanks = freeNext
+    }
+    internal.release()
+    cache.trackRelease(freeRanks)
+    ranks
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected graph given as an edge list (duplicate / reversed / self
     * edges tolerated — normalized first). Returns

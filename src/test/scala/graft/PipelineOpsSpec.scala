@@ -438,6 +438,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tie == Seq(5L, 7L))
   }
 
+  test("cohortLtv: hand-computed cumulative revenue per cohort age") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    val ev = Seq(
+      ("A", ts("2024-01-05"), "purchase", 10.0),
+      ("A", ts("2024-02-10"), "purchase", 5.0),
+      ("B", ts("2024-01-20"), "view", 99.0) // non-revenue type ignored
+    ).toDF("u", "ts", "t", "v")
+    val got = graft.ops.Events.cohortLtv(ev, "u", "ts", "t",
+      "purchase", "v")
+      .collect().map(r => (r.getAs[String]("cohort_month"),
+        r.getAs[Int]("age_month")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("cum_revenue"), r.getAs[Long]("ltv_micro")))
+      .toMap
+    assert(got(("2024-01", 0)) == ((2L, 10.0, 10.0, 5000000L)))
+    assert(got(("2024-01", 1)) == ((2L, 5.0, 15.0, 7500000L)))
+    assert(got.size == 2)
+  }
+
+  test("personalizedPageRank: mass conserves and concentrates on the " +
+      "seed; off-graph seed keeps its teleport mass") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val r = graft.ops.Graph.personalizedPageRank(e, "a", "b", seeds, "n",
+      damping = 0.5, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.75) < 1e-12 &&
+      math.abs(r(2L) - 0.25) < 1e-12, s"r=$r")
+    // seed absent from the edge set: teleport + dangling return all
+    // mass to it each round — rank stays 1, graph nodes get 0
+    val e2 = Seq((10L, 11L)).toDF("a", "b")
+    val seeds2 = Seq(Tuple1(99L)).toDF("n")
+    val r2 = graft.ops.Graph.personalizedPageRank(e2, "a", "b", seeds2,
+      "n", damping = 0.5, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r2(99L) - 1.0) < 1e-12 && r2(10L) == 0.0 &&
+      r2(11L) == 0.0, s"r2=$r2")
+  }
+
   test("linearAttribution: suffix-sum credits equal the per-conversion " +
       "1/r shares; sessions split credit") {
     val s = spark
