@@ -6049,6 +6049,74 @@ object SparkEntry {
       |SELECT u, v, common, aa_nano, ROUND(aa_nano / 1e9, 6) AS aa
       |FROM nf ORDER BY aa_nano DESC, u, v LIMIT 30""".stripMargin)),
 
+    Q("sim_mmr_rerank", (s, dir) => {
+      // MMR diversified top-5 from 20 cosine candidates, λ=0.7. All
+      // greedy arithmetic is exact integer picos over micro-rounded
+      // sims — the sequential argmax chain cannot diverge on float
+      // noise. DuckDB replays the 5 greedy rounds as unrolled CTEs.
+      val t = Tables(s, dir)
+      Similarity.mmrRerank(t.embeddings,
+          t.embeddings.filterRows(pmod(col("vec_id"), lit(100)) === 0),
+          nCandidates = 20, k = 5, lambdaMicro = 700000L)
+        .sortByKeys(SortKey("query_id"), SortKey("rank"))
+    }, Some {
+      def cos(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b),
+           |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |  / greatest(
+           |      sqrt(list_sum(list_transform($a,
+           |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |      sqrt(list_sum(list_transform($b,
+           |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+           |      1e-12)""".stripMargin
+      val steps = (2 to 5).map { t =>
+        s"""s$t AS (SELECT query_id, CAST($t AS INTEGER) AS rank, id,
+           |  rel_micro, maxsim_micro, score_pico FROM (
+           |  SELECT m.*,
+           |    700000 * m.rel_micro - 300000 * m.maxsim_micro
+           |      AS score_pico,
+           |    row_number() OVER (PARTITION BY m.query_id ORDER BY
+           |      700000 * m.rel_micro - 300000 * m.maxsim_micro DESC,
+           |      m.id) AS rn
+           |  FROM (SELECT c.query_id, c.id, c.rel_micro,
+           |      MAX(p.sim_micro) AS maxsim_micro
+           |    FROM cand c
+           |    JOIN pr p ON p.query_id = c.query_id AND p.id = c.id
+           |    JOIN sel${t - 1} s ON s.query_id = p.query_id
+           |      AND s.id = p.sid
+           |    LEFT JOIN sel${t - 1} x ON x.query_id = c.query_id
+           |      AND x.id = c.id
+           |    WHERE x.id IS NULL
+           |    GROUP BY 1, 2, 3) m) WHERE rn = 1),
+           |sel$t AS (SELECT * FROM sel${t - 1}
+           |  UNION ALL SELECT * FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |sc AS (SELECT q.query_id, c.vec_id AS id, c.embedding AS cv,
+         |  ${cos("c.embedding", "q.qv")} AS cos
+         |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, id, cv,
+         |  CAST(ROUND(1e6 * cos) AS BIGINT) AS rel_micro
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, id) AS rn FROM sc) WHERE rn <= 20),
+         |pr AS (SELECT a.query_id, a.id, b.id AS sid,
+         |  CAST(ROUND(1e6 * ${cos("a.cv", "b.cv")}) AS BIGINT)
+         |    AS sim_micro
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+         |    AND a.id <> b.id),
+         |s1 AS (SELECT query_id, CAST(1 AS INTEGER) AS rank, id,
+         |  rel_micro, CAST(0 AS BIGINT) AS maxsim_micro,
+         |  700000 * rel_micro AS score_pico FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY 700000 * rel_micro DESC, id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT * FROM s1),
+         |$steps
+         |SELECT query_id, rank, id, rel_micro, maxsim_micro, score_pico
+         |FROM sel5 ORDER BY query_id, rank""".stripMargin
+    }),
+
     Q("events_cohort_ltv", (s, dir) => {
       // cohort-month LTV curves: purchase revenue cumulating over
       // months-since-cohort; per-cell 2dp rounding BEFORE the

@@ -602,6 +602,95 @@ object Similarity {
       concat_ws(",", transform(proj, p => p.cast("string"))).as("proj"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998): per query, greedily pick `k` of the top-`nCandidates`
+    * cosine neighbors maximizing λ·relevance − (1−λ)·max-similarity-
+    * to-already-picked — diversified retrieval (RAG contexts that
+    * aren't five paraphrases of one passage; training batches that
+    * cover the space). Returns (query_id, rank, id, rel_micro,
+    * maxsim_micro, score_pico), rank = selection order.
+    *
+    * Engine-independent greedy: similarities round to integer MICROS
+    * once, then every score is the EXACT integer λμ·relμ −
+    * (10⁶−λμ)·simμ (pico units, |·| < 10¹² — no float ever enters the
+    * argmax) and ties break on ascending id. A float-scored greedy
+    * would diverge across engines on near-ties and cascade — the
+    * sequential dependence makes MMR the most rounding-sensitive
+    * operator in the library.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]] (corpus
+    * never shuffles; swap in lshTopK/ivfTopK upstream for huge query
+    * sets and feed the result in as `corpus`); after that EVERYTHING
+    * runs on the (queries × nCandidates)-sized frame: one self-join
+    * for the pair matrix (fan-out nCandidates² per query, bounded by
+    * the argument), then k rounds of {anti-join, max-sim rollup,
+    * per-query argmax} — each round's pick is checkpointed
+    * (queries-sized) so the plan stays linear in k instead of
+    * re-deriving every prior round's subplan. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+      nCandidates: Int = 20, k: Int = 5, lambdaMicro: Long = 700000L,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      cache: graft.core.CacheHandle = graft.core.CacheHandle.unmanaged)
+      : DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"mmrRerank: need nCandidates >= k >= 1, got ($nCandidates, $k)")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"mmrRerank: lambdaMicro must be in [0, 1e6], got $lambdaMicro")
+    import graft.core.CacheHandle
+    val internal = new CacheHandle
+    val (cand, freeCand) = CacheHandle.checkpointSmall(
+      bruteForceTopK(corpus, queries, nCandidates, vecCol, idCol)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          round(col("cosine") * lit(1e6)).cast(LongType).as("rel_micro"))
+        .join(corpus.select(col(idCol).as("id"), col(vecCol).as("__v")),
+          "id"))
+    internal.trackRelease(freeCand)
+    val (pair, freePair) = CacheHandle.checkpointSmall(
+      cand.as("a").join(cand.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.id") =!= col("b.id"))
+        .select(col("a.query_id").as("query_id"), col("a.id").as("id"),
+          col("b.id").as("sid"),
+          round(cosine(col("a.__v"), col("b.__v")) * lit(1e6))
+            .cast(LongType).as("sim_micro")))
+    internal.trackRelease(freePair)
+    val lam = lit(lambdaMicro)
+    val oneMinus = lit(1000000L - lambdaMicro)
+    def pickBest(scoredCands: DataFrame, rank: Int): DataFrame =
+      scoredCands
+        .withColumn("score_pico",
+          lam * col("rel_micro") - oneMinus * col("maxsim_micro"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("score_pico"), (-col("id")).as("__nid"),
+          col("id"), col("rel_micro"), col("maxsim_micro"))).as("__b"))
+        .select(col("query_id"), lit(rank).as("rank"),
+          col("__b.id").as("id"), col("__b.rel_micro").as("rel_micro"),
+          col("__b.maxsim_micro").as("maxsim_micro"),
+          col("__b.score_pico").as("score_pico"))
+    var (selected, freeSel) = CacheHandle.checkpointSmall(
+      pickBest(cand.withColumn("maxsim_micro", lit(0L)), 1))
+    (2 to k).foreach { step =>
+      val remaining = cand.join(selected.select(col("query_id"),
+        col("id")), Seq("query_id", "id"), "left_anti")
+      val scored = remaining
+        .join(pair.join(selected.select(col("query_id"),
+            col("id").as("sid")), Seq("query_id", "sid"))
+            .groupBy(col("query_id"), col("id"))
+            .agg(max(col("sim_micro")).as("maxsim_micro")),
+          Seq("query_id", "id"))
+      val (next, freeNext) = CacheHandle.checkpointSmall(
+        selected.unionByName(pickBest(scored, step)))
+      freeSel(false)
+      selected = next
+      freeSel = freeNext
+    }
+    internal.release()
+    // working frames freed; the final selection's checkpoint blocks
+    // belong to the caller (the pageRank lifetime convention)
+    cache.trackRelease(freeSel)
+    selected.orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-norm audit — ONE row (n, n_zero, min_norm, max_norm,
     * avg_norm, p50_norm, all 6dp): the sanity check before any cosine
     * pipeline (un-normalized vectors silently break cosine-as-dot

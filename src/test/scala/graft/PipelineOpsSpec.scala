@@ -438,6 +438,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tie == Seq(5L, 7L))
   }
 
+  test("mmrRerank: λ=1 reduces to relevance order; λ=0.5 swaps in the " +
+      "diverse candidate") {
+    val s = spark
+    import s.implicits._
+    // query (1,0,0); d most relevant but near-duplicate of a;
+    // c less relevant but diverse
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.43589f, 0.0f)),   // a: rel ≈ .90, sim(a,d) ≈ .99
+      (2L, Seq(0.95f, 0.3122f, 0.0f)),   // d: rel ≈ .95
+      (3L, Seq(0.8f, -0.6f, 0.0f))       // c: rel  = .80, sim(c,d) ≈ .57
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def picks(lam: Long) =
+      graft.ops.Similarity.mmrRerank(corpus, q, nCandidates = 3, k = 2,
+        lambdaMicro = lam)
+        .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+    // pure relevance: d then a
+    assert(picks(1000000L) == Seq(2L, 1L))
+    // balanced: d then the diverse c (a is a near-dup of d)
+    assert(picks(500000L) == Seq(2L, 3L))
+  }
+
   test("cohortLtv: hand-computed cumulative revenue per cohort age") {
     val s = spark
     import s.implicits._
