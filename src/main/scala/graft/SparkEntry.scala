@@ -6267,6 +6267,42 @@ object SparkEntry {
       |    AS rate_micro, median_s, p90_s
       |FROM d, st""".stripMargin)),
 
+    Q("text_heaps", (s, dir) => {
+      // Heaps'-law vocabulary growth over 10 doc-id checkpoints with
+      // the OLS beta/ln_k fit on the cumulative curve.
+      graft.ops.Stats.heapsFit(Tables(s, dir).documents, "text",
+          "doc_id", checkpoints = 10)
+        .sortByKeys(SortKey("checkpoint"))
+    }, Some("""WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+      |tk AS (SELECT doc_id AS id, unnest(list_filter(
+      |  regexp_split_to_array(lower(text), '\W+'),
+      |  x -> len(x) > 0)) AS w FROM documents WHERE doc_id IS NOT NULL),
+      |tp AS (SELECT CAST(floor(d.id * 10 / m.m) AS INTEGER) AS b,
+      |  CAST(SUM(d.nt) AS BIGINT) AS toks,
+      |  CAST(COUNT(*) AS BIGINT) AS docs
+      |  FROM (SELECT id, COUNT(*) AS nt FROM tk GROUP BY 1) d, m
+      |  GROUP BY 1),
+      |fp AS (SELECT CAST(floor(f.fst * 10 / m.m) AS INTEGER) AS b,
+      |  CAST(COUNT(*) AS BIGINT) AS nw
+      |  FROM (SELECT w, MIN(id) AS fst FROM tk GROUP BY 1) f, m
+      |  GROUP BY 1),
+      |ce AS (SELECT tp.b, tp.toks, tp.docs, COALESCE(fp.nw, 0) AS nw
+      |  FROM tp LEFT JOIN fp USING (b)),
+      |cu AS (SELECT b + 1 AS checkpoint,
+      |  CAST(SUM(docs) OVER (ORDER BY b) AS BIGINT) AS docs_through,
+      |  CAST(SUM(toks) OVER (ORDER BY b) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(nw) OVER (ORDER BY b) AS BIGINT) AS vocab FROM ce),
+      |pt AS (SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
+      |  ln(CAST(vocab AS DOUBLE)) AS y FROM cu
+      |  WHERE n_tokens > 0 AND vocab > 0),
+      |ft AS (SELECT covar_pop(x, y) AS cov, var_pop(x) AS vx,
+      |  var_pop(y) AS vy, AVG(x) AS mx, AVG(y) AS my FROM pt)
+      |SELECT checkpoint, docs_through, n_tokens, vocab,
+      |  ROUND(cov / nullif(vx, 0), 6) AS beta,
+      |  ROUND(my - cov / nullif(vx, 0) * mx, 6) AS ln_k,
+      |  ROUND(cov * cov / nullif(vx * vy, 0), 6) AS r2
+      |FROM cu, ft ORDER BY checkpoint""".stripMargin)),
+
     Q("text_hapax", (s, dir) => {
       // hapax/dis legomena corpus-health report over documents.
       graft.ops.Stats.hapaxReport(Tables(s, dir).documents, "text")

@@ -214,6 +214,73 @@ object Stats {
         nullif(col("__varx") * col("__vary"), lit(0.0)), 6).as("r2"))
   }
 
+  /** Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β — vocabulary as a
+    * function of corpus size, measured at `checkpoints` evenly-spaced
+    * doc-id thresholds and fitted by OLS of ln V on ln n. Natural text
+    * sits at β ≈ 0.4–0.6; β near 1 means vocabulary grows linearly
+    * (unbounded junk/IDs — dedup or filter before training a
+    * tokenizer), β near 0 means the corpus stopped saying new things.
+    * Returns one row per checkpoint (checkpoint, docs_through,
+    * n_tokens, vocab) plus the fit constants repeated (beta,
+    * ln_k, r2, 6dp) — the curve AND its summary in one frame.
+    *
+    * Scale shape: tokens explode once into TWO collapses — per-token
+    * min doc_id (first occurrence) and per-doc token counts — each one
+    * shuffle with map-side partials; both then bucket by the
+    * arithmetic checkpoint index (floor(id·c/(max+1)) — pure integer
+    * replayable anywhere) and roll up to `checkpoints` rows. The
+    * cumulative + fit run on that tiny frame (a c-row window is the
+    * transpose_row class of driver-scale work, not a data window). */
+  def heapsFit(df: DataFrame, textCol: String, idCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 2,
+      s"heapsFit: need >= 2 checkpoints, got $checkpoints")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("__w"))
+    val maxId = df.agg((max(col(idCol)) + lit(1L)).as("__m"))
+    def bucketOf(id: Column): Column =
+      floor(id * lit(checkpoints.toLong) /
+        nullif(col("__m").cast(DoubleType), lit(0.0))).cast("int")
+    val tokensPer = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nt"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(bucketOf(col("__id")).as("__b"))
+      .agg(sum(col("__nt")).as("__toks"), count(lit(1)).as("__docs"))
+    val firstPer = toks.groupBy(col("__w"))
+      .agg(min(col("__id")).as("__first"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(bucketOf(col("__first")).as("__b"))
+      .agg(count(lit(1)).as("__new"))
+    val cells = tokensPer.join(firstPer, Seq("__b"), "left")
+      .select(col("__b"), col("__toks"), col("__docs"),
+        coalesce(col("__new"), lit(0L)).as("__new"))
+    // checkpoints-row frame: a bounded single-partition window is fine
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = cells
+      .withColumn("docs_through", sum(col("__docs")).over(w))
+      .withColumn("n_tokens", sum(col("__toks")).over(w))
+      .withColumn("vocab", sum(col("__new")).over(w))
+      .select((col("__b") + lit(1)).as("checkpoint"),
+        col("docs_through"), col("n_tokens"), col("vocab"))
+    val pts = curve.select(log(col("n_tokens").cast(DoubleType)).as("__x"),
+      log(col("vocab").cast(DoubleType)).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val fit = pts.agg(covar_pop(col("__x"), col("__y")).as("__cov"),
+      var_pop(col("__x")).as("__vx"), var_pop(col("__y")).as("__vy"),
+      avg(col("__x")).as("__mx"), avg(col("__y")).as("__my"))
+    val beta = col("__cov") / nullif(col("__vx"), lit(0.0))
+    curve.crossJoin(broadcast(fit.select(
+      round(beta, 6).as("beta"),
+      round(col("__my") - beta * col("__mx"), 6).as("ln_k"),
+      round(col("__cov") * col("__cov") /
+        nullif(col("__vx") * col("__vy"), lit(0.0)), 6).as("r2"))))
+  }
+
   /** Hapax-legomena report — ONE row (n_tokens, vocab, hapax, dis,
     * hapax_ratio 6dp): how much of the vocabulary occurs exactly once
     * (hapax) or twice (dis). The quick corpus-health companion to

@@ -438,6 +438,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tie == Seq(5L, 7L))
   }
 
+  test("heapsFit: hand-computed growth curve and two-point exact fit") {
+    val s = spark
+    import s.implicits._
+    // doc i carries i+1 distinct tokens w0..wi → with 2 checkpoints:
+    // bucket 0 = docs 0-4 (15 tokens, vocab 5), bucket 1 = docs 5-9
+    val docs = (0 until 10).map(i =>
+      (i.toLong, (0 to i).map("w" + _).mkString(" "))).toDF("id", "text")
+    val got = graft.ops.Stats.heapsFit(docs, "text", "id",
+      checkpoints = 2).orderBy("checkpoint").collect()
+    assert(got.length == 2)
+    val c1 = got(0); val c2 = got(1)
+    assert(c1.getAs[Long]("docs_through") == 5L &&
+      c1.getAs[Long]("n_tokens") == 15L && c1.getAs[Long]("vocab") == 5L)
+    assert(c2.getAs[Long]("docs_through") == 10L &&
+      c2.getAs[Long]("n_tokens") == 55L && c2.getAs[Long]("vocab") == 10L)
+    // two points → exact fit: beta = ln2 / ln(55/15), r2 = 1
+    val beta = math.log(2.0) / math.log(55.0 / 15.0)
+    assert(math.abs(c1.getAs[Double]("beta") - beta) < 1e-5)
+    assert(c1.getAs[Double]("r2") == 1.0)
+  }
+
   test("mmrRerank: λ=1 reduces to relevance order; λ=0.5 swaps in the " +
       "diverse candidate") {
     val s = spark

@@ -278,6 +278,39 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("rfm: every window is partitioned (value key or cumsum bucket)") {
+    val p = plan("events_rfm")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach(l => assert(l.contains("__k") || l.contains("__b"),
+      s"single-partition window in rfm plan:\n$l"))
+  }
+
+  test("kaplan-meier: running quantities stay on globalCumSum buckets") {
+    val p = plan("events_kaplan_meier")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty)
+    windowLines.foreach(l => assert(l.contains("__b"),
+      s"unbucketed window in kaplanMeier plan:\n$l"))
+  }
+
+  test("linear attribution: one entity Exchange feeds all three windows") {
+    val p = plan("events_attribution_linear")
+    // sessionize (entity), rank + suffix-sum ((entity, sess) — satisfied
+    // by the entity partitioning, no re-Exchange) and the final type
+    // rollup: exactly 2 hash Exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected entity + touch-type Exchanges only, got $exchanges:\n" +
+        p.take(1500))
+  }
+
+  test("adamic-adar and mmr never plan a cartesian product") {
+    assert(!plan("graph_adamic_adar").contains("CartesianProduct"))
+    val mmr = plan("sim_mmr_rerank")
+    assert(!mmr.contains("CartesianProduct"))
+  }
+
   test("every oracle-checked query emits comparator-sortable columns only") {
     // The driver's comparator loads both results into pandas and sorts ALL
     // columns by name before hashing; a top-level array/map/struct column
