@@ -6292,15 +6292,26 @@ object SparkEntry {
       |  CAST(SUM(docs) OVER (ORDER BY b) AS BIGINT) AS docs_through,
       |  CAST(SUM(toks) OVER (ORDER BY b) AS BIGINT) AS n_tokens,
       |  CAST(SUM(nw) OVER (ORDER BY b) AS BIGINT) AS vocab FROM ce),
-      |pt AS (SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
-      |  ln(CAST(vocab AS DOUBLE)) AS y FROM cu
-      |  WHERE n_tokens > 0 AND vocab > 0),
-      |ft AS (SELECT covar_pop(x, y) AS cov, var_pop(x) AS vx,
-      |  var_pop(y) AS vy, AVG(x) AS mx, AVG(y) AS my FROM pt)
+      |pt AS (SELECT
+      |  CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |  CAST(ROUND(ln(CAST(vocab AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM cu WHERE n_tokens > 0 AND vocab > 0),
+      |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |  CAST(SUM(y * y) AS BIGINT) AS syy FROM pt),
+      |ft AS (SELECT
+      |  CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      |  CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+      |  CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+      |  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |  CAST(n AS DOUBLE) AS nd FROM sm)
       |SELECT checkpoint, docs_through, n_tokens, vocab,
-      |  ROUND(cov / nullif(vx, 0), 6) AS beta,
-      |  ROUND(my - cov / nullif(vx, 0) * mx, 6) AS ln_k,
-      |  ROUND(cov * cov / nullif(vx * vy, 0), 6) AS r2
+      |  ROUND(num / nullif(dx, 0), 6) AS beta,
+      |  ROUND((syd - num / nullif(dx, 0) * sxd) / nullif(nd, 0) / 1e6, 6)
+      |    AS ln_k,
+      |  ROUND(num * num / nullif(dx * dy, 0), 6) AS r2
       |FROM cu, ft ORDER BY checkpoint""".stripMargin)),
 
     Q("text_hapax", (s, dir) => {

@@ -233,8 +233,9 @@ object Stats {
     * transpose_row class of driver-scale work, not a data window). */
   def heapsFit(df: DataFrame, textCol: String, idCol: String,
       checkpoints: Int = 10): DataFrame = {
-    require(checkpoints >= 2,
-      s"heapsFit: need >= 2 checkpoints, got $checkpoints")
+    require(checkpoints >= 2 && checkpoints <= 50,
+      s"heapsFit: checkpoints must be in [2, 50] (the exact-integer " +
+        s"fit sums stay under 2^63 up to 50 points), got $checkpoints")
     import org.apache.spark.sql.expressions.Window
     val toks = df
       .where(col(idCol).isNotNull)
@@ -267,18 +268,40 @@ object Stats {
       .withColumn("vocab", sum(col("__new")).over(w))
       .select((col("__b") + lit(1)).as("checkpoint"),
         col("docs_through"), col("n_tokens"), col("vocab"))
-    val pts = curve.select(log(col("n_tokens").cast(DoubleType)).as("__x"),
-      log(col("vocab").cast(DoubleType)).as("__y"))
-      .where(col("__x").isNotNull && col("__y").isNotNull)
-    val fit = pts.agg(covar_pop(col("__x"), col("__y")).as("__cov"),
-      var_pop(col("__x")).as("__vx"), var_pop(col("__y")).as("__vy"),
-      avg(col("__x")).as("__mx"), avg(col("__y")).as("__my"))
-    val beta = col("__cov") / nullif(col("__vx"), lit(0.0))
-    curve.crossJoin(broadcast(fit.select(
+    // Fit from EXACT integer micro-sums, not covar_pop/var_pop: the
+    // test corpus's flat vocabulary makes y CONSTANT, and a parallel
+    // moment merge over a constant column is nondeterministic garbage
+    // at the 1e-31 scale (measured: DuckDB's r2 on constant y varied
+    // run to run between null and ~0.72 — n·Σy²−(Σy)² over exact
+    // BIGINTs is 0 exactly, every run, in every engine). ln points
+    // round to integer micros first; sums stay < 2⁶³ for the
+    // checkpoint counts the require() admits.
+    val pts = curve
+      .where(col("n_tokens") > 0 && col("vocab") > 0)
+      .select(
+        round(log(col("n_tokens").cast(DoubleType)) * lit(1e6))
+          .cast(LongType).as("__x"),
+        round(log(col("vocab").cast(DoubleType)) * lit(1e6))
+          .cast(LongType).as("__y"))
+    val sums = pts.agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast(DoubleType)
+    val denX = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast(DoubleType)
+    val denY = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast(DoubleType)
+    val beta = num / nullif(denX, lit(0.0))
+    val lnK = (col("__sy").cast(DoubleType) -
+      beta * col("__sx").cast(DoubleType)) /
+      nullif(col("__n").cast(DoubleType), lit(0.0)) / lit(1e6)
+    curve.crossJoin(broadcast(sums.select(
       round(beta, 6).as("beta"),
-      round(col("__my") - beta * col("__mx"), 6).as("ln_k"),
-      round(col("__cov") * col("__cov") /
-        nullif(col("__vx") * col("__vy"), lit(0.0)), 6).as("r2"))))
+      round(lnK, 6).as("ln_k"),
+      round(num * num / nullif(denX * denY, lit(0.0)), 6).as("r2"))))
   }
 
   /** Hapax-legomena report — ONE row (n_tokens, vocab, hapax, dis,
