@@ -6117,6 +6117,34 @@ object SparkEntry {
          |FROM sel5 ORDER BY query_id, rank""".stripMargin
     }),
 
+    Q("events_daily_anomaly", (s, dir) => {
+      // operator COMPOSITION: daily event volume per type → robust-z
+      // (median/MAD) within each type → flag |z| ≥ 2 days. The ops
+      // pipeline the volume-spike monitor is built from.
+      val daily = Tables(s, dir).events
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      robustZBy(daily, "n_events", Seq("event_type"))
+        .withColumn("anomaly",
+          coalesce(abs(col("n_events_rz")) >= 2.0, lit(false)))
+        .sortByKeys(SortKey("event_type"), SortKey("day"))
+    }, Some("""WITH d AS (SELECT event_type,
+      |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT *, quantile_cont(n_events, 0.5)
+      |  OVER (PARTITION BY event_type) AS med FROM d),
+      |v AS (SELECT event_type, day, n_events,
+      |  ROUND((n_events - med) / NULLIF(1.4826 * quantile_cont(
+      |    abs(n_events - med), 0.5) OVER (PARTITION BY event_type),
+      |    0.0), 6) AS n_events_rz
+      |  FROM m)
+      |SELECT event_type, day, n_events, n_events_rz,
+      |  COALESCE(abs(n_events_rz) >= 2.0, false) AS anomaly
+      |FROM v ORDER BY event_type, day""".stripMargin)),
+
     Q("events_cohort_ltv", (s, dir) => {
       // cohort-month LTV curves: purchase revenue cumulating over
       // months-since-cohort; per-cell 2dp rounding BEFORE the
