@@ -7,9 +7,9 @@ import org.apache.spark.sql.types._
 /** Classical statistics over distributed frames — the "is this effect
   * real" layer a training-data pipeline reaches for after the drift /
   * quality reports (reference ships describe/std/corr primitives,
-  * `api/describe.kt:38-64`, `api/statistics.kt`; regression, rank
-  * correlation, ANOVA and resampling CIs are the natural extension
-  * tier). Cross-engine determinism: closed-form fits ride Spark's
+  * `api/describe.kt:38-64`, `api/std.kt`, `api/corr.kt`; regression,
+  * rank correlation, ANOVA and resampling CIs are the natural
+  * extension tier). Cross-engine determinism: closed-form fits ride Spark's
   * merge-stable single-pass moment aggregates (`covar_pop`/`var_pop`/
   * `corr` — the same numerically-stable shapes DuckDB's `regr_*`
   * family uses), and every derived double rounds to 6dp to absorb the
