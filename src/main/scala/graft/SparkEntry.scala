@@ -1264,6 +1264,62 @@ object SparkEntry {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin)),
 
+    Q("join_asof_tolerance", (s, dir) => {
+      // as-of with a 1-hour match bound (pandas merge_asof tolerance):
+      // stale profiles yield NULL instead of enriching far-future
+      // events. Same union+window plan; the matched timestamp rides
+      // the same fill.
+      val t = Tables(s, dir)
+      val profiles = t.events.filterRows(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("ts"), col("value").as("profile_value"))
+      graft.ops.Extras.asofJoin(t.events, profiles, Seq("user_id"),
+          "ts", "ts", Seq("profile_value"),
+          toleranceUs = Some(3600000000L))
+        .selectNames(Seq("event_id", "profile_value"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""WITH u AS (
+      |  SELECT user_id, ts AS t, 1 AS side, event_id,
+      |    CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS TIMESTAMP) AS rts
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, NULL, value, ts FROM events
+      |  WHERE event_id % 10 = 0),
+      |f AS (SELECT *,
+      |  last_value(CASE WHEN side = 0 THEN pv END IGNORE NULLS)
+      |    OVER w AS fpv,
+      |  last_value(CASE WHEN side = 0 THEN rts END IGNORE NULLS)
+      |    OVER w AS frts
+      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, side
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, CASE WHEN frts IS NOT NULL
+      |    AND epoch_us(t) - epoch_us(frts) <= 3600000000
+      |  THEN fpv END AS profile_value
+      |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
+    Q("join_asof_forward", (s, dir) => {
+      // forward as-of: earliest profile AT-OR-AFTER each event — the
+      // "next reading" direction; same plan with the order reversed.
+      val t = Tables(s, dir)
+      val profiles = t.events.filterRows(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("ts"), col("value").as("profile_value"))
+      graft.ops.Extras.asofJoin(t.events, profiles, Seq("user_id"),
+          "ts", "ts", Seq("profile_value"), forward = true)
+        .selectNames(Seq("event_id", "profile_value"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some("""WITH u AS (
+      |  SELECT user_id, ts AS t, 1 AS side, event_id,
+      |    CAST(NULL AS DOUBLE) AS pv FROM events
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, NULL, value FROM events
+      |  WHERE event_id % 10 = 0),
+      |f AS (SELECT *,
+      |  last_value(CASE WHEN side = 0 THEN pv END IGNORE NULLS)
+      |    OVER w AS fpv
+      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t DESC, side
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, fpv AS profile_value
+      |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
     Q("join_range", (s, dir) => {
       // interval join: price points × overlapping price bands (stride
       // 2500, width 4000 → most points hit 2 bands). Bucketized to an

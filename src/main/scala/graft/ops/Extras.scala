@@ -88,35 +88,63 @@ object Extras {
   }
 
   /** As-of join (time-series enrich, beyond the reference — a staple of
-    * training-data pipelines): for every left row, attach the LATEST right
-    * row with `rightTs <= leftTs` per key.
+    * training-data pipelines): for every left row, attach the NEAREST
+    * right row per key — backward (latest `rightTs <= leftTs`, the
+    * default) or forward (earliest `rightTs >= leftTs`), optionally
+    * bounded by `toleranceUs` (a match farther than the tolerance
+    * yields nulls, pandas `merge_asof` semantics — a year-old profile
+    * should NOT enrich today's event just because nothing newer
+    * exists).
     *
     * Scale shape: tag and union both sides, ONE shuffle on the key, then
     * a running last_value over the time-ordered union — never the
     * range-condition join Spark would execute as a broadcast nested loop
-    * or exploded inequality join. O((|L|+|R|) log) per key, no fanout.
+    * or exploded inequality join. O((|L|+|R|) log) per key, no fanout;
+    * the tolerance rides the same window (the matched timestamp fills
+    * alongside the payload, one comparison at the end — no extra pass).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], forward: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    toleranceUs.foreach(t => require(t > 0,
+      s"asofJoin: toleranceUs must be > 0, got $t"))
     val lTagged = left.withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
+      .withColumn("__rts",
+        lit(null).cast(right.schema(rightTs).dataType))
       .withColumns(payload.map(p => p -> lit(null).cast(
         right.schema(p).dataType)).toMap)
     val rTagged = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts")) ++
+      (keys.map(col) :+ col(rightTs).as("__ts") :+
+        col(rightTs).as("__rts")) ++
         payload.map(col) :+ lit(0).as("__side"): _*)
     val unioned = TypeWidening.unionByNameWide(Seq(lTagged, rTagged))
-    // right rows (side 0) sort before left rows at the same timestamp, so
-    // an exact-tie right row IS visible to the left row (<= semantics)
+    // right rows (side 0) sort before left rows at the same timestamp
+    // in BOTH directions, so an exact-tie right row IS visible to the
+    // left row (<=/>= inclusive semantics)
+    val order =
+      if (forward) Seq(col("__ts").desc, col("__side").asc)
+      else Seq(col("__ts").asc, col("__side").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payload.foldLeft(unioned) { (d, p) =>
+    val filled = (payload :+ "__rts").foldLeft(unioned) { (d, p) =>
       d.withColumn(p, last(when(col("__side") === 0, col(p)), true).over(w))
     }
-    filled.filter(col("__side") === 1)
+    val withinTol = toleranceUs match {
+      case None => lit(true)
+      case Some(t) =>
+        val gap =
+          if (forward) unix_micros(col("__rts")) - unix_micros(col("__ts"))
+          else unix_micros(col("__ts")) - unix_micros(col("__rts"))
+        col("__rts").isNotNull && gap <= t
+    }
+    val masked = payload.foldLeft(filled) { (d, p) =>
+      d.withColumn(p, when(withinTol, col(p)))
+    }
+    masked.filter(col("__side") === 1)
       .select(left.columns.map(col) ++ payload.map(col): _*)
   }
 }

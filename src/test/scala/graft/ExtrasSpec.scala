@@ -70,6 +70,39 @@ class ExtrasSpec extends AnyFunSuite {
     assert(res(3).isNullAt(2))              // key 2, t=14 < 15
   }
 
+  test("asofJoin: tolerance nulls stale matches; forward picks the " +
+      "next row at-or-after") {
+    val s = spark
+    import s.implicits._
+    def ts(x: Int) = new java.sql.Timestamp(x * 1000L)
+    val quotes = Seq((1L, ts(10), 100.0), (1L, ts(50), 110.0))
+      .toDF("key", "ts", "px")
+    val trades = Seq((1L, ts(5)), (1L, ts(10)), (1L, ts(30)),
+      (1L, ts(100))).toDF("key", "ts")
+    // backward with 20 s tolerance: t=30 matches (gap 20, inclusive),
+    // t=100 is 50 s past the last quote → null
+    val tol = Extras.asofJoin(trades, quotes, Seq("key"), "ts", "ts",
+        Seq("px"), toleranceUs = Some(20000000L))
+      .orderBy("ts").collect()
+    assert(tol(0).isNullAt(2))
+    assert(tol(1).getDouble(2) == 100.0)
+    assert(tol(2).getDouble(2) == 100.0)   // gap exactly 20 s: inclusive
+    assert(tol(3).isNullAt(2))             // stale beyond tolerance
+    // forward: earliest quote at-or-after; past the last quote → null
+    val fwd = Extras.asofJoin(trades, quotes, Seq("key"), "ts", "ts",
+        Seq("px"), forward = true)
+      .orderBy("ts").collect()
+    assert(fwd(0).getDouble(2) == 100.0)   // t=5 → quote at 10
+    assert(fwd(1).getDouble(2) == 100.0)   // exact tie included
+    assert(fwd(2).getDouble(2) == 110.0)   // t=30 → quote at 50
+    assert(fwd(3).isNullAt(2))             // nothing after t=100
+    // forward + tolerance compose: 20 s bound kills the t=30 → 50 match
+    val ft = Extras.asofJoin(trades, quotes, Seq("key"), "ts", "ts",
+        Seq("px"), forward = true, toleranceUs = Some(5000000L))
+      .orderBy("ts").collect()
+    assert(ft(0).getDouble(2) == 100.0 && ft(2).isNullAt(2))
+  }
+
   test("dataFrameOfProducts builds from case classes via encoders") {
     val df = graft.sources.IO.dataFrameOfProducts(spark,
       Seq(ExtrasSpec.P(1, "x"), ExtrasSpec.P(2, "y")))
