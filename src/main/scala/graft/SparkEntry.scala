@@ -6428,6 +6428,68 @@ object SparkEntry {
       |  ROUND(quantile_cont(nr, 0.5), 6) AS p50_norm
       |FROM n""".stripMargin)),
 
+    Q("quality_entropy", (s, dir) => {
+      // per-column Shannon entropy (lang, source): the class-balance
+      // number; per-value nano-nat contributions sum exactly.
+      Quality.columnEntropy(Tables(s, dir).documents,
+          Seq("lang", "source"))
+        .sortByKeys(SortKey("col_name"))
+    }, Some("""WITH s AS (SELECT 'lang' AS c, lang AS v FROM documents
+      |  WHERE lang IS NOT NULL
+      |  UNION ALL SELECT 'source', source FROM documents
+      |  WHERE source IS NOT NULL),
+      |c AS (SELECT c, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM s GROUP BY 1, 2),
+      |t AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS nd FROM c GROUP BY 1),
+      |e AS (SELECT c.c, CAST(SUM(CAST(ROUND(-1e9
+      |    * (CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n))
+      |    AS BIGINT)) AS BIGINT) AS entropy_nano
+      |  FROM c JOIN t USING (c) GROUP BY 1)
+      |SELECT t.c AS col_name, t.n, t.nd AS n_distinct, e.entropy_nano,
+      |  ROUND(e.entropy_nano / 1e9, 6) AS entropy,
+      |  CASE WHEN t.nd > 1
+      |    THEN ROUND(e.entropy_nano / 1e9 / ln(t.nd), 6) END
+      |    AS norm_entropy
+      |FROM t JOIN e USING (c) ORDER BY col_name""".stripMargin)),
+
+    Q("events_session_stats", (s, dir) => {
+      // composition: sessionize → one-row corpus session summary with
+      // exact R-7 percentiles of per-session events and duration.
+      val sess = graft.streaming.Streaming.sessionizeBatch(
+        Tables(s, dir).events, "user_id", "ts", "value",
+        gapMs = 10 * 60 * 1000)
+        .select(col("user_id"), col("events"),
+          ((unix_micros(col("end")) - unix_micros(col("start"))) /
+            lit(1000000L)).cast(LongType).as("dur_s"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg(col("events")), 6).as("avg_events"),
+        round(percentile(col("events"), lit(0.5)), 6).as("p50_events"),
+        round(percentile(col("events"), lit(0.9)), 6).as("p90_events"),
+        round(percentile(col("dur_s"), lit(0.5)), 6).as("p50_dur_s"),
+        round(percentile(col("dur_s"), lit(0.9)), 6).as("p90_dur_s"))
+    }, Some("""WITH e AS (SELECT user_id, ts,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |       > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM e),
+      |g AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS events,
+      |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+      |    AS BIGINT) AS dur_s
+      |  FROM s GROUP BY 1, 2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  ROUND(AVG(events), 6) AS avg_events,
+      |  ROUND(quantile_cont(events, 0.5), 6) AS p50_events,
+      |  ROUND(quantile_cont(events, 0.9), 6) AS p90_events,
+      |  ROUND(quantile_cont(dur_s, 0.5), 6) AS p50_dur_s,
+      |  ROUND(quantile_cont(dur_s, 0.9), 6) AS p90_dur_s
+      |FROM g""".stripMargin)),
+
     Q("quality_fd_check", (s, dir) => {
       // functional-dependency audit: user_id → event_type is (by
       // construction) violated; report the top-20 offending keys.

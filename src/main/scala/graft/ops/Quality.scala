@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Declarative data-quality expectations (the Deequ/Great-Expectations
   * shape): a suite of checks evaluated against a frame in as few passes
@@ -483,6 +483,50 @@ object Quality {
       (col("cur_n") - ec) * (col("cur_n") - ec) / ec
     counts.select(col("category"), col("base_n"), col("cur_n"),
       round(chi * lit(1e9)).cast("long").as("chi_nano"))
+  }
+
+  /** Per-column Shannon entropy report — one row per column:
+    * (col_name, n, n_distinct, entropy_nano, entropy, norm_entropy).
+    * The class-balance / concentration number: a `source` column with
+    * norm_entropy 0.1 means the corpus is effectively one source no
+    * matter how many nominal values exist (the multi-value sibling of
+    * [[graft.ops.Agg.giniConcentration]]); a label column near 0 means
+    * a degenerate training signal. Entropy in nats over NON-NULL
+    * values (nulls are [[profileTable]]'s `n_nulls` concern);
+    * norm_entropy = H/ln(n_distinct), null for single-valued columns.
+    * Per-value contributions −p·ln p round to integer NANO-nats before
+    * the sum (the corpusDivergence convention — exact BIGINT aggregate
+    * under any reduction order).
+    *
+    * Scale shape: scan-side unpivot to skinny (column, string) pairs
+    * ([[profileTable]]'s shape) → ONE (column, value) count shuffle
+    * with map-side partials → per-column rollup of the values-sized
+    * frame. Entropy arithmetic never touches data rows. */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnEntropy: no columns given")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*))
+        .as("p"))
+      .select(col("p.c").as("__c"), col("p.v").as("__v"))
+      .where(col("__v").isNotNull)
+    val counts = pairs.groupBy(col("__c"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = counts.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("__n").cast(DoubleType) /
+      nullif(col("n").cast(DoubleType), lit(0.0))
+    val ent = counts.join(totals, Seq("__c"))
+      .select(col("__c"),
+        round(lit(-1e9) * p * log(p)).cast(LongType).as("__nano"))
+      .groupBy(col("__c")).agg(sum(col("__nano")).as("entropy_nano"))
+    totals.join(ent, Seq("__c"))
+      .select(col("__c").as("col_name"), col("n"), col("n_distinct"),
+        col("entropy_nano"),
+        round(col("entropy_nano") / lit(1e9), 6).as("entropy"),
+        when(col("n_distinct") > 1,
+          round(col("entropy_nano") / lit(1e9) /
+            log(col("n_distinct").cast(DoubleType)), 6))
+          .otherwise(lit(null)).as("norm_entropy"))
   }
 
   /** Functional-dependency violation report: does `detCols → depCol`

@@ -257,6 +257,24 @@ class QualitySpec extends AnyFunSuite {
     assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.getLong(2) == 0L)
   }
 
+  test("columnEntropy: uniform pair → ln 2, constant → 0 with null " +
+      "norm, nulls excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", "x"), ("a", "x"), ("b", Option.empty[String].orNull),
+      ("b", "x")).toDF("u", "k")
+    val got = Quality.columnEntropy(df, Seq("u", "k"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val u = got("u")
+    assert(u.getAs[Long]("n") == 4L && u.getAs[Long]("n_distinct") == 2L)
+    assert(u.getAs[Double]("entropy") == 0.693147)
+    assert(u.getAs[Double]("norm_entropy") == 1.0)
+    val k = got("k")
+    assert(k.getAs[Long]("n") == 3L) // the null row is excluded
+    assert(k.getAs[Long]("entropy_nano") == 0L)
+    assert(k.isNullAt(k.fieldIndex("norm_entropy")))
+  }
+
   test("fdViolations: violated keys surface, null-only second value " +
       "does not flag, holds-FD yields empty") {
     val s = spark
