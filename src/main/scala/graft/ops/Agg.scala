@@ -488,10 +488,13 @@ object Agg {
         coalesce(sum(col("__i").cast(dec) * col("x").cast(dec)),
           lit(0L).cast(dec)).as("__ix"))
       .select(col("n_groups"), col("total"),
+        // nullif-guarded: an empty/zero-weight input yields null gini
+        // instead of an ANSI divide-by-zero
         round((lit(2.0) * col("__ix").cast(DoubleType) /
-          (col("n_groups").cast(DoubleType) * col("total").cast(DoubleType))
+          nullif(col("n_groups").cast(DoubleType) *
+            col("total").cast(DoubleType), lit(0.0))
           - (col("n_groups") + lit(1L)).cast(DoubleType) /
-            col("n_groups").cast(DoubleType)) * lit(1e9))
+            nullif(col("n_groups").cast(DoubleType), lit(0.0))) * lit(1e9))
           .cast(LongType).as("gini_nano"))
   }
 }

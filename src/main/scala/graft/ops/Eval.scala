@@ -331,11 +331,13 @@ object Eval {
     val nb = coalesce(col("n_b"), lit(0L)).cast(DoubleType)
     val ca = coalesce(col("conv_a"), lit(0L)).cast(DoubleType)
     val cb = coalesce(col("conv_b"), lit(0L)).cast(DoubleType)
-    val ra = ca / na
-    val rb = cb / nb
-    val pool = (ca + cb) / (na + nb)
+    // nullif-guarded: under ANSI a 0/0 throws, and subexpression
+    // elimination evaluates these even inside a false when() branch
+    val ra = ca / nullif(na, lit(0.0))
+    val rb = cb / nullif(nb, lit(0.0))
+    val pool = (ca + cb) / nullif(na + nb, lit(0.0))
     val se = sqrt(pool * (lit(1.0) - pool) *
-      (lit(1.0) / na + lit(1.0) / nb))
+      (lit(1.0) / nullif(na, lit(0.0)) + lit(1.0) / nullif(nb, lit(0.0))))
     one.select(
       coalesce(col("n_a"), lit(0L)).as("n_a"),
       coalesce(col("conv_a"), lit(0L)).as("conv_a"),
@@ -504,12 +506,17 @@ object Eval {
     // 2·U_a = 2·R_a − n_a·(n_a+1), exact until the double casts below
     val u2 = col("__r2a") - (col("n_a").cast(dec) *
       (col("n_a") + lit(1L)).cast(dec))
+    // nullif-guarded: an empty/degenerate side yields nulls instead of
+    // an ANSI divide-by-zero (0/0 throws, and subexpression elimination
+    // evaluates divisions even inside a false when() branch)
     val sigma2 = naD * nbD / lit(12.0) *
       ((nD + lit(1.0)) - col("__ties").cast(DoubleType) /
-        (nD * (nD - lit(1.0))))
-    val z = (u2.cast(DoubleType) - naD * nbD) / (lit(2.0) * sqrt(sigma2))
+        nullif(nD * (nD - lit(1.0)), lit(0.0)))
+    val z = (u2.cast(DoubleType) - naD * nbD) /
+      nullif(lit(2.0) * sqrt(sigma2), lit(0.0))
     agg.select(col("n_a"), col("n_b"),
-      round(u2.cast(DoubleType) * lit(1e6) / (lit(2.0) * naD * nbD))
+      round(u2.cast(DoubleType) * lit(1e6) /
+        nullif(lit(2.0) * naD * nbD, lit(0.0)))
         .cast(LongType).as("cles_micro"),
       when(sigma2 <= lit(0.0), lit(0L))
         .otherwise(round(z * lit(1e6)).cast(LongType)).as("z_micro"))

@@ -359,11 +359,15 @@ object Quality {
     // the form the oracle replays
     val expShare = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
     val expN = expShare * col("__tot")
+    // nullif-guarded: a filtered-to-empty value column yields null
+    // shares instead of an ANSI divide-by-zero
     joined.select(col("digit"), col("n"),
-      round(col("n") * lit(1000000.0) / col("__tot")).cast("long")
+      round(col("n") * lit(1000000.0) /
+        nullif(col("__tot").cast("double"), lit(0.0))).cast("long")
         .as("share_micro"),
       round(expShare * lit(1e6)).cast("long").as("expected_micro"),
-      round((col("n") - expN) * (col("n") - expN) / expN * lit(1e9))
+      round((col("n") - expN) * (col("n") - expN) /
+        nullif(expN, lit(0.0)) * lit(1e9))
         .cast("long").as("chi_nano"))
   }
 

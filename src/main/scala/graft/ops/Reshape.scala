@@ -269,7 +269,10 @@ object Reshape {
     /** reference `api/transpose.kt` — single row → (name, value) frame.
       * Driver-side by design (operates on one row). */
     def transposeRow(): DataFrame = {
-      val row   = df.head()
+      val rows = df.take(1)
+      require(rows.nonEmpty,
+        "transposeRow: input has no rows - nothing to transpose")
+      val row = rows.head
       val spark = df.sparkSession
       import spark.implicits._
       df.columns.toSeq.map(c =>

@@ -19,9 +19,17 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** Vector dimension from the schema-declared first row (driver peek at
-    * plan time; dimension is a dataset constant). */
-  def vectorDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+    * plan time; dimension is a dataset constant). Empty input throws a
+    * NAMED guard — the blind head() would surface as an opaque
+    * NoSuchElementException when an upstream filter leaves the corpus
+    * empty. */
+  def vectorDim(df: DataFrame, vecCol: String): Int = {
+    val rows = df.select(size(col(vecCol))).take(1)
+    require(rows.nonEmpty,
+      s"vectorDim: input is empty - cannot infer the '$vecCol' " +
+        "embedding dimension (did an upstream filter drop every row?)")
+    rows.head.getInt(0)
+  }
 
   /** Cosine similarity of two float-array columns, backed by the native
     * codegen'd [[org.apache.spark.sql.graftnative.CosineSimilarity]] expression: dot and both
@@ -176,6 +184,8 @@ object Similarity {
     * broadcast of nlist vectors — no shuffle of the corpus. */
   def ivfAssign(df: DataFrame, centroids: Seq[Array[Float]],
       vecCol: String = "embedding", as: String = "cell"): DataFrame = {
+    require(centroids.nonEmpty,
+      "ivfAssign: no centroids (empty corpus upstream?)")
     val scored = centroids.zipWithIndex.map { case (ct, i) =>
       struct(cosine(col(vecCol), lit(ct)).as("s"), lit(i).as("i"))
     }
@@ -187,9 +197,13 @@ object Similarity {
     * assignment + cell-local probe — is identical either way). */
   def sampleCentroids(corpus: DataFrame, nlist: Int,
       vecCol: String = "embedding", idCol: String = "vec_id")
-      : Seq[Array[Float]] =
-    corpus.orderBy(col(idCol)).limit(nlist).select(col(vecCol))
+      : Seq[Array[Float]] = {
+    val seeds = corpus.orderBy(col(idCol)).limit(nlist).select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray).toSeq
+    require(seeds.nonEmpty,
+      "sampleCentroids: empty corpus - no centroids to seed IVF")
+    seeds
+  }
 
   /** Distributed Lloyd (spherical k-means) refinement of the IVF
     * centroids, seeded from the deterministic sample. Each iteration is

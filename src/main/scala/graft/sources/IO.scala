@@ -75,6 +75,12 @@ object IO {
     * reference's synthetic `value` column for primitive roots is shimmed. */
   def readJson(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.json(path)
+    // named guard: JSON cannot carry a schema for zero rows — an empty
+    // source infers zero columns and every downstream reference fails
+    // with an opaque UNRESOLVED_COLUMN
+    require(df.schema.nonEmpty,
+      s"readJson: no JSON rows at $path - schema cannot be inferred " +
+        "from an empty source")
     // Reference wraps a root-level primitive array into a `value` column;
     // Spark yields a single unnamed/corrupt column in that case.
     if (df.columns.sameElements(Array("_corrupt_record")))
@@ -218,12 +224,21 @@ object IO {
       partitionCols: Seq[String], sortCols: Seq[String],
       format: String = "parquet", maxRecordsPerFile: Long = 0L): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned: no partition cols")
-    df.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partitionCols: _*)
-      .format(format).save(path)
+    if (df.isEmpty) {
+      // partitionBy over zero rows writes NO files at all, and a later
+      // read fails schema inference with an opaque AnalysisException.
+      // Zero rows have no partition layout to lose — write one
+      // schema-carrying empty file so the dataset stays readable (the
+      // empty-incremental-batch case any 100 TB pipeline hits).
+      df.coalesce(1).write.mode("overwrite").format(format).save(path)
+    } else {
+      df.repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partitionCols: _*)
+        .format(format).save(path)
+    }
   }
 
   /** Per-file column-statistics manifest — the data-skipping primitive
@@ -534,6 +549,12 @@ object IO {
     val rows = assigned.select((partitionCols.map(c =>
         col(c).cast("string")) :+ col("grp") :+ col(fileCol)): _*)
       .collect()
+    // named guard: with zero input files there is no schema to carry to
+    // destPath, and a later read of the empty destination would fail
+    // with an opaque UNABLE_TO_INFER_SCHEMA
+    require(rows.nonEmpty,
+      "compactFiles: empty manifest - nothing to compact (the write " +
+        "side produced no data files)")
     val groups = rows.toSeq.groupBy { r =>
         (partitionCols.indices.map(r.getString).toList,
           r.getLong(partitionCols.size))
