@@ -480,11 +480,14 @@ object Quality {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     val bt = sum(col("base_n")).over(w).cast("double")
     val ct = sum(col("cur_n")).over(w).cast("double")
+    // nullif-guarded: a side with zero total (all-null category column)
+    // yields null chi instead of an ANSI divide-by-zero
     val rowTot = (col("base_n") + col("cur_n")).cast("double")
-    val eb = rowTot * bt / (bt + ct)
-    val ec = rowTot * ct / (bt + ct)
-    val chi = (col("base_n") - eb) * (col("base_n") - eb) / eb +
-      (col("cur_n") - ec) * (col("cur_n") - ec) / ec
+    val eb = rowTot * bt / nullif(bt + ct, lit(0.0))
+    val ec = rowTot * ct / nullif(bt + ct, lit(0.0))
+    val chi = (col("base_n") - eb) * (col("base_n") - eb) /
+      nullif(eb, lit(0.0)) +
+      (col("cur_n") - ec) * (col("cur_n") - ec) / nullif(ec, lit(0.0))
     counts.select(col("category"), col("base_n"), col("cur_n"),
       round(chi * lit(1e9)).cast("long").as("chi_nano"))
   }

@@ -74,7 +74,16 @@ object Selection {
       extends AnyVal {
     def selector: Selector = new Selector(df)
     /** `select` over resolved names (reference `api/select.kt`). */
-    def selectNames(ns: Seq[String]): DataFrame = df.select(ns.map(col): _*)
+    def selectNames(ns: Seq[String]): DataFrame = {
+      // named guard: a schema-drifted source (e.g. JSON drops all-null
+      // columns on write) should fail with the missing names in hand,
+      // not an analyzer stack trace
+      val missing = ns.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"selectNames: no such column(s) ${missing.mkString(", ")} - " +
+          s"available: ${df.columns.mkString(", ")}")
+      df.select(ns.map(col): _*)
+    }
     /** reference selector `named`/`into` — rename-in-select. */
     def selectAs(pairs: (String, String)*): DataFrame =
       df.select(pairs.map { case (from, to) => col(from).as(to) }: _*)

@@ -24,10 +24,11 @@ object Similarity {
     * NoSuchElementException when an upstream filter leaves the corpus
     * empty. */
   def vectorDim(df: DataFrame, vecCol: String): Int = {
-    val rows = df.select(size(col(vecCol))).take(1)
+    val rows = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
     require(rows.nonEmpty,
-      s"vectorDim: input is empty - cannot infer the '$vecCol' " +
-        "embedding dimension (did an upstream filter drop every row?)")
+      s"vectorDim: no non-null '$vecCol' vectors - cannot infer the " +
+        "embedding dimension (empty input, or the column is all null?)")
     rows.head.getInt(0)
   }
 
@@ -198,10 +199,11 @@ object Similarity {
   def sampleCentroids(corpus: DataFrame, nlist: Int,
       vecCol: String = "embedding", idCol: String = "vec_id")
       : Seq[Array[Float]] = {
-    val seeds = corpus.orderBy(col(idCol)).limit(nlist).select(col(vecCol))
+    val seeds = corpus.where(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(nlist).select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray).toSeq
     require(seeds.nonEmpty,
-      "sampleCentroids: empty corpus - no centroids to seed IVF")
+      "sampleCentroids: no non-null vectors - no centroids to seed IVF")
     seeds
   }
 
@@ -280,9 +282,10 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       iters: Int = 0): Seq[Seq[Array[Float]]] = {
     require(m >= 1 && ksub >= 1, "pqTrain: m and ksub must be >= 1")
-    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
+    val seeds = corpus.where(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    require(seeds.nonEmpty, "pqTrain: empty corpus")
+    require(seeds.nonEmpty, "pqTrain: no non-null vectors in the corpus")
     val dim = seeds.head.length
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val d = dim / m

@@ -26,12 +26,11 @@ class EmptyInputSpec extends AnyFunSuite {
     dir
   }
 
-  test("every registered query survives empty tables (result or " +
-      "documented guard, never an opaque crash)") {
+  private def sweep(dir: String, label: String): Unit = {
     val opaque = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        fn(spark, emptyDir).collect() // force full execution
+        fn(spark, dir).collect() // force full execution
       } catch {
         case e: IllegalArgumentException if e.getMessage != null => // guard
         case e: IllegalStateException if e.getMessage != null =>    // guard
@@ -46,7 +45,47 @@ class EmptyInputSpec extends AnyFunSuite {
       }
     }
     assert(opaque.isEmpty,
-      s"opaque empty-input failures (${opaque.size}):\n" +
-        opaque.mkString("\n"))
+      s"opaque $label failures (${opaque.size}):\n" + opaque.mkString("\n"))
+  }
+
+  test("every registered query survives empty tables (result or " +
+      "documented guard, never an opaque crash)") {
+    sweep(emptyDir, "empty-input")
+  }
+
+  /** The other degenerate shape: rows EXIST but every non-key value is
+    * null (a bad upstream export, a schema-drifted source). Key/id
+    * columns stay populated so per-key machinery engages. */
+  private lazy val nullDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_null_sf").toString
+    val src = "/root/testdata/sf0.001"
+    val keep: Map[String, Set[String]] = Map(
+      "region" -> Set("r_regionkey"),
+      "nation" -> Set("n_nationkey", "n_regionkey"),
+      "customer" -> Set("c_custkey", "c_nationkey"),
+      "supplier" -> Set("s_suppkey", "s_nationkey"),
+      "part" -> Set("p_partkey"),
+      "orders" -> Set("o_orderkey", "o_custkey"),
+      "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber"),
+      "events" -> Set("event_id", "user_id"),
+      "documents" -> Set("doc_id"),
+      "embeddings" -> Set("vec_id"))
+    keep.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$src/$t.parquet").limit(20)
+      val nulled = df.select(df.schema.fields.map { f =>
+        if (keys(f.name)) org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      nulled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every registered query survives all-null value columns " +
+      "(result or documented guard, never an opaque crash)") {
+    sweep(nullDir, "all-null-input")
   }
 }
