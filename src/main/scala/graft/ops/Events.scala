@@ -467,7 +467,15 @@ object Events {
     * value-collapsed counts + [[Series.globalCumSum]] (bucketed
     * two-level scan) plus a PARTITIONED per-value tie-break window,
     * and the ntile index is pure arithmetic on (rn, n). Three
-    * entity-frame passes, zero single-partition stages. */
+    * entity-frame passes, zero single-partition stages.
+    *
+    * Honest serial bound: the tie-break window's task is the LARGEST
+    * TIE CLASS of a metric (e.g. every one-event entity ties at
+    * frequency 1 — at extreme scale that class is a single sorted,
+    * spill-safe task: slow, never OOM). Exact ntile requires a total
+    * order inside the class, so this is inherent to the semantics;
+    * if per-class serialization bites before anything else does,
+    * quantize the metric or accept hash-order ties. */
   def rfmSegments(df: DataFrame, entityCol: String, tsCol: String,
       valueCol: String, tiles: Int = 5): DataFrame = {
     require(tiles >= 2, s"rfmSegments: tiles must be >= 2, got $tiles")

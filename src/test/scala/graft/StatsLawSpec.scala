@@ -92,6 +92,28 @@ class StatsLawSpec extends AnyFunSuite {
     }
   }
 
+  test("hot session: one entity, 300k events in a single session — " +
+      "the suffix-sum window spills, never OOMs, credits conserve") {
+    val s = spark
+    import s.implicits._
+    val n = 300000
+    val ev = s.range(n.toLong).select(
+      lit(1L).as("u"),
+      org.apache.spark.sql.functions.timestamp_seconds(col("id"))
+        .as("ts"),
+      col("id").as("event_id"),
+      when(col("id") % 1000 === 999, "p").otherwise("t").as("t"))
+    val got = Events.linearAttribution(ev, "u", "ts",
+      Seq("ts", "event_id"), "t", "p", gapUs = 3600000000L)
+      .collect()
+    val nConv = n / 1000
+    val total = got.map(_.getAs[Long]("credit_micro")).sum
+    // each conversion at rank r distributes r·round(1e6/r) ∈ 1e6 ± r/2
+    assert(math.abs(total - 1000000L * nConv) <= nConv.toLong * n / 2,
+      s"total=$total nConv=$nConv")
+    assert(got.map(_.getAs[Long]("n_touches")).sum == n.toLong)
+  }
+
   test("law: jackknife CI brackets the mean with nonnegative se") {
     val s = spark
     import s.implicits._
