@@ -6625,6 +6625,40 @@ object SparkEntry {
       |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("stat_linregress_multi", (s, dir) => {
+      // y ~ x1 + x2 on the standardized (correlation) system — the
+      // numerically safe closed form both engines replay identically;
+      // DuckDB mirrors the elimination path term for term.
+      graft.ops.Stats.linearRegressionMulti(Tables(s, dir).lineitem,
+          Seq("l_quantity", "l_tax"), "l_extendedprice")
+        .sortByKeys(SortKey("term"))
+    }, Some("""WITH m AS (SELECT covar_pop(l_quantity, l_tax) AS c12,
+      |  covar_pop(l_quantity, l_extendedprice) AS cy1,
+      |  covar_pop(l_tax, l_extendedprice) AS cy2,
+      |  var_pop(l_quantity) AS v1, var_pop(l_tax) AS v2,
+      |  var_pop(l_extendedprice) AS vy,
+      |  AVG(l_quantity) AS m1, AVG(l_tax) AS m2,
+      |  AVG(l_extendedprice) AS my
+      |  FROM lineitem WHERE l_quantity IS NOT NULL
+      |    AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |s AS (SELECT *, sqrt(v1) AS s1, sqrt(v2) AS s2, sqrt(vy) AS sy
+      |  FROM m),
+      |r AS (SELECT *, c12 / (s1 * s2) AS r12, cy1 / (s1 * sy) AS r1y,
+      |  cy2 / (s2 * sy) AS r2y FROM s),
+      |b AS (SELECT *, (r2y - r12 * r1y) / (1 - r12 * r12) AS b2s
+      |  FROM r),
+      |b1 AS (SELECT *, r1y - r12 * b2s AS b1s FROM b),
+      |f AS (SELECT
+      |  my - (b1s * sy / s1) * m1 - (b2s * sy / s2) * m2 AS ic,
+      |  b1s * sy / s1 AS co1, b2s * sy / s2 AS co2,
+      |  b1s * r1y + b2s * r2y AS r2v FROM b1)
+      |SELECT term, value FROM (
+      |  SELECT '(intercept)' AS term, ROUND(ic, 6) AS value FROM f
+      |  UNION ALL SELECT 'l_quantity', ROUND(co1, 6) FROM f
+      |  UNION ALL SELECT 'l_tax', ROUND(co2, 6) FROM f
+      |  UNION ALL SELECT 'r2', ROUND(r2v, 6) FROM f)
+      |ORDER BY term""".stripMargin)),
+
     Q("stat_spearman", (s, dir) => {
       // rank correlation with exact fractional tie ranks — quantity vs
       // price. Ranks derive from value-collapsed counts + globalCumSum

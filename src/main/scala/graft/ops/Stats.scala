@@ -53,6 +53,101 @@ object Stats {
         nullif(col("__varx") * col("__vary"), lit(0.0)), 6).as("r2"): _*)
   }
 
+  /** MULTIPLE linear regression y ~ x₁ + … + x_k + intercept, solved
+    * on the STANDARDIZED (correlation-matrix) system: one pass of
+    * stable moment aggregates (covar_pop/var_pop — never raw Σx²),
+    * the driver solves R·β_std = r_xy by Gaussian elimination with
+    * partial pivoting, coefficients unstandardize as β_i =
+    * β_std_i·σ_y/σ_i, intercept = ȳ − Σβ_i·x̄_i, R² = β_stdᵀ·r_xy.
+    * Returns one row per term: ("(intercept)", each predictor, "r2"),
+    * value 6dp. Constant predictors and collinear systems throw a
+    * NAMED IllegalStateException.
+    *
+    * Why standardized: raw normal equations amplify independent
+    * cross-engine moment noise by κ(XᵀX) = κ(X)² — with uncentered
+    * large-mean regressors that swamps a 6dp compare. The correlation
+    * system has κ ≈ the predictors' true collinearity (≈1 for sane
+    * audit regressions), so a DuckDB replay of the same closed form
+    * lands on identical rounded output.
+    *
+    * Scale shape: ONE aggregate, k(k+1)/2 + 2k + 2 fixed-width
+    * partials; the collect is one row of O(k²) doubles (planner-scale,
+    * the k-means centroid pattern); the solve is k³ driver flops. */
+  def linearRegressionMulti(df: DataFrame, xCols: Seq[String],
+      yCol: String): DataFrame = {
+    require(xCols.nonEmpty, "linearRegressionMulti: no predictors")
+    require(xCols.size <= 16,
+      s"linearRegressionMulti: ${xCols.size} predictors - the closed " +
+        "form is for small k (use an iterative solver beyond that)")
+    val spark = df.sparkSession
+    val k = xCols.size
+    val xs = xCols.map(c => col(c).cast(DoubleType))
+    val y = col(yCol).cast(DoubleType)
+    val clean = df.where((col(yCol) +: xCols.map(col))
+      .map(_.isNotNull).reduce(_ && _))
+    val aggs =
+      (for (i <- 0 until k; j <- i + 1 until k)
+        yield covar_pop(xs(i), xs(j)).as(s"c_${i}_$j")) ++
+      (0 until k).map(i => covar_pop(xs(i), y).as(s"cy_$i")) ++
+      (0 until k).map(i => var_pop(xs(i)).as(s"v_$i")) ++
+      (0 until k).map(i => avg(xs(i)).as(s"m_$i")) :+
+      var_pop(y).as("vy") :+ avg(y).as("my") :+ count(lit(1)).as("n")
+    val row = clean.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n")
+    require(n > k + 1,
+      s"linearRegressionMulti: $n rows for ${k + 1} coefficients - " +
+        "underdetermined")
+    val sd = Array.tabulate(k)(i => math.sqrt(row.getAs[Double](s"v_$i")))
+    val sdY = math.sqrt(row.getAs[Double]("vy"))
+    (0 until k).foreach { i =>
+      if (!(sd(i) > 0)) throw new IllegalStateException(
+        s"linearRegressionMulti: predictor '${xCols(i)}' is constant")
+    }
+    val r = Array.tabulate(k, k) { (i, j) =>
+      if (i == j) 1.0
+      else row.getAs[Double](s"c_${math.min(i, j)}_${math.max(i, j)}") /
+        (sd(i) * sd(j))
+    }
+    val rhs = Array.tabulate(k)(i =>
+      if (sdY > 0) row.getAs[Double](s"cy_$i") / (sd(i) * sdY) else 0.0)
+    // Gaussian elimination with partial pivoting, driver-side k×k
+    val beta = {
+      val a = r.map(_.clone()); val b = rhs.clone()
+      for (c <- 0 until k) {
+        val piv = (c until k).maxBy(rr => math.abs(a(rr)(c)))
+        if (math.abs(a(piv)(c)) < 1e-10)
+          throw new IllegalStateException(
+            "linearRegressionMulti: collinear predictors (singular " +
+              s"correlation matrix at '${xCols(c)}')")
+        val (t1, t2) = (a(c), b(c)); a(c) = a(piv); b(c) = b(piv)
+        a(piv) = t1; b(piv) = t2
+        for (rr <- c + 1 until k) {
+          val f = a(rr)(c) / a(c)(c)
+          for (cc <- c until k) a(rr)(cc) -= f * a(c)(cc)
+          b(rr) -= f * b(c)
+        }
+      }
+      val out = new Array[Double](k)
+      for (rr <- k - 1 to 0 by -1) {
+        var s = b(rr)
+        for (cc <- rr + 1 until k) s -= a(rr)(cc) * out(cc)
+        out(rr) = s / a(rr)(rr)
+      }
+      out
+    }
+    val coef = Array.tabulate(k)(i =>
+      if (sd(i) > 0) beta(i) * sdY / sd(i) else 0.0)
+    val intercept = row.getAs[Double]("my") -
+      (0 until k).map(i => coef(i) * row.getAs[Double](s"m_$i")).sum
+    val r2 = (0 until k).map(i => beta(i) * rhs(i)).sum
+    val terms = ("(intercept)" +: xCols) :+ "r2"
+    val values = ((intercept +: coef.toSeq) :+ r2).map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    import spark.implicits._
+    terms.zip(values).toDF("term", "value")
+  }
+
   /** Spearman rank correlation of two columns — ONE row (n, rho 6dp).
     * Monotone-association robustness where Pearson (`describe`/`corr`,
     * reference `api/describe.kt`) assumes linearity. Fractional

@@ -36,6 +36,34 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n") == 3L && row.getAs[Double]("slope") == 3.0)
   }
 
+  test("linearRegressionMulti recovers an exact plane; collinear and " +
+      "constant predictors throw named errors") {
+    val s = spark
+    import s.implicits._
+    // y = 2·x1 + 3·x2 + 5 exactly
+    val df = Seq((1.0, 2.0), (2.0, 5.0), (3.0, 3.0), (4.0, 7.0),
+      (5.0, 4.0)).toDF("x1", "x2")
+      .withColumn("y", lit(2.0) * col("x1") + lit(3.0) * col("x2") + 5)
+    val got = Stats.linearRegressionMulti(df, Seq("x1", "x2"), "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("(intercept)") - 5.0) < 1e-6, got)
+    assert(math.abs(got("x1") - 2.0) < 1e-6 &&
+      math.abs(got("x2") - 3.0) < 1e-6, got)
+    assert(got("r2") == 1.0)
+    // collinear: x2 = 2·x1
+    val coll = df.withColumn("x2", col("x1") * 2)
+    val e1 = intercept[IllegalStateException] {
+      Stats.linearRegressionMulti(coll, Seq("x1", "x2"), "y")
+    }
+    assert(e1.getMessage.contains("collinear"))
+    // constant predictor
+    val const = df.withColumn("x2", lit(7.0))
+    val e2 = intercept[IllegalStateException] {
+      Stats.linearRegressionMulti(const, Seq("x1", "x2"), "y")
+    }
+    assert(e2.getMessage.contains("constant"))
+  }
+
   test("spearman: monotone nonlinear → 1; ties use fractional ranks") {
     val s = spark
     import s.implicits._
