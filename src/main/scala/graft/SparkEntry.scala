@@ -6677,6 +6677,26 @@ object SparkEntry {
       |SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(corr(rx, ry), 6) AS rho
       |FROM r""".stripMargin)),
 
+    Q("stat_spearman_by", (s, dir) => {
+      // grouped rank correlation per returnflag: partitioned rank
+      // windows (parallel across groups), exact fractional tie ranks.
+      graft.ops.Stats.spearmanBy(Tables(s, dir).lineitem,
+          "l_quantity", "l_extendedprice", Seq("l_returnflag"))
+        .sortByKeys(SortKey("l_returnflag"))
+    }, Some("""WITH p AS (SELECT l_returnflag AS g,
+      |  CAST(l_quantity AS DOUBLE) AS x,
+      |  CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |r AS (SELECT g,
+      |  rank() OVER (PARTITION BY g ORDER BY x)
+      |    + (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+      |  rank() OVER (PARTITION BY g ORDER BY y)
+      |    + (COUNT(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry FROM p)
+      |SELECT g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(covar_pop(rx, ry)
+      |    / nullif(sqrt(var_pop(rx) * var_pop(ry)), 0), 6) AS rho
+      |FROM r GROUP BY g ORDER BY l_returnflag""".stripMargin)),
+
     Q("stat_anova", (s, dir) => {
       // one-way ANOVA: does event value differ across event types?
       // SSW/SSB from per-group stable moments, never raw sums of

@@ -189,6 +189,47 @@ object Stats {
         nullif(sqrt(col("__vx") * col("__vy")), lit(0.0)), 6).as("rho"))
   }
 
+  /** Per-GROUP Spearman rank correlation — [[spearman]]'s grouped
+    * sibling: one row per group (group cols…, n, rho 6dp). Ranks here
+    * ride PARTITIONED windows (rank() + tie-count over the group key —
+    * parallel across groups, per-group sort spill-safe), so no
+    * globalCumSum machinery is needed; the global form exists because
+    * `Window.orderBy` with NO partition key is the trap, not windows
+    * per se. Fractional tie ranks are exact half-integers; ρ from
+    * moments (ANSI-safe), single-valued columns yield null.
+    *
+    * Scale shape: ONE group-key Exchange shared by all four window
+    * specs + the final aggregate (same-key clustering satisfies every
+    * requirement); per-task work is the group's sort. */
+  def spearmanBy(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "spearmanBy: empty group keys - use spearman() for the global form")
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keys :+ col(xCol).cast(DoubleType).as("__x") :+
+        col(yCol).cast(DoubleType).as("__y"): _*)
+    def frank(c: String): Column = {
+      val wOrd = Window.partitionBy(keys: _*).orderBy(col(c))
+      val wTie = Window.partitionBy(keys :+ col(c): _*)
+      rank().over(wOrd).cast(DoubleType) +
+        (count(lit(1)).over(wTie).cast(DoubleType) - lit(1.0)) / lit(2.0)
+    }
+    base
+      .withColumn("__rx", frank("__x"))
+      .withColumn("__ry", frank("__y"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        covar_pop(col("__rx"), col("__ry")).as("__cov"),
+        var_pop(col("__rx")).as("__vx"), var_pop(col("__ry")).as("__vy"))
+      .select(keys :+ col("n") :+
+        round(col("__cov") /
+          nullif(sqrt(col("__vx") * col("__vy")), lit(0.0)), 6)
+          .as("rho"): _*)
+  }
+
   /** One-way ANOVA: does a numeric outcome differ across k groups?
     * ONE row (k, n, f, eta_sq) — F = (SSB/(k−1)) / (SSW/(N−k)),
     * η² = SSB/(SSB+SSW) (effect size), both 6dp; degenerate inputs

@@ -79,6 +79,25 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(rho - 0.833333) < 1e-6, s"rho=$rho")
   }
 
+  test("spearmanBy: per-group rho; agrees with the global form on a " +
+      "single group") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 8.0), ("a", 3.0, 27.0),
+      ("b", 1.0, 9.0), ("b", 2.0, 4.0), ("b", 3.0, 1.0))
+      .toDF("g", "x", "y")
+    val got = Stats.spearmanBy(df, "x", "y", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rho")).toMap
+    assert(got == Map("a" -> 1.0, "b" -> -1.0), got)
+    // tie case equals the global implementation exactly
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 30.0))
+      .toDF("x", "y").withColumn("g", lit("z"))
+    val grouped = Stats.spearmanBy(ties, "x", "y", Seq("g"))
+      .head().getAs[Double]("rho")
+    val global = Stats.spearman(ties, "x", "y").head().getAs[Double]("rho")
+    assert(grouped == global)
+  }
+
   test("anovaF matches the hand-computed F on a textbook 3-group case") {
     val s = spark
     import s.implicits._
