@@ -110,7 +110,7 @@ object ScaleSlopeStats {
     // --- mmr: corpus grows, query set fixed ---------------------------
     val baseVecs = t.embeddings.select(col("vec_id"), col("embedding"))
     val queries = baseVecs.where(col("vec_id") % 1000 === 0)
-    for ((label, r) <- Seq(("x1", 1), ("x10", 10))) {
+    for ((label, r) <- reps) {
       val corpus =
         if (r == 1) baseVecs
         else baseVecs
