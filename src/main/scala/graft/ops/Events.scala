@@ -457,7 +457,9 @@ object Events {
     * highest spend), `segment` = the concatenated "rfm" digits. Exact
     * `ntile` semantics — first (n mod k) tiles take the extra row —
     * with the total order (metric, entity id) so ties are
-    * deterministic in any engine.
+    * deterministic in any engine. Null `valueCol` rows contribute 0 to
+    * monetary (the entity still counts); rows with a null entity or
+    * timestamp are excluded.
     *
     * Scale shape: events collapse to one row per entity in ONE shuffle
     * (count/max/sum partials); everything after runs on the

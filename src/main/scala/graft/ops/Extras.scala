@@ -94,7 +94,10 @@ object Extras {
     * bounded by `toleranceUs` (a match farther than the tolerance
     * yields nulls, pandas `merge_asof` semantics — a year-old profile
     * should NOT enrich today's event just because nothing newer
-    * exists).
+    * exists). The tolerance gap is measured in epoch micros, so both
+    * ts columns must be TIMESTAMP-typed when a tolerance is given;
+    * direction/no-tolerance calls accept any mutually comparable
+    * ordering type.
     *
     * Scale shape: tag and union both sides, ONE shuffle on the key, then
     * a running last_value over the time-ordered union — never the

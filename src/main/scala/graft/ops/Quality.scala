@@ -543,10 +543,12 @@ object Quality {
     * deterministically. An empty result means the FD holds (modulo
     * nulls — `n_null_dep` counts dependent nulls separately rather
     * than folding them into the distinct count, so a key whose only
-    * "second value" is NULL does not flag). The schema-discovery /
-    * data-contract primitive: "order_id determines status" is an
-    * assertion this report either certifies or refutes with the
-    * offending keys in hand.
+    * "second value" is NULL does not flag). Rows with a NULL
+    * determinant are excluded — an FD says nothing about undefined
+    * keys; count them with [[profileTable]]'s n_nulls if they matter.
+    * The schema-discovery / data-contract primitive: "order_id
+    * determines status" is an assertion this report either certifies
+    * or refutes with the offending keys in hand.
     *
     * Scale shape: one exact `countDistinct` aggregate — Catalyst
     * expands it to the standard two-level plan ((det, dep) partial

@@ -364,7 +364,9 @@ object Stats {
     * min doc_id (first occurrence) and per-doc token counts — each one
     * shuffle with map-side partials; both then bucket by the
     * arithmetic checkpoint index (floor(id·c/(max+1)) — pure integer
-    * replayable anywhere) and roll up to `checkpoints` rows. The
+    * replayable anywhere; ids must be NON-NEGATIVE, a negative id
+    * would land in a phantom negative bucket) and roll up to
+    * `checkpoints` rows. The
     * cumulative + fit run on that tiny frame (a c-row window is the
     * transpose_row class of driver-scale work, not a data window). */
   def heapsFit(df: DataFrame, textCol: String, idCol: String,
