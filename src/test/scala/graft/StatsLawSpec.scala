@@ -130,6 +130,31 @@ class StatsLawSpec extends AnyFunSuite {
     }
   }
 
+  test("law: mmr rank-1 equals bruteforce top-1 and every pick is a " +
+      "candidate (random vectors)") {
+    val s = spark
+    import s.implicits._
+    val vecGen = Gen.listOfN(30, Gen.listOfN(8,
+      Gen.choose(-1.0, 1.0).map(_.toFloat)))
+    cases(vecGen, 4) { vecs =>
+      val corpus = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val q = corpus.where(col("vec_id") === 0)
+      val picks = graft.ops.Similarity.mmrRerank(corpus, q,
+        nCandidates = 10, k = 3, lambdaMicro = 600000L)
+        .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+      assert(picks.distinct.size == picks.size, "no repeats")
+      val cand = graft.ops.Similarity.bruteForceTopK(corpus, q, 10)
+        .collect()
+      val candIds = cand.map(_.getAs[Long]("neighbor_id")).toSet
+      assert(picks.forall(candIds), s"picks $picks outside candidates")
+      // λ > 0 ⇒ the first pick is pure relevance = bruteforce rank 1
+      val top1 = cand.filter(_.getAs[Int]("rank") == 1)
+        .head.getAs[Long]("neighbor_id")
+      assert(picks.head == top1, s"rank-1 ${picks.head} != $top1")
+    }
+  }
+
   test("law: Kaplan-Meier survival is non-increasing in [0, 1]") {
     val s = spark
     import s.implicits._
