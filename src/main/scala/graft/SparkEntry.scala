@@ -2894,11 +2894,44 @@ object SparkEntry {
       |ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_simhash_pairs", (s, dir) => {
+      // the cross-engine-replayable tokenHash variant: DuckDB re-derives
+      // the 60-bit sha256-prefix token hashes, the per-bit majority vote,
+      // and brute-forces the hamming-<=3 pair set the pigeonhole path
+      // must equal (the pigeonhole/bruteforce identity is separately
+      // pinned by dedup_simhash_verify on the xxhash64 default)
       Dedup.simhashPairs(withExactDups(Tables(s, dir))
-          .selectNames(Seq("doc_id", "text")), "text", "doc_id", maxHamming = 0)
+          .selectNames(Seq("doc_id", "text")), "text", "doc_id",
+          maxHamming = 3, tokenHash = Dedup.shaTokenHash)
         .selectNames(Seq("id_a", "id_b"))
         .sortByKeys(SortKey("id_a"), SortKey("id_b"))
-    }, None), // simhash = xxhash-based, not SQL-expressible; rows-only
+    }, Some("""WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |tk AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) AS t
+      |  FROM d WHERE text IS NOT NULL),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(sha256(t), 1, 15)) AS BIGINT) AS hv
+      |  FROM tk),
+      |b AS (
+      |  SELECT doc_id, r.j,
+      |    CASE WHEN sum(CASE WHEN (hv >> CAST(r.j AS INTEGER)) & 1 = 1
+      |                       THEN 1 ELSE -1 END) > 0
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM h CROSS JOIN range(60) r(j) GROUP BY doc_id, r.j),
+      |sh0 AS (
+      |  SELECT doc_id, CAST(sum(bit << CAST(j AS INTEGER)) AS BIGINT) AS sh
+      |  FROM b GROUP BY doc_id),
+      |sh AS (
+      |  SELECT d.doc_id, coalesce(sh0.sh, 0) AS sh
+      |  FROM d LEFT JOIN sh0 USING (doc_id) WHERE d.text IS NOT NULL)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dedup_simhash_verify", (s, dir) => {
       // self-differential oracle (the sim_ivf_exhaustive pattern): the
@@ -4284,12 +4317,52 @@ object SparkEntry {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("sim_lsh_topk", (s, dir) => {
+      // the engine-replayable plane variant: DuckDB re-derives the
+      // integer-exact Rademacher signatures, the band-collision candidate
+      // relation (bit-slice equality = band-key equality up to the same
+      // 2^-64 xxhash collision argument text_decontaminate rides), and
+      // the exact cosine ranking — the approximate path, replayed whole
       val t = Tables(s, dir)
       Similarity.lshTopK(t.embeddings,
-          t.embeddings.filterRows(col("vec_id") < 10), k = 5)
+          t.embeddings.filterRows(col("vec_id") < 10), k = 5,
+          deterministicPlanes = true)
         .selectNames(Seq("query_id", "rank", "neighbor_id"))
         .sortByKeys(SortKey("query_id"), SortKey("rank"))
-    }, None), // approximate by design — rows-only check
+    }, Some("""WITH sig AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(range(16), p ->
+      |      CASE WHEN list_sum(list_transform(range(len(embedding)), j ->
+      |        CAST(round(CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) * 1000000.0) AS BIGINT) *
+      |        (CASE WHEN ((j * 73856093 + p * 19349663) % 1000003) % 2 = 0
+      |              THEN 1 ELSE -1 END)
+      |      )) >= 0 THEN 1 ELSE 0 END) AS sg
+      |  FROM embeddings),
+      |bnd AS (
+      |  SELECT vec_id,
+      |    CAST(b.b AS INTEGER) AS b,
+      |    sg[CAST(b.b AS INTEGER) * 2 + 1] * 2
+      |      + sg[CAST(b.b AS INTEGER) * 2 + 2] AS key
+      |  FROM sig CROSS JOIN range(8) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM bnd q JOIN bnd c ON q.b = c.b AND q.key = c.key
+      |    AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10),
+      |sc AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / greatest(
+      |        sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |        sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |        1e-12) AS cos
+      |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+      |            JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, CAST(row_number() OVER
+      |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("sim_ivf_topk", (s, dir) => {
       val t = Tables(s, dir)
@@ -4297,7 +4370,41 @@ object SparkEntry {
           t.embeddings.filterRows(col("vec_id") < 10), k = 5, nlist = 8)
         .selectNames(Seq("query_id", "rank", "neighbor_id"))
         .sortByKeys(SortKey("query_id"), SortKey("rank"))
-    }, None), // single-probe IVF is approximate by design — rows-only
+    }, Some("""WITH ct AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS i,
+      |         embedding AS cv
+      |  FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8),
+      |co AS (
+      |  SELECT e.vec_id AS id, e.embedding AS v, ct.i,
+      |    list_sum(list_transform(list_zip(e.embedding, ct.cv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / greatest(
+      |        sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |        sqrt(list_sum(list_transform(ct.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |        1e-12) AS s
+      |  FROM embeddings e CROSS JOIN ct),
+      |cell AS (
+      |  SELECT id, v, i AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, i DESC) AS rn
+      |    FROM co) WHERE rn = 1),
+      |sc AS (
+      |  SELECT q.id AS query_id, c.id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(q.v, c.v),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / greatest(
+      |        sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |        sqrt(list_sum(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |        1e-12) AS cos
+      |  FROM cell q JOIN cell c ON q.cell = c.cell AND q.id <> c.id
+      |  WHERE q.id < 10)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, CAST(row_number() OVER
+      |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      // the full single-probe replay: same deterministic first-8-by-id
+      // centroid seed, same argmax cell assignment (tie -> highest i,
+      // matching greatest(struct(s, i))), same cell-local cosine ranking
 
     Q("sim_ivf_exhaustive", (s, dir) => {
       // nprobe = nlist probes every cell: the IVF pipeline (assignment,
@@ -4355,14 +4462,17 @@ object SparkEntry {
 
     Q("sim_lsh_recall", (s, dir) => {
       // measured-recall differential (VERDICT r3 #3): LSH top-k vs the
-      // exact brute-force top-k on identical inputs. Seeded hyperplanes +
-      // deterministic data ⇒ the recall is a deterministic scalar; DuckDB
-      // checks the invariants it can express — the exact ground-truth
-      // count and a documented recall floor (measured 0.98 at sf0.01,
-      // planes=16, bands=8, k=5; floor 0.33 leaves a 3× margin).
+      // exact brute-force top-k on identical inputs. Deterministic planes
+      // + deterministic data ⇒ the recall is a deterministic scalar;
+      // DuckDB checks the invariants it can express — the exact
+      // ground-truth count and a documented recall floor (measured 0.94
+      // at sf0.01 with the integer-Rademacher planes sim_lsh_topk ships,
+      // planes=16, bands=8, k=5 — the Gaussian default measures 0.98;
+      // floor 0.33 keeps a ~3× margin for either family).
       val t = Tables(s, dir)
       val q = t.embeddings.filterRows(col("vec_id") < 10)
-      val approx = Similarity.lshTopK(t.embeddings, q, k = 5)
+      val approx = Similarity.lshTopK(t.embeddings, q, k = 5,
+          deterministicPlanes = true)
         .selectNames(Seq("query_id", "neighbor_id"))
       val exact = Similarity.bruteForceTopK(t.embeddings, q, k = 5)
         .selectNames(Seq("query_id", "neighbor_id"))

@@ -441,6 +441,18 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(tokens(text), t => xxhash64(t))
 
+  /** 60-bit sha256-prefix token hash — a drop-in alternative to the
+    * xxhash64 default that an independent SQL engine re-derives exactly
+    * (`('0x' || substr(sha256(t), 1, 15))::BIGINT` in DuckDB): 15 hex
+    * chars = 60 bits, fitting a signed long in any engine. Bits 60–63
+    * of the resulting simhash are structurally 0 (every token votes
+    * them clear) — 4 of 64 bits of discrimination traded for a
+    * bit-for-bit cross-engine replay of the whole pigeonhole pipeline
+    * (the `dedup_simhash_pairs` oracle). The xxhash64 default stays
+    * the production path (no crypto hash per token). */
+  def shaTokenHash(t: Column): Column =
+    conv(substring(sha2(t, 256), 1, 15), 16, 10).cast(LongType)
+
   /** 64-bit SimHash: bit j of the result is set iff more token hashes have
     * bit j set than clear (majority vote). Backed by the native codegen'd
     * [[org.apache.spark.sql.graftnative.SimHash64]] expression — one fused pass per row (the
@@ -456,16 +468,20 @@ object Dedup {
 
   /** SimHash near-dup pairs: docs bucketed by the 4 16-bit quarters of the
     * simhash (pigeonhole: hamming ≤ 3 ⇒ at least one identical quarter),
-    * verified by full hamming distance. O(n·4) candidate generation. */
+    * verified by full hamming distance. O(n·4) candidate generation.
+    * `tokenHash` swaps the per-token hash (default xxhash64; pass
+    * [[shaTokenHash]] for the cross-engine-replayable variant). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3,
-      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+      cache: CacheHandle = CacheHandle.unmanaged,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     // same skinny-candidate shape as nearDupPairs: spread the hash
     // compute, explode (id, quarter, key) only, verify by id re-join
     val sigs = cache.track(df
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(col("id"))
-      .select(col("id"), tokenHashes(col("__text")).as("__h"))
+      .select(col("id"),
+        transform(tokens(col("__text")), tokenHash).as("__h"))
       .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = sigs

@@ -68,6 +68,34 @@ object Similarity {
     array(bits: _*)
   }
 
+  /** Deterministic INTEGER-EXACT hyperplane signature: plane p's
+    * components are Rademacher ±1 signs from pure integer hash parity
+    * (the [[randomProjection]] formula — no RNG, no libm), and the dot
+    * product runs over the vector's exact integer MICRO values
+    * (round(x·1e6) per element), so bit p = (Σ_j ±micro_j >= 0) is an
+    * exact BIGINT comparison any engine reproduces bit-for-bit —
+    * float summation order can never flip a signature bit. Random sign
+    * vectors are a standard sign-LSH family (collision probability
+    * 1 − θ/π like Gaussian planes, Charikar 2002 applies to any
+    * symmetric distribution); the payoff over the Gaussian default is
+    * a full SQL replay of the banding pipeline (the `sim_lsh_topk`
+    * oracle). Scan-side only — no shuffle, no UDF. */
+  def hyperplaneSignatureHash(v: Column, planes: Int): Column = {
+    val micro = transform(v, x =>
+      round(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+    val idx = sequence(lit(0), size(v) - 1)
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(micro, idx, (m, j) =>
+          m * when(((j.cast(LongType) * lit(73856093L) +
+            lit(p.toLong) * lit(19349663L)) % lit(1000003L)) %
+            lit(2L) === 0L, lit(1L)).otherwise(lit(-1L))),
+        lit(0L), (a, x) => a + x)
+      when(dot >= 0L, 1).otherwise(0)
+    }
+    array(bits: _*)
+  }
+
   /** Hard ceiling on the broadcast-side row count for [[bruteForceTopK]]:
     * beyond this, the query-side broadcast risks driver OOM and the O(n·q)
     * score dominates — use [[lshTopK]] / [[ivfTopK]] instead. */
@@ -147,19 +175,26 @@ object Similarity {
 
   /** LSH-bucketed top-k: both sides signed with the same hyperplanes,
     * banded; candidates = bucket collisions only. Recall < 1.0 by design —
-    * raise `bands`/lower `rowsPerBand` to trade cost for recall. */
+    * raise `bands`/lower `rowsPerBand` to trade cost for recall.
+    * `deterministicPlanes = true` swaps the seeded Gaussian planes for
+    * [[hyperplaneSignatureHash]]'s integer-exact Rademacher signs — same
+    * sign-LSH family and query shape, engine-replayable signatures. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      planes: Int = 16, bands: Int = 8, seed: Long = 42L): DataFrame = {
+      planes: Int = 16, bands: Int = 8, seed: Long = 42L,
+      deterministicPlanes: Boolean = false): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
-    val dim = vectorDim(corpus, vecCol)
+    lazy val dim = vectorDim(corpus, vecCol)
     val r = planes / bands
+    def sig: Column =
+      if (deterministicPlanes) hyperplaneSignatureHash(col(vecCol), planes)
+      else hyperplaneSignature(col(vecCol), dim, planes, seed)
     // skinny candidates: only (id, band, key) rides the bucket join; the
     // vectors are re-joined by id for the |candidates| cosine evaluations
     def buckets(df: DataFrame, id: String): DataFrame =
       df.repartition(col(idCol))
-        .select(col(idCol).as(id), posexplode(graft.ops.Dedup.bandKeys(
-          hyperplaneSignature(col(vecCol), dim, planes, seed), bands, r)))
+        .select(col(idCol).as(id),
+          posexplode(graft.ops.Dedup.bandKeys(sig, bands, r)))
         .select(col(id), col("pos").as("b"), col("col").as("k"))
     val cand = buckets(queries, "query_id")
       .join(buckets(corpus, "neighbor_id").hint("shuffle_hash"), Seq("b", "k"))
@@ -678,12 +713,17 @@ object Similarity {
         .withColumn("score_pico",
           lam * col("rel_micro") - oneMinus * col("maxsim_micro"))
         .groupBy(col("query_id"))
-        .agg(max(struct(col("score_pico"), (-col("id")).as("__nid"),
+        // ascending-id tie-break WITHOUT negating the id (a string idCol
+        // is valid everywhere else in this API and would die in an
+        // unnamed ANSI cast here): negate the exact-integer score
+        // instead and take the struct MIN — lowest -score = highest
+        // score, ties to the lowest id in the column's natural order
+        .agg(min(struct((-col("score_pico")).as("__ns"),
           col("id"), col("rel_micro"), col("maxsim_micro"))).as("__b"))
         .select(col("query_id"), lit(rank).as("rank"),
           col("__b.id").as("id"), col("__b.rel_micro").as("rel_micro"),
           col("__b.maxsim_micro").as("maxsim_micro"),
-          col("__b.score_pico").as("score_pico"))
+          (-col("__b.__ns")).as("score_pico"))
     var (selected, freeSel) = CacheHandle.checkpointSmall(
       pickBest(cand.withColumn("maxsim_micro", lit(0L)), 1))
     (2 to k).foreach { step =>
@@ -716,17 +756,24 @@ object Similarity {
     * 6dp BEFORE the corpus stats, so every engine aggregates identical
     * inputs; p50 is the exact R-7 median.
     *
-    * Scale shape: scan-side per-row fold + one aggregate (the exact
-    * median sorts norm values — 8 bytes/row; swap for approx_percentile
-    * if even that is too hot at 100 TB). */
-  def normStats(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    * Scale shape: scan-side per-row fold + one aggregate. The exact
+    * median sorts norm values (8 bytes/row); `approxP50 = true` swaps
+    * it for `approx_percentile` at accuracy 10000 (fixed-size KLL-style
+    * sketch partials, rank error ≤ 1e-4 of n) — the
+    * `profileTable.approxDistinct` pattern for when even an 8-byte sort
+    * is too hot at 100 TB. */
+  def normStats(df: DataFrame, vecCol: String = "embedding",
+      approxP50: Boolean = false): DataFrame = {
     val v = transform(col(vecCol), x => x.cast(DoubleType))
     val norm = round(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)), 6)
+    val p50 =
+      if (approxP50) approx_percentile(col("__n"), lit(0.5), lit(10000))
+      else percentile(col("__n"), lit(0.5))
     df.select(norm.as("__n"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__n") === 0.0, 1L).otherwise(0L)).as("n_zero"),
         min(col("__n")).as("min_norm"), max(col("__n")).as("max_norm"),
         round(avg(col("__n")), 6).as("avg_norm"),
-        round(percentile(col("__n"), lit(0.5)), 6).as("p50_norm"))
+        round(p50, 6).as("p50_norm"))
   }
 }

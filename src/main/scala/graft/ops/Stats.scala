@@ -103,6 +103,13 @@ object Stats {
       if (!(sd(i) > 0)) throw new IllegalStateException(
         s"linearRegressionMulti: predictor '${xCols(i)}' is constant")
     }
+    // mirror the predictor guard on the RESPONSE: var_pop(y) = 0 would
+    // silently return all-zero coefficients with r2 = 0, presenting a
+    // degenerate input as a valid fit (and diverging from the DuckDB
+    // closed form, which yields NULLs there)
+    if (!(sdY > 0)) throw new IllegalStateException(
+      s"linearRegressionMulti: response '$yCol' is constant - nothing " +
+        "to regress")
     val r = Array.tabulate(k, k) { (i, j) =>
       if (i == j) 1.0
       else row.getAs[Double](s"c_${math.min(i, j)}_${math.max(i, j)}") /
@@ -286,6 +293,17 @@ object Stats {
   def jackknifeCi(df: DataFrame, valueCol: String, bucketKeyCol: String,
       k: Int = 20): DataFrame = {
     require(k >= 2, s"jackknife needs >=2 buckets, got $k")
+    // pmod on a fractional key yields fractional "buckets" — potentially
+    // far more than k leave-one-out groups, silently contradicting the
+    // documented "k deterministic hash buckets" contract
+    val keyType = df.schema(bucketKeyCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(keyType),
+      s"jackknifeCi: bucket key '$bucketKeyCol' must be an integral " +
+        s"column (got ${keyType.simpleString}) - pmod of a fractional " +
+        "key does not produce k buckets; hash or cast the key first")
     val v = col(valueCol).cast(DoubleType)
     val per = df.where(v.isNotNull && col(bucketKeyCol).isNotNull)
       .groupBy(pmod(col(bucketKeyCol), lit(k.toLong)).as("__b"))
@@ -380,10 +398,18 @@ object Stats {
       .select(col(idCol).as("__id"),
         explode(graft.functions.TextFunctions.tokens(col(textCol)))
           .as("__w"))
-    val maxId = df.agg((max(col(idCol)) + lit(1L)).as("__m"))
+    val maxId = df.agg((max(col(idCol)) + lit(1L)).as("__m"),
+      min(col(idCol)).as("__min"))
+    // negative-id guard rides the SAME broadcast bounds row (no extra
+    // action): a negative id would land in a phantom negative bucket and
+    // silently corrupt both the curve and the fit
     def bucketOf(id: Column): Column =
-      floor(id * lit(checkpoints.toLong) /
-        nullif(col("__m").cast(DoubleType), lit(0.0))).cast("int")
+      when(col("__min") < 0, raise_error(format_string(
+        "heapsFit: negative id in '%s' (min=%s) - checkpoint buckets " +
+          "are floor(id*c/(max+1)); ids must be non-negative",
+        lit(idCol), col("__min").cast("string"))).cast("int"))
+        .otherwise(floor(id * lit(checkpoints.toLong) /
+          nullif(col("__m").cast(DoubleType), lit(0.0))).cast("int"))
     val tokensPer = toks.groupBy(col("__id"))
       .agg(count(lit(1)).as("__nt"))
       .crossJoin(broadcast(maxId))

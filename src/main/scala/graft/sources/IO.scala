@@ -224,20 +224,34 @@ object IO {
       partitionCols: Seq[String], sortCols: Seq[String],
       format: String = "parquet", maxRecordsPerFile: Long = 0L): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned: no partition cols")
-    if (df.isEmpty) {
-      // partitionBy over zero rows writes NO files at all, and a later
-      // read fails schema inference with an opaque AnalysisException.
-      // Zero rows have no partition layout to lose — write one
-      // schema-carrying empty file so the dataset stays readable (the
-      // empty-incremental-batch case any 100 TB pipeline hits).
-      df.coalesce(1).write.mode("overwrite").format(format).save(path)
-    } else {
-      df.repartition(partitionCols.map(col): _*)
-        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy(partitionCols: _*)
-        .format(format).save(path)
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .format(format).save(path)
+    // partitionBy over zero rows writes NO data files at all, and a later
+    // read fails schema inference with an opaque AnalysisException. Probe
+    // the WRITTEN OUTPUT (one FS listing), never the input: a df.isEmpty
+    // pre-probe executes the upstream plan a second time per write, and a
+    // non-deterministic upstream could flip between the probe and the
+    // write, picking the wrong branch. Zero rows have no partition layout
+    // to lose — overwrite with one schema-carrying empty file (built from
+    // the schema alone, no plan re-execution) so the dataset stays
+    // readable (the empty-incremental-batch case any 100 TB pipeline hits).
+    val outPath = new org.apache.hadoop.fs.Path(path)
+    val fs = outPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        if (st.isDirectory) hasDataFile(st.getPath)
+        else st.getPath.getName.startsWith("part-")
+      }
+    if (!hasDataFile(outPath)) {
+      df.sparkSession
+        .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          df.schema)
+        .coalesce(1).write.mode("overwrite").format(format).save(path)
     }
   }
 

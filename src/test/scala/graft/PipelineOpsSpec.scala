@@ -607,6 +607,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p50_norm") == 1.0)
   }
 
+  test("mmrRerank: a STRING id column works (tie-break negates the " +
+      "integer score, never the id)") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      ("a", Seq(0.9f, 0.43589f, 0.0f)),
+      ("d", Seq(0.95f, 0.3122f, 0.0f)),
+      ("c", Seq(0.8f, -0.6f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(("q1", Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val picks = graft.ops.Similarity.mmrRerank(corpus, q,
+      nCandidates = 3, k = 2, lambdaMicro = 500000L)
+      .orderBy("rank").collect().map(_.getAs[String]("id")).toSeq
+    // same geometry as the numeric-id spec: d first, then the diverse c
+    assert(picks == Seq("d", "c"))
+  }
+
+  test("normStats: approxP50 stays within measured error of the exact " +
+      "median") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, Seq(i.toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val exact = graft.ops.Similarity.normStats(df).head()
+      .getAs[Double]("p50_norm")
+    val approx = graft.ops.Similarity.normStats(df, approxP50 = true)
+      .head().getAs[Double]("p50_norm")
+    // accuracy 10000 ⇒ rank error ≤ n/10000 = 0.5 ranks here; allow 2
+    assert(math.abs(approx - exact) <= 2.0,
+      s"approx=$approx exact=$exact")
+  }
+
   test("rfmSegments: exact ntile remainder split; ties break on entity") {
     val s = spark
     import s.implicits._

@@ -158,4 +158,48 @@ class StatsSpec extends AnyFunSuite {
     assert(slope < -0.97 && slope > -1.03, s"slope=$slope")
     assert(row.getAs[Double]("r2") > 0.999)
   }
+
+  test("linearRegressionMulti: constant RESPONSE throws the mirrored " +
+      "named guard instead of returning a fake all-zero fit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1.0, 2.0), (2.0, 5.0), (3.0, 3.0), (4.0, 7.0),
+      (5.0, 4.0)).toDF("x1", "x2").withColumn("y", lit(7.0))
+    val e = intercept[IllegalStateException] {
+      Stats.linearRegressionMulti(df, Seq("x1", "x2"), "y")
+    }
+    assert(e.getMessage.contains("response 'y' is constant"))
+  }
+
+  test("jackknifeCi: fractional bucket key throws the named integral " +
+      "guard (pmod of a double is not k buckets)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1.5, 10.0), (2.5, 20.0), (3.5, 30.0))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.jackknifeCi(df, "v", "id", k = 2)
+    }
+    assert(e.getMessage.contains("integral"))
+    // casting the key restores the documented contract
+    val ok = Stats.jackknifeCi(
+      df.withColumn("id", col("id").cast("long")), "v", "id", k = 2)
+    assert(ok.head().getAs[Long]("n") == 3L)
+  }
+
+  test("heapsFit: a negative id throws a named guard instead of " +
+      "landing in a phantom bucket") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((-1L, "a b c"), (0L, "a d"), (1L, "e f"), (2L, "a g"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Stats.heapsFit(df, "text", "doc_id", checkpoints = 2).collect()
+    }
+    assert(e.getMessage.contains("negative id"), e.getMessage)
+    // non-negative ids still fit
+    val ok = Stats.heapsFit(df.where(col("doc_id") >= 0), "text",
+      "doc_id", checkpoints = 2).collect()
+    assert(ok.length == 2)
+  }
 }
