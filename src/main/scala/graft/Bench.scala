@@ -50,7 +50,12 @@ object Bench {
   /** Headline set: one per plan family — scan/filter, hash agg, broadcast
     * + shuffle joins, as-of join, pivot, partitioned window, event-time
     * window + sessionize, zipWithIndex ids, LSH dedup + label-propagation
-    * clusters, ANN top-k, text scoring, union. */
+    * clusters, ANN top-k, text scoring, union; (r14) three r13-tier
+    * representatives — the globalCumSum rank kernel (rfm), the
+    * value-collapse rank-correlation path (spearman), and the survival
+    * window composition (kaplan–meier) — so regressions in the
+    * statistics tier surface in the driver bench, not only in hand-run
+    * scale slopes. */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
     "join_inner", "join_left", "join_semi", "join_asof",
@@ -60,7 +65,8 @@ object Bench {
     "events_sessionize",
     "add_row_number", "topk_custom",
     "text_quality", "text_token_count", "dedup_exact",
-    "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk")
+    "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk",
+    "events_rfm", "stat_spearman", "events_kaplan_meier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4079,6 +4079,26 @@ object SparkEntry {
       |SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s
       |ORDER BY node""".stripMargin)),
 
+    Q("graph_components_auto", (s, dir) => {
+      // probe-then-fallback selector over the two CC algorithms — same
+      // functional graph, same recursive-CTE ground truth: whichever
+      // path the probe lands on must label exactly.
+      val e = Tables(s, dir).documents.select(
+        col("doc_id").as("a"), ((col("doc_id") * 7) % 250).as("b"))
+      graft.ops.Graph.connectedComponentsAuto(e, "a", "b")
+        .sortByKeys(SortKey("node"))
+    }, Some("""WITH RECURSIVE e0 AS (
+      |  SELECT doc_id AS a, (doc_id * 7) % 250 AS b FROM documents),
+      |e AS (SELECT a, b FROM e0 WHERE a <> b
+      |  UNION SELECT b, a FROM e0 WHERE a <> b),
+      |n AS (SELECT DISTINCT a AS node FROM e),
+      |reach(s, d) AS (
+      |  SELECT node, node FROM n
+      |  UNION
+      |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
+      |SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s
+      |ORDER BY node""".stripMargin)),
+
     Q("graph_components_star", (s, dir) => {
       // alternating large-star/small-star contraction (Kiveris 2014) on
       // the same functional graph as graph_components — same recursive-
@@ -4981,6 +5001,26 @@ object SparkEntry {
         .selectNames(Seq("doc_id", "lang", "source", "n_chars"))
         .sortByKeys(SortKey("doc_id"))
     }, Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin)),
+
+    Q("io_shard_write", (s, dir) => {
+      // deterministic training-shard writer roundtrip: SHA shard
+      // assignment + per-shard pseudo-random in-file order, written as
+      // shard=N directories and read back. Oracle re-derives every
+      // row's shard AND its in-shard sort key from sha256("42:"||id) —
+      // the seeded global shuffle replayed integer-for-integer — and
+      // the row multiset must survive the layout roundtrip.
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_shards_docs"
+      IO.writeShards(Tables(s, dir).documents, tmp, "doc_id", nShards = 8)
+      s.read.parquet(tmp)
+        .selectNames(Seq("shard", "shard_ord", "doc_id", "lang"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT
+      |  CAST(CAST(('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 8 AS INTEGER) AS shard,
+      |  CAST(('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 9, 15))
+      |    AS BIGINT) AS shard_ord,
+      |  doc_id, lang FROM documents
       |ORDER BY doc_id""".stripMargin)),
 
     Q("io_stats_pruned", (s, dir) => {

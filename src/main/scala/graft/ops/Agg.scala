@@ -470,19 +470,23 @@ object Agg {
     * op rounded to integer nanos, both engines replaying it.
     *
     * Scale shape: one group-key count shuffle over the data (map-side
-    * partials); everything after runs on the GROUP-cardinality frame —
-    * the global rank window is groups-scale by contract (sources,
-    * langs, shards — not row keys). Null group is a real level; null
-    * weights count 0. */
+    * partials); ascending ranks over the group frame ride
+    * [[graft.ops.Series.globalCumSum]] (bucketed two-level scan — no
+    * unpartitioned window at ANY group cardinality). Rank ties are safe
+    * without a unique order key here: equal totals land in the same
+    * cumsum bucket by construction (bucket choice compares only the
+    * value), they receive distinct consecutive ranks in arbitrary
+    * order, and Σ(i·x_i) over a tie class is x·Σi — invariant under
+    * that order. Null group is a real level; null weights count 0. */
   def giniConcentration(df: DataFrame, groupCol: String,
       weight: Column): DataFrame = {
     val g = df.groupBy(coalesce(col(groupCol).cast("string"), lit("(null)"))
         .as("g"))
       .agg(coalesce(sum(weight), lit(0L)).cast(LongType).as("x"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy().orderBy(col("x"), col("g"))
     val dec = DecimalType(38, 0)
-    g.withColumn("__i", row_number().over(w).cast(LongType))
+    graft.ops.Series.globalCumSum(g.withColumn("__one", lit(1L)),
+        "x", Seq("__one"))
+      .withColumn("__i", col("cum___one"))
       .agg(count(lit(1)).as("n_groups"),
         coalesce(sum(col("x")), lit(0L)).as("total"),
         coalesce(sum(col("__i").cast(dec) * col("x").cast(dec)),

@@ -70,4 +70,60 @@ object Incremental {
         round(col("sum_micro").cast("double") / lit(1000000.0) /
           col("n_vals").cast("double"), 6)).as("mean") :+
       col("min") :+ col("max")): _*)
+
+  /** Driver-managed standing state refreshed per micro-batch — the
+    * STREAMING face of the same monoid: `state ⊕ aggState(batch)` per
+    * `foreachBatch`. Because the state is a commutative monoid, the
+    * fold is exact under ANY split of the input across micro-batches
+    * (the StatsLawSpec split-invariance law) — final state ≡ batch
+    * [[Incremental.aggState]] over the full input, pinned by the
+    * MemoryStream unit. Each refresh eagerly `localCheckpoint`s the
+    * merged state (a GROUP-cardinality frame) so the plan never grows
+    * with batch count — the pageRank iterate-checkpoint discipline;
+    * the predecessor's checkpoint blocks are freed after the new one
+    * materializes. `update` is also directly usable as the
+    * driver-scheduled batch refresh loop (same algebra, no stream). */
+  final class StreamingAggState(keys: Seq[String], valueCol: String) {
+    @volatile private var state: Option[DataFrame] = None
+    private var prev: Option[DataFrame] = None
+
+    /** Fold one batch in (thread-safe: foreachBatch serializes calls). */
+    def update(batch: DataFrame): Unit = synchronized {
+      val delta = aggState(batch, keys, valueCol)
+      val next = state match {
+        case None => delta
+        case Some(st) => mergeAggState(st, delta, keys)
+      }
+      val cp = next.localCheckpoint(true)
+      prev.foreach(_.unpersist())
+      prev = state
+      state = Some(cp)
+    }
+
+    /** The raw monoid state (None before the first batch). */
+    def current: Option[DataFrame] = state
+
+    /** User-facing aggregate view of the standing state. */
+    def finalized: Option[DataFrame] =
+      state.map(finalizeAggState(_, keys))
+  }
+
+  /** Attach an incremental-agg maintainer to a STREAMING DataFrame:
+    * starts a foreachBatch query folding every micro-batch into the
+    * returned [[StreamingAggState]]. Caller owns the query lifecycle
+    * (`processAllAvailable`/`stop`) and reads `state.finalized` at any
+    * refresh point. */
+  def incrementalAggStream(stream: DataFrame, keys: Seq[String],
+      valueCol: String)
+      : (StreamingAggState, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val holder = new StreamingAggState(keys, valueCol)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        holder.update(batch)
+      }
+      .start()
+    (holder, q)
+  }
 }

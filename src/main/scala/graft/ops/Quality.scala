@@ -465,21 +465,24 @@ object Quality {
     * drift toward missingness must register, not vanish.
     *
     * Scale shape: one category-key count shuffle per union leg with
-    * map-side partials; the totals window runs over the category-
-    * cardinality frame (categories-scale by contract — this is a
-    * drift check on a categorical column, not a group-by on a key). */
+    * map-side partials; the grand totals ride a broadcast 1-row
+    * aggregate (no unpartitioned window anywhere in the plan — the
+    * operator is scale-safe at ANY category cardinality, not just the
+    * bounded-by-contract case). */
   def chiSquareDrift(base: DataFrame, current: DataFrame, catCol: String)
       : DataFrame = {
     def side(df: DataFrame, bn: Long, cn: Long): DataFrame =
       df.select(
         coalesce(col(catCol).cast("string"), lit("(null)")).as("category"),
         lit(bn).as("bn"), lit(cn).as("cn"))
-    val counts = side(base, 1L, 0L).unionAll(side(current, 0L, 1L))
+    val counts0 = side(base, 1L, 0L).unionAll(side(current, 0L, 1L))
       .groupBy(col("category"))
       .agg(sum(col("bn")).as("base_n"), sum(col("cn")).as("cur_n"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val bt = sum(col("base_n")).over(w).cast("double")
-    val ct = sum(col("cur_n")).over(w).cast("double")
+    val tot = counts0.agg(sum(col("base_n")).as("__bt"),
+      sum(col("cur_n")).as("__ct"))
+    val counts = counts0.crossJoin(broadcast(tot))
+    val bt = col("__bt").cast("double")
+    val ct = col("__ct").cast("double")
     // nullif-guarded: a side with zero total (all-null category column)
     // yields null chi instead of an ANSI divide-by-zero
     val rowTot = (col("base_n") + col("cur_n")).cast("double")

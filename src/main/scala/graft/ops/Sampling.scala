@@ -86,6 +86,33 @@ object Sampling {
         .cast(LongType) % lit(k.toLong)).cast(IntegerType))
   }
 
+  /** Deterministic training-shard assignment: shard ∈ [0, nShards) and a
+    * within-shard pseudo-random sort key, both from SHA-256 over
+    * "seed:id" — the seeded, engine-replayable global shuffle a training
+    * run needs (reference `shuffled()`, `DataFrame.kt:186`, re-expressed
+    * for a corpus that cannot `orderBy(rand())`: at 100 TB "shuffled"
+    * must mean a deterministic hash order that any engine, any run, any
+    * partitioning reproduces — resumable data loading depends on it).
+    * SHA mixing, not the affine Knuth selector: sequential ids must not
+    * stride across shards ([[kFold]]'s argument). Changing `seed`
+    * reshuffles globally. shard = first 8 hex digits mod nShards;
+    * shard_ord = next 15 hex digits (60 bits, fits a signed long) —
+    * independent digits, so within-shard order is uncorrelated with
+    * shard choice. Pure scan-side projection: no RNG, no sort, no
+    * shuffle. Compose with [[graft.sources.IO.writeShards]] for the
+    * on-disk layout. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nShards >= 1, s"shardAssign: nShards must be >= 1, got $nShards")
+    val h = sha2(concat(lit(seed.toString), lit(":"),
+      col(idCol).cast("string")), 256)
+    df.withColumn("shard",
+        (conv(substring(h, 1, 8), 16, 10).cast(LongType) %
+          lit(nShards.toLong)).cast(IntegerType))
+      .withColumn("shard_ord",
+        conv(substring(h, 9, 15), 16, 10).cast(LongType))
+  }
+
   /** Leakage-safe train/val/test split: [[splitByWeights]] applied to
     * NEAR-DUP CLUSTER labels instead of row ids, so a document and all
     * its near-duplicates always land in the SAME split — the guard

@@ -255,6 +255,27 @@ object IO {
     }
   }
 
+  /** Deterministic training-shard writer: the corpus lands as
+    * `shard=N/part-*.parquet` with rows pseudo-randomly ORDERED inside
+    * each shard file — the layout a training data loader streams
+    * (seeded global shuffle + fixed shard membership; re-running the
+    * writer, on any cluster size, reproduces byte-identical shard
+    * contents). Composition:
+    * [[graft.ops.Sampling.shardAssign]] (engine-replayable SHA shard +
+    * in-shard sort key — no RNG, no global sort) feeding
+    * [[writePartitioned]] (one file per shard via repartition-first,
+    * in-file ordering by the hash key). The `shard_ord` column is kept
+    * in the output — it is the shuffle certificate (any reader can
+    * verify the order), and dropping it would cost a schema projection
+    * at every training read anyway. */
+  def writeShards(df: DataFrame, path: String, idCol: String,
+      nShards: Int, seed: Long = 42L,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val assigned = graft.ops.Sampling.shardAssign(df, idCol, nShards, seed)
+    writePartitioned(assigned, path, Seq("shard"), Seq("shard_ord"),
+      maxRecordsPerFile = maxRecordsPerFile)
+  }
+
   /** Per-file column-statistics manifest — the data-skipping primitive
     * (Delta/Iceberg-style file-level min/max, rebuilt over plain
     * parquet): one distributed scan grouped by `input_file_name()`

@@ -325,6 +325,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lr == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("connectedComponentsAuto: probe path on a friendly graph, star " +
+      "fallback on the scrambled-chain adversary — labels exact both ways") {
+    val s = spark
+    import s.implicits._
+    // friendly (small diameter, id-correlated): prop+jump converges
+    // inside the probe — auto output identical to prop+jump's
+    val rnd = (0L until 80L).map(i => (i, (i * 13 + 5) % 40)).toDF("a", "b")
+    val auto = graft.ops.Graph.connectedComponentsAuto(rnd, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val jump = graft.ops.Graph.connectedComponents(rnd, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(auto == jump)
+    // adversary (r13 GO case): prop+jump cannot converge in the probe
+    // budget; auto must land on the star path and still label exactly
+    val n = 300
+    val perm = new scala.util.Random(7).shuffle((0 until n).toVector)
+    val chain = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong)).toDF("a", "b")
+    val got = graft.ops.Graph.connectedComponentsAuto(chain, "a", "b",
+        probeIters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
   test("bfsDistances: exact hops, horizon cutoff, multi-source min") {
     val s = spark
     import s.implicits._

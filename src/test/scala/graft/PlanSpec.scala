@@ -333,6 +333,22 @@ class PlanSpec extends AnyFunSuite {
         hostile.mkString("\n"))
   }
 
+  test("gini and chi-square drift have NO unpartitioned window (r13 " +
+      "verdict nit: the bounded-cardinality contract is now structural)") {
+    // gini rides globalCumSum (partitioned per-bucket windows only);
+    // chi-square totals ride a broadcast 1-row aggregate
+    Seq("agg_gini", "quality_chi_drift").foreach { q =>
+      val p = plan(q)
+      val globalWindows = p.linesIterator.filter(_.contains("Window"))
+        .filterNot(_.contains("__b")) // globalCumSum's bucket partitions
+        .toSeq
+      assert(globalWindows.isEmpty,
+        s"$q has a non-bucket window:\n${globalWindows.mkString("\n")}")
+    }
+    assert(plan("quality_chi_drift").contains("BroadcastExchange"),
+      "chi totals should broadcast")
+  }
+
   /** Run `body` with SQLConf overrides, restoring prior values after. */
   private def withConf[A](kvs: (String, String)*)(body: => A): A = {
     val conf = spark.conf

@@ -52,6 +52,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incrementalAggStream: final state equals the batch aggState of " +
+      "the full input however rows split across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Option[Double])]
+    val (holder, q) = graft.ops.Incremental.incrementalAggStream(
+      mem.toDF().toDF("k", "v"), Seq("k"), "v")
+    try {
+      assert(holder.finalized.isEmpty) // nothing folded yet
+      mem.addData(("a", Some(1.5)), ("b", Some(2.0)))
+      q.processAllAvailable()
+      mem.addData(("a", Some(-0.25)), ("c", None)) // null value, new key
+      q.processAllAvailable()
+      mem.addData(("b", Some(10.0)), ("a", Some(4.0)))
+      q.processAllAvailable()
+      val full = Seq(("a", Some(1.5)), ("b", Some(2.0)),
+        ("a", Some(-0.25)), ("c", None: Option[Double]),
+        ("b", Some(10.0)), ("a", Some(4.0))).toDF("k", "v")
+      val expect = graft.ops.Incremental.finalizeAggState(
+        graft.ops.Incremental.aggState(full, Seq("k"), "v"), Seq("k"))
+      val got = holder.finalized.get
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty,
+        s"got=${got.collect().toSeq} expect=${expect.collect().toSeq}")
+      // the all-null key finalizes with n=1, null mean/min/max
+      val c = got.filter(col("k") === "c").head()
+      assert(c.getAs[Long]("n") == 1L && c.isNullAt(c.fieldIndex("mean")))
+    } finally q.stop()
+  }
+
   test("windowedAgg runs as a real stream with watermark") {
     val s = spark
     import s.implicits._

@@ -147,6 +147,47 @@ class SurgeryIOSpec extends AnyFunSuite {
       lit(10000L), lit(20000L)).isEmpty)
   }
 
+  test("writeShards: deterministic assignment, every shard populated, " +
+      "rows hash-ordered inside each file, rerun byte-stable") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_shard_unit").toString + "/out"
+    IO.writeShards(docs, tmp, "doc_id", nShards = 4, seed = 7L)
+    val back = s.read.parquet(tmp)
+    // lossless: every row lands exactly once
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    // every shard populated; no shard hogs the corpus (SHA mixing —
+    // binomial spread, not an affine stride)
+    val counts = back.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3), counts)
+    assert(counts.values.max < 3 * counts.values.min, counts)
+    // inside each FILE the rows are ordered by the hash key (the
+    // training loader's streaming-shuffle contract)
+    val perFile = back
+      .select(input_file_name().as("f"), col("shard_ord"))
+      .collect().groupBy(_.getString(0))
+      .map { case (_, rows) => rows.map(_.getLong(1)).toSeq }
+    assert(perFile.nonEmpty &&
+      perFile.forall(o => o == o.sorted), "in-file order violated")
+    // rerun reproduces the identical assignment (seeded determinism)
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft_shard_unit2").toString + "/out"
+    IO.writeShards(docs, tmp2, "doc_id", nShards = 4, seed = 7L)
+    val a1 = s.read.parquet(tmp).select("doc_id", "shard", "shard_ord")
+    val a2 = s.read.parquet(tmp2).select("doc_id", "shard", "shard_ord")
+    assert(a1.except(a2).isEmpty && a2.except(a1).isEmpty)
+    // a different seed is a different global shuffle
+    val tmp3 = java.nio.file.Files
+      .createTempDirectory("graft_shard_unit3").toString + "/out"
+    IO.writeShards(docs, tmp3, "doc_id", nShards = 4, seed = 8L)
+    val a3 = s.read.parquet(tmp3).select("doc_id", "shard", "shard_ord")
+    assert(a1.except(a3).count() > 0)
+  }
+
   test("dataFrameOf builders and display sinks") {
     val s = spark
     val df = IO.dataFrameOf(s, Seq("a", "b"), Seq(Seq(1, "x"), Seq(2, "y")))
