@@ -91,6 +91,54 @@ object SparkEntry {
     d.unionWide(d.withColumn("doc_id", col("doc_id") + 10000))
   }
 
+  /** Generated oracle for `dedup_lsh_tuning`: the p(j) = 1 − (1 − j^r)^b
+    * chains are unrolled as the SAME left-associative multiplication
+    * sequences the operator builds, and the j50 midpoints are the SAME
+    * Scala-computed literals — zero cross-engine pow/libm surface. */
+  private def lshTuningOracle(configs: Seq[(Int, Int)]): String = {
+    def cfgBlock(b: Int, r: Int): String = {
+      val j50 = math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)
+      val jr = "1.0" + (" * j" * r)
+      val nm = "1.0" + (" * (1.0 - jrc)" * b)
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST($j50 AS BIGINT) AS j50_micro,
+         |  CAST(round((1.0 - nm) * 1000000.0) AS BIGINT) AS pm, ab
+         |FROM (SELECT j, ab, $nm AS nm FROM
+         |      (SELECT j, ab, $jr AS jrc FROM p))""".stripMargin
+    }
+    raw"""WITH s AS (SELECT doc_id AS id, text FROM documents
+       |  WHERE text IS NOT NULL
+       |  ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id LIMIT 150),
+       |t AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+       |  x -> len(x) > 0) AS tk FROM s),
+       |sh AS (SELECT id, CASE WHEN len(tk) >= 3 THEN
+       |    list_distinct(list_transform(range(len(tk) - 2),
+       |      i -> array_to_string(tk[i+1:i+3], ' ')))
+       |  ELSE [array_to_string(tk, ' ')] END AS sa FROM t),
+       |p AS (SELECT
+       |  len(list_intersect(a.sa, b.sa)) * 1.0
+       |    / len(list_distinct(list_concat(a.sa, b.sa))) AS j,
+       |  CAST(round((len(list_intersect(a.sa, b.sa)) * 1.0
+       |    / len(list_distinct(list_concat(a.sa, b.sa)))) * 1000000.0)
+       |    AS BIGINT) >= 800000 AS ab
+       |  FROM sh a JOIN sh b ON a.id < b.id),
+       |cfg AS (${configs.map { case (b, r) => cfgBlock(b, r) }
+        .mkString("\nUNION ALL\n")})
+       |SELECT bands, rows_per_band, j50_micro,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN ab THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       |  CASE WHEN sum(CASE WHEN ab THEN 1 ELSE 0 END) > 0 THEN
+       |    CAST(sum(CASE WHEN ab THEN pm ELSE 0 END)
+       |      // sum(CASE WHEN ab THEN 1 ELSE 0 END) AS BIGINT)
+       |  END AS recall_micro,
+       |  CASE WHEN count(*) - sum(CASE WHEN ab THEN 1 ELSE 0 END) > 0 THEN
+       |    CAST(sum(CASE WHEN ab THEN 0 ELSE pm END)
+       |      // (count(*) - sum(CASE WHEN ab THEN 1 ELSE 0 END)) AS BIGINT)
+       |  END AS fp_micro,
+       |  CAST(sum(pm) AS BIGINT) AS exp_candidates_micro
+       |FROM cfg GROUP BY 1, 2, 3 ORDER BY bands""".stripMargin
+  }
+
   // Entity-resolution fixture: every customer plus, for custkey % 3 == 0,
   // a perturbed duplicate — name gains a token, segment is lost, balance
   // drifts +0.003. Ids globally unique: base = 2k, dupe = 2k+1; `fresh`
@@ -3132,6 +3180,17 @@ object SparkEntry {
       |  coalesce(d2.n_removed, 0) AS n_removed
       |FROM dn LEFT JOIN d2 USING (doc_id)
       |ORDER BY dn.doc_id""".stripMargin)),
+
+    Q("dedup_lsh_tuning", (s, dir) => {
+      // banding tuning report over the real corpus: exact sample-pair
+      // Jaccards → closed-form collision probabilities per candidate
+      // (bands, rowsPerBand) config, micro-rounded per pair; the
+      // oracle unrolls the identical multiplication chains
+      Dedup.lshTuningReport(Tables(s, dir).documents, "text", "doc_id",
+          numHashes = 32, configs = Seq((32, 1), (16, 2), (8, 4)),
+          targetJaccardMicro = 800000L, sampleSize = 150)
+        .sortByKeys(SortKey("bands"))
+    }, Some(lshTuningOracle(Seq((32, 1), (16, 2), (8, 4))))),
 
     Q("dedup_ngram_jaccard", (s, dir) => {
       Tables(s, dir).documents

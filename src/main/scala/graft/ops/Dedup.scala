@@ -502,6 +502,92 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** LSH banding TUNING report — "which (bands, rowsPerBand) do I run
+    * on THIS corpus?" answered with measurements instead of folklore.
+    * For each candidate config (all sharing the `numHashes` signature
+    * budget: bands·rowsPerBand == numHashes), the report computes over
+    * a deterministic corpus sample's EXACT pairwise Jaccards:
+    *
+    *  - `j50_micro`: the config's S-curve midpoint (1/b)^(1/r) — pairs
+    *    above it mostly collide, below mostly don't;
+    *  - `n_pairs` / `n_above`: sample pairs and how many are true
+    *    positives at `targetJaccardMicro`;
+    *  - `recall_micro`: expected banding recall on the true positives —
+    *    mean of p(j) = 1 − (1 − j^r)^b, the exact collision probability
+    *    of MinHash banding (expectation over the hash draw);
+    *  - `fp_micro`: the same mean over the below-threshold pairs — the
+    *    expected false-candidate rate the verify join must absorb;
+    *  - `exp_candidates_micro`: Σ p(j) — expected candidate volume on
+    *    the sample (scale by (corpus/sample)² for a sizing estimate).
+    *
+    * Engine-exactness: p(j) is built by LEFT-ASSOCIATIVE repeated
+    * multiplication (no pow/libm — the EWMA rule) from the exact
+    * rational Jaccard, rounded to integer micros PER PAIR before any
+    * aggregate; the ratio reports use integral division — every number
+    * replays bit-for-bit in the `dedup_lsh_tuning` oracle.
+    *
+    * Scale shape: the sample is `TakeOrderedAndProject` over
+    * sha256(id) (deterministic, unbiased, no global sort) and is
+    * BOUNDED by a named guard — the all-pairs Jaccard is sample²,
+    * never corpus²; per-pair config math is scan-side; one
+    * group-by-config aggregate ends the plan. Null-text docs are
+    * excluded from the sample (they carry no shingles to tune on). */
+  def lshTuningReport(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, configs: Seq[(Int, Int)],
+      targetJaccardMicro: Long = 800000L, shingleN: Int = 3,
+      sampleSize: Int = 200): DataFrame = {
+    require(configs.nonEmpty, "lshTuningReport: no configs")
+    configs.foreach { case (b, r) =>
+      require(b >= 1 && r >= 1 && b * r == numHashes,
+        s"lshTuningReport: config (bands=$b, rowsPerBand=$r) must " +
+          s"satisfy bands*rowsPerBand == numHashes=$numHashes")
+    }
+    require(sampleSize >= 2 && sampleSize <= 1000,
+      s"lshTuningReport: sampleSize must be in [2, 1000] (the report " +
+        s"brute-forces sample^2 pairs), got $sampleSize")
+    val sample = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .orderBy(sha2(col("id").cast("string"), 256), col("id"))
+      .limit(sampleSize)
+    val sh = sample.select(col("id"),
+      array_distinct(shingles(col("__text"), shingleN)).as("__sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.id") < col("b.id"))
+      .select((size(array_intersect(col("a.__sh"), col("b.__sh")))
+          .cast(DoubleType) /
+        size(array_union(col("a.__sh"), col("b.__sh"))).cast(DoubleType))
+        .as("__j"))
+    val cfgCols = configs.map { case (b, r) =>
+      val jr = (0 until r).foldLeft(lit(1.0))((acc, _) => acc * col("__j"))
+      val nomiss = (0 until b).foldLeft(lit(1.0))((acc, _) =>
+        acc * (lit(1.0) - jr))
+      struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        lit(math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)).as("j50_micro"),
+        round((lit(1.0) - nomiss) * lit(1e6)).cast(LongType).as("p_micro"))
+    }
+    pairs
+      .select(explode(array(cfgCols: _*)).as("c"),
+        (round(col("__j") * lit(1e6)).cast(LongType) >=
+          lit(targetJaccardMicro)).as("__above"))
+      .select(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"),
+        col("c.j50_micro").as("j50_micro"), col("c.p_micro").as("__p"),
+        col("__above"))
+      .groupBy(col("bands"), col("rows_per_band"), col("j50_micro"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__above"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("__above"), col("__p")).otherwise(0L)).as("__pa"),
+        sum(when(!col("__above"), col("__p")).otherwise(0L)).as("__pb"),
+        sum(col("__p")).as("exp_candidates_micro"))
+      .select(col("bands"), col("rows_per_band"), col("j50_micro"),
+        col("n_pairs"), col("n_above"),
+        expr("CASE WHEN n_above > 0 THEN __pa div n_above END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_pairs - n_above > 0 THEN __pb div " +
+          "(n_pairs - n_above) END").as("fp_micro"),
+        col("exp_candidates_micro"))
+  }
+
   /** n-gram decontamination: for every corpus doc, count the DISTINCT
     * word n-grams it shares with ANY benchmark doc — the standard
     * train/test-overlap check run before pretraining (drop or flag docs

@@ -304,10 +304,19 @@ object Series {
     *     state stays executor-local) + the bucket's offset.
     *
     * Contract: `orderCol` values must be UNIQUE per row (pre-aggregate
-    * ties into one row — the distinct-value ECDF shape) — a tie group
-    * split across bucket edges would otherwise see a partial cumulative;
-    * and non-null (bucket comparisons are undefined on null). Value
-    * columns must be integral (counts/ranks); sums ride exact longs.
+    * ties into one row — the distinct-value ECDF shape). Precision on
+    * WHY: equal values always land in the SAME bucket (bucket choice
+    * compares only the value against the edges), so a tie group never
+    * sees a partial bucket offset — what ties lose is only their
+    * RELATIVE order inside the window, making per-row cumulatives over
+    * tied rows arbitrary among the ties. A consumer whose aggregate is
+    * invariant under tie order may therefore feed ties deliberately:
+    * [[graft.ops.Agg.giniConcentration]] cumsums a column of ones
+    * (rank-of-ones — ties get distinct consecutive ranks in arbitrary
+    * order, and its Σ(i·x_i) over a tie class is x·Σi, order-free).
+    * `orderCol` must also be non-null (bucket comparisons are undefined
+    * on null). Value columns must be integral (counts/ranks); sums ride
+    * exact longs.
     * `withTotals` appends `total_<c>` literal columns (free — the
     * driver already holds the partials). 3 passes over the input; the
     * input is normally an already-aggregated distinct-value frame. */

@@ -219,6 +219,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(4L) == (0.0, 0L))
   }
 
+  test("lshTuningReport: hand case — duplicate pair p=1, disjoint p=0; " +
+      "config guard fires") {
+    val s = spark
+    import s.implicits._
+    // two identical docs (j = 1) + one disjoint-vocab doc (j = 0 vs both)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val rep = graft.ops.Dedup.lshTuningReport(docs, "text", "doc_id",
+        numHashes = 16, configs = Seq((8, 2), (4, 4)),
+        targetJaccardMicro = 800000L, sampleSize = 10)
+      .collect().map(r => r.getAs[Int]("bands") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_above"),
+          r.getAs[Long]("recall_micro"), r.getAs[Long]("fp_micro"),
+          r.getAs[Long]("exp_candidates_micro"))).toMap
+    // 3 pairs total; one true positive; p(1)=1 → recall 1e6;
+    // p(0)=0 → fp 0; expected candidates = exactly the dup pair
+    assert(rep(8) == ((3L, 1L, 1000000L, 0L, 1000000L)), rep)
+    assert(rep(4) == ((3L, 1L, 1000000L, 0L, 1000000L)), rep)
+    // j50 midpoints: more rows per band → higher threshold
+    val j50 = graft.ops.Dedup.lshTuningReport(docs, "text", "doc_id",
+        16, Seq((8, 2), (4, 4)), sampleSize = 10)
+      .collect().map(r => r.getAs[Int]("bands") ->
+        r.getAs[Long]("j50_micro")).toMap
+    assert(j50(4) > j50(8), j50)
+    // budget-violating config → named guard
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.lshTuningReport(docs, "text", "doc_id",
+        16, Seq((8, 3)))
+    }
+    assert(e.getMessage.contains("bands*rowsPerBand"))
+  }
+
   test("ngramContamination counts distinct shared n-grams, 0 for clean") {
     val s = spark
     import s.implicits._
