@@ -4395,6 +4395,50 @@ object SparkEntry {
       |   FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("sim_pca_verify", (s, dir) => {
+      // PCA machinery pinned IN-PLAN (the sketch_cms_verify pattern —
+      // Jacobi rotations aren't SQL, but their consequences are
+      // checkable): whitened projections must have per-coordinate mean
+      // ~0 and variance ~1 on the training data, distinct coordinates
+      // must decorrelate, and the full-rank unwhitened projection must
+      // preserve every row's centered squared norm (it is a rotation).
+      val emb = Tables(s, dir).embeddings
+      val m8 = Similarity.pcaTrain(emb, "embedding", k = 8)
+      val proj = Similarity.pcaProject(emb, m8, whiten = true)
+      val coordStats = proj
+        .select(posexplode(col("proj")).as(Seq("c", "x")))
+        .groupBy(col("c"))
+        .agg(avg(col("x")).as("mu"), var_pop(col("x")).as("v"))
+        .agg(max(abs(col("mu"))).as("maxmu"),
+          max(abs(col("v") - lit(1.0))).as("maxdv"))
+      val cross = proj
+        .select(element_at(col("proj"), 1).as("a"),
+          element_at(col("proj"), 2).as("b"))
+        .agg(abs(covar_pop(col("a"), col("b"))).as("cc"))
+      val mFull = Similarity.pcaTrain(emb, "embedding",
+        k = m8.mean.length)
+      val meanLit = lit(mFull.mean)
+      val rot = Similarity.pcaProject(emb, mFull)
+        .select((abs(
+          aggregate(transform(col("proj"), x => x * x),
+            lit(0.0), (a, x) => a + x) -
+          aggregate(zip_with(transform(col("embedding"),
+              x => x.cast("double")), meanLit,
+            (x, mu) => (x - mu) * (x - mu)), lit(0.0), (a, x) => a + x)))
+          .as("d"))
+        .agg(max(col("d")).as("maxd"))
+      emb.aggAll(Seq(count(lit(1)).as("n")))
+        .crossJoin(broadcast(coordStats))
+        .crossJoin(broadcast(cross))
+        .crossJoin(broadcast(rot))
+        .select(col("n"),
+          (col("maxmu") < 1e-6 && col("maxdv") < 1e-6).as("whiten_ok"),
+          (col("cc") < 1e-6).as("decorr_ok"),
+          (col("maxd") < 1e-6).as("rotation_ok"))
+    }, Some("""SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+      |  AS n, TRUE AS whiten_ok, TRUE AS decorr_ok,
+      |  TRUE AS rotation_ok""".stripMargin)),
+
     Q("sim_lsh_topk", (s, dir) => {
       // the engine-replayable plane variant: DuckDB re-derives the
       // integer-exact Rademacher signatures, the band-collision candidate

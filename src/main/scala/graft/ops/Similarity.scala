@@ -748,6 +748,156 @@ object Similarity {
     selected.orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- PCA / whitening -------------------------------------------------
+  /** Trained PCA model: per-dim mean, `k` principal components (each a
+    * dim-length row, eigenvalue-descending, sign-normalized so each
+    * component's largest-|·| entry is positive — deterministic across
+    * runs), their eigenvalues (population variances along each
+    * component), the total variance (covariance trace), and the row
+    * count it was fit on. */
+  final case class PcaModel(mean: Array[Double],
+      components: Seq[Array[Double]], eigenvalues: Array[Double],
+      totalVariance: Double, n: Long)
+
+  /** Classical Jacobi eigendecomposition of a symmetric matrix —
+    * driver-side, O(dim³)-ish with max-pivot rotations (dim ≤ 512 by
+    * the [[graft.functions.Aggregators.CovarianceMoments]] bound, so
+    * planner-scale like [[graft.ops.Stats.linearRegressionMulti]]'s
+    * k×k solve). Deterministic: pivot = first largest |off-diag| in
+    * row-major order. Returns (eigenvalues, eigenvectors as rows). */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(1e-300,
+      (0 until d).map(i => math.abs(a(i)(i))).max)
+    val maxRot = 100 * d * d
+    var rot = 0
+    var done = false
+    while (!done) {
+      var (p, q, mx) = (0, 1, 0.0)
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) {
+          if (math.abs(a(i)(j)) > mx) { p = i; q = j; mx = math.abs(a(i)(j)) }
+          j += 1
+        }
+        i += 1
+      }
+      if (d < 2 || mx <= 1e-14 * scale) done = true
+      else {
+        if (rot >= maxRot) throw new IllegalStateException(
+          s"pcaTrain: Jacobi did not converge in $maxRot rotations - " +
+            "pathological covariance input")
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var k = 0
+        while (k < d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+        rot += 1
+      }
+    }
+    val vals = Array.tabulate(d)(i => a(i)(i))
+    val vecs = Array.tabulate(d)(i => Array.tabulate(d)(j => v(j)(i)))
+    (vals, vecs)
+  }
+
+  /** PCA over an embedding column — the whitening / decorrelation /
+    * dimensionality-reduction preprocessor (embedding compression
+    * before ANN, feature decorrelation before linear probes, the
+    * "remove the dominant direction" cleanup for anisotropic encoder
+    * outputs).
+    *
+    * Scale shape: the ENTIRE distributed cost is one scan through
+    * [[graft.functions.Aggregators.CovarianceMoments]] — a mergeable
+    * flat-buffer aggregate whose partials are 8·(1+dim+dim²) bytes per
+    * task regardless of row count (the CountMin discipline); the
+    * eigensolve runs driver-side on the dim×dim matrix (planner-scale,
+    * the linearRegressionMulti k³ pattern). No explode, no shuffle of
+    * vectors, no iteration over the data.
+    *
+    * Verification: the distributed machinery is pinned by the
+    * `sim_pca_verify` oracle row (whitened projections have unit
+    * variance and zero cross-covariance IN-PLAN, full-rank projection
+    * preserves distances) and by exact hand-case units; the driver
+    * eigensolve is law-checked (orthonormality, eigen-equation
+    * residual) rather than SQL-replayed — Jacobi rotations are not
+    * SQL. */
+  def pcaTrain(df: DataFrame, vecCol: String = "embedding", k: Int)
+      : PcaModel = {
+    val dim = vectorDim(df, vecCol)
+    require(k >= 1 && k <= dim,
+      s"pcaTrain: k must be in [1, dim=$dim], got $k")
+    val m = df.where(col(vecCol).isNotNull)
+      .select(graft.functions.Aggregators.covarianceMomentsUdaf(dim)(
+        col(vecCol)).as("m"))
+      .head().getSeq[Double](0).toArray
+    val n = m(0)
+    require(n >= 2, "pcaTrain: need >= 2 non-null vectors")
+    val off = 1 + dim
+    val mean = Array.tabulate(dim)(i => m(1 + i) / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (hi, lo) = if (i >= j) (i, j) else (j, i)
+      m(off + hi * dim + lo) / n - mean(i) * mean(j)
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(i => (-vals(i), i))
+    val top = order.take(k)
+    val comps = top.map { i =>
+      val w = vecs(i)
+      // sign convention: largest-|.| entry positive (first on ties)
+      val a = w.indices.maxBy(j => (math.abs(w(j)), -j))
+      if (w(a) < 0) w.map(x => -x) else w.clone()
+    }
+    PcaModel(mean, comps, top.map(i => math.max(vals(i), 0.0)).toArray,
+      (0 until dim).map(i => cov(i)(i)).sum, n.toLong)
+  }
+
+  /** Project (and optionally whiten) an embedding column through a
+    * [[PcaModel]]: adds `as` = array&lt;double&gt; of length k, where
+    * proj_c = Σⱼ xⱼ·w_cj − ⟨μ, w_c⟩ (the centering folds into a scalar
+    * literal, so the per-row work is k broadcast-literal dot products —
+    * pure scan-side, no shuffle). `whiten = true` divides each
+    * coordinate by √eigenvalue (unit-variance output); a dead direction
+    * (eigenvalue ≤ 1e-12) whitens to 0.0 rather than exploding —
+    * a zero-variance axis carries no signal to rescale. */
+  def pcaProject(df: DataFrame, model: PcaModel,
+      vecCol: String = "embedding", whiten: Boolean = false,
+      as: String = "proj"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast(DoubleType))
+    val coords = model.components.zipWithIndex.map { case (w, c) =>
+      val bias = -w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum
+      val dot = aggregate(zip_with(v, lit(w), (x, wi) => x * wi),
+        lit(bias), (acc, x) => acc + x)
+      if (!whiten) dot
+      else {
+        val ev = model.eigenvalues(c)
+        if (ev > 1e-12) dot / lit(math.sqrt(ev)) else lit(0.0)
+      }
+    }
+    df.withColumn(as, array(coords: _*))
+  }
+
   /** Embedding-norm audit — ONE row (n, n_zero, min_norm, max_norm,
     * avg_norm, p50_norm, all 6dp): the sanity check before any cosine
     * pipeline (un-normalized vectors silently break cosine-as-dot

@@ -648,6 +648,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(picks == Seq("d", "c"))
   }
 
+  test("pcaTrain: exact 2-D line case — component along the line, " +
+      "eigenvalues (E[t^2], 0)") {
+    val s = spark
+    import s.implicits._
+    // x = t·(0.6, 0.8), t ∈ {-2,-1,0,1,2} → mean 0, cov = E[t²]·wwᵀ,
+    // E[t²] = 2; principal direction ±(0.6, 0.8), sign-normalized +
+    val df = Seq(-2f, -1f, 0f, 1f, 2f)
+      .map(t => Tuple1(Seq(0.6f * t, 0.8f * t))).toDF("embedding")
+    val m = graft.ops.Similarity.pcaTrain(df, "embedding", k = 2)
+    assert(m.n == 5L)
+    assert(math.abs(m.eigenvalues(0) - 2.0) < 1e-6, m.eigenvalues.toSeq)
+    assert(math.abs(m.eigenvalues(1)) < 1e-9)
+    assert(math.abs(m.components(0)(0) - 0.6) < 1e-6 &&
+      math.abs(m.components(0)(1) - 0.8) < 1e-6, m.components(0).toSeq)
+    assert(m.mean.forall(x => math.abs(x) < 1e-7))
+    assert(math.abs(m.totalVariance - 2.0) < 1e-6)
+  }
+
+  test("pcaTrain laws on real embeddings: orthonormal components, " +
+      "projected variance equals each eigenvalue, whitening normalizes") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = graft.ops.Similarity.pcaTrain(emb, "embedding", k = 4)
+    // orthonormality of the driver-side eigensolve
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = m.components(i).zip(m.components(j))
+        .map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"($i,$j) -> $dot")
+    }
+    // eigenvalues descend and explain no more than the total variance
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(m.eigenvalues.sum <= m.totalVariance + 1e-9)
+    // distributed projection: var_pop along component c == eigenvalue c
+    val proj = graft.ops.Similarity.pcaProject(emb, m)
+    val vars = proj
+      .select(posexplode(col("proj")).as(Seq("c", "x")))
+      .groupBy("c").agg(var_pop(col("x")).as("v"))
+      .collect().map(r => r.getAs[Int]("c") -> r.getAs[Double]("v")).toMap
+    (0 until 4).foreach { c =>
+      assert(math.abs(vars(c) - m.eigenvalues(c)) < 1e-6,
+        s"c=$c var=${vars(c)} ev=${m.eigenvalues(c)}")
+    }
+    // whitened variances are 1
+    val wvars = graft.ops.Similarity.pcaProject(emb, m, whiten = true)
+      .select(posexplode(col("proj")).as(Seq("c", "x")))
+      .groupBy("c").agg(var_pop(col("x")).as("v"))
+      .collect().map(_.getAs[Double]("v"))
+    assert(wvars.forall(v => math.abs(v - 1.0) < 1e-6), wvars.toSeq)
+  }
+
   test("normStats: approxP50 stays within measured error of the exact " +
       "median") {
     val s = spark
