@@ -666,6 +666,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(m.totalVariance - 2.0) < 1e-6)
   }
 
+  test("CovarianceMoments: split-invariance law — merged partials equal " +
+      "the whole-input state bit-for-bit") {
+    val agg = new graft.functions.Aggregators.CovarianceMoments(3)
+    // all values are exact binary fractions, so every sum/product is
+    // exact and bit-identity across addition orders is well-defined
+    val rows: Seq[Seq[Float]] = Seq(
+      Seq(1f, 2f, 3f), Seq(-1f, 0.5f, 2f), Seq(4f, 4f, 4f),
+      Seq(0f, 0f, 1f), Seq(2.5f, -3f, 0.25f))
+    val whole = rows.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    // every contiguous split point: state(A) ⊕ state(B) == state(A ∪ B)
+    (1 until rows.size).foreach { cut =>
+      val a = rows.take(cut).foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val b = rows.drop(cut).foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      val merged = agg.merge(a, b)
+      assert(merged.sameElements(whole), s"cut=$cut")
+    }
+    // nulls and short vectors are skipped, not crashed
+    val withJunk = agg.reduce(agg.reduce(
+      rows.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)), null),
+      Seq(1f))
+    assert(withJunk.sameElements(whole))
+  }
+
   test("pcaTrain laws on real embeddings: orthonormal components, " +
       "projected variance equals each eigenvalue, whitening normalizes") {
     val s = spark
