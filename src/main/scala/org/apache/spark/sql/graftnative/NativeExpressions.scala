@@ -489,6 +489,56 @@ object NormalizeNFC {
 }
 
 /** Column-level entry points for the native expressions. */
+/** Dot product of two double-array columns in one fused codegen'd pass
+  * (left-to-right accumulation — the same order as the HOF
+  * `aggregate(zip_with(...))` formulation it replaces in hot paths like
+  * [[graft.ops.Similarity.pcaProject]], where k interpreted lambda-tree
+  * walks per row would dominate the scan). Inputs implicit-cast to
+  * array&lt;double&gt;, so float embeddings promote element-wise. Null if
+  * either side is null; length = min of the two (the CosineSimilarity
+  * convention). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeFunctions {
   def textStats(c: Column): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(c)))
@@ -513,5 +563,9 @@ object NativeFunctions {
 
   def cosineSimilarity(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -162,6 +162,22 @@ class PlanSpec extends AnyFunSuite {
       "spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(run())
     assert(genned == interp)
+    // vector kernels over the real embeddings table (same sweep)
+    def runVec(): Seq[org.apache.spark.sql.Row] = {
+      val t = Tables(spark, dir)
+      val w = (0 until 64).map(i => (i % 7 - 3) * 0.25).toArray
+      t.embeddings.orderBy("vec_id").limit(64)
+        .select(
+          nf.dotProduct(col("embedding"),
+            org.apache.spark.sql.functions.lit(w)),
+          nf.cosineSimilarity(col("embedding"), col("embedding")))
+        .collect().toSeq
+    }
+    val gv = withConf("spark.sql.codegen.fallback" -> "false")(runVec())
+    val iv = withConf(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(runVec())
+    assert(gv == iv)
   }
 
   test("bm25: query terms broadcast; postings pruned before df/dl join in") {
