@@ -6103,6 +6103,45 @@ object SparkEntry {
       |FROM orders GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin)),
 
+    Q("quality_embedding_drift", (s, dir) => {
+      // multivariate drift between the two id-halves of the embedding
+      // corpus: mean-shift L2, covariance Frobenius delta, trace ratio
+      // — DuckDB re-derives both sides' mean/covariance from unnested
+      // (row, dim) pairs and reproduces the micro-rounded scalars
+      val emb = Tables(s, dir).embeddings
+      Quality.embeddingDrift(
+        emb.filterRows(col("vec_id") < 250),
+        emb.filterRows(col("vec_id") >= 250))
+    }, Some("""WITH u AS (
+      |  SELECT vec_id, CAST(i.i AS INTEGER) AS i,
+      |    CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN range(64) i(i)),
+      |bm AS (SELECT i, avg(x) AS mu FROM u WHERE vec_id < 250 GROUP BY i),
+      |cm AS (SELECT i, avg(x) AS mu FROM u WHERE vec_id >= 250 GROUP BY i),
+      |bc AS (SELECT a.i AS i, b2.i AS j, covar_pop(a.x, b2.x) AS c
+      |  FROM u a JOIN u b2 USING (vec_id) WHERE a.vec_id < 250
+      |  GROUP BY a.i, b2.i),
+      |cc AS (SELECT a.i AS i, b2.i AS j, covar_pop(a.x, b2.x) AS c
+      |  FROM u a JOIN u b2 USING (vec_id) WHERE a.vec_id >= 250
+      |  GROUP BY a.i, b2.i),
+      |ms AS (SELECT sqrt(sum((cm.mu - bm.mu) * (cm.mu - bm.mu))) AS v
+      |  FROM bm JOIN cm USING (i)),
+      |fr AS (SELECT sqrt(sum((cc.c - bc.c) * (cc.c - bc.c))) AS v
+      |  FROM bc JOIN cc ON bc.i = cc.i AND bc.j = cc.j),
+      |tr AS (SELECT (SELECT sum(c) FROM cc WHERE i = j)
+      |  / (SELECT sum(c) FROM bc WHERE i = j) AS v)
+      |SELECT
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id < 250)
+      |    AS BIGINT) AS n_base,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id >= 250)
+      |    AS BIGINT) AS n_cur,
+      |  CAST(round((SELECT v FROM ms) * 1000000.0) AS BIGINT)
+      |    AS mean_shift_micro,
+      |  CAST(round((SELECT v FROM fr) * 1000000.0) AS BIGINT)
+      |    AS cov_fro_delta_micro,
+      |  CAST(round((SELECT v FROM tr) * 1000000.0) AS BIGINT)
+      |    AS trace_ratio_micro""".stripMargin)),
+
     Q("quality_ks_drift", (s, dir) => {
       // exact two-sample KS over the psi_drift fixture (current drops
       // docs above 900 chars): sup|ECDF diff| on exact cross-multiplied

@@ -495,6 +495,73 @@ object Quality {
       round(chi * lit(1e9)).cast("long").as("chi_nano"))
   }
 
+  /** EMBEDDING-distribution drift between a BASE and a CURRENT snapshot
+    * of a float-vector column — the MULTIVARIATE sibling of [[ksDrift]]
+    * (an encoder swap, a pipeline bug zeroing a dimension, or a corpus
+    * mix shift moves the embedding cloud long before any univariate
+    * column notices). One row:
+    *
+    *  - `n_base`, `n_cur` — rows per side;
+    *  - `mean_shift_micro` — ‖μ_cur − μ_base‖₂ in integer micros (the
+    *    centroid moved this far);
+    *  - `cov_fro_delta_micro` — ‖Σ_cur − Σ_base‖_F in micros (shape /
+    *    orientation / spread change of the cloud);
+    *  - `trace_ratio_micro` — tr(Σ_cur)/tr(Σ_base) in micros (overall
+    *    variance inflation/collapse; 10⁶ = unchanged).
+    *
+    * Exactness: each side is ONE pass through
+    * [[graft.functions.Aggregators.CovarianceMoments]]; the three
+    * reported scalars round to micros only at the very end, so the
+    * ~1e-13-relative reduction-order noise of the distributed sums sits
+    * ~5 orders of magnitude below the rounding quantum — any engine
+    * re-deriving mean/covariance from the raw vectors reproduces the
+    * integers (the `quality_embedding_drift` oracle does, from unnested
+    * (row, dim) pairs).
+    *
+    * Scale shape: two scans, two 8·(1+dim+dim²)-byte mergeable
+    * aggregates, all comparison arithmetic driver-side on dim×dim
+    * matrices (planner-scale, dim ≤ 512 by the aggregator's bound). */
+  def embeddingDrift(base: DataFrame, current: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = base.sparkSession
+    def moments(df: DataFrame): (Long, Array[Double], Array[Array[Double]]) = {
+      val dim = graft.ops.Similarity.vectorDim(df, vecCol)
+      val m = df.where(col(vecCol).isNotNull)
+        .select(graft.functions.Aggregators.covarianceMomentsUdaf(dim)(
+          col(vecCol)).as("m"))
+        .head().getSeq[Double](0).toArray
+      val n = m(0)
+      require(n >= 2,
+        s"embeddingDrift: need >= 2 non-null '$vecCol' vectors per side")
+      val off = 1 + dim
+      val mean = Array.tabulate(dim)(i => m(1 + i) / n)
+      val cov = Array.tabulate(dim, dim) { (i, j) =>
+        val (hi, lo) = if (i >= j) (i, j) else (j, i)
+        m(off + hi * dim + lo) / n - mean(i) * mean(j)
+      }
+      (n.toLong, mean, cov)
+    }
+    val (nb, mb, cb) = moments(base)
+    val (nc, mc, cc) = moments(current)
+    require(mb.length == mc.length,
+      s"embeddingDrift: dimension mismatch (base ${mb.length} vs " +
+        s"current ${mc.length})")
+    val dim = mb.length
+    val meanShift = math.sqrt(
+      (0 until dim).map(i => (mc(i) - mb(i)) * (mc(i) - mb(i))).sum)
+    val covDelta = math.sqrt(
+      (for (i <- 0 until dim; j <- 0 until dim)
+        yield (cc(i)(j) - cb(i)(j)) * (cc(i)(j) - cb(i)(j))).sum)
+    val trB = (0 until dim).map(i => cb(i)(i)).sum
+    val trC = (0 until dim).map(i => cc(i)(i)).sum
+    val traceRatio =
+      if (trB > 0) Some(math.round(trC / trB * 1e6)) else None
+    import spark.implicits._
+    Seq((nb, nc, math.round(meanShift * 1e6), math.round(covDelta * 1e6),
+      traceRatio)).toDF("n_base", "n_cur", "mean_shift_micro",
+      "cov_fro_delta_micro", "trace_ratio_micro")
+  }
+
   /** Per-column Shannon entropy report — one row per column:
     * (col_name, n, n_distinct, entropy_nano, entropy, norm_entropy).
     * The class-balance / concentration number: a `source` column with

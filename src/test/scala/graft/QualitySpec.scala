@@ -194,6 +194,44 @@ class QualitySpec extends AnyFunSuite {
       em.getAs[Long]("contain_a_micro") == 0L)
   }
 
+  test("embeddingDrift: identical → zero drift; exact 2x-scale case; " +
+      "degenerate side throws the named guard") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      Tuple1(Seq(1.0f, 0.0f)), Tuple1(Seq(0.0f, 2.0f)),
+      Tuple1(Seq(-1.0f, 1.0f)), Tuple1(Seq(2.0f, -1.0f)))
+      .toDF("embedding")
+    // identical snapshots: no drift, trace ratio exactly 1e6
+    val same = graft.ops.Quality.embeddingDrift(base, base).head()
+    assert(same.getAs[Long]("n_base") == 4L &&
+      same.getAs[Long]("n_cur") == 4L)
+    assert(same.getAs[Long]("mean_shift_micro") == 0L)
+    assert(same.getAs[Long]("cov_fro_delta_micro") == 0L)
+    assert(same.getAs[Long]("trace_ratio_micro") == 1000000L)
+    // current = base scaled by 2 (exact in fp): cov scales by 4 →
+    // trace ratio exactly 4e6; mean shift = ‖μ‖ (2μ − μ); cov fro
+    // delta = 3·‖C‖_F
+    val scaled = base.select(transform(col("embedding"),
+      x => x * lit(2.0f)).as("embedding"))
+    val d = graft.ops.Quality.embeddingDrift(base, scaled).head()
+    assert(d.getAs[Long]("trace_ratio_micro") == 4000000L, d)
+    // μ = (0.5, 0.5) → ‖μ‖ = √0.5
+    assert(d.getAs[Long]("mean_shift_micro") ==
+      math.round(math.sqrt(0.5) * 1e6), d)
+    // a zeroed dimension (the pipeline-bug shape) must register
+    val zeroed = base.select(transform(col("embedding"),
+      x => x * lit(0.0f)).as("embedding"))
+    val z = graft.ops.Quality.embeddingDrift(base, zeroed).head()
+    assert(z.getAs[Long]("cov_fro_delta_micro") > 0L)
+    assert(z.getAs[Long]("trace_ratio_micro") == 0L)
+    // one-row side: named guard
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Quality.embeddingDrift(base, base.limit(1))
+    }
+    assert(e.getMessage.contains("embeddingDrift"))
+  }
+
   test("ksDrift: identical → 0; disjoint ranges → 1e9; hand case exact") {
     val s = spark
     import s.implicits._
