@@ -6796,6 +6796,48 @@ object SparkEntry {
       |HAVING COUNT(DISTINCT event_type) > 1
       |ORDER BY n_dep DESC, user_id LIMIT 20""".stripMargin)),
 
+    Q("quality_k_anonymity", (s, dir) => {
+      // k-anonymity audit: quasi-identifiers (c_nationkey,
+      // c_mktsegment) at k=5 — all verdict arithmetic exact BIGINT;
+      // DuckDB replays class sizes then the same rollup.
+      Quality.kAnonymityReport(Tables(s, dir).customer,
+        Seq("c_nationkey", "c_mktsegment"), k = 5L)
+    }, Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS sz FROM customer GROUP BY 1, 2)
+      |SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(coalesce(min(sz), 0) AS BIGINT) AS k_anonymity,
+      |  CAST(coalesce(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS classes_below_k,
+      |  CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0)
+      |    AS BIGINT) AS rows_below_k,
+      |  CASE WHEN coalesce(sum(sz), 0) > 0 THEN CAST(round(
+      |    coalesce(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0) * 1e6
+      |    / sum(sz)) AS BIGINT) ELSE 0 END AS rows_below_micro,
+      |  coalesce(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0) = 0
+      |    AS passed
+      |FROM cls""".stripMargin)),
+
+    Q("quality_l_diversity", (s, dir) => {
+      // distinct l-diversity over the same quasi classes, sensitive
+      // column c_acctbal at l=3 (homogeneity-attack audit).
+      Quality.lDiversityReport(Tables(s, dir).customer,
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 3L)
+    }, Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS sz,
+      |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS ldiv
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(coalesce(min(ldiv), 0) AS BIGINT) AS l_diversity,
+      |  CAST(coalesce(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS classes_below_l,
+      |  CAST(coalesce(sum(CASE WHEN ldiv < 3 THEN sz ELSE 0 END), 0)
+      |    AS BIGINT) AS rows_below_l,
+      |  coalesce(sum(CASE WHEN ldiv < 3 THEN sz ELSE 0 END), 0) = 0
+      |    AS passed
+      |FROM cls""".stripMargin)),
+
     Q("text_readability", (s, dir) => {
       // Flesch reading ease per doc: vowel-group syllables, [.!?]+
       // sentences — plain SQL expressions DuckDB replays term-for-term.

@@ -638,4 +638,85 @@ object Quality {
       .orderBy(col("n_dep").desc +: detCols.map(c => col(c).asc): _*)
       .limit(topK)
   }
+
+  /** k-anonymity audit over the quasi-identifier columns (Sweeney's
+    * re-identification model): every row must share its quasi-identifier
+    * combination with at least `k−1` other rows, or an adversary joining
+    * on those columns singles it out. The governance gate a training
+    * corpus carrying user-derived attributes runs before release —
+    * [[Quality.report]] asserts value contracts; this asserts a JOIN
+    * contract against every external table an attacker might hold.
+    * One row: (n_rows, n_classes, k_anonymity = size of the smallest
+    * equivalence class, classes_below_k, rows_below_k,
+    * rows_below_micro = rows_below_k·10⁶/n_rows, passed).
+    *
+    * Nulls in quasi columns form their own equivalence class (SQL GROUP
+    * BY semantics — two all-null rows ARE linkable to each other). An
+    * empty frame reports k_anonymity 0 and passes vacuously (no row is
+    * re-identifiable; the [[Quality.report]] empty-input convention).
+    * All verdict arithmetic is exact BIGINT; `rows_below_micro` is the
+    * one display division.
+    *
+    * Scale shape: ONE hash aggregate on the quasi key (map-side
+    * combined), then a handful-of-groups rollup — the class-size frame
+    * never leaves the executors and nothing is row-width. Skewed quasi
+    * keys (one class holding ~all rows) only make the FIRST aggregate's
+    * partials bigger, which is exactly what map-side combine absorbs. */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Long)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityReport: no quasi columns given")
+    require(k >= 1L, "kAnonymityReport: k must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .agg(coalesce(sum(col("__sz")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(min(col("__sz")), lit(0L)).as("k_anonymity"),
+        coalesce(sum(when(col("__sz") < k, 1L).otherwise(0L)), lit(0L))
+          .as("classes_below_k"),
+        coalesce(sum(when(col("__sz") < k, col("__sz")).otherwise(0L)),
+          lit(0L)).as("rows_below_k"))
+      .select(col("n_rows"), col("n_classes"), col("k_anonymity"),
+        col("classes_below_k"), col("rows_below_k"),
+        when(col("n_rows") > 0,
+          round(col("rows_below_k") * lit(1e6) / col("n_rows"))
+            .cast(LongType)).otherwise(lit(0L)).as("rows_below_micro"),
+        (col("rows_below_k") === 0L).as("passed"))
+  }
+
+  /** Distinct l-diversity audit ([[kAnonymityReport]]'s companion —
+    * Machanavajjhala et al.): k-anonymity stops an attacker from
+    * finding WHICH row is yours, but if every row in your equivalence
+    * class carries the same sensitive value the attacker learns it
+    * anyway (the homogeneity attack). Requires every quasi-identifier
+    * class to contain at least `l` DISTINCT non-null sensitive values.
+    * One row: (n_rows, n_classes, l_diversity = min distinct sensitive
+    * per class, classes_below_l, rows_below_l, passed).
+    *
+    * A class whose sensitive values are ALL null has diversity 0 (the
+    * attacker learns "value withheld" — still homogeneous); non-null
+    * rows count distinct values only. Empty frame → l_diversity 0,
+    * passed vacuously. Nulls in quasi columns group together (same
+    * linkability argument as [[kAnonymityReport]]).
+    *
+    * Scale shape: one exact `countDistinct` on (quasi, sensitive) —
+    * Catalyst's standard two-level expansion, two map-side-combined
+    * shuffles — then the class-frame rollup. */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityReport: no quasi columns given")
+    require(l >= 1L, "lDiversityReport: l must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"),
+        countDistinct(col(sensitiveCol)).as("__ldiv"))
+      .agg(coalesce(sum(col("__sz")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(min(col("__ldiv")), lit(0L)).as("l_diversity"),
+        coalesce(sum(when(col("__ldiv") < l, 1L).otherwise(0L)), lit(0L))
+          .as("classes_below_l"),
+        coalesce(sum(when(col("__ldiv") < l, col("__sz")).otherwise(0L)),
+          lit(0L)).as("rows_below_l"))
+      .select(col("n_rows"), col("n_classes"), col("l_diversity"),
+        col("classes_below_l"), col("rows_below_l"),
+        (col("rows_below_l") === 0L).as("passed"))
+  }
 }

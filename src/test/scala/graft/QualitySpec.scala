@@ -334,4 +334,56 @@ class QualitySpec extends AnyFunSuite {
     val ok = Seq((1L, "x"), (2L, "y"), (1L, "x")).toDF("k", "v")
     assert(Quality.fdViolations(ok, Seq("k"), "v").count() == 0L)
   }
+
+  test("kAnonymityReport: exact class sizes, null quasi rows form a " +
+      "class, empty frame passes vacuously") {
+    val s = spark
+    import s.implicits._
+    // classes: (25,A)x3, (25,B)x1, (null,A)x2 → k=1, 1 class below 2
+    val df = Seq(
+      (Option(25), "A"), (Option(25), "A"), (Option(25), "A"),
+      (Option(25), "B"),
+      (Option.empty[Int], "A"), (Option.empty[Int], "A")
+    ).toDF("nation", "seg")
+    val r = Quality.kAnonymityReport(df, Seq("nation", "seg"), 2L).head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("k_anonymity") == 1L)
+    assert(r.getAs[Long]("classes_below_k") == 1L)
+    assert(r.getAs[Long]("rows_below_k") == 1L)
+    assert(r.getAs[Long]("rows_below_micro") == 166667L)
+    assert(!r.getAs[Boolean]("passed"))
+    // k=1 always passes on non-empty data
+    val r1 = Quality.kAnonymityReport(df, Seq("nation", "seg"), 1L).head()
+    assert(r1.getAs[Boolean]("passed"))
+    // empty frame: vacuous pass, k_anonymity 0
+    val e = Quality.kAnonymityReport(df.where(lit(false)),
+      Seq("nation", "seg"), 5L).head()
+    assert(e.getAs[Long]("n_rows") == 0L &&
+      e.getAs[Long]("n_classes") == 0L &&
+      e.getAs[Long]("k_anonymity") == 0L &&
+      e.getAs[Long]("rows_below_micro") == 0L &&
+      e.getAs[Boolean]("passed"))
+  }
+
+  test("lDiversityReport: all-null sensitive class scores 0 diversity; " +
+      "distinct counts ignore nulls; empty passes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("g1", Option(10.0)), ("g1", Option(20.0)), ("g1", Option(10.0)),
+      ("g2", Option(5.0)), ("g2", Option(5.0)),      // homogeneous
+      ("g3", Option.empty[Double])                   // all-null → 0
+    ).toDF("q", "v")
+    val r = Quality.lDiversityReport(df, Seq("q"), "v", 2L).head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("l_diversity") == 0L)   // g3
+    assert(r.getAs[Long]("classes_below_l") == 2L) // g2 (1), g3 (0)
+    assert(r.getAs[Long]("rows_below_l") == 3L)
+    assert(!r.getAs[Boolean]("passed"))
+    val e = Quality.lDiversityReport(df.where(lit(false)),
+      Seq("q"), "v", 3L).head()
+    assert(e.getAs[Long]("l_diversity") == 0L && e.getAs[Boolean]("passed"))
+  }
 }
