@@ -5843,6 +5843,34 @@ object SparkEntry {
       |    AS diversity_micro
       |FROM g GROUP BY "group" ORDER BY "group"""".stripMargin)),
 
+    Q("text_blocklist", (s, dir) => {
+      // whole-word/phrase blocklist report: unigram + bigram terms,
+      // grams explode scan-side for exactly the phrase lengths present,
+      // one broadcast join; DuckDB replays grams and the same rollup.
+      graft.functions.TextFunctions.blocklistReport(
+          Tables(s, dir).documents, "doc_id", "text",
+          Seq("slow", "vector", "big table", "nonexistentterm"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH tok AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_concat(t,
+      |  CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1),
+      |    i -> t[i+1] || ' ' || t[i+2]) ELSE CAST([] AS VARCHAR[]) END))
+      |  AS g FROM tok),
+      |m AS (SELECT doc_id, g FROM g
+      |  WHERE g IN ('slow', 'vector', 'big table', 'nonexistentterm')),
+      |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+      |  CAST(count(DISTINCT g) AS BIGINT) AS n_terms,
+      |  array_to_string(list_sort(list_distinct(list(g))), ', ')
+      |    AS matched FROM m GROUP BY 1)
+      |SELECT d.doc_id, coalesce(hits, 0) AS hits,
+      |  coalesce(n_terms, 0) AS n_terms,
+      |  coalesce(matched, '') AS matched,
+      |  coalesce(hits, 0) > 0 AS flagged
+      |FROM documents d LEFT JOIN h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("text_novelty", (s, dir) => {
       // first-occurrence novelty: share of each doc's distinct 3-gram
       // shingles that the corpus first sees IN this doc (by min doc_id).

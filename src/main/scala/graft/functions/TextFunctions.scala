@@ -920,4 +920,56 @@ object TextFunctions {
         round(col("distinct_ngrams") * lit(1000000.0) /
           col("total_ngrams")).cast("long").as("diversity_micro"))
   }
+
+  /** Blocklist term/phrase report — the corpus-release filter every
+    * training pipeline runs (restricted terms, brand names, opt-out
+    * markers, eval-set canaries). Whole-WORD semantics on the house
+    * tokenization ([[tokens]]: lowercase, \\W+ split), so "ass" never
+    * flags "class" and "big table" matches as a token bigram regardless
+    * of the punctuation/whitespace between the words. Terms may be
+    * multi-word phrases; each term is tokenized the same way and a
+    * k-word term matches the document's k-gram shingles. One row per
+    * input row: (id, hits = total matching occurrences, n_terms =
+    * distinct terms matched, matched = ', '-joined sorted distinct
+    * matched terms ('' when clean), flagged). Null text → 0 hits
+    * (a row you can still count, not a dropped document).
+    *
+    * Scale shape: grams explode scan-side for exactly the distinct
+    * phrase lengths present in the blocklist (one array expression per
+    * length, no cross join), then ONE inner join against the
+    * broadcast terms frame and a per-doc rollup; clean documents
+    * short-circuit at the join (nothing survives to shuffle) and
+    * rejoin via the skinny left join on id. The blocklist is
+    * driver-sized by contract (it is a human-curated list) — enforced
+    * at ≤ 100k terms. */
+  def blocklistReport(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val normed = terms.map(_.toLowerCase.trim.split("\\W+")
+        .filter(_.nonEmpty).mkString(" "))
+      .filter(_.nonEmpty).distinct
+    require(normed.nonEmpty, "blocklistReport: no non-empty terms given")
+    require(normed.size <= 100000,
+      s"blocklistReport: ${normed.size} terms - the blocklist must be " +
+        "driver-sized (<= 100k); put larger sets through decontaminate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val termsDf = broadcast(normed.toDF("__term"))
+    val lens = normed.map(_.split(" ").length).distinct.sorted
+    val gramCols = lens.map(n => shinglesStrict(col(textCol), n))
+    val grams = df.select(col(idCol).as("__id"),
+      explode(concat(gramCols: _*)).as("__term"))
+    val hits = grams.join(termsDf, Seq("__term"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("hits"),
+        array_join(array_sort(collect_set(col("__term"))), ", ")
+          .as("matched"),
+        size(collect_set(col("__term"))).cast(LongType).as("n_terms"))
+    df.select(col(idCol).as("__id"))
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("matched"), lit("")).as("matched"),
+        coalesce(col("hits"), lit(0L)).>(0L).as("flagged"))
+  }
 }

@@ -1932,4 +1932,31 @@ class LlmOpsSpec extends AnyFunSuite {
         r.getAs[Long]("total_ngrams")).toMap
     assert(uni("b") == 1L && uni("a") == 6L)
   }
+
+  test("blocklistReport: whole-word semantics, phrase matching, null " +
+      "text scores clean, term normalization dedups") {
+    val s = SparkFixture.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option("The CLASS is big;  Table scan is slow, slow!")),
+      (2L, Option("a subclass declassified")), // substring must NOT hit
+      (3L, Option.empty[String]),
+      (4L, Option("big table big table"))
+    ).toDF("doc_id", "text")
+    // "Big   Table" normalizes to "big table"; "ass" whole-word only
+    val got = blocklistReport(df, "doc_id", "text",
+        Seq("slow", "ass", "Big   Table", "big table"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("hits"), r.getAs[Long]("n_terms"),
+          r.getAs[String]("matched"), r.getAs[Boolean]("flagged")))).toMap
+    // doc 1: "big;  Table" bridges punctuation → 1 phrase hit + slow×2
+    assert(got(1L) == ((3L, 2L, "big table, slow", true)))
+    assert(got(2L) == ((0L, 0L, "", false)), "substring leakage")
+    assert(got(3L) == ((0L, 0L, "", false)), "null text must score clean")
+    assert(got(4L) == ((2L, 1L, "big table", true)))
+    // empty-after-normalization terms rejected
+    intercept[IllegalArgumentException] {
+      blocklistReport(df, "doc_id", "text", Seq("  ", "?!"))
+    }
+  }
 }
