@@ -1987,6 +1987,80 @@ object SparkEntry {
       |    ELSE 0.0 END AS f1
       |FROM pr ORDER BY doc_id""".stripMargin)),
 
+    Q("text_bleu", (s, dir) => {
+      // corpus BLEU-4 between consecutive docs (cand = doc, ref = next):
+      // per-pair clipped n-gram counts summed corpus-wide; ln p_n rounds
+      // to integer nanos per n before the weighted combine (engine ulp
+      // noise sits 7 orders below the quantum); DuckDB replays grams,
+      // clipping, and the same rounding order.
+      val t = Tables(s, dir).documents
+      val a = t.select(col("doc_id"), col("text").as("cand"))
+      val b = t.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref"))
+      graft.functions.TextFunctions.bleuReport(a.join(b, Seq("doc_id")),
+        "doc_id", "cand", "ref", maxN = 4)
+    }, Some("""WITH pair AS (SELECT a.doc_id, a.text AS cand, b.text AS ref
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      |tok AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(cand), '\W+'),
+      |    x -> len(x) > 0) AS tc,
+      |  list_filter(regexp_split_to_array(lower(ref), '\W+'),
+      |    x -> len(x) > 0) AS tr FROM pair),
+      |nn AS (SELECT unnest(range(1, 5)) AS n),
+      |g AS (SELECT doc_id, n,
+      |  CASE WHEN len(tc) >= n THEN list_transform(range(len(tc) - n + 1),
+      |    i -> array_to_string(tc[i+1:i+n], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END AS gc,
+      |  CASE WHEN len(tr) >= n THEN list_transform(range(len(tr) - n + 1),
+      |    i -> array_to_string(tr[i+1:i+n], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END AS gr
+      |  FROM tok CROSS JOIN nn),
+      |ov AS (SELECT doc_id, n,
+      |  CAST(coalesce(list_sum(list_transform(list_distinct(gc),
+      |    x -> least(len(list_filter(gc, y -> y = x)),
+      |               len(list_filter(gr, y -> y = x))))), 0) AS BIGINT)
+      |    AS clip,
+      |  CAST(len(gc) AS BIGINT) AS tot FROM g),
+      |pn AS (SELECT n, CAST(sum(clip) AS BIGINT) AS clip,
+      |  CAST(sum(tot) AS BIGINT) AS tot FROM ov GROUP BY n),
+      |lens AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(sum(len(tc)), 0) AS BIGINT) AS cand_len,
+      |  CAST(coalesce(sum(len(tr)), 0) AS BIGINT) AS ref_len FROM tok),
+      |w AS (SELECT
+      |  CAST(coalesce(sum(CASE WHEN n = 1 THEN clip END), 0) AS BIGINT) AS clip_1,
+      |  CAST(coalesce(sum(CASE WHEN n = 1 THEN tot END), 0) AS BIGINT) AS tot_1,
+      |  CAST(coalesce(sum(CASE WHEN n = 2 THEN clip END), 0) AS BIGINT) AS clip_2,
+      |  CAST(coalesce(sum(CASE WHEN n = 2 THEN tot END), 0) AS BIGINT) AS tot_2,
+      |  CAST(coalesce(sum(CASE WHEN n = 3 THEN clip END), 0) AS BIGINT) AS clip_3,
+      |  CAST(coalesce(sum(CASE WHEN n = 3 THEN tot END), 0) AS BIGINT) AS tot_3,
+      |  CAST(coalesce(sum(CASE WHEN n = 4 THEN clip END), 0) AS BIGINT) AS clip_4,
+      |  CAST(coalesce(sum(CASE WHEN n = 4 THEN tot END), 0) AS BIGINT) AS tot_4
+      |  FROM pn),
+      |x AS (SELECT n_pairs, cand_len, ref_len,
+      |  clip_1, tot_1, clip_2, tot_2, clip_3, tot_3, clip_4, tot_4,
+      |  CASE WHEN cand_len > 0 THEN CAST(round(least(0.0,
+      |    1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)) * 1e9)
+      |    AS BIGINT) END AS bpn,
+      |  CASE WHEN clip_1 > 0 THEN CAST(round(ln(CAST(clip_1 AS DOUBLE)
+      |    / CAST(tot_1 AS DOUBLE)) * 1e9) AS BIGINT) END AS l1,
+      |  CASE WHEN clip_2 > 0 THEN CAST(round(ln(CAST(clip_2 AS DOUBLE)
+      |    / CAST(tot_2 AS DOUBLE)) * 1e9) AS BIGINT) END AS l2,
+      |  CASE WHEN clip_3 > 0 THEN CAST(round(ln(CAST(clip_3 AS DOUBLE)
+      |    / CAST(tot_3 AS DOUBLE)) * 1e9) AS BIGINT) END AS l3,
+      |  CASE WHEN clip_4 > 0 THEN CAST(round(ln(CAST(clip_4 AS DOUBLE)
+      |    / CAST(tot_4 AS DOUBLE)) * 1e9) AS BIGINT) END AS l4
+      |  FROM lens CROSS JOIN w)
+      |SELECT n_pairs, cand_len, ref_len,
+      |  clip_1, tot_1, clip_2, tot_2, clip_3, tot_3, clip_4, tot_4,
+      |  CASE WHEN bpn IS NOT NULL
+      |    THEN ROUND(exp(CAST(bpn AS DOUBLE) / 1e9), 6) ELSE 0.0 END AS bp,
+      |  CASE WHEN bpn IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+      |      AND l3 IS NOT NULL AND l4 IS NOT NULL
+      |    THEN ROUND(exp((CAST(bpn AS DOUBLE)
+      |      + CAST(l1 + l2 + l3 + l4 AS DOUBLE) / 4.0) / 1e9), 6)
+      |    ELSE 0.0 END AS bleu
+      |FROM x""".stripMargin)),
+
     Q("text_jsd", (s, dir) => {
       // Jensen-Shannon divergence between the two corpus halves' term
       // distributions — per-term contributions round to integer NANOS

@@ -807,6 +807,89 @@ object TextFunctions {
           .otherwise(lit(0.0)))
   }
 
+  /** Corpus-level BLEU (Papineni et al. 2002) between aligned candidate
+    * and reference text columns — the other standard generation metric
+    * next to [[rougeReport]]. Modified n-gram precision p_n clips each
+    * PAIR's candidate n-gram counts at its reference counts (multiset
+    * intersection, the clipping that stops "the the the" gaming
+    * precision) and sums clipped/total over the whole corpus; brevity
+    * penalty exp(1 − r/c) for c < r; BLEU = BP·exp(Σ ln p_n / maxN).
+    * ONE row out: (n_pairs, cand_len, ref_len, clip_1..clip_maxN,
+    * tot_1..tot_maxN, bp, bleu).
+    *
+    * Exactness: every count is BIGINT; the only float steps are
+    * ln(clip/tot) — rounded to integer NANOS per n before combining
+    * (the [[graft.ops.Eval.corpusDivergence]] convention, so engine ulp
+    * differences in ln/exp sit 7 orders below the quantum) — and the
+    * final exp, rounded 6dp. Degenerate contract: zero candidate
+    * length, or any n ≤ maxN with clip_n = 0 or tot_n = 0, yields
+    * bleu 0.0 (no smoothing — corpus-level BLEU of a corpus that never
+    * 4-gram-matches IS zero; sentence-level smoothing belongs to a
+    * different metric). Null cand or ref tokenizes to empty.
+    *
+    * Scale shape: grams explode scan-side tagged (n, gram); two
+    * (key, n, gram) count aggregates (map-side combined), one join on
+    * the gram key, then a maxN-row rollup folded to one row in-plan —
+    * no driver-side math, nothing wider than a gram string shuffles. */
+  def bleuReport(df: DataFrame, keyCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "bleuReport: maxN in [1, 8]")
+    def tagged(c: String): Column = concat((1 to maxN).map(n =>
+      transform(shinglesStrict(col(c), n),
+        g => struct(lit(n).as("n"), g.as("g")))): _*)
+    def gramCounts(c: String, cnt: String): DataFrame =
+      df.select(col(keyCol).as("__k"), explode(tagged(c)).as("x"))
+        .groupBy(col("__k"), col("x.n").as("n"), col("x.g").as("g"))
+        .agg(count(lit(1)).as(cnt))
+    val gc = gramCounts(candCol, "cc")
+    val gr = gramCounts(refCol, "rc")
+    val clip = gc.join(gr, Seq("__k", "n", "g"))
+      .groupBy(col("n")).agg(sum(least(col("cc"), col("rc"))).as("clip"))
+    val tot = gc.groupBy(col("n")).agg(sum(col("cc")).as("tot"))
+    val perN = tot.join(clip, Seq("n"), "left")
+      .select(col("n"), col("tot"), coalesce(col("clip"), lit(0L)).as("clip"))
+    // fold the ≤ maxN rows to one row: conditional sums per n
+    val nCols = (1 to maxN).flatMap { n =>
+      Seq(coalesce(sum(when(col("n") === n, col("clip"))), lit(0L))
+          .as(s"clip_$n"),
+        coalesce(sum(when(col("n") === n, col("tot"))), lit(0L))
+          .as(s"tot_$n"))
+    }
+    val lnNano = (1 to maxN).map { n =>
+      when(col(s"clip_$n") > 0,
+        round(log(col(s"clip_$n").cast(DoubleType) /
+          col(s"tot_$n").cast(DoubleType)) * lit(1e9)).cast(LongType))
+        .otherwise(lit(null)).as(s"__ln_$n")
+    }
+    val lens = df.select(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(coalesce(size(tokens(col(candCol))), lit(0))), lit(0L))
+        .cast(LongType).as("cand_len"),
+      coalesce(sum(coalesce(size(tokens(col(refCol))), lit(0))), lit(0L))
+        .cast(LongType).as("ref_len"))
+    val folded = perN.agg(nCols.head, nCols.tail: _*)
+    val bpLogNano = when(col("cand_len") > 0,
+      round(least(lit(0.0), lit(1.0) -
+        col("ref_len").cast(DoubleType) / col("cand_len").cast(DoubleType))
+        * lit(1e9)).cast(LongType)).otherwise(lit(null))
+    val allPos = (1 to maxN).map(n => col(s"__ln_$n").isNotNull)
+      .reduce(_ && _)
+    val lnSum = (1 to maxN).map(n => col(s"__ln_$n")).reduce(_ + _)
+    lens.crossJoin(broadcast(folded))
+      .select((col("n_pairs") +: col("cand_len") +: col("ref_len") +:
+        (1 to maxN).flatMap(n => Seq(col(s"clip_$n"), col(s"tot_$n")))) ++
+        lnNano :+ bpLogNano.as("__bp"): _*)
+      .select((col("n_pairs") +: col("cand_len") +: col("ref_len") +:
+        (1 to maxN).flatMap(n => Seq(col(s"clip_$n"), col(s"tot_$n")))) :+
+        when(col("__bp").isNotNull,
+          round(exp(col("__bp").cast(DoubleType) / lit(1e9)), 6))
+          .otherwise(lit(0.0)).as("bp") :+
+        when(col("__bp").isNotNull && allPos,
+          round(exp((col("__bp").cast(DoubleType) +
+            lnSum.cast(DoubleType) / lit(maxN.toDouble)) / lit(1e9)), 6))
+          .otherwise(lit(0.0)).as("bleu"): _*)
+  }
+
   /** Like [[shingles]] but EMPTY (not whole-text) below n tokens —
     * repetition fractions need "no bigrams" to mean 0, not 1. */
   private def shinglesStrict(c: Column, n: Int): Column = {

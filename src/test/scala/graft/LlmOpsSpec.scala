@@ -1959,4 +1959,49 @@ class LlmOpsSpec extends AnyFunSuite {
       blocklistReport(df, "doc_id", "text", Seq("  ", "?!"))
     }
   }
+
+  test("bleuReport: hand-computed clipped counts, BP < 1 on short " +
+      "candidates, zero 4-gram overlap zeroes BLEU, empty corpus is 0") {
+    val s = SparkFixture.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat is on the mat"),
+      (2L, "a b c d", "a b c d")
+    ).toDF("id", "cand", "ref")
+    val r = bleuReport(df, "id", "cand", "ref", maxN = 4).head()
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Long]("cand_len") == 10L && r.getAs[Long]("ref_len") == 10L)
+    // pair 1: clip 5/6, 3/5, 1/4, 0/3; pair 2: 4/4, 3/3, 2/2, 1/1
+    assert(r.getAs[Long]("clip_1") == 9L && r.getAs[Long]("tot_1") == 10L)
+    assert(r.getAs[Long]("clip_2") == 6L && r.getAs[Long]("tot_2") == 8L)
+    assert(r.getAs[Long]("clip_3") == 3L && r.getAs[Long]("tot_3") == 6L)
+    assert(r.getAs[Long]("clip_4") == 1L && r.getAs[Long]("tot_4") == 4L)
+    assert(r.getAs[Double]("bp") == 1.0) // c == r → no penalty
+    // replay the exact pipeline arithmetic
+    val lnNano = Seq(9.0 / 10, 6.0 / 8, 3.0 / 6, 1.0 / 4)
+      .map(p => math.rint(math.log(p) * 1e9))
+    val expected = math.rint(
+      math.exp((0.0 + lnNano.sum / 4.0) / 1e9) * 1e6) / 1e6
+    assert(r.getAs[Double]("bleu") == expected)
+    // brevity penalty: cand 2 tokens, ref 3 → BP = exp(-0.5) at maxN=1
+    val short = Seq((1L, "a b", "a b c")).toDF("id", "cand", "ref")
+    val sr = bleuReport(short, "id", "cand", "ref", maxN = 1).head()
+    assert(sr.getAs[Double]("bp") == 0.606531 &&
+      sr.getAs[Double]("bleu") == 0.606531)
+    // no 4-gram overlap anywhere → bleu 0, bp still reported
+    val z = bleuReport(df.where(col("id") === 1L), "id", "cand", "ref",
+      maxN = 4).head()
+    assert(z.getAs[Long]("clip_4") == 0L && z.getAs[Double]("bleu") == 0.0
+      && z.getAs[Double]("bp") == 1.0)
+    // empty corpus → single zero row
+    val e = bleuReport(df.where(lit(false)), "id", "cand", "ref").head()
+    assert(e.getAs[Long]("n_pairs") == 0L && e.getAs[Double]("bleu") == 0.0
+      && e.getAs[Double]("bp") == 0.0)
+    // null text tokenizes empty: counts stay consistent
+    val n = Seq((1L, Option.empty[String], Option("x y"))).toDF("id",
+      "cand", "ref")
+    val nr = bleuReport(n, "id", "cand", "ref", maxN = 2).head()
+    assert(nr.getAs[Long]("cand_len") == 0L && nr.getAs[Long]("ref_len") == 2L
+      && nr.getAs[Double]("bleu") == 0.0 && nr.getAs[Double]("bp") == 0.0)
+  }
 }
