@@ -7095,6 +7095,54 @@ object SparkEntry {
       |  UNION ALL SELECT 'r2', ROUND(r2v, 6) FROM f)
       |ORDER BY term""".stripMargin)),
 
+    Q("stat_mahalanobis", (s, dir) => {
+      // top-20 multivariate outliers over (quantity, extendedprice):
+      // the k=2 inverse is closed-form in DuckDB; the quadratic form
+      // mirrors the operator's fixed (i,j) fold order, micro-rounded
+      // (the linregress_multi reduction-noise argument).
+      graft.ops.Stats.mahalanobisScores(Tables(s, dir).lineitem,
+          Seq("l_quantity", "l_extendedprice"))
+        .selectExpr("l_orderkey", "l_linenumber",
+          "CAST(round(mahalanobis_d2 * 1e6) AS LONG) AS d2_micro")
+        .orderBy(col("d2_micro").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(20)
+    }, Some("""WITH c AS (SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS DOUBLE) AS x,
+      |  CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |m AS (SELECT avg(x) AS mx, avg(y) AS my, var_pop(x) AS vx,
+      |  var_pop(y) AS vy, covar_pop(x, y) AS cxy FROM c),
+      |p AS (SELECT mx, my,
+      |  vy / (vx * vy - cxy * cxy) AS p00,
+      |  -cxy / (vx * vy - cxy * cxy) AS p01,
+      |  vx / (vx * vy - cxy * cxy) AS p11 FROM m),
+      |d AS (SELECT l_orderkey, l_linenumber,
+      |  CAST(round((p00 * (x - mx) * (x - mx)
+      |    + p01 * (x - mx) * (y - my)
+      |    + p01 * (y - my) * (x - mx)
+      |    + p11 * (y - my) * (y - my)) * 1e6) AS BIGINT) AS d2_micro
+      |  FROM c CROSS JOIN p)
+      |SELECT l_orderkey, l_linenumber, d2_micro FROM d
+      |ORDER BY d2_micro DESC, l_orderkey, l_linenumber
+      |LIMIT 20""".stripMargin)),
+
+    Q("stat_mahalanobis_verify", (s, dir) => {
+      // the k=4 path pinned in-plan (sim_pca_verify pattern — the
+      // Gauss-Jordan inverse is not SQL, but its consequence is):
+      // under population covariance, mean(d2) over scored rows is
+      // EXACTLY k, and d2 is nonnegative (PSD inverse).
+      val sc = graft.ops.Stats.mahalanobisScores(Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      sc.agg(count(col("mahalanobis_d2")).as("n_scored"),
+        (abs(avg(col("mahalanobis_d2")) - lit(4.0)) < lit(1e-6))
+          .as("identity_ok"),
+        (min(col("mahalanobis_d2")) >= lit(-1e-9)).as("psd_ok"))
+    }, Some("""SELECT CAST(count(*) AS BIGINT) AS n_scored,
+      |  TRUE AS identity_ok, TRUE AS psd_ok FROM lineitem
+      |WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  AND l_discount IS NOT NULL AND l_tax IS NOT NULL""".stripMargin)),
+
     Q("stat_spearman", (s, dir) => {
       // rank correlation with exact fractional tie ranks — quantity vs
       // price. Ranks derive from value-collapsed counts + globalCumSum

@@ -492,4 +492,97 @@ object Stats {
         round(col("hapax").cast(DoubleType) /
           nullif(col("vocab").cast(DoubleType), lit(0.0)), 6))
   }
+
+  /** Mahalanobis distance² per row over k numeric columns — the
+    * multivariate outlier score that catches what per-column robust-z
+    * ([[graft.ops.Series]]) cannot: a row whose EVERY coordinate is
+    * individually plausible but whose combination is impossible (a
+    * 1-unit order at list price 50k). d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) with
+    * population covariance Σ (+ `ridge`·I when supplied); appends
+    * `mahalanobis_d2` to the input frame. Rows with ANY null among
+    * `cols` score null and are excluded from the moment pass.
+    *
+    * Exactness: moments are Spark's merge-stable single-pass aggregates
+    * ([[linearRegressionMulti]]'s convention — ≤1e-12 relative
+    * reduction-order noise); the k×k inverse is a deterministic
+    * driver-side Gauss–Jordan with partial pivoting (planner-scale:
+    * k ≤ 16 by the same closed-form bound); the quadratic form is a
+    * fixed-order k² literal multiply-add, codegen'd scan-side. Under
+    * population covariance and ridge 0, mean(d²) over the scored rows
+    * is EXACTLY k — the algebraic identity the
+    * `stat_mahalanobis_verify` oracle row pins. A singular covariance
+    * (collinear columns) throws a named error naming the pivot —
+    * pass `ridge` > 0 to regularize, accepting mean(d²) < k.
+    *
+    * Scale shape: ONE hash aggregate to a 1-row moment frame (fixed
+    * width, k(k+3)/2 + 1 cells), one driver collect of that row, then
+    * a pure projection — no joins, no windows, no second shuffle; the
+    * 100 TB cost is the scan. */
+  def mahalanobisScores(df: DataFrame, cols: Seq[String],
+      ridge: Double = 0.0): DataFrame = {
+    val k = cols.size
+    require(k >= 2 && k <= 16,
+      s"mahalanobisScores: $k columns - need 2..16 (one column is " +
+        "plain z-score; beyond 16 invert iteratively)")
+    require(ridge >= 0.0, "mahalanobisScores: ridge must be >= 0")
+    val xs = cols.map(c => col(c).cast(DoubleType))
+    val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+    val aggs =
+      (for (i <- 0 until k; j <- i + 1 until k)
+        yield covar_pop(xs(i), xs(j)).as(s"c_${i}_$j")) ++
+      (0 until k).map(i => var_pop(xs(i)).as(s"v_$i")) ++
+      (0 until k).map(i => avg(xs(i)).as(s"m_$i")) :+
+      count(lit(1)).as("n")
+    val row = df.where(nonNull).agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n")
+    require(n > k,
+      s"mahalanobisScores: $n complete rows for $k columns - the " +
+        "covariance is rank-deficient by construction")
+    val mu = Array.tabulate(k)(i => row.getAs[Double](s"m_$i"))
+    val sd = Array.tabulate(k)(i => math.sqrt(row.getAs[Double](s"v_$i")))
+    (0 until k).foreach { i =>
+      if (!(sd(i) > 0)) throw new IllegalStateException(
+        s"mahalanobisScores: column '${cols(i)}' is constant - drop it " +
+          "(a zero-variance coordinate has no multivariate distance)")
+    }
+    // Standardize before inverting (the linearRegressionMulti
+    // convention): Σ + ridge·I = D·A·D with D = diag(sd) and
+    // A = correlation matrix + ridge/varᵢ on the diagonal, so pivots
+    // are O(1) regardless of raw column scales and the singularity
+    // threshold is scale-free. Σ⁻¹ = D⁻¹·A⁻¹·D⁻¹.
+    val a = Array.tabulate(k, k) { (i, j) =>
+      if (i == j) 1.0 + ridge / (sd(i) * sd(i))
+      else row.getAs[Double](s"c_${math.min(i, j)}_${math.max(i, j)}") /
+        (sd(i) * sd(j))
+    }
+    // Gauss-Jordan inverse with partial pivoting (deterministic: pivot
+    // choice is argmax |column|, first index wins ties)
+    val inv = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
+    for (p <- 0 until k) {
+      var best = p
+      for (r <- p + 1 until k)
+        if (math.abs(a(r)(p)) > math.abs(a(best)(p))) best = r
+      if (best != p) {
+        val t = a(p); a(p) = a(best); a(best) = t
+        val ti = inv(p); inv(p) = inv(best); inv(best) = ti
+      }
+      val piv = a(p)(p)
+      if (!(math.abs(piv) > 1e-12))
+        throw new IllegalStateException(
+          s"mahalanobisScores: covariance is singular at pivot $p " +
+            s"(columns are collinear) - pass ridge > 0 to regularize")
+      for (j <- 0 until k) { a(p)(j) /= piv; inv(p)(j) /= piv }
+      for (r <- 0 until k if r != p) {
+        val f = a(r)(p)
+        if (f != 0.0) for (j <- 0 until k) {
+          a(r)(j) -= f * a(p)(j); inv(r)(j) -= f * inv(p)(j)
+        }
+      }
+    }
+    for (i <- 0 until k; j <- 0 until k) inv(i)(j) /= sd(i) * sd(j)
+    val d = xs.zipWithIndex.map { case (x, i) => x - lit(mu(i)) }
+    val quad = (for (i <- 0 until k; j <- 0 until k)
+      yield lit(inv(i)(j)) * d(i) * d(j)).reduce(_ + _)
+    df.withColumn("mahalanobis_d2", when(nonNull, quad))
+  }
 }

@@ -202,4 +202,46 @@ class StatsSpec extends AnyFunSuite {
       "doc_id", checkpoints = 2).collect()
     assert(ok.length == 2)
   }
+
+  test("mahalanobisScores: exact d2 on an identity-covariance square, " +
+      "mean(d2) = k identity, null rows score null, singular guard + " +
+      "ridge escape") {
+    val s = spark
+    import s.implicits._
+    // square corners: mu = (1,1), cov = I -> every corner d2 = 2
+    val sq = Seq((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 0.0, 2.0),
+      (4L, 2.0, 2.0)).toDF("id", "x", "y")
+    val got = Stats.mahalanobisScores(sq, Seq("x", "y"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("mahalanobis_d2")).toMap
+    got.values.foreach(v => assert(math.abs(v - 2.0) < 1e-12, v.toString))
+    // mean(d2) = k on arbitrary non-degenerate data (population-cov law)
+    val arb = Seq((1.0, 2.0, 0.5), (2.0, 1.0, 3.5), (4.0, 4.0, 1.0),
+      (0.5, 3.0, 2.0), (3.0, 0.0, 0.0), (5.0, 2.5, 4.0))
+      .toDF("a", "b", "c")
+    val mean = Stats.mahalanobisScores(arb, Seq("a", "b", "c"))
+      .agg(avg(col("mahalanobis_d2"))).head().getDouble(0)
+    assert(math.abs(mean - 3.0) < 1e-9, mean.toString)
+    // null in any column -> null score, excluded from moments
+    val wn = Seq((1L, Option(0.0), Option(0.0)),
+      (2L, Option(2.0), Option(0.0)), (3L, Option(0.0), Option(2.0)),
+      (4L, Option(2.0), Option(2.0)),
+      (5L, Option.empty[Double], Option(9.0))).toDF("id", "x", "y")
+    val wg = Stats.mahalanobisScores(wn, Seq("x", "y")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("mahalanobis_d2"))).toMap
+    assert(wg(5L).isEmpty)
+    assert(math.abs(wg(1L).get - 2.0) < 1e-12) // moments unchanged
+    // collinear columns throw the named guard; ridge regularizes
+    val lin = Seq((0.0, 0.0), (1.0, 2.0), (2.0, 4.0), (3.0, 6.0))
+      .toDF("x", "y")
+    val e = intercept[IllegalStateException] {
+      Stats.mahalanobisScores(lin, Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("singular"))
+    val rr = Stats.mahalanobisScores(lin, Seq("x", "y"), ridge = 0.1)
+      .agg(min(col("mahalanobis_d2")), max(col("mahalanobis_d2")))
+      .head()
+    assert(rr.getDouble(0) >= 0.0 && !rr.getDouble(1).isNaN)
+  }
 }
