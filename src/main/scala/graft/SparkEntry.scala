@@ -4080,6 +4080,44 @@ object SparkEntry {
       |    AS BIGINT) % 5 AS INTEGER) AS fold
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("sample_target_encode", (s, dir) => {
+      // leakage-safe out-of-fold target encoding of o_orderpriority by
+      // o_totalprice: SHA folds, exact BIGINT micro label sums, two
+      // mirrored double divisions at the end — DuckDB replays the hash,
+      // the sums, and the smoothing formula term for term.
+      graft.ops.Sampling.targetEncode(Tables(s, dir).orders,
+          "o_orderkey", "o_orderpriority", "o_totalprice",
+          k = 5, smoothing = 20.0)
+        .selectNames(Seq("o_orderkey", "fold", "target_enc"))
+        .sortByKeys(SortKey("o_orderkey"))
+    }, Some("""WITH f AS (SELECT o_orderkey,
+      |  CAST(CAST(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)),
+      |    1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold,
+      |  o_orderpriority AS cat,
+      |  CASE WHEN o_totalprice IS NOT NULL
+      |    THEN CAST(round(o_totalprice * 1e6) AS BIGINT) END AS lm
+      |  FROM orders),
+      |cf AS (SELECT cat, fold, CAST(coalesce(sum(lm), 0) AS BIGINT)
+      |    AS s_cf, CAST(count(lm) AS BIGINT) AS n_cf
+      |  FROM f GROUP BY 1, 2),
+      |c AS (SELECT cat, CAST(sum(s_cf) AS BIGINT) AS s_c,
+      |  CAST(sum(n_cf) AS BIGINT) AS n_c FROM cf GROUP BY 1),
+      |g AS (SELECT CAST(coalesce(sum(s_cf), 0) AS BIGINT) AS s_all,
+      |  CAST(coalesce(sum(n_cf), 0) AS BIGINT) AS n_all FROM cf),
+      |e AS (SELECT cf.cat, cf.fold,
+      |  CASE WHEN n_all > 0 THEN ROUND(
+      |    (CAST(c.s_c - cf.s_cf AS DOUBLE) / 1e6
+      |      + 20.0 * ((CAST(s_all AS DOUBLE) / 1e6)
+      |        / CAST(n_all AS DOUBLE)))
+      |    / (CAST(c.n_c - cf.n_cf AS DOUBLE) + 20.0), 6) END
+      |    AS target_enc
+      |  FROM cf JOIN c ON cf.cat IS NOT DISTINCT FROM c.cat
+      |  CROSS JOIN g)
+      |SELECT f.o_orderkey, f.fold, e.target_enc
+      |FROM f JOIN e ON f.cat IS NOT DISTINCT FROM e.cat
+      |  AND f.fold = e.fold
+      |ORDER BY f.o_orderkey""".stripMargin)),
+
     Q("decontaminate_fuzzy", (s, dir) => {
       // fuzzy (near-dup) decontamination: the benchmark is every 25th doc
       // with an appended 4-word suffix — contamination the exact n-gram

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.core.CacheHandle
 
 /** Deterministic sampling for training-data pipelines: corpus mixing by
@@ -84,6 +84,70 @@ object Sampling {
     df.withColumn(as,
       (conv(substring(sha2(col(idCol).cast("string"), 256), 1, 8), 16, 10)
         .cast(LongType) % lit(k.toLong)).cast(IntegerType))
+  }
+
+  /** Leakage-safe out-of-fold TARGET ENCODING — the high-cardinality
+    * categorical feature a tree/linear model actually wants: replace
+    * `catCol` with the smoothed mean of `labelCol` computed WITHOUT the
+    * row's own fold, so the encoding never sees the row's own label
+    * (in-fold target means are the classic silent leak — the model
+    * memorizes the label through its own feature). Row in fold f with
+    * category c gets
+    *   enc = ((S_c − S_cf)/10⁶ + m·prior) / ((N_c − N_cf) + m)
+    * with S/N label-micro sums and non-null-label counts, `m` =
+    * `smoothing` pseudo-observations of the GLOBAL prior mean —
+    * categories unseen outside the row's fold (and null categories,
+    * which form their own category) shrink fully to the prior.
+    * Folds are [[kFold]]'s SHA assignment: deterministic, stable
+    * across runs/engines/partitionings, never correlated with
+    * sequential ids. Appends (`fold`, `target_enc` 6dp).
+    *
+    * Exactness: label sums ride exact BIGINT micros (|label| ≤ ~9·10¹²
+    * by the convention bound); prior and encoding are two mirrored
+    * double divisions at the very end, so any engine re-deriving the
+    * integer sums reproduces the 6dp value bit-for-bit.
+    *
+    * Scale shape: one (cat, fold) hash aggregate (map-side combined;
+    * (cats·k)-sized), one cats-sized rollup of THAT frame, one
+    * broadcast of the 1-row global sums, and one join back on the
+    * null-safe cat key — rows shuffle once. A hot category is one big
+    * join bucket (AQE skew-split absorbs it); the aggregate side is
+    * immune (partials). */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+      labelCol: String, k: Int = 5, smoothing: Double = 20.0)
+      : DataFrame = {
+    require(k >= 2, s"targetEncode: k must be >= 2, got $k")
+    require(smoothing > 0,
+      "targetEncode: smoothing must be > 0 (m = 0 leaves unseen " +
+        "categories undefined)")
+    val lm = when(col(labelCol).isNotNull,
+      round(col(labelCol).cast(DoubleType) * lit(1e6)).cast(LongType))
+    val withFold = kFold(df, idCol, k)
+    val byCatFold = withFold
+      .groupBy(col(catCol).as("__c"), col("fold").as("__f"))
+      .agg(coalesce(sum(lm), lit(0L)).as("__s_cf"),
+        count(lm).as("__n_cf"))
+    val byCat = byCatFold.groupBy(col("__c").as("__c2"))
+      .agg(sum(col("__s_cf")).as("__s_c"), sum(col("__n_cf")).as("__n_c"))
+    val global = broadcast(byCatFold.agg(
+      coalesce(sum(col("__s_cf")), lit(0L)).as("__s_all"),
+      coalesce(sum(col("__n_cf")), lit(0L)).as("__n_all")))
+    // null-SAFE key joins throughout: a null category is a real
+    // category here, and USING-joins drop null keys
+    val folds = byCatFold.join(byCat, col("__c") <=> col("__c2"))
+      .drop("__c2").crossJoin(global)
+    val oofS = col("__s_c") - col("__s_cf")
+    val oofN = col("__n_c") - col("__n_cf")
+    val prior = (col("__s_all").cast(DoubleType) / lit(1e6)) /
+      col("__n_all").cast(DoubleType)
+    val enc = folds.select(col("__c"), col("__f"),
+      when(col("__n_all") > 0L,
+        round((oofS.cast(DoubleType) / lit(1e6) + lit(smoothing) * prior)
+          / (oofN.cast(DoubleType) + lit(smoothing)), 6))
+        .as("target_enc"))
+    withFold.join(enc,
+      col(catCol) <=> col("__c") && col("fold") === col("__f"), "left")
+      .drop("__c", "__f")
   }
 
   /** Deterministic training-shard assignment: shard ∈ [0, nShards) and a

@@ -1960,6 +1960,63 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("targetEncode: out-of-fold means never include the row's own " +
+      "fold, null cats encode as their own category, unseen-oof " +
+      "shrinks to prior, null labels excluded from sums") {
+    val s = SparkFixture.spark
+    import s.implicits._
+    // force known folds by picking ids; k=2 via kFold's sha assignment
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble)).toDF(
+      "id", "cat", "y")
+    val enc = graft.ops.Sampling.targetEncode(base, "id", "cat", "y",
+      k = 2, smoothing = 1.0)
+    val rows = enc.collect()
+    assert(rows.length == 40 && rows.forall(r =>
+      !r.isNullAt(r.fieldIndex("target_enc"))))
+    // replay one row by hand from the frame's own fold assignments
+    val byCatFold = rows.groupBy(r =>
+      (r.getAs[String]("cat"), r.getAs[Int]("fold")))
+      .map { case (k2, rs) =>
+        k2 -> ((rs.map(_.getAs[Double]("y")).sum, rs.length)) }
+    val all = rows.map(_.getAs[Double]("y")).sum
+    val prior = (math.rint(all * 1e6) / 1e6) / 40.0
+    rows.take(5).foreach { r =>
+      val cat = r.getAs[String]("cat"); val f = r.getAs[Int]("fold")
+      val (sAll, nAll) = byCatFold.filterKeys(_._1 == cat).values
+        .foldLeft((0.0, 0))((a, b) => (a._1 + b._1, a._2 + b._2))
+      val (sIn, nIn) = byCatFold((cat, f))
+      val exp = math.rint(((sAll - sIn) + 1.0 * prior) /
+        ((nAll - nIn) + 1.0) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("target_enc") - exp) < 1e-9,
+        s"row ${r.getAs[Long]("id")}")
+    }
+    // null category forms its own category; null labels drop from sums
+    val wn = Seq((1L, Option("a"), Option(10.0)),
+      (2L, Option.empty[String], Option(4.0)),
+      (3L, Option.empty[String], Option(8.0)),
+      (4L, Option("a"), Option.empty[Double])).toDF("id", "cat", "y")
+    val got = graft.ops.Sampling.targetEncode(wn, "id", "cat", "y",
+      k = 2, smoothing = 2.0).collect()
+    assert(got.length == 4 &&
+      got.forall(r => !r.isNullAt(r.fieldIndex("target_enc"))))
+    // a category entirely inside one fold: oof stats empty → pure prior
+    val pr = (10.0 + 4.0 + 8.0) / 3.0
+    val one = got.find(_.getAs[Long]("id") == 1L).get
+    val sameFold = got.filter(r => Option(r.getAs[String]("cat"))
+      .contains("a")).map(_.getAs[Int]("fold")).distinct
+    if (sameFold.length == 1) // both 'a' rows in one fold → prior only
+      assert(math.abs(one.getAs[Double]("target_enc") -
+        math.rint(2.0 * pr / 2.0 * 1e6) / 1e6) < 1e-9)
+    // all labels null → encoding null, rows retained
+    val nl = Seq((1L, "a", Option.empty[Double]),
+      (2L, "b", Option.empty[Double])).toDF("id", "cat", "y")
+    val ng = graft.ops.Sampling.targetEncode(nl, "id", "cat", "y")
+      .collect()
+    assert(ng.length == 2 &&
+      ng.forall(r => r.isNullAt(r.fieldIndex("target_enc"))))
+  }
+
   test("bleuReport: hand-computed clipped counts, BP < 1 on short " +
       "candidates, zero 4-gram overlap zeroes BLEU, empty corpus is 0") {
     val s = SparkFixture.spark
