@@ -6439,6 +6439,58 @@ object SparkEntry {
       |    AS BIGINT) AS jaccard_micro
       |FROM j""".stripMargin)),
 
+    Q("label_info_gain", (s, dir) => {
+      // feature ranking by mutual information against a derived binary
+      // label: one unpivot + one cell-count shuffle, margins on the
+      // cells frame; DuckDB replays cells, margins, and the nano-nat
+      // rounding per term.
+      val c = Tables(s, dir).customer
+        .withColumn("lab",
+          when(col("c_acctbal") > 0, lit("pos")).otherwise(lit("neg")))
+      Eval.informationGainReport(c, Seq("c_mktsegment", "c_nationkey"),
+        "lab")
+    }, Some("""WITH p AS (
+      |  SELECT 'c_mktsegment' AS f,
+      |    coalesce(CAST(c_mktsegment AS VARCHAR), '(null)') AS v,
+      |    CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END AS l
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'c_nationkey',
+      |    coalesce(CAST(c_nationkey AS VARCHAR), '(null)'),
+      |    CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END
+      |  FROM customer),
+      |cells AS (SELECT f, v, l, CAST(count(*) AS BIGINT) AS c
+      |  FROM p GROUP BY 1, 2, 3),
+      |mv AS (SELECT f, v, CAST(sum(c) AS BIGINT) AS cv
+      |  FROM cells GROUP BY 1, 2),
+      |ml AS (SELECT f, l, CAST(sum(c) AS BIGINT) AS cl
+      |  FROM cells GROUP BY 1, 2),
+      |nf AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+      |mi AS (SELECT f, CAST(sum(CAST(round(CAST(c AS DOUBLE)
+      |    / CAST(n AS DOUBLE)
+      |    * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+      |      / (CAST(cv AS DOUBLE) * CAST(cl AS DOUBLE))) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS mi_nano
+      |  FROM cells JOIN mv USING (f, v) JOIN ml USING (f, l)
+      |  JOIN nf USING (f) GROUP BY 1),
+      |hl AS (SELECT f, CAST(sum(CAST(round(
+      |    -(CAST(cl AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * ln(CAST(cl AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS h_label_nano
+      |  FROM ml JOIN nf USING (f) GROUP BY 1),
+      |hf AS (SELECT f, CAST(sum(CAST(round(
+      |    -(CAST(cv AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * ln(CAST(cv AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+      |    AS BIGINT)) AS BIGINT) AS h_feature_nano
+      |  FROM mv JOIN nf USING (f) GROUP BY 1)
+      |SELECT f AS feature, n, mi_nano, ROUND(mi_nano / 1e9, 6) AS mi,
+      |  h_label_nano, h_feature_nano,
+      |  CASE WHEN h_label_nano > 0 THEN CAST(round(
+      |    CAST(mi_nano AS DOUBLE) * 1e6 / CAST(h_label_nano AS DOUBLE))
+      |    AS BIGINT) ELSE 0 END AS explained_micro
+      |FROM nf JOIN mi USING (f) JOIN hl USING (f) JOIN hf USING (f)
+      |ORDER BY mi_nano DESC, feature""".stripMargin)),
+
     Q("label_mannwhitney", (s, dir) => {
       // rank-sum test: are English docs longer than non-English? Heavy
       // ties in n_chars exercise the tie-corrected variance; ranks

@@ -459,6 +459,68 @@ object Eval {
           .as("nmi_micro"))
   }
 
+  /** Information-gain feature ranking — [[mutualInformation]] swept
+    * across many feature columns against one label in a single job:
+    * which columns carry label signal at all, the first question of
+    * feature selection and the "is this metadata column worth keeping"
+    * question of corpus curation. One row per feature, ranked by mutual
+    * information: (feature, n, mi_nano, mi, h_label_nano,
+    * h_feature_nano, explained_micro) where explained = MI/H(label),
+    * the share of label entropy the feature resolves (10⁶ = the
+    * feature determines the label; 0 = independent).
+    *
+    * Same conventions as [[mutualInformation]]: values and labels are
+    * compared as strings with null a real level ("(null)"); per-cell
+    * contributions round to integer NANO-nats before the exact BIGINT
+    * sum (reduction-order-proof; engine ln ulp sits 7 orders below the
+    * quantum).
+    *
+    * Scale shape: one scan-side unpivot to (feature, value, label)
+    * triples, ONE (f, v, l) cell-count shuffle (map-side combined),
+    * then margins re-aggregate the CELLS frame (never the rows) with
+    * every join keyed by feature — no unpartitioned windows, features
+    * rank in parallel. Adding a 20th feature costs scan width, not a
+    * pass. */
+  def informationGainReport(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty,
+      "informationGainReport: no feature columns given")
+    def level(c: Column): Column =
+      coalesce(c.cast("string"), lit("(null)"))
+    val pairs = df.select(explode(array(featureCols.map(f =>
+        struct(lit(f).as("f"), level(col(f)).as("v"))): _*)).as("p"),
+        level(col(labelCol)).as("l"))
+      .select(col("p.f").as("f"), col("p.v").as("v"), col("l"))
+    val cells = pairs.groupBy(col("f"), col("v"), col("l"))
+      .agg(count(lit(1)).as("c"))
+    val mv = cells.groupBy(col("f"), col("v")).agg(sum(col("c")).as("cv"))
+    val ml = cells.groupBy(col("f"), col("l")).agg(sum(col("c")).as("cl"))
+    val nf = cells.groupBy(col("f")).agg(sum(col("c")).as("n"))
+    val cD = col("c").cast(DoubleType)
+    val nD = col("n").cast(DoubleType)
+    val mi = cells.join(mv, Seq("f", "v")).join(ml, Seq("f", "l"))
+      .join(nf, Seq("f"))
+      .withColumn("__t", round(cD / nD *
+        log(cD * nD / (col("cv").cast(DoubleType) *
+          col("cl").cast(DoubleType))) * lit(1e9)).cast(LongType))
+      .groupBy(col("f")).agg(sum(col("__t")).as("mi_nano"))
+    def entropy(m: DataFrame, cnt: String, as: String): DataFrame =
+      m.join(nf, Seq("f"))
+        .withColumn("__h", round(-(col(cnt).cast(DoubleType) / nD) *
+          log(col(cnt).cast(DoubleType) / nD) * lit(1e9)).cast(LongType))
+        .groupBy(col("f")).agg(coalesce(sum(col("__h")), lit(0L)).as(as))
+    nf.join(mi, Seq("f")).join(entropy(ml, "cl", "h_label_nano"), Seq("f"))
+      .join(entropy(mv, "cv", "h_feature_nano"), Seq("f"))
+      .select(col("f").as("feature"), col("n"), col("mi_nano"),
+        round(col("mi_nano") / lit(1e9), 6).as("mi"),
+        col("h_label_nano"), col("h_feature_nano"),
+        when(col("h_label_nano") > 0L,
+          round(col("mi_nano").cast(DoubleType) * lit(1e6) /
+            col("h_label_nano").cast(DoubleType)).cast(LongType))
+          .otherwise(lit(0L)).as("explained_micro"))
+      .orderBy(col("mi_nano").desc, col("feature"))
+  }
+
   /** Two-sample MANN–WHITNEY U (Wilcoxon rank-sum) test — the
     * nonparametric "is A stochastically larger than B" companion to
     * [[abTest]] (which needs a binary conversion; this ranks any

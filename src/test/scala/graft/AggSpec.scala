@@ -288,4 +288,41 @@ class AggSpec extends AnyFunSuite {
     assert(tt.getAs[Long]("cles_micro") == 500000L &&
       tt.getAs[Long]("z_micro") == 0L)
   }
+
+  test("informationGainReport: perfect predictor explains all label " +
+      "entropy, independent feature explains none, ranking is by MI, " +
+      "null is a real level") {
+    val s = spark
+    import s.implicits._
+    // label = parity; det mirrors it exactly; ind is constant across
+    // labels (factorizing counts → MI exactly 0); nul has a null level
+    val df = (0 until 100).map { i =>
+      (if (i % 2 == 0) "even" else "odd",          // det: perfect
+        if (i < 50) "x" else "y",                   // ind: independent
+        if (i % 4 == 0) Option("p") else None,      // nul: partial signal
+        if (i % 2 == 0) "E" else "O")               // label
+    }.toDF("det", "ind", "nul", "lab")
+    val got = graft.ops.Eval.informationGainReport(df,
+      Seq("det", "ind", "nul"), "lab").collect()
+    assert(got.map(_.getAs[String]("feature")).toSeq ==
+      Seq("det", "nul", "ind"), "MI ranking")
+    val byF = got.map(r => r.getAs[String]("feature") -> r).toMap
+    // det: MI = H(label) = ln 2 → explained = 1e6
+    assert(byF("det").getAs[Long]("explained_micro") == 1000000L)
+    assert(byF("det").getAs[Long]("mi_nano") ==
+      byF("det").getAs[Long]("h_label_nano"))
+    assert(byF("det").getAs[Double]("mi") == 0.693147)
+    // ind: counts factorize exactly → every nano term 0
+    assert(byF("ind").getAs[Long]("mi_nano") == 0L &&
+      byF("ind").getAs[Long]("explained_micro") == 0L)
+    // nul: the null level participates as a value — cells (p,E)=25,
+    // ((null),E)=25, ((null),O)=50 → 0 < MI < H(label)
+    val nulMi = byF("nul").getAs[Long]("mi_nano")
+    assert(nulMi > 0L && nulMi < byF("nul").getAs[Long]("h_label_nano"))
+    val exp = math.rint((0.25 * math.log(2.0) +
+      0.25 * math.log(2.0 / 3.0) + 0.5 * math.log(4.0 / 3.0)) * 1e9)
+    assert(math.abs(nulMi - exp) <= 2, s"$nulMi vs $exp")
+    // every feature sees all 100 rows
+    assert(got.forall(_.getAs[Long]("n") == 100L))
+  }
 }
