@@ -5010,6 +5010,34 @@ object SparkEntry {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin)),
 
+    Q("agg_quantile_normalize", (s, dir) => {
+      // cross-group quantile normalization: per-type percent-rank
+      // positions mapped onto the 101-point global percentile grid —
+      // DuckDB re-derives the grid (quantile_cont = the agg_percentiles
+      // parity), the rank positions, and the mirrored interpolation.
+      Agg.quantileNormalize(Tables(s, dir).events
+          .selectNames(Seq("event_id", "event_type", "value")),
+          "value", "event_type", gridPoints = 100)
+        .selectNames(Seq("event_id", "value", "value_norm"))
+        .sortByKeys(SortKey("event_id"))
+    }, Some(s"""WITH nn AS (SELECT event_id, event_type,
+      |  CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT quantile_cont(v,
+      |  [${(0 to 100).map(_ / 100.0).mkString(", ")}]) AS grid FROM nn),
+      |r AS (SELECT event_id, v, percent_rank() OVER (
+      |  PARTITION BY event_type ORDER BY v) * 100.0 AS pos FROM nn),
+      |i AS (SELECT event_id, v, floor(pos) AS lo, pos - floor(pos)
+      |  AS frac FROM r),
+      |n AS (SELECT event_id, v AS value,
+      |  ROUND(grid[CAST(lo AS INTEGER) + 1] + frac *
+      |    (grid[least(CAST(lo AS INTEGER) + 2, 101)]
+      |      - grid[CAST(lo AS INTEGER) + 1]), 6) AS value_norm
+      |  FROM i CROSS JOIN g)
+      |SELECT event_id, value, value_norm FROM n
+      |UNION ALL SELECT event_id, value, NULL FROM events
+      |WHERE value IS NULL
+      |ORDER BY event_id""".stripMargin)),
+
     Q("agg_rollup", (s, dir) => {
       // hierarchical subtotals in ONE shuffle (Catalyst Expand) — the
       // reference needs N re-aggregations + concat for the same report.
@@ -7029,6 +7057,73 @@ object SparkEntry {
       |  coalesce(sum(CASE WHEN ldiv < 3 THEN sz ELSE 0 END), 0) = 0
       |    AS passed
       |FROM cls""".stripMargin)),
+
+    Q("text_script_stats", (s, dir) => {
+      // per-doc Unicode script histogram: codepoint counts per script
+      // class + deterministic dominant pick — pure scan-side regexp
+      // counting DuckDB replays class for class (ASCII corpus → the
+      // latin/digit/space/other parity is what's under test; hostile
+      // scripts are pinned by unit).
+      val st = graft.functions.TextFunctions.scriptStats(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          st.getField("n_chars").as("n_chars"),
+          st.getField("n_latin").as("n_latin"),
+          st.getField("n_han").as("n_han"),
+          st.getField("n_digit").as("n_digit"),
+          st.getField("n_space").as("n_space"),
+          st.getField("n_other").as("n_other"),
+          st.getField("dominant").as("dominant"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH c AS (SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT)
+      |    AS n_latin,
+      |  CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT)
+      |    AS n_cyr,
+      |  CAST(len(regexp_extract_all(text, '\p{Greek}')) AS BIGINT)
+      |    AS n_greek,
+      |  CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT)
+      |    AS n_arabic,
+      |  CAST(len(regexp_extract_all(text, '\p{Hebrew}')) AS BIGINT)
+      |    AS n_hebrew,
+      |  CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT)
+      |    AS n_han,
+      |  CAST(len(regexp_extract_all(text, '\p{Hiragana}'))
+      |    + len(regexp_extract_all(text, '\p{Katakana}')) AS BIGINT)
+      |    AS n_kana,
+      |  CAST(len(regexp_extract_all(text, '\p{Hangul}')) AS BIGINT)
+      |    AS n_hangul,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+      |    AS n_digit,
+      |  CAST(len(regexp_extract_all(text, '[ \t\n\r\f]')) AS BIGINT)
+      |    AS n_space
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_latin, n_han, n_digit, n_space,
+      |  n_chars - (n_latin + n_cyr + n_greek + n_arabic + n_hebrew
+      |    + n_han + n_kana + n_hangul + n_digit + n_space) AS n_other,
+      |  CASE WHEN greatest(n_latin, n_cyr, n_greek, n_arabic, n_hebrew,
+      |      n_han, n_kana, n_hangul, n_digit, n_space) <= 0 THEN 'none'
+      |    WHEN n_latin = greatest(n_latin, n_cyr, n_greek, n_arabic,
+      |      n_hebrew, n_han, n_kana, n_hangul, n_digit, n_space)
+      |      THEN 'latin'
+      |    WHEN n_cyr = greatest(n_cyr, n_greek, n_arabic, n_hebrew,
+      |      n_han, n_kana, n_hangul, n_digit, n_space) THEN 'cyrillic'
+      |    WHEN n_greek = greatest(n_greek, n_arabic, n_hebrew, n_han,
+      |      n_kana, n_hangul, n_digit, n_space) THEN 'greek'
+      |    WHEN n_arabic = greatest(n_arabic, n_hebrew, n_han, n_kana,
+      |      n_hangul, n_digit, n_space) THEN 'arabic'
+      |    WHEN n_hebrew = greatest(n_hebrew, n_han, n_kana, n_hangul,
+      |      n_digit, n_space) THEN 'hebrew'
+      |    WHEN n_han = greatest(n_han, n_kana, n_hangul, n_digit,
+      |      n_space) THEN 'han'
+      |    WHEN n_kana = greatest(n_kana, n_hangul, n_digit, n_space)
+      |      THEN 'kana'
+      |    WHEN n_hangul = greatest(n_hangul, n_digit, n_space)
+      |      THEN 'hangul'
+      |    WHEN n_digit = greatest(n_digit, n_space) THEN 'digit'
+      |    ELSE 'space' END AS dominant
+      |FROM c ORDER BY doc_id""".stripMargin)),
 
     Q("text_readability", (s, dir) => {
       // Flesch reading ease per doc: vowel-group syllables, [.!?]+

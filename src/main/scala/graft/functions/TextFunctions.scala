@@ -359,6 +359,53 @@ object TextFunctions {
       .otherwise(pick)
   }
 
+  /** Per-document Unicode SCRIPT histogram — the mixed-script /
+    * wrong-script detector [[langId]]'s stopword heuristic cannot be:
+    * a "French" page that is 40% Cyrillic is mojibake or spam, a
+    * Latin-labeled corpus with Han characters needs routing, and
+    * script share is the standard pre-filter before per-language
+    * pipelines. Counts CODEPOINTS per script class (astral-plane
+    * aware — Spark's `length`/`regexp_count` both work in code
+    * points): struct(n_chars, n_latin, n_cyrillic, n_greek, n_arabic,
+    * n_hebrew, n_han, n_kana, n_hangul, n_digit, n_space, n_other,
+    * dominant). `dominant` = the script with the highest count
+    * (fixed order above wins ties; 'none' when every class is 0);
+    * combining marks (script Inherited) and punctuation land in
+    * n_other by design. Null text → null struct. Pure codegen'd
+    * scan-side expressions — no shuffle, no UDF; whitespace is the
+    * explicit [ \t\n\r\f] class (Java's \s and RE2's \s disagree on
+    * vertical tab). */
+  def scriptStats(c: Column): Column = {
+    def cnt(pattern: String): Column = regexp_count(c, lit(pattern))
+    val classes = Seq(
+      "latin" -> cnt("\\p{IsLatin}"),
+      "cyrillic" -> cnt("\\p{IsCyrillic}"),
+      "greek" -> cnt("\\p{IsGreek}"),
+      "arabic" -> cnt("\\p{IsArabic}"),
+      "hebrew" -> cnt("\\p{IsHebrew}"),
+      "han" -> cnt("\\p{IsHan}"),
+      "kana" -> (cnt("\\p{IsHiragana}") + cnt("\\p{IsKatakana}")),
+      "hangul" -> cnt("\\p{IsHangul}"),
+      "digit" -> cnt("[0-9]"),
+      "space" -> cnt("[ \\t\\n\\r\\f]"))
+    val total = length(c)
+    val classified = classes.map(_._2).reduce(_ + _)
+    // argmax with first-in-list tie-break: max of (count, -index)
+    val bestIdx = classes.zipWithIndex.map { case ((_, cc), i) =>
+      struct(cc.as("c"), lit(-i).as("ni"))
+    }.reduce((a, b) => when(b.getField("c") > a.getField("c"), b)
+      .otherwise(a))
+    val dominant = when(bestIdx.getField("c") <= 0, lit("none"))
+      .otherwise(element_at(
+        array(classes.map(n => lit(n._1)): _*),
+        -bestIdx.getField("ni") + 1))
+    when(c.isNotNull, struct(
+      (total.cast(LongType).as("n_chars") +:
+        classes.map { case (n, cc) => cc.cast(LongType).as(s"n_$n") }) ++
+        Seq((total - classified).cast(LongType).as("n_other"),
+          dominant.as("dominant")): _*))
+  }
+
   /** Document fingerprint: 64-bit hash of the normalized text (content-
     * defined identity for exact dedup; xxhash64 = codegen'd, seed fixed). */
   def fingerprint(c: Column): Column = xxhash64(normalizeText(c))

@@ -501,4 +501,56 @@ object Agg {
             nullif(col("n_groups").cast(DoubleType), lit(0.0))) * lit(1e9))
           .cast(LongType).as("gini_nano"))
   }
+
+  /** Quantile normalization of `valueCol` ACROSS groups — map every
+    * group's score distribution onto the corpus-global one, so a
+    * quality score of "top 10% within source A" and "top 10% within
+    * source B" become the SAME number before mixing (per-source
+    * classifiers drift; mixing raw scores over-samples whichever
+    * source scores generously — the cross-source calibration step of
+    * every corpus-mixing pipeline). Appends `value_norm` (6dp): the
+    * global R-7 quantile at the row's within-group percent-rank
+    * position, linearly interpolated on a `gridPoints`-point global
+    * percentile grid. Ties share a position (and thus a normalized
+    * value); a single-row group maps to the global minimum (its
+    * percent_rank is 0 — document, don't surprise). Null values pass
+    * through with null norm and never distort the ranks; an
+    * all-null/empty input returns the frame with a null column.
+    *
+    * Exactness: the grid is ONE exact `percentile` aggregate (the
+    * `agg_percentiles` machinery, = DuckDB `quantile_cont`); position
+    * arithmetic and interpolation are mirrored double ops any engine
+    * replays bit-for-bit from the same grid.
+    *
+    * Scale shape: one aggregate for the grid (exact percentile
+    * buffers values — the documented cost; at petabyte scale swap in
+    * approx_percentile, the [[graft.ops.Similarity]] normStats
+    * pattern), one driver collect of gridPoints+1 doubles
+    * (planner-scale), one partitioned rank window per group (parallel
+    * across groups), and a scan-side broadcast-literal interpolation.
+    * The null split rejoins by UNION, never a join. */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+      gridPoints: Int = 1000): DataFrame = {
+    require(gridPoints >= 2 && gridPoints <= 100000,
+      s"quantileNormalize: gridPoints in [2, 100000], got $gridPoints")
+    val v = col(valueCol).cast(DoubleType)
+    val nn = df.where(v.isNotNull)
+    val gridRow = nn.agg(
+      percentile(v, lit((0 to gridPoints).map(_.toDouble / gridPoints)
+        .toArray)).as("g")).head()
+    if (gridRow.isNullAt(0))
+      return df.withColumn("value_norm", lit(null).cast(DoubleType))
+    val grid = gridRow.getSeq[Double](0).toArray
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(v)
+    val pos = percent_rank().over(w) * lit(gridPoints.toDouble)
+    val lo = floor(pos).cast(IntegerType)
+    val frac = pos - floor(pos)
+    val arr = lit(grid)
+    val gLo = element_at(arr, lo + 1)
+    val gHi = element_at(arr, least(lo + lit(2), lit(gridPoints + 1)))
+    nn.withColumn("value_norm", round(gLo + frac * (gHi - gLo), 6))
+      .unionByName(df.where(v.isNull)
+        .withColumn("value_norm", lit(null).cast(DoubleType)))
+  }
 }

@@ -1316,22 +1316,40 @@ object Dedup {
     * filter ON the jaccard-qualifying set", so the composition stays
     * exactly reproducible by any engine with a Levenshtein primitive.
     *
-    * Scale shape: the edit distance — O(len_a·len_b) per pair, the most
-    * expensive step — runs ONLY on the ~|qualifying| verified pairs, and
-    * texts join in by id at that final stage; the corpus-wide phases
-    * never touch character-level comparison. */
+    * Scale shape: the edit distance — the most expensive step — runs
+    * ONLY on the ~|qualifying| verified pairs, and texts join in by id
+    * at that final stage; the corpus-wide phases never touch
+    * character-level comparison. Two bounds keep the per-pair cost
+    * honest (found by the unicode-hostile sweep: thousands of
+    * IDENTICAL 10k-char docs made the unbounded O(len²) DP the whole
+    * job): byte-equal texts short-circuit to distance 0 (a memcmp —
+    * and identical texts ARE the common near-dup case), and the DP
+    * runs BANDED via the thresholded levenshtein at the only cutoff
+    * the filter can keep, ceil((1−minEditSim)·maxCorpusLen) —
+    * O((n+m)·band) per pair instead of O(n·m). The corpus max length
+    * costs one skinny aggregate (planner-scale driver scalar, the
+    * mahalanobis/pca discipline). */
   def editVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, minEditSim: Double,
       cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     val norm = df.select(col(idCol).as("id"),
       normalizeText(col(textCol)).as("__nt"))
+    val maxLen = norm.agg(coalesce(max(length(col("__nt"))), lit(0)))
+      .head().getInt(0)
+    val band = math.max(1,
+      math.ceil((1.0 - minEditSim) * maxLen).toInt)
     setSimilarityJoin(df, textCol, idCol, threshold, cache)
       .join(norm.select(col("id").as("id_a"), col("__nt").as("__na")),
         "id_a")
       .join(norm.select(col("id").as("id_b"), col("__nt").as("__nb")),
         "id_b")
-      .withColumn("lev", levenshtein(col("__na"), col("__nb"))
-        .cast(LongType))
+      .withColumn("lev",
+        when(col("__na") === col("__nb"), lit(0L))
+          .otherwise(levenshtein(col("__na"), col("__nb"), band)
+            .cast(LongType)))
+      // banded DP reports -1 beyond the cutoff: those pairs cannot
+      // reach minEditSim for ANY length, drop before the sim division
+      .filter(col("lev") >= 0L)
       .withColumn("edit_sim", lit(1.0) - col("lev").cast(DoubleType) /
         greatest(length(col("__na")), length(col("__nb")))
           .cast(DoubleType))

@@ -289,6 +289,45 @@ class AggSpec extends AnyFunSuite {
       tt.getAs[Long]("z_micro") == 0L)
   }
 
+  test("quantileNormalize: equal within-group ranks map to identical " +
+      "global values, fractional positions interpolate, nulls pass " +
+      "through, all-null yields null column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 10.0), ("B", 20.0), ("B", 30.0)).toDF("g", "v")
+    val got = graft.ops.Agg.quantileNormalize(df, "v", "g", gridPoints = 4)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("value_norm")).toMap
+    // global sorted: 1,2,3,10,20,30; grid(0,.25,.5,.75,1) =
+    // (1, 2.25, 6.5, 17.5, 30); both groups' ranks are 0, .5, 1
+    assert(got(("A", 1.0)) == 1.0 && got(("B", 10.0)) == 1.0)
+    assert(got(("A", 2.0)) == 6.5 && got(("B", 20.0)) == 6.5)
+    assert(got(("A", 3.0)) == 30.0 && got(("B", 30.0)) == 30.0)
+    // fractional grid position: 4 rows → pos 4/3 between grid pts 1,2
+    val dfc = df.unionByName(Seq(("C", 5.0), ("C", 6.0), ("C", 7.0),
+      ("C", 8.0)).toDF("g", "v"))
+    val gc = graft.ops.Agg.quantileNormalize(dfc, "v", "g",
+        gridPoints = 4)
+      .where(col("g") === "C").collect()
+      .map(r => r.getAs[Double]("v") -> r.getAs[Double]("value_norm"))
+      .toMap
+    // new global sorted: 1,2,3,5,6,7,8,10,20,30 (n=10); R-7 grid =
+    // (1, 3.5, 6.5, 9.5, 30); C value 6 has rank 1/3 → pos 4/3:
+    // 3.5 + 1/3·(6.5 − 3.5) = 4.5
+    val exp = math.rint((3.5 + (1.0 / 3) * (6.5 - 3.5)) * 1e6) / 1e6
+    assert(gc(6.0) == exp, s"${gc(6.0)} vs $exp")
+    // nulls pass through untouched; all-null input → null column
+    val wn = Seq(("A", Option(1.0)), ("A", Option.empty[Double]))
+      .toDF("g", "v")
+    val gw = graft.ops.Agg.quantileNormalize(wn, "v", "g").collect()
+    assert(gw.length == 2 &&
+      gw.count(_.isNullAt(gw.head.fieldIndex("value_norm"))) == 1)
+    val an = graft.ops.Agg.quantileNormalize(
+      Seq(("A", Option.empty[Double])).toDF("g", "v"), "v", "g")
+    assert(an.collect().forall(_.isNullAt(2)))
+  }
+
   test("informationGainReport: perfect predictor explains all label " +
       "entropy, independent feature explains none, ranking is by MI, " +
       "null is a real level") {

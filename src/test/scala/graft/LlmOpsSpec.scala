@@ -1879,6 +1879,18 @@ class LlmOpsSpec extends AnyFunSuite {
     val strict = Dedup.editVerifiedPairs(df, "text", "doc_id", 0.9, 0.9)
       .select("id_a", "id_b", "lev").as[(Long, Long, Long)].collect().toSet
     assert(strict == Set((1L, 2L, 0L)))
+    // unicode-sweep regression: identical 10k-char docs must ride the
+    // byte-equality fast path (seconds, not the unbounded O(len²) DP),
+    // and a far-apart long pair must banded-DP to a drop, not a crawl
+    val big = "lorem ipsum " * 800
+    val huge = Seq((1L, big), (2L, big), (3L, ("dolor sit " * 800)))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val hp = Dedup.editVerifiedPairs(huge, "text", "doc_id", 0.5, 0.9)
+      .select("id_a", "id_b", "lev").as[(Long, Long, Long)].collect()
+    assert((System.nanoTime() - t0) / 1e9 < 60.0,
+      "long-doc pairs must not run the unbounded DP")
+    assert(hp.toSet == Set((1L, 2L, 0L)))
   }
 
   test("noveltyScores: copies score 0, fresh 1e6, mixes between, short null") {
@@ -1958,6 +1970,51 @@ class LlmOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       blocklistReport(df, "doc_id", "text", Seq("  ", "?!"))
     }
+  }
+
+  test("scriptStats: codepoint counts per script class, astral-plane " +
+      "chars count once, inherited marks land in other, deterministic " +
+      "dominant tie-break, null text -> null struct") {
+    val s = SparkFixture.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option("Hello Мир 世界 123")),
+      (2L, Option("αβγ αβγ")),
+      (3L, Option("こんにちは")),
+      (4L, Option("😀😀")),        // astral, no script class
+      (5L, Option("")),
+      (6L, Option.empty[String]),
+      (7L, Option("a1")),           // latin/digit tie → first in order
+      (8L, Option("e\u0301x"))      // combining acute = Inherited
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        scriptStats(col("text")).as("st"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[org.apache.spark.sql.Row]("st"))).toMap
+    val r1 = got(1L).get
+    assert(r1.getAs[Long]("n_latin") == 5L &&
+      r1.getAs[Long]("n_cyrillic") == 3L &&
+      r1.getAs[Long]("n_han") == 2L &&
+      r1.getAs[Long]("n_digit") == 3L &&
+      r1.getAs[Long]("n_space") == 3L &&
+      r1.getAs[Long]("n_other") == 0L &&
+      r1.getAs[String]("dominant") == "latin")
+    assert(got(2L).get.getAs[Long]("n_greek") == 6L &&
+      got(2L).get.getAs[String]("dominant") == "greek")
+    assert(got(3L).get.getAs[Long]("n_kana") == 5L &&
+      got(3L).get.getAs[String]("dominant") == "kana")
+    val r4 = got(4L).get
+    assert(r4.getAs[Long]("n_chars") == 2L &&
+      r4.getAs[Long]("n_other") == 2L &&
+      r4.getAs[String]("dominant") == "none")
+    assert(got(5L).get.getAs[Long]("n_chars") == 0L &&
+      got(5L).get.getAs[String]("dominant") == "none")
+    assert(got(6L).isEmpty, "null text must yield a null struct")
+    assert(got(7L).get.getAs[String]("dominant") == "latin",
+      "tie must break to the first class in the fixed order")
+    val r8 = got(8L).get
+    assert(r8.getAs[Long]("n_latin") == 2L &&
+      r8.getAs[Long]("n_other") == 1L, "combining mark is Inherited")
   }
 
   test("targetEncode: out-of-fold means never include the row's own " +

@@ -327,6 +327,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!mmr.contains("CartesianProduct"))
   }
 
+  test("blocklist: terms join broadcasts, grams explode scan-side") {
+    val p = plan("text_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the <=100k-term blocklist must never sort-merge:\n" + p.take(2000))
+  }
+
+  test("mahalanobis scoring is scan + projection + TakeOrdered (no " +
+      "join, no hash Exchange in the scoring pass)") {
+    val p = plan("stat_mahalanobis")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Join"),
+      "the literal quadratic form must not join:\n" + p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "scoring must not shuffle:\n" + p.take(2000))
+  }
+
+  test("script stats is a pure scan-side projection (no hash Exchange)") {
+    val p = plan("text_script_stats")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("target encoding and info gain never plan a cartesian product") {
+    assert(!plan("sample_target_encode").contains("CartesianProduct"))
+    assert(!plan("label_info_gain").contains("CartesianProduct"))
+  }
+
   test("every oracle-checked query emits comparator-sortable columns only") {
     // The driver's comparator loads both results into pandas and sorts ALL
     // columns by name before hashing; a top-level array/map/struct column
