@@ -421,36 +421,38 @@ object Eval {
     *
     * Scale shape: one (a, b) cell-count shuffle over the data with
     * map-side partials; margins re-aggregate the CELL frame (never the
-    * data); the three 1-row summaries meet in enforced-broadcast
-    * joins. Everything after the first shuffle is cells-scale —
-    * |A|·|B| by contract (two categorical axes). */
+    * data) through broadcast-joined 1-row totals — since r14 the
+    * cells-frame windows are gone entirely (the
+    * [[informationGainReport]] shape), so nothing in this operator
+    * ever plans a single-partition window. Everything after the first
+    * shuffle is cells-scale — |A|·|B| by contract (two categorical
+    * axes). */
   def mutualInformation(df: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
     def level(c: String): Column =
       coalesce(col(c).cast("string"), lit("(null)"))
     val cells = df.select(level(aCol).as("a"), level(bCol).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
-    val nD = sum(col("c")).over(w).cast(DoubleType)
-    val caD = sum(col("c")).over(wa).cast(DoubleType)
-    val cbD = sum(col("c")).over(wb).cast(DoubleType)
+    val ma = cells.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val tot = broadcast(cells.agg(
+      coalesce(sum(col("c")), lit(0L)).as("nt")))
+    val nD = col("nt").cast(DoubleType)
     val cD = col("c").cast(DoubleType)
-    val mi = cells
+    val mi = cells.join(ma, Seq("a")).join(mb, Seq("b")).crossJoin(tot)
       .withColumn("__t", round(cD / nD *
-        log(cD * nD / (caD * cbD)) * lit(1e9)).cast(LongType))
-      .agg(sum(col("c")).as("n"), sum(col("__t")).as("mi_nano"))
-    def margin(c: String, as: String): DataFrame = {
-      val m = cells.groupBy(col(c)).agg(sum(col("c")).as("mc"))
-      val tot = sum(col("mc")).over(w).cast(DoubleType)
-      m.withColumn("__h", round(-(col("mc").cast(DoubleType) / tot) *
-          log(col("mc").cast(DoubleType) / tot) * lit(1e9))
+        log(cD * nD / (col("ca").cast(DoubleType) *
+          col("cb").cast(DoubleType))) * lit(1e9)).cast(LongType))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        sum(col("__t")).as("mi_nano"))
+    def entropy(m: DataFrame, cnt: String, as: String): DataFrame =
+      m.crossJoin(tot)
+        .withColumn("__h", round(-(col(cnt).cast(DoubleType) / nD) *
+          log(col(cnt).cast(DoubleType) / nD) * lit(1e9))
           .cast(LongType))
         .agg(coalesce(sum(col("__h")), lit(0L)).as(as))
-    }
-    mi.crossJoin(broadcast(margin("a", "h_a_nano")))
-      .crossJoin(broadcast(margin("b", "h_b_nano")))
+    mi.crossJoin(broadcast(entropy(ma, "ca", "h_a_nano")))
+      .crossJoin(broadcast(entropy(mb, "cb", "h_b_nano")))
       .select(col("n"), col("h_a_nano"), col("h_b_nano"), col("mi_nano"),
         when(col("h_a_nano") <= 0L || col("h_b_nano") <= 0L, lit(0L))
           .otherwise(round(col("mi_nano").cast(DoubleType) * lit(1e6) /
