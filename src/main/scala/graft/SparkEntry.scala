@@ -7125,6 +7125,31 @@ object SparkEntry {
       |    ELSE 'space' END AS dominant
       |FROM c ORDER BY doc_id""".stripMargin)),
 
+    Q("text_compress_verify", (s, dir) => {
+      // compression-ratio quality signal pinned IN-PLAN (the
+      // sketch_cms_verify pattern — zlib byte counts are not SQL, but
+      // their consequences are): every non-trivial doc deflates to a
+      // positive size strictly below identity, and 4x self-repetition
+      // strictly improves the ratio on every single doc.
+      import graft.functions.TextFunctions.compressionStats
+      val docs = Tables(s, dir).documents
+        .where(col("text").isNotNull && octet_length(col("text")) >= 64)
+      val s1 = compressionStats(col("text"))
+      val s4 = compressionStats(concat(col("text"), col("text"),
+        col("text"), col("text")))
+      docs.select(s1.getField("deflate_bytes").as("d1"),
+          s1.getField("ratio_micro").as("r1"),
+          s4.getField("ratio_micro").as("r4"))
+        .agg(count(lit(1)).as("n"),
+          (min(col("d1")) > 0L).as("all_positive"),
+          (max(col("r1")) < 1000000L).as("below_identity"),
+          (max(col("r4") - col("r1")) < 0L).as("repetition_compresses"))
+    }, Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+      |  TRUE AS all_positive, TRUE AS below_identity,
+      |  TRUE AS repetition_compresses
+      |FROM documents
+      |WHERE text IS NOT NULL AND strlen(text) >= 64""".stripMargin)),
+
     Q("text_readability", (s, dir) => {
       // Flesch reading ease per doc: vowel-group syllables, [.!?]+
       // sentences — plain SQL expressions DuckDB replays term-for-term.

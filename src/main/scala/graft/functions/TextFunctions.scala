@@ -406,6 +406,30 @@ object TextFunctions {
           dominant.as("dominant")): _*))
   }
 
+  /** Compression-ratio quality signal — DEFLATE the UTF-8 bytes and
+    * report struct(n_bytes, deflate_bytes, ratio_micro =
+    * ⌊deflate·10⁶/n_bytes⌋). The model-free boilerplate detector of
+    * the C4/Gopher lineage: templated or repetitive text compresses
+    * far below prose (ratio_micro ≲ 200k), encrypted/binary junk
+    * barely compresses (≳ 950k), and the signal needs no language, no
+    * tokenizer, no training. Null text → null struct; EMPTY text →
+    * null ratio (nothing to measure — deflate's stream overhead is
+    * not a property of the document). Scan-side codegen'd native
+    * kernel ([[org.apache.spark.sql.graftnative.DeflateSize]],
+    * per-thread Deflater reuse); deterministic for a fixed JDK zlib,
+    * so the oracle pins in-plan INVARIANTS (repetition strictly
+    * improves the ratio) rather than engine-replayed byte counts. */
+  def compressionStats(c: Column): Column = {
+    val nb = octet_length(c)
+    val dz = org.apache.spark.sql.graftnative.NativeFunctions
+      .deflateSize(c)
+    when(c.isNotNull, struct(
+      nb.cast(LongType).as("n_bytes"),
+      dz.cast(LongType).as("deflate_bytes"),
+      floor(dz.cast(LongType) * lit(1000000L) /
+        nullif(nb.cast(LongType), lit(0L))).as("ratio_micro")))
+  }
+
   /** Document fingerprint: 64-bit hash of the normalized text (content-
     * defined identity for exact dedup; xxhash64 = codegen'd, seed fixed). */
   def fingerprint(c: Column): Column = xxhash64(normalizeText(c))

@@ -539,6 +539,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** DEFLATE-compressed size of the string's UTF-8 bytes (zlib level 6,
+  * raw stream, default strategy) — the classic compression-ratio
+  * quality heuristic: templated/boilerplate/repetitive text compresses
+  * far below prose, and the ratio needs no model, no language and no
+  * tokenizer. Deterministic for a fixed JDK zlib: the consumer
+  * ([[graft.functions.TextFunctions.compressionStats]]) pins its
+  * oracle on in-plan INVARIANTS (repetition compresses strictly
+  * better), never on engine-replayed byte counts. Per-thread Deflater
+  * reuse keeps the 100 TB scan allocation-free. */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_size"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateSize.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("deflateKernel", DeflateSize,
+      DeflateSize.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DeflateSize = copy(child = newChild)
+}
+
+object DeflateSize {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val d = local.get()
+    d.reset()
+    d.setInput(u.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
 object NativeFunctions {
   def textStats(c: Column): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(c)))
@@ -560,6 +608,9 @@ object NativeFunctions {
 
   def simhash64(tokenHashes: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokenHashes)))
+
+  def deflateSize(c: Column): Column =
+    ExpressionUtils.column(DeflateSize(ExpressionUtils.expression(c)))
 
   def cosineSimilarity(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(

@@ -2017,6 +2017,46 @@ class LlmOpsSpec extends AnyFunSuite {
       r8.getAs[Long]("n_other") == 1L, "combining mark is Inherited")
   }
 
+  test("compressionStats: deterministic, repetition compresses, " +
+      "boilerplate below prose, empty -> null ratio, null -> null " +
+      "struct") {
+    val s = SparkFixture.spark
+    import s.implicits._
+    val prose = "the quick brown fox jumps over seventeen lazy dogs " +
+      "while autumn rain drums on every distant rooftop nearby"
+    val df = Seq(
+      (1L, Option(prose)),
+      (2L, Option(prose * 8)),            // repetition → lower ratio
+      (3L, Option("ab" * 200)),           // pure boilerplate
+      (4L, Option("")),
+      (5L, Option.empty[String])
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        compressionStats(col("text")).as("st"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[org.apache.spark.sql.Row]("st"))).toMap
+    val r1 = got(1L).get
+    assert(r1.getAs[Long]("n_bytes") == prose.length.toLong)
+    assert(r1.getAs[Long]("deflate_bytes") > 0L &&
+      r1.getAs[Long]("deflate_bytes") < prose.length)
+    val ratio1 = r1.getAs[Long]("ratio_micro")
+    val ratio2 = got(2L).get.getAs[Long]("ratio_micro")
+    val ratio3 = got(3L).get.getAs[Long]("ratio_micro")
+    assert(ratio2 < ratio1, "8x repetition must compress better")
+    assert(ratio3 < ratio1, "ab-boilerplate must compress below prose")
+    assert(got(4L).get.isNullAt(got(4L).get.fieldIndex("ratio_micro")),
+      "empty text has no ratio")
+    assert(got(4L).get.getAs[Long]("deflate_bytes") >= 0L)
+    assert(got(5L).isEmpty, "null text -> null struct")
+    // determinism: a second evaluation bit-matches
+    val again = df.select(col("id"),
+        compressionStats(col("text")).as("st"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[org.apache.spark.sql.Row]("st"))).toMap
+    assert(again(1L).get.getAs[Long]("deflate_bytes") ==
+      r1.getAs[Long]("deflate_bytes"))
+  }
+
   test("targetEncode: out-of-fold means never include the row's own " +
       "fold, null cats encode as their own category, unseen-oof " +
       "shrinks to prior, null labels excluded from sums") {

@@ -152,6 +152,7 @@ class PlanSpec extends AnyFunSuite {
             graft.functions.TextFunctions.tokens(col("text")), 3), 64),
           nf.simhash64(graft.ops.Dedup.tokenHashes(col("text"))),
           graft.functions.TextFunctions.textStats(col("text")),
+          nf.deflateSize(col("text")),
           nf.normalizeNfc(org.apache.spark.sql.functions.concat(
             org.apache.spark.sql.functions.lit("Å é é "),
             col("text"))))
