@@ -1098,8 +1098,10 @@ object TextFunctions {
     * at ≤ 100k terms. */
   def blocklistReport(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
-    val normed = terms.map(_.toLowerCase.trim.split("\\W+")
-        .filter(_.nonEmpty).mkString(" "))
+    // Locale.ROOT: Spark's lower() is locale-independent, so a tr_TR
+    // driver JVM must not normalize "TITLE" to the dotless "tıtle"
+    val normed = terms.map(_.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\W+").filter(_.nonEmpty).mkString(" "))
       .filter(_.nonEmpty).distinct
     require(normed.nonEmpty, "blocklistReport: no non-empty terms given")
     require(normed.size <= 100000,

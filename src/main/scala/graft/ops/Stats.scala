@@ -499,8 +499,8 @@ object Stats {
     * individually plausible but whose combination is impossible (a
     * 1-unit order at list price 50k). d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) with
     * population covariance Σ (+ `ridge`·I when supplied); appends
-    * `mahalanobis_d2` to the input frame. Rows with ANY null among
-    * `cols` score null and are excluded from the moment pass.
+    * `mahalanobis_d2` to the input frame. Rows with ANY null or NaN
+    * among `cols` score null and are excluded from the moment pass.
     *
     * Exactness: moments are Spark's merge-stable single-pass aggregates
     * ([[linearRegressionMulti]]'s convention — ≤1e-12 relative
@@ -526,7 +526,11 @@ object Stats {
         "plain z-score; beyond 16 invert iteratively)")
     require(ridge >= 0.0, "mahalanobisScores: ridge must be >= 0")
     val xs = cols.map(c => col(c).cast(DoubleType))
-    val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+    // NaN is excluded like null: one NaN row would poison every moment
+    // into NaN and trip the constant-column guard with a wrong
+    // diagnosis; a NaN coordinate also has no meaningful distance
+    val nonNull = cols.map(c => col(c).isNotNull &&
+      !isnan(col(c).cast(DoubleType))).reduce(_ && _)
     val aggs =
       (for (i <- 0 until k; j <- i + 1 until k)
         yield covar_pop(xs(i), xs(j)).as(s"c_${i}_$j")) ++

@@ -571,18 +571,21 @@ case class DeflateSize(child: Expression)
 }
 
 object DeflateSize {
-  private val local = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(6, true)
+  private final class Scratch {
+    val deflater = new java.util.zip.Deflater(6, true)
+    val buf = new Array[Byte](8192)
+  }
+  private val local = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
   }
   def compute(u: org.apache.spark.unsafe.types.UTF8String): Int = {
-    val d = local.get()
+    val s = local.get()
+    val d = s.deflater
     d.reset()
     d.setInput(u.getBytes)
     d.finish()
-    val buf = new Array[Byte](8192)
     var total = 0
-    while (!d.finished()) total += d.deflate(buf)
+    while (!d.finished()) total += d.deflate(s.buf)
     total
   }
 }
