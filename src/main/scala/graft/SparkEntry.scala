@@ -6561,6 +6561,51 @@ object SparkEntry {
       |    * 1e6) AS BIGINT) END AS z_micro
       |FROM agg""".stripMargin)),
 
+    Q("label_ranking", (s, dir) => {
+      // NDCG@3 / MRR / P@3 per order: line items ranked by price, graded
+      // relevance from the return flag (R=2, A=1, N=0). Both window
+      // ranks and the ideal reorder are deterministic (price desc,
+      // linenumber tie-break); every DCG term rounds to nanos before
+      // the per-query BIGINT sum — and the gain/discount grid has only
+      // 6 distinct nonzero values (rel∈{1,2} × rank∈{1,2,3}), none near
+      // a rounding boundary, so the cross-engine double math is safe.
+      val li = Tables(s, dir).lineitem.select(
+        col("l_orderkey").as("query_id"), col("l_linenumber").as("doc"),
+        col("l_extendedprice").as("score"),
+        when(col("l_returnflag") === "R", 2.0)
+          .when(col("l_returnflag") === "A", 1.0)
+          .otherwise(0.0).as("rel"))
+      Eval.rankingReport(li, "query_id", "doc", "score", "rel", k = 3)
+        .sortByKeys(SortKey("query_id"))
+    }, Some("""WITH r AS (SELECT l_orderkey AS q, l_linenumber AS doc,
+      |  l_extendedprice AS s,
+      |  CASE l_returnflag WHEN 'R' THEN 2.0 WHEN 'A' THEN 1.0
+      |    ELSE 0.0 END AS rel
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL
+      |    AND l_linenumber IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |rk AS (SELECT q, doc, rel,
+      |  row_number() OVER (PARTITION BY q ORDER BY s DESC, doc) AS r,
+      |  row_number() OVER (PARTITION BY q ORDER BY rel DESC, doc) AS ir
+      |  FROM r),
+      |g AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  SUM(CASE WHEN r <= 3 THEN CAST(round((pow(2.0, rel) - 1.0)
+      |    / (ln(r + 1.0) / ln(2.0)) * 1e9) AS BIGINT)
+      |    ELSE 0 END) AS dcg,
+      |  SUM(CASE WHEN ir <= 3 THEN CAST(round((pow(2.0, rel) - 1.0)
+      |    / (ln(ir + 1.0) / ln(2.0)) * 1e9) AS BIGINT)
+      |    ELSE 0 END) AS idcg,
+      |  MIN(CASE WHEN rel > 0 THEN r END) AS fr,
+      |  CAST(SUM(CASE WHEN r <= 3 AND rel > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS hits
+      |  FROM rk GROUP BY q)
+      |SELECT q AS query_id, n_docs,
+      |  CASE WHEN idcg > 0 THEN ROUND(CAST(dcg AS DOUBLE) / idcg, 6)
+      |    END AS ndcg,
+      |  ROUND(CASE WHEN fr IS NOT NULL THEN 1.0 / fr ELSE 0.0 END, 6)
+      |    AS rr,
+      |  ROUND(hits / 3.0, 6) AS p_at_k
+      |FROM g ORDER BY query_id""".stripMargin)),
+
     Q("graph_degree_stats", (s, dir) => {
       // structural summary + Newman degree assortativity on the dense
       // 40-node doc graph (same edge derivation as graph_triangles).

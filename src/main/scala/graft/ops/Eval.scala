@@ -585,4 +585,66 @@ object Eval {
       when(sigma2 <= lit(0.0), lit(0L))
         .otherwise(round(z * lit(1e6)).cast(LongType)).as("z_micro"))
   }
+
+  /** Retrieval ranking-quality report — the eval loop for the
+    * similarity-search tier (does a new embedding/index change actually
+    * rank relevant documents higher?). Per query: NDCG@k with the
+    * exponential gain (2^rel − 1)/log₂(rank + 1), MRR (reciprocal rank
+    * of the first relevant document, 0 if none retrieved relevant), and
+    * precision@k (relevant in the top k over the constant k — the
+    * sklearn convention, so sparse queries are penalized, not excused).
+    * Ranking is `scoreCol` DESCENDING with `docCol` ascending as the
+    * deterministic tie-break; the ideal ranking for IDCG reorders the
+    * same rows by relevance. Null relevance reads as 0; null
+    * query/doc/score rows drop.
+    *
+    * Determinism: every DCG/IDCG term rounds to integer NANOS before
+    * its per-query sum (exact BIGINT, order-free — the lm_perplexity
+    * convention); ndcg divides the two exact integers (6dp), rr and
+    * p@k are pure rationals (6dp).
+    *
+    * Scale shape: ONE Exchange on the query key shared by both window
+    * specs (actual rank, ideal rank) and the per-query aggregate —
+    * windows are partitioned, never global, so a billion queries spread
+    * across the cluster and the per-query task is bounded by that
+    * query's candidate count. Returns one row per query:
+    * (query, n_docs, ndcg, rr, p_at_k); ndcg null when the query has no
+    * relevant documents (IDCG = 0). */
+  def rankingReport(df: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"rankingReport: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(queryCol).isNotNull && col(docCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .select(col(queryCol).as("query"), col(docCol).as("__doc"),
+        col(scoreCol).as("__s"),
+        coalesce(col(relCol).cast(DoubleType), lit(0.0)).as("__rel"))
+    val wActual = Window.partitionBy(col("query"))
+      .orderBy(col("__s").desc, col("__doc"))
+    val wIdeal = Window.partitionBy(col("query"))
+      .orderBy(col("__rel").desc, col("__doc"))
+    def gainNano(rankCol: Column): Column =
+      when(rankCol <= k, round(
+        (pow(lit(2.0), col("__rel")) - lit(1.0)) /
+          log(2.0, rankCol.cast(DoubleType) + lit(1.0)) * lit(1e9))
+        .cast(LongType)).otherwise(lit(0L))
+    val ranked = base
+      .withColumn("__r", row_number().over(wActual))
+      .withColumn("__ir", row_number().over(wIdeal))
+    val perQuery = ranked.groupBy(col("query")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(gainNano(col("__r"))).as("__dcg"),
+      sum(gainNano(col("__ir"))).as("__idcg"),
+      min(when(col("__rel") > 0, col("__r"))).as("__first_rel"),
+      sum(when(col("__r") <= k && col("__rel") > 0, 1L).otherwise(0L))
+        .as("__hits"))
+    perQuery.select(col("query").as(queryCol), col("n_docs"),
+      when(col("__idcg") > 0,
+        round(col("__dcg").cast(DoubleType) / col("__idcg"), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("ndcg"),
+      round(when(col("__first_rel").isNotNull,
+        lit(1.0) / col("__first_rel")).otherwise(lit(0.0)), 6).as("rr"),
+      round(col("__hits") / lit(k.toDouble), 6).as("p_at_k"))
+  }
 }

@@ -1549,6 +1549,33 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("auc").as[Option[Double]].head().isEmpty)
   }
 
+  test("rankingReport: ndcg@k hand case, no-relevant query, tie-break") {
+    val s = spark
+    import s.implicits._
+    // query A, k=2: ranks by score desc are d1(rel0) d2(rel2) d3(rel1)
+    // d4(rel1); DCG@2 = 0 + 3/log2(3); ideal order d2 d3 → IDCG@2 =
+    // 3 + 1/log2(3); nano-quantized ratio = 1892789261/3630929754
+    val d = Seq(
+      ("A", 1L, 0.9, 0.0), ("A", 2L, 0.8, 2.0),
+      ("A", 3L, 0.7, 1.0), ("A", 4L, 0.6, 1.0),
+      ("B", 1L, 0.9, 0.0), ("B", 2L, 0.8, 0.0))
+      .toDF("q", "doc", "score", "rel")
+    val r = graft.ops.Eval.rankingReport(d, "q", "doc", "score", "rel", 2)
+      .orderBy("q")
+      .select("q", "n_docs", "ndcg", "rr", "p_at_k")
+      .as[(String, Long, Option[Double], Double, Double)].collect()
+    assert(r(0) == (("A", 4L, Some(0.521296), 0.5, 0.5)))
+    // no relevant docs: IDCG = 0 → null ndcg, rr 0, p@k 0
+    assert(r(1) == (("B", 2L, None, 0.0, 0.0)))
+    // score tie resolves by ascending doc id: equal scores, rel on the
+    // higher doc id → first_rel rank is 2, not 1
+    val tied = Seq(("T", 1L, 0.5, 0.0), ("T", 2L, 0.5, 1.0))
+      .toDF("q", "doc", "score", "rel")
+    val rt = graft.ops.Eval.rankingReport(tied, "q", "doc", "score",
+        "rel", 2).select("rr").as[Double].head()
+    assert(rt == 0.5)
+  }
+
   test("averagePrecision: sklearn step rule, perfect and degenerate cases") {
     val s = spark
     import s.implicits._
