@@ -4102,16 +4102,19 @@ object SparkEntry {
       |  FROM f GROUP BY 1, 2),
       |c AS (SELECT cat, CAST(sum(s_cf) AS BIGINT) AS s_c,
       |  CAST(sum(n_cf) AS BIGINT) AS n_c FROM cf GROUP BY 1),
+      |gf AS (SELECT fold, CAST(sum(s_cf) AS BIGINT) AS s_f,
+      |  CAST(sum(n_cf) AS BIGINT) AS n_f FROM cf GROUP BY 1),
       |g AS (SELECT CAST(coalesce(sum(s_cf), 0) AS BIGINT) AS s_all,
       |  CAST(coalesce(sum(n_cf), 0) AS BIGINT) AS n_all FROM cf),
       |e AS (SELECT cf.cat, cf.fold,
-      |  CASE WHEN n_all > 0 THEN ROUND(
+      |  CASE WHEN n_all - gf.n_f > 0 THEN ROUND(
       |    (CAST(c.s_c - cf.s_cf AS DOUBLE) / 1e6
-      |      + 20.0 * ((CAST(s_all AS DOUBLE) / 1e6)
-      |        / CAST(n_all AS DOUBLE)))
+      |      + 20.0 * ((CAST(s_all - gf.s_f AS DOUBLE) / 1e6)
+      |        / CAST(n_all - gf.n_f AS DOUBLE)))
       |    / (CAST(c.n_c - cf.n_cf AS DOUBLE) + 20.0), 6) END
       |    AS target_enc
       |  FROM cf JOIN c ON cf.cat IS NOT DISTINCT FROM c.cat
+      |  JOIN gf ON cf.fold = gf.fold
       |  CROSS JOIN g)
       |SELECT f.o_orderkey, f.fold, e.target_enc
       |FROM f JOIN e ON f.cat IS NOT DISTINCT FROM e.cat

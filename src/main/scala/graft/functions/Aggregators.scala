@@ -163,7 +163,10 @@ object Aggregators {
     * one-pass profile and an un-runnable job. Raw moments (not Welford)
     * are fine here: embedding coordinates are O(1), so Σx² carries no
     * catastrophic cancellation, and the consumer re-centers with the
-    * exact same sums. Null vectors and short vectors are skipped. */
+    * exact same sums. Null vectors are skipped (null-in, null-out like
+    * any aggregate); a NON-null vector whose length ≠ dim throws a
+    * named error — silently skipping or truncating a mixed-dimension
+    * corpus would report moments over an unannounced subset. */
   final class CovarianceMoments(dim: Int)
       extends Aggregator[scala.collection.Seq[Float], Array[Double],
         Array[Double]] {
@@ -174,7 +177,11 @@ object Aggregators {
     def zero: Array[Double] = new Array[Double](1 + dim + dim * dim)
     def reduce(b: Array[Double], x: scala.collection.Seq[Float])
         : Array[Double] = {
-      if (x != null && x.length >= dim) {
+      if (x != null) {
+        if (x.length != dim) throw new IllegalArgumentException(
+          s"CovarianceMoments: vector of length ${x.length} != dim " +
+            s"$dim - mixed-dimension corpus; filter or pad explicitly " +
+            "(null vectors are skipped, mismatched ones are an error)")
         b(0) += 1.0
         var i = 0
         while (i < dim) {

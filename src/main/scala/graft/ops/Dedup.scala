@@ -531,7 +531,10 @@ object Dedup {
     * BOUNDED by a named guard — the all-pairs Jaccard is sample²,
     * never corpus²; per-pair config math is scan-side; one
     * group-by-config aggregate ends the plan. Null-text docs are
-    * excluded from the sample (they carry no shingles to tune on). */
+    * excluded from the sample (they carry no shingles to tune on).
+    * The report always carries one row per config: a sample with no
+    * pairs at all (e.g. one non-null doc) reports n_pairs = 0 and
+    * null recall/fp rather than returning an empty frame. */
   def lshTuningReport(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, configs: Seq[(Int, Int)],
       targetJaccardMicro: Long = 800000L, shingleN: Int = 3,
@@ -565,7 +568,7 @@ object Dedup {
         lit(math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)).as("j50_micro"),
         round((lit(1.0) - nomiss) * lit(1e6)).cast(LongType).as("p_micro"))
     }
-    pairs
+    val perConfig = pairs
       .select(explode(array(cfgCols: _*)).as("c"),
         (round(col("__j") * lit(1e6)).cast(LongType) >=
           lit(targetJaccardMicro)).as("__above"))
@@ -586,6 +589,17 @@ object Dedup {
         expr("CASE WHEN n_pairs - n_above > 0 THEN __pb div " +
           "(n_pairs - n_above) END").as("fp_micro"),
         col("exp_candidates_micro"))
+    // the report contract is ONE ROW PER CONFIG even when the sample
+    // yields no pairs (e.g. a single non-null doc): left-join the
+    // config list against the pair aggregate so empty configs report
+    // n_pairs = 0 with null recall/fp instead of vanishing
+    val cfgFrame = df.sparkSession
+      .createDataFrame(configs.map { case (b, r) =>
+        (b, r, math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)) })
+      .toDF("bands", "rows_per_band", "j50_micro")
+    cfgFrame.join(broadcast(perConfig),
+        Seq("bands", "rows_per_band", "j50_micro"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_above", "exp_candidates_micro"))
   }
 
   /** n-gram decontamination: for every corpus doc, count the DISTINCT

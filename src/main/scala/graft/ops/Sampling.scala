@@ -93,11 +93,16 @@ object Sampling {
     * (in-fold target means are the classic silent leak — the model
     * memorizes the label through its own feature). Row in fold f with
     * category c gets
-    *   enc = ((S_c − S_cf)/10⁶ + m·prior) / ((N_c − N_cf) + m)
+    *   enc = ((S_c − S_cf)/10⁶ + m·prior_f) / ((N_c − N_cf) + m)
     * with S/N label-micro sums and non-null-label counts, `m` =
-    * `smoothing` pseudo-observations of the GLOBAL prior mean —
-    * categories unseen outside the row's fold (and null categories,
-    * which form their own category) shrink fully to the prior.
+    * `smoothing` pseudo-observations of the prior mean. The prior is
+    * ITSELF out-of-fold — prior_f = (S_all − S_f)/(N_all − N_f) over
+    * all categories outside fold f — so not even the m·prior smoothing
+    * term carries the row's own label (an in-fold global prior is a
+    * small residual leak through exactly that term). Categories unseen
+    * outside the row's fold (and null categories, which form their own
+    * category) shrink fully to prior_f; a fold holding EVERY non-null
+    * label (nothing out-of-fold to learn from) encodes null.
     * Folds are [[kFold]]'s SHA assignment: deterministic, stable
     * across runs/engines/partitionings, never correlated with
     * sequential ids. Appends (`fold`, `target_enc` 6dp).
@@ -108,11 +113,10 @@ object Sampling {
     * integer sums reproduces the 6dp value bit-for-bit.
     *
     * Scale shape: one (cat, fold) hash aggregate (map-side combined;
-    * (cats·k)-sized), one cats-sized rollup of THAT frame, one
-    * broadcast of the 1-row global sums, and one join back on the
-    * null-safe cat key — rows shuffle once. A hot category is one big
-    * join bucket (AQE skew-split absorbs it); the aggregate side is
-    * immune (partials). */
+    * (cats·k)-sized), a cats-sized and a k-sized rollup of THAT frame
+    * (both broadcast), and one join back on the null-safe cat key —
+    * rows shuffle once. A hot category is one big join bucket (AQE
+    * skew-split absorbs it); the aggregate side is immune (partials). */
   def targetEncode(df: DataFrame, idCol: String, catCol: String,
       labelCol: String, k: Int = 5, smoothing: Double = 20.0)
       : DataFrame = {
@@ -129,19 +133,26 @@ object Sampling {
         count(lm).as("__n_cf"))
     val byCat = byCatFold.groupBy(col("__c").as("__c2"))
       .agg(sum(col("__s_cf")).as("__s_c"), sum(col("__n_cf")).as("__n_c"))
+    val byFold = broadcast(byCatFold.groupBy(col("__f").as("__f2"))
+      .agg(sum(col("__s_cf")).as("__s_f"), sum(col("__n_cf")).as("__n_f")))
     val global = broadcast(byCatFold.agg(
       coalesce(sum(col("__s_cf")), lit(0L)).as("__s_all"),
       coalesce(sum(col("__n_cf")), lit(0L)).as("__n_all")))
     // null-SAFE key joins throughout: a null category is a real
     // category here, and USING-joins drop null keys
     val folds = byCatFold.join(byCat, col("__c") <=> col("__c2"))
-      .drop("__c2").crossJoin(global)
+      .drop("__c2").join(byFold, col("__f") === col("__f2")).drop("__f2")
+      .crossJoin(global)
     val oofS = col("__s_c") - col("__s_cf")
     val oofN = col("__n_c") - col("__n_cf")
-    val prior = (col("__s_all").cast(DoubleType) / lit(1e6)) /
-      col("__n_all").cast(DoubleType)
+    // the prior excludes the row's own fold too: not even the m·prior
+    // smoothing term may carry the row's own label
+    val oofSAll = col("__s_all") - col("__s_f")
+    val oofNAll = col("__n_all") - col("__n_f")
+    val prior = (oofSAll.cast(DoubleType) / lit(1e6)) /
+      oofNAll.cast(DoubleType)
     val enc = folds.select(col("__c"), col("__f"),
-      when(col("__n_all") > 0L,
+      when(oofNAll > 0L,
         round((oofS.cast(DoubleType) / lit(1e6) + lit(smoothing) * prior)
           / (oofN.cast(DoubleType) + lit(smoothing)), 6))
         .as("target_enc"))

@@ -178,12 +178,23 @@ object Similarity {
     * raise `bands`/lower `rowsPerBand` to trade cost for recall.
     * `deterministicPlanes = true` swaps the seeded Gaussian planes for
     * [[hyperplaneSignatureHash]]'s integer-exact Rademacher signs — same
-    * sign-LSH family and query shape, engine-replayable signatures. */
+    * sign-LSH family and query shape, engine-replayable signatures.
+    * Those planes are FIXED by construction (that is what makes the
+    * signatures engine-replayable): `seed` does not vary them, so a
+    * non-default seed under `deterministicPlanes` is rejected with a
+    * named error rather than silently returning identical signatures —
+    * callers wanting independent plane draws use the seeded Gaussian
+    * path. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id",
       planes: Int = 16, bands: Int = 8, seed: Long = 42L,
       deterministicPlanes: Boolean = false): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
+    require(!deterministicPlanes || seed == 42L,
+      "lshTopK: seed is not used when deterministicPlanes=true (the " +
+        "integer Rademacher planes are fixed by construction - that " +
+        "fixity is what makes signatures engine-replayable); pass " +
+        "deterministicPlanes=false for independent seeded plane draws")
     lazy val dim = vectorDim(corpus, vecCol)
     val r = planes / bands
     def sig: Column =

@@ -253,6 +253,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bands*rowsPerBand"))
   }
 
+  test("lshTuningReport: sample with no pairs still reports one row " +
+      "per config (n_pairs = 0, null recall/fp)") {
+    val s = spark
+    import s.implicits._
+    // one non-null doc → zero pairs; the per-config contract must hold
+    val docs = Seq((1L, Option("alpha beta gamma")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val rep = graft.ops.Dedup.lshTuningReport(docs, "text", "doc_id",
+        numHashes = 16, configs = Seq((8, 2), (4, 4)), sampleSize = 10)
+      .collect()
+    assert(rep.length == 2)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == 0L &&
+        r.getAs[Long]("n_above") == 0L &&
+        r.getAs[Long]("exp_candidates_micro") == 0L)
+      assert(r.isNullAt(r.fieldIndex("recall_micro")) &&
+        r.isNullAt(r.fieldIndex("fp_micro")))
+      assert(r.getAs[Long]("j50_micro") > 0L)
+    }
+  }
+
   test("ngramContamination counts distinct shared n-grams, 0 for clean") {
     val s = spark
     import s.implicits._
@@ -509,6 +530,14 @@ class LlmOpsSpec extends AnyFunSuite {
       t.embeddings.filter(col("vec_id") < 3), k = 4)
     assert(res.groupBy("query_id").count().collect()
       .forall(_.getLong(1) <= 4))
+    // deterministic planes are fixed by construction: a non-default
+    // seed there is a named error, never silently identical signatures
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 3), k = 4,
+        seed = 7L, deterministicPlanes = true)
+    }
+    assert(e.getMessage.contains("seed is not used"))
   }
 
   test("ivfTopK with nprobe=nlist matches brute force exactly") {
@@ -2098,20 +2127,25 @@ class LlmOpsSpec extends AnyFunSuite {
     val rows = enc.collect()
     assert(rows.length == 40 && rows.forall(r =>
       !r.isNullAt(r.fieldIndex("target_enc"))))
-    // replay one row by hand from the frame's own fold assignments
+    // replay one row by hand from the frame's own fold assignments;
+    // the prior is itself out-of-fold: (S_all − S_f)/(N_all − N_f)
     val byCatFold = rows.groupBy(r =>
       (r.getAs[String]("cat"), r.getAs[Int]("fold")))
       .map { case (k2, rs) =>
         k2 -> ((rs.map(_.getAs[Double]("y")).sum, rs.length)) }
+    val byFold = rows.groupBy(_.getAs[Int]("fold"))
+      .map { case (f, rs) =>
+        f -> ((rs.map(_.getAs[Double]("y")).sum, rs.length)) }
     val all = rows.map(_.getAs[Double]("y")).sum
-    val prior = (math.rint(all * 1e6) / 1e6) / 40.0
     rows.take(5).foreach { r =>
       val cat = r.getAs[String]("cat"); val f = r.getAs[Int]("fold")
-      val (sAll, nAll) = byCatFold.filterKeys(_._1 == cat).values
+      val (sCat, nCat) = byCatFold.filterKeys(_._1 == cat).values
         .foldLeft((0.0, 0))((a, b) => (a._1 + b._1, a._2 + b._2))
       val (sIn, nIn) = byCatFold((cat, f))
-      val exp = math.rint(((sAll - sIn) + 1.0 * prior) /
-        ((nAll - nIn) + 1.0) * 1e6) / 1e6
+      val (sF, nF) = byFold(f)
+      val prior = (all - sF) / (40.0 - nF)
+      val exp = math.rint(((sCat - sIn) + 1.0 * prior) /
+        ((nCat - nIn) + 1.0) * 1e6) / 1e6
       assert(math.abs(r.getAs[Double]("target_enc") - exp) < 1e-9,
         s"row ${r.getAs[Long]("id")}")
     }
@@ -2124,14 +2158,15 @@ class LlmOpsSpec extends AnyFunSuite {
       k = 2, smoothing = 2.0).collect()
     assert(got.length == 4 &&
       got.forall(r => !r.isNullAt(r.fieldIndex("target_enc"))))
-    // a category entirely inside one fold: oof stats empty → pure prior
-    val pr = (10.0 + 4.0 + 8.0) / 3.0
+    // a category entirely inside one fold: oof cat stats empty → pure
+    // out-of-fold prior. SHA folds (k=2) for ids 1..4 are 1,0,1,1, so
+    // both 'a' rows sit in fold 1 and the only out-of-fold label for
+    // fold 1 is id 2's y=4.0 → enc(id 1) = prior_1 = 4.0 exactly
     val one = got.find(_.getAs[Long]("id") == 1L).get
     val sameFold = got.filter(r => Option(r.getAs[String]("cat"))
       .contains("a")).map(_.getAs[Int]("fold")).distinct
-    if (sameFold.length == 1) // both 'a' rows in one fold → prior only
-      assert(math.abs(one.getAs[Double]("target_enc") -
-        math.rint(2.0 * pr / 2.0 * 1e6) / 1e6) < 1e-9)
+    assert(sameFold.toSeq == Seq(1))
+    assert(math.abs(one.getAs[Double]("target_enc") - 4.0) < 1e-9)
     // all labels null → encoding null, rows retained
     val nl = Seq((1L, "a", Option.empty[Double]),
       (2L, "b", Option.empty[Double])).toDF("id", "cat", "y")

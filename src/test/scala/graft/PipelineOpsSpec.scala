@@ -682,11 +682,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       val merged = agg.merge(a, b)
       assert(merged.sameElements(whole), s"cut=$cut")
     }
-    // nulls and short vectors are skipped, not crashed
-    val withJunk = agg.reduce(agg.reduce(
-      rows.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)), null),
-      Seq(1f))
-    assert(withJunk.sameElements(whole))
+    // nulls are skipped (null-in, null-out); a non-null vector of the
+    // wrong length is a NAMED error, not a silent skip — a mixed-dim
+    // corpus must not pass as moments over an unannounced subset
+    val withNull = agg.reduce(
+      rows.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)), null)
+    assert(withNull.sameElements(whole))
+    val err = intercept[IllegalArgumentException] {
+      agg.reduce(rows.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)),
+        Seq(1f))
+    }
+    assert(err.getMessage.contains("mixed-dimension"))
   }
 
   test("pcaTrain laws on real embeddings: orthonormal components, " +
