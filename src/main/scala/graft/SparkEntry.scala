@@ -62,6 +62,64 @@ object SparkEntry {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Deterministic HTML wrapper of a documents row — the input both
+    * engines feed the HTML-extraction oracles (`text_html_extract`,
+    * `text_html_stats`): doctype, title, style + script blocks, a
+    * comment, h1/p/div block structure, inline b/a, and the full named
+    * entity set. Built with the same concatenation in Spark
+    * ([[htmlDoc]]) and DuckDB ([[htmlDocSql]]). */
+  private val htmlDoc: Column = concat(
+    lit("<!DOCTYPE html><html><head><title>Doc "),
+    col("doc_id").cast(StringType),
+    lit("</title><style>body { color: #333; }</style>" +
+      "<script type=\"text/javascript\">var n = 1 < 2 && \"q\";</script>" +
+      "</head><body><!-- source "),
+    col("source"),
+    lit(" --><h1>Doc "), col("doc_id").cast(StringType),
+    lit("</h1><p class=\"meta\">lang &quot;"), col("lang"),
+    lit("&quot; &amp; source <b>"), col("source"),
+    lit("</b></p><div><p>"), col("text"),
+    lit("</p><a href=\"/d/"), col("doc_id").cast(StringType),
+    lit("\">next&nbsp;&gt;</a></div></body></html>"))
+
+  private val htmlDocSql: String =
+    """'<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)""" +
+    """ || '</title><style>body { color: #333; }</style>""" +
+    """<script type="text/javascript">var n = 1 < 2 && "q";</script>""" +
+    """</head><body><!-- source ' || source""" +
+    """ || ' --><h1>Doc ' || CAST(doc_id AS VARCHAR)""" +
+    """ || '</h1><p class="meta">lang &quot;' || lang""" +
+    """ || '&quot; &amp; source <b>' || source""" +
+    """ || '</b></p><div><p>' || text""" +
+    """ || '</p><a href="/d/' || CAST(doc_id AS VARCHAR)""" +
+    """ || '">next&nbsp;&gt;</a></div></body></html>'"""
+
+  /** DuckDB replay of [[org.apache.spark.sql.graftnative.HtmlExtractText]]
+    * over a column named `html` — the regex chain the kernel's
+    * constrained semantics were designed against: comments, script/style
+    * blocks (unterminated → to end), block tags → \n, other tags dropped,
+    * named entities (amp last, same left-to-right result), whitespace
+    * runs collapsed (newline wins), trim. Kept in ONE expression so both
+    * HTML oracles share it verbatim. */
+  private val htmlExtractSql: String = {
+    val blockAlt = "blockquote|figcaption|caption|article|section|" +
+      "address|header|footer|figure|main|nav|form|table|thead|tbody|" +
+      "tfoot|title|tr|td|th|ul|ol|dl|dt|dd|li|h[1-6]|hr|br|pre|p|div"
+    """trim(regexp_replace(regexp_replace(""" +
+    """replace(replace(replace(replace(replace(replace(""" +
+    """regexp_replace(regexp_replace(regexp_replace(regexp_replace(""" +
+    """regexp_replace(html, '(?s)<!--.*?(-->|$)', '', 'g'), """ +
+    """'(?is)<script\b.*?(</script[ \t\n\r\f]*>|$)', '', 'g'), """ +
+    """'(?is)<style\b.*?(</style[ \t\n\r\f]*>|$)', '', 'g'), """ +
+    """'(?i)</?(""" + blockAlt +
+    """)([ \t\n\r\f/][^>]*)?(>|$)', e'\n', 'g'), """ +
+    """'(?i)<[/!?]?[a-z][^>]*(>|$)', '', 'g'), """ +
+    """'&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), """ +
+    """'&nbsp;', ' '), '&amp;', '&'), """ +
+    """'[ \t\r\f]*\n[ \t\n\r\f]*', e'\n', 'g'), """ +
+    """'[ \t\r\f]+', ' ', 'g'), e' \t\n\r\f')"""
+  }
+
   /** Shared CTE prefix for the minhash true-oracles: the dup-augmented
     * corpus, tokenized, 3-gram shingled (distinct). */
   private val minhashOracleBase =
@@ -7197,6 +7255,57 @@ object SparkEntry {
       |  TRUE AS repetition_compresses
       |FROM documents
       |WHERE text IS NOT NULL AND strlen(text) >= 64""".stripMargin)),
+
+    Q("text_html_extract", (s, dir) => {
+      // HTML→text native kernel vs a DuckDB regex chain replaying the
+      // SAME constrained semantics (HtmlExtractText scaladoc), over
+      // deterministic HTML generated from the documents table — title,
+      // style+script blocks, a comment, h1/p/div blocks, inline b/a,
+      // and the named entities. Hash-exact string compare per doc.
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.htmlText(htmlDoc).as("extracted"))
+        .withColumn("n_text", length(col("extracted")).cast(LongType))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id, $htmlDocSql AS html FROM documents),
+      |x AS (SELECT doc_id, $htmlExtractSql AS extracted FROM h)
+      |SELECT doc_id, extracted,
+      |  CAST(length(extracted) AS BIGINT) AS n_text
+      |FROM x ORDER BY doc_id""".stripMargin)),
+
+    Q("text_html_stats", (s, dir) => {
+      // structural boilerplate signals (jusText/trafilatura core):
+      // tag/link/script counts + integer-micro text share and
+      // link-per-tag share, replayed count-for-count by DuckDB over the
+      // same generated HTML.
+      val st = graft.functions.TextFunctions.htmlStats(htmlDoc)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          st.getField("html_chars").as("html_chars"),
+          st.getField("text_chars").as("text_chars"),
+          st.getField("n_tags").as("n_tags"),
+          st.getField("n_links").as("n_links"),
+          st.getField("n_scripts").as("n_scripts"),
+          st.getField("text_share_micro").as("text_share_micro"),
+          st.getField("link_tag_share_micro").as("link_tag_share_micro"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id, $htmlDocSql AS html FROM documents),
+      |x AS (SELECT doc_id,
+      |  CAST(length(html) AS BIGINT) AS html_chars,
+      |  CAST(length($htmlExtractSql) AS BIGINT) AS text_chars,
+      |  CAST(len(regexp_extract_all(html, '(?i)<[/!?]?[a-z]')) AS BIGINT)
+      |    AS n_tags,
+      |  CAST(len(regexp_extract_all(html, '(?i)<a(>|[ \t\n\r\f/])'))
+      |    AS BIGINT) AS n_links,
+      |  CAST(len(regexp_extract_all(html, '(?i)<script(>|[ \t\n\r\f/])'))
+      |    AS BIGINT) AS n_scripts
+      |  FROM h)
+      |SELECT doc_id, html_chars, text_chars, n_tags, n_links, n_scripts,
+      |  CAST(floor(text_chars * 1000000 /
+      |    nullif(html_chars, 0)) AS BIGINT) AS text_share_micro,
+      |  CAST(floor(n_links * 1000000 /
+      |    nullif(n_tags, 0)) AS BIGINT) AS link_tag_share_micro
+      |FROM x ORDER BY doc_id""".stripMargin)),
 
     Q("text_readability", (s, dir) => {
       // Flesch reading ease per doc: vowel-group syllables, [.!?]+

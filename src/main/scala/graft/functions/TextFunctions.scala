@@ -430,6 +430,46 @@ object TextFunctions {
         nullif(nb.cast(LongType), lit(0L))).as("ratio_micro")))
   }
 
+  /** Visible text of an HTML document (native codegen'd kernel
+    * [[org.apache.spark.sql.graftnative.HtmlExtractText]]): comments,
+    * script/style blocks and tags stripped (block tags → newline),
+    * named + numeric entities decoded, whitespace collapsed, trimmed.
+    * THE crawl-corpus ingest step — run this first and every text
+    * quality/dedup operator in this file applies unchanged to raw
+    * HTML. Constrained single-pass semantics (documented on the
+    * expression) chosen to be exactly replayable by a SQL regex chain
+    * (oracle `text_html_extract`). Pure scan-side projection. */
+  def htmlText(c: Column): Column =
+    org.apache.spark.sql.graftnative.NativeFunctions.htmlExtractText(c)
+
+  /** Structural quality signals of an HTML document — the jusText/
+    * trafilatura-core boilerplate detectors as one codegen'd projection:
+    * struct(html_chars, text_chars, n_tags, n_links, n_scripts,
+    * text_share_micro = ⌊10⁶·text/html⌋, link_tag_share_micro =
+    * ⌊10⁶·links/tags⌋). Low text share → markup-dominated page; high
+    * link-per-tag share → navigation/boilerplate; script-heavy pages
+    * are app shells, not prose. Integer micros so DuckDB replays term
+    * for term; null html → null struct. */
+  def htmlStats(c: Column): Column = {
+    val htmlChars = length(c).cast(LongType)
+    val textChars = length(htmlText(c)).cast(LongType)
+    val nTags = regexp_count(c, lit("(?i)<[/!?]?[a-z]")).cast(LongType)
+    val nLinks = regexp_count(c, lit("(?i)<a(>|[ \\t\\n\\r\\f/])"))
+      .cast(LongType)
+    val nScripts = regexp_count(c, lit("(?i)<script(>|[ \\t\\n\\r\\f/])"))
+      .cast(LongType)
+    when(c.isNotNull, struct(
+      htmlChars.as("html_chars"),
+      textChars.as("text_chars"),
+      nTags.as("n_tags"),
+      nLinks.as("n_links"),
+      nScripts.as("n_scripts"),
+      floor(textChars * lit(1000000L) / nullif(htmlChars, lit(0L)))
+        .as("text_share_micro"),
+      floor(nLinks * lit(1000000L) / nullif(nTags, lit(0L)))
+        .as("link_tag_share_micro")))
+  }
+
   /** Document fingerprint: 64-bit hash of the normalized text (content-
     * defined identity for exact dedup; xxhash64 = codegen'd, seed fixed). */
   def fingerprint(c: Column): Column = xxhash64(normalizeText(c))

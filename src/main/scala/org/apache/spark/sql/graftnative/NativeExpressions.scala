@@ -590,6 +590,205 @@ object DeflateSize {
   }
 }
 
+/** HTML → visible text extraction — the step that runs BEFORE every
+  * text-quality/dedup operator when the corpus arrives as raw crawl HTML.
+  * Single forward pass (no DOM, no backtracking), with exactly-specified
+  * "constrained extractor" semantics so a DuckDB regex chain can replay
+  * it verbatim (oracle `text_html_extract`):
+  *
+  *  1. `<!--` … `-->` comments removed (unterminated → to end of input);
+  *  2. `<script`/`<style` blocks (tag name at a word boundary) removed
+  *     through the matching `</script[ws]*>` / `</style[ws]*>` close
+  *     (unterminated → to end), case-insensitive;
+  *  3. remaining tags `<[/!?]?[A-Za-z]…>` dropped (unclosed → to end);
+  *     BLOCK-level tags (p, div, br, h1-h6, li, table cells, …) emit a
+  *     newline so paragraph boundaries survive; inline tags emit nothing;
+  *  4. entities decoded in text content only: the named set `&amp; &lt;
+  *     &gt; &quot; &apos; &nbsp;` (case-sensitive, `&amp;` resolved in
+  *     the same left-to-right pass so `&amp;lt;` → literal `&lt;`) plus
+  *     numeric `&#NNN;`/`&#xHH;` (valid scalar values only; invalid or
+  *     unterminated → literal `&`); decoded `<` is literal text, never
+  *     re-parsed as a tag;
+  *  5. whitespace collapsed: runs containing a newline (including
+  *     block-tag newlines) → one `\n`, other runs → one space; trimmed.
+  *
+  * A bare `<` not opening a tag (`a < b`) is literal text. No nesting is
+  * tracked — a constrained extractor, not a browser; hostile shapes
+  * (tags split by comments, CDATA) degrade per the rules above and are
+  * pinned by unit. Pure scan-side, one kernel call per document —
+  * 100 TB-safe as a plain projection.
+  */
+case class HtmlExtractText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_extract_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlExtractText.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("htmlKernel", HtmlExtractText,
+      HtmlExtractText.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlExtractText = copy(child = newChild)
+}
+
+object HtmlExtractText {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Tags treated as block boundaries (emit '\n'). Kept in sync with the
+    * alternation in the `text_html_extract` oracle SQL. */
+  private val blockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("p", "div", "br", "hr", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+      "ul", "ol", "dl", "dt", "dd", "table", "thead", "tbody", "tfoot",
+      "tr", "td", "th", "caption", "blockquote", "pre", "section",
+      "article", "aside", "header", "footer", "nav", "form", "figure",
+      "figcaption", "main", "address", "title").foreach(s.add)
+    s
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** s starts with lit (ASCII, lit lowercase) at i, case-insensitively. */
+  private def startsCi(s: String, i: Int, lit: String): Boolean = {
+    if (i + lit.length > s.length) return false
+    var k = 0
+    while (k < lit.length) {
+      if (lower(s.charAt(i + k)) != lit.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Index just past the next `</name[ws]*>` (case-insensitive) at or
+    * after i; length of s if none (unterminated block → removed to end). */
+  private def findClose(s: String, i: Int, name: String): Int = {
+    val lit = "</" + name
+    var j = i
+    while (j <= s.length - lit.length - 1) {
+      if (startsCi(s, j, lit)) {
+        var m = j + lit.length
+        while (m < s.length && isWs(s.charAt(m))) m += 1
+        if (m < s.length && s.charAt(m) == '>') return m + 1
+      }
+      j += 1
+    }
+    s.length
+  }
+
+  def compute(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    // pending whitespace between emitted text runs: collapse to '\n' if
+    // the run contained a newline (or block tag), else to one ' '; a run
+    // before the first text char or after the last is dropped (trim).
+    var pendSp = false
+    var pendNl = false
+
+    def flushWs(): Unit = {
+      if (out.length > 0) {
+        if (pendNl) out.append('\n') else if (pendSp) out.append(' ')
+      }
+      pendSp = false; pendNl = false
+    }
+    def emit(c: Char): Unit =
+      if (isWs(c)) { pendSp = true; if (c == '\n') pendNl = true }
+      else { flushWs(); out.append(c) }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (startsCi(s, i, "<!--")) {
+          val k = s.indexOf("-->", i + 4)
+          i = if (k < 0) n else k + 3
+        } else if (startsCi(s, i, "<script") &&
+            (i + 7 >= n || !isWordChar(s.charAt(i + 7)))) {
+          i = findClose(s, i + 7, "script")
+        } else if (startsCi(s, i, "<style") &&
+            (i + 6 >= n || !isWordChar(s.charAt(i + 6)))) {
+          i = findClose(s, i + 6, "style")
+        } else {
+          var j = i + 1
+          val marker = if (j < n) s.charAt(j) else ' '
+          if (j < n && (marker == '/' || marker == '!' || marker == '?'))
+            j += 1
+          if (j < n && isAsciiLetter(s.charAt(j))) {
+            // tag: name = maximal [A-Za-z0-9] run; body to '>' (or end)
+            val nameStart = j
+            while (j < n && { val cj = s.charAt(j)
+              isAsciiLetter(cj) || (cj >= '0' && cj <= '9') }) j += 1
+            val isBlock = marker != '!' && marker != '?' &&
+              blockTags.contains(
+                s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT))
+            val k = s.indexOf('>', j)
+            if (isBlock) emit('\n')
+            i = if (k < 0) n else k + 1
+          } else {
+            emit('<'); i += 1
+          }
+        }
+      } else if (c == '&') {
+        if (s.startsWith("&lt;", i)) { emit('<'); i += 4 }
+        else if (s.startsWith("&gt;", i)) { emit('>'); i += 4 }
+        else if (s.startsWith("&quot;", i)) { emit('"'); i += 6 }
+        else if (s.startsWith("&apos;", i)) { emit('\''); i += 6 }
+        else if (s.startsWith("&nbsp;", i)) { emit(' '); i += 6 }
+        else if (s.startsWith("&amp;", i)) { emit('&'); i += 5 }
+        else if (s.startsWith("&#", i)) {
+          // numeric scalar: &#123; or &#x1F600; — invalid/unterminated
+          // stays a literal '&' (oracle HTML never generates these;
+          // pinned by unit)
+          var j = i + 2
+          val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+          if (hex) j += 1
+          val digStart = j
+          var cp = 0L
+          var ok = true
+          while (j < n && ok && {
+            val d = s.charAt(j)
+            val v =
+              if (d >= '0' && d <= '9') d - '0'
+              else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
+              else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
+              else -1
+            if (v >= 0) { cp = cp * (if (hex) 16 else 10) + v; true }
+            else false
+          }) { if (cp > 0x10FFFFL) ok = false; j += 1 }
+          val nd = j - digStart
+          if (ok && nd > 0 && j < n && s.charAt(j) == ';' &&
+              cp > 0 && cp <= 0x10FFFFL &&
+              !(cp >= 0xD800L && cp <= 0xDFFFL)) {
+            Character.toChars(cp.toInt).foreach(emit)
+            i = j + 1
+          } else { emit('&'); i += 1 }
+        } else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
 object NativeFunctions {
   def textStats(c: Column): Column =
     ExpressionUtils.column(TextStats(ExpressionUtils.expression(c)))
@@ -614,6 +813,9 @@ object NativeFunctions {
 
   def deflateSize(c: Column): Column =
     ExpressionUtils.column(DeflateSize(ExpressionUtils.expression(c)))
+
+  def htmlExtractText(c: Column): Column =
+    ExpressionUtils.column(HtmlExtractText(ExpressionUtils.expression(c)))
 
   def cosineSimilarity(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(

@@ -91,7 +91,13 @@ object SqlFunctions {
       info("graft_nfc",
         "graft_nfc(text) - Unicode NFC composition (ASCII fast path)"),
       args => { requireArity("graft_nfc", args, 1)
-        NormalizeNFC(args.head) }))
+        NormalizeNFC(args.head) }),
+
+    (FunctionIdentifier("graft_html_text"),
+      info("graft_html_text",
+        "graft_html_text(html) - visible text: strip comments/script/style/tags, decode entities, collapse whitespace"),
+      args => { requireArity("graft_html_text", args, 1)
+        HtmlExtractText(args.head) }))
 
   /** Runtime registration for sessions not built with `.withExtensions`
     * (mirrors `GraftExtensions.topKPerGroup`'s self-register). Idempotent:

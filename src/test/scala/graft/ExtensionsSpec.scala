@@ -57,6 +57,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("graft_html_text: SQL path matches the DataFrame API path") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_html_text(
+        |  '<p>' || text || '</p><script>x</script>') AS t
+        |FROM ext_docs""".stripMargin)
+    val viaApi = docs.select(col("doc_id"),
+      NativeFunctions.htmlExtractText(concat(
+        lit("<p>"), col("text"), lit("</p><script>x</script>"))).as("t"))
+    assert(viaSql.orderBy("doc_id").collect().toSeq ===
+      viaApi.orderBy("doc_id").collect().toSeq)
+  }
+
   test("foldable int expressions are accepted as static parameters") {
     docs
     val r = spark.sql(

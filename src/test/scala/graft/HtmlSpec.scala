@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** HTML→text extraction kernel
+  * ([[org.apache.spark.sql.graftnative.HtmlExtractText]]) — pins the
+  * constrained single-pass semantics case by case, including the hostile
+  * shapes (unterminated comment/script/style/tag, stray close tags,
+  * bare `<`, double-escaped and invalid entities) that the
+  * `text_html_extract` oracle's generated well-formed HTML can't reach.
+  * Expected strings were cross-checked against an independent regex-chain
+  * implementation (the same chain the DuckDB oracle runs).
+  */
+class HtmlSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def extract(ss: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    ss.toDF("h").select(TextFunctions.htmlText(col("h")).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+  }
+
+  test("full document: comments/script/style stripped, blocks newline, entities decode") {
+    assert(extract(
+      """<!DOCTYPE html><html><head><title>T1</title><style>body{color:red}</style>""" +
+      """<script type="x">var a = 1 < 2 && b;</script></head>""" +
+      """<body><!-- c --><h1>Head</h1><p class="l">hello <b>world</b></p>""" +
+      """<div><a href="http://x/1">link &amp; more</a> tail &lt;tag&gt; s</div></body></html>""")
+      == Seq("T1\nHead\nhello world\nlink & more tail <tag> s"))
+  }
+
+  test("plain text passes through; outer whitespace trims; inner collapses") {
+    assert(extract(
+      "plain text no markup",
+      "  leading ws <p> and </p>  trailing  ",
+      "<p>multi\n\n  line\ttext</p>") ==
+      Seq("plain text no markup", "leading ws\nand\ntrailing",
+        "multi\nline text"))
+  }
+
+  test("block tags emit newlines: br variants, lists, tables, headings, hr") {
+    assert(extract(
+      "a<br>b<br/>c<br />d",
+      "<ul><li>one</li><li>two</li></ul>",
+      "<table><tr><td>1</td><td>2</td></tr></table>",
+      "<h2 id=\"a\">H</h2>mid<hr>end",
+      "<pre>pre text</pre><p>p text</p>") ==
+      Seq("a\nb\nc\nd", "one\ntwo", "1\n2", "H\nmid\nend",
+        "pre text\np text"))
+  }
+
+  test("entities: named set, double-escape, unknown stays literal") {
+    assert(extract(
+      "ent &amp;lt; &amp;amp; &quot;q&quot; &apos;a&apos; x&nbsp;&nbsp;y &unknown; &")
+      == Seq("ent &lt; &amp; \"q\" 'a' x y &unknown; &"))
+  }
+
+  test("numeric entities: valid decode (incl. astral); invalid stay literal") {
+    assert(extract(
+      "&#65;&#x42;&#x1F600; num",
+      "&#xD800; bad &#0; zero &#1114112; over") ==
+      Seq("AB😀 num",
+        "&#xD800; bad &#0; zero &#1114112; over"))
+  }
+
+  test("script/style boundaries: word boundary, case, spaced close, stray close") {
+    assert(extract(
+      "<SCRIPT>upper</SCRIPT>after",
+      "<scripty>not script</scripty>ok",
+      "x</script >y",
+      "<script>a</script >b") ==
+      Seq("after", "not scriptok", "xy", "b"))
+  }
+
+  test("unterminated constructs remove to end; bare < is literal") {
+    assert(extract(
+      "<script src=\"x.js\">no close",
+      "<style>unclosed",
+      "<!-- unclosed comment",
+      "<p",
+      "tag at end <",
+      "a < b and c > d") ==
+      Seq("", "", "", "", "tag at end <", "a < b and c > d"))
+  }
+
+  test("tag edge shapes: XML PI, newline inside tag, non-block near-name") {
+    assert(extract(
+      "<?xml version=\"1.0\"?><p>x</p>",
+      "<div\nclass=\"a\">nl in tag</div>",
+      "<p2>notblock</p2>z") ==
+      Seq("x", "nl in tag", "notblockz"))
+  }
+
+  test("null html -> null text; empty -> empty") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(Option("x"), None, Option(""))
+      .toDF("h").select(TextFunctions.htmlText(col("h")).as("t"))
+      .collect().map(x => if (x.isNullAt(0)) null else x.getString(0))
+    assert(r.toSeq == Seq("x", null, ""))
+  }
+
+  test("htmlStats: counts and micro shares on a known document") {
+    val s = spark
+    import s.implicits._
+    val html = "<html><body><p>twelve chars</p>" +
+      "<a href=\"/x\">go</a><a href=\"/y\">no</a>" +
+      "<script>s()</script></body></html>"
+    val r = Seq(html).toDF("h")
+      .select(TextFunctions.htmlStats(col("h")).as("st"))
+      .select(col("st.*")).collect().head
+    assert(r.getAs[Long]("html_chars") == html.length.toLong)
+    // "twelve chars\ngono" — adjacent inline <a> runs join with no space
+    assert(r.getAs[Long]("text_chars") == "twelve chars\ngono".length.toLong)
+    // tags: html body p /p a /a a /a script /script /body /html = 12
+    assert(r.getAs[Long]("n_tags") == 12L)
+    assert(r.getAs[Long]("n_links") == 2L)
+    assert(r.getAs[Long]("n_scripts") == 1L)
+    assert(r.getAs[Long]("text_share_micro") ==
+      math.floor(17.0 * 1e6 / html.length).toLong)
+    assert(r.getAs[Long]("link_tag_share_micro") ==
+      math.floor(2.0 * 1e6 / 12.0).toLong)
+  }
+
+  test("htmlStats: null html -> null struct; empty html -> null shares") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(Option(""), None).toDF("h")
+      .select(TextFunctions.htmlStats(col("h")).as("st")).collect()
+    assert(!r(0).isNullAt(0) &&
+      r(0).getStruct(0).isNullAt(5)) // text_share_micro null on 0 chars
+    assert(r(1).isNullAt(0))
+  }
+
+  test("unicode-hostile payloads inside markup survive (ZWJ, bidi, NUL, CJK)") {
+    val payloads = Seq(
+      "🚀 fam👨‍👩ily",
+      "\u0645\u0631\u062d\u0628\u0627 \u202Eevil\u202C",
+      "null\u0000byte\u0007bell",
+      "四十二是生命")
+    val wrapped = payloads.map(p => s"<div><p>$p</p><script>x</script></div>")
+    val got = extract(wrapped: _*)
+    // NUL and BEL are not in the whitespace-collapse set: pass through
+    assert(got == payloads.map(_.trim))
+    // 10k-char single token inside a tag soup: linear, no blowup
+    val big = "<p>" + ("x" * 10000) + "</p>"
+    assert(extract(big) == Seq("x" * 10000))
+  }
+}

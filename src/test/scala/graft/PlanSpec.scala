@@ -153,6 +153,10 @@ class PlanSpec extends AnyFunSuite {
           nf.simhash64(graft.ops.Dedup.tokenHashes(col("text"))),
           graft.functions.TextFunctions.textStats(col("text")),
           nf.deflateSize(col("text")),
+          nf.htmlExtractText(org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("<p id=\"x\">&amp; "),
+            col("text"),
+            org.apache.spark.sql.functions.lit(" </p><script>x</script>"))),
           nf.normalizeNfc(org.apache.spark.sql.functions.concat(
             org.apache.spark.sql.functions.lit("Å é é "),
             col("text"))))
