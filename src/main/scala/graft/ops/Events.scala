@@ -465,11 +465,14 @@ object Events {
     * (count/max/sum partials); everything after runs on the
     * entities-sized frame. The classic exact-ntile trap is
     * `Window.orderBy` with no partition key (whole frame through one
-    * task); instead each metric's global row number derives from
-    * value-collapsed counts + [[Series.globalCumSum]] (bucketed
-    * two-level scan) plus a PARTITIONED per-value tie-break window,
-    * and the ntile index is pure arithmetic on (rn, n). Three
-    * entity-frame passes, zero single-partition stages.
+    * task); instead the three metrics UNPIVOT to (metric, key) rows
+    * and every global row number derives from value-collapsed counts +
+    * ONE [[Series.groupedCumSum]] (per-metric bucketed two-level scan)
+    * plus ONE PARTITIONED per-(metric, value) tie-break window; the
+    * ntile index is pure arithmetic on (rn, n) and a final group-back
+    * re-pivots to one row per entity. A single ranking pass for all
+    * three metrics — not a globalCumSum chain per metric — with zero
+    * single-partition stages.
     *
     * Honest serial bound: the tie-break window's task is the LARGEST
     * TIE CLASS of a metric (e.g. every one-event entity ties at
@@ -506,31 +509,48 @@ object Events {
         .otherwise(rem +
           intDiv(rn - lit(1L) - rem * (size + lit(1L)), size) + lit(1L))
     }
-    // global rn over (key asc, entity asc) without a global window:
-    // value-collapse + globalCumSum + per-value tie-break
-    def scored(in: DataFrame, keyExpr: Column, name: String): DataFrame = {
-      val withKey = in.withColumn("__k", keyExpr.cast(DoubleType))
-      val vc = withKey.groupBy(col("__k")).agg(count(lit(1)).as("__c"))
-      val cum = Series.globalCumSum(vc, "__k", Seq("__c"),
+    // global rn over (key asc, entity asc) per metric without a global
+    // window: unpivot the three metrics to (metric, key) rows, then ONE
+    // value-collapse + ONE groupedCumSum (per-metric prefix sums in a
+    // single bucketed two-level scan) + ONE partitioned tie-break
+    // window — r14 ran a full globalCumSum chain per metric (3× the
+    // stages for the same answer)
+    def metricStruct(idx: Int, keyExpr: Column): Column =
+      struct(lit(idx).as("__metric"), keyExpr.cast(DoubleType).as("__k"))
+    val unp = per.select(col(entityCol), col("recency_days"),
+        col("frequency"), col("monetary"),
+        explode(array(
+          metricStruct(0, -col("recency_days")),
+          metricStruct(1, col("frequency")),
+          metricStruct(2, col("monetary")))).as("__mk"))
+      .select(col(entityCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("__mk.__metric").as("__metric"),
+        col("__mk.__k").as("__k"))
+    val vc = unp.groupBy(col("__metric"), col("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = Series.groupedCumSum(vc, Seq("__metric"), "__k", Seq("__c"),
         withTotals = true)
-        .select(col("__k"), (col("cum___c") - col("__c")).as("__below"),
-          col("total___c").as("__n"))
-      val rn = col("__below") +
-        row_number().over(
-          Window.partitionBy(col("__k")).orderBy(col(entityCol)))
-          .cast(LongType)
-      withKey.join(cum, Seq("__k"))
-        .withColumn(name, tileIdx(rn, col("__n")))
-        .drop("__k", "__below", "__n")
-    }
-    val out = scored(scored(scored(per,
-      -col("recency_days"), "r"),
-      col("frequency"), "f"),
-      col("monetary"), "m")
-    out.select(col(entityCol), col("recency_days"), col("frequency"),
-      col("monetary"), col("r"), col("f"), col("m"),
-      concat(col("r").cast("string"), col("f").cast("string"),
-        col("m").cast("string")).as("segment"))
+      .select(col("__metric"), col("__k"),
+        (col("cum___c") - col("__c")).as("__below"),
+        col("total___c").as("__n"))
+    val rn = col("__below") +
+      row_number().over(
+        Window.partitionBy(col("__metric"), col("__k"))
+          .orderBy(col(entityCol)))
+        .cast(LongType)
+    val tiled = unp.join(cum, Seq("__metric", "__k"))
+      .withColumn("__tile", tileIdx(rn, col("__n")))
+    // pivot the three tiles back to one row per entity (one shuffle;
+    // the metric columns ride as grouping keys — already 1:1 by entity)
+    def tileOf(idx: Int): Column =
+      max(when(col("__metric") === idx, col("__tile")))
+    tiled.groupBy(col(entityCol), col("recency_days"), col("frequency"),
+        col("monetary"))
+      .agg(tileOf(0).as("r"), tileOf(1).as("f"), tileOf(2).as("m"))
+      .select(col(entityCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"),
+        concat(col("r").cast("string"), col("f").cast("string"),
+          col("m").cast("string")).as("segment"))
   }
 
   /** Kaplan–Meier survival estimate over per-entity lifetimes with

@@ -321,53 +321,100 @@ object Series {
     * driver already holds the partials). 3 passes over the input; the
     * input is normally an already-aggregated distinct-value frame. */
   def globalCumSum(df: DataFrame, orderCol: String, valueCols: Seq[String],
-      buckets: Int = 0, withTotals: Boolean = false): DataFrame = {
-    require(valueCols.nonEmpty, "globalCumSum: no value columns")
+      buckets: Int = 0, withTotals: Boolean = false): DataFrame =
+    groupedCumSum(df, Seq.empty, orderCol, valueCols, buckets, withTotals)
+
+  /** [[globalCumSum]] generalized to independent cumulative sums PER
+    * GROUP (`partCols`), still with zero single-partition stages — the
+    * kernel for ranking several metrics in ONE pass (unpivot to
+    * (metric, value) rows and cumsum per metric — [[graft.ops.Events
+    * .rfmSegments]]'s shape, r14 verdict #2) instead of one
+    * globalCumSum chain per metric. Same contract as globalCumSum,
+    * per group: `orderCol` unique and non-null within each group;
+    * value columns integral. `partCols` values must be NON-NULL (they
+    * ride an equi-join back from the driver's offset frame; null keys
+    * would drop rows — groups are caller-minted tags, so this costs
+    * nothing). `withTotals` appends per-GROUP totals.
+    *
+    * Scale shape: bucket edges come from ONE grouped approx_percentile
+    * pass (per-group edges, so each group's buckets stay balanced no
+    * matter how different the groups' value ranges are); per-(group,
+    * bucket) partials → driver (≤ groups·buckets rows — planner-scale
+    * for the tag-cardinality groups this is for) → exclusive prefix
+    * per group joined back broadcast; within-bucket window partitioned
+    * by (group, bucket). */
+  def groupedCumSum(df: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCols: Seq[String], buckets: Int = 0,
+      withTotals: Boolean = false): DataFrame = {
+    require(valueCols.nonEmpty, "groupedCumSum: no value columns")
     val spark = df.sparkSession
     val p = math.max(1, if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val pc = partCols.map(col)
     val bucketed =
       if (p == 1) df.withColumn("__b", lit(1))
       else {
         val probs = array((1 until p).map(i => lit(i.toDouble / p)): _*)
+        val pct = approx_percentile(col(orderCol), probs, lit(10000))
+          .as("__edges")
         val (edges, _) = graft.core.CacheHandle.checkpointSmall(
-          df.agg(approx_percentile(col(orderCol), probs, lit(10000))
-            .as("__edges")))
-        df.crossJoin(broadcast(edges))
+          if (partCols.isEmpty) df.agg(pct)
+          else df.groupBy(pc: _*).agg(pct))
+        val withEdges =
+          if (partCols.isEmpty) df.crossJoin(broadcast(edges))
+          else df.join(broadcast(edges), partCols)
+        withEdges
           .withColumn("__b",
             (size(filter(col("__edges"), e => col(orderCol) > e)) + 1))
           .drop("__edges")
       }
-    val partials = bucketed.groupBy(col("__b"))
+    val np = partCols.length
+    val partialRows = bucketed.groupBy((pc :+ col("__b")): _*)
       .agg(sum(col(valueCols.head)).cast("long").as(valueCols.head),
         valueCols.tail.map(c => sum(col(c)).cast("long").as(c)): _*)
       .collect()
-      .map(r => r.getInt(0) -> valueCols.indices.map(i => r.getLong(i + 1)))
-      .sortBy(_._1)
-    val totals = valueCols.indices.map(i => partials.map(_._2(i)).sum)
-    // exclusive prefix: bucket b's offset = sum of all earlier buckets
-    val acc = Array.fill(valueCols.length)(0L)
-    val offsets = partials.map { case (b, vs) =>
-      val off = acc.toSeq
-      vs.zipWithIndex.foreach { case (v, i) => acc(i) += v }
-      (b, off)
-    }.toSeq
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val offSchema = StructType(StructField("__b", IntegerType) +:
-      valueCols.map(c => StructField(s"__off_$c", LongType)))
+    // exclusive prefix per group: bucket b's offset = sum of the group's
+    // earlier buckets; totals are per group
+    val offsetRows: Seq[Row] = partialRows
+      .groupBy(r => (0 until np).map(r.get(_)))
+      .valuesIterator.flatMap { rs =>
+        val sorted = rs.sortBy(_.getInt(np))
+        val totals = valueCols.indices
+          .map(i => sorted.map(_.getLong(np + 1 + i)).sum)
+        val acc = Array.fill(valueCols.length)(0L)
+        sorted.map { r =>
+          val off = acc.toSeq
+          valueCols.indices.foreach(i => acc(i) += r.getLong(np + 1 + i))
+          Row.fromSeq((0 until np).map(r.get(_)) ++ (r.getInt(np) +: off) ++
+            (if (withTotals) totals else Nil))
+        }
+      }.toSeq
+    // part key columns ride under __p<i> names so the join back can't
+    // clash with df's own columns
+    val partFields = partCols.zipWithIndex.map { case (c, i) =>
+      StructField(s"__p$i", df.schema(c).dataType)
+    }
+    val offSchema = StructType(partFields ++
+      (StructField("__bo", IntegerType) +:
+        valueCols.map(c => StructField(s"__off_$c", LongType))) ++
+      (if (withTotals) valueCols.map(c => StructField(s"__tot_$c", LongType))
+       else Nil))
     val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        offsets.map { case (b, vs) => Row.fromSeq(b +: vs) }, 1), offSchema)
-    val w = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    val joinCond = (partCols.zipWithIndex.map { case (c, i) =>
+      bucketed(c) === offDf(s"__p$i")
+    } :+ (bucketed("__b") === offDf("__bo"))).reduce(_ && _)
+    val w = Window.partitionBy((pc :+ col("__b")): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cumCols = valueCols.map(c =>
       (sum(col(c)).over(w) + col(s"__off_$c")).as(s"cum_$c"))
     val totCols = if (withTotals)
-      valueCols.zip(totals).map { case (c, t) => lit(t).as(s"total_$c") }
+      valueCols.map(c => col(s"__tot_$c").as(s"total_$c"))
     else Seq.empty
-    bucketed.join(broadcast(offDf), Seq("__b"))
-      .select(df.columns.map(col) ++ cumCols ++ totCols: _*)
+    bucketed.join(broadcast(offDf), joinCond)
+      .select(df.columns.map(bucketed(_)) ++ cumCols ++ totCols: _*)
   }
 
   /** Rank-based quantile normalization: per group, replace a metric

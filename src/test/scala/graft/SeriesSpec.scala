@@ -223,4 +223,39 @@ class SeriesSpec extends AnyFunSuite {
         got.head.getAs[Long]("total_b") == rows.map(_._3).sum)
     }
   }
+
+  test("groupedCumSum: per-group differential vs partitioned window; " +
+      "per-group totals; groups with disjoint value ranges") {
+    val s = spark
+    import s.implicits._
+    // three groups with deliberately DIFFERENT value ranges (group edges
+    // must come from the group's own percentiles, not shared ones) and
+    // different sizes; unique order values within each group
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle(
+      (1 to 400).map(i => ("g1", i.toDouble, (i % 5).toLong)) ++
+      (1 to 150).map(i => ("g2", i * 1000.0, (i % 3).toLong)) ++
+      (1 to 7).map(i => ("g3", -i * 0.25, 1L))).toList
+    val df = rows.toDF("g", "v", "x").repartition(13)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val expect = df.withColumn("cum_x", sum(col("x")).over(w))
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(3))).toSeq
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Series.groupedCumSum(df, Seq("g"), "v", Seq("x"),
+          buckets = buckets, withTotals = true)
+        .orderBy("g", "v").collect()
+      assert(got.map(r => (r.getAs[String]("g"), r.getAs[Double]("v"),
+        r.getAs[Long]("cum_x"))).toSeq == expect,
+        s"buckets=$buckets mismatch")
+      val totals = got.map(r =>
+        r.getAs[String]("g") -> r.getAs[Long]("total_x")).toMap
+      assert(totals == Map("g1" -> (1 to 400).map(_ % 5).sum.toLong,
+        "g2" -> (1 to 150).map(_ % 3).sum.toLong, "g3" -> 7L),
+        s"buckets=$buckets totals $totals")
+    }
+  }
 }
