@@ -96,6 +96,24 @@ object Similarity {
     array(bits: _*)
   }
 
+  /** True iff every element of the vector is finite — no NaN, no ±Inf.
+    * The numeric-hostile sweep's finding: a single poisoned embedding
+    * (a bad upstream encoder emits NaN; an overflowed normalization
+    * emits Inf) would kill a whole 100 TB job at the integer
+    * micro-quantization casts under ANSI. Operators whose outputs are
+    * exact integers adopt ONE documented contract instead: ranking
+    * operators (lshTopK, mmrRerank) EXCLUDE non-finite vectors at
+    * ingress like nulls (a NaN vector has no meaningful angle to
+    * anything), and per-row codecs (quantizeInt8, randomProjection)
+    * return NULL outputs for them (row preserved, output typed-null —
+    * the mahalanobisScores NaN convention). Finite-but-absurd
+    * magnitudes (|x|·1e6 beyond long range, i.e. |x| > ~9.2e12) still
+    * fail loud in ANSI — embeddings live in [-1, 1]·norm scales and a
+    * silent clamp would corrupt signatures. */
+  def vecFinite(c: Column): Column =
+    forall(c, x => !isnan(x.cast(DoubleType)) &&
+      abs(x.cast(DoubleType)) =!= lit(Double.PositiveInfinity))
+
   /** Hard ceiling on the broadcast-side row count for [[bruteForceTopK]]:
     * beyond this, the query-side broadcast risks driver OOM and the O(n·q)
     * score dominates — use [[lshTopK]] / [[ivfTopK]] instead. */
@@ -201,9 +219,11 @@ object Similarity {
       if (deterministicPlanes) hyperplaneSignatureHash(col(vecCol), planes)
       else hyperplaneSignature(col(vecCol), dim, planes, seed)
     // skinny candidates: only (id, band, key) rides the bucket join; the
-    // vectors are re-joined by id for the |candidates| cosine evaluations
-    def buckets(df: DataFrame, id: String): DataFrame =
-      df.repartition(col(idCol))
+    // vectors are re-joined by id for the |candidates| cosine evaluations.
+    // Non-finite vectors are excluded at ingress (vecFinite contract)
+    def buckets(in: DataFrame, id: String): DataFrame =
+      in.where(col(vecCol).isNotNull && vecFinite(col(vecCol)))
+        .repartition(col(idCol))
         .select(col(idCol).as(id),
           posexplode(graft.ops.Dedup.bandKeys(sig, bands, r)))
         .select(col(id), col("pos").as("b"), col("col").as("k"))
@@ -608,7 +628,9 @@ object Similarity {
     * bit-for-bit across engines. */
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast(DoubleType))
+    val v0 = transform(col(vecCol), x => x.cast(DoubleType))
+    // non-finite vectors → null outputs, row preserved (vecFinite doc)
+    val v = when(vecFinite(col(vecCol)), v0)
     val scale = array_max(transform(v, x => abs(x)))
     val codes = when(scale.isNull || scale === 0.0,
       transform(v, _ => lit(0).cast("int")))
@@ -651,7 +673,9 @@ object Similarity {
   def randomProjection(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", k: Int = 16): DataFrame = {
     require(k >= 1, s"randomProjection: k must be >= 1, got $k")
-    val v = transform(col(vecCol), x => x.cast(DoubleType))
+    // non-finite vectors → null proj, row preserved (vecFinite doc)
+    val v = when(vecFinite(col(vecCol)),
+      transform(col(vecCol), x => x.cast(DoubleType)))
     val idx = sequence(lit(0), size(col(vecCol)) - 1)
     val proj = transform(sequence(lit(0), lit(k - 1)), j =>
       round(aggregate(
@@ -662,7 +686,9 @@ object Similarity {
         lit(0.0), (a, x) => a + x) /
         sqrt(lit(k.toDouble)) * lit(1e4)).cast(LongType))
     df.select(col(idCol), size(col(vecCol)).cast(LongType).as("dim"),
-      concat_ws(",", transform(proj, p => p.cast("string"))).as("proj"))
+      when(vecFinite(col(vecCol)),
+        concat_ws(",", transform(proj, p => p.cast("string"))))
+        .as("proj"))
   }
 
   /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
@@ -701,11 +727,17 @@ object Similarity {
       s"mmrRerank: lambdaMicro must be in [0, 1e6], got $lambdaMicro")
     import graft.core.CacheHandle
     val internal = new CacheHandle
+    // non-finite vectors have no meaningful angle to rank or diversify
+    // against — excluded at ingress like nulls (vecFinite contract)
+    val corpusF = corpus
+      .where(col(vecCol).isNotNull && vecFinite(col(vecCol)))
+    val queriesF = queries
+      .where(col(vecCol).isNotNull && vecFinite(col(vecCol)))
     val (cand, freeCand) = CacheHandle.checkpointSmall(
-      bruteForceTopK(corpus, queries, nCandidates, vecCol, idCol)
+      bruteForceTopK(corpusF, queriesF, nCandidates, vecCol, idCol)
         .select(col("query_id"), col("neighbor_id").as("id"),
           round(col("cosine") * lit(1e6)).cast(LongType).as("rel_micro"))
-        .join(corpus.select(col(idCol).as("id"), col(vecCol).as("__v")),
+        .join(corpusF.select(col(idCol).as("id"), col(vecCol).as("__v")),
           "id"))
     internal.trackRelease(freeCand)
     val (pair, freePair) = CacheHandle.checkpointSmall(
