@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 measurements:
+  *
+  *  1. [[graft.sources.IO.writeShards]] at TRAINING-SCALE shard counts
+  *     (512–4096; real training layouts, vs the 64 measured in r14).
+  *     The claim under test: cost is bound by output FILE COUNT (one
+  *     file per shard via the repartition-first partitioned writer),
+  *     not by row count — so the shard sweep holds rows fixed at 10M
+  *     and scales only nShards. The commit protocol (FileOutputCommitter
+  *     v1 driver-side rename of every task dir) is the expected
+  *     file-count-linear term.
+  *
+  *  2. pcaTrain x1/x10/x100 — the one r14-tier operator whose slope
+  *     was not in the ScaleSlopeR14b table. Claim: ONE
+  *     CovarianceMoments pass, 8·dim² bytes per task partial — linear
+  *     in rows with a constant driver eigensolve tail.
+  *
+  * Run: `sbt -batch "runMain graft.tools.ScaleSlopeR15 [shards|pca]"`. */
+object ScaleSlopeR15 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.build()
+    val only: Set[String] = args.headOption
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty)
+    def on(op: String) = only.isEmpty || only(op)
+
+    val t = graft.Tables(spark, "/root/testdata/sf0.1")
+
+    if (on("shards")) {
+      // 10M rows: x100 replicas of sf0.1 events, offset ids
+      val base = t.events.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      val big = base
+        .crossJoin(spark.range(100).select(col("id").as("rep")))
+        .select((col("event_id") + col("rep") * 1000000000L)
+          .as("event_id"), col("user_id"), col("event_type"), col("value"))
+      val n = big.count()
+      for (nShards <- Seq(64, 512, 1024, 2048, 4096)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_shards_$nShards").toString
+        val t0 = System.nanoTime()
+        graft.sources.IO.writeShards(big, dir, "event_id", nShards)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // count data files + verify one-file-per-shard held
+        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .count()
+        println(f"SLOPE shards=$nShards%5d n=$n%9d sec=$dt%8.2f " +
+          f"files=$files%5d ms_per_file=${dt * 1e3 / files}%7.1f")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dir))
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (on("pca")) {
+      val baseE = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      for ((label, r) <- Seq(("x1", 1), ("x10", 10), ("x100", 100))) {
+        val e =
+          if (r == 1) baseE
+          else baseE.crossJoin(spark.range(r).select(col("id").as("rep")))
+            .select((col("vec_id") + col("rep") * 10000000L)
+              .as("vec_id"), col("embedding"))
+        val n = e.count()
+        val t0 = System.nanoTime()
+        val model = graft.ops.Similarity.pcaTrain(e, k = 16)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SLOPE pca $label%-5s n=$n%9d sec=$dt%8.2f " +
+          f"us_per_row=${dt * 1e6 / n}%8.1f nModel=${model.n}%d")
+        spark.catalog.clearCache()
+      }
+    }
+  }
+}

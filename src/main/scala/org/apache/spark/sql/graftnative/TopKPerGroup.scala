@@ -101,6 +101,7 @@ object GraftExtensions {
   val inject: org.apache.spark.sql.SparkSessionExtensions => Unit = { e =>
     e.injectPlannerStrategy(_ => GraftStrategy)
     SqlFunctions.functions.foreach(e.injectFunction)
+    SqlTableFunctions.functions.foreach(e.injectTableFunction)
   }
 
   /** Top-k rows per group by descending numeric score, heap-executed.

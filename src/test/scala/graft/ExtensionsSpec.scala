@@ -127,4 +127,93 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(got === expected)
   }
+
+  // ---- SQL TABLE-FUNCTION surface (injectTableFunction) --------------
+
+  private lazy val events = {
+    // Tables normalizes ts to TIMESTAMP (testdata writes TIMESTAMP_NTZ);
+    // a raw NTZ view fails sessionize with the engine's own typed
+    // analysis error — the view a user passes is the normalized ingest
+    val e = Tables(spark, "/root/testdata/sf0.001").events
+    e.createOrReplaceTempView("ext_events")
+    e
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      .sorted.toSeq
+
+  test("graft_rfm table function matches rfmSegments (DF path)") {
+    events
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_rfm('ext_events', 'user_id', 'ts', 'value')")
+    val viaApi = graft.ops.Events.rfmSegments(
+      events, "user_id", "ts", "value")
+    assert(viaSql.columns.sorted === viaApi.columns.sorted)
+    assert(sortedRows(viaSql.select(viaApi.columns.sorted.map(col): _*)) ===
+      sortedRows(viaApi.select(viaApi.columns.sorted.map(col): _*)))
+  }
+
+  test("graft_sessionize table function matches sessionizeBatch") {
+    events
+    val viaSql = spark.sql("SELECT * FROM graft_sessionize(" +
+      "'ext_events', 'user_id', 'ts', 'value', 1800000)")
+    val viaApi = graft.streaming.Streaming.sessionizeBatch(
+      events, "user_id", "ts", "value", 1800000L)
+    assert(sortedRows(viaSql.select(viaApi.columns.sorted.map(col): _*)) ===
+      sortedRows(viaApi.select(viaApi.columns.sorted.map(col): _*)))
+  }
+
+  test("graft_target_encode table function matches targetEncode, " +
+      "defaults applied") {
+    events
+    val viaSql = spark.sql("SELECT * FROM graft_target_encode(" +
+      "'ext_events', 'event_id', 'event_type', 'value')")
+    val viaApi = graft.ops.Sampling.targetEncode(
+      events, "event_id", "event_type", "value")
+    assert(sortedRows(viaSql.select(viaApi.columns.sorted.map(col): _*)) ===
+      sortedRows(viaApi.select(viaApi.columns.sorted.map(col): _*)))
+  }
+
+  test("graft_exact_dedup + graft_topk_per_group run from SQL and " +
+      "match the DF path") {
+    docs; events
+    val d1 = spark.sql(
+      "SELECT * FROM graft_exact_dedup('ext_docs', 'text', 'doc_id')")
+    val d2 = graft.ops.Dedup.exactDedup(docs, "text", "doc_id")
+    assert(sortedRows(d1.select(d2.columns.sorted.map(col): _*)) ===
+      sortedRows(d2.select(d2.columns.sorted.map(col): _*)))
+    val t1 = spark.sql("SELECT * FROM graft_topk_per_group(" +
+      "'ext_events', 'value', 3, 'event_type')")
+    val t2 = org.apache.spark.sql.graftnative.GraftExtensions
+      .topKPerGroup(events, Seq("event_type"), "value", 3)
+    assert(sortedRows(t1.select(t2.columns.sorted.map(col): _*)) ===
+      sortedRows(t2.select(t2.columns.sorted.map(col): _*)))
+  }
+
+  test("table functions compose with outer SQL (filter + projection " +
+      "above the TVF)") {
+    events
+    val n = spark.sql(
+      """SELECT user_id, monetary
+        |FROM graft_rfm('ext_events', 'user_id', 'ts', 'value')
+        |WHERE r IS NOT NULL AND monetary > 0""".stripMargin)
+      .count()
+    assert(n > 0)
+  }
+
+  test("table function errors are friendly: missing view fails with the " +
+      "engine's named error, non-literal table name fails fast") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_exact_dedup(" +
+        "'no_such_view_xyz', 'text', 'doc_id')").collect()
+    }
+    assert(e1.getMessage.contains("no_such_view_xyz"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_exact_dedup(" +
+        "lower(rand()::string), 'text', 'doc_id')").collect()
+    }
+    assert(e2.getMessage.contains("STRING literal") ||
+      e2.getMessage.contains("table"))
+  }
 }
