@@ -7307,6 +7307,56 @@ object SparkEntry {
       |    nullif(n_tags, 0)) AS BIGINT) AS link_tag_share_micro
       |FROM x ORDER BY doc_id""".stripMargin)),
 
+    Q("text_html_links", (s, dir) => {
+      // crawl-graph edge + title extraction: htmlLinks (double-quoted
+      // hrefs in document order — uppercase HREF and spaces around '='
+      // extracted, single-quoted and href-less anchors excluded by the
+      // documented constraint) and htmlTitle (title slice through the
+      // SAME kernel as htmlText: entity decode + whitespace collapse).
+      // DuckDB replays both regexes and the extraction chain verbatim
+      // over the same generated HTML.
+      val linkDoc: Column = concat(
+        lit("<html><head><title> Doc &amp;\n"),
+        col("doc_id").cast(StringType),
+        lit(" </title></head><body><a href=\"/d/"),
+        col("doc_id").cast(StringType),
+        lit("\">x</a><p><A HREF = \"https://ex.com/"), col("source"),
+        lit("?l="), col("lang"),
+        lit("\">y</A></p><a class=\"n\" href=\"#frag\">z</a>" +
+          "<a href='/single/"),
+        col("doc_id").cast(StringType),
+        lit("'>sq</a><a name=\"anchor\">no href</a></body></html>"))
+      val links = graft.functions.TextFunctions.htmlLinks(linkDoc)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.htmlTitle(linkDoc).as("title"),
+          concat_ws(",", links).as("links"),
+          size(links).cast(LongType).as("n_links"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id,
+      |  '<html><head><title> Doc &amp;' || chr(10)
+      |  || CAST(doc_id AS VARCHAR)
+      |  || ' </title></head><body><a href="/d/'
+      |  || CAST(doc_id AS VARCHAR)
+      |  || '">x</a><p><A HREF = "https://ex.com/' || source
+      |  || '?l=' || lang
+      |  || '">y</A></p><a class="n" href="#frag">z</a><a href=''/single/'
+      |  || CAST(doc_id AS VARCHAR)
+      |  || '''>sq</a><a name="anchor">no href</a></body></html>' AS html
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |  regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1)
+      |    AS title_raw,
+      |  regexp_extract_all(html,
+      |    '(?i)<a[ \t\n\r\f][^>]*?href[ \t\n\r\f]*=[ \t\n\r\f]*"([^"]*)"',
+      |    1) AS link_list
+      |  FROM h),
+      |t2 AS (SELECT doc_id, title_raw AS html, link_list FROM t)
+      |SELECT doc_id, $htmlExtractSql AS title,
+      |  array_to_string(link_list, ',') AS links,
+      |  CAST(len(link_list) AS BIGINT) AS n_links
+      |FROM t2 ORDER BY doc_id""".stripMargin)),
+
     Q("text_readability", (s, dir) => {
       // Flesch reading ease per doc: vowel-group syllables, [.!?]+
       // sentences — plain SQL expressions DuckDB replays term-for-term.

@@ -470,6 +470,35 @@ object TextFunctions {
         .as("link_tag_share_micro")))
   }
 
+  /** Outbound links of an HTML document: `href` values of `<a>` tags in
+    * document order — the crawl-graph EDGE EXTRACTOR (compose with the
+    * URL ops for canonicalization and the graph tier for link analysis:
+    * explode → urlCanonicalize → pageRank/connectedComponents).
+    * Constrained, engine-replayable semantics (the htmlText
+    * convention): only DOUBLE-QUOTED href attributes are extracted
+    * (`<a ... href = "v">`, any case, whitespace around `=` allowed,
+    * value may contain `>`); single-quoted and unquoted hrefs are a
+    * DOCUMENTED omission — one pattern cannot match both quote styles
+    * without backreferences, which RE2 (the oracle engine) lacks, and
+    * real crawl HTML is overwhelmingly double-quoted. An attribute
+    * value containing `>` BEFORE href ends the candidate tag in both
+    * engines (the `[^>]*?` constraint — identical on each side). Pure
+    * codegen'd scan-side projection; null html → null. */
+  def htmlLinks(c: Column): Column =
+    regexp_extract_all(c,
+      lit("(?i)<a[ \\t\\n\\r\\f][^>]*?href[ \\t\\n\\r\\f]*=" +
+        "[ \\t\\n\\r\\f]*\"([^\"]*)\""),
+      lit(1))
+
+  /** `<title>` of an HTML document: the FIRST title block's inner text
+    * (no nested markup by constraint — `[^<]*`), entity-decoded and
+    * whitespace-collapsed through the SAME kernel as [[htmlText]], so
+    * title semantics are exactly the document semantics applied to the
+    * title slice. No/empty title → empty string (both engines'
+    * regexp_extract no-match convention); null html → null. */
+  def htmlTitle(c: Column): Column =
+    htmlText(regexp_extract(c, "(?i)<title[^>]*>([^<]*)</title>", 1))
+
   /** Document fingerprint: 64-bit hash of the normalized text (content-
     * defined identity for exact dedup; xxhash64 = codegen'd, seed fixed). */
   def fingerprint(c: Column): Column = xxhash64(normalizeText(c))

@@ -150,4 +150,43 @@ class HtmlSpec extends AnyFunSuite {
     val big = "<p>" + ("x" * 10000) + "</p>"
     assert(extract(big) == Seq("x" * 10000))
   }
+
+  private def links(ss: String*): Seq[Seq[String]] = {
+    val s = spark
+    import s.implicits._
+    ss.toDF("h").select(TextFunctions.htmlLinks(col("h")).as("l"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0).toSeq)
+      .toSeq
+  }
+
+  test("htmlLinks: double-quoted hrefs in document order; case and " +
+      "spacing tolerated; single-quoted/unquoted/absent excluded") {
+    assert(links(
+      """<a href="/a">1</a><p><A HREF = "/b">2</A></p>""" +
+        """<a class="z" href="#f">3</a>""") == Seq(Seq("/a", "/b", "#f")))
+    assert(links(
+      """<a href='/sq'>x</a><a href=/plain>y</a><a name="n">z</a>""") ==
+      Seq(Seq()))
+    // value may contain '>'; a '>' in an EARLIER attribute ends the
+    // candidate tag (the [^>]*? constraint, identical in RE2)
+    assert(links("""<a href="x>y">v</a>""") == Seq(Seq("x>y")))
+    assert(links("""<a title="a>b" href="/miss">v</a>""") == Seq(Seq()))
+    assert(links(Seq("null").head + "") == Seq(Seq())) // no anchors
+  }
+
+  test("htmlTitle: first title block through the htmlText kernel " +
+      "(entity decode + collapse); no title -> empty; null -> null") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "<title> Doc &amp;\n42 </title><title>second</title>",
+      "<TITLE lang=\"en\">Mixed &lt;Case&gt;</TITLE>",
+      "no title here",
+      null: String
+    ).toDF("h").select(TextFunctions.htmlTitle(col("h")).as("t"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("Doc &\n42", "Mixed <Case>", "", null))
+  }
 }
