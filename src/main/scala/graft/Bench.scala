@@ -55,7 +55,9 @@ object Bench {
     * value-collapse rank-correlation path (spearman), and the survival
     * window composition (kaplan–meier) — so regressions in the
     * statistics tier surface in the driver bench, not only in hand-run
-    * scale slopes. */
+    * scale slopes; (r15) the HTML→text extraction kernel
+    * (`text_html_extract`) — the crawl-ingest representative, a pure
+    * scan-side codegen'd native-expression pass. */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
     "join_inner", "join_left", "join_semi", "join_asof",
@@ -66,7 +68,8 @@ object Bench {
     "add_row_number", "topk_custom",
     "text_quality", "text_token_count", "dedup_exact",
     "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk",
-    "events_rfm", "stat_spearman", "events_kaplan_meier")
+    "events_rfm", "stat_spearman", "events_kaplan_meier",
+    "text_html_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

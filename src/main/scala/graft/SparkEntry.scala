@@ -7308,13 +7308,13 @@ object SparkEntry {
       |FROM x ORDER BY doc_id""".stripMargin)),
 
     Q("text_html_links", (s, dir) => {
-      // crawl-graph edge + title extraction: htmlLinks (double-quoted
-      // hrefs in document order — uppercase HREF and spaces around '='
-      // extracted, single-quoted and href-less anchors excluded by the
-      // documented constraint) and htmlTitle (title slice through the
-      // SAME kernel as htmlText: entity decode + whitespace collapse).
-      // DuckDB replays both regexes and the extraction chain verbatim
-      // over the same generated HTML.
+      // crawl-graph edge + title extraction: htmlLinks (double-quoted,
+      // single-quoted AND unquoted hrefs in document order — uppercase
+      // HREF and spaces around '=' extracted, href-less anchors
+      // excluded) and htmlTitle (title slice through the SAME kernel
+      // as htmlText: entity decode + whitespace collapse). DuckDB
+      // replays the token-alternation regex, the quote-strip map, and
+      // the extraction chain verbatim over the same generated HTML.
       val linkDoc: Column = concat(
         lit("<html><head><title> Doc &amp;\n"),
         col("doc_id").cast(StringType),
@@ -7325,7 +7325,9 @@ object SparkEntry {
         lit("\">y</A></p><a class=\"n\" href=\"#frag\">z</a>" +
           "<a href='/single/"),
         col("doc_id").cast(StringType),
-        lit("'>sq</a><a name=\"anchor\">no href</a></body></html>"))
+        lit("'>sq</a><a href=/plain/"),
+        col("doc_id").cast(StringType),
+        lit(">u</a><a name=\"anchor\">no href</a></body></html>"))
       val links = graft.functions.TextFunctions.htmlLinks(linkDoc)
       Tables(s, dir).documents
         .select(col("doc_id"),
@@ -7342,14 +7344,17 @@ object SparkEntry {
       |  || '?l=' || lang
       |  || '">y</A></p><a class="n" href="#frag">z</a><a href=''/single/'
       |  || CAST(doc_id AS VARCHAR)
-      |  || '''>sq</a><a name="anchor">no href</a></body></html>' AS html
+      |  || '''>sq</a><a href=/plain/' || CAST(doc_id AS VARCHAR)
+      |  || '>u</a><a name="anchor">no href</a></body></html>' AS html
       |  FROM documents),
       |t AS (SELECT doc_id,
       |  regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1)
       |    AS title_raw,
-      |  regexp_extract_all(html,
-      |    '(?i)<a[ \t\n\r\f][^>]*?href[ \t\n\r\f]*=[ \t\n\r\f]*"([^"]*)"',
-      |    1) AS link_list
+      |  list_transform(regexp_extract_all(html,
+      |    '(?i)<a[ \t\n\r\f][^>]*?href[ \t\n\r\f]*=[ \t\n\r\f]*' ||
+      |    '("[^"]*"|''[^'']*''|[^ \t\n\r\f>"''][^ \t\n\r\f>]*)', 1),
+      |    x -> CASE WHEN x[1] = '"' OR x[1] = ''''
+      |      THEN x[2:-2] ELSE x END) AS link_list
       |  FROM h),
       |t2 AS (SELECT doc_id, title_raw AS html, link_list FROM t)
       |SELECT doc_id, $htmlExtractSql AS title,

@@ -475,20 +475,32 @@ object TextFunctions {
     * URL ops for canonicalization and the graph tier for link analysis:
     * explode → urlCanonicalize → pageRank/connectedComponents).
     * Constrained, engine-replayable semantics (the htmlText
-    * convention): only DOUBLE-QUOTED href attributes are extracted
-    * (`<a ... href = "v">`, any case, whitespace around `=` allowed,
-    * value may contain `>`); single-quoted and unquoted hrefs are a
-    * DOCUMENTED omission — one pattern cannot match both quote styles
-    * without backreferences, which RE2 (the oracle engine) lacks, and
-    * real crawl HTML is overwhelmingly double-quoted. An attribute
-    * value containing `>` BEFORE href ends the candidate tag in both
-    * engines (the `[^>]*?` constraint — identical on each side). Pure
-    * codegen'd scan-side projection; null html → null. */
-  def htmlLinks(c: Column): Column =
-    regexp_extract_all(c,
+    * convention): DOUBLE-QUOTED, SINGLE-QUOTED and UNQUOTED href
+    * attributes are all extracted in document order (`<a ... href =
+    * v>`, any case, whitespace around `=` allowed, quoted values may
+    * contain `>`). RE2 (the oracle engine) has no backreferences, so
+    * one group cannot capture "the value inside whichever quote
+    * matched" — instead ONE alternation group captures the whole value
+    * TOKEN (quotes included; the three branches are disjoint on their
+    * first character, so leftmost matching is identical in RE2 and
+    * java.util.regex), and a deterministic post-map strips the quote
+    * pair when the token starts with one. Unquoted values run to the
+    * first HTML whitespace or `>` and must be non-empty (the HTML5
+    * rule). An attribute value containing `>` BEFORE href ends the
+    * candidate tag in both engines (the `[^>]*?` constraint —
+    * identical on each side). Scan-side projection (regexp scan
+    * codegen'd; the quote-strip is a higher-order array map); null
+    * html → null. */
+  def htmlLinks(c: Column): Column = {
+    val raw = regexp_extract_all(c,
       lit("(?i)<a[ \\t\\n\\r\\f][^>]*?href[ \\t\\n\\r\\f]*=" +
-        "[ \\t\\n\\r\\f]*\"([^\"]*)\""),
+        "[ \\t\\n\\r\\f]*(\"[^\"]*\"|'[^']*'|" +
+        "[^ \\t\\n\\r\\f>\"'][^ \\t\\n\\r\\f>]*)"),
       lit(1))
+    transform(raw, t =>
+      when(substring(t, 1, 1) === "\"" || substring(t, 1, 1) === "'",
+        t.substr(lit(2), length(t) - 2)).otherwise(t))
+  }
 
   /** `<title>` of an HTML document: the FIRST title block's inner text
     * (no nested markup by constraint — `[^<]*`), entity-decoded and

@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions._
   *     CovarianceMoments pass, 8·dim² bytes per task partial — linear
   *     in rows with a constant driver eigensolve tail.
   *
-  * Run: `sbt -batch "runMain graft.tools.ScaleSlopeR15 [shards|pca]"`. */
+  *  3. The r15 HTML tier x1/x10/x100: htmlText + htmlStats + htmlLinks
+  *     + htmlTitle over documents wrapped in the same deterministic
+  *     HTML shape the oracles use. Claim: pure scan-side
+  *     native-expression passes — no shuffle, no state — so per-row
+  *     cost must be FLAT in corpus size (the only moving part is the
+  *     single-pass kernel over each document's bytes).
+  *
+  * Run: `sbt -batch "runMain graft.tools.ScaleSlopeR15 [shards|pca|html]"`. */
 object ScaleSlopeR15 {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.build()
@@ -71,6 +78,49 @@ object ScaleSlopeR15 {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SLOPE pca $label%-5s n=$n%9d sec=$dt%8.2f " +
           f"us_per_row=${dt * 1e6 / n}%8.1f nModel=${model.n}%d")
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (on("html")) {
+      import org.apache.spark.sql.types.StringType
+      import graft.functions.TextFunctions
+      val baseD = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      for ((label, r) <- Seq(("x1", 1), ("x10", 10), ("x100", 100))) {
+        val d =
+          if (r == 1) baseD
+          else baseD.crossJoin(spark.range(r).select(col("id").as("rep")))
+            .select((col("doc_id") + col("rep") * 100000000L)
+              .as("doc_id"), col("source"), col("lang"), col("text"))
+        // same deterministic wrapper shape as the oracle rows (doctype,
+        // title, style+script, comment, blocks, inline a/b, entities)
+        val html = concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "),
+          col("doc_id").cast(StringType),
+          lit("</title><style>body { color: #333; }</style>" +
+            "<script>var n = 1 < 2 && \"q\";</script>" +
+            "</head><body><!-- source "),
+          col("source"),
+          lit(" --><h1>Doc "), col("doc_id").cast(StringType),
+          lit("</h1><p>lang &quot;"), col("lang"),
+          lit("&quot; &amp; <b>"), col("source"),
+          lit("</b></p><div><p>"), col("text"),
+          lit("</p><a href=\"/d/"), col("doc_id").cast(StringType),
+          lit("\">next&nbsp;&gt;</a></div></body></html>"))
+        val n = d.count()
+        val st = TextFunctions.htmlStats(html)
+        val t0 = System.nanoTime()
+        d.select(col("doc_id"),
+            length(TextFunctions.htmlText(html)).as("n_text"),
+            st.getField("text_share_micro").as("share"),
+            size(TextFunctions.htmlLinks(html)).as("n_links"),
+            length(TextFunctions.htmlTitle(html)).as("n_title"))
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SLOPE html $label%-5s n=$n%9d sec=$dt%8.2f " +
+          f"us_per_row=${dt * 1e6 / n}%8.1f")
         spark.catalog.clearCache()
       }
     }

@@ -160,17 +160,26 @@ class HtmlSpec extends AnyFunSuite {
       .toSeq
   }
 
-  test("htmlLinks: double-quoted hrefs in document order; case and " +
-      "spacing tolerated; single-quoted/unquoted/absent excluded") {
+  test("htmlLinks: double/single/unquoted hrefs in document order; " +
+      "case and spacing tolerated; href-less anchors excluded") {
     assert(links(
       """<a href="/a">1</a><p><A HREF = "/b">2</A></p>""" +
         """<a class="z" href="#f">3</a>""") == Seq(Seq("/a", "/b", "#f")))
+    // all three quote styles extracted, document order preserved
+    // ACROSS styles (one alternation pass, not one pass per style)
     assert(links(
-      """<a href='/sq'>x</a><a href=/plain>y</a><a name="n">z</a>""") ==
-      Seq(Seq()))
-    // value may contain '>'; a '>' in an EARLIER attribute ends the
-    // candidate tag (the [^>]*? constraint, identical in RE2)
+      """<a href='/sq'>x</a><a href="/dq">y</a><a href=/plain>z</a>""" +
+        """<a name="n">w</a>""") ==
+      Seq(Seq("/sq", "/dq", "/plain")))
+    // empty quoted values survive as empty strings; unquoted values
+    // must be non-empty (HTML5 rule) so `href=>` yields nothing
+    assert(links("""<a href="">a</a><a href=''>b</a><a href=>c</a>""") ==
+      Seq(Seq("", "")))
+    // QUOTED value may contain '>'; a '>' in an EARLIER attribute ends
+    // the candidate tag (the [^>]*? constraint, identical in RE2); an
+    // unquoted value stops at '>' or whitespace
     assert(links("""<a href="x>y">v</a>""") == Seq(Seq("x>y")))
+    assert(links("""<a href='x>y'>v</a>""") == Seq(Seq("x>y")))
     assert(links("""<a title="a>b" href="/miss">v</a>""") == Seq(Seq()))
     assert(links(Seq("null").head + "") == Seq(Seq())) // no anchors
   }
