@@ -57,7 +57,9 @@ object Bench {
     * statistics tier surface in the driver bench, not only in hand-run
     * scale slopes; (r15) the HTML→text extraction kernel
     * (`text_html_extract`) — the crawl-ingest representative, a pure
-    * scan-side codegen'd native-expression pass. */
+    * scan-side codegen'd native-expression pass — and the robots.txt
+    * verdict chain (`web_robots_decide`) — parse + group windows +
+    * host join + regex match, the crawl-compliance representative. */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
     "join_inner", "join_left", "join_semi", "join_asof",
@@ -69,7 +71,7 @@ object Bench {
     "text_quality", "text_token_count", "dedup_exact",
     "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk",
     "events_rfm", "stat_spearman", "events_kaplan_meier",
-    "text_html_extract")
+    "text_html_extract", "web_robots_decide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

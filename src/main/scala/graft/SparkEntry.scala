@@ -120,6 +120,92 @@ object SparkEntry {
     """'[ \t\r\f]+', ' ', 'g'), e' \t\n\r\f')"""
   }
 
+  /** Deterministic per-host robots.txt over the nation table (host
+    * `h<k>.ex`): comment + CRLF noise, a `*` group (path-keyed
+    * Disallow/Allow + a `*.log` wildcard), a consecutive-header
+    * graftbot/minorbot group on every 3rd host (with a `$`-anchored
+    * Disallow and a longer Allow), and an emptybot group whose empty
+    * Disallow must be dropped. Both robots oracles feed the SAME text
+    * to Spark ([[robotsGen]]) and DuckDB ([[robotsOracleCtes]]). */
+  private def robotsGen(t: Tables): DataFrame = {
+    val k = col("n_nationkey").cast(StringType)
+    t.nation.select(
+      concat(lit("h"), k, lit(".ex")).as("host"),
+      concat(
+        lit("# robots for host "), k, lit("\r\nUser-agent: *\n"),
+        lit("Disallow: /private"), k, lit("/\n"),
+        lit("Allow: /private"), k, lit("/ok.html\n"),
+        lit("Disallow: /tmp/*.log\n"),
+        when(col("n_nationkey") % 3 === 0, concat(
+          lit("\nUser-agent: graftbot\nUser-agent: minorbot\n"),
+          lit("Disallow: /gb"), k, lit("$\n"),
+          lit("Allow: /gb"), k, lit("/sub\n"))).otherwise(lit("")),
+        when(col("n_nationkey") % 5 === 0,
+          lit("\nUser-agent: emptybot\nDisallow:\n"))
+          .otherwise(lit(""))).as("txt"))
+  }
+
+  /** DuckDB replay of [[robotsGen]] + the `Web.robotsRules` chain for
+    * agent `graftbot`, ending in a `rules(host, pattern, allow, plen)`
+    * CTE. Kept as one shared prefix so the rules and decisions oracles
+    * cannot drift. */
+  private val robotsOracleCtes: String =
+    """rb AS (SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.ex' AS host,
+      |  '# robots for host ' || CAST(n_nationkey AS VARCHAR) ||
+      |    chr(13) || chr(10) ||
+      |  'User-agent: *' || chr(10) ||
+      |  'Disallow: /private' || CAST(n_nationkey AS VARCHAR) || '/' ||
+      |    chr(10) ||
+      |  'Allow: /private' || CAST(n_nationkey AS VARCHAR) ||
+      |    '/ok.html' || chr(10) ||
+      |  'Disallow: /tmp/*.log' || chr(10) ||
+      |  CASE WHEN n_nationkey % 3 = 0 THEN chr(10) ||
+      |    'User-agent: graftbot' || chr(10) ||
+      |    'User-agent: minorbot' || chr(10) ||
+      |    'Disallow: /gb' || CAST(n_nationkey AS VARCHAR) || '$' ||
+      |      chr(10) ||
+      |    'Allow: /gb' || CAST(n_nationkey AS VARCHAR) || '/sub' ||
+      |      chr(10)
+      |  ELSE '' END ||
+      |  CASE WHEN n_nationkey % 5 = 0 THEN chr(10) ||
+      |    'User-agent: emptybot' || chr(10) || 'Disallow:' || chr(10)
+      |  ELSE '' END AS txt
+      |  FROM nation),
+      |ll AS (SELECT host, string_split(txt, chr(10)) AS ls FROM rb),
+      |lx AS (SELECT host, i AS ln,
+      |  trim(regexp_replace(replace(ls[i], chr(13), ''), '#.*', ''),
+      |    ' ' || chr(9)) AS line
+      |  FROM ll, LATERAL (SELECT UNNEST(generate_series(1, len(ls)))
+      |    AS i) t),
+      |cl AS (SELECT host, ln,
+      |  regexp_matches(line, '(?i)^user-agent[ \t]*:') AS is_ua,
+      |  regexp_matches(line, '(?i)^allow[ \t]*:') AS is_allow,
+      |  regexp_matches(line, '(?i)^disallow[ \t]*:') AS is_dis,
+      |  trim(regexp_extract(line, '(?i)^[a-z-]+[ \t]*:[ \t]*(.*)$', 1))
+      |    AS value
+      |  FROM lx),
+      |rc AS (SELECT * FROM cl WHERE is_ua OR is_allow OR is_dis),
+      |mk AS (SELECT *, CASE WHEN is_ua AND NOT coalesce(
+      |    LAG(is_ua) OVER (PARTITION BY host ORDER BY ln), FALSE)
+      |  THEN 1 ELSE 0 END AS gstart FROM rc),
+      |gg AS (SELECT *, SUM(gstart)
+      |  OVER (PARTITION BY host ORDER BY ln) AS gid FROM mk),
+      |gsel AS (SELECT host, gid,
+      |  MAX(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END)
+      |    AS g_exact,
+      |  MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS g_star
+      |  FROM gg WHERE is_ua GROUP BY host, gid),
+      |hx AS (SELECT host, MAX(g_exact) AS h_exact FROM gsel
+      |  GROUP BY host),
+      |app AS (SELECT gsel.host, gid FROM gsel
+      |  JOIN hx ON gsel.host = hx.host
+      |  WHERE g_exact = 1 OR (h_exact = 0 AND g_star = 1)),
+      |rules AS (SELECT gg.host, value AS pattern, is_allow AS allow,
+      |  CAST(len(value) AS BIGINT) AS plen
+      |  FROM gg JOIN app ON gg.host = app.host AND gg.gid = app.gid
+      |  WHERE (is_allow OR is_dis) AND gg.gid > 0 AND len(value) > 0)
+      |""".stripMargin
+
   /** Shared CTE prefix for the minhash true-oracles: the dup-augmented
     * corpus, tokenized, 3-gram shingled (distinct). */
   private val minhashOracleBase =
@@ -7361,6 +7447,176 @@ object SparkEntry {
       |  array_to_string(link_list, ',') AS links,
       |  CAST(len(link_list) AS BIGINT) AS n_links
       |FROM t2 ORDER BY doc_id""".stripMargin)),
+
+    Q("text_html_meta", (s, dir) => {
+      // page-metadata extraction: htmlMeta (first match, both attribute
+      // orders, quote-inclusive capture disambiguating empty content
+      // from no match), canonicalLink, metaRobotsFlags. The generated
+      // HTML exercises both orders, both quote styles, a case-varied
+      // robots meta cycling index/noindex directives, and a later
+      // decoy description that must LOSE to the first. DuckDB replays
+      // the IDENTICAL pattern strings (interpolated from
+      // TextFunctions.htmlMetaPattern/canonicalLinkPattern, so the two
+      // engines cannot drift) plus the same CASE/quote-strip logic.
+      val f = graft.functions.TextFunctions
+      val id = col("doc_id").cast(StringType)
+      val doc = concat(
+        lit("<html><head><meta charset=\"utf-8\">" +
+          "<meta name=\"description\" content=\"Doc "), id,
+        lit(" summary\"><meta content='"), col("lang"),
+        lit("' property='og:locale'>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(col("doc_id") % 3 === 1,
+            lit("<META NAME='Robots' CONTENT='index, nofollow'>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://ex.com/d/"),
+            id, lit("\">")))
+          .otherwise(concat(lit("<link href='https://alt.org/"), id,
+            lit("' rel='canonical'>"))),
+        lit("<meta name=\"description\" content=\"decoy later\">" +
+          "</head><body>x</body></html>"))
+      val flags = f.metaRobotsFlags(doc)
+      Tables(s, dir).documents.select(col("doc_id"),
+        f.htmlMeta(doc, "description").as("description"),
+        f.htmlMeta(doc, "og:locale").as("og_locale"),
+        f.canonicalLink(doc).as("canonical"),
+        flags.getField("noindex").as("noindex"),
+        flags.getField("nofollow").as("nofollow"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some {
+      def sq(p: String): String = p.replace("'", "''")
+      def field(pat: String): String = {
+        val p = sq(pat)
+        s"""CASE WHEN html IS NULL THEN NULL
+           |    WHEN len(regexp_extract(html, '$p', 1)) >= 2
+           |      THEN (regexp_extract(html, '$p', 1))[2:-2]
+           |    WHEN len(regexp_extract(html, '$p', 2)) >= 2
+           |      THEN (regexp_extract(html, '$p', 2))[2:-2]
+           |    END""".stripMargin
+      }
+      val descP = graft.functions.TextFunctions.htmlMetaPattern("description")
+      val ogP = graft.functions.TextFunctions.htmlMetaPattern("og:locale")
+      val robP = graft.functions.TextFunctions.htmlMetaPattern("robots")
+      val canP = graft.functions.TextFunctions.canonicalLinkPattern
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><meta charset="utf-8">' ||
+         |  '<meta name="description" content="Doc ' ||
+         |  CAST(doc_id AS VARCHAR) || ' summary">' ||
+         |  '<meta content=''' || lang || ''' property=''og:locale''>' ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN '<meta name="robots" content="noindex">'
+         |  WHEN doc_id % 3 = 1
+         |    THEN '<META NAME=''Robots'' CONTENT=''index, nofollow''>'
+         |  ELSE '' END ||
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN '<link rel="canonical" href="https://ex.com/d/' ||
+         |      CAST(doc_id AS VARCHAR) || '">'
+         |  ELSE '<link href=''https://alt.org/' ||
+         |      CAST(doc_id AS VARCHAR) || ''' rel=''canonical''>' END ||
+         |  '<meta name="description" content="decoy later">' ||
+         |  '</head><body>x</body></html>' AS html
+         |  FROM documents),
+         |x AS (SELECT doc_id, html,
+         |  ${field(descP)} AS description,
+         |  ${field(ogP)} AS og_locale,
+         |  ${field(canP)} AS canonical,
+         |  ${field(robP)} AS rob FROM h),
+         |d AS (SELECT *, list_transform(
+         |  string_split(lower(coalesce(rob, '')), ','),
+         |  t -> trim(t)) AS dirs FROM x)
+         |SELECT doc_id, description, og_locale, canonical,
+         |  CASE WHEN html IS NULL THEN NULL
+         |    ELSE list_contains(dirs, 'noindex')
+         |      OR list_contains(dirs, 'none') END AS noindex,
+         |  CASE WHEN html IS NULL THEN NULL
+         |    ELSE list_contains(dirs, 'nofollow')
+         |      OR list_contains(dirs, 'none') END AS nofollow
+         |FROM d ORDER BY doc_id""".stripMargin
+    }),
+
+    Q("web_robots_rules", (s, dir) => {
+      // RFC 9309 robots.txt parsing for agent 'graftbot' over generated
+      // per-host files (nation-keyed): comment + CRLF noise, a * group,
+      // a consecutive-ua graftbot/minorbot group on every 3rd host
+      // (exact beats * file-wide), an emptybot group whose empty
+      // Disallow is dropped. DuckDB replays the line/group/selection
+      // chain with the same regexes and windows.
+      Web.robotsRules(robotsGen(Tables(s, dir)), "host", "txt",
+        "graftbot")
+        .sortByKeys(SortKey("host"), SortKey("pattern"), SortKey("allow"))
+    }, Some("WITH " + robotsOracleCtes +
+      """SELECT host, pattern, allow, plen FROM rules
+        |ORDER BY host, pattern, allow""".stripMargin)),
+
+    Q("web_robots_decide", (s, dir) => {
+      // per-URL robots verdicts for 'graftbot': longest-match
+      // precedence, allow-wins-ties, $ anchoring (/gbK$ blocks /gbK
+      // but not /gbK/sub/page), wildcard *.log, query-in-target,
+      // hosts with no robots.txt (doc_id%30 >= 25) defaulting to
+      // allowed, and junk URLs (doc_id%7==6) getting a null verdict.
+      val k = (col("doc_id") % 30).cast(StringType)
+      val path = when(col("doc_id") % 6 === 0,
+        concat(lit("/private"), k, lit("/x.html")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("/private"), k, lit("/ok.html")))
+        .when(col("doc_id") % 6 === 2, lit("/tmp/run.log"))
+        .when(col("doc_id") % 6 === 3, concat(lit("/gb"), k))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("/gb"), k, lit("/sub/page")))
+        .otherwise(lit("/pub/page.html?x=1&y=2"))
+      val url = when(col("doc_id") % 7 === 6, lit("not a url"))
+        .otherwise(concat(lit("http://h"), k, lit(".ex"), path))
+      Web.robotsDecisions(
+        Tables(s, dir).documents.select(col("doc_id"), url.as("url")),
+        "url", robotsGen(Tables(s, dir)), "host", "txt", "graftbot")
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("WITH " + robotsOracleCtes + ",\n" +
+      """u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 6 THEN 'not a url'
+        |    ELSE 'http://h' || CAST(doc_id % 30 AS VARCHAR) || '.ex' ||
+        |      CASE doc_id % 6
+        |        WHEN 0 THEN '/private' || CAST(doc_id % 30 AS VARCHAR)
+        |          || '/x.html'
+        |        WHEN 1 THEN '/private' || CAST(doc_id % 30 AS VARCHAR)
+        |          || '/ok.html'
+        |        WHEN 2 THEN '/tmp/run.log'
+        |        WHEN 3 THEN '/gb' || CAST(doc_id % 30 AS VARCHAR)
+        |        WHEN 4 THEN '/gb' || CAST(doc_id % 30 AS VARCHAR)
+        |          || '/sub/page'
+        |        ELSE '/pub/page.html?x=1&y=2' END
+        |  END AS url FROM documents),
+        |up AS (SELECT doc_id, url,
+        |  nullif(lower(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1)), '') AS uhost,
+        |  coalesce(nullif(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)', 1), ''), '/')
+        |    || CASE WHEN nullif(regexp_extract(url,
+        |      '^[^?#]*\?([^#]*)', 1), '') IS NOT NULL
+        |      THEN '?' || regexp_extract(url, '^[^?#]*\?([^#]*)', 1)
+        |      ELSE '' END AS target FROM u),
+        |rrx AS (SELECT host, allow, plen,
+        |  '^' || replace(regexp_replace(
+        |    CASE WHEN pattern LIKE '%$' THEN left(pattern, len(pattern) - 1)
+        |      ELSE pattern END,
+        |    '([.^$+?()\[\]{}|\\])', '\\\1', 'g'), '*', '.*') ||
+        |  CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx
+        |  FROM rules),
+        |j AS (SELECT up.doc_id, up.url, up.uhost, up.target,
+        |  rrx.allow AS rallow, rrx.plen AS rplen, rrx.rx AS rrx
+        |  FROM up LEFT JOIN rrx ON up.uhost = rrx.host),
+        |v AS (SELECT doc_id, url, uhost,
+        |  MAX(CASE WHEN rallow AND regexp_matches(target, rrx)
+        |    THEN rplen END) AS a,
+        |  MAX(CASE WHEN NOT rallow AND regexp_matches(target, rrx)
+        |    THEN rplen END) AS d
+        |  FROM j GROUP BY doc_id, url, uhost)
+        |SELECT doc_id, url,
+        |  CASE WHEN uhost IS NULL THEN NULL
+        |    ELSE coalesce(a, -1) >= coalesce(d, -2) END AS allowed,
+        |  a AS allow_len, d AS disallow_len
+        |FROM v ORDER BY doc_id""".stripMargin)),
 
     Q("text_readability", (s, dir) => {
       // Flesch reading ease per doc: vowel-group syllables, [.!?]+

@@ -511,6 +511,96 @@ object TextFunctions {
   def htmlTitle(c: Column): Column =
     htmlText(regexp_extract(c, "(?i)<title[^>]*>([^<]*)</title>", 1))
 
+  private val htmlWs = "[ \\t\\n\\r\\f]"
+
+  /** Regex-escape a literal attribute value for embedding in the meta/link
+    * patterns (names like `og:description` pass through; a `.` or `+` in a
+    * caller-supplied name must not become a metacharacter). Escapes are
+    * RE2-safe (no lookaround, no backreferences). */
+  private def reLit(s: String): String =
+    s.flatMap(ch => if ("\\.^$+?()[]{}|*".indexOf(ch) >= 0) s"\\$ch"
+      else ch.toString)
+
+  /** Quoted-value token: the htmlLinks convention — the group captures the
+    * value WITH its quotes, so a non-participating alternation branch
+    * (regexp_extract returns "") is distinguishable from a participating
+    * EMPTY value (returns `""` or `''`, length 2). */
+  private val qVal = "(\"[^\"]*\"|'[^']*')"
+
+  private def stripQuotes(t: Column): Column =
+    when(length(t) >= lit(2), t.substr(lit(2), length(t) - 2))
+      .otherwise(lit(null).cast(StringType))
+
+  /** Content of the FIRST `<meta name="NAME" content="...">` (or
+    * `property="NAME"` — the OpenGraph convention) in the document —
+    * the page-metadata reader feeding description/og:* enrichment and
+    * the [[metaRobotsFlags]] noindex policy filter. BOTH attribute
+    * orders are matched (`name` before `content` and `content` before
+    * `name`) by one two-branch alternation whose branches capture
+    * DIFFERENT groups; the first match in document order wins in RE2
+    * and java.util.regex alike (leftmost-first), and the participating
+    * branch is identified by quote-inclusive capture (see [[htmlLinks]]
+    * — an empty `content=""` yields a 2-char token, a dead branch
+    * yields ""). Values must be quoted (either style, the universal
+    * convention for content attributes); the name match is
+    * case-insensitive. No match → null; null html → null. */
+  /** The exact [[htmlMeta]] regex — public so the DuckDB oracle query
+    * interpolates the SAME pattern string both engines run. */
+  def htmlMetaPattern(name: String): String = {
+    val nm = s"(?:name|property)$htmlWs*=$htmlWs*[\"']${reLit(name)}[\"']"
+    val ct = s"content$htmlWs*=$htmlWs*"
+    s"(?i)<meta$htmlWs[^>]*?(?:$nm[^>]*?$ct$qVal|$ct$qVal[^>]*?$nm)"
+  }
+
+  def htmlMeta(c: Column, name: String): Column = {
+    val pat = htmlMetaPattern(name)
+    val g1 = regexp_extract(c, pat, 1)
+    val g2 = regexp_extract(c, pat, 2)
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(stripQuotes(when(length(g1) >= 2, g1).otherwise(g2)))
+  }
+
+  /** `href` of the FIRST `<link rel="canonical" href="...">` — THE dedup
+    * key crawlers trust before any content hashing (the same article
+    * under print/mobile/tracking URLs declares one canonical). Both
+    * attribute orders, quoted values, same alternation/quote-inclusive
+    * machinery as [[htmlMeta]]. Compose with `Web.canonicalizeUrl` for
+    * the canonical-URL dedup key. No canonical link → null. */
+  /** The exact [[canonicalLink]] regex (oracle-shared like
+    * [[htmlMetaPattern]]). */
+  val canonicalLinkPattern: String = {
+    val rel = s"rel$htmlWs*=$htmlWs*[\"']canonical[\"']"
+    val hrf = s"href$htmlWs*=$htmlWs*"
+    s"(?i)<link$htmlWs[^>]*?(?:$rel[^>]*?$hrf$qVal|$hrf$qVal[^>]*?$rel)"
+  }
+
+  def canonicalLink(c: Column): Column = {
+    val pat = canonicalLinkPattern
+    val g1 = regexp_extract(c, pat, 1)
+    val g2 = regexp_extract(c, pat, 2)
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(stripQuotes(when(length(g1) >= 2, g1).otherwise(g2)))
+  }
+
+  /** Robots meta directives as filter-ready booleans:
+    * struct(noindex, nofollow) from the FIRST `<meta name="robots">`
+    * tag's comma-separated directive list (case-insensitive, spaces
+    * tolerated; `none` = both, per the Google/Bing convention). A page
+    * WITHOUT a robots meta is (false, false) — indexable by default,
+    * the REP rule — so the struct is null only for null html. The
+    * page-level counterpart of the robots.txt decision in `Web`:
+    * training-data governance filters drop noindex pages the same way
+    * they drop robots-disallowed URLs. */
+  def metaRobotsFlags(c: Column): Column = {
+    val dirs = transform(
+      split(lower(coalesce(htmlMeta(c, "robots"), lit(""))), ","),
+      d => trim(d))
+    val has = (v: String) =>
+      array_contains(dirs, v) || array_contains(dirs, "none")
+    when(c.isNotNull,
+      struct(has("noindex").as("noindex"), has("nofollow").as("nofollow")))
+  }
+
   /** Document fingerprint: 64-bit hash of the normalized text (content-
     * defined identity for exact dedup; xxhash64 = codegen'd, seed fixed). */
   def fingerprint(c: Column): Column = xxhash64(normalizeText(c))

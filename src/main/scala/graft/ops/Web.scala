@@ -84,4 +84,159 @@ object Web {
     when(proto.isNull || host.isNull, lit(null).cast("string"))
       .otherwise(concat(proto, lit("://"), host, path, query))
   }
+
+  // ---- robots.txt (RFC 9309 Robots Exclusion Protocol) -----------------
+
+  /** Parse a (host, robots.txt) table into the rule set that applies to
+    * `agent`: (hostCol, pattern, allow, plen). The crawl-governance
+    * primitive — a training-data pipeline that keeps robots-disallowed
+    * pages is a compliance bug, so "which of my 100 TB of pages was I
+    * allowed to fetch" is a first-class audit query
+    * ([[robotsDecisions]] answers it with this rule table).
+    *
+    * RFC 9309 semantics, constrained to be engine-replayable:
+    *  - Lines split on `\n`; `#` comments stripped; whitespace and `\r`
+    *    trimmed. Only `user-agent` / `allow` / `disallow` lines are
+    *    recognized (field names case-insensitive).
+    *  - CONSECUTIVE user-agent lines form one group header; the
+    *    allow/disallow lines after them (until the next header) bind to
+    *    ALL those agents. Rules before any user-agent line are invalid
+    *    and dropped (RFC 9309 §2.2.1).
+    *  - Group selection: if ANY group names `agent` exactly
+    *    (case-insensitive product-token equality — substring matching
+    *    is a documented omission), only those groups apply; otherwise
+    *    the `*` groups apply (RFC: most-specific match, no blending).
+    *  - Empty-value rules are dropped (`Disallow:` with no path means
+    *    allow-all, i.e. NO rule — the classic "empty robots" file).
+    *  - `plen` = pattern length in characters, the RFC precedence key
+    *    ("most octets" — our corpora are ASCII-path by convention).
+    *
+    * Scale shape: one posexplode to (host, line) — bounded fan-out, a
+    * robots.txt is capped at 500 KiB by the RFC — then line
+    * classification as a scan-side projection and group assembly via
+    * windows PARTITIONED BY HOST (bounded relation: lines of one file),
+    * one conditional-agg per (host, group), one broadcast-size
+    * aggregate per host for the exact-beats-star selection. No global
+    * window, no driver work. */
+  def robotsRules(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(txtCol), lit("")), "\n"))
+          .as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        // \r stripped BEFORE the comment cut: Java's `.` excludes \r
+        // while RE2's does not, so a line with both survives the two
+        // engines identically only once \r is gone
+        trim(regexp_replace(regexp_replace(col("raw"), "\r", ""),
+          "#.*", ""), " \t").as("line"))
+    val classified = lines
+      .select(col("host"), col("ln"),
+        col("line").rlike("(?i)^user-agent[ \t]*:").as("is_ua"),
+        col("line").rlike("(?i)^allow[ \t]*:").as("is_allow"),
+        col("line").rlike("(?i)^disallow[ \t]*:").as("is_dis"),
+        trim(regexp_extract(col("line"),
+          "(?i)^[a-z-]+[ \t]*:[ \t]*(.*)$", 1)).as("value"))
+      .where(col("is_ua") || col("is_allow") || col("is_dis"))
+    // group id: a ua line starts a group unless the previous recognized
+    // line was also a ua line (consecutive ua lines share one header).
+    // Two window steps — lag first, running sum second (a window
+    // function may not nest inside another window aggregate).
+    val wSeq = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grouped = classified
+      .withColumn("gstart",
+        when(col("is_ua") &&
+          !coalesce(lag(col("is_ua"), 1).over(wSeq), lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum(col("gstart")).over(wSeq))
+      .drop("gstart")
+    // group applicability: exact agent match beats '*' FILE-WIDE
+    val groups = grouped.where(col("is_ua"))
+      .groupBy(col("host"), col("gid"))
+      .agg(
+        max((lower(col("value")) === agentLc).cast("int")).as("g_exact"),
+        max((col("value") === "*").cast("int")).as("g_star"))
+    val hostHasExact = groups.groupBy(col("host"))
+      .agg(max(col("g_exact")).as("h_exact"))
+    val applicable = groups.join(hostHasExact, Seq("host"))
+      .where(col("g_exact") === 1 ||
+        (col("h_exact") === 0 && col("g_star") === 1))
+      .select(col("host"), col("gid"))
+    grouped.where((col("is_allow") || col("is_dis")) &&
+        col("gid") > 0 && length(col("value")) > 0)
+      .join(applicable, Seq("host", "gid"))
+      .select(col("host"), col("value").as("pattern"),
+        col("is_allow").as("allow"),
+        length(col("value")).cast("long").as("plen"))
+  }
+
+  /** A robots.txt path pattern as an anchored regex, RFC 9309 matching:
+    * the pattern matches a PREFIX of the path unless it ends with `$`
+    * (end anchor); `*` matches any span. Everything else is literal —
+    * regex metacharacters are escaped, so the compiled form is pure
+    * literals + `.*` + anchors, on which RE2 and java.util.regex agree
+    * symbol for symbol (the oracle-parity requirement). */
+  def robotsPatternRegex(pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val esc = regexp_replace(body,
+      "([.^$+?()\\[\\]{}|\\\\])", "\\\\$1")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Per-URL robots verdict: (url rows) + `allowed` + the winning rule
+    * lengths. Match target = path plus `?query` when present (empty
+    * path → `/`). RFC 9309 precedence: the longest matching pattern
+    * wins; a tie between an allow and a disallow of equal length goes
+    * to ALLOW (least-restrictive rule). No matching rule, no applicable
+    * group, or no robots.txt for the host at all → allowed (the REP
+    * default). URLs with no parseable host → allowed=null (junk URLs
+    * get no verdict, the `try_parse_url` convention).
+    *
+    * Scale shape: one scan-side parse projection on the URL side; ONE
+    * hash join on the lowercased host (the rules side is
+    * robots-file-bounded per host — skew-free by construction since no
+    * host's rule list exceeds the RFC size cap); one conditional
+    * aggregate back to URL grain (max matching plen per verdict side).
+    * The pattern→regex compilation is a scan-side expression on the
+    * RULES side, so each pattern compiles once per rule row, not once
+    * per (url, rule) pair.
+    *
+    * The verdict re-aggregates on the input frame's FULL column set, so
+    * byte-identical duplicate input rows merge into one output row —
+    * pass a keyed frame (id, url) when duplicates must survive. */
+  def robotsDecisions(df: DataFrame, urlCol: String, robots: DataFrame,
+      hostCol: String, txtCol: String, agent: String): DataFrame = {
+    val rules = robotsRules(robots, hostCol, txtCol, agent)
+      .withColumn("__rx", robotsPatternRegex(col("pattern")))
+      .select(lower(col("host")).as("__rhost"), col("__rx"),
+        col("allow").as("__rallow"), col("plen").as("__rplen"))
+    val host = lower(try_parse_url(col(urlCol), lit("HOST")))
+    val path = coalesce(nullif(try_parse_url(col(urlCol), lit("PATH")),
+      lit("")), lit("/"))
+    val q = try_parse_url(col(urlCol), lit("QUERY"))
+    val target = concat(path,
+      when(q.isNotNull, concat(lit("?"), q)).otherwise(lit("")))
+    val urls = df.withColumn("__host", host).withColumn("__target", target)
+    urls.join(rules, urls("__host") === rules("__rhost"), "left")
+      .groupBy(urls.columns.map(urls(_)).toSeq: _*)
+      .agg(
+        max(when(col("__rallow") &&
+          regexp_like(col("__target"), col("__rx")),
+          col("__rplen"))).as("__a"),
+        max(when(!col("__rallow") &&
+          regexp_like(col("__target"), col("__rx")),
+          col("__rplen"))).as("__d"))
+      .withColumn("allowed",
+        when(col("__host").isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(col("__a"), lit(-1L)) >=
+            coalesce(col("__d"), lit(-2L))))
+      .withColumn("allow_len", col("__a"))
+      .withColumn("disallow_len", col("__d"))
+      .drop("__host", "__target", "__a", "__d")
+  }
 }

@@ -198,4 +198,69 @@ class HtmlSpec extends AnyFunSuite {
       .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
     assert(got == Seq("Doc &\n42", "Mixed <Case>", "", null))
   }
+
+  private def meta(name: String, ss: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    ss.toDF("h").select(TextFunctions.htmlMeta(col("h"), name).as("m"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+  }
+
+  test("htmlMeta: first match wins; both attribute orders; property= " +
+      "alias; empty content distinguished from no match") {
+    assert(meta("description",
+      """<meta name="description" content="first desc">""" +
+        """<meta name="description" content="second">""",
+      """<meta content="order swapped" name="description">""",
+      """<META NAME = "Description" CONTENT = 'single quoted'>""",
+      """<meta name="keywords" content="other tag only">""",
+      """<meta name="description" content="">""",
+      null: String) ==
+      Seq("first desc", "order swapped", "single quoted", null, "", null))
+    // OpenGraph property= form
+    assert(meta("og:title",
+      """<meta property="og:title" content="OG Title">""") ==
+      Seq("OG Title"))
+    // a '>' inside an earlier quoted attr ends the candidate tag (the
+    // [^>]*? constraint, identical in RE2) — documented like htmlLinks
+    assert(meta("d", """<meta x="a>b" name="d" content="v">""") ==
+      Seq(null: String))
+  }
+
+  test("canonicalLink: both orders; first wins; none -> null") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      """<link rel="canonical" href="https://ex.com/a">""" +
+        """<link rel="canonical" href="https://ex.com/b">""",
+      """<link href='https://ex.com/swap' rel='canonical'>""",
+      """<link rel="stylesheet" href="/css">""",
+      null: String
+    ).toDF("h").select(TextFunctions.canonicalLink(col("h")).as("c"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("https://ex.com/a", "https://ex.com/swap",
+      null, null))
+  }
+
+  test("metaRobotsFlags: directive list parsing; none=both; default " +
+      "indexable; null html -> null struct") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      """<meta name="robots" content="noindex, nofollow">""",
+      """<meta name="ROBOTS" content=" NOINDEX ">""",
+      """<meta name="robots" content="none">""",
+      """<meta name="robots" content="index, follow">""",
+      """no robots meta at all""",
+      null: String
+    ).toDF("h")
+      .select(TextFunctions.metaRobotsFlags(col("h")).as("f"))
+      .select(col("f.noindex"), col("f.nofollow"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getBoolean(0),
+        if (r.isNullAt(1)) null else r.getBoolean(1))).toSeq
+    assert(got == Seq((true, true), (true, false), (true, true),
+      (false, false), (false, false), (null, null)))
+  }
 }
