@@ -7618,6 +7618,141 @@ object SparkEntry {
         |  a AS allow_len, d AS disallow_len
         |FROM v ORDER BY doc_id""".stripMargin)),
 
+    Q("web_warc_records", (s, dir) => {
+      // WARC/WET ingest: per-doc generated two-record file (warcinfo +
+      // conversion carrying the real document text as payload), split
+      // into records with headers parsed and trailing CRLFs stripped.
+      // DuckDB replays the split/cut/regex chain byte for byte.
+      val id = col("doc_id").cast(StringType)
+      val crlf = "\r\n"
+      val warc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
+          "WARC-Date: 2026-01-01T00:00:00Z" + crlf +
+          "Content-Length: 4" + crlf + crlf + "info" + crlf + crlf),
+        lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+          "WARC-Target-URI: http://h"), (col("doc_id") % 30).cast(StringType),
+        lit(".ex/d/"), id, lit(crlf + "WARC-Date: 2026-01-02T0"),
+        (col("doc_id") % 10).cast(StringType),
+        lit(":00:00Z" + crlf + "Content-Length: "),
+        length(col("text")).cast(StringType),
+        lit(crlf + crlf), col("text"), lit(crlf + crlf))
+      Web.warcRecords(
+        Tables(s, dir).documents.select(col("doc_id"), warc.as("warc")),
+        "doc_id", "warc")
+        .sortByKeys(SortKey("doc_id"), SortKey("rec_idx"))
+    }, Some("""WITH w AS (SELECT doc_id, text,
+      |  'WARC/1.0' || chr(13) || chr(10) ||
+      |  'WARC-Type: warcinfo' || chr(13) || chr(10) ||
+      |  'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10) ||
+      |  'Content-Length: 4' || chr(13) || chr(10) || chr(13) || chr(10) ||
+      |  'info' || chr(13) || chr(10) || chr(13) || chr(10) ||
+      |  'WARC/1.0' || chr(13) || chr(10) ||
+      |  'WARC-Type: conversion' || chr(13) || chr(10) ||
+      |  'WARC-Target-URI: http://h' || CAST(doc_id % 30 AS VARCHAR) ||
+      |    '.ex/d/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+      |  'WARC-Date: 2026-01-02T0' || CAST(doc_id % 10 AS VARCHAR) ||
+      |    ':00:00Z' || chr(13) || chr(10) ||
+      |  'Content-Length: ' || CAST(len(text) AS VARCHAR) ||
+      |    chr(13) || chr(10) || chr(13) || chr(10) ||
+      |  text || chr(13) || chr(10) || chr(13) || chr(10) AS warc
+      |  FROM documents),
+      |sp AS (SELECT doc_id, string_split(warc,
+      |  'WARC/1.0' || chr(13) || chr(10)) AS segs FROM w),
+      |e AS (SELECT doc_id, i - 1 AS rec_idx, segs[i] AS seg
+      |  FROM sp, LATERAL (SELECT UNNEST(generate_series(1, len(segs)))
+      |    AS i) t
+      |  WHERE i >= 2),
+      |p AS (SELECT doc_id, rec_idx, seg, strpos(seg,
+      |  chr(13) || chr(10) || chr(13) || chr(10)) AS cut FROM e),
+      |hb AS (SELECT doc_id, rec_idx,
+      |  CASE WHEN cut > 0 THEN substr(seg, 1, cut - 1) ELSE seg END
+      |    AS hdr,
+      |  CASE WHEN cut > 0 THEN substr(seg, cut + 4) ELSE '' END AS body
+      |  FROM p),
+      |f AS (SELECT doc_id, rec_idx,
+      |  nullif(trim(regexp_extract(hdr,
+      |    '(?i)WARC-Type:[ \t]*([^\r\n]*)', 1)), '') AS warc_type,
+      |  nullif(trim(regexp_extract(hdr,
+      |    '(?i)WARC-Target-URI:[ \t]*([^\r\n]*)', 1)), '') AS target_uri,
+      |  nullif(trim(regexp_extract(hdr,
+      |    '(?i)WARC-Date:[ \t]*([^\r\n]*)', 1)), '') AS warc_date,
+      |  nullif(trim(regexp_extract(hdr,
+      |    '(?i)Content-Length:[ \t]*([^\r\n]*)', 1)), '') AS cl,
+      |  regexp_replace(body, '(\r\n)+$', '') AS payload
+      |  FROM hb)
+      |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, warc_type,
+      |  target_uri, warc_date,
+      |  CASE WHEN regexp_matches(cl, '^[0-9]{1,18}$')
+      |    THEN CAST(cl AS BIGINT) END AS content_length,
+      |  payload
+      |FROM f ORDER BY doc_id, rec_idx""".stripMargin)),
+
+    Q("web_sitemap", (s, dir) => {
+      // sitemap frontier feed: per-doc urlset (one full entry, one
+      // loc-only on even ids / loc-less on odd ids) + a sitemap INDEX
+      // whose child locs ride along as a joined column. DuckDB replays
+      // block scan + per-block extraction.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset xmlns=\"" +
+          "http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc> http://h"), k, lit(".ex/d/"), id,
+        lit(" </loc><lastmod>2026-0"),
+        (col("doc_id") % 9 + 1).cast(StringType),
+        lit("-01</lastmod></url>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<url attr=\"z\"><loc>http://h"), k,
+            lit(".ex/alt/"), id, lit("</loc></url>")))
+          .otherwise(lit("<url><priority>0.5</priority></url>")),
+        lit("</urlset>"))
+      val idx = concat(
+        lit("<sitemapindex><sitemap><loc>http://h"), k,
+        lit(".ex/sm/1.xml</loc></sitemap><sitemap x=\"1\"><loc> http://h"),
+        k, lit(".ex/sm/2.xml </loc></sitemap></sitemapindex>"))
+      Web.sitemapEntries(
+        Tables(s, dir).documents.select(col("doc_id"), xml.as("xml")),
+        "doc_id", "xml")
+        .join(Tables(s, dir).documents.select(col("doc_id"),
+          array_join(Web.sitemapIndex(idx), ",").as("idx_locs")),
+          Seq("doc_id"))
+        .sortByKeys(SortKey("doc_id"), SortKey("url_idx"))
+    }, Some("""WITH x AS (SELECT doc_id,
+      |  '<?xml version="1.0"?><urlset xmlns="' ||
+      |  'http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+      |  '<url><loc> http://h' || CAST(doc_id % 30 AS VARCHAR) ||
+      |  '.ex/d/' || CAST(doc_id AS VARCHAR) ||
+      |  ' </loc><lastmod>2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+      |  '-01</lastmod></url>' ||
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN '<url attr="z"><loc>http://h' ||
+      |      CAST(doc_id % 30 AS VARCHAR) || '.ex/alt/' ||
+      |      CAST(doc_id AS VARCHAR) || '</loc></url>'
+      |    ELSE '<url><priority>0.5</priority></url>' END ||
+      |  '</urlset>' AS xml,
+      |  '<sitemapindex><sitemap><loc>http://h' ||
+      |    CAST(doc_id % 30 AS VARCHAR) ||
+      |    '.ex/sm/1.xml</loc></sitemap><sitemap x="1"><loc> http://h' ||
+      |    CAST(doc_id % 30 AS VARCHAR) ||
+      |    '.ex/sm/2.xml </loc></sitemap></sitemapindex>' AS ixml
+      |  FROM documents),
+      |b AS (SELECT doc_id, ixml, regexp_extract_all(xml,
+      |  '(?is)<url[ \t\n\r\f>].*?</url[ \t\n\r\f]*>', 0) AS blocks
+      |  FROM x),
+      |e AS (SELECT doc_id, ixml, i - 1 AS url_idx, blocks[i] AS blk
+      |  FROM b, LATERAL (SELECT UNNEST(generate_series(1, len(blocks)))
+      |    AS i) t)
+      |SELECT doc_id, CAST(url_idx AS INTEGER) AS url_idx,
+      |  nullif(trim(regexp_extract(blk,
+      |    '(?is)<loc[^>]*>([^<]*)</loc', 1)), '') AS loc,
+      |  nullif(trim(regexp_extract(blk,
+      |    '(?is)<lastmod[^>]*>([^<]*)</lastmod', 1)), '') AS lastmod,
+      |  array_to_string(list_transform(regexp_extract_all(ixml,
+      |    '(?is)<sitemap[ \t\n\r\f>].*?</sitemap[ \t\n\r\f]*>', 0),
+      |    s -> trim(regexp_extract(s,
+      |      '(?is)<loc[^>]*>([^<]*)</loc', 1))), ',') AS idx_locs
+      |FROM e ORDER BY doc_id, url_idx""".stripMargin)),
+
     Q("text_readability", (s, dir) => {
       // Flesch reading ease per doc: vowel-group syllables, [.!?]+
       // sentences — plain SQL expressions DuckDB replays term-for-term.

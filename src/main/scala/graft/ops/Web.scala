@@ -85,6 +85,97 @@ object Web {
       .otherwise(concat(proto, lit("://"), host, path, query))
   }
 
+  // ---- crawl ingest formats: WARC records, sitemaps --------------------
+
+  /** Split a WARC/WET/WAT file body (one string cell = one file) into
+    * its records: (idCol, rec_idx, warc_type, target_uri, warc_date,
+    * content_length, payload). THE Common-Crawl ingest step — a WET
+    * file is exactly this followed by [[graft.functions.TextFunctions
+    * .htmlText]]-style cleaning and the quality/dedup tier.
+    *
+    * Constrained, engine-replayable semantics (the htmlText
+    * convention): records begin at each `WARC/1.0\r\n` version line;
+    * the header block runs to the first blank line (`\r\n\r\n`);
+    * the payload is everything after it, minus the record-terminating
+    * CRLFs. Payload bytes containing a `WARC/1.0\r\n` line of their
+    * own would split early — acceptable for text-payload WET/WAT use
+    * and DOCUMENTED (the Content-Length-driven byte slicing a binary
+    * WARC needs is a different, offset-based reader). Header values
+    * are extracted case-insensitively, first occurrence, to end of
+    * line. Records with no parsable header simply carry nulls — junk
+    * never drops rows silently.
+    *
+    * Scale shape: one scan-side split + posexplode (fan-out = records
+    * per file, bounded by file size); every header field is a regex
+    * projection on the record slice; no shuffle at all — the output
+    * inherits the input partitioning, and a 100 TB WET corpus parses
+    * as a pure map. */
+  def warcRecords(df: DataFrame, idCol: String, warcCol: String)
+      : DataFrame = {
+    val segs = split(col(warcCol), "WARC/1\\.0\r\n")
+    val recs = df
+      .select(col(idCol), posexplode(segs).as(Seq("rec_idx", "__seg")))
+      // segment 0 is the pre-first-record prefix ("" for a well-formed
+      // file); real records are 1-based
+      .where(col("rec_idx") > 0)
+    def header(name: String): Column =
+      nullif(trim(regexp_extract(col("__hdr"),
+        "(?i)" + name + ":[ \t]*([^\r\n]*)", 1)), lit(""))
+    recs
+      .withColumn("__cut", instr(col("__seg"), "\r\n\r\n"))
+      .withColumn("__hdr",
+        when(col("__cut") > 0,
+          substring(col("__seg"), lit(1), col("__cut") - 1))
+          .otherwise(col("__seg")))
+      .withColumn("__body",
+        when(col("__cut") > 0,
+          col("__seg").substr(col("__cut") + 4,
+            length(col("__seg")) - col("__cut") - 3))
+          .otherwise(lit("")))
+      .select(col(idCol), col("rec_idx"),
+        header("WARC-Type").as("warc_type"),
+        header("WARC-Target-URI").as("target_uri"),
+        header("WARC-Date").as("warc_date"),
+        // digits-guarded cast: a junk Content-Length yields null, never
+        // an ANSI cast refusal (header junk is data, not arithmetic)
+        when(header("Content-Length").rlike("^[0-9]{1,18}$"),
+          header("Content-Length").cast("long")).as("content_length"),
+        regexp_replace(col("__body"), "(\r\n)+$", "").as("payload"))
+  }
+
+  /** `<url>` entries of an XML sitemap in document order:
+    * (idCol, url_idx, loc, lastmod) — the crawl-frontier feed
+    * (compose with [[canonicalizeUrl]] and [[robotsDecisions]]).
+    * Constrained semantics: `<url>…</url>` blocks found by a
+    * non-greedy scan; within a block, `loc`/`lastmod` are the first
+    * `<loc>`/`<lastmod>` simple elements (no nested markup — `[^<]*`),
+    * whitespace-trimmed; a block without `<loc>` yields a null loc
+    * (kept — sitemap lint is a use case). Namespaces and attributes on
+    * the container tags are tolerated; CDATA is a documented omission.
+    * Scan-side split + explode, no shuffle. */
+  def sitemapEntries(df: DataFrame, idCol: String, xmlCol: String)
+      : DataFrame = {
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?is)<url[ \\t\\n\\r\\f>].*?</url[ \\t\\n\\r\\f]*>"), lit(0))
+    df.select(col(idCol), posexplode(blocks).as(Seq("url_idx", "__b")))
+      .select(col(idCol), col("url_idx"),
+        nullif(trim(regexp_extract(col("__b"),
+          "(?is)<loc[^>]*>([^<]*)</loc", 1)), lit("")).as("loc"),
+        nullif(trim(regexp_extract(col("__b"),
+          "(?is)<lastmod[^>]*>([^<]*)</lastmod", 1)), lit(""))
+          .as("lastmod"))
+  }
+
+  /** Child-sitemap locations of a sitemap INDEX file, document order —
+    * the other half of the frontier walk. Same constrained `<loc>`
+    * semantics as [[sitemapEntries]]. */
+  def sitemapIndex(c: Column): Column =
+    transform(
+      regexp_extract_all(c,
+        lit("(?is)<sitemap[ \\t\\n\\r\\f>].*?</sitemap[ \\t\\n\\r\\f]*>"),
+        lit(0)),
+      b => trim(regexp_extract(b, "(?is)<loc[^>]*>([^<]*)</loc", 1)))
+
   // ---- robots.txt (RFC 9309 Robots Exclusion Protocol) -----------------
 
   /** Parse a (host, robots.txt) table into the rule set that applies to

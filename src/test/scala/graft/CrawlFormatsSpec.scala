@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Web
+
+/** Crawl ingest formats: WARC record splitting ([[Web.warcRecords]])
+  * and sitemap parsing ([[Web.sitemapEntries]] / [[Web.sitemapIndex]]).
+  * Pins the constrained semantics: version-line record boundaries,
+  * header-block/blank-line split, trailing-CRLF payload strip,
+  * null-tolerant headers, document-order blocks, missing loc kept as
+  * a null row.
+  */
+class CrawlFormatsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private val CRLF = "\r\n"
+
+  private def recs(warc: String)
+      : Seq[(Int, String, String, Any, String)] = {
+    val s = spark
+    import s.implicits._
+    Web.warcRecords(Seq((1L, warc)).toDF("id", "warc"), "id", "warc")
+      .orderBy("rec_idx")
+      .select(col("rec_idx"), col("warc_type"), col("target_uri"),
+        col("content_length"), col("payload"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        r.getString(4))).toSeq
+  }
+
+  test("warcRecords: two records, headers parsed, trailing CRLFs " +
+      "stripped from payload, prefix before first record ignored") {
+    val w = "junk prefix" + CRLF +
+      "WARC/1.0" + CRLF +
+      "WARC-Type: warcinfo" + CRLF +
+      "Content-Length: 4" + CRLF + CRLF +
+      "info" + CRLF + CRLF +
+      "WARC/1.0" + CRLF +
+      "WARC-Type: conversion" + CRLF +
+      "WARC-Target-URI: http://ex.com/p" + CRLF +
+      "Content-Length: 11" + CRLF + CRLF +
+      "hello" + CRLF + "world" + CRLF + CRLF
+    assert(recs(w) == Seq(
+      (1, "warcinfo", null, 4L, "info"),
+      (2, "conversion", "http://ex.com/p", 11L, "hello\r\nworld")))
+  }
+
+  test("warcRecords: missing headers -> null; junk Content-Length -> " +
+      "null; header-only record -> empty payload; case-insensitive " +
+      "header names") {
+    val w = "WARC/1.0" + CRLF +
+      "warc-type: response" + CRLF +
+      "content-length: 12abc" + CRLF + CRLF +
+      "body" + CRLF + CRLF +
+      "WARC/1.0" + CRLF +
+      "WARC-Type: metadata" + CRLF  // no blank line, no payload
+    assert(recs(w) == Seq(
+      (1, "response", null, null, "body"),
+      (2, "metadata", null, null, "")))
+  }
+
+  test("sitemapEntries: document order, lastmod optional, missing " +
+      "loc kept as null row, attributes tolerated") {
+    val s = spark
+    import s.implicits._
+    val xml = """<?xml version="1.0"?><urlset xmlns="x">""" +
+      "<url><loc> http://a/1 </loc><lastmod>2026-01-02</lastmod></url>" +
+      "<url attr=\"z\"><loc>http://a/2</loc></url>" +
+      "<url><priority>0.5</priority></url></urlset>"
+    val got = Web.sitemapEntries(
+      Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+      .orderBy("url_idx")
+      .select(col("url_idx"), col("loc"), col("lastmod"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((0, "http://a/1", "2026-01-02"),
+      (1, "http://a/2", null), (2, null, null)))
+  }
+
+  test("sitemapIndex: child locs in order; urlset/sitemapindex " +
+      "container tags never match the entry patterns") {
+    val s = spark
+    import s.implicits._
+    val xml = "<sitemapindex>" +
+      "<sitemap><loc>http://a/sm1.xml</loc></sitemap>" +
+      "<sitemap x=\"1\"><loc> http://a/sm2.xml </loc></sitemap>" +
+      "</sitemapindex>"
+    val got = Seq(xml).toDF("x")
+      .select(Web.sitemapIndex(col("x")).as("l"))
+      .as[Seq[String]].first()
+    assert(got == Seq("http://a/sm1.xml", "http://a/sm2.xml"))
+  }
+}
