@@ -71,7 +71,7 @@ object Bench {
     "text_quality", "text_token_count", "dedup_exact",
     "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk",
     "events_rfm", "stat_spearman", "events_kaplan_meier",
-    "text_html_extract", "web_robots_decide")
+    "text_html_extract", "text_html_main", "web_robots_decide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7753,6 +7753,77 @@ object SparkEntry {
       |      '(?is)<loc[^>]*>([^<]*)</loc', 1))), ',') AS idx_locs
       |FROM e ORDER BY doc_id, url_idx""".stripMargin)),
 
+    Q("text_html_main", (s, dir) => {
+      // main-content extraction: generated page = link-dense nav, a
+      // short h1, the document text as prose, a prose+small-link div,
+      // a link-only footer; the default gates must keep the prose
+      // blocks and drop nav/footer/h1. DuckDB replays split + HOF
+      // scoring with the IDENTICAL interpolated patterns.
+      val id = col("doc_id").cast(StringType)
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a/"),
+        id, lit("\">Archive</a> <a href=\"/c\">Contact</a></nav><h1>Doc "),
+        id, lit("</h1><p>"), col("text"),
+        lit("</p><div>"), col("text"),
+        lit(" See <a href=\"/ref/"), id,
+        lit("\">related</a> notes.</div><footer><a href=\"/t\">Terms" +
+          "</a> <a href=\"/p\">Privacy</a></footer></body></html>"))
+      val m = graft.functions.TextFunctions.mainContent(html)
+      Tables(s, dir).documents.select(col("doc_id"),
+        m.getField("main_text").as("main_text"),
+        m.getField("n_blocks").as("n_blocks"),
+        m.getField("n_kept").as("n_kept"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some {
+      def segText(v: String): String =
+        """trim(regexp_replace(regexp_replace(""" +
+          """replace(replace(replace(replace(replace(replace(""" +
+          s"""regexp_replace($v, '(?i)<[/!?]?[a-z][^>]*(>|${"$"})', """ +
+          """'', 'g'), """ +
+          """'&lt;', '<'), '&gt;', '>'), '&quot;', '"'), """ +
+          """'&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'), """ +
+          """'[ \t\r\f]*\n[ \t\n\r\f]*', e'\n', 'g'), """ +
+          """'[ \t\r\f]+', ' ', 'g'), e' \t\n\r\f')"""
+      val split = graft.functions.TextFunctions.blockSplitPattern
+      val anchor = graft.functions.TextFunctions.anchorContentPattern
+        .replace("'", "''")
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><body><nav><a href="/">Home</a> <a href="/a/' ||
+         |  CAST(doc_id AS VARCHAR) ||
+         |  '">Archive</a> <a href="/c">Contact</a></nav><h1>Doc ' ||
+         |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+         |  '</p><div>' || text || ' See <a href="/ref/' ||
+         |  CAST(doc_id AS VARCHAR) ||
+         |  '">related</a> notes.</div><footer><a href="/t">Terms' ||
+         |  '</a> <a href="/p">Privacy</a></footer></body></html>'
+         |    AS html FROM documents),
+         |ns AS (SELECT doc_id, regexp_replace(regexp_replace(
+         |  regexp_replace(html, '(?s)<!--.*?(-->|${"$"})', '', 'g'),
+         |  '(?is)<script\\b.*?(</script[ \\t\\n\\r\\f]*>|${"$"})',
+         |    '', 'g'),
+         |  '(?is)<style\\b.*?(</style[ \\t\\n\\r\\f]*>|${"$"})',
+         |    '', 'g') AS x FROM h),
+         |sg AS (SELECT doc_id,
+         |  regexp_split_to_array(x, '$split') AS segs FROM ns),
+         |sc AS (SELECT doc_id, list_transform(segs, s -> struct_pack(
+         |  t := ${segText("s")},
+         |  lc := coalesce(list_sum(list_transform(
+         |    regexp_extract_all(s, '$anchor', 1),
+         |    a -> len(${segText("a")}))), 0))) AS scored FROM sg),
+         |c2 AS (SELECT doc_id, list_filter(scored,
+         |  r -> len(struct_extract(r, 't')) > 0) AS cand FROM sc),
+         |k2 AS (SELECT doc_id, cand, list_filter(cand, r ->
+         |  len(struct_extract(r, 't')) >= 25 AND
+         |  struct_extract(r, 'lc') * 1000000 <=
+         |    333333 * len(struct_extract(r, 't'))) AS kept FROM c2)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(kept,
+         |    r -> struct_extract(r, 't')), chr(10)) AS main_text,
+         |  CAST(len(cand) AS BIGINT) AS n_blocks,
+         |  CAST(len(kept) AS BIGINT) AS n_kept
+         |FROM k2 ORDER BY doc_id""".stripMargin
+    }),
+
     Q("text_readability", (s, dir) => {
       // Flesch reading ease per doc: vowel-group syllables, [.!?]+
       // sentences — plain SQL expressions DuckDB replays term-for-term.

@@ -502,6 +502,89 @@ object TextFunctions {
         t.substr(lit(2), length(t) - 2)).otherwise(t))
   }
 
+  /** Block-tag alternation shared by [[mainContent]] and its oracle
+    * (the same tag set the HtmlExtractText kernel treats as block
+    * boundaries). Public so the DuckDB replay interpolates the
+    * identical split regex. */
+  val blockTagAlt: String =
+    "blockquote|figcaption|caption|article|section|address|header|" +
+      "footer|figure|main|nav|form|table|thead|tbody|tfoot|title|tr|" +
+      "td|th|ul|ol|dl|dt|dd|li|h[1-6]|hr|br|pre|p|div"
+
+  /** The [[mainContent]] block-split regex (oracle-shared). */
+  val blockSplitPattern: String =
+    s"(?i)</?(?:$blockTagAlt)(?:[ \\t\\n\\r\\f/][^>]*)?>"
+
+  /** The [[mainContent]] anchor-content regex (oracle-shared). */
+  val anchorContentPattern: String =
+    "(?is)<a(?:[ \\t\\n\\r\\f][^>]*)?>(.*?)</a[ \\t\\n\\r\\f]*>"
+
+  /** Segment → visible text: inline tags stripped, the named-entity
+    * set decoded in the fixed order, whitespace collapsed, trimmed —
+    * the HtmlExtractText tail as composable Column steps (block
+    * boundaries are handled by the caller's split). */
+  private def segmentText(s: Column): Column = {
+    val noTags = regexp_replace(s, "(?i)<[/!?]?[a-z][^>]*(>|$)", "")
+    val ent = replace(replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+    trim(regexp_replace(regexp_replace(ent,
+      "[ \\t\\r\\f]*\\n[ \\t\\n\\r\\f]*", "\n"),
+      "[ \\t\\r\\f]+", " "), " \t\n\r\f")
+  }
+
+  /** MAIN-CONTENT extraction — the trafilatura/jusText move: split the
+    * document into block-level segments, score each block by text
+    * length and LINK DENSITY, keep only prose-like blocks, reassemble.
+    * This is the boilerplate REMOVER ([[htmlStats]] only measures):
+    * navigation bars, footers and link farms are short and
+    * link-saturated; article prose is long and link-sparse.
+    *
+    * Returns struct(main_text, n_blocks, n_kept): `n_blocks` =
+    * segments with any visible text, `n_kept` = blocks passing BOTH
+    * gates, `main_text` = kept block texts joined with `\n`. A block
+    * is kept iff its cleaned text has ≥ `minTextChars` chars AND
+    * anchor-text chars × 10⁶ ≤ `maxLinkShareMicro` × text chars (an
+    * INTEGER cross-multiply — no division, so both engines compare
+    * exactly). Comments/script/style are stripped first (the kernel
+    * regexes); blocks split on [[blockSplitPattern]]; anchor text =
+    * `<a …>…</a>` contents through the SAME cleaning chain as the
+    * block text, so the share is chars-over-chars of one consistent
+    * measure. Null html → null struct.
+    *
+    * Scale shape: ENTIRELY scan-side — split + array HOFs inside one
+    * projection, no explode, no shuffle; a 100 TB crawl reduces to
+    * main text as a pure map with the same partitioning it arrived
+    * in. */
+  def mainContent(c: Column, minTextChars: Int = 25,
+      maxLinkShareMicro: Long = 333333L): Column = {
+    require(minTextChars >= 1, "mainContent: minTextChars must be >= 1")
+    require(maxLinkShareMicro >= 0L,
+      "mainContent: maxLinkShareMicro must be >= 0")
+    val noScript = regexp_replace(regexp_replace(regexp_replace(c,
+      "(?s)<!--.*?(-->|$)", ""),
+      "(?is)<script\\b.*?(</script[ \\t\\n\\r\\f]*>|$)", ""),
+      "(?is)<style\\b.*?(</style[ \\t\\n\\r\\f]*>|$)", "")
+    val segs = split(noScript, blockSplitPattern)
+    val scored = transform(segs, s => struct(
+      segmentText(s).as("t"),
+      aggregate(
+        regexp_extract_all(s, lit(anchorContentPattern), lit(1)),
+        lit(0L),
+        (acc, a) => acc + length(segmentText(a))).as("lc")))
+    val cand = filter(scored, r => length(r.getField("t")) > 0)
+    val kept = filter(cand, r =>
+      length(r.getField("t")) >= lit(minTextChars) &&
+        r.getField("lc") * lit(1000000L) <=
+          lit(maxLinkShareMicro) * length(r.getField("t")))
+    when(c.isNotNull, struct(
+      array_join(transform(kept, r => r.getField("t")), "\n")
+        .as("main_text"),
+      size(cand).cast(LongType).as("n_blocks"),
+      size(kept).cast(LongType).as("n_kept")))
+  }
+
   /** `<title>` of an HTML document: the FIRST title block's inner text
     * (no nested markup by constraint — `[^<]*`), entity-decoded and
     * whitespace-collapsed through the SAME kernel as [[htmlText]], so

@@ -199,6 +199,51 @@ class HtmlSpec extends AnyFunSuite {
     assert(got == Seq("Doc &\n42", "Mixed <Case>", "", null))
   }
 
+  test("mainContent: link-dense nav/footer blocks drop, prose stays; " +
+      "short blocks drop; counts reported; null -> null") {
+    val s = spark
+    import s.implicits._
+    val prose = "This is a long paragraph of running prose with " +
+      "enough characters to pass the minimum length gate easily."
+    val html =
+      """<html><body><nav><a href="/a">Home</a> <a href="/b">About</a>""" +
+        """ <a href="/c">Contact us today</a></nav>""" +
+        s"<p>$prose</p>" +
+        s"""<div>$prose See <a href="/ref">one small link</a> too.</div>""" +
+        """<p>short</p>""" +
+        """<footer><a href="/t">Terms</a> <a href="/p">Privacy</a>""" +
+        """</footer></body></html>"""
+    val got = Seq(html, null: String).toDF("h")
+      .select(TextFunctions.mainContent(col("h")).as("m"))
+      .select(col("m.main_text"), col("m.n_blocks"), col("m.n_kept"))
+      .collect()
+    val r0 = got(0)
+    assert(r0.getLong(1) == 5 && r0.getLong(2) == 2)
+    val mt = r0.getString(0)
+    assert(mt.startsWith(prose) && mt.contains("one small link") &&
+      !mt.contains("Home") && !mt.contains("Terms") &&
+      !mt.contains("short"))
+    assert(got(1).isNullAt(0) || got(1).anyNull) // null html -> null struct
+  }
+
+  test("mainContent: threshold knobs; zero link budget drops any " +
+      "block with a link; no qualifying block -> empty text") {
+    val s = spark
+    import s.implicits._
+    val html = "<p>twelve chars!</p>" +
+      "<p>linked text here <a href=\"/x\">x</a></p>"
+    def run(minC: Int, maxShare: Long) =
+      Seq(html).toDF("h")
+        .select(TextFunctions.mainContent(col("h"), minC, maxShare)
+          .as("m"))
+        .select(col("m.main_text"), col("m.n_kept"))
+        .collect().head
+    val strict = run(14, 0L) // first block is 13 chars; second has a link
+    assert(strict.getString(0) == "" && strict.getLong(1) == 0)
+    val loose = run(5, 1000000L)
+    assert(loose.getLong(1) == 2)
+  }
+
   private def meta(name: String, ss: String*): Seq[String] = {
     val s = spark
     import s.implicits._
