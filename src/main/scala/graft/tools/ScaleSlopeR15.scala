@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   *     cost must be FLAT in corpus size (the only moving part is the
   *     single-pass kernel over each document's bytes).
   *
-  * Run: `sbt -batch "runMain graft.tools.ScaleSlopeR15 [shards|pca|html]"`. */
+  *  4. The r15 crawl tier x1/x10/x100: mainContent (split + HOF block
+  *     scoring, the heaviest html-tier kernel) and warcRecords
+  *     (split + posexplode + header regexes) over the oracle-shaped
+  *     inputs. Claim: both are scan-side only (no shuffle beyond the
+  *     explode fan-out) — per-row cost flat-to-falling.
+  *
+  * Run: `sbt -batch "runMain graft.tools.ScaleSlopeR15
+  * [shards|pca|html|crawl]"`. */
 object ScaleSlopeR15 {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.build()
@@ -121,6 +128,52 @@ object ScaleSlopeR15 {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SLOPE html $label%-5s n=$n%9d sec=$dt%8.2f " +
           f"us_per_row=${dt * 1e6 / n}%8.1f")
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (on("crawl")) {
+      import org.apache.spark.sql.types.StringType
+      import graft.functions.TextFunctions
+      val baseD = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      for ((label, r) <- Seq(("x1", 1), ("x10", 10), ("x100", 100))) {
+        val d =
+          if (r == 1) baseD
+          else baseD.crossJoin(spark.range(r).select(col("id").as("rep")))
+            .select((col("doc_id") + col("rep") * 100000000L)
+              .as("doc_id"), col("text"))
+        val id = col("doc_id").cast(StringType)
+        val html = concat(
+          lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a/"),
+          id, lit("\">Archive</a></nav><h1>Doc "), id, lit("</h1><p>"),
+          col("text"), lit("</p><div>"), col("text"),
+          lit(" See <a href=\"/r/"), id, lit("\">related</a>.</div>" +
+            "<footer><a href=\"/t\">Terms</a></footer></body></html>"))
+        val crlf = "\r\n"
+        val warc = concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+            "WARC-Target-URI: http://x/"), id,
+          lit(crlf + "Content-Length: "), length(col("text")).cast(StringType),
+          lit(crlf + crlf), col("text"), lit(crlf + crlf))
+        val n = d.count()
+        val m = TextFunctions.mainContent(html)
+        val t0 = System.nanoTime()
+        d.select(col("doc_id"),
+            length(m.getField("main_text")).as("mc"),
+            m.getField("n_kept").as("nk"))
+          .write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        graft.ops.Web.warcRecords(
+            d.select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
+          .select(col("doc_id"), col("rec_idx"), length(col("payload")))
+          .write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        val (dm, dw) = ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        println(f"SLOPE crawl $label%-5s n=$n%9d main_sec=$dm%8.2f " +
+          f"main_us=${dm * 1e6 / n}%8.1f warc_sec=$dw%8.2f " +
+          f"warc_us=${dw * 1e6 / n}%8.1f")
         spark.catalog.clearCache()
       }
     }

@@ -148,6 +148,39 @@ object SqlTableFunctions {
           strLit("graft_exact_dedup", "textCol", args(1)),
           strLit("graft_exact_dedup", "idCol", args(2)))) }),
 
+    (FunctionIdentifier("graft_warc_records"),
+      info("graft_warc_records",
+        "graft_warc_records(table, idCol, warcCol) - split WARC/WET " +
+          "file bodies into records with parsed headers"),
+      args => { requireArity("graft_warc_records", args, 3, 3)
+        planOf(graft.ops.Web.warcRecords(
+          rel(strLit("graft_warc_records", "table", args(0))),
+          strLit("graft_warc_records", "idCol", args(1)),
+          strLit("graft_warc_records", "warcCol", args(2)))) }),
+
+    (FunctionIdentifier("graft_sitemap_entries"),
+      info("graft_sitemap_entries",
+        "graft_sitemap_entries(table, idCol, xmlCol) - sitemap <url> " +
+          "blocks as (loc, lastmod) rows in document order"),
+      args => { requireArity("graft_sitemap_entries", args, 3, 3)
+        planOf(graft.ops.Web.sitemapEntries(
+          rel(strLit("graft_sitemap_entries", "table", args(0))),
+          strLit("graft_sitemap_entries", "idCol", args(1)),
+          strLit("graft_sitemap_entries", "xmlCol", args(2)))) }),
+
+    (FunctionIdentifier("graft_robots_decide"),
+      info("graft_robots_decide",
+        "graft_robots_decide(urlTable, urlCol, robotsTable, hostCol, " +
+          "txtCol, agent) - RFC 9309 per-URL allow/deny verdicts"),
+      args => { requireArity("graft_robots_decide", args, 6, 6)
+        planOf(graft.ops.Web.robotsDecisions(
+          rel(strLit("graft_robots_decide", "urlTable", args(0))),
+          strLit("graft_robots_decide", "urlCol", args(1)),
+          rel(strLit("graft_robots_decide", "robotsTable", args(2))),
+          strLit("graft_robots_decide", "hostCol", args(3)),
+          strLit("graft_robots_decide", "txtCol", args(4)),
+          strLit("graft_robots_decide", "agent", args(5)))) }),
+
     (FunctionIdentifier("graft_topk_per_group"),
       info("graft_topk_per_group",
         "graft_topk_per_group(table, scoreCol, k, groupCol...) - heap " +

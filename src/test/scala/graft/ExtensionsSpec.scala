@@ -202,6 +202,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("graft_warc_records / graft_sitemap_entries / " +
+      "graft_robots_decide table functions match their DF paths") {
+    docs
+    // WARC: wrap each document's text as a one-record WET body
+    val crlf = "\r\n"
+    val warc = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        "Content-Length: "), length(col("text")).cast("string"),
+      lit(crlf + crlf), col("text"), lit(crlf + crlf))
+    docs.select(col("doc_id"), warc.as("warc"))
+      .createOrReplaceTempView("ext_warc")
+    val w1 = spark.sql(
+      "SELECT * FROM graft_warc_records('ext_warc', 'doc_id', 'warc')")
+    val w2 = graft.ops.Web.warcRecords(
+      spark.table("ext_warc"), "doc_id", "warc")
+    assert(sortedRows(w1.select(w2.columns.sorted.map(col): _*)) ===
+      sortedRows(w2.select(w2.columns.sorted.map(col): _*)))
+    // sitemap
+    docs.select(col("doc_id"), concat(lit("<urlset><url><loc>u"),
+      col("doc_id").cast("string"), lit("</loc></url></urlset>"))
+      .as("xml")).createOrReplaceTempView("ext_sm")
+    val s1 = spark.sql(
+      "SELECT * FROM graft_sitemap_entries('ext_sm', 'doc_id', 'xml')")
+    val s2 = graft.ops.Web.sitemapEntries(
+      spark.table("ext_sm"), "doc_id", "xml")
+    assert(sortedRows(s1.select(s2.columns.sorted.map(col): _*)) ===
+      sortedRows(s2.select(s2.columns.sorted.map(col): _*)))
+    // robots verdicts
+    docs.select(col("doc_id"), concat(lit("http://h.ex/p/"),
+      col("doc_id").cast("string")).as("url"))
+      .createOrReplaceTempView("ext_urls")
+    spark.createDataFrame(Seq(
+      ("h.ex", "User-agent: *\nDisallow: /p/1\n")))
+      .toDF("host", "txt").createOrReplaceTempView("ext_robots")
+    val r1 = spark.sql("SELECT * FROM graft_robots_decide(" +
+      "'ext_urls', 'url', 'ext_robots', 'host', 'txt', 'gbot')")
+    val r2 = graft.ops.Web.robotsDecisions(spark.table("ext_urls"),
+      "url", spark.table("ext_robots"), "host", "txt", "gbot")
+    assert(sortedRows(r1.select(r2.columns.sorted.map(col): _*)) ===
+      sortedRows(r2.select(r2.columns.sorted.map(col): _*)))
+    assert(r1.where(!col("allowed")).count() > 0)
+  }
+
   test("table function errors are friendly: missing view fails with the " +
       "engine's named error, non-literal table name fails fast") {
     val e1 = intercept[Exception] {
