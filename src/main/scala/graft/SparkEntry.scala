@@ -7568,9 +7568,16 @@ object SparkEntry {
         .otherwise(lit("/pub/page.html?x=1&y=2"))
       val url = when(col("doc_id") % 7 === 6, lit("not a url"))
         .otherwise(concat(lit("http://h"), k, lit(".ex"), path))
+      // `allowed` ships as INT 1/0/null in the registered projection:
+      // null-valued INTEGER columns are the comparator-proven class
+      // (both engines surface them as NaN doubles in pandas); a
+      // null-valued BOOLEAN has no precedent in the registry and the
+      // two engines disagree on its pandas representation (None vs
+      // NaN). The operator's API keeps the boolean.
       Web.robotsDecisions(
         Tables(s, dir).documents.select(col("doc_id"), url.as("url")),
         "url", robotsGen(Tables(s, dir)), "host", "txt", "graftbot")
+        .withColumn("allowed", col("allowed").cast("int"))
         .sortByKeys(SortKey("doc_id"))
     }, Some("WITH " + robotsOracleCtes + ",\n" +
       """u AS (SELECT doc_id,
@@ -7613,8 +7620,9 @@ object SparkEntry {
         |    THEN rplen END) AS d
         |  FROM j GROUP BY doc_id, url, uhost)
         |SELECT doc_id, url,
-        |  CASE WHEN uhost IS NULL THEN NULL
-        |    ELSE coalesce(a, -1) >= coalesce(d, -2) END AS allowed,
+        |  CAST(CASE WHEN uhost IS NULL THEN NULL
+        |    ELSE coalesce(a, -1) >= coalesce(d, -2) END AS INTEGER)
+        |    AS allowed,
         |  a AS allow_len, d AS disallow_len
         |FROM v ORDER BY doc_id""".stripMargin)),
 
