@@ -101,14 +101,17 @@ object SparkEntry {
     * named entities (amp last, same left-to-right result), whitespace
     * runs collapsed (newline wins), trim. Kept in ONE expression so both
     * HTML oracles share it verbatim. */
-  private val htmlExtractSql: String = {
+  /** [[htmlExtractSql]] with the input expression name as a parameter
+    * (the kernel replay applied to a sub-expression — e.g. a block
+    * segment inside a list lambda — instead of the `html` column). */
+  private def htmlExtractSqlOn(v: String): String = {
     val blockAlt = "blockquote|figcaption|caption|article|section|" +
       "address|header|footer|figure|main|nav|form|table|thead|tbody|" +
       "tfoot|title|tr|td|th|ul|ol|dl|dt|dd|li|h[1-6]|hr|br|pre|p|div"
     """trim(regexp_replace(regexp_replace(""" +
     """replace(replace(replace(replace(replace(replace(""" +
     """regexp_replace(regexp_replace(regexp_replace(regexp_replace(""" +
-    """regexp_replace(html, '(?s)<!--.*?(-->|$)', '', 'g'), """ +
+    s"""regexp_replace($v, '(?s)<!--.*?(-->|$$)', '', 'g'), """ +
     """'(?is)<script\b.*?(</script[ \t\n\r\f]*>|$)', '', 'g'), """ +
     """'(?is)<style\b.*?(</style[ \t\n\r\f]*>|$)', '', 'g'), """ +
     """'(?i)</?(""" + blockAlt +
@@ -119,6 +122,8 @@ object SparkEntry {
     """'[ \t\r\f]*\n[ \t\n\r\f]*', e'\n', 'g'), """ +
     """'[ \t\r\f]+', ' ', 'g'), e' \t\n\r\f')"""
   }
+
+  private val htmlExtractSql: String = htmlExtractSqlOn("html")
 
   /** Deterministic per-host robots.txt over the nation table (host
     * `h<k>.ex`): comment + CRLF noise, a `*` group (path-keyed
@@ -7783,15 +7788,12 @@ object SparkEntry {
         m.getField("n_kept").as("n_kept"))
         .sortByKeys(SortKey("doc_id"))
     }, Some {
-      def segText(v: String): String =
-        """trim(regexp_replace(regexp_replace(""" +
-          """replace(replace(replace(replace(replace(replace(""" +
-          s"""regexp_replace($v, '(?i)<[/!?]?[a-z][^>]*(>|${"$"})', """ +
-          """'', 'g'), """ +
-          """'&lt;', '<'), '&gt;', '>'), '&quot;', '"'), """ +
-          """'&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'), """ +
-          """'[ \t\r\f]*\n[ \t\n\r\f]*', e'\n', 'g'), """ +
-          """'[ \t\r\f]+', ' ', 'g'), e' \t\n\r\f')"""
+      // segment text = the FULL kernel replay on the block slice
+      // (mainContent rides the HtmlExtractText kernel per segment);
+      // comments/script/style are already globally removed and block
+      // tags were split delimiters, so those chain steps are inert on
+      // well-formed segments — kept anyway so the replay IS the kernel.
+      def segText(v: String): String = htmlExtractSqlOn(v)
       val split = graft.functions.TextFunctions.blockSplitPattern
       val anchor = graft.functions.TextFunctions.anchorContentPattern
         .replace("'", "''")

@@ -519,20 +519,15 @@ object TextFunctions {
   val anchorContentPattern: String =
     "(?is)<a(?:[ \\t\\n\\r\\f][^>]*)?>(.*?)</a[ \\t\\n\\r\\f]*>"
 
-  /** Segment → visible text: inline tags stripped, the named-entity
-    * set decoded in the fixed order, whitespace collapsed, trimmed —
-    * the HtmlExtractText tail as composable Column steps (block
-    * boundaries are handled by the caller's split). */
-  private def segmentText(s: Column): Column = {
-    val noTags = regexp_replace(s, "(?i)<[/!?]?[a-z][^>]*(>|$)", "")
-    val ent = replace(replace(replace(replace(replace(replace(noTags,
-      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-      lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
-      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
-    trim(regexp_replace(regexp_replace(ent,
-      "[ \\t\\r\\f]*\\n[ \\t\\n\\r\\f]*", "\n"),
-      "[ \\t\\r\\f]+", " "), " \t\n\r\f")
-  }
+  /** Segment → visible text: THE [[htmlText]] kernel applied to the
+    * block slice, so main-content text is exactly document-extraction
+    * semantics per block (one single-pass native kernel instead of a
+    * ~10-step regex chain — measured 204 µs/doc for the chain form at
+    * x100; the kernel path exists for the same reason HtmlExtractText
+    * does). Block tags were consumed as split delimiters, so the
+    * kernel's block→newline rule is inert on well-formed segments. */
+  private def segmentText(s: Column): Column =
+    org.apache.spark.sql.graftnative.NativeFunctions.htmlExtractText(s)
 
   /** MAIN-CONTENT extraction — the trafilatura/jusText move: split the
     * document into block-level segments, score each block by text
@@ -548,10 +543,11 @@ object TextFunctions {
     * anchor-text chars × 10⁶ ≤ `maxLinkShareMicro` × text chars (an
     * INTEGER cross-multiply — no division, so both engines compare
     * exactly). Comments/script/style are stripped first (the kernel
-    * regexes); blocks split on [[blockSplitPattern]]; anchor text =
-    * `<a …>…</a>` contents through the SAME cleaning chain as the
-    * block text, so the share is chars-over-chars of one consistent
-    * measure. Null html → null struct.
+    * regexes); blocks split on [[blockSplitPattern]]; block text AND
+    * anchor text (`<a …>…</a>` contents) both go through the
+    * [[htmlText]] KERNEL, so main-content semantics are exactly
+    * per-block document extraction and the share is chars-over-chars
+    * of one consistent measure. Null html → null struct.
     *
     * Scale shape: ENTIRELY scan-side — split + array HOFs inside one
     * projection, no explode, no shuffle; a 100 TB crawl reduces to
