@@ -3532,14 +3532,21 @@ object SparkEntry {
       |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id),
       |j AS (SELECT ida, idb, i * 1.0 / (sa + sb - i) AS jac FROM p
       |  WHERE i * 1.0 / (sa + sb - i) >= 0.6),
+      |mx AS (SELECT CAST(ceil(0.2 * max(len(nt))) AS BIGINT) AS band
+      |  FROM n),
       |e AS (SELECT ida, idb, jac,
-      |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS lev,
-      |  1.0 - levenshtein(na.nt, nb.nt) * 1.0
-      |    / greatest(len(na.nt), len(nb.nt)) AS es
-      |  FROM j JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb)
+      |  CASE WHEN greatest(len(na.nt), len(nb.nt)) * band > 25000000
+      |    THEN NULL
+      |    ELSE CAST(levenshtein(na.nt, nb.nt) AS BIGINT) END AS lev,
+      |  CASE WHEN greatest(len(na.nt), len(nb.nt)) * band > 25000000
+      |    THEN NULL
+      |    ELSE 1.0 - levenshtein(na.nt, nb.nt) * 1.0
+      |      / greatest(len(na.nt), len(nb.nt)) END AS es
+      |  FROM j JOIN n na ON na.doc_id = ida JOIN n nb ON nb.doc_id = idb,
+      |    mx)
       |SELECT ida AS id_a, idb AS id_b, ROUND(jac, 6) AS jaccard, lev,
       |  ROUND(es, 6) AS edit_sim
-      |FROM e WHERE es >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+      |FROM e WHERE es >= 0.8 OR es IS NULL ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dedup_embedding_pairs", (s, dir) => {
       // self-pairs via duplicated embeddings: identical vectors → cosine 1

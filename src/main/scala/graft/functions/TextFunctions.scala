@@ -892,13 +892,34 @@ object TextFunctions {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Space-joined n-grams of a token-array expression WITHOUT
+    * capturing it inside a lambda: fold `zip_with` over shifted
+    * slices — HOF arguments evaluate once per row; the lambdas see
+    * only element variables. The captured-subtree form
+    * (`transform(sequence(…), i => slice(t, …))` with `t` a full
+    * `tokens(text)` subtree) re-tokenizes the document once PER
+    * SHINGLE in Spark's interpreted HOF eval — O(tokens · split cost)
+    * per row, found by the r15 hostile-markup sweep on 4,000-token
+    * documents and just as real on any long-document corpus. Here the
+    * token subtree evaluates n times per row (once per shifted
+    * slice), n ≤ 8. Shorter-than-n arrays yield []. */
+  def gramsOfTokens(t: Column, n: Int): Column = {
+    require(n >= 1, "gramsOfTokens: n must be >= 1")
+    var acc: Column = t
+    for (k <- 1 until n)
+      acc = zip_with(acc,
+        slice(t, lit(k + 1), greatest(size(t) - k, lit(0))),
+        (a, b) => when(a.isNull || b.isNull,
+          lit(null).cast(StringType))
+          .otherwise(concat(a, lit(" "), b)))
+    if (n == 1) acc else filter(acc, x => x.isNotNull)
+  }
+
   /** Word n-gram shingles (dedup building block). Safe on short texts:
     * fewer than n tokens → single shingle of the whole text. */
   def shingles(c: Column, n: Int): Column = {
     val t = tokens(c)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    when(size(t) >= n, gramsOfTokens(t, n))
       .otherwise(array(concat_ws(" ", t)))
   }
 
@@ -1215,9 +1236,7 @@ object TextFunctions {
     * repetition fractions need "no bigrams" to mean 0, not 1. */
   private def shinglesStrict(c: Column, n: Int): Column = {
     val t = tokens(c)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    when(size(t) >= n, gramsOfTokens(t, n))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -1309,9 +1328,7 @@ object TextFunctions {
       n: Int = 2): DataFrame = {
     require(n >= 1, "ngramDiversity: n must be >= 1")
     val t = tokens(col(textCol))
-    val grams = when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    val grams = when(size(t) >= n, gramsOfTokens(t, n))
       .otherwise(array().cast("array<string>"))
     val exploded = df.select(col(groupCol).as("group"),
       explode(grams).as("gram"))

@@ -971,12 +971,17 @@ object Dedup {
   def chunkDedup(df: DataFrame, textCol: String, idCol: String,
       chunkWords: Int): DataFrame = {
     require(chunkWords > 0, s"chunkDedup: chunkWords must be > 0")
-    val words = split(col(textCol), " ")
+    // bind the word array to an ATTRIBUTE before the chunk lambda:
+    // a captured `split(text)` subtree re-splits the document once
+    // per chunk in interpreted HOF eval (the gramsOfTokens finding)
+    val prepared = df.select(col(idCol), split(col(textCol), " ")
+      .as("__words"))
+    val words = col("__words")
     val nChunks = floor((size(words) + lit(chunkWords - 1)) /
       lit(chunkWords)).cast(IntegerType)
     val chunks = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
       i => array_join(slice(words, i * chunkWords + 1, lit(chunkWords)), " "))
-    spanDedup(df, chunks, idCol, " ")
+    spanDedup(prepared, chunks, idCol, " ")
   }
 
   /** Core keep-first span dedup over a ready array-of-spans column.
@@ -1052,9 +1057,9 @@ object Dedup {
     val tk = graft.functions.TextFunctions.tokens(col(textCol))
     val grams = df.select(col(idCol).as("id"), posexplode(
         when(size(tk) >= l,
-          transform(sequence(lit(0), size(tk) - l),
-            i => substring(
-              sha2(concat_ws(" ", slice(tk, i + 1, lit(l))), 256), 1, 32)))
+          transform(
+            graft.functions.TextFunctions.gramsOfTokens(tk, l),
+            g => substring(sha2(g, 256), 1, 32)))
           .otherwise(array().cast("array<string>")))
         .as(Seq("st", "key")))
     val dupKeys = grams.groupBy(col("key"))
@@ -1111,9 +1116,9 @@ object Dedup {
     def gramsOf(df: DataFrame, withId: Boolean): DataFrame = {
       val g = posexplode(
         when(size(tk) >= l,
-          transform(sequence(lit(0), size(tk) - l),
-            i => substring(
-              sha2(concat_ws(" ", slice(tk, i + 1, lit(l))), 256), 1, 32)))
+          transform(
+            graft.functions.TextFunctions.gramsOfTokens(tk, l),
+            g => substring(sha2(g, 256), 1, 32)))
           .otherwise(array().cast("array<string>")))
       if (withId)
         df.select(col(idCol).as("id"), g.as(Seq("st", "key")))
@@ -1186,9 +1191,9 @@ object Dedup {
       coalesce(col(textCol), lit("")))
     val grams = df.select(col(idCol).as("id"), posexplode(
         when(size(tk) >= l,
-          transform(sequence(lit(0), size(tk) - l),
-            i => substring(
-              sha2(concat_ws(" ", slice(tk, i + 1, lit(l))), 256), 1, 32)))
+          transform(
+            graft.functions.TextFunctions.gramsOfTokens(tk, l),
+            g => substring(sha2(g, 256), 1, 32)))
           .otherwise(array().cast("array<string>")))
         .as(Seq("st", "key")))
     val dupKeys = grams.groupBy(col("key"))
@@ -1342,10 +1347,26 @@ object Dedup {
     * the filter can keep, ceil((1−minEditSim)·maxCorpusLen) —
     * O((n+m)·band) per pair instead of O(n·m). The corpus max length
     * costs one skinny aggregate (planner-scale driver scalar, the
-    * mahalanobis/pca discipline). */
+    * mahalanobis/pca discipline).
+    *
+    * THIRD bound (found by the hostile-MARKUP sweep, the r15 sibling
+    * of the unicode finding): the band itself scales with corpus max
+    * length, so NEAR-identical long docs — not caught by the memcmp —
+    * cost O(len·band) ∝ len² each; thousands of 16 kB near-dup pairs
+    * turned the banded DP back into the whole job. Pairs whose
+    * estimated DP cost max(lenA, lenB)·band exceeds `maxDpCells` skip
+    * the DP and ship with NULL lev / NULL edit_sim — KEPT in the
+    * output as jaccard-qualified but edit-UNVERIFIED (a review queue
+    * must see the pair and the flag; silently dropping or silently
+    * passing would both lie). The default budget (25M cells, ~10 ms a
+    * pair) admits every pair of documents under ~11 kB at
+    * minEditSim = 0.8. */
   def editVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, minEditSim: Double,
-      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+      cache: CacheHandle = CacheHandle.unmanaged,
+      maxDpCells: Long = 25000000L): DataFrame = {
+    require(maxDpCells >= 1L,
+      "editVerifiedPairs: maxDpCells must be >= 1")
     val norm = df.select(col(idCol).as("id"),
       normalizeText(col(textCol)).as("__nt"))
     val maxLen = norm.agg(coalesce(max(length(col("__nt"))), lit(0)))
@@ -1357,17 +1378,22 @@ object Dedup {
         "id_a")
       .join(norm.select(col("id").as("id_b"), col("__nt").as("__nb")),
         "id_b")
+      .withColumn("__cost",
+        greatest(length(col("__na")), length(col("__nb")))
+          .cast(LongType) * lit(band.toLong))
       .withColumn("lev",
         when(col("__na") === col("__nb"), lit(0L))
+          .when(col("__cost") > maxDpCells, lit(null).cast(LongType))
           .otherwise(levenshtein(col("__na"), col("__nb"), band)
             .cast(LongType)))
       // banded DP reports -1 beyond the cutoff: those pairs cannot
-      // reach minEditSim for ANY length, drop before the sim division
-      .filter(col("lev") >= 0L)
+      // reach minEditSim for ANY length, drop before the sim division;
+      // budget-exceeded pairs (NULL lev) stay — edit-unverified flag
+      .filter(col("lev").isNull || col("lev") >= 0L)
       .withColumn("edit_sim", lit(1.0) - col("lev").cast(DoubleType) /
         greatest(length(col("__na")), length(col("__nb")))
           .cast(DoubleType))
-      .filter(col("edit_sim") >= minEditSim)
+      .filter(col("edit_sim").isNull || col("edit_sim") >= minEditSim)
       .select(col("id_a"), col("id_b"), col("jaccard"), col("lev"),
         col("edit_sim"))
   }
@@ -1396,10 +1422,9 @@ object Dedup {
     require(shingleN >= 1, "noveltyScores: shingleN must be >= 1")
     val tk = graft.functions.TextFunctions.tokens(col(textCol))
     val gramArr = when(size(tk) >= shingleN,
-      array_distinct(transform(sequence(lit(0), size(tk) - shingleN),
-        i => substring(
-          sha2(concat_ws(" ", slice(tk, i + 1, lit(shingleN))), 256),
-          1, 32))))
+      array_distinct(transform(
+        graft.functions.TextFunctions.gramsOfTokens(tk, shingleN),
+        g => substring(sha2(g, 256), 1, 32))))
       .otherwise(array().cast("array<string>"))
     val grams = df.select(col(idCol).as("id"),
       explode(gramArr).as("key"))

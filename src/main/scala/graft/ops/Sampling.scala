@@ -318,10 +318,10 @@ object Sampling {
     * expression, no shuffle, no UDF. */
   def gramBuckets(text: Column, buckets: Int): Column = {
     val t = graft.functions.TextFunctions.tokens(text)
-    // guard: sequence(1, 0) would DESCEND in Spark, fabricating grams
+    // zip_with gram join (no token subtree captured in a lambda — the
+    // gramsOfTokens convention); < 2 tokens yields [] structurally
     val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      graft.functions.TextFunctions.gramsOfTokens(t, 2))
       .otherwise(array().cast("array<string>"))
     transform(concat(t, bigrams), g =>
       conv(substring(sha2(g, 256), 1, 8), 16, 10).cast("long")

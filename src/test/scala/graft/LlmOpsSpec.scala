@@ -1949,6 +1949,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hp.toSet == Set((1L, 2L, 0L)))
   }
 
+  test("editVerifiedPairs: DP budget — NEAR-identical long pairs over " +
+      "maxDpCells ship NULL lev/edit_sim and are KEPT (markup-sweep " +
+      "regression); under-budget pairs verify normally") {
+    val s = spark
+    import s.implicits._
+    // near-identical (one word appended) 16k-char docs: byte-equality
+    // cannot catch them, band ≈ 0.2·len, DP cost ≈ len·band ≈ 51M
+    // cells > budget → NULL flag, pair kept
+    val big = "token " * 2700 // ~16.2k chars
+    val df = Seq((1L, big), (2L, big + "tail")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = Dedup.editVerifiedPairs(df, "text", "doc_id", 0.5, 0.8)
+      .select("id_a", "id_b", "lev", "edit_sim").collect()
+    assert((System.nanoTime() - t0) / 1e9 < 60.0,
+      "over-budget pair must skip the DP, not crawl through it")
+    assert(r.length == 1 && r(0).getLong(0) == 1L &&
+      r(0).getLong(1) == 2L && r(0).isNullAt(2) && r(0).isNullAt(3))
+    // a generous budget verifies the same pair for real
+    val v = Dedup.editVerifiedPairs(df, "text", "doc_id", 0.5, 0.8,
+        maxDpCells = Long.MaxValue)
+      .select("lev").collect()
+    assert(v.length == 1 && !v(0).isNullAt(0) && v(0).getLong(0) > 0L)
+  }
+
   test("noveltyScores: copies score 0, fresh 1e6, mixes between, short null") {
     val s = spark
     import s.implicits._
