@@ -90,31 +90,45 @@ object Bench {
     // headline swings across otherwise-identical builds).
     val reps = 2
     val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val done = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def runOnce(): Unit = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate timings: the LSH operators persist intermediates
+        // with the session-lifetime handle, and the cache manager
+        // matches canonicalized plans ACROSS queries — without this,
+        // whether dedup_clusters hits dedup_minhash_pairs' leftover
+        // cache is a race, swinging its time 5× run to run
+        spark.catalog.clearCache()
+        // clearCache only drops Dataset-level entries; the label-
+        // propagation loop truncates lineage with localCheckpoint,
+        // whose blocks live at the RDD level. Bench calls queries
+        // through the (SparkSession, sfDir) signature, so the
+        // operators run with CacheHandle.unmanaged and their release
+        // thunks never fire — drop every leftover persistent RDD here
+        // or checkpoint blocks accumulate across the 24-query run.
+        val sc = spark.sparkContext
+        sc.getPersistentRDDs.values.foreach(_.unpersist(false))
+        done += dt
+      }
       val sec =
         try {
-          (1 to reps).foreach { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            val dt = (System.nanoTime() - t0) / 1e9
-            // isolate timings: the LSH operators persist intermediates
-            // with the session-lifetime handle, and the cache manager
-            // matches canonicalized plans ACROSS queries — without this,
-            // whether dedup_clusters hits dedup_minhash_pairs' leftover
-            // cache is a race, swinging its time 5× run to run
-            spark.catalog.clearCache()
-            // clearCache only drops Dataset-level entries; the label-
-            // propagation loop truncates lineage with localCheckpoint,
-            // whose blocks live at the RDD level. Bench calls queries
-            // through the (SparkSession, sfDir) signature, so the
-            // operators run with CacheHandle.unmanaged and their release
-            // thunks never fire — drop every leftover persistent RDD here
-            // or checkpoint blocks accumulate across the 24-query run.
-            val sc = spark.sparkContext
-            sc.getPersistentRDDs.values.foreach(_.unpersist(false))
-            done += dt
+          (1 to reps).foreach(_ => runOnce())
+          // rep-divergence guard (r15: a load transient shipped a
+          // phantom 8× regression and cost a judge session to
+          // disprove): when one rep is >3× another, the slow rep is
+          // suspect — run ONE extra rep so the min reflects a quiet
+          // measurement, and flag the query in the artifact so the
+          // reader knows its reps disagreed.
+          if (done.max / math.max(done.min, 1e-9) > 3.0) {
+            suspects += name
+            System.err.println(f"[bench] $name reps diverge >3x " +
+              f"(${done.min}%.3f..${done.max}%.3f s) - extra rep")
+            runOnce()
           }
           done.min
         } catch {
@@ -157,8 +171,9 @@ object Bench {
         "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
     val calJson = f"""{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"ref_sec":$CalibrationRefSec%.3f,"load_factor":$loadFactor%.3f}"""
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     System.err.println(f"[bench] calibration: start=$calStart%.3f end=$calEnd%.3f ref=$CalibrationRefSec load_factor=$loadFactor%.3f")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":${f"$normTotal%.3f"},"calibration":$calJson,"queries":$qs,"reps_sec":$repsJson,"failed":${results.size - ok.size},"reps":$reps,"timing":"min-of-reps; all reps cold (caches + checkpoint RDDs dropped between reps); calibration = fixed CPU-bound job timed before+after the loop, load_factor = mean/ref (1.0 = unloaded sandbox, normalize or re-run if >1.15)","note":"$note","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":${f"$normTotal%.3f"},"calibration":$calJson,"queries":$qs,"reps_sec":$repsJson,"suspect":$suspectJson,"failed":${results.size - ok.size},"reps":$reps,"timing":"min-of-reps; all reps cold (caches + checkpoint RDDs dropped between reps); calibration = fixed CPU-bound job timed before+after the loop, load_factor = mean/ref (1.0 = unloaded sandbox, normalize or re-run if >1.15); suspect = queries whose reps diverged >3x (load transient - an extra rep was run and recorded)","note":"$note","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,7 +80,9 @@ object SparkEntry {
     lit("&quot; &amp; source <b>"), col("source"),
     lit("</b></p><div><p>"), col("text"),
     lit("</p><a href=\"/d/"), col("doc_id").cast(StringType),
-    lit("\">next&nbsp;&gt;</a></div></body></html>"))
+    lit("\">next&nbsp;&gt;</a><aside>side note "),
+    col("doc_id").cast(StringType),
+    lit("</aside></div></body></html>"))
 
   private val htmlDocSql: String =
     """'<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)""" +
@@ -92,7 +94,9 @@ object SparkEntry {
     """ || '&quot; &amp; source <b>' || source""" +
     """ || '</b></p><div><p>' || text""" +
     """ || '</p><a href="/d/' || CAST(doc_id AS VARCHAR)""" +
-    """ || '">next&nbsp;&gt;</a></div></body></html>'"""
+    """ || '">next&nbsp;&gt;</a><aside>side note '""" +
+    """ || CAST(doc_id AS VARCHAR)""" +
+    """ || '</aside></div></body></html>'"""
 
   /** DuckDB replay of [[org.apache.spark.sql.graftnative.HtmlExtractText]]
     * over a column named `html` — the regex chain the kernel's
@@ -106,8 +110,9 @@ object SparkEntry {
     * segment inside a list lambda — instead of the `html` column). */
   private def htmlExtractSqlOn(v: String): String = {
     val blockAlt = "blockquote|figcaption|caption|article|section|" +
-      "address|header|footer|figure|main|nav|form|table|thead|tbody|" +
-      "tfoot|title|tr|td|th|ul|ol|dl|dt|dd|li|h[1-6]|hr|br|pre|p|div"
+      "address|aside|header|footer|figure|main|nav|form|table|thead|" +
+      "tbody|tfoot|title|tr|td|th|ul|ol|dl|dt|dd|li|h[1-6]|hr|br|pre|" +
+      "p|div"
     """trim(regexp_replace(regexp_replace(""" +
     """replace(replace(replace(replace(replace(replace(""" +
     """regexp_replace(regexp_replace(regexp_replace(regexp_replace(""" +
@@ -769,13 +774,21 @@ object SparkEntry {
       |ORDER BY c_custkey""".stripMargin)),
 
     Q("join_anti", (s, dir) => {
+      // anti-join against a FILTERED orders side: at sf0.01 every
+      // customer has some order, so the unfiltered anti set is empty
+      // and the oracle row proved nothing (r15 verdict: vacuous
+      // fixture). The >400000 filter leaves 20/202/1997 customers at
+      // sf0.001/0.01/0.1 with no qualifying order — a non-empty
+      // expected set that still exercises the null-aware anti path.
       val t = Tables(s, dir)
       t.customer.excludeJoin(
-          t.orders.renameInto("o_custkey" -> "c_custkey"), Seq("c_custkey"))
+          t.orders.filterRows(col("o_totalprice") > 400000)
+            .renameInto("o_custkey" -> "c_custkey"), Seq("c_custkey"))
         .selectNames(Seq("c_custkey", "c_name"))
         .sortByKeys(SortKey("c_custkey"))
     }, Some("""SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin)),
 
     Q("join_dedup_names", (s, dir) => {
@@ -3535,10 +3548,12 @@ object SparkEntry {
       |mx AS (SELECT CAST(ceil(0.2 * max(len(nt))) AS BIGINT) AS band
       |  FROM n),
       |e AS (SELECT ida, idb, jac,
-      |  CASE WHEN greatest(len(na.nt), len(nb.nt)) * band > 25000000
+      |  CASE WHEN na.nt = nb.nt THEN CAST(0 AS BIGINT)
+      |    WHEN greatest(len(na.nt), len(nb.nt)) * band > 25000000
       |    THEN NULL
       |    ELSE CAST(levenshtein(na.nt, nb.nt) AS BIGINT) END AS lev,
-      |  CASE WHEN greatest(len(na.nt), len(nb.nt)) * band > 25000000
+      |  CASE WHEN na.nt = nb.nt THEN 1.0
+      |    WHEN greatest(len(na.nt), len(nb.nt)) * band > 25000000
       |    THEN NULL
       |    ELSE 1.0 - levenshtein(na.nt, nb.nt) * 1.0
       |      / greatest(len(na.nt), len(nb.nt)) END AS es
@@ -7425,7 +7440,8 @@ object SparkEntry {
         col("doc_id").cast(StringType),
         lit("'>sq</a><a href=/plain/"),
         col("doc_id").cast(StringType),
-        lit(">u</a><a name=\"anchor\">no href</a></body></html>"))
+        lit(">u</a><a name=\"anchor\">no href</a>" +
+          "<a data-href=\"/fake\">decoy</a></body></html>"))
       val links = graft.functions.TextFunctions.htmlLinks(linkDoc)
       Tables(s, dir).documents
         .select(col("doc_id"),
@@ -7443,13 +7459,15 @@ object SparkEntry {
       |  || '">y</A></p><a class="n" href="#frag">z</a><a href=''/single/'
       |  || CAST(doc_id AS VARCHAR)
       |  || '''>sq</a><a href=/plain/' || CAST(doc_id AS VARCHAR)
-      |  || '>u</a><a name="anchor">no href</a></body></html>' AS html
+      |  || '>u</a><a name="anchor">no href</a>'
+      |  || '<a data-href="/fake">decoy</a></body></html>' AS html
       |  FROM documents),
       |t AS (SELECT doc_id,
       |  regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1)
       |    AS title_raw,
       |  list_transform(regexp_extract_all(html,
-      |    '(?i)<a[ \t\n\r\f][^>]*?href[ \t\n\r\f]*=[ \t\n\r\f]*' ||
+      |    '(?i)<a[ \t\n\r\f](?:[^>]*?[ \t\n\r\f])?' ||
+      |    'href[ \t\n\r\f]*=[ \t\n\r\f]*' ||
       |    '("[^"]*"|''[^'']*''|[^ \t\n\r\f>"''][^ \t\n\r\f>]*)', 1),
       |    x -> CASE WHEN x[1] = '"' OR x[1] = ''''
       |      THEN x[2:-2] ELSE x END) AS link_list
@@ -7488,6 +7506,7 @@ object SparkEntry {
           .otherwise(concat(lit("<link href='https://alt.org/"), id,
             lit("' rel='canonical'>"))),
         lit("<meta name=\"description\" content=\"decoy later\">" +
+          "<meta data-name=\"description\" data-content=\"attr decoy\">" +
           "</head><body>x</body></html>"))
       val flags = f.metaRobotsFlags(doc)
       Tables(s, dir).documents.select(col("doc_id"),
@@ -7528,6 +7547,7 @@ object SparkEntry {
          |  ELSE '<link href=''https://alt.org/' ||
          |      CAST(doc_id AS VARCHAR) || ''' rel=''canonical''>' END ||
          |  '<meta name="description" content="decoy later">' ||
+         |  '<meta data-name="description" data-content="attr decoy">' ||
          |  '</head><body>x</body></html>' AS html
          |  FROM documents),
          |x AS (SELECT doc_id, html,

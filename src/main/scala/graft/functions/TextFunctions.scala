@@ -488,12 +488,16 @@ object TextFunctions {
     * first HTML whitespace or `>` and must be non-empty (the HTML5
     * rule). An attribute value containing `>` BEFORE href ends the
     * candidate tag in both engines (the `[^>]*?` constraint —
-    * identical on each side). Scan-side projection (regexp scan
-    * codegen'd; the quote-strip is a higher-order array map); null
-    * html → null. */
+    * identical on each side). The `href` NAME must be preceded by
+    * HTML whitespace (an attribute boundary — `data-href=` is NOT a
+    * link; attributes jammed against a preceding quoted value with no
+    * separating whitespace are a documented omission). Scan-side
+    * projection (regexp scan codegen'd; the quote-strip is a
+    * higher-order array map); null html → null. */
   def htmlLinks(c: Column): Column = {
     val raw = regexp_extract_all(c,
-      lit("(?i)<a[ \\t\\n\\r\\f][^>]*?href[ \\t\\n\\r\\f]*=" +
+      lit("(?i)<a[ \\t\\n\\r\\f](?:[^>]*?[ \\t\\n\\r\\f])?" +
+        "href[ \\t\\n\\r\\f]*=" +
         "[ \\t\\n\\r\\f]*(\"[^\"]*\"|'[^']*'|" +
         "[^ \\t\\n\\r\\f>\"'][^ \\t\\n\\r\\f>]*)"),
       lit(1))
@@ -507,9 +511,9 @@ object TextFunctions {
     * boundaries). Public so the DuckDB replay interpolates the
     * identical split regex. */
   val blockTagAlt: String =
-    "blockquote|figcaption|caption|article|section|address|header|" +
-      "footer|figure|main|nav|form|table|thead|tbody|tfoot|title|tr|" +
-      "td|th|ul|ol|dl|dt|dd|li|h[1-6]|hr|br|pre|p|div"
+    "blockquote|figcaption|caption|article|section|address|aside|" +
+      "header|footer|figure|main|nav|form|table|thead|tbody|tfoot|" +
+      "title|tr|td|th|ul|ol|dl|dt|dd|li|h[1-6]|hr|br|pre|p|div"
 
   /** The [[mainContent]] block-split regex (oracle-shared). */
   val blockSplitPattern: String =
@@ -628,7 +632,12 @@ object TextFunctions {
   def htmlMetaPattern(name: String): String = {
     val nm = s"(?:name|property)$htmlWs*=$htmlWs*[\"']${reLit(name)}[\"']"
     val ct = s"content$htmlWs*=$htmlWs*"
-    s"(?i)<meta$htmlWs[^>]*?(?:$nm[^>]*?$ct$qVal|$ct$qVal[^>]*?$nm)"
+    // each attribute NAME requires a preceding whitespace boundary —
+    // `data-name=` / `data-content=` must not match (ADVICE r15); the
+    // leading boundary is the `<meta ` whitespace itself when the
+    // keyword comes first
+    s"(?i)<meta$htmlWs(?:[^>]*?$htmlWs)?" +
+      s"(?:$nm[^>]*?$htmlWs$ct$qVal|$ct$qVal[^>]*?$htmlWs$nm)"
   }
 
   def htmlMeta(c: Column, name: String): Column = {
@@ -650,7 +659,10 @@ object TextFunctions {
   val canonicalLinkPattern: String = {
     val rel = s"rel$htmlWs*=$htmlWs*[\"']canonical[\"']"
     val hrf = s"href$htmlWs*=$htmlWs*"
-    s"(?i)<link$htmlWs[^>]*?(?:$rel[^>]*?$hrf$qVal|$hrf$qVal[^>]*?$rel)"
+    // whitespace boundary before each attribute name (htmlMetaPattern
+    // convention): `data-rel=` / `data-href=` must not match
+    s"(?i)<link$htmlWs(?:[^>]*?$htmlWs)?" +
+      s"(?:$rel[^>]*?$htmlWs$hrf$qVal|$hrf$qVal[^>]*?$htmlWs$rel)"
   }
 
   def canonicalLink(c: Column): Column = {

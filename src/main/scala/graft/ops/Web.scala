@@ -293,9 +293,14 @@ object Web {
     * robots-file-bounded per host — skew-free by construction since no
     * host's rule list exceeds the RFC size cap); one conditional
     * aggregate back to URL grain (max matching plen per verdict side).
-    * The pattern→regex compilation is a scan-side expression on the
-    * RULES side, so each pattern compiles once per rule row, not once
-    * per (url, rule) pair.
+    * The pattern STRING is built once per rule row on the RULES side;
+    * java.util.regex compilation of it happens in the match operator,
+    * which memoizes only the LAST-SEEN pattern per operator instance —
+    * after the url×rules join, consecutive probe rows cycle through a
+    * host's patterns, so a pattern can recompile on each change. The
+    * compiled forms are tiny (literals + `.*` + anchors) and rule
+    * lists are RFC-bounded, so this is benign; if profiling ever says
+    * otherwise, sort probe rows by pattern within partitions first.
     *
     * The verdict re-aggregates on the input frame's FULL column set, so
     * byte-identical duplicate input rows merge into one output row —

@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL TABLE-FUNCTION surface for the pipeline-shaped DataFrame
-  * operators — `SELECT * FROM graft_rfm('events_view', 'user_id', 'ts',
-  * 'value')` plans the same operator graph as the DataFrame call,
-  * registered through `SparkSessionExtensions.injectTableFunction`.
+  * operators — `SELECT * FROM graft_sessionize('events_view',
+  * 'user_id', 'ts', 'value', 1800000)` plans the same operator graph
+  * as the DataFrame call, registered through
+  * `SparkSessionExtensions.injectTableFunction`.
   *
   * The input relation is named by a STRING LITERAL resolved through the
   * session catalog (`SparkSession.active.table`) — the same contract as
@@ -28,12 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * are eligible. Table-function builders run during ANALYSIS; an
   * operator that trains a model with a driver micro-round at build time
   * (pcaTrain's moment pass, quantileNormalize's grid collect,
-  * mahalanobisScores' moments, BPE rounds) would launch Spark jobs from
-  * inside `EXPLAIN`, break plan caching, and re-train on every
-  * re-analysis. Those stay DataFrame-only by design — their API already
-  * factorizes into train (driver model) → apply (scan-side plan), and
-  * the apply halves are reachable from SQL through the scalar surface
-  * ([[SqlFunctions]]). */
+  * mahalanobisScores' moments, BPE rounds, rfmSegments — whose
+  * groupedCumSum kernel collects per-bucket partials for the prefix
+  * offsets, an ADVICE-r15 finding that removed graft_rfm from this
+  * surface) would launch Spark jobs from inside `EXPLAIN`, break plan
+  * caching, and re-train on every re-analysis. Those stay
+  * DataFrame-only by design — their API already factorizes into train
+  * (driver model) → apply (scan-side plan), and the apply halves are
+  * reachable from SQL through the scalar surface ([[SqlFunctions]]). */
 object SqlTableFunctions {
 
   type TableFunctionDescription =
@@ -97,19 +100,6 @@ object SqlTableFunctions {
       .queryExecution.logical
 
   val functions: Seq[TableFunctionDescription] = Seq(
-
-    (FunctionIdentifier("graft_rfm"),
-      info("graft_rfm",
-        "graft_rfm(table, entityCol, tsCol, valueCol[, tiles]) - " +
-          "recency/frequency/monetary tiles per entity"),
-      args => { requireArity("graft_rfm", args, 4, 5)
-        val tiles = if (args.length > 4)
-          intLit("graft_rfm", "tiles", args(4)) else 5
-        planOf(graft.ops.Events.rfmSegments(
-          rel(strLit("graft_rfm", "table", args(0))),
-          strLit("graft_rfm", "entityCol", args(1)),
-          strLit("graft_rfm", "tsCol", args(2)),
-          strLit("graft_rfm", "valueCol", args(3)), tiles)) }),
 
     (FunctionIdentifier("graft_sessionize"),
       info("graft_sessionize",

@@ -143,15 +143,16 @@ class ExtensionsSpec extends AnyFunSuite {
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
       .sorted.toSeq
 
-  test("graft_rfm table function matches rfmSegments (DF path)") {
+  test("graft_rfm is NOT a table function (eligibility rule: its " +
+      "groupedCumSum kernel collects at build time — ADVICE r15)") {
     events
-    val viaSql = spark.sql(
-      "SELECT * FROM graft_rfm('ext_events', 'user_id', 'ts', 'value')")
-    val viaApi = graft.ops.Events.rfmSegments(
-      events, "user_id", "ts", "value")
-    assert(viaSql.columns.sorted === viaApi.columns.sorted)
-    assert(sortedRows(viaSql.select(viaApi.columns.sorted.map(col): _*)) ===
-      sortedRows(viaApi.select(viaApi.columns.sorted.map(col): _*)))
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_rfm('ext_events', 'user_id', 'ts', 'value')")
+        .collect()
+    }
+    // the engine's own unresolved-TVF error, not a graft crash
+    assert(e.getMessage.toLowerCase.contains("graft_rfm"), e.getMessage)
   }
 
   test("graft_sessionize table function matches sessionizeBatch") {
@@ -195,9 +196,10 @@ class ExtensionsSpec extends AnyFunSuite {
       "above the TVF)") {
     events
     val n = spark.sql(
-      """SELECT user_id, monetary
-        |FROM graft_rfm('ext_events', 'user_id', 'ts', 'value')
-        |WHERE r IS NOT NULL AND monetary > 0""".stripMargin)
+      """SELECT user_id, events
+        |FROM graft_sessionize('ext_events', 'user_id', 'ts', 'value',
+        |  1800000)
+        |WHERE events > 0""".stripMargin)
       .count()
     assert(n > 0)
   }

@@ -184,6 +184,37 @@ class HtmlSpec extends AnyFunSuite {
     assert(links(Seq("null").head + "") == Seq(Seq())) // no anchors
   }
 
+  test("htmlLinks: attribute boundary — data-href is NOT a link " +
+      "(ADVICE r15); real href after a data-href still extracts") {
+    assert(links(
+      """<a data-href="/fake">d</a>""",
+      """<a data-href="/fake" href="/real">r</a>""",
+      """<a href="/first" data-href="/fake">f</a>""") ==
+      Seq(Seq(), Seq("/real"), Seq("/first")))
+  }
+
+  test("aside is a block boundary in the kernel, the split pattern and " +
+      "the shared alternation (ADVICE r15 parity fix)") {
+    // kernel: <aside> emits a newline like every other block tag
+    assert(extract("before<aside>note</aside>after") ==
+      Seq("before\nnote\nafter"))
+    // the oracle-shared alternation now carries the same tag
+    assert(TextFunctions.blockTagAlt.contains("aside"))
+    // mainContent's splitter sees the aside boundary: the link-farm
+    // aside drops while the prose block stays
+    val s = spark
+    import s.implicits._
+    val prose = "This aside-adjacent paragraph has plenty of prose " +
+      "characters so the minimum length gate passes comfortably."
+    val got = Seq(s"<p>$prose</p><aside><a href='/x'>x</a> " +
+        "<a href='/y'>y</a></aside>").toDF("h")
+      .select(TextFunctions.mainContent(col("h")).as("m"))
+      .select(col("m.main_text"), col("m.n_blocks"), col("m.n_kept"))
+      .collect().head
+    assert(got.getLong(1) == 2 && got.getLong(2) == 1)
+    assert(got.getString(0) == prose)
+  }
+
   test("htmlTitle: first title block through the htmlText kernel " +
       "(entity decode + collapse); no title -> empty; null -> null") {
     val s = spark
@@ -270,6 +301,13 @@ class HtmlSpec extends AnyFunSuite {
     // [^>]*? constraint, identical in RE2) — documented like htmlLinks
     assert(meta("d", """<meta x="a>b" name="d" content="v">""") ==
       Seq(null: String))
+    // attribute boundary (ADVICE r15): data-name/data-content never
+    // match; a real pair later in the document still does
+    assert(meta("d",
+      """<meta data-name="d" data-content="fake">""",
+      """<meta data-name="d" data-content="fake">""" +
+        """<meta name="d" content="real">""") ==
+      Seq(null, "real"))
   }
 
   test("canonicalLink: both orders; first wins; none -> null") {
@@ -280,12 +318,14 @@ class HtmlSpec extends AnyFunSuite {
         """<link rel="canonical" href="https://ex.com/b">""",
       """<link href='https://ex.com/swap' rel='canonical'>""",
       """<link rel="stylesheet" href="/css">""",
+      // attribute boundary (ADVICE r15): data-rel/data-href don't match
+      """<link data-rel="canonical" data-href="https://ex.com/no">""",
       null: String
     ).toDF("h").select(TextFunctions.canonicalLink(col("h")).as("c"))
       .collect()
       .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
     assert(got == Seq("https://ex.com/a", "https://ex.com/swap",
-      null, null))
+      null, null, null))
   }
 
   test("metaRobotsFlags: directive list parsing; none=both; default " +
