@@ -7793,6 +7793,183 @@ object SparkEntry {
       |      '(?is)<loc[^>]*>([^<]*)</loc', 1))), ',') AS idx_locs
       |FROM e ORDER BY doc_id, url_idx""".stripMargin)),
 
+    Q("web_resolve_urls", (s, dir) => {
+      // RFC 3986 reference resolution over planted reference shapes
+      // (doc_id % 10 selects the case): absolute href, scheme-relative,
+      // root-relative, sibling, ./, ../ (and climbs past the root that
+      // must clamp), empty ref, query+fragment — the §5.2 algorithm
+      // replayed case-for-case by the oracle's analytic expected
+      // values. A second column resolves every href against a
+      // SCHEME-LESS base and must be null on every row (the junk-base
+      // contract).
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 5).cast(StringType)
+      val base = concat(lit("http://h"), k, lit(".ex/a"), id,
+        lit("/b/c.html?bq=1"))
+      val c = col("doc_id") % 10
+      val href = when(c === 0, concat(lit("https://other.org/abs/"), id))
+        .when(c === 1, concat(lit("//cdn"), k, lit(".ex/x.js")))
+        .when(c === 2, concat(lit("/r/"), id))
+        .when(c === 3, concat(lit("d"), id, lit(".html")))
+        .when(c === 4, lit("./e"))
+        .when(c === 5, concat(lit("../up"), id))
+        .when(c === 6, lit("../../top"))
+        .when(c === 7, lit("../../../over"))
+        .when(c === 8, lit(""))
+        .otherwise(concat(lit("?q="), id, lit("#frag")))
+      Tables(s, dir).documents.select(col("doc_id"), href.as("href"),
+        Web.resolveUrl(base, href).as("resolved"),
+        Web.resolveUrl(lit("relative/base"), href).as("no_scheme"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 5 AS VARCHAR) AS k, doc_id % 10 AS c
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE c WHEN 0 THEN 'https://other.org/abs/' || i
+      |    WHEN 1 THEN '//cdn' || k || '.ex/x.js'
+      |    WHEN 2 THEN '/r/' || i
+      |    WHEN 3 THEN 'd' || i || '.html'
+      |    WHEN 4 THEN './e'
+      |    WHEN 5 THEN '../up' || i
+      |    WHEN 6 THEN '../../top'
+      |    WHEN 7 THEN '../../../over'
+      |    WHEN 8 THEN ''
+      |    ELSE '?q=' || i || '#frag' END AS href,
+      |  CASE c WHEN 0 THEN 'https://other.org/abs/' || i
+      |    WHEN 1 THEN 'http://cdn' || k || '.ex/x.js'
+      |    WHEN 2 THEN 'http://h' || k || '.ex/r/' || i
+      |    WHEN 3 THEN 'http://h' || k || '.ex/a' || i || '/b/d' || i
+      |      || '.html'
+      |    WHEN 4 THEN 'http://h' || k || '.ex/a' || i || '/b/e'
+      |    WHEN 5 THEN 'http://h' || k || '.ex/a' || i || '/up' || i
+      |    WHEN 6 THEN 'http://h' || k || '.ex/top'
+      |    WHEN 7 THEN 'http://h' || k || '.ex/over'
+      |    WHEN 8 THEN 'http://h' || k || '.ex/a' || i
+      |      || '/b/c.html?bq=1'
+      |    ELSE 'http://h' || k || '.ex/a' || i || '/b/c.html?q=' || i
+      |      || '#frag' END AS resolved,
+      |  CAST(NULL AS VARCHAR) AS no_scheme
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("web_links_resolved", (s, dir) => {
+      // THE crawl-graph edge pipeline made real (r15 verdict #2):
+      // htmlLinks -> resolveUrl against coalesce(<base href>, page
+      // URL) -> canonicalizeUrl. Pages carry one relative, one
+      // root-relative-with-utm and one absolute-with-fragment link;
+      // every 3rd page declares a <base href> on a mirror host that
+      // must re-anchor the relative links. The oracle replays each
+      // stage's expected output analytically per case.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 5).cast(StringType)
+      val pageUrl = concat(lit("http://h"), k, lit(".ex/p"), id,
+        lit("/index.html"))
+      val baseTag = when(col("doc_id") % 3 === 0,
+        concat(lit("<base href=\"https://mirror.ex/m"), id, lit("/\">")))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), baseTag,
+        lit("</head><body><a href=\"art"), id,
+        lit(".html\">a</a><a href=\"/top/"), id,
+        lit("?utm_source=x\">t</a><a href=\"https://ext.org/e"), id,
+        lit("#sec\">e</a></body></html>"))
+      val f = graft.functions.TextFunctions
+      val withLinks = Tables(s, dir).documents
+        .select(col("doc_id"), pageUrl.as("page_url"), html.as("html"))
+        .select(col("doc_id"), col("page_url"),
+          // a relative <base href> itself resolves against the page URL
+          coalesce(Web.resolveUrl(col("page_url"),
+            f.htmlBaseHref(col("html"))), col("page_url")).as("eff_base"),
+          posexplode(f.htmlLinks(col("html")))
+            .as(Seq("link_idx", "href")))
+      withLinks.select(col("doc_id"), col("link_idx"), col("href"),
+        Web.resolveUrl(col("eff_base"), col("href")).as("abs_url"))
+        .withColumn("canon_url", Web.canonicalizeUrl(col("abs_url")))
+        .sortByKeys(SortKey("doc_id"), SortKey("link_idx"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 5 AS VARCHAR) AS k, doc_id % 3 = 0 AS hasb
+      |  FROM documents),
+      |e AS (SELECT doc_id, i, k, hasb,
+      |  CASE WHEN hasb THEN 'https://mirror.ex/m' || i || '/'
+      |    ELSE 'http://h' || k || '.ex/p' || i || '/' END AS dirp,
+      |  CASE WHEN hasb THEN 'https://mirror.ex'
+      |    ELSE 'http://h' || k || '.ex' END AS root
+      |  FROM h),
+      |x AS (
+      |  SELECT doc_id, 0 AS link_idx, 'art' || i || '.html' AS href,
+      |    dirp || 'art' || i || '.html' AS abs_url,
+      |    dirp || 'art' || i || '.html' AS canon_url FROM e
+      |  UNION ALL
+      |  SELECT doc_id, 1, '/top/' || i || '?utm_source=x',
+      |    root || '/top/' || i || '?utm_source=x',
+      |    root || '/top/' || i FROM e
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'https://ext.org/e' || i || '#sec',
+      |    'https://ext.org/e' || i || '#sec',
+      |    'https://ext.org/e' || i FROM e)
+      |SELECT doc_id, link_idx, href, abs_url, canon_url
+      |FROM x ORDER BY doc_id, link_idx""".stripMargin)),
+
+    Q("pipeline_crawl_frontier", (s, dir) => {
+      // the crawl-tier showcase composition (r15 verdict #7):
+      // sitemapEntries -> resolveUrl(sitemap URL) -> canonicalizeUrl
+      // -> robotsDecisions('graftbot') -> per-host frontier report
+      // with each stage's attrition attributed. Per nation-keyed host:
+      // 6 sitemap blocks (7 on even keys) = a robots-disallowed
+      // /privateK/x.html, its Allow-rescued ok.html, a RELATIVE loc
+      // with a utm param (real-world sitemap violation — resolve +
+      // canonicalize must fix it), a /tmp/*.log-disallowed URL, a
+      // mailto: loc (resolves but cannot canonicalize -> dropped), a
+      // loc-less block (dropped at resolve), and on even keys an
+      // /extraK page. Hosts with k%3=0 carry an exact graftbot group
+      // that REPLACES the * group (RFC: no blending), so their
+      // /private and /tmp URLs come back allowed.
+      val t = Tables(s, dir)
+      val k = col("n_nationkey").cast(StringType)
+      val xml = concat(
+        lit("<urlset><url><loc>/private"), k, lit("/x.html</loc></url>" +
+          "<url><loc>/private"), k, lit("/ok.html</loc></url>" +
+          "<url><loc>pub/page"), k,
+        lit(".html?utm_source=sm</loc></url>" +
+          "<url><loc>http://h"), k, lit(".ex/tmp/a.log</loc></url>" +
+          "<url><loc>mailto:admin@h"), k, lit(".ex</loc></url>"),
+        when(col("n_nationkey") % 2 === 0,
+          concat(lit("<url><loc>/extra"), k, lit("</loc></url>")))
+          .otherwise(lit("")),
+        lit("<url><priority>1</priority></url></urlset>"))
+      val sm = t.nation.select(
+        concat(lit("h"), k, lit(".ex")).as("host"), xml.as("xml"))
+      val canon = Web.sitemapEntries(sm, "host", "xml")
+        .withColumn("abs_url", Web.resolveUrl(
+          concat(lit("http://"), col("host"), lit("/sitemap.xml")),
+          col("loc")))
+        .withColumn("curl", Web.canonicalizeUrl(col("abs_url")))
+      val verdicts = Web.robotsDecisions(
+        canon.where(col("curl").isNotNull)
+          .select(col("host"), col("url_idx"), col("curl").as("url")),
+        "url", robotsGen(t), "host", "txt", "graftbot")
+      val stages = canon.groupBy(col("host")).agg(
+        count(lit(1)).as("n_entries"),
+        count(col("abs_url")).as("n_resolved"),
+        count(col("curl")).as("n_canonical"))
+      stages.join(
+        verdicts.groupBy(col("host"))
+          .agg(sum(col("allowed").cast("long")).as("n_allowed")),
+        Seq("host"))
+        .sortByKeys(SortKey("host"))
+    }, Some("""WITH n AS (SELECT n_nationkey AS nk,
+      |  'h' || CAST(n_nationkey AS VARCHAR) || '.ex' AS host
+      |  FROM nation)
+      |SELECT host,
+      |  CAST(CASE WHEN nk % 2 = 0 THEN 7 ELSE 6 END AS BIGINT)
+      |    AS n_entries,
+      |  CAST(CASE WHEN nk % 2 = 0 THEN 6 ELSE 5 END AS BIGINT)
+      |    AS n_resolved,
+      |  CAST(CASE WHEN nk % 2 = 0 THEN 5 ELSE 4 END AS BIGINT)
+      |    AS n_canonical,
+      |  CAST(CASE WHEN nk % 3 = 0 THEN 4 ELSE 2 END
+      |    + CASE WHEN nk % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_allowed
+      |FROM n ORDER BY host""".stripMargin)),
+
     Q("text_html_main", (s, dir) => {
       // main-content extraction: generated page = link-dense nav, a
       // short h1, the document text as prose, a prose+small-link div,

@@ -665,6 +665,30 @@ object TextFunctions {
       s"(?:$rel[^>]*?$htmlWs$hrf$qVal|$hrf$qVal[^>]*?$htmlWs$rel)"
   }
 
+  /** The exact [[htmlBaseHref]] regex (oracle-shared): href value of a
+    * `<base>` tag, all three quote styles (the [[htmlLinks]] value
+    * token), whitespace attribute boundary. */
+  val baseHrefPattern: String =
+    s"(?i)<base$htmlWs(?:[^>]*?$htmlWs)?href$htmlWs*=$htmlWs*" +
+      "(\"[^\"]*\"|'[^']*'|" +
+      "[^ \\t\\n\\r\\f>\"'][^ \\t\\n\\r\\f>]*)"
+
+  /** `href` of the FIRST `<base href=...>` element — the document-level
+    * link re-anchor (HTML5: the first base element wins; links resolve
+    * against it instead of the page URL). Compose as
+    * `Web.resolveUrl(coalesce(htmlBaseHref(html), pageUrl), href)`.
+    * Same value-token semantics as [[htmlLinks]] (three quote styles,
+    * attribute boundary before `href`); no base tag → null; null html
+    * → null. Scan-side projection. */
+  def htmlBaseHref(c: Column): Column = {
+    val t = regexp_extract(c, baseHrefPattern, 1)
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(when(length(t) === 0, lit(null).cast(StringType))
+        .otherwise(
+          when(substring(t, 1, 1) === "\"" || substring(t, 1, 1) === "'",
+            t.substr(lit(2), length(t) - 2)).otherwise(t)))
+  }
+
   def canonicalLink(c: Column): Column = {
     val pat = canonicalLinkPattern
     val g1 = regexp_extract(c, pat, 1)

@@ -49,6 +49,21 @@ object Web {
         countDistinct(col("__host")).as("n_hosts"))
   }
 
+  /** RFC 3986 reference resolution (`resolve(base, href)`): the
+    * absolute URL a relative href denotes on a page at `base` — the
+    * step between [[graft.functions.TextFunctions.htmlLinks]] (raw
+    * hrefs, mostly relative on real pages) and [[canonicalizeUrl]] /
+    * the graph tier (which assume absolute URLs). Strict §5.2
+    * algorithm with §5.2.4 dot-segment removal; base without a scheme
+    * → null (junk-in/null-out). Honors `<base href>` when composed as
+    * `resolveUrl(coalesce(htmlBaseHref(html), pageUrl), href)` — the
+    * HTML5 rule that a document's base element re-anchors its links.
+    * Pure scan-side codegen'd kernel
+    * ([[org.apache.spark.sql.graftnative.UrlResolve]]); no shuffle at
+    * any scale. */
+  def resolveUrl(base: Column, ref: Column): Column =
+    org.apache.spark.sql.graftnative.WebFunctions.urlResolve(base, ref)
+
   /** URL canonicalization for dedup keys: lowercase scheme and host,
     * drop the fragment, drop tracking query parameters (key matches a
     * `dropParamPrefixes` prefix OR equals a `dropParamsExact` name),

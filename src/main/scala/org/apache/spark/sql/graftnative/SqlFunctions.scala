@@ -97,7 +97,13 @@ object SqlFunctions {
       info("graft_html_text",
         "graft_html_text(html) - visible text: strip comments/script/style/tags, decode entities, collapse whitespace"),
       args => { requireArity("graft_html_text", args, 1)
-        HtmlExtractText(args.head) }))
+        HtmlExtractText(args.head) }),
+
+    (FunctionIdentifier("graft_url_resolve"),
+      info("graft_url_resolve",
+        "graft_url_resolve(base, ref) - RFC 3986 reference resolution; null when base has no scheme"),
+      args => { requireArity("graft_url_resolve", args, 2)
+        UrlResolve(args.head, args(1)) }))
 
   /** Runtime registration for sessions not built with `.withExtensions`
     * (mirrors `GraftExtensions.topKPerGroup`'s self-register). Idempotent:

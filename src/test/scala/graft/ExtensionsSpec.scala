@@ -70,6 +70,25 @@ class ExtensionsSpec extends AnyFunSuite {
       viaApi.orderBy("doc_id").collect().toSeq)
   }
 
+  test("graft_url_resolve: SQL path matches the DataFrame API path " +
+      "(incl. the null-on-schemeless-base contract)") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_url_resolve('http://a/b/c/d;p?q',
+        |    'x' || CAST(doc_id AS STRING) || '/../g') AS u,
+        |  graft_url_resolve('no-scheme', 'g') AS n
+        |FROM ext_docs""".stripMargin)
+    val viaApi = docs.select(col("doc_id"),
+      graft.ops.Web.resolveUrl(lit("http://a/b/c/d;p?q"),
+        concat(lit("x"), col("doc_id").cast("string"), lit("/../g")))
+        .as("u"),
+      graft.ops.Web.resolveUrl(lit("no-scheme"), lit("g")).as("n"))
+    assert(viaSql.orderBy("doc_id").collect().toSeq ===
+      viaApi.orderBy("doc_id").collect().toSeq)
+    assert(viaApi.where(col("u") =!= "http://a/b/c/g").count() === 0)
+  }
+
   test("foldable int expressions are accepted as static parameters") {
     docs
     val r = spark.sql(

@@ -16,6 +16,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# subset runs (graft.Verify with a names arg) leave most queries without
+# a Spark dump; GRAFT_ONLY_EXISTING=1 compares just the dumped ones
+import os
+if os.environ.get("GRAFT_ONLY_EXISTING") == "1":
+    oracle = {k: v for k, v in oracle.items()
+              if os.path.isdir(f"{OUT}/{k}")}
 
 def deep_tuple(v):
     """Recursively convert ndarrays/lists/dicts (incl. nested inside structs)
