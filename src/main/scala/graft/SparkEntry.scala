@@ -7793,6 +7793,60 @@ object SparkEntry {
       |      '(?is)<loc[^>]*>([^<]*)</loc', 1))), ',') AS idx_locs
       |FROM e ORDER BY doc_id, url_idx""".stripMargin)),
 
+    Q("web_warc_gzip", (s, dir) => {
+      // `.warc.gz` ingestion, the actual Common-Crawl distribution
+      // format (r15 verdict #1): per doc, TWO records each compressed
+      // as its OWN gzip member and concatenated. Record 1's payload
+      // CONTAINS a `WARC/1.0\r\n` version line — the text reader's
+      // documented split hazard — and must come back intact because
+      // the binary reader slices by Content-Length offsets. Spark does
+      // the real work (gzip member split + offset walk); DuckDB
+      // recomputes the expected records analytically from the same
+      // generative formula (it never sees compressed bytes — gzip
+      // determinism is not assumed).
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val crlf = "\r\n"
+      val pay1 = concat(col("text"),
+        lit(" tail WARC/1.0" + crlf + " embedded "), id)
+      val rec1 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+          "WARC-Target-URI: http://h"), k, lit(".ex/d/"), id,
+        lit(crlf + "Content-Length: "),
+        octet_length(pay1).cast(StringType),
+        lit(crlf + crlf), pay1, lit(crlf + crlf))
+      val pay2 = concat(lit("second "), id)
+      val rec2 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+          "Content-Length: "), octet_length(pay2).cast(StringType),
+        lit(crlf + crlf), pay2, lit(crlf + crlf))
+      val gz = concat(wf.gzipCompress(rec1.cast("binary")),
+        wf.gzipCompress(rec2.cast("binary")))
+      Web.warcRecordsGzip(
+        Tables(s, dir).documents.select(col("doc_id"), gz.as("gz")),
+        "doc_id", "gz")
+        .select(col("doc_id"), col("member_idx"), col("rec_idx"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          col("payload").cast(StringType).as("payload"))
+        .sortByKeys(SortKey("doc_id"), SortKey("member_idx"))
+    }, Some("""WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 30 AS VARCHAR) AS k,
+      |  text || ' tail WARC/1.0' || chr(13) || chr(10) ||
+      |    ' embedded ' || CAST(doc_id AS VARCHAR) AS pay1
+      |  FROM documents)
+      |SELECT doc_id, 1 AS member_idx, 1 AS rec_idx,
+      |  'conversion' AS warc_type,
+      |  'http://h' || k || '.ex/d/' || i AS target_uri,
+      |  CAST(strlen(pay1) AS BIGINT) AS content_length,
+      |  pay1 AS payload
+      |FROM d
+      |UNION ALL
+      |SELECT doc_id, 2, 1, 'metadata', NULL,
+      |  CAST(strlen('second ' || i) AS BIGINT), 'second ' || i
+      |FROM d
+      |ORDER BY doc_id, member_idx""".stripMargin)),
+
     Q("web_resolve_urls", (s, dir) => {
       // RFC 3986 reference resolution over planted reference shapes
       // (doc_id % 10 selects the case): absolute href, scheme-relative,

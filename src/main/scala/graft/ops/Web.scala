@@ -113,9 +113,11 @@ object Web {
     * the header block runs to the first blank line (`\r\n\r\n`);
     * the payload is everything after it, minus the record-terminating
     * CRLFs. Payload bytes containing a `WARC/1.0\r\n` line of their
-    * own would split early — acceptable for text-payload WET/WAT use
-    * and DOCUMENTED (the Content-Length-driven byte slicing a binary
-    * WARC needs is a different, offset-based reader). Header values
+    * own split early here — acceptable for text-payload WET/WAT use;
+    * when that hazard matters (binary payloads, hostile text) use
+    * [[warcRecordsBinary]], the Content-Length/offset-driven reader,
+    * or [[warcRecordsGzip]] for the `.warc.gz` distribution format.
+    * Header values
     * are extracted case-insensitively, first occurrence, to end of
     * line. Records with no parsable header simply carry nulls — junk
     * never drops rows silently.
@@ -156,6 +158,86 @@ object Web {
         when(header("Content-Length").rlike("^[0-9]{1,18}$"),
           header("Content-Length").cast("long")).as("content_length"),
         regexp_replace(col("__body"), "(\r\n)+$", "").as("payload"))
+  }
+
+  /** Shared header-field projection for the WARC readers: value of the
+    * first `name:` header line, case-insensitive, trimmed, empty →
+    * null. */
+  private def warcHeader(hdr: Column, name: String): Column =
+    nullif(trim(regexp_extract(hdr,
+      "(?i)" + name + ":[ \t]*([^\r\n]*)", 1)), lit(""))
+
+  private def warcHeaderCols(idCol: String): Seq[Column] = Seq(
+    col(idCol),
+    warcHeader(col("__hdr"), "WARC-Type").as("warc_type"),
+    warcHeader(col("__hdr"), "WARC-Target-URI").as("target_uri"),
+    warcHeader(col("__hdr"), "WARC-Date").as("warc_date"),
+    when(warcHeader(col("__hdr"), "Content-Length")
+      .rlike("^[0-9]{1,18}$"),
+      warcHeader(col("__hdr"), "Content-Length").cast("long"))
+      .as("content_length"))
+
+  /** BINARY-SAFE WARC record reader: one binary cell = one
+    * (concatenated, UNcompressed) WARC file, records sliced by their
+    * Content-Length OFFSETS instead of version-line scanning — closes
+    * [[warcRecords]]' documented hazard (a payload containing
+    * `WARC/1.0\r\n` split early there; here it cannot). Output:
+    * (idCol, rec_idx, rec_offset, warc_type, target_uri, warc_date,
+    * content_length, payload BINARY). Degradations are documented on
+    * [[org.apache.spark.sql.graftnative.WarcSplitBinary]] (junk tail →
+    * one null-header record; missing Content-Length → remainder;
+    * truncation → clamp) — every byte lands in some record.
+    *
+    * Scale shape: identical to [[warcRecords]] — one scan-side kernel
+    * + posexplode, zero shuffle; 100 TB parses as a pure map with the
+    * input's partitioning. Feed `spark.read.format("binaryFile")`
+    * content cells (or any per-file/per-chunk binary column). */
+  def warcRecordsBinary(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame = {
+    val nf = org.apache.spark.sql.graftnative.WebFunctions
+    df.select(col(idCol),
+      posexplode_outer(nf.warcSplitBinary(col(binCol)))
+        .as(Seq("__i", "__r")))
+      .withColumn("rec_idx", col("__i") + 1)
+      .withColumn("__hdr", col("__r").getField("header"))
+      .select(warcHeaderCols(idCol)
+        .patch(1, Seq(col("rec_idx"),
+          col("__r").getField("offset").as("rec_offset")), 0) :+
+        col("__r").getField("payload").as("payload"): _*)
+  }
+
+  /** `.warc.gz` / `.wet.gz` ingestion — THE format 100 TB of Common
+    * Crawl actually arrives in (r15 verdict #1): one gzip MEMBER per
+    * record, so the member boundary IS the record boundary and a
+    * whole-file gunzip (which silently concatenates members) loses it.
+    * Per binary cell: [[org.apache.spark.sql.graftnative
+    * .GunzipMembers]] splits and decompresses the members, then the
+    * binary-safe offset reader slices each member's records (tolerant
+    * of multi-record members). Output: (idCol, member_idx, rec_idx,
+    * warc_type, target_uri, warc_date, content_length, payload
+    * BINARY); a corrupt gzip stream ships ONE row with null member
+    * fields (posexplode_outer of the null member array — the file
+    * stays visible for audit, never silently dropped).
+    *
+    * Scale shape: two scan-side kernels + two posexplodes, zero
+    * shuffle. Memory is bounded by one cell's decompressed size —
+    * members are self-delimiting, so upstream chunkers may split a
+    * 1 GB `.warc.gz` at any member boundary and this reader ingests
+    * the chunks unchanged. */
+  def warcRecordsGzip(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame = {
+    val nf = org.apache.spark.sql.graftnative.WebFunctions
+    df.select(col(idCol),
+      posexplode_outer(nf.gunzipMembers(col(binCol)))
+        .as(Seq("__m", "__member")))
+      .select(col(idCol), (col("__m") + 1).as("member_idx"),
+        posexplode_outer(nf.warcSplitBinary(col("__member")))
+          .as(Seq("__i", "__r")))
+      .withColumn("rec_idx", col("__i") + 1)
+      .withColumn("__hdr", col("__r").getField("header"))
+      .select(warcHeaderCols(idCol)
+        .patch(1, Seq(col("member_idx"), col("rec_idx")), 0) :+
+        col("__r").getField("payload").as("payload"): _*)
   }
 
   /** `<url>` entries of an XML sitemap in document order:

@@ -148,6 +148,16 @@ object SqlTableFunctions {
           strLit("graft_warc_records", "idCol", args(1)),
           strLit("graft_warc_records", "warcCol", args(2)))) }),
 
+    (FunctionIdentifier("graft_warc_gzip"),
+      info("graft_warc_gzip",
+        "graft_warc_gzip(table, idCol, binCol) - split .warc.gz binary " +
+          "cells into records (gzip members + Content-Length offsets)"),
+      args => { requireArity("graft_warc_gzip", args, 3, 3)
+        planOf(graft.ops.Web.warcRecordsGzip(
+          rel(strLit("graft_warc_gzip", "table", args(0))),
+          strLit("graft_warc_gzip", "idCol", args(1)),
+          strLit("graft_warc_gzip", "binCol", args(2)))) }),
+
     (FunctionIdentifier("graft_sitemap_entries"),
       info("graft_sitemap_entries",
         "graft_sitemap_entries(table, idCol, xmlCol) - sitemap <url> " +

@@ -240,6 +240,22 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.table("ext_warc"), "doc_id", "warc")
     assert(sortedRows(w1.select(w2.columns.sorted.map(col): _*)) ===
       sortedRows(w2.select(w2.columns.sorted.map(col): _*)))
+    // .warc.gz variant: one gzip member per record
+    spark.table("ext_warc").select(col("doc_id"),
+      org.apache.spark.sql.graftnative.WebFunctions
+        .gzipCompress(col("warc").cast("binary")).as("gz"))
+      .createOrReplaceTempView("ext_warc_gz")
+    // payload is BINARY (Array[Byte] stringifies by identity) — cast
+    // for the row comparison
+    val g1 = spark.sql(
+      "SELECT * FROM graft_warc_gzip('ext_warc_gz', 'doc_id', 'gz')")
+      .withColumn("payload", col("payload").cast("string"))
+    val g2 = graft.ops.Web.warcRecordsGzip(
+      spark.table("ext_warc_gz"), "doc_id", "gz")
+      .withColumn("payload", col("payload").cast("string"))
+    assert(sortedRows(g1.select(g2.columns.sorted.map(col): _*)) ===
+      sortedRows(g2.select(g2.columns.sorted.map(col): _*)))
+    assert(g2.count() > 0)
     // sitemap
     docs.select(col("doc_id"), concat(lit("<urlset><url><loc>u"),
       col("doc_id").cast("string"), lit("</loc></url></urlset>"))
