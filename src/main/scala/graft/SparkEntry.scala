@@ -233,6 +233,51 @@ object SparkEntry {
       |  FROM t)
       |""".stripMargin
 
+  /** 64 DISTINCT han characters, 16 per nibble position — the CJK
+    * dedup fixture alphabet. Position-distinct alphabets make the
+    * 4-char code's token SET unique per doc_id (two ids share all 4
+    * chars only when equal), which is what makes the analytic
+    * `dedup_jaccard_cjk` oracle provable: cross-pairs top out at
+    * jaccard 3/5 (bases), 4/6 (copies), 3/6 (mixed) — all < 0.8 —
+    * while each base/copy pair is exactly 4/5 = 0.8. */
+  private val hanAlphabet: String =
+    "一二三四五六七八九十百千万億兆天" +
+      "地人日月水火木金土山川田口刀牛馬" +
+      "魚鳥虫車門雨花草竹米糸石玉犬猫手" +
+      "足目耳頭心体母父子女王国学校本先"
+
+  /** Han char for nibble `p` of doc_id (position-specific alphabet). */
+  private def hanNibble(p: Int): Column = {
+    require(hanAlphabet.length == 64 &&
+      hanAlphabet.distinct.length == 64, "hanAlphabet must be 64 distinct")
+    val arr = array(hanAlphabet.slice(p * 16, p * 16 + 16)
+      .map(ch => lit(ch.toString)): _*)
+    element_at(arr,
+      (shiftright(col("doc_id"), 4 * p) % 16).cast(IntegerType) + 1)
+  }
+
+  private def hanNibbleText: Column =
+    concat(hanNibble(3), hanNibble(2), hanNibble(1), hanNibble(0))
+
+  /** The SAME 4-char han code in DuckDB SQL (interpolated slices of the
+    * one alphabet, so the engines cannot drift). */
+  private def hanNibbleSql: String =
+    (3 to 0 by -1).map { p =>
+      val lst = hanAlphabet.slice(p * 16, p * 16 + 16)
+        .map(ch => s"'$ch'").mkString("[", ",", "]")
+      s"$lst[(doc_id // ${1L << (4 * p)}) % 16 + 1]"
+    }.mkString(" || ")
+
+  /** CJK near-dup fixture: per-doc unique 4-han-char code + a copy at
+    * id+10000 with one char ('的', outside the alphabet) appended. The
+    * whitespace tokenizer sees ZERO tokens in every row — the corpus
+    * the CJK mode provably rescues. */
+  private def cjkCorpus(t: Tables): DataFrame = {
+    val d = t.documents.select(col("doc_id"), hanNibbleText.as("text"))
+    d.unionWide(d.select((col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit("的")).as("text")))
+  }
+
   // Near-dup fixture: every doc + a lightly-edited copy at id+10000.
   private def withNearDups(t: Tables): DataFrame = {
     val d = t.documents.selectNames(Seq("doc_id", "text"))
@@ -7792,6 +7837,69 @@ object SparkEntry {
       |    s -> trim(regexp_extract(s,
       |      '(?is)<loc[^>]*>([^<]*)</loc', 1))), ',') AS idx_locs
       |FROM e ORDER BY doc_id, url_idx""".stripMargin)),
+
+    Q("text_tokens_cjk", (s, dir) => {
+      // CJK tokenizer mode (r15 verdict #3): latin/digit runs stay
+      // word tokens, every han/kana/hangul codepoint becomes its own
+      // unigram token, in document order; ideographic punctuation
+      // (、) delimits. DuckDB REPLAYS the tokenizer with the same
+      // ranges in RE2 spelling (both class constants are public on
+      // TextFunctions and interpolated here, so they cannot drift).
+      val id = col("doc_id").cast(StringType)
+      val mixed = concat(hanNibbleText, lit(" data-"), id,
+        lit(" モデル学習 한글テスト、end_"), id)
+      val tk = graft.functions.TextFunctions.tokensCjk(mixed)
+      Tables(s, dir).documents.select(col("doc_id"),
+        concat_ws("|", tk).as("toks"),
+        size(tk).cast(LongType).as("n_tok"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id,
+      |  $hanNibbleSql || ' data-' || CAST(doc_id AS VARCHAR) ||
+      |  ' モデル学習 한글テスト、end_' || CAST(doc_id AS VARCHAR) AS mixed
+      |  FROM documents),
+      |t AS (SELECT doc_id, regexp_extract_all(lower(mixed),
+      |  '[a-z0-9_]+|[${graft.functions.TextFunctions.CjkCharClassRe2}]',
+      |  0) AS tk FROM h)
+      |SELECT doc_id, array_to_string(tk, '|') AS toks,
+      |  CAST(len(tk) AS BIGINT) AS n_tok
+      |FROM t ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_jaccard_cjk", (s, dir) => {
+      // CJK near-dup dedup the whitespace tokenizer PROVABLY misses
+      // (see text_cjk_tokenizer_gap for the miss side): per-doc unique
+      // 4-han-char code + a one-char-appended copy. The oracle is
+      // ANALYTIC and provable from the fixture construction
+      // (hanAlphabet doc): every (id, id+10000) pair has token-set
+      // jaccard exactly 4/5 = 0.8 >= threshold; every cross pair tops
+      // out at 4/6 < 0.8 — so the expected set is exactly one row per
+      // document.
+      Dedup.setSimilarityJoin(cjkCorpus(Tables(s, dir)), "text",
+          "doc_id", 0.8, tokenMode = "cjk")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .sortByKeys(SortKey("id_a"), SortKey("id_b"))
+    }, Some("""SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
+      |  0.8 AS jaccard
+      |FROM documents ORDER BY id_a""".stripMargin)),
+
+    Q("text_cjk_tokenizer_gap", (s, dir) => {
+      // the blind spot, quantified: the SAME set-similarity join over
+      // the SAME CJK corpus finds every planted pair in cjk mode and
+      // ZERO pairs in word mode (Java's ASCII \w tokenizes han text to
+      // an empty array). Two rows, one per mode — the non-vacuous
+      // proof that the mode matters.
+      val corpus = cjkCorpus(Tables(s, dir))
+      val c = Dedup.setSimilarityJoin(corpus, "text", "doc_id", 0.8,
+          tokenMode = "cjk")
+        .agg(count(lit(1)).as("n_pairs")).withColumn("mode", lit("cjk"))
+      val w = Dedup.setSimilarityJoin(corpus, "text", "doc_id", 0.8)
+        .agg(count(lit(1)).as("n_pairs")).withColumn("mode", lit("word"))
+      c.unionByName(w).select(col("mode"), col("n_pairs"))
+        .sortByKeys(SortKey("mode"))
+    }, Some("""SELECT 'cjk' AS mode,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_pairs
+      |UNION ALL
+      |SELECT 'word', 0
+      |ORDER BY mode""".stripMargin)),
 
     Q("web_warc_gzip", (s, dir) => {
       // `.warc.gz` ingestion, the actual Common-Crawl distribution

@@ -21,6 +21,47 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => length(t) > 0)
 
+  /** CJK codepoint ranges (BMP): hiragana+katakana, CJK ext A, CJK
+    * unified, hangul syllables, CJK compatibility ideographs — in
+    * java.util.regex spelling, and below in the RE2 spelling the
+    * DuckDB oracle interpolates. Both constants are public so the two
+    * engines cannot drift. */
+  val CjkCharClassJava: String =
+    "\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff" +
+      "\\uac00-\\ud7af\\uf900-\\ufaff"
+
+  /** The SAME ranges, RE2 spelling (DuckDB oracle side). */
+  val CjkCharClassRe2: String =
+    "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" +
+      "\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}"
+
+  /** CJK-aware tokens (r15 verdict #3): Java's ASCII `\w` makes every
+    * han/kana/hangul codepoint a DELIMITER, so [[tokens]] tokenizes a
+    * CJK document to an EMPTY array — shingles degenerate, BM25/TF-IDF
+    * score nothing, dedup misses everything on a third of the web.
+    * This mode emits latin/digit runs as word tokens (lowercased, the
+    * [[tokens]] class) and EVERY CJK codepoint as its own UNIGRAM
+    * token, in document order — the standard space-less-script
+    * fallback (character n-grams recover word-ish granularity through
+    * the shingle layer). One `regexp_extract_all` projection —
+    * scan-side, codegen'd, no UDF. */
+  def tokensCjk(c: Column): Column =
+    regexp_extract_all(lower(c),
+      lit(s"[a-z0-9_]+|[$CjkCharClassJava]"), lit(0))
+
+  /** Tokenizer-mode dispatch — the opt-in knob threaded through
+    * shingles, TF-IDF, BM25, repetition and the set-similarity dedup
+    * ("word" = [[tokens]], the default everywhere; "cjk" =
+    * [[tokensCjk]]). A named error on anything else: a typo'd mode
+    * silently falling back to "word" would reproduce exactly the CJK
+    * blind spot this exists to fix. */
+  def tokensMode(c: Column, mode: String): Column = mode match {
+    case "word" => tokens(c)
+    case "cjk" => tokensCjk(c)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenMode '$other' (expected 'word' or 'cjk')")
+  }
+
   /** Unicode NFC composition (native codegen'd expression; ASCII and
     * already-normalized fast paths). */
   def nfc(c: Column): Column =
@@ -800,10 +841,12 @@ object TextFunctions {
     * the ROUNDED score (6dp) with the word as tie-break, so the cut is
     * deterministic and engine-independent. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
-      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+      idCol: String, k: Int, tokenMode: String = "word")
+      : org.apache.spark.sql.DataFrame = {
     require(k > 0, "tfidfTopTerms: k must be > 0")
     val tf = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .select(col(idCol),
+        explode(tokensMode(col(textCol), tokenMode)).as("word"))
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf"))
     val dfWord = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -852,12 +895,14 @@ object TextFunctions {
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, queries: org.apache.spark.sql.DataFrame,
       qIdCol: String, qTextCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, tokenMode: String = "word")
+      : org.apache.spark.sql.DataFrame = {
     require(k > 0, "bm25TopK: k must be > 0")
     require(k1 >= 0, "bm25TopK: k1 must be >= 0")
     require(b >= 0 && b <= 1, "bm25TopK: b must be in [0,1]")
     val tf = docs
-      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("__id"),
+        explode(tokensMode(col(textCol), tokenMode)).as("term"))
       .groupBy(col("__id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("__id")).agg(sum(col("tf")).as("dl"))
@@ -869,7 +914,7 @@ object TextFunctions {
       .crossJoin(broadcast(dl.agg(avg(col("dl")).as("__avgdl"))))
     val qTerms = queries
       .select(col(qIdCol).as("__qid"),
-        explode(tokens(col(qTextCol))).as("term"))
+        explode(tokensMode(col(qTextCol), tokenMode)).as("term"))
       .distinct()
     val matched = tf.join(broadcast(qTerms), "term")
       .join(dfTerm, "term")
@@ -952,9 +997,11 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles (dedup building block). Safe on short texts:
-    * fewer than n tokens → single shingle of the whole text. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+    * fewer than n tokens → single shingle of the whole text.
+    * `tokenMode` selects the tokenizer ([[tokensMode]]); "cjk" shingles
+    * over per-codepoint unigrams — the standard CJK dedup granularity. */
+  def shingles(c: Column, n: Int, tokenMode: String = "word"): Column = {
+    val t = tokensMode(c, tokenMode)
     when(size(t) >= n, gramsOfTokens(t, n))
       .otherwise(array(concat_ws(" ", t)))
   }
@@ -974,12 +1021,14 @@ object TextFunctions {
     * re-derives from first principles (oracle `text_repetition`).
     * Docs with < 2 tokens report fraction 0.0. */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
-      idCol: String): org.apache.spark.sql.DataFrame = {
+      idCol: String, tokenMode: String = "word")
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      posexplode(tokensMode(col(textCol), tokenMode))
+        .as(Seq("pos", "tok")))
     val bigrams = df.select(col(idCol).as("id"),
-        explode(shinglesStrict(col(textCol), 2)).as("gram"))
+        explode(shinglesStrict(col(textCol), 2, tokenMode)).as("gram"))
       .groupBy("id", "gram").count()
       .groupBy("id").agg(
         (max(col("count")).cast(DoubleType) /
@@ -1270,8 +1319,9 @@ object TextFunctions {
 
   /** Like [[shingles]] but EMPTY (not whole-text) below n tokens —
     * repetition fractions need "no bigrams" to mean 0, not 1. */
-  private def shinglesStrict(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  private def shinglesStrict(c: Column, n: Int,
+      tokenMode: String = "word"): Column = {
+    val t = tokensMode(c, tokenMode)
     when(size(t) >= n, gramsOfTokens(t, n))
       .otherwise(array().cast("array<string>"))
   }

@@ -216,10 +216,27 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       minJaccard: Double = 0.8,
-      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+      cache: CacheHandle = CacheHandle.unmanaged,
+      tokenMode: String = "word"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    // ZERO-TOKEN docs are excluded from near-dup candidacy (r16
+    // finding, surfaced by the CJK corpus under the word tokenizer):
+    // a doc with no tokens has no similarity features, and the
+    // kernel's empty-input fallback shingle is one CONSTANT — every
+    // zero-token doc would pair with every other at jaccard 1.0,
+    // collapsing all image-only/empty/wrong-tokenizer pages into one
+    // pseudo-dup cluster. True empties belong to exactDedup (same
+    // normalized content key), not here. The token array is bound to
+    // a projected attribute (the chunkTokenWindows precedent), so the
+    // tokenizer subtree evaluates once per row.
+    // tokenMode "cjk" shingles per-codepoint unigrams (the standard
+    // space-less-script granularity) — the whitespace tokenizer sees a
+    // CJK document as ZERO tokens and misses every near-dup.
+    val base = df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions
+          .tokensMode(col(textCol), tokenMode).as("__tk"))
+      .where(size(col("__tk")) > 0)
       .repartition(col("id"))
     // persisted: consumed by candidate generation AND both verify joins —
     // without this the shingling runs 4× (and the whole job was ~10×
@@ -228,7 +245,7 @@ object Dedup {
     // per-shingle string allocation is the dominant remaining cost.
     val shingled = cache.track(base
       .select(col("id"), org.apache.spark.sql.graftnative.NativeFunctions
-        .shingleHashes(tokens(col("__text")), shingleN).as("sh"))
+        .shingleHashes(col("__tk"), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = cache.track(shingled
       .select(col("id"), posexplode(
@@ -275,11 +292,16 @@ object Dedup {
       cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // zero-token docs excluded (no similarity features; the empty-input
+    // fallback shingle is a constant that would cross-match every
+    // zero-token train doc with every zero-token bench doc — the
+    // nearDupPairs r16 contract)
     def shingled(df: DataFrame) = df
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) > 0)
       .repartition(col("id"))
       .select(col("id"), org.apache.spark.sql.graftnative.NativeFunctions
-        .shingleHashes(tokens(col("__text")), shingleN).as("sh"))
+        .shingleHashes(col("__tk"), shingleN).as("sh"))
     def candOf(sh: DataFrame) = sh
       .select(col("id"), posexplode(
         bandKeys(org.apache.spark.sql.graftnative.NativeFunctions
@@ -618,9 +640,16 @@ object Dedup {
   def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 13): DataFrame = {
     val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    // zero-token docs produce NO grams (the kernel's empty-input
+    // fallback is a constant hash — a zero-token corpus doc would
+    // otherwise "share" it with a zero-token benchmark doc and flag
+    // false contamination); they still return shared_ngrams = 0
+    // through the left join
     def grams(df: DataFrame, id: String): DataFrame = df
+      .select(col(id), tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) > 0)
       .select(col(id), explode(array_distinct(
-        nf.shingleHashes(tokens(col(textCol)), n))).as("__g"))
+        nf.shingleHashes(col("__tk"), n))).as("__g"))
     val corpusGrams = grams(corpus, idCol)
     val benchGrams  = grams(benchmark, idCol)
       .select(col("__g")).distinct()
@@ -647,9 +676,12 @@ object Dedup {
       cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
     val bloom = org.apache.spark.sql.graftnative.BloomSketch
     val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    // zero-token docs produce no grams (ngramContamination contract)
     def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) > 0)
       .select(col(idCol), explode(array_distinct(
-        nf.shingleHashes(tokens(col(textCol)), n))).as("__g"))
+        nf.shingleHashes(col("__tk"), n))).as("__g"))
     val benchGrams = cache.track(grams(benchmark)
       .select(col("__g")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -716,11 +748,20 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val nf = org.apache.spark.sql.graftnative.NativeFunctions
-    val sh = nf.shingleHashes(tokens(col(textCol)), shingleN)
-    history.select(col(idCol).as("hist_id"),
-        contentKey(col(textCol)).as("ckey"), sh.as("sh"))
-      .withColumn("bk", bandKeys(
-        nf.minhashFromLongs(col("sh"), numHashes), bands, numHashes / bands))
+    // zero-token history docs keep their EXACT content key (layer b of
+    // incrementalDedup still works on true empties) but get NO band
+    // keys — they must not near-match zero-token batch docs via the
+    // kernel's constant empty-input fallback shingle (r16 contract)
+    history
+      .withColumn("__tk", tokens(col(textCol)))
+      .select(col(idCol).as("hist_id"),
+        contentKey(col(textCol)).as("ckey"),
+        nf.shingleHashes(col("__tk"), shingleN).as("sh"),
+        when(size(col("__tk")) > 0, bandKeys(
+          nf.minhashFromLongs(
+            nf.shingleHashes(col("__tk"), shingleN), numHashes),
+          bands, numHashes / bands))
+          .otherwise(array().cast("array<bigint>")).as("bk"))
   }
 
   /** Incremental dedup — the daily-ingest shape: keep the rows of a NEW
@@ -746,12 +787,17 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val nf = org.apache.spark.sql.graftnative.NativeFunctions
     import RowOps._
-    // batch signatures, computed once (consumed by layers a+b and c)
+    // batch signatures, computed once (consumed by layers a+b and c);
+    // zero-token rows get no band keys (buildDedupIndex contract) —
+    // they still dedup exactly via the content key and SURVIVE layer c
     val sig = cache.track(batch
       .withColumn("__ckey", contentKey(col(textCol)))
-      .withColumn("__sh", nf.shingleHashes(tokens(col(textCol)), shingleN))
-      .withColumn("__bk", bandKeys(
-        nf.minhashFromLongs(col("__sh"), numHashes), bands, numHashes / bands))
+      .withColumn("__tk0", tokens(col(textCol)))
+      .withColumn("__sh", nf.shingleHashes(col("__tk0"), shingleN))
+      .withColumn("__bk", when(size(col("__tk0")) > 0, bandKeys(
+        nf.minhashFromLongs(col("__sh"), numHashes), bands,
+        numHashes / bands)).otherwise(array().cast("array<bigint>")))
+      .drop("__tk0")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val afterExact = sig
       .distinctByFirst(Seq("__ckey"), Seq(col(idCol)))
@@ -1288,11 +1334,13 @@ object Dedup {
     *    both verify joins. */
   def setSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
       threshold: Double,
-      cache: CacheHandle = CacheHandle.unmanaged): DataFrame = {
+      cache: CacheHandle = CacheHandle.unmanaged,
+      tokenMode: String = "word"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val ex = df.select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("__t"))
+        explode(array_distinct(graft.functions.TextFunctions
+          .tokensMode(col(textCol), tokenMode))).as("__t"))
     val dfreq = ex.groupBy("__t").agg(count(lit(1)).as("__df"))
     val sorted = cache.track(ex.join(dfreq, "__t")
       .groupBy("id")

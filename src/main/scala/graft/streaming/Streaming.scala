@@ -227,11 +227,17 @@ object Streaming {
     import spark.implicits._
     val r = numHashes / bands
     val nf = org.apache.spark.sql.graftnative.NativeFunctions
+    // zero-token docs carry no similarity features and are excluded
+    // from candidacy (the batch nearDupPairs r16 contract — the
+    // kernel's constant empty-input fallback shingle would otherwise
+    // cross-match every zero-token doc in a band bucket)
     val sigd = docs
       .withWatermark(tsCol, s"$delayMs milliseconds")
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
-        nf.shingleHashes(graft.functions.TextFunctions.tokens(col(textCol)),
-          shingleN).as("sh"))
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col("id"), col("ts"),
+        nf.shingleHashes(col("__tk"), shingleN).as("sh"))
       .select(col("id"), col("ts"), col("sh"),
         nf.minhashFromLongs(col("sh"), numHashes).as("sig"))
     // what rides the shuffle and lives in state: full shingle sets for
