@@ -59,7 +59,10 @@ object Bench {
     * (`text_html_extract`) — the crawl-ingest representative, a pure
     * scan-side codegen'd native-expression pass — and the robots.txt
     * verdict chain (`web_robots_decide`) — parse + group windows +
-    * host join + regex match, the crawl-compliance representative. */
+    * host join + regex match, the crawl-compliance representative;
+    * (r16) `.warc.gz` ingestion (`web_warc_gzip`) — gzip-member
+    * compress/decompress + offset-based record slicing, the
+    * Common-Crawl distribution-format representative. */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
     "join_inner", "join_left", "join_semi", "join_asof",
@@ -71,7 +74,8 @@ object Bench {
     "text_quality", "text_token_count", "dedup_exact",
     "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk",
     "events_rfm", "stat_spearman", "events_kaplan_meier",
-    "text_html_extract", "text_html_main", "web_robots_decide")
+    "text_html_extract", "text_html_main", "web_robots_decide",
+    "web_warc_gzip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7838,6 +7838,118 @@ object SparkEntry {
       |      '(?is)<loc[^>]*>([^<]*)</loc', 1))), ',') AS idx_locs
       |FROM e ORDER BY doc_id, url_idx""".stripMargin)),
 
+    Q("web_charset_decode", (s, dir) => {
+      // charset-sniffing payload decode (the binary→text bridge of
+      // the crawl tier): BOMs (utf-8/utf-16le), HTML5 meta prescan
+      // (bare and quoted names, iso-8859-1 and windows-1252 bytes the
+      // blind UTF-8 cast would mangle), and the utf-8 default. Spark
+      // decodes REAL non-UTF-8 bytes built with encode()/byte
+      // literals; DuckDB recomputes the expected strings analytically
+      // from the same generative formula.
+      val id = col("doc_id").cast(StringType)
+      val c = col("doc_id") % 5
+      def bytes(arr: Int*): Column = lit(arr.map(_.toByte).toArray)
+      val s0 = concat(lit("bom doc "), id, lit(" é"))
+      val s1 = concat(lit("u16 doc "), id, lit(" é"))
+      val s2 = concat(lit("<meta charset=iso-8859-1>café "), id)
+      val s3p = concat(lit("<meta charset=\"windows-1252\">price "), id,
+        lit(" "))
+      val s4 = concat(lit("plain utf8 "), id)
+      val payload = when(c === 0, concat(bytes(0xEF, 0xBB, 0xBF),
+          encode(s0, "UTF-8")))
+        .when(c === 1, concat(bytes(0xFF, 0xFE), encode(s1, "UTF-16LE")))
+        .when(c === 2, encode(s2, "ISO-8859-1"))
+        .when(c === 3, concat(encode(s3p, "US-ASCII"), bytes(0x80)))
+        .otherwise(encode(s4, "UTF-8"))
+      val d = Web.decodeText(payload)
+      Tables(s, dir).documents.select(col("doc_id"),
+        d.getField("charset").as("charset"),
+        d.getField("source").as("source"),
+        d.getField("text").as("text"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  doc_id % 5 AS c FROM documents)
+      |SELECT doc_id,
+      |  CASE c WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+      |    WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'windows-1252'
+      |    ELSE 'utf-8' END AS charset,
+      |  CASE c WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
+      |    WHEN 2 THEN 'meta' WHEN 3 THEN 'meta'
+      |    ELSE 'default' END AS source,
+      |  CASE c WHEN 0 THEN 'bom doc ' || i || ' é'
+      |    WHEN 1 THEN 'u16 doc ' || i || ' é'
+      |    WHEN 2 THEN '<meta charset=iso-8859-1>café ' || i
+      |    WHEN 3 THEN '<meta charset="windows-1252">price ' || i
+      |      || ' €'
+      |    ELSE 'plain utf8 ' || i END AS text
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("web_robots_delay", (s, dir) => {
+      // Crawl-delay politeness extension: * group carries a junk value
+      // (skipped, first PARSEABLE wins) + a fractional delay; every
+      // 3rd host adds an exact graftbot group whose integer delay must
+      // REPLACE the * group's (no blending). Analytic oracle from the
+      // generative formula.
+      val t = Tables(s, dir)
+      val k = col("n_nationkey")
+      val ks = k.cast(StringType)
+      val txt = concat(
+        lit("User-agent: *\nDisallow: /x"), ks, lit("/\n"),
+        when(k % 4 === 0, lit("Crawl-delay: fast\n")).otherwise(lit("")),
+        lit("Crawl-delay: "), (k % 7).cast(StringType), lit(".5\n"),
+        when(k % 3 === 0, concat(
+          lit("\nUser-agent: graftbot\nDisallow: /gb\nCrawl-delay: "),
+          (k % 9 + 1).cast(StringType), lit("\n"))).otherwise(lit("")))
+      Web.robotsCrawlDelay(
+        t.nation.select(concat(lit("h"), ks, lit(".ex")).as("host"),
+          txt.as("txt")),
+        "host", "txt", "graftbot")
+        .sortByKeys(SortKey("host"))
+    }, Some("""SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.ex'
+      |    AS host,
+      |  CAST(CASE WHEN n_nationkey % 3 = 0
+      |    THEN (n_nationkey % 9 + 1) * 1000
+      |    ELSE (n_nationkey % 7) * 1000 + 500 END AS BIGINT)
+      |    AS crawl_delay_ms
+      |FROM nation ORDER BY host""".stripMargin)),
+
+    Q("pipeline_warc_html", (s, dir) => {
+      // the FULL Common-Crawl ingest chain end to end: page HTML →
+      // WARC record bytes → gzip member → warcRecordsGzip (member
+      // split + offset slicing) → decodeText (charset sniff) →
+      // htmlText (native kernel). DuckDB builds the same page string
+      // and replays the extraction chain — everything between (gzip,
+      // offsets, decode) must be lossless for the row to hash-match.
+      val id = col("doc_id").cast(StringType)
+      val crlf = "\r\n"
+      val page = concat(
+        lit("<html><head><meta charset=\"utf-8\"><title>D"), id,
+        lit("</title></head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val rec = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+          "Content-Length: "), octet_length(page).cast(StringType),
+        lit(crlf + crlf), page, lit(crlf + crlf))
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val gz = wf.gzipCompress(rec.cast("binary"))
+      val recs = Web.warcRecordsGzip(
+        Tables(s, dir).documents.select(col("doc_id"), gz.as("gz")),
+        "doc_id", "gz")
+      val d = Web.decodeText(col("payload"))
+      recs.select(col("doc_id"),
+          d.getField("charset").as("charset"),
+          d.getField("source").as("source"),
+          graft.functions.TextFunctions.htmlText(d.getField("text"))
+            .as("extracted"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id,
+      |  '<html><head><meta charset="utf-8"><title>D' ||
+      |  CAST(doc_id AS VARCHAR) || '</title></head><body><p>' || text
+      |  || '</p></body></html>' AS html FROM documents)
+      |SELECT doc_id, 'utf-8' AS charset, 'meta' AS source,
+      |  $htmlExtractSql AS extracted
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("text_tokens_cjk", (s, dir) => {
       // CJK tokenizer mode (r15 verdict #3): latin/digit runs stay
       // word tokens, every han/kana/hangul codepoint becomes its own

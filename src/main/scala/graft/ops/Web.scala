@@ -240,6 +240,16 @@ object Web {
         col("__r").getField("payload").as("payload"): _*)
   }
 
+  /** Charset-sniffing payload decode: BINARY crawl payloads (the
+    * [[warcRecordsGzip]]/[[warcRecordsBinary]] output) → struct(
+    * charset, source, text) via BOM → HTML5 meta prescan → UTF-8
+    * default, with U+FFFD replacement on malformed bytes — the bridge
+    * to the string text tier (htmlText → quality → dedup). Full
+    * semantics on [[org.apache.spark.sql.graftnative.DecodeCharset]].
+    * Pure scan-side codegen'd kernel; null → null. */
+  def decodeText(c: Column): Column =
+    org.apache.spark.sql.graftnative.WebFunctions.decodeCharset(c)
+
   /** `<url>` entries of an XML sitemap in document order:
     * (idCol, url_idx, loc, lastmod) — the crawl-frontier feed
     * (compose with [[canonicalizeUrl]] and [[robotsDecisions]]).
@@ -307,7 +317,25 @@ object Web {
     * aggregate per host for the exact-beats-star selection. No global
     * window, no driver work. */
   def robotsRules(robots: DataFrame, hostCol: String, txtCol: String,
-      agent: String): DataFrame = {
+      agent: String): DataFrame =
+    applicableLines(robots, hostCol, txtCol, agent)
+      .where((col("is_allow") || col("is_dis")) &&
+        length(col("value")) > 0)
+      .select(col("host"), col("value").as("pattern"),
+        col("is_allow").as("allow"),
+        length(col("value")).cast("long").as("plen"))
+
+  /** Shared robots.txt line/group machinery: classified recognized
+    * lines (user-agent / allow / disallow / crawl-delay) of the groups
+    * that APPLY to `agent` (exact product-token match beats `*`
+    * file-wide, RFC 9309 — no blending). Returns (host, ln, is_ua,
+    * is_allow, is_dis, is_delay, value, gid) with gid > 0 (rules
+    * before any group header are invalid and dropped). Crawl-delay
+    * lines participate in group structure exactly like rules (a
+    * delay line between two user-agent lines ends that header run —
+    * real files place it after the rules, where this is inert). */
+  private def applicableLines(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val lines = robots
@@ -325,9 +353,11 @@ object Web {
         col("line").rlike("(?i)^user-agent[ \t]*:").as("is_ua"),
         col("line").rlike("(?i)^allow[ \t]*:").as("is_allow"),
         col("line").rlike("(?i)^disallow[ \t]*:").as("is_dis"),
+        col("line").rlike("(?i)^crawl-delay[ \t]*:").as("is_delay"),
         trim(regexp_extract(col("line"),
           "(?i)^[a-z-]+[ \t]*:[ \t]*(.*)$", 1)).as("value"))
-      .where(col("is_ua") || col("is_allow") || col("is_dis"))
+      .where(col("is_ua") || col("is_allow") || col("is_dis") ||
+        col("is_delay"))
     // group id: a ua line starts a group unless the previous recognized
     // line was also a ua line (consecutive ua lines share one header).
     // Two window steps — lag first, running sum second (a window
@@ -352,13 +382,31 @@ object Web {
       .where(col("g_exact") === 1 ||
         (col("h_exact") === 0 && col("g_star") === 1))
       .select(col("host"), col("gid"))
-    grouped.where((col("is_allow") || col("is_dis")) &&
-        col("gid") > 0 && length(col("value")) > 0)
-      .join(applicable, Seq("host", "gid"))
-      .select(col("host"), col("value").as("pattern"),
-        col("is_allow").as("allow"),
-        length(col("value")).cast("long").as("plen"))
+    grouped.where(col("gid") > 0).join(applicable, Seq("host", "gid"))
   }
+
+  /** Per-host `Crawl-delay` for `agent` — the de-facto politeness
+    * extension every major crawler honors (not in RFC 9309 proper;
+    * documented as the extension it is). Group selection is identical
+    * to [[robotsRules]] (exact agent beats `*` file-wide). Within the
+    * applicable groups, the FIRST line with a PARSEABLE value wins
+    * (non-negative decimal seconds; junk values like `Crawl-delay:
+    * fast` are skipped, not nulled — a later valid line still
+    * applies). Returns (host, crawl_delay_ms LONG); hosts with no
+    * parseable delay line are absent — left-join and treat null as
+    * "no mandated delay". Scale shape: the robotsRules machinery (one
+    * bounded explode + host-partitioned windows) + one min_by per
+    * host. */
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String): DataFrame =
+    applicableLines(robots, hostCol, txtCol, agent)
+      .where(col("is_delay") &&
+        col("value").rlike("^[0-9]{1,7}(\\.[0-9]{1,3})?$"))
+      .groupBy(col("host"))
+      .agg(min_by(col("value"), col("ln")).as("__v"))
+      .select(col("host"),
+        round(col("__v").cast("double") * 1000.0).cast("long")
+          .as("crawl_delay_ms"))
 
   /** A robots.txt path pattern as an anchored regex, RFC 9309 matching:
     * the pattern matches a PREFIX of the path unless it ends with `$`

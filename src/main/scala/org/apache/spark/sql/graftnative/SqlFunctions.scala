@@ -103,7 +103,13 @@ object SqlFunctions {
       info("graft_url_resolve",
         "graft_url_resolve(base, ref) - RFC 3986 reference resolution; null when base has no scheme"),
       args => { requireArity("graft_url_resolve", args, 2)
-        UrlResolve(args.head, args(1)) }))
+        UrlResolve(args.head, args(1)) }),
+
+    (FunctionIdentifier("graft_charset_decode"),
+      info("graft_charset_decode",
+        "graft_charset_decode(binary) - struct(charset, source, text): BOM -> meta prescan -> utf-8 default"),
+      args => { requireArity("graft_charset_decode", args, 1)
+        DecodeCharset(args.head) }))
 
   /** Runtime registration for sessions not built with `.withExtensions`
     * (mirrors `GraftExtensions.topKPerGroup`'s self-register). Idempotent:

@@ -447,6 +447,99 @@ object WarcSplitBinary {
   }
 }
 
+/** Charset-sniffing text decode for crawl payloads — the bridge from
+  * [[graft.ops.Web.warcRecordsGzip]]'s BINARY payloads to the string
+  * text tier (htmlText → quality → dedup): real crawls are not all
+  * UTF-8, and a blind UTF-8 cast silently mangles the rest. Returns
+  * struct(charset, source, text):
+  *
+  *  1. BOM first: EF BB BF → utf-8, FE FF → utf-16be, FF FE →
+  *     utf-16le (BOM bytes consumed), source='bom';
+  *  2. else the first `charset=NAME` token (case-insensitive, optional
+  *     quote) in the first 1024 bytes read as Latin-1 — the HTML5 meta
+  *     prescan, constrained to the supported-name set below; matched →
+  *     whole payload decoded as NAME, source='meta';
+  *  3. else UTF-8, source='default' (the modern-crawl default; HTML5's
+  *     windows-1252 legacy default is a documented deviation).
+  *
+  * Supported names (aliases fold): utf-8, iso-8859-1, windows-1252,
+  * us-ascii, utf-16le/be; an unrecognized declared name falls through
+  * to the UTF-8 default (junk is data). Malformed byte sequences
+  * decode to U+FFFD (java.lang.String replacement semantics) — a
+  * corrupt payload yields visibly-damaged text, never a crash or a
+  * dropped row. Pure scan-side kernel, real codegen. */
+case class DecodeCharset(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DecodeCharset.schema
+  override def prettyName: String = "decode_charset"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DecodeCharset.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("decodeCharsetKernel", DecodeCharset,
+      DecodeCharset.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DecodeCharset = copy(child = newChild)
+}
+
+object DecodeCharset {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  val schema: DataType = StructType(Seq(
+    StructField("charset", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private val metaPattern = java.util.regex.Pattern.compile(
+    "(?i)charset[ \t]*=[ \t]*[\"']?([A-Za-z0-9_\\-]+)")
+
+  private def canonical(name: String): String =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "utf-8" | "utf8" => "utf-8"
+      case "iso-8859-1" | "iso8859-1" | "latin-1" | "latin1" =>
+        "iso-8859-1"
+      case "windows-1252" | "cp1252" => "windows-1252"
+      case "us-ascii" | "ascii" => "us-ascii"
+      case "utf-16le" => "utf-16le"
+      case "utf-16be" => "utf-16be"
+      case _ => null
+    }
+
+  private def row(cs: String, src: String, text: String): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(cs),
+      UTF8String.fromString(src), UTF8String.fromString(text)))
+
+  private def decode(b: Array[Byte], from: Int, cs: String): String =
+    new String(b, from, b.length - from, java.nio.charset.Charset
+      .forName(cs)) // String ctor replaces malformed input with U+FFFD
+
+  def compute(b: Array[Byte]): InternalRow = {
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+      b(2) == 0xBF.toByte)
+      return row("utf-8", "bom", decode(b, 3, "UTF-8"))
+    if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      return row("utf-16be", "bom", decode(b, 2, "UTF-16BE"))
+    if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+      return row("utf-16le", "bom", decode(b, 2, "UTF-16LE"))
+    val n = math.min(b.length, 1024)
+    val head = new String(b, 0, n, java.nio.charset.StandardCharsets
+      .ISO_8859_1)
+    val m = metaPattern.matcher(head)
+    if (m.find()) {
+      val cs = canonical(m.group(1))
+      if (cs != null) return row(cs, "meta", decode(b, 0, cs))
+    }
+    row("utf-8", "default", decode(b, 0, "UTF-8"))
+  }
+}
+
 object WebFunctions {
   /** [[UrlResolve]] as a Column function. */
   def urlResolve(base: Column, ref: Column): Column =
@@ -461,4 +554,7 @@ object WebFunctions {
 
   def warcSplitBinary(c: Column): Column =
     ExpressionUtils.column(WarcSplitBinary(ExpressionUtils.expression(c)))
+
+  def decodeCharset(c: Column): Column =
+    ExpressionUtils.column(DecodeCharset(ExpressionUtils.expression(c)))
 }

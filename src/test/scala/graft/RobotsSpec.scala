@@ -157,4 +157,33 @@ class RobotsSpec extends AnyFunSuite {
       agent = "x", robots = Seq(("h", ""), ("h2", null: String)))
     assert(got.map(_._2) == Seq(true, true))
   }
+
+  test("robotsCrawlDelay: exact group replaces *, first PARSEABLE " +
+      "value wins (junk skipped), fractional seconds -> ms, no delay " +
+      "line -> host absent") {
+    val s = spark
+    import s.implicits._
+    def delays(agent: String): Map[String, Long] =
+      Web.robotsCrawlDelay(Seq(
+        // * group: junk value first, then 1.5s; graftbot group: 3s
+        ("a.ex", "User-agent: *\nDisallow: /p/\nCrawl-delay: fast\n" +
+          "Crawl-delay: 1.5\n\nUser-agent: graftbot\nDisallow: /g\n" +
+          "Crawl-delay: 3\n"),
+        // only a * group with an integer delay
+        ("b.ex", "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"),
+        // rules but NO delay line
+        ("c.ex", "User-agent: *\nDisallow: /y\n"),
+        // delay before any group header is invalid and dropped
+        ("d.ex", "Crawl-delay: 9\nUser-agent: *\nDisallow: /z\n"))
+        .toDF("host", "txt"), "host", "txt", agent)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delays("graftbot") == Map("a.ex" -> 3000L, "b.ex" -> 10000L))
+    assert(delays("nobody") == Map("a.ex" -> 1500L, "b.ex" -> 10000L))
+    // robotsRules output is unchanged by the delay lines riding along
+    val rules = Web.robotsRules(Seq(
+      ("a.ex", "User-agent: *\nCrawl-delay: 2\nDisallow: /p/\n"))
+      .toDF("host", "txt"), "host", "txt", "anybot")
+      .collect().map(_.getString(1)).toSeq
+    assert(rules == Seq("/p/"))
+  }
 }

@@ -139,6 +139,46 @@ class WarcBinarySpec extends AnyFunSuite {
     assert(g2.length == 1 && g2.head.isNullAt(0))
   }
 
+  test("decodeText: BOMs, meta prescan (bare/quoted/aliases), utf-8 " +
+      "default, malformed bytes -> U+FFFD, unknown charset falls " +
+      "through") {
+    val s = spark
+    import s.implicits._
+    def d(bytes: Array[Byte]): (String, String, String) = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(Web.decodeText(col("b")).as("d"))
+        .select(col("d.charset"), col("d.source"), col("d.text"))
+        .collect().head
+      (r.getString(0), r.getString(1), r.getString(2))
+    }
+    val bomU8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "héllo".getBytes("UTF-8")
+    assert(d(bomU8) == ("utf-8", "bom", "héllo"))
+    val bomLe = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      "ab".getBytes("UTF-16LE")
+    assert(d(bomLe) == ("utf-16le", "bom", "ab"))
+    val bomBe = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+      "ab".getBytes("UTF-16BE")
+    assert(d(bomBe) == ("utf-16be", "bom", "ab"))
+    // meta prescan: latin1 alias, real 0xE9 byte
+    val latin = "<meta charset='latin1'>café".getBytes("ISO-8859-1")
+    assert(d(latin) == ("iso-8859-1", "meta", "<meta charset='latin1'>café"))
+    // windows-1252 euro at 0x80
+    val cp = "<meta charset=windows-1252>x ".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte)
+    assert(d(cp) == ("windows-1252", "meta",
+      "<meta charset=windows-1252>x €"))
+    // unknown declared charset falls through to the utf-8 default
+    assert(d("<meta charset=klingon>ok".getBytes("UTF-8")) ==
+      ("utf-8", "default", "<meta charset=klingon>ok"))
+    // malformed utf-8 -> U+FFFD replacement, never a crash
+    val bad = Array[Byte](0xF0.toByte, '('.toByte)
+    assert(d(bad) == ("utf-8", "default", "�("))
+    // prescan window: a charset declared past 1024 bytes is ignored
+    val far = (" " * 1100 + "charset=iso-8859-1 y").getBytes("UTF-8")
+    assert(d(far)._2 == "default")
+  }
+
   test("WARC kernels stay inside whole-stage codegen") {
     val p = spark.range(2)
       .select(WebFunctions.warcSplitBinary(element_at(
