@@ -256,6 +256,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sortedRows(g1.select(g2.columns.sorted.map(col): _*)) ===
       sortedRows(g2.select(g2.columns.sorted.map(col): _*)))
     assert(g2.count() > 0)
+    // the full SQL-surface ingest chain in ONE query: .warc.gz TVF →
+    // charset-decode scalar → html-text scalar
+    val chain = spark.sql(
+      """SELECT doc_id,
+        |  graft_html_text(graft_charset_decode(payload).text) AS t
+        |FROM graft_warc_gzip('ext_warc_gz', 'doc_id', 'gz')
+        |WHERE warc_type = 'conversion'""".stripMargin)
+    assert(chain.count() > 0)
+    assert(chain.where(col("t").isNull || length(col("t")) === 0)
+      .count() === 0)
     // sitemap
     docs.select(col("doc_id"), concat(lit("<urlset><url><loc>u"),
       col("doc_id").cast("string"), lit("</loc></url></urlset>"))
