@@ -233,6 +233,27 @@ object SparkEntry {
       |  FROM t)
       |""".stripMargin
 
+  /** Crawl-delay robots fixture over nation hosts (feeds
+    * `web_robots_delay` and `web_politeness_schedule`): the * group
+    * carries a junk value on k%4==0 (first-PARSEABLE-wins guard) and a
+    * fractional (k%7).5s delay; every 3rd host adds an exact graftbot
+    * group with an integer (k%9+1)s delay that must REPLACE the *
+    * group's. Expected graftbot delay_ms: k%3==0 → (k%9+1)·1000, else
+    * (k%7)·1000+500. */
+  private def delayRobotsGen(t: Tables): DataFrame = {
+    val k = col("n_nationkey")
+    val ks = k.cast(StringType)
+    val txt = concat(
+      lit("User-agent: *\nDisallow: /x"), ks, lit("/\n"),
+      when(k % 4 === 0, lit("Crawl-delay: fast\n")).otherwise(lit("")),
+      lit("Crawl-delay: "), (k % 7).cast(StringType), lit(".5\n"),
+      when(k % 3 === 0, concat(
+        lit("\nUser-agent: graftbot\nDisallow: /gb\nCrawl-delay: "),
+        (k % 9 + 1).cast(StringType), lit("\n"))).otherwise(lit("")))
+    t.nation.select(concat(lit("h"), ks, lit(".ex")).as("host"),
+      txt.as("txt"))
+  }
+
   /** 64 DISTINCT han characters, 16 per nibble position — the CJK
     * dedup fixture alphabet. Position-distinct alphabets make the
     * 4-char code's token SET unique per doc_id (two ids share all 4
@@ -7891,19 +7912,8 @@ object SparkEntry {
       // REPLACE the * group's (no blending). Analytic oracle from the
       // generative formula.
       val t = Tables(s, dir)
-      val k = col("n_nationkey")
-      val ks = k.cast(StringType)
-      val txt = concat(
-        lit("User-agent: *\nDisallow: /x"), ks, lit("/\n"),
-        when(k % 4 === 0, lit("Crawl-delay: fast\n")).otherwise(lit("")),
-        lit("Crawl-delay: "), (k % 7).cast(StringType), lit(".5\n"),
-        when(k % 3 === 0, concat(
-          lit("\nUser-agent: graftbot\nDisallow: /gb\nCrawl-delay: "),
-          (k % 9 + 1).cast(StringType), lit("\n"))).otherwise(lit("")))
-      Web.robotsCrawlDelay(
-        t.nation.select(concat(lit("h"), ks, lit(".ex")).as("host"),
-          txt.as("txt")),
-        "host", "txt", "graftbot")
+      Web.robotsCrawlDelay(delayRobotsGen(t), "host", "txt",
+          "graftbot")
         .sortByKeys(SortKey("host"))
     }, Some("""SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.ex'
       |    AS host,
@@ -7912,6 +7922,49 @@ object SparkEntry {
       |    ELSE (n_nationkey % 7) * 1000 + 500 END AS BIGINT)
       |    AS crawl_delay_ms
       |FROM nation ORDER BY host""".stripMargin)),
+
+    Q("web_politeness_schedule", (s, dir) => {
+      // the crawl story's last mile: allowed frontier + Crawl-delay →
+      // per-host fetch offsets. 3 urls per host (lexicographic seq by
+      // construction: /a < /bK < /c); delays exist only for EVEN
+      // nation keys (odd hosts exercise defaultDelayMs=1000), with the
+      // delayRobotsGen formula for the rest. Fully analytic oracle.
+      val t = Tables(s, dir)
+      val k = col("n_nationkey")
+      val ks = k.cast(StringType)
+      val host = concat(lit("h"), ks, lit(".ex"))
+      val urls = t.nation.select(host.as("host"),
+        explode(array(
+          concat(lit("http://"), host, lit("/a")),
+          concat(lit("http://"), host, lit("/b"), ks),
+          concat(lit("http://"), host, lit("/c")))).as("url"))
+      val delays = Web.robotsCrawlDelay(
+        delayRobotsGen(t).where(
+          regexp_extract(col("host"), "^h([0-9]+)", 1)
+            .cast("long") % 2 === 0),
+        "host", "txt", "graftbot")
+      Web.politenessSchedule(urls, "url", "host",
+          delays, "host", "crawl_delay_ms")
+        .sortByKeys(SortKey("host"), SortKey("fetch_seq"))
+    }, Some("""WITH n AS (SELECT n_nationkey AS k,
+      |  'h' || CAST(n_nationkey AS VARCHAR) || '.ex' AS host
+      |  FROM nation),
+      |d AS (SELECT k, host,
+      |  CASE WHEN k % 2 = 0 THEN
+      |    CASE WHEN k % 3 = 0 THEN (k % 9 + 1) * 1000
+      |      ELSE (k % 7) * 1000 + 500 END
+      |  ELSE 1000 END AS delay FROM n),
+      |u AS (
+      |  SELECT host, 'http://' || host || '/a' AS url,
+      |    1 AS fetch_seq, delay FROM d
+      |  UNION ALL SELECT host,
+      |    'http://' || host || '/b' || CAST(k AS VARCHAR), 2, delay
+      |  FROM d
+      |  UNION ALL SELECT host, 'http://' || host || '/c', 3, delay
+      |  FROM d)
+      |SELECT host, url, fetch_seq,
+      |  CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_offset_ms
+      |FROM u ORDER BY host, fetch_seq""".stripMargin)),
 
     Q("pipeline_warc_html", (s, dir) => {
       // the FULL Common-Crawl ingest chain end to end: page HTML →

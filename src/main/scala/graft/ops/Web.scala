@@ -240,6 +240,38 @@ object Web {
         col("__r").getField("payload").as("payload"): _*)
   }
 
+  /** Per-host POLITENESS SCHEDULE: turn an allowed frontier + the
+    * [[robotsCrawlDelay]] table into deterministic fetch offsets —
+    * row i of a host fetches at `(i−1) · delay_ms` (hosts without a
+    * mandated delay use `defaultDelayMs`). The last mile of the crawl
+    * story: frontier → verdicts → delay → WHEN each URL may actually
+    * be fetched. URLs order lexicographically within their host (any
+    * deterministic order works for politeness; duplicates are
+    * indistinguishable so the output is set-deterministic either
+    * way). Returns the input columns + (fetch_seq, fetch_offset_ms).
+    *
+    * Scale shape: one LEFT hash join against the ≤1-row-per-host
+    * delay table + ONE window partitioned by host. Per-host work is
+    * serial by definition — a politeness schedule for a host IS a
+    * serialization of that host's fetches — so "skew" here equals the
+    * real constraint, not an accident of the plan. */
+  def politenessSchedule(urls: DataFrame, urlCol: String,
+      hostCol: String, delays: DataFrame, delayHostCol: String,
+      delayMsCol: String, defaultDelayMs: Long = 1000L): DataFrame = {
+    require(defaultDelayMs >= 0L,
+      "politenessSchedule: defaultDelayMs must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val d = delays.select(col(delayHostCol).as("__dhost"),
+      col(delayMsCol).as("__dms"))
+    val w = Window.partitionBy(col(hostCol)).orderBy(col(urlCol))
+    urls.join(d, urls(hostCol) === d("__dhost"), "left")
+      .withColumn("fetch_seq", row_number().over(w))
+      .withColumn("fetch_offset_ms",
+        (col("fetch_seq") - 1).cast("long") *
+          coalesce(col("__dms"), lit(defaultDelayMs)))
+      .drop("__dhost", "__dms")
+  }
+
   /** Charset-sniffing payload decode: BINARY crawl payloads (the
     * [[warcRecordsGzip]]/[[warcRecordsBinary]] output) → struct(
     * charset, source, text) via BOM → HTML5 meta prescan → UTF-8

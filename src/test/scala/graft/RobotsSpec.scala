@@ -186,4 +186,25 @@ class RobotsSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq
     assert(rules == Seq("/p/"))
   }
+
+  test("politenessSchedule: offsets = (seq-1)*delay in lexicographic " +
+      "url order; hosts without a delay row use the default") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      ("a.ex", "http://a.ex/2"), ("a.ex", "http://a.ex/1"),
+      ("a.ex", "http://a.ex/3"), ("b.ex", "http://b.ex/x"),
+      ("b.ex", "http://b.ex/y")).toDF("host", "url")
+    val delays = Seq(("a.ex", 2000L)).toDF("host", "crawl_delay_ms")
+    val got = Web.politenessSchedule(urls, "url", "host",
+        delays, "host", "crawl_delay_ms", defaultDelayMs = 500L)
+      .orderBy("host", "fetch_seq")
+      .select(col("url"), col("fetch_seq"), col("fetch_offset_ms"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      ("http://a.ex/1", 1, 0L), ("http://a.ex/2", 2, 2000L),
+      ("http://a.ex/3", 3, 4000L),
+      ("http://b.ex/x", 1, 0L), ("http://b.ex/y", 2, 500L)))
+  }
 }
