@@ -177,7 +177,13 @@ object Bench {
     val calJson = f"""{"start_sec":$calStart%.3f,"end_sec":$calEnd%.3f,"ref_sec":$CalibrationRefSec%.3f,"load_factor":$loadFactor%.3f}"""
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     System.err.println(f"[bench] calibration: start=$calStart%.3f end=$calEnd%.3f ref=$CalibrationRefSec load_factor=$loadFactor%.3f")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":${f"$normTotal%.3f"},"calibration":$calJson,"queries":$qs,"reps_sec":$repsJson,"suspect":$suspectJson,"failed":${results.size - ok.size},"reps":$reps,"timing":"min-of-reps; all reps cold (caches + checkpoint RDDs dropped between reps); calibration = fixed CPU-bound job timed before+after the loop, load_factor = mean/ref (1.0 = unloaded sandbox, normalize or re-run if >1.15); suspect = queries whose reps diverged >3x (load transient - an extra rep was run and recorded)","note":"$note","sf":"$sfDir"}""")
+    // field order matters (r16 verdict #6): the driver's artifact keeps
+    // only the TAIL bytes of this line, so the big per-query dicts go
+    // FIRST and everything that makes the numbers interpretable —
+    // calibration/load_factor, suspect, failed, normalized_total, and a
+    // repeat of the headline total — goes LAST, where it survives
+    // truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_sec":$repsJson,"timing":"min-of-reps; all reps cold (caches + checkpoint RDDs dropped between reps); calibration = fixed CPU-bound job timed before+after the loop, load_factor = mean/ref (1.0 = unloaded sandbox, normalize or re-run if >1.15); suspect = queries whose reps diverged >3x (load transient - an extra rep was run and recorded)","note":"$note","reps":$reps,"sf":"$sfDir","total_sec":${f"$total%.3f"},"normalized_total":${f"$normTotal%.3f"},"calibration":$calJson,"suspect":$suspectJson,"failed":${results.size - ok.size}}""")
     spark.stop()
   }
 }

@@ -7728,6 +7728,9 @@ object SparkEntry {
       // WARC/WET ingest: per-doc generated two-record file (warcinfo +
       // conversion carrying the real document text as payload), split
       // into records with headers parsed and trailing CRLFs stripped.
+      // Record 2 leads with X-WARC-Type / X-Content-Length DECOY
+      // headers that the line-anchored extraction must skip (r16
+      // advice: unanchored matching reported the decoy values).
       // DuckDB replays the split/cut/regex chain byte for byte.
       val id = col("doc_id").cast(StringType)
       val crlf = "\r\n"
@@ -7735,7 +7738,8 @@ object SparkEntry {
         lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" + crlf +
           "WARC-Date: 2026-01-01T00:00:00Z" + crlf +
           "Content-Length: 4" + crlf + crlf + "info" + crlf + crlf),
-        lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        lit("WARC/1.0" + crlf + "X-WARC-Type: decoy" + crlf +
+          "X-Content-Length: 7" + crlf + "WARC-Type: conversion" + crlf +
           "WARC-Target-URI: http://h"), (col("doc_id") % 30).cast(StringType),
         lit(".ex/d/"), id, lit(crlf + "WARC-Date: 2026-01-02T0"),
         (col("doc_id") % 10).cast(StringType),
@@ -7753,6 +7757,8 @@ object SparkEntry {
       |  'Content-Length: 4' || chr(13) || chr(10) || chr(13) || chr(10) ||
       |  'info' || chr(13) || chr(10) || chr(13) || chr(10) ||
       |  'WARC/1.0' || chr(13) || chr(10) ||
+      |  'X-WARC-Type: decoy' || chr(13) || chr(10) ||
+      |  'X-Content-Length: 7' || chr(13) || chr(10) ||
       |  'WARC-Type: conversion' || chr(13) || chr(10) ||
       |  'WARC-Target-URI: http://h' || CAST(doc_id % 30 AS VARCHAR) ||
       |    '.ex/d/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
@@ -7777,13 +7783,13 @@ object SparkEntry {
       |  FROM p),
       |f AS (SELECT doc_id, rec_idx,
       |  nullif(trim(regexp_extract(hdr,
-      |    '(?i)WARC-Type:[ \t]*([^\r\n]*)', 1)), '') AS warc_type,
+      |    '(?im)^WARC-Type:[ \t]*([^\r\n]*)', 1)), '') AS warc_type,
       |  nullif(trim(regexp_extract(hdr,
-      |    '(?i)WARC-Target-URI:[ \t]*([^\r\n]*)', 1)), '') AS target_uri,
+      |    '(?im)^WARC-Target-URI:[ \t]*([^\r\n]*)', 1)), '') AS target_uri,
       |  nullif(trim(regexp_extract(hdr,
-      |    '(?i)WARC-Date:[ \t]*([^\r\n]*)', 1)), '') AS warc_date,
+      |    '(?im)^WARC-Date:[ \t]*([^\r\n]*)', 1)), '') AS warc_date,
       |  nullif(trim(regexp_extract(hdr,
-      |    '(?i)Content-Length:[ \t]*([^\r\n]*)', 1)), '') AS cl,
+      |    '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1)), '') AS cl,
       |  regexp_replace(body, '(\r\n)+$', '') AS payload
       |  FROM hb)
       |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, warc_type,
@@ -7863,13 +7869,17 @@ object SparkEntry {
       // charset-sniffing payload decode (the binary→text bridge of
       // the crawl tier): BOMs (utf-8/utf-16le), HTML5 meta prescan
       // (bare and quoted names, iso-8859-1 and windows-1252 bytes the
-      // blind UTF-8 cast would mangle), and the utf-8 default. Spark
-      // decodes REAL non-UTF-8 bytes built with encode()/byte
-      // literals; DuckDB recomputes the expected strings analytically
-      // from the same generative formula.
+      // blind UTF-8 cast would mangle), the utf-8 default, (r17) the
+      // legacy CJK set — REAL Shift_JIS / GBK-via-gb2312-label /
+      // EUC-KR-via-http-equiv bytes (driver-encoded constants; Spark
+      // 4's encode() restricts to the unicode set) — and a bare
+      // `charset=utf-16le` DECOY in prose that the tag-scoped prescan
+      // must ignore. Spark decodes the real bytes; DuckDB recomputes
+      // the expected strings analytically from the same formula.
       val id = col("doc_id").cast(StringType)
-      val c = col("doc_id") % 5
+      val c = col("doc_id") % 9
       def bytes(arr: Int*): Column = lit(arr.map(_.toByte).toArray)
+      def enc(s: String, cs: String): Column = lit(s.getBytes(cs))
       val s0 = concat(lit("bom doc "), id, lit(" é"))
       val s1 = concat(lit("u16 doc "), id, lit(" é"))
       val s2 = concat(lit("<meta charset=iso-8859-1>café "), id)
@@ -7881,6 +7891,19 @@ object SparkEntry {
         .when(c === 1, concat(bytes(0xFF, 0xFE), encode(s1, "UTF-16LE")))
         .when(c === 2, encode(s2, "ISO-8859-1"))
         .when(c === 3, concat(encode(s3p, "US-ASCII"), bytes(0x80)))
+        .when(c === 4, concat(
+          enc("<meta charset=Shift_JIS>日本語テスト doc ", "Shift_JIS"),
+          encode(id, "US-ASCII")))
+        .when(c === 5, concat(
+          enc("<meta charset=\"gb2312\">中文页面 doc ", "GBK"),
+          encode(id, "US-ASCII")))
+        .when(c === 6, concat(
+          enc("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+            "charset=euc-kr\">한국어 문서 doc ", "EUC-KR"),
+          encode(id, "US-ASCII")))
+        .when(c === 7, concat(
+          lit("prose says charset=utf-16le but no meta tag, doc ")
+            .cast(BinaryType), encode(id, "US-ASCII")))
         .otherwise(encode(s4, "UTF-8"))
       val d = Web.decodeText(payload)
       Tables(s, dir).documents.select(col("doc_id"),
@@ -7889,19 +7912,28 @@ object SparkEntry {
         d.getField("text").as("text"))
         .sortByKeys(SortKey("doc_id"))
     }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
-      |  doc_id % 5 AS c FROM documents)
+      |  doc_id % 9 AS c FROM documents)
       |SELECT doc_id,
       |  CASE c WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
       |    WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'windows-1252'
+      |    WHEN 4 THEN 'shift_jis' WHEN 5 THEN 'gbk'
+      |    WHEN 6 THEN 'euc-kr'
       |    ELSE 'utf-8' END AS charset,
       |  CASE c WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
       |    WHEN 2 THEN 'meta' WHEN 3 THEN 'meta'
+      |    WHEN 4 THEN 'meta' WHEN 5 THEN 'meta' WHEN 6 THEN 'meta'
       |    ELSE 'default' END AS source,
       |  CASE c WHEN 0 THEN 'bom doc ' || i || ' é'
       |    WHEN 1 THEN 'u16 doc ' || i || ' é'
       |    WHEN 2 THEN '<meta charset=iso-8859-1>café ' || i
       |    WHEN 3 THEN '<meta charset="windows-1252">price ' || i
       |      || ' €'
+      |    WHEN 4 THEN '<meta charset=Shift_JIS>日本語テスト doc ' || i
+      |    WHEN 5 THEN '<meta charset="gb2312">中文页面 doc ' || i
+      |    WHEN 6 THEN '<meta http-equiv="Content-Type" ' ||
+      |      'content="text/html; charset=euc-kr">한국어 문서 doc ' || i
+      |    WHEN 7 THEN 'prose says charset=utf-16le but no meta tag, '
+      |      || 'doc ' || i
       |    ELSE 'plain utf8 ' || i END AS text
       |FROM h ORDER BY doc_id""".stripMargin)),
 

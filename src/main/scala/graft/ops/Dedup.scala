@@ -752,14 +752,19 @@ object Dedup {
     // incrementalDedup still works on true empties) but get NO band
     // keys — they must not near-match zero-token batch docs via the
     // kernel's constant empty-input fallback shingle (r16 contract)
+    // two select steps so the shingle kernel — the dominant cost of an
+    // index build — is evaluated ONCE per row and the minhash reads the
+    // projected column (r16 advice: the single-select form re-invoked
+    // shingleHashes inside the when() branch, doubling the work)
     history
       .withColumn("__tk", tokens(col(textCol)))
       .select(col(idCol).as("hist_id"),
         contentKey(col(textCol)).as("ckey"),
         nf.shingleHashes(col("__tk"), shingleN).as("sh"),
-        when(size(col("__tk")) > 0, bandKeys(
-          nf.minhashFromLongs(
-            nf.shingleHashes(col("__tk"), shingleN), numHashes),
+        (size(col("__tk")) > 0).as("__nonempty"))
+      .select(col("hist_id"), col("ckey"), col("sh"),
+        when(col("__nonempty"), bandKeys(
+          nf.minhashFromLongs(col("sh"), numHashes),
           bands, numHashes / bands))
           .otherwise(array().cast("array<bigint>")).as("bk"))
   }

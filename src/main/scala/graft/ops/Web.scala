@@ -118,7 +118,8 @@ object Web {
     * [[warcRecordsBinary]], the Content-Length/offset-driven reader,
     * or [[warcRecordsGzip]] for the `.warc.gz` distribution format.
     * Header values
-    * are extracted case-insensitively, first occurrence, to end of
+    * are extracted case-insensitively, first occurrence, LINE-ANCHORED
+    * (`X-Content-Length:` cannot pollute `Content-Length`), to end of
     * line. Records with no parsable header simply carry nulls — junk
     * never drops rows silently.
     *
@@ -137,7 +138,7 @@ object Web {
       .where(col("rec_idx") > 0)
     def header(name: String): Column =
       nullif(trim(regexp_extract(col("__hdr"),
-        "(?i)" + name + ":[ \t]*([^\r\n]*)", 1)), lit(""))
+        "(?im)^" + name + ":[ \t]*([^\r\n]*)", 1)), lit(""))
     recs
       .withColumn("__cut", instr(col("__seg"), "\r\n\r\n"))
       .withColumn("__hdr",
@@ -162,10 +163,16 @@ object Web {
 
   /** Shared header-field projection for the WARC readers: value of the
     * first `name:` header line, case-insensitive, trimmed, empty →
-    * null. */
+    * null. Anchored to line starts (r16 advice: an unanchored match
+    * let `X-Content-Length:` / `X-WARC-Type:` pollute the reported
+    * fields while [[org.apache.spark.sql.graftnative.WarcSplitBinary]]
+    * slices by the line-anchored header — reported fields and slicing
+    * now share one convention). Java's `(?m)^` after `\r\n` and RE2's
+    * after `\n` land on the same positions for CRLF header blocks, so
+    * the oracle replays it verbatim. */
   private def warcHeader(hdr: Column, name: String): Column =
     nullif(trim(regexp_extract(hdr,
-      "(?i)" + name + ":[ \t]*([^\r\n]*)", 1)), lit(""))
+      "(?im)^" + name + ":[ \t]*([^\r\n]*)", 1)), lit(""))
 
   private def warcHeaderCols(idCol: String): Seq[Column] = Seq(
     col(idCol),

@@ -225,7 +225,10 @@ object GzipCompress {
   * whole-file gunzip (which concatenates members) destroys. RFC 1952
   * member framing: magic+CM header with FEXTRA/FNAME/FCOMMENT/FHCRC
   * fields honored, raw DEFLATE body, 8-byte CRC32+ISIZE trailer; the
-  * next member starts immediately after. A corrupt or truncated
+  * next member starts immediately after. Each member's trailer is
+  * VERIFIED against the inflated output (CRC32 + length mod 2³²) — a
+  * bit-corrupted stream that still inflates as valid DEFLATE is
+  * corrupt, not data. A corrupt or truncated
   * stream → null for the WHOLE cell (half a crawl file is not a
   * smaller crawl file — callers keep the row and see the null, the
   * junk-in/null-out convention). Pure scan-side kernel; memory is
@@ -265,6 +268,11 @@ object GunzipMembers {
   private final val FEXTRA = 0x04
   private final val FNAME = 0x08
   private final val FCOMMENT = 0x10
+
+  /** Little-endian uint32 at `pos` as a Long. */
+  private def le32(b: Array[Byte], pos: Int): Long =
+    (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
+      ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
 
   /** Index just past the member header at `pos`, or -1 if malformed. */
   private def headerEnd(b: Array[Byte], pos: Int): Int = {
@@ -319,10 +327,20 @@ object GunzipMembers {
           case _: java.util.zip.DataFormatException => return null
         }
         val consumed = inf.getBytesRead.toInt
-        // 8-byte CRC32+ISIZE trailer must be present in full
-        if (body + consumed + 8 > bytes.length) return null
-        out += bos.toByteArray
-        pos = body + consumed + 8
+        // 8-byte CRC32+ISIZE trailer must be present in full AND match
+        // the inflated output (r16 advice: inflate can succeed on a
+        // bit-corrupted stream — the trailer is the integrity check
+        // that makes the "corrupt stream → null" contract honest)
+        val t = body + consumed
+        if (t + 8 > bytes.length) return null
+        val payload = bos.toByteArray
+        val crc = new java.util.zip.CRC32
+        crc.update(payload, 0, payload.length)
+        if (le32(bytes, t) != (crc.getValue & 0xffffffffL)) return null
+        if (le32(bytes, t + 4) != (payload.length.toLong & 0xffffffffL))
+          return null
+        out += payload
+        pos = t + 8
       }
     } finally inf.end()
     new GenericArrayData(out.toArray)
@@ -398,13 +416,16 @@ object WarcSplitBinary {
     -1
   }
 
+  // compiled once (r16 verdict: a per-record Pattern.compile in the
+  // hottest ingest kernel is pure avoidable CPU at billions of records)
+  private val contentLengthPattern = java.util.regex.Pattern
+    .compile("(?i)^Content-Length:[ \t]*([0-9]{1,18})[ \t]*$",
+      java.util.regex.Pattern.MULTILINE)
+
   /** Content-Length value from the decoded header block; -1 when
     * missing/junk (same digits guard as the text reader). */
   private def contentLength(header: String): Long = {
-    val m = java.util.regex.Pattern
-      .compile("(?i)^Content-Length:[ \t]*([0-9]{1,18})[ \t]*$",
-        java.util.regex.Pattern.MULTILINE)
-      .matcher(header)
+    val m = contentLengthPattern.matcher(header)
     if (m.find()) m.group(1).toLong else -1L
   }
 
@@ -455,15 +476,22 @@ object WarcSplitBinary {
   *
   *  1. BOM first: EF BB BF → utf-8, FE FF → utf-16be, FF FE →
   *     utf-16le (BOM bytes consumed), source='bom';
-  *  2. else the first `charset=NAME` token (case-insensitive, optional
-  *     quote) in the first 1024 bytes read as Latin-1 — the HTML5 meta
-  *     prescan, constrained to the supported-name set below; matched →
-  *     whole payload decoded as NAME, source='meta';
+  *  2. else the first `charset=NAME` token INSIDE a `<meta …>` tag
+  *     (case-insensitive, optional quote, covers both the charset
+  *     attribute and the http-equiv content form) in the first 1024
+  *     bytes read as Latin-1 — the HTML5-meta-prescan shape,
+  *     constrained to the supported-name set below; a bare
+  *     `charset=` token outside a meta tag (prose, an early href) is
+  *     deliberately NOT honored. Matched → whole payload decoded as
+  *     NAME, source='meta';
   *  3. else UTF-8, source='default' (the modern-crawl default; HTML5's
   *     windows-1252 legacy default is a documented deviation).
   *
   * Supported names (aliases fold): utf-8, iso-8859-1, windows-1252,
-  * us-ascii, utf-16le/be; an unrecognized declared name falls through
+  * us-ascii, utf-16le/be, and the legacy web set shift_jis, euc-jp,
+  * gbk (gb2312 decodes as this superset, the WHATWG rule), gb18030,
+  * big5, big5-hkscs, euc-kr, koi8-r, iso-8859-2/5/15; an unrecognized
+  * declared name falls through
   * to the UTF-8 default (junk is data). Malformed byte sequences
   * decode to U+FFFD (java.lang.String replacement semantics) — a
   * corrupt payload yields visibly-damaged text, never a crash or a
@@ -497,8 +525,13 @@ object DecodeCharset {
     StructField("source", StringType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
+  // `charset=` must sit inside a `<meta …>` tag (r16 advice: a bare
+  // `charset=utf-16le` token in an early href or prose would otherwise
+  // force a destructive whole-payload UTF-16 decode of a UTF-8 page).
+  // `[^>]*` keeps the match inside one tag, which also covers the
+  // http-equiv form (`<meta http-equiv=… content="…; charset=x">`).
   private val metaPattern = java.util.regex.Pattern.compile(
-    "(?i)charset[ \t]*=[ \t]*[\"']?([A-Za-z0-9_\\-]+)")
+    "(?i)<meta[^>]*charset[ \t]*=[ \t]*[\"']?([A-Za-z0-9_\\-]+)")
 
   private def canonical(name: String): String =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -509,6 +542,22 @@ object DecodeCharset {
       case "us-ascii" | "ascii" => "us-ascii"
       case "utf-16le" => "utf-16le"
       case "utf-16be" => "utf-16be"
+      // legacy/CJK web charsets (r16 verdict #3) — all JDK-standard.
+      // gb2312 decodes as its GBK superset (the WHATWG encoding rule:
+      // the gb2312 label maps to the gbk decoder).
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" =>
+        "shift_jis"
+      case "euc-jp" | "x-euc-jp" | "eucjp" => "euc-jp"
+      case "gb2312" | "gbk" | "x-gbk" | "csgb2312" | "gb_2312-80" =>
+        "gbk"
+      case "gb18030" => "gb18030"
+      case "big5" | "big-5" | "csbig5" => "big5"
+      case "big5-hkscs" => "big5-hkscs"
+      case "euc-kr" | "ks_c_5601-1987" | "cseuckr" | "korean" => "euc-kr"
+      case "koi8-r" | "koi8" | "cskoi8r" => "koi8-r"
+      case "iso-8859-2" | "iso8859-2" | "latin2" => "iso-8859-2"
+      case "iso-8859-5" | "iso8859-5" | "cyrillic" => "iso-8859-5"
+      case "iso-8859-15" | "iso8859-15" | "latin9" => "iso-8859-15"
       case _ => null
     }
 

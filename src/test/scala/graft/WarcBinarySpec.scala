@@ -179,6 +179,86 @@ class WarcBinarySpec extends AnyFunSuite {
     assert(d(far)._2 == "default")
   }
 
+  test("gunzipMembers verifies the CRC32+ISIZE trailer: a member that " +
+      "still inflates but carries a corrupted trailer -> null (r16 " +
+      "advice: inflate success alone does not mean integrity)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graftnative.GzipCompress
+    val gz = GzipCompress.compute(record("conversion", null, "payload")
+      .getBytes("UTF-8"))
+    def expectNull(bytes: Array[Byte]): Unit = {
+      val got = Seq(Tuple1(bytes)).toDF("gz")
+        .select(WebFunctions.gunzipMembers(col("gz")).as("m"))
+        .collect().head
+      assert(got.isNullAt(0))
+    }
+    val crcFlip = gz.clone(); crcFlip(gz.length - 8) =
+      (crcFlip(gz.length - 8) ^ 0x01).toByte
+    expectNull(crcFlip)
+    val isizeFlip = gz.clone(); isizeFlip(gz.length - 1) =
+      (isizeFlip(gz.length - 1) ^ 0x01).toByte
+    expectNull(isizeFlip)
+    // and the untouched member still round-trips
+    val ok = Seq(Tuple1(gz)).toDF("gz")
+      .select(element_at(WebFunctions.gunzipMembers(col("gz")), 1)
+        .cast("string")).collect().head.getString(0)
+    assert(ok.contains("payload"))
+  }
+
+  test("warc header extraction is line-anchored: X-Content-Length / " +
+      "X-WARC-Type decoys before the real headers are skipped, and " +
+      "the reported content_length matches the slicing") {
+    val decoyed = ("WARC/1.0" + CRLF +
+      "X-WARC-Type: decoy" + CRLF +
+      "X-Content-Length: 7" + CRLF +
+      "WARC-Type: conversion" + CRLF +
+      "Content-Length: 5" + CRLF + CRLF +
+      "12345" + CRLF + CRLF +
+      record("metadata", null, "next")).getBytes("UTF-8")
+    val got = binRecs(decoyed)
+    assert(got == Seq(
+      (1, "conversion", null, 5L, "12345"),
+      (2, "metadata", null, 4L, "next")))
+    // the text reader shares the anchored convention
+    val s = spark
+    import s.implicits._
+    val t = Web.warcRecords(
+      Seq((1L, new String(decoyed, "UTF-8"))).toDF("id", "warc"),
+      "id", "warc").orderBy("rec_idx")
+      .select(col("warc_type"), col("content_length")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(t == Seq(("conversion", 5L), ("metadata", 4L)))
+  }
+
+  test("decodeText: legacy CJK charsets (shift_jis / gbk-via-gb2312 / " +
+      "euc-kr http-equiv form) decode for real; a bare charset= token " +
+      "outside a meta tag is NOT honored (r16 advice)") {
+    val s = spark
+    import s.implicits._
+    def d(bytes: Array[Byte]): (String, String, String) = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(Web.decodeText(col("b")).as("d"))
+        .select(col("d.charset"), col("d.source"), col("d.text"))
+        .collect().head
+      (r.getString(0), r.getString(1), r.getString(2))
+    }
+    val sj = "<meta charset=shift_jis>日本語".getBytes("Shift_JIS")
+    assert(d(sj) == ("shift_jis", "meta", "<meta charset=shift_jis>日本語"))
+    // the WHATWG rule: the gb2312 label decodes with the gbk superset
+    val gb = "<meta charset=\"gb2312\">中文".getBytes("GBK")
+    assert(d(gb) == ("gbk", "meta", "<meta charset=\"gb2312\">中文"))
+    val kr = ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=euc-kr\">한국어").getBytes("EUC-KR")
+    assert(d(kr)._1 == "euc-kr" && d(kr)._3.endsWith("한국어"))
+    val bg = "<meta charset=big5>繁體".getBytes("Big5")
+    assert(d(bg) == ("big5", "meta", "<meta charset=big5>繁體"))
+    // prose decoy: would have forced a destructive utf-16 decode before
+    // the tag-context constraint
+    val decoy = "see charset=utf-16le in prose é".getBytes("UTF-8")
+    assert(d(decoy) == ("utf-8", "default", "see charset=utf-16le in prose é"))
+  }
+
   test("WARC kernels stay inside whole-stage codegen") {
     val p = spark.range(2)
       .select(WebFunctions.warcSplitBinary(element_at(
