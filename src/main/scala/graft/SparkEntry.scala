@@ -8152,6 +8152,143 @@ object SparkEntry {
       |FROM d
       |ORDER BY doc_id, member_idx""".stripMargin)),
 
+    Q("web_http_parts", (s, dir) => {
+      // HTTP response-message parsing (r16 verdict #2): doc_id % 5
+      // plants the wire realities of a raw `response` crawl — identity,
+      // Transfer-Encoding: chunked (two chunks + a chunk extension),
+      // Content-Encoding: gzip (real compressed bytes), chunked+gzip
+      // stacked, and a non-HTTP junk payload that must degrade to
+      // body_mode='raw' with null status. Spark de-frames/decompresses
+      // for real; DuckDB recomputes every expected field analytically
+      // (chunk framing and gzip determinism are never assumed).
+      val id = col("doc_id").cast(StringType)
+      val c = col("doc_id") % 5
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val crlf = "\r\n"
+      def ascii(c: Column): Column = encode(c, "US-ASCII")
+      val textBytes = encode(col("text"), "UTF-8")
+      // chunked framing over arbitrary BINARY: split at byte 7
+      def chunked(body: Column): Column = {
+        val c1 = substring(body, 1, 7)
+        val c2 = substring(body, 8, 1 << 28)
+        concat(
+          ascii(concat(lower(hex(octet_length(c1))),
+            lit(";ext=1" + crlf))), c1, ascii(lit(crlf)),
+          ascii(concat(lower(hex(octet_length(c2))), lit(crlf))), c2,
+          ascii(lit(crlf + "0" + crlf + crlf)))
+      }
+      val gz = wf.gzipCompress(textBytes)
+      val payload = when(c === 0, concat(
+          ascii(concat(lit("HTTP/1.1 200 OK" + crlf +
+            "Content-Type: text/plain" + crlf + "Content-Length: "),
+            octet_length(textBytes).cast(StringType), lit(crlf + crlf))),
+          textBytes))
+        .when(c === 1, concat(
+          ascii(lit("HTTP/1.1 404 Not Found" + crlf +
+            "Transfer-Encoding: chunked" + crlf + crlf)),
+          chunked(textBytes)))
+        .when(c === 2, concat(
+          ascii(lit("HTTP/1.1 200 OK" + crlf +
+            "Content-Type: text/html" + crlf +
+            "Content-Encoding: gzip" + crlf + crlf)), gz))
+        .when(c === 3, concat(
+          ascii(lit("HTTP/1.0 301 Moved" + crlf +
+            "content-encoding: x-gzip" + crlf +
+            "TRANSFER-ENCODING: chunked" + crlf + crlf)), chunked(gz)))
+        .otherwise(textBytes)
+      val p = Web.httpParts(payload)
+      Tables(s, dir).documents.select(col("doc_id"),
+        p.getField("status_code").as("status_code"),
+        p.getField("reason").as("reason"),
+        p.getField("http_version").as("http_version"),
+        size(p.getField("headers")).as("n_headers"),
+        Web.httpHeader(p.getField("headers"), "Content-Type")
+          .as("content_type"),
+        p.getField("body_mode").as("body_mode"),
+        p.getField("body").cast(StringType).as("body_text"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, text, doc_id % 5 AS c
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE c WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 200
+      |    WHEN 3 THEN 301 END AS status_code,
+      |  CASE c WHEN 0 THEN 'OK' WHEN 1 THEN 'Not Found'
+      |    WHEN 2 THEN 'OK' WHEN 3 THEN 'Moved' END AS reason,
+      |  CASE c WHEN 3 THEN '1.0' WHEN 4 THEN NULL
+      |    ELSE '1.1' END AS http_version,
+      |  CAST(CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
+      |    WHEN 3 THEN 2 ELSE 0 END AS INTEGER) AS n_headers,
+      |  CASE c WHEN 0 THEN 'text/plain' WHEN 2 THEN 'text/html'
+      |    END AS content_type,
+      |  CASE c WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
+      |    WHEN 2 THEN 'gzip' WHEN 3 THEN 'chunked+gzip'
+      |    ELSE 'raw' END AS body_mode,
+      |  text AS body_text
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("pipeline_warc_response", (s, dir) => {
+      // the RESPONSE-record sibling of pipeline_warc_html (r16 verdict
+      // #2): page HTML in REAL ISO-8859-1 bytes → HTTP response with
+      // charset only in the Content-Type HEADER, body gzipped AND
+      // chunked → WARC response record → gzip member → warcRecordsGzip
+      // → httpParts (de-chunk + gunzip) → decodeTextHinted (header
+      // charset beats the meta-less page) → htmlText. Every stage must
+      // be lossless for the hash to match; DuckDB replays only the
+      // final extraction over the same page string.
+      val id = col("doc_id").cast(StringType)
+      val crlf = "\r\n"
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      def ascii(c: Column): Column = encode(c, "US-ASCII")
+      val page = concat(
+        lit("<html><head><title>D"), id,
+        lit("</title></head><body><p>"), col("text"),
+        lit(" café é</p></body></html>"))
+      val pageBytes = encode(page, "ISO-8859-1")
+      val gz = wf.gzipCompress(pageBytes)
+      val c1 = substring(gz, 1, 11)
+      val c2 = substring(gz, 12, 1 << 28)
+      val chunkedBody = concat(
+        ascii(concat(lower(hex(octet_length(c1))), lit(crlf))), c1,
+        ascii(lit(crlf)),
+        ascii(concat(lower(hex(octet_length(c2))), lit(crlf))), c2,
+        ascii(lit(crlf + "0" + crlf + crlf)))
+      val resp = concat(
+        ascii(lit("HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html; charset=iso-8859-1" + crlf +
+          "Content-Encoding: gzip" + crlf +
+          "Transfer-Encoding: chunked" + crlf + crlf)), chunkedBody)
+      val rec = concat(
+        ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: response" +
+          crlf + "WARC-Target-URI: http://h"),
+          (col("doc_id") % 30).cast(StringType), lit(".ex/p/"), id,
+          lit(crlf + "Content-Length: "),
+          octet_length(resp).cast(StringType), lit(crlf + crlf))),
+        resp, ascii(lit(crlf + crlf)))
+      val recs = Web.warcRecordsGzip(
+        Tables(s, dir).documents.select(col("doc_id"),
+          wf.gzipCompress(rec).as("gz")),
+        "doc_id", "gz")
+      val p = Web.httpParts(col("payload"))
+      val d = Web.decodeTextHinted(p.getField("body"),
+        Web.httpHeader(p.getField("headers"), "Content-Type"))
+      recs.select(col("doc_id"), col("warc_type"),
+          p.getField("status_code").as("status_code"),
+          p.getField("body_mode").as("body_mode"),
+          d.getField("charset").as("charset"),
+          d.getField("source").as("source"),
+          graft.functions.TextFunctions.htmlText(d.getField("text"))
+            .as("extracted"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id,
+      |  '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+      |  '</title></head><body><p>' || text ||
+      |  ' café é</p></body></html>' AS html FROM documents)
+      |SELECT doc_id, 'response' AS warc_type, 200 AS status_code,
+      |  'chunked+gzip' AS body_mode, 'iso-8859-1' AS charset,
+      |  'header' AS source,
+      |  $htmlExtractSql AS extracted
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("web_resolve_urls", (s, dir) => {
       // RFC 3986 reference resolution over planted reference shapes
       // (doc_id % 10 selects the case): absolute href, scheme-relative,

@@ -289,6 +289,41 @@ object Web {
   def decodeText(c: Column): Column =
     org.apache.spark.sql.graftnative.WebFunctions.decodeCharset(c)
 
+  /** HTTP response-message parsing for WARC `response` records:
+    * BINARY payload → struct(status_code, reason, http_version,
+    * headers array<struct<name,value>>, body BINARY, body_mode), with
+    * `Transfer-Encoding: chunked` de-framed and `Content-Encoding:
+    * gzip/deflate` bodies decompressed (CRC-verified gzip; zlib with
+    * raw-DEFLATE retry). The step [[warcRecordsGzip]]'s `response`
+    * records need before [[decodeText]] — without it the HTTP headers
+    * leak into the text tier. Full constrained semantics and the loud
+    * degradation table (raw / chunked-malformed / <enc>-corrupt /
+    * unsupported:<token>) on
+    * [[org.apache.spark.sql.graftnative.HttpParts]]. Pure scan-side
+    * codegen'd kernel; memory ∝ one payload's decoded size; null →
+    * null. */
+  def httpParts(c: Column): Column =
+    org.apache.spark.sql.graftnative.WebFunctions.httpParts(c)
+
+  /** First header VALUE with the given (case-insensitive) name from an
+    * [[httpParts]] `headers` array; null when absent. Scan-side array
+    * expression. */
+  def httpHeader(headers: Column, name: String): Column =
+    try_element_at(filter(headers, h =>
+      lower(h.getField("name")) ===
+        lit(name.toLowerCase(java.util.Locale.ROOT))), lit(1))
+      .getField("value")
+
+  /** [[decodeText]] seeded with the response's `Content-Type` header
+    * value (the HTTP charset parameter): BOM → header charset → meta
+    * prescan → UTF-8 default, per the HTML5 sniffing order. Compose as
+    * `decodeTextHinted(p.getField("body"), httpHeader(p.getField(
+    * "headers"), "content-type"))`. A null/charset-less hint falls
+    * through to the [[decodeText]] chain unchanged. */
+  def decodeTextHinted(c: Column, contentType: Column): Column =
+    org.apache.spark.sql.graftnative.WebFunctions.decodeCharsetHint(
+      c, coalesce(contentType, lit("")))
+
   /** `<url>` entries of an XML sitemap in document order:
     * (idCol, url_idx, loc, lastmod) — the crawl-frontier feed
     * (compose with [[canonicalizeUrl]] and [[robotsDecisions]]).
