@@ -8289,6 +8289,59 @@ object SparkEntry {
       |  $htmlExtractSql AS extracted
       |FROM h ORDER BY doc_id""".stripMargin)),
 
+    Q("web_warc_file_chunked", (s, dir) => {
+      // the member-boundary chunked FILE reader end to end (r16
+      // verdict #1): per doc ONE WARC record compressed as its OWN
+      // gzip member, members grouped into 4 real `.warc.gz` FILES on
+      // disk (doc_id % 4, ascending doc order within a file). The
+      // driver-side collect+write here is FIXTURE SETUP (bounded: the
+      // same few hundred KB web_warc_gzip builds in-plan); the
+      // operator under test is WarcFiles.warcRecordsGzipFiles with a
+      // tiny 4 KiB chunk target, so every file splits into many
+      // multi-member chunks ranged-read by separate tasks — records
+      // must come back bit-identical to the generative formula, which
+      // DuckDB recomputes analytically (chunk boundaries and gzip
+      // determinism never assumed).
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val crlf = "\r\n"
+      val pay = concat(col("text"), lit(" file-ingest "), id)
+      val rec = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+          "WARC-Target-URI: http://h"), k, lit(".ex/d/"), id,
+        lit(crlf + "Content-Length: "),
+        octet_length(pay).cast(StringType),
+        lit(crlf + crlf), pay, lit(crlf + crlf))
+      val rows = Tables(s, dir).documents
+        .select((col("doc_id") % 4).as("f"), col("doc_id"),
+          wf.gzipCompress(rec.cast("binary")).as("gz"))
+        .collect()
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft_warc_files")
+      outDir.toFile.deleteOnExit()
+      rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach {
+        case (f, rs) =>
+          val bytes = rs.sortBy(_.getLong(1))
+            .map(_.getAs[Array[Byte]]("gz"))
+            .foldLeft(Array.empty[Byte])(_ ++ _)
+          val p = outDir.resolve(s"part-$f.warc.gz")
+          java.nio.file.Files.write(p, bytes)
+          p.toFile.deleteOnExit()
+      }
+      graft.sources.WarcFiles
+        .warcRecordsGzipFiles(s, outDir.toString + "/*.warc.gz", 4096L)
+        .select(regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("warc_type"), col("content_length"),
+          col("payload").cast(StringType).as("payload"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, 'conversion' AS warc_type,
+      |  CAST(strlen(text || ' file-ingest ' ||
+      |    CAST(doc_id AS VARCHAR)) AS BIGINT) AS content_length,
+      |  text || ' file-ingest ' || CAST(doc_id AS VARCHAR) AS payload
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("web_resolve_urls", (s, dir) => {
       // RFC 3986 reference resolution over planted reference shapes
       // (doc_id % 10 selects the case): absolute href, scheme-relative,

@@ -174,15 +174,15 @@ object Web {
     nullif(trim(regexp_extract(hdr,
       "(?im)^" + name + ":[ \t]*([^\r\n]*)", 1)), lit(""))
 
-  private def warcHeaderCols(idCol: String): Seq[Column] = Seq(
-    col(idCol),
-    warcHeader(col("__hdr"), "WARC-Type").as("warc_type"),
-    warcHeader(col("__hdr"), "WARC-Target-URI").as("target_uri"),
-    warcHeader(col("__hdr"), "WARC-Date").as("warc_date"),
-    when(warcHeader(col("__hdr"), "Content-Length")
-      .rlike("^[0-9]{1,18}$"),
-      warcHeader(col("__hdr"), "Content-Length").cast("long"))
-      .as("content_length"))
+  private def warcHeaderCols(idCols: Seq[String]): Seq[Column] =
+    idCols.map(col) ++ Seq(
+      warcHeader(col("__hdr"), "WARC-Type").as("warc_type"),
+      warcHeader(col("__hdr"), "WARC-Target-URI").as("target_uri"),
+      warcHeader(col("__hdr"), "WARC-Date").as("warc_date"),
+      when(warcHeader(col("__hdr"), "Content-Length")
+        .rlike("^[0-9]{1,18}$"),
+        warcHeader(col("__hdr"), "Content-Length").cast("long"))
+        .as("content_length"))
 
   /** BINARY-SAFE WARC record reader: one binary cell = one
     * (concatenated, UNcompressed) WARC file, records sliced by their
@@ -207,7 +207,7 @@ object Web {
         .as(Seq("__i", "__r")))
       .withColumn("rec_idx", col("__i") + 1)
       .withColumn("__hdr", col("__r").getField("header"))
-      .select(warcHeaderCols(idCol)
+      .select(warcHeaderCols(Seq(idCol))
         .patch(1, Seq(col("rec_idx"),
           col("__r").getField("offset").as("rec_offset")), 0) :+
         col("__r").getField("payload").as("payload"): _*)
@@ -232,18 +232,27 @@ object Web {
     * 1 GB `.warc.gz` at any member boundary and this reader ingests
     * the chunks unchanged. */
   def warcRecordsGzip(df: DataFrame, idCol: String, binCol: String)
-      : DataFrame = {
+      : DataFrame = warcRecordsGzipCols(df, Seq(idCol), binCol)
+
+  /** [[warcRecordsGzip]] generalized to a multi-column row identity —
+    * what the chunked FILE reader ([[graft.sources.WarcFiles]]) needs:
+    * its cells are keyed by (path, chunk_idx, …), not one id. Same
+    * plan shape: two scan-side kernels + two posexplodes, zero
+    * shuffle. */
+  private[graft] def warcRecordsGzipCols(df: DataFrame,
+      idCols: Seq[String], binCol: String): DataFrame = {
     val nf = org.apache.spark.sql.graftnative.WebFunctions
-    df.select(col(idCol),
-      posexplode_outer(nf.gunzipMembers(col(binCol)))
-        .as(Seq("__m", "__member")))
-      .select(col(idCol), (col("__m") + 1).as("member_idx"),
+    val ids = idCols.map(col)
+    df.select(ids :+
+        posexplode_outer(nf.gunzipMembers(col(binCol)))
+          .as(Seq("__m", "__member")): _*)
+      .select(ids ++ Seq((col("__m") + 1).as("member_idx"),
         posexplode_outer(nf.warcSplitBinary(col("__member")))
-          .as(Seq("__i", "__r")))
+          .as(Seq("__i", "__r"))): _*)
       .withColumn("rec_idx", col("__i") + 1)
       .withColumn("__hdr", col("__r").getField("header"))
-      .select(warcHeaderCols(idCol)
-        .patch(1, Seq(col("member_idx"), col("rec_idx")), 0) :+
+      .select(warcHeaderCols(idCols)
+        .patch(idCols.length, Seq(col("member_idx"), col("rec_idx")), 0) :+
         col("__r").getField("payload").as("payload"): _*)
   }
 

@@ -1,0 +1,287 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Member-boundary chunked ingestion of `.warc.gz` / `.wet.gz` FILES —
+  * the missing half of the record-level gzip kernels (r16 verdict #1):
+  * [[graft.ops.Web.warcRecordsGzip]] takes a binary COLUMN, and the
+  * only stock way to feed it a file (`spark.read.format("binaryFile")`)
+  * loads the WHOLE file into one cell — a real Common Crawl segment is
+  * ~1 GB compressed / 4-5 GB decompressed, which OOMs or hits the 2 GB
+  * array ceiling before the first record parses. Common Crawl's layout
+  * is one gzip member per record, so members are self-delimiting and a
+  * file may be cut at ANY member boundary; this reader finds those
+  * boundaries and ships bounded multi-member chunks as cells.
+  *
+  * Two passes (the offset-index composition):
+  *
+  *  1. [[chunkIndex]] — one task PER FILE walks the gzip member chain
+  *     with a streaming inflate-skip (fixed 64 KiB buffers: header
+  *     fields parsed byte-wise, DEFLATE body length discovered by
+  *     inflating into a discarded scratch buffer, 8-byte trailer
+  *     skipped) and groups consecutive members into chunks of ~
+  *     `targetChunkBytes` compressed. Peak memory per task is the two
+  *     fixed buffers — INDEPENDENT of file and member size. This pass
+  *     reads every compressed byte once: the honest cost of member
+  *     discovery when no external index ships with the corpus (when
+  *     one does — Common Crawl's cdx/idx — build the chunk frame from
+  *     it directly and skip this pass; [[readChunks]] only needs
+  *     (path, chunk_idx, start, length, member_base, clean) rows).
+  *  2. [[readChunks]] — chunks hash-repartition across the cluster
+  *     (shuffling only the skinny offset rows, never bytes), then each
+  *     task positioned-reads its `length` bytes. Within-file
+  *     parallelism is restored here: a 1 GB file becomes ~64 chunk
+  *     tasks at the 16 MiB default.
+  *
+  * Corruption contract: a malformed member ends the indexed region;
+  * the remainder of that file ships as ONE `clean=false` tail chunk
+  * whose cell [[org.apache.spark.sql.graftnative.GunzipMembers]] then
+  * nulls loudly (CRC-verified) — every byte lands in some chunk,
+  * nothing is silently dropped, matching the record kernels'
+  * degradation table.
+  *
+  * 100 TB shape: pass 1 parallelizes across files (a 100 TB crawl is
+  * ~10⁵ segment files), pass 2 across chunks; no stage holds more than
+  * `targetChunkBytes` compressed + one chunk's decompressed payloads
+  * per task; the only shuffle moves offset tuples. The default 16 MiB
+  * target keeps a chunk's decompressed cell ≲100 MB at typical 4-6×
+  * HTML compression ratios. */
+object WarcFiles {
+
+  /** One chunk = consecutive WHOLE gzip members of one file.
+    * `member_base` = members before this chunk in the file (makes the
+    * per-chunk member index globalizable); `clean=false` marks the
+    * unparsable tail after a corrupt member (n_members 0). */
+  final case class GzChunk(path: String, chunk_idx: Int, start: Long,
+    length: Long, n_members: Int, member_base: Long, clean: Boolean)
+
+  /** Pass-2 row: one chunk's compressed bytes as a cell. Public so
+    * the codegen'd encoder can reach the accessors (a private nested
+    * case class forces interpreted projections — measured r17). */
+  final case class GzChunkBytes(path: String, chunk_idx: Int,
+    member_base: Long, clean: Boolean, content: Array[Byte])
+
+  /** Hadoop `Configuration` is not `Serializable`; this is the
+    * standard writable-backed holder so executors get the driver's
+    * filesystem conf (credentials, scheme impls) via one broadcast. */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Streaming gzip-member walker over an `InputStream`: fixed 64 KiB
+    * read + scratch buffers regardless of member size (RFC 1952
+    * framing, same field handling as `GunzipMembers.headerEnd`, body
+    * extent discovered by inflate-skip). */
+  private final class MemberWalker(in: java.io.InputStream) {
+    private val buf = new Array[Byte](1 << 16)
+    private val scratch = new Array[Byte](1 << 16)
+    private val inf = new java.util.zip.Inflater(true)
+    private var base = 0L // file offset of buf(0)
+    private var len = 0
+    private var pos = 0
+    private var eof = false
+
+    private def fill(): Boolean = {
+      while (pos >= len) {
+        if (eof) return false
+        base += len; pos = 0; len = 0
+        val n = in.read(buf)
+        if (n < 0) { eof = true; return false }
+        len = n
+      }
+      true
+    }
+
+    private def readByte(): Int =
+      if (!fill()) -1 else { val b = buf(pos) & 0xff; pos += 1; b }
+
+    def release(): Unit = inf.end()
+
+    /** Skip one complete member from the current position; returns the
+      * offset just past its trailer, or -1 on any malformation
+      * (truncation, bad magic, DEFLATE error). */
+    def skipMember(): Long = {
+      if (readByte() != 0x1f) return -1
+      if (readByte() != 0x8b) return -1
+      if (readByte() != 8) return -1
+      val flg = readByte()
+      if (flg < 0) return -1
+      var i = 0
+      while (i < 6) { if (readByte() < 0) return -1; i += 1 } // MTIME/XFL/OS
+      if ((flg & 0x04) != 0) { // FEXTRA
+        val x0 = readByte(); val x1 = readByte()
+        if (x1 < 0) return -1
+        var x = x0 | (x1 << 8)
+        while (x > 0) { if (readByte() < 0) return -1; x -= 1 }
+      }
+      if ((flg & 0x08) != 0) { // FNAME, NUL-terminated
+        var c = readByte(); while (c > 0) c = readByte()
+        if (c < 0) return -1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT
+        var c = readByte(); while (c > 0) c = readByte()
+        if (c < 0) return -1
+      }
+      if ((flg & 0x02) != 0) { // FHCRC
+        if (readByte() < 0 || readByte() < 0) return -1
+      }
+      inf.reset()
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          if (!fill()) return -1
+          inf.setInput(buf, pos, len - pos)
+          pos = len // provisionally consumed; surplus returned below
+        }
+        try {
+          val n = inf.inflate(scratch) // output discarded: extent only
+          if (n == 0 && inf.needsDictionary()) return -1
+        } catch {
+          case _: java.util.zip.DataFormatException => return -1
+        }
+      }
+      pos -= inf.getRemaining // surplus fed bytes belong to what follows
+      i = 0
+      while (i < 8) { if (readByte() < 0) return -1; i += 1 } // trailer
+      base + pos
+    }
+  }
+
+  /** Walk one file's member chain, grouping whole members into chunks
+    * that close once they reach `target` compressed bytes (a single
+    * member larger than `target` is its own chunk — members are never
+    * split). Exposed for the bounded-memory unit. */
+  private[graft] def chunkFile(path: String, size: Long,
+      in: java.io.InputStream, target: Long): Seq[GzChunk] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GzChunk]
+    val w = new MemberWalker(in)
+    try {
+      var chunkStart = 0L
+      var nMembers = 0
+      var memberBase = 0L
+      var chunkIdx = 0
+      def close(end: Long): Unit = if (nMembers > 0) {
+        out += GzChunk(path, chunkIdx, chunkStart, end - chunkStart,
+          nMembers, memberBase, clean = true)
+        chunkIdx += 1; memberBase += nMembers
+        nMembers = 0; chunkStart = end
+      }
+      var pos = 0L
+      var ok = true
+      while (ok && pos < size) {
+        val end = w.skipMember()
+        if (end < 0) {
+          close(pos)
+          out += GzChunk(path, chunkIdx, pos, size - pos, 0, memberBase,
+            clean = false)
+          ok = false
+        } else {
+          nMembers += 1
+          pos = end
+          if (end - chunkStart >= target) close(end)
+        }
+      }
+      if (ok) close(pos)
+      out.toSeq
+    } finally w.release()
+  }
+
+  /** Pass 1: glob `pattern` (driver-side listing — one `FileStatus`
+    * per file, planner-scale) and index every file's member-boundary
+    * chunks, one task per file. Returns (path, chunk_idx, start,
+    * length, n_members, member_base, clean). */
+  def chunkIndex(spark: SparkSession, pattern: String,
+      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame = {
+    require(targetChunkBytes >= 1 && targetChunkBytes <= (1L << 30),
+      "warc file chunking: targetChunkBytes must be in [1, 1 GiB] - a " +
+        "chunk is one task's cell")
+    val sc = spark.sparkContext
+    val bconf =
+      sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    val fs = new Path(pattern).getFileSystem(sc.hadoopConfiguration)
+    val statuses = fs.globStatus(new Path(pattern))
+    require(statuses != null && statuses.nonEmpty,
+      s"warc file chunking: no files match $pattern")
+    val files = statuses.toSeq.filter(_.isFile)
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+    import spark.implicits._
+    spark.createDataset(files)
+      .repartition(files.size) // one file's sequential walk per task
+      .mapPartitions { it =>
+        it.flatMap { case (p, sz) =>
+          val path = new Path(p)
+          val stream = path.getFileSystem(bconf.value.value).open(path)
+          try chunkFile(p, sz, stream, targetChunkBytes)
+          finally stream.close()
+        }
+      }
+      .toDF()
+  }
+
+  /** Pass 2: positioned-read each chunk's byte range into one cell.
+    * Input must carry the [[chunkIndex]] columns; the chunks are
+    * hash-repartitioned first (skinny offset rows — the only shuffle
+    * in the whole ingest), restoring within-file parallelism. */
+  def readChunks(chunks: DataFrame): DataFrame = {
+    val spark = chunks.sparkSession
+    val sc = spark.sparkContext
+    val bconf =
+      sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    import spark.implicits._
+    chunks
+      .repartition(col("path"), col("chunk_idx"))
+      .select(col("path"), col("chunk_idx"), col("start"), col("length"),
+        col("member_base"), col("clean"))
+      .as[(String, Int, Long, Long, Long, Boolean)]
+      .mapPartitions { it =>
+        it.map { case (p, ci, start, length, mb, clean) =>
+          require(length <= Int.MaxValue,
+            s"warc chunk $p#$ci exceeds the 2 GiB cell ceiling")
+          val path = new Path(p)
+          val stream = path.getFileSystem(bconf.value.value).open(path)
+          try {
+            val bytes = new Array[Byte](length.toInt)
+            stream.readFully(start, bytes) // positioned read
+            GzChunkBytes(p, ci, mb, clean, bytes)
+          } finally stream.close()
+        }
+      }
+      .toDF()
+  }
+
+  /** The composed FILE reader: glob → member-boundary chunk index →
+    * ranged chunk read → [[graft.ops.Web.warcRecordsGzip]] record
+    * parsing, with the per-chunk member index globalized via
+    * `member_base`. Output: (path, chunk_idx, clean, member_idx,
+    * rec_idx, warc_type, target_uri, warc_date, content_length,
+    * payload BINARY) — bit-identical records to feeding the whole file
+    * as one cell, at bounded per-task memory and >1 task per file. A
+    * corrupt tail ships as its chunk's single null-member row
+    * (clean=false), same contract as the column reader. */
+  def warcRecordsGzipFiles(spark: SparkSession, pattern: String,
+      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame = {
+    val withBytes =
+      readChunks(chunkIndex(spark, pattern, targetChunkBytes))
+    graft.ops.Web.warcRecordsGzipCols(withBytes,
+        Seq("path", "chunk_idx", "member_base", "clean"), "content")
+      .withColumn("member_idx",
+        (col("member_base") + col("member_idx")).as("member_idx"))
+      .drop("member_base")
+  }
+
+  /** 16 MiB compressed per chunk: ~64 tasks for a 1 GB segment, and a
+    * decompressed cell ≲100 MB at typical HTML compression ratios. */
+  val DefaultTargetChunkBytes: Long = 16L * 1024 * 1024
+}

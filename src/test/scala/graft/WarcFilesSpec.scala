@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Web
+import graft.sources.WarcFiles
+import org.apache.spark.sql.graftnative.GzipCompress
+
+/** Member-boundary `.warc.gz` FILE ingestion ([[WarcFiles]], r16
+  * verdict #1) — pins: the chunk index respects member boundaries and
+  * the target size (bounded peak memory: cell size is capped by
+  * max(member, target+member), never file size); the chunked reader's
+  * records are BIT-IDENTICAL to the single-cell path; >1 task per
+  * file; a corrupt tail degrades to one clean=false chunk whose cell
+  * nulls loudly.
+  */
+class WarcFilesSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private val CRLF = "\r\n"
+
+  private def record(tpe: String, uri: String, payload: String): String =
+    "WARC/1.0" + CRLF +
+      s"WARC-Type: $tpe" + CRLF +
+      (if (uri != null) s"WARC-Target-URI: $uri" + CRLF else "") +
+      "Content-Length: " + payload.getBytes("UTF-8").length + CRLF +
+      CRLF + payload + CRLF + CRLF
+
+  private def gz(s: String): Array[Byte] =
+    GzipCompress.compute(s.getBytes("UTF-8"))
+
+  /** n single-record members (+ one multi-record member at the end). */
+  private def fileBytes(fileTag: String, n: Int): Array[Byte] = {
+    val single = (1 to n).map(i =>
+      gz(record("conversion", s"http://ex.com/$fileTag/$i", s"payload $fileTag-$i " * 3)))
+    val multi = gz(
+      record("metadata", null, s"meta $fileTag a") +
+        record("metadata", null, s"meta $fileTag b"))
+    (single :+ multi).reduce(_ ++ _)
+  }
+
+  private def writeTemp(files: (String, Array[Byte])*): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcfiles_spec")
+    files.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    dir.toFile.deleteOnExit()
+    dir
+  }
+
+  test("chunkIndex: whole members per chunk, target respected, " +
+      "member_base cumulative, lengths tile the file exactly") {
+    val bytes = fileBytes("f", 9) // 10 members
+    val dir = writeTemp("a.warc.gz" -> bytes)
+    val memberSizes = {
+      // ground truth: sizes of the 10 members via the kernel walk
+      val idx1 = WarcFiles.chunkIndex(spark, s"$dir/a.warc.gz", 1L)
+        .orderBy("chunk_idx").collect()
+      idx1.map(_.getAs[Long]("length"))
+    }
+    // target=1: every member is its own chunk
+    assert(memberSizes.length == 10)
+    val idx1 = WarcFiles.chunkIndex(spark, s"$dir/a.warc.gz", 1L)
+      .orderBy("chunk_idx").collect()
+    assert(idx1.forall(_.getAs[Int]("n_members") == 1))
+    assert(idx1.forall(_.getAs[Boolean]("clean")))
+    assert(idx1.map(_.getAs[Long]("length")).sum == bytes.length.toLong)
+    assert(idx1.map(_.getAs[Long]("member_base")).toSeq ==
+      (0L until 10L))
+    // contiguity: each chunk starts where the previous ended
+    val offs = idx1.map(r => (r.getAs[Long]("start"), r.getAs[Long]("length")))
+    offs.sliding(2).foreach { case Array((s1, l1), (s2, _)) =>
+      assert(s1 + l1 == s2)
+    }
+    // mid target: chunks close at >= target, never split a member, and
+    // every chunk is <= target + one member (the bounded-memory claim)
+    val target = memberSizes.take(3).sum // ~3 members per chunk
+    val idxT = WarcFiles.chunkIndex(spark, s"$dir/a.warc.gz", target)
+      .orderBy("chunk_idx").collect()
+    assert(idxT.length > 1 && idxT.length < 10)
+    assert(idxT.map(_.getAs[Long]("length")).sum == bytes.length.toLong)
+    assert(idxT.map(_.getAs[Int]("n_members")).sum == 10)
+    val maxMember = memberSizes.max
+    idxT.foreach { r =>
+      assert(r.getAs[Long]("length") <= target + maxMember)
+    }
+    // huge target: one chunk, all members
+    val idxBig = WarcFiles.chunkIndex(spark, s"$dir/a.warc.gz", 1L << 30)
+      .collect()
+    assert(idxBig.length == 1 &&
+      idxBig.head.getAs[Int]("n_members") == 10)
+  }
+
+  test("warcRecordsGzipFiles == the single-cell column path, " +
+      "bit-for-bit, across multiple files and >1 task") {
+    val s = spark
+    import s.implicits._
+    val fa = fileBytes("a", 7)
+    val fb = fileBytes("b", 5)
+    val dir = writeTemp("fa.warc.gz" -> fa, "fb.warc.gz" -> fb)
+    val chunked = WarcFiles
+      .warcRecordsGzipFiles(spark, s"$dir/*.warc.gz", 600L)
+    // >1 chunk per file proves the file was actually split
+    val nChunks = chunked.select("path", "chunk_idx").distinct().count()
+    assert(nChunks > 2, s"expected multiple chunks, got $nChunks")
+    // reference: whole file in one cell through the column reader
+    val ref = Web.warcRecordsGzip(
+      Seq(("fa.warc.gz", fa), ("fb.warc.gz", fb)).toDF("f", "gz"),
+      "f", "gz")
+    def key(df: org.apache.spark.sql.DataFrame, fCol: String) = df
+      .select(col(fCol), col("member_idx").cast("long"), col("rec_idx"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        sha2(col("payload"), 256))
+      .collect().map(_.toSeq).toSet
+    val gotKeys = key(
+      chunked.withColumn("f", element_at(split(col("path"), "/"), -1)),
+      "f")
+    assert(gotKeys == key(ref, "f"))
+    // record count sanity: 7+1*2 and 5+1*2 records... single files have
+    // n single-record members + one 2-record member
+    assert(chunked.count() == (7 + 2) + (5 + 2))
+  }
+
+  test("corrupt tail: valid prefix parses, remainder is ONE " +
+      "clean=false chunk whose cell nulls loudly; nothing dropped") {
+    val good = fileBytes("g", 3)
+    val corrupt = good ++ Array[Byte](0x1f, 0x8b.toByte, 8, 0) ++
+      "this is not deflate".getBytes("UTF-8")
+    val dir = writeTemp("c.warc.gz" -> corrupt)
+    val idx = WarcFiles.chunkIndex(spark, s"$dir/c.warc.gz", 1L << 30)
+      .orderBy("chunk_idx").collect()
+    assert(idx.length == 2)
+    assert(idx.head.getAs[Boolean]("clean") &&
+      idx.head.getAs[Int]("n_members") == 4)
+    assert(!idx.last.getAs[Boolean]("clean") &&
+      idx.last.getAs[Int]("n_members") == 0)
+    assert(idx.map(_.getAs[Long]("length")).sum == corrupt.length.toLong)
+    val recs = WarcFiles.warcRecordsGzipFiles(spark, s"$dir/c.warc.gz",
+      1L << 30)
+    // 3 + 2 real records from the clean chunk, 1 null-member row from
+    // the corrupt tail (visible for audit)
+    assert(recs.where(col("clean")).count() == 5)
+    val tail = recs.where(!col("clean")).collect()
+    assert(tail.length == 1 && tail.head.isNullAt(
+      tail.head.fieldIndex("member_idx")))
+  }
+
+  test("chunkFile peak memory is walker-buffer-bounded: a member far " +
+      "larger than the walker's 64 KiB buffers indexes without " +
+      "materializing it") {
+    // 8 MB of low-entropy payload -> one member whose DECOMPRESSED size
+    // (8 MB) and compressed size (~80 KB) both exceed... compressed
+    // exceeds the 64 KiB buffer; the walker must stream it.
+    val big = record("conversion", "http://ex.com/big",
+      scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .alphanumeric.take(8 * 1024 * 1024).mkString)
+    val bytes = gz(big) ++ gz(record("metadata", null, "tail"))
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val chunks = WarcFiles.chunkFile("mem", bytes.length.toLong, in, 1L)
+    assert(chunks.length == 2 && chunks.forall(_.clean))
+    assert(chunks.map(_.length).sum == bytes.length.toLong)
+    assert(chunks.head.length > (1 << 16)) // bigger than the buffer
+  }
+}
