@@ -8519,6 +8519,81 @@ object SparkEntry {
       |    AS n_allowed
       |FROM n ORDER BY host""".stripMargin)),
 
+    Q("pipeline_crawl_schedule", (s, dir) => {
+      // the crawl story end to end, one query (r16 verdict #7):
+      // sitemapEntries -> resolveUrl -> canonicalizeUrl ->
+      // robotsDecisions -> ALLOWED frontier -> robotsCrawlDelay ->
+      // politenessSchedule with maxUrlsPerHost=3. Same generative
+      // fixtures as pipeline_crawl_frontier (urls) and
+      // web_politeness_schedule (delays: even nation keys mandate a
+      // delay, odd ones exercise defaultDelayMs=1000). Per host the
+      // allowed set is derivable case-by-case from robotsGen (exact
+      // graftbot group on k%3==0 REPLACES the * group), its
+      // lexicographic order fixes fetch_seq, and the cap drops the
+      // 4th+ fetch of this cycle — all replayed analytically.
+      val t = Tables(s, dir)
+      val k = col("n_nationkey").cast(StringType)
+      val xml = concat(
+        lit("<urlset><url><loc>/private"), k, lit("/x.html</loc></url>" +
+          "<url><loc>/private"), k, lit("/ok.html</loc></url>" +
+          "<url><loc>pub/page"), k,
+        lit(".html?utm_source=sm</loc></url>" +
+          "<url><loc>http://h"), k, lit(".ex/tmp/a.log</loc></url>" +
+          "<url><loc>mailto:admin@h"), k, lit(".ex</loc></url>"),
+        when(col("n_nationkey") % 2 === 0,
+          concat(lit("<url><loc>/extra"), k, lit("</loc></url>")))
+          .otherwise(lit("")),
+        lit("<url><priority>1</priority></url></urlset>"))
+      val sm = t.nation.select(
+        concat(lit("h"), k, lit(".ex")).as("host"), xml.as("xml"))
+      val canon = Web.sitemapEntries(sm, "host", "xml")
+        .withColumn("abs_url", Web.resolveUrl(
+          concat(lit("http://"), col("host"), lit("/sitemap.xml")),
+          col("loc")))
+        .withColumn("curl", Web.canonicalizeUrl(col("abs_url")))
+      val verdicts = Web.robotsDecisions(
+        canon.where(col("curl").isNotNull)
+          .select(col("host"), col("curl").as("url")).distinct(),
+        "url", robotsGen(t), "host", "txt", "graftbot")
+      val allowed = verdicts.where(col("allowed"))
+        .select(col("host"), col("url"))
+      val delays = Web.robotsCrawlDelay(
+        delayRobotsGen(t).where(
+          regexp_extract(col("host"), "^h([0-9]+)", 1)
+            .cast("long") % 2 === 0),
+        "host", "txt", "graftbot")
+      Web.politenessSchedule(allowed, "url", "host",
+          delays, "host", "crawl_delay_ms",
+          maxUrlsPerHost = Some(3))
+        .sortByKeys(SortKey("host"), SortKey("fetch_seq"))
+    }, Some("""WITH n AS (SELECT n_nationkey AS k,
+      |  'h' || CAST(n_nationkey AS VARCHAR) || '.ex' AS host
+      |  FROM nation),
+      |d AS (SELECT k, host,
+      |  CASE WHEN k % 2 = 0 THEN
+      |    CASE WHEN k % 3 = 0 THEN (k % 9 + 1) * 1000
+      |      ELSE (k % 7) * 1000 + 500 END
+      |  ELSE 1000 END AS delay FROM n),
+      |u AS (
+      |  SELECT k, host, delay,
+      |    'http://' || host || '/extra' || CAST(k AS VARCHAR) AS url,
+      |    1 AS pri FROM d WHERE k % 2 = 0
+      |  UNION ALL SELECT k, host, delay, 'http://' || host ||
+      |    '/private' || CAST(k AS VARCHAR) || '/ok.html', 2 FROM d
+      |  UNION ALL SELECT k, host, delay, 'http://' || host ||
+      |    '/private' || CAST(k AS VARCHAR) || '/x.html', 3 FROM d
+      |    WHERE k % 3 = 0
+      |  UNION ALL SELECT k, host, delay, 'http://' || host ||
+      |    '/pub/page' || CAST(k AS VARCHAR) || '.html', 4 FROM d
+      |  UNION ALL SELECT k, host, delay, 'http://' || host ||
+      |    '/tmp/a.log', 5 FROM d WHERE k % 3 = 0),
+      |r AS (SELECT host, url, delay, ROW_NUMBER() OVER (
+      |  PARTITION BY host ORDER BY pri) AS fetch_seq FROM u)
+      |SELECT host, url, CAST(fetch_seq AS INTEGER) AS fetch_seq,
+      |  CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_offset_ms
+      |FROM r WHERE fetch_seq <= 3
+      |ORDER BY host, fetch_seq""".stripMargin)),
+
     Q("text_html_main", (s, dir) => {
       // main-content extraction: generated page = link-dense nav, a
       // short h1, the document text as prose, a prose+small-link div,

@@ -266,26 +266,38 @@ object Web {
     * indistinguishable so the output is set-deterministic either
     * way). Returns the input columns + (fetch_seq, fetch_offset_ms).
     *
+    * `maxUrlsPerHost` is the knob a real crawler wants against a
+    * 10⁷-URL host (r16 verdict #7): when set, rows with `fetch_seq`
+    * beyond the cap are DROPPED from this cycle's schedule (they are
+    * deferred work, not fetches with an offset — re-run next cycle
+    * with the fetched URLs removed). Unset = schedule everything.
+    *
     * Scale shape: one LEFT hash join against the ≤1-row-per-host
     * delay table + ONE window partitioned by host. Per-host work is
     * serial by definition — a politeness schedule for a host IS a
     * serialization of that host's fetches — so "skew" here equals the
-    * real constraint, not an accident of the plan. */
+    * real constraint, not an accident of the plan (and the cap bounds
+    * the per-host partition when set). */
   def politenessSchedule(urls: DataFrame, urlCol: String,
       hostCol: String, delays: DataFrame, delayHostCol: String,
-      delayMsCol: String, defaultDelayMs: Long = 1000L): DataFrame = {
+      delayMsCol: String, defaultDelayMs: Long = 1000L,
+      maxUrlsPerHost: Option[Int] = None): DataFrame = {
     require(defaultDelayMs >= 0L,
       "politenessSchedule: defaultDelayMs must be >= 0")
+    require(maxUrlsPerHost.forall(_ >= 1),
+      "politenessSchedule: maxUrlsPerHost must be >= 1 when set")
     import org.apache.spark.sql.expressions.Window
     val d = delays.select(col(delayHostCol).as("__dhost"),
       col(delayMsCol).as("__dms"))
     val w = Window.partitionBy(col(hostCol)).orderBy(col(urlCol))
-    urls.join(d, urls(hostCol) === d("__dhost"), "left")
+    val scheduled = urls.join(d, urls(hostCol) === d("__dhost"), "left")
       .withColumn("fetch_seq", row_number().over(w))
       .withColumn("fetch_offset_ms",
         (col("fetch_seq") - 1).cast("long") *
           coalesce(col("__dms"), lit(defaultDelayMs)))
       .drop("__dhost", "__dms")
+    maxUrlsPerHost.fold(scheduled)(cap =>
+      scheduled.where(col("fetch_seq") <= cap))
   }
 
   /** Charset-sniffing payload decode: BINARY crawl payloads (the

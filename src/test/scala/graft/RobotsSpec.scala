@@ -206,5 +206,21 @@ class RobotsSpec extends AnyFunSuite {
       ("http://a.ex/1", 1, 0L), ("http://a.ex/2", 2, 2000L),
       ("http://a.ex/3", 3, 4000L),
       ("http://b.ex/x", 1, 0L), ("http://b.ex/y", 2, 500L)))
+    // maxUrlsPerHost caps THIS cycle's schedule: rows beyond the cap
+    // are deferred (dropped), earlier rows unchanged
+    val capped = Web.politenessSchedule(urls, "url", "host",
+        delays, "host", "crawl_delay_ms", defaultDelayMs = 500L,
+        maxUrlsPerHost = Some(2))
+      .orderBy("host", "fetch_seq")
+      .select(col("url"), col("fetch_seq"), col("fetch_offset_ms"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSeq
+    assert(capped == Seq(
+      ("http://a.ex/1", 1, 0L), ("http://a.ex/2", 2, 2000L),
+      ("http://b.ex/x", 1, 0L), ("http://b.ex/y", 2, 500L)))
+    intercept[IllegalArgumentException] {
+      Web.politenessSchedule(urls, "url", "host", delays, "host",
+        "crawl_delay_ms", maxUrlsPerHost = Some(0))
+    }
   }
 }
