@@ -109,7 +109,21 @@ object SqlFunctions {
       info("graft_charset_decode",
         "graft_charset_decode(binary) - struct(charset, source, text): BOM -> meta prescan -> utf-8 default"),
       args => { requireArity("graft_charset_decode", args, 1)
-        DecodeCharset(args.head) }))
+        DecodeCharset(args.head) }),
+
+    (FunctionIdentifier("graft_http_parts"),
+      info("graft_http_parts",
+        "graft_http_parts(binary) - struct(status_code, reason, http_version, headers, body, body_mode): " +
+          "HTTP response parse with chunked de-framing + gzip/deflate body decode"),
+      args => { requireArity("graft_http_parts", args, 1)
+        HttpParts(args.head) }),
+
+    (FunctionIdentifier("graft_charset_decode_hint"),
+      info("graft_charset_decode_hint",
+        "graft_charset_decode_hint(binary, contentType) - struct(charset, source, text): " +
+          "BOM -> header charset -> meta prescan -> utf-8 default"),
+      args => { requireArity("graft_charset_decode_hint", args, 2)
+        DecodeCharsetHint(args.head, args(1)) }))
 
   /** Runtime registration for sessions not built with `.withExtensions`
     * (mirrors `GraftExtensions.topKPerGroup`'s self-register). Idempotent:

@@ -292,6 +292,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r1.where(!col("allowed")).count() > 0)
   }
 
+  test("graft_http_parts + graft_charset_decode_hint: the response-" +
+      "record chain runs from pure SQL and matches the DataFrame API") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "body text é"), (2L, "second doc é"))
+      .toDF("id", "txt")
+      .select(col("id"), concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+          "charset=iso-8859-1\r\n\r\n"), "US-ASCII"),
+        encode(col("txt"), "ISO-8859-1")).as("resp"))
+      .createOrReplaceTempView("ext_http")
+    val viaSql = spark.sql(
+      """SELECT id, graft_http_parts(resp).status_code AS sc,
+        |  graft_http_parts(resp).body_mode AS mode,
+        |  graft_charset_decode_hint(graft_http_parts(resp).body,
+        |    'text/plain; charset=iso-8859-1').text AS t,
+        |  graft_charset_decode_hint(graft_http_parts(resp).body,
+        |    'text/plain; charset=iso-8859-1').source AS src
+        |FROM ext_http""".stripMargin)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(viaSql == Seq(
+      (1L, 200, "identity", "body text é", "header"),
+      (2L, 200, "identity", "second doc é", "header")))
+    val p = graft.ops.Web.httpParts(col("resp"))
+    val viaApi = spark.table("ext_http")
+      .select(col("id"), graft.ops.Web.decodeTextHinted(
+        p.getField("body"),
+        graft.ops.Web.httpHeader(p.getField("headers"), "content-type"))
+        .getField("text").as("t"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaApi == viaSql.map(v => (v._1, v._4)))
+  }
+
   test("table function errors are friendly: missing view fails with the " +
       "engine's named error, non-literal table name fails fast") {
     val e1 = intercept[Exception] {
