@@ -62,7 +62,11 @@ object Bench {
     * host join + regex match, the crawl-compliance representative;
     * (r16) `.warc.gz` ingestion (`web_warc_gzip`) — gzip-member
     * compress/decompress + offset-based record slicing, the
-    * Common-Crawl distribution-format representative. */
+    * Common-Crawl distribution-format representative; (r17) the
+    * response-record chain (`pipeline_warc_response`) — chunked+gzip
+    * HTTP de-framing (HttpParts), header-hinted charset decode and
+    * htmlText over every document, the raw-crawl ingest
+    * representative. */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
     "join_inner", "join_left", "join_semi", "join_asof",
@@ -75,7 +79,7 @@ object Bench {
     "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk",
     "events_rfm", "stat_spearman", "events_kaplan_meier",
     "text_html_extract", "text_html_main", "web_robots_decide",
-    "web_warc_gzip")
+    "web_warc_gzip", "pipeline_warc_response")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

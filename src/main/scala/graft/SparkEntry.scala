@@ -8243,7 +8243,12 @@ object SparkEntry {
         lit("<html><head><title>D"), id,
         lit("</title></head><body><p>"), col("text"),
         lit(" café é</p></body></html>"))
-      val pageBytes = encode(page, "ISO-8859-1")
+      // fixture realism: a Latin-1 page cannot carry codepoints beyond
+      // U+00FF — fold them to '?' so ANSI encode never refuses (no-op
+      // on the ASCII verify corpus; exercised by the unicode-hostile
+      // sweep, where the refusal would otherwise be an opaque crash)
+      val pageBytes = encode(
+        regexp_replace(page, "[^\\x00-\\xFF]", "?"), "ISO-8859-1")
       val gz = wf.gzipCompress(pageBytes)
       val c1 = substring(gz, 1, 11)
       val c2 = substring(gz, 12, 1 << 28)
@@ -8313,7 +8318,11 @@ object SparkEntry {
         lit(crlf + "Content-Length: "),
         octet_length(pay).cast(StringType),
         lit(crlf + crlf), pay, lit(crlf + crlf))
+      // null text/doc_id rows (robustness sweeps) produce no member —
+      // they cannot appear in a file fixture; a fully-null corpus then
+      // hits chunkIndex's named no-files guard
       val rows = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
         .select((col("doc_id") % 4).as("f"), col("doc_id"),
           wf.gzipCompress(rec.cast("binary")).as("gz"))
         .collect()
