@@ -254,6 +254,47 @@ object SparkEntry {
       txt.as("txt"))
   }
 
+  /** Fixture setup shared by the `.warc.gz` FILE-reader rows: one WARC
+    * record per doc (payload = `text || ' file-ingest ' || doc_id`)
+    * compressed as its OWN gzip member, members grouped into 4 real
+    * files on disk (`doc_id % 4`, ascending doc order within a file).
+    * The driver-side collect+write is bounded fixture setup — the same
+    * few hundred KB `web_warc_gzip` builds in-plan. Null doc_id/text
+    * rows (robustness sweeps) produce no member: they cannot appear in
+    * a file fixture, and a fully-null corpus then hits chunkIndex's
+    * named no-files guard. Returns the `.warc.gz` glob. */
+  private def warcFixtureFiles(s: SparkSession, dir: String): String = {
+    val id = col("doc_id").cast(StringType)
+    val k = (col("doc_id") % 30).cast(StringType)
+    val wf = org.apache.spark.sql.graftnative.WebFunctions
+    val crlf = "\r\n"
+    val pay = concat(col("text"), lit(" file-ingest "), id)
+    val rec = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        "WARC-Target-URI: http://h"), k, lit(".ex/d/"), id,
+      lit(crlf + "Content-Length: "),
+      octet_length(pay).cast(StringType),
+      lit(crlf + crlf), pay, lit(crlf + crlf))
+    val rows = Tables(s, dir).documents
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select((col("doc_id") % 4).as("f"), col("doc_id"),
+        wf.gzipCompress(rec.cast("binary")).as("gz"))
+      .collect()
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_warc_files")
+    outDir.toFile.deleteOnExit()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach {
+      case (f, rs) =>
+        val bytes = rs.sortBy(_.getLong(1))
+          .map(_.getAs[Array[Byte]]("gz"))
+          .foldLeft(Array.empty[Byte])(_ ++ _)
+        val p = outDir.resolve(s"part-$f.warc.gz")
+        java.nio.file.Files.write(p, bytes)
+        p.toFile.deleteOnExit()
+    }
+    outDir.toString + "/*.warc.gz"
+  }
+
   /** 64 DISTINCT han characters, 16 per nibble position — the CJK
     * dedup fixture alphabet. Position-distinct alphabets make the
     * 4-char code's token SET unique per doc_id (two ids share all 4
@@ -8307,39 +8348,8 @@ object SparkEntry {
       // must come back bit-identical to the generative formula, which
       // DuckDB recomputes analytically (chunk boundaries and gzip
       // determinism never assumed).
-      val id = col("doc_id").cast(StringType)
-      val k = (col("doc_id") % 30).cast(StringType)
-      val wf = org.apache.spark.sql.graftnative.WebFunctions
-      val crlf = "\r\n"
-      val pay = concat(col("text"), lit(" file-ingest "), id)
-      val rec = concat(
-        lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
-          "WARC-Target-URI: http://h"), k, lit(".ex/d/"), id,
-        lit(crlf + "Content-Length: "),
-        octet_length(pay).cast(StringType),
-        lit(crlf + crlf), pay, lit(crlf + crlf))
-      // null text/doc_id rows (robustness sweeps) produce no member —
-      // they cannot appear in a file fixture; a fully-null corpus then
-      // hits chunkIndex's named no-files guard
-      val rows = Tables(s, dir).documents
-        .where(col("doc_id").isNotNull && col("text").isNotNull)
-        .select((col("doc_id") % 4).as("f"), col("doc_id"),
-          wf.gzipCompress(rec.cast("binary")).as("gz"))
-        .collect()
-      val outDir =
-        java.nio.file.Files.createTempDirectory("graft_warc_files")
-      outDir.toFile.deleteOnExit()
-      rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach {
-        case (f, rs) =>
-          val bytes = rs.sortBy(_.getLong(1))
-            .map(_.getAs[Array[Byte]]("gz"))
-            .foldLeft(Array.empty[Byte])(_ ++ _)
-          val p = outDir.resolve(s"part-$f.warc.gz")
-          java.nio.file.Files.write(p, bytes)
-          p.toFile.deleteOnExit()
-      }
       graft.sources.WarcFiles
-        .warcRecordsGzipFiles(s, outDir.toString + "/*.warc.gz", 4096L)
+        .warcRecordsGzipFiles(s, warcFixtureFiles(s, dir), 4096L)
         .select(regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1)
           .cast(LongType).as("doc_id"),
           col("warc_type"), col("content_length"),
@@ -8602,6 +8612,246 @@ object SparkEntry {
       |  CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_offset_ms
       |FROM r WHERE fetch_seq <= 3
       |ORDER BY host, fetch_seq""".stripMargin)),
+
+    Q("web_mime_sniff", (s, dir) => {
+      // magic-byte MIME sniffing + declared-vs-sniffed audit: doc_id %
+      // 10 plants the constrained table's shapes — pdf/png/jpeg/gif
+      // magics, a REAL gzip member, zip, html, xml-after-whitespace, a
+      // NUL-leading binary, plain prose — with Content-Type headers
+      // that agree, lie (the jpeg declared as gif, the xml declared as
+      // plain), or are absent (agree must be null, not false). The
+      // sniff table is analytic by construction; DuckDB replays the
+      // classification case for case.
+      val c = col("doc_id") % 10
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val textBytes = encode(col("text"), "UTF-8")
+      def ascii(t: String): Column = lit(t.getBytes("US-ASCII"))
+      val payload = when(c === 0, concat(ascii("%PDF-1.4 "), textBytes))
+        .when(c === 1, concat(lit(Array[Byte](0x89.toByte, 'P'.toByte,
+          'N'.toByte, 'G'.toByte, '\r'.toByte, '\n'.toByte, 0x1a.toByte,
+          '\n'.toByte)), textBytes))
+        .when(c === 2, concat(lit(Array[Byte](0xff.toByte, 0xd8.toByte,
+          0xff.toByte, 0xe0.toByte)), textBytes))
+        .when(c === 3, concat(ascii("GIF89a"), textBytes))
+        .when(c === 4, wf.gzipCompress(textBytes))
+        .when(c === 5, concat(lit(Array[Byte]('P'.toByte, 'K'.toByte,
+          3.toByte, 4.toByte)), textBytes))
+        .when(c === 6, concat(ascii("<!DOCTYPE html><p>"), textBytes,
+          ascii("</p>")))
+        .when(c === 7, concat(ascii(" \t<?xml version=\"1.0\"?><d>"),
+          textBytes, ascii("</d>")))
+        .when(c === 8, concat(lit(Array[Byte](0.toByte)), textBytes))
+        .otherwise(textBytes)
+      val declared = when(c === 0, lit("application/pdf"))
+        .when(c === 1, lit("image/png; q=0.8"))
+        .when(c === 2, lit("image/gif")) // the lie
+        .when(c === 4, lit("Application/GZIP"))
+        .when(c === 5, lit("application/zip; x=1"))
+        .when(c === 6, lit("Text/HTML; charset=utf-8"))
+        .when(c === 7, lit("text/plain")) // the other lie
+        .when(c === 8, lit("application/octet-stream"))
+        .when(c === 9, lit(" text/plain "))
+        .otherwise(lit(null).cast(StringType)) // c == 3: absent
+      val a = Web.mimeAudit(payload, declared)
+      Tables(s, dir).documents.select(col("doc_id"),
+        a.getField("declared").as("declared"),
+        a.getField("sniffed").as("sniffed"),
+        // nullable boolean ships as nullable INT (the robots-verdict
+        // convention: pandas turns a NULL bool into NaN on one side
+        // and None on the other — same value, different sort identity)
+        a.getField("agree").cast(IntegerType).as("agree"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, doc_id % 10 AS c FROM documents)
+      |SELECT doc_id,
+      |  CASE c WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'image/png'
+      |    WHEN 2 THEN 'image/gif' WHEN 4 THEN 'application/gzip'
+      |    WHEN 5 THEN 'application/zip' WHEN 6 THEN 'text/html'
+      |    WHEN 7 THEN 'text/plain' WHEN 8 THEN 'application/octet-stream'
+      |    WHEN 9 THEN 'text/plain' END AS declared,
+      |  CASE c WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'image/png'
+      |    WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'image/gif'
+      |    WHEN 4 THEN 'application/gzip' WHEN 5 THEN 'application/zip'
+      |    WHEN 6 THEN 'text/html' WHEN 7 THEN 'application/xml'
+      |    WHEN 8 THEN 'application/octet-stream'
+      |    ELSE 'text/plain' END AS sniffed,
+      |  CAST(CASE WHEN c = 3 THEN NULL
+      |    WHEN c IN (2, 7) THEN 0 ELSE 1 END AS INTEGER) AS agree
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("web_redirect_edges", (s, dir) => {
+      // redirect EDGE extraction, both mechanisms: HTTP 3xx + Location
+      // (relative Locations resolve against the page URL per RFC 9110
+      // §10.2.2) and the <meta http-equiv=refresh> fallback buried in
+      // 200-OK html. doc_id % 4 plants: relative-Location 301,
+      // absolute-Location 302, meta-refresh 200, and a redirect-free
+      // 200 that must yield all nulls. DuckDB replays every field
+      // analytically.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 5).cast(StringType)
+      val crlf = "\r\n"
+      val c = col("doc_id") % 4
+      def ascii(cc: Column): Column = encode(cc, "US-ASCII")
+      val pageUrl = concat(lit("http://h"), k, lit(".ex/p/"), id)
+      val html = concat(
+        lit("<html><head><meta http-equiv=\"refresh\" " +
+          "content=\"0; url=/fresh/"),
+        id, lit("\"></head><body>moved</body></html>"))
+      val payload = when(c === 0, ascii(concat(
+          lit("HTTP/1.1 301 Moved" + crlf + "Location: /moved/"), id,
+          lit(crlf + crlf))))
+        .when(c === 1, ascii(concat(
+          lit("HTTP/1.1 302 Found" + crlf +
+            "Location: https://new.ex/abs/"), id, lit(crlf + crlf))))
+        .when(c === 2, ascii(concat(
+          lit("HTTP/1.1 200 OK" + crlf +
+            "Content-Type: text/html" + crlf + crlf), html)))
+        // text rides a UTF-8 encode (an ASCII encode would refuse the
+        // unicode-hostile sweep's emoji corpus — opaque-crash class)
+        .otherwise(concat(ascii(lit("HTTP/1.1 200 OK" + crlf + crlf)),
+          encode(col("text"), "UTF-8")))
+      val p = Web.httpParts(payload)
+      val body = p.getField("body").cast(StringType)
+      val refresh = graft.functions.TextFunctions.metaRefreshUrl(body)
+      Tables(s, dir).documents.select(col("doc_id"),
+        p.getField("status_code").as("status_code"),
+        Web.httpHeader(p.getField("headers"), "Location").as("location"),
+        Web.redirectTarget(pageUrl, p).as("redirect_to"),
+        refresh.as("meta_refresh"),
+        when(refresh.isNotNull, Web.resolveUrl(pageUrl, refresh))
+          .as("refresh_to"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, doc_id % 4 AS c,
+      |  CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 5 AS VARCHAR) AS k FROM documents)
+      |SELECT doc_id,
+      |  CASE c WHEN 0 THEN 301 WHEN 1 THEN 302 ELSE 200 END
+      |    AS status_code,
+      |  CASE c WHEN 0 THEN '/moved/' || i
+      |    WHEN 1 THEN 'https://new.ex/abs/' || i END AS location,
+      |  CASE c WHEN 0 THEN 'http://h' || k || '.ex/moved/' || i
+      |    WHEN 1 THEN 'https://new.ex/abs/' || i END AS redirect_to,
+      |  CASE c WHEN 2 THEN '/fresh/' || i END AS meta_refresh,
+      |  CASE c WHEN 2 THEN 'http://h' || k || '.ex/fresh/' || i END
+      |    AS refresh_to
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("web_redirect_resolve", (s, dir) => {
+      // bounded redirect-chain collapse: every doc with doc_id % 4 != 0
+      // redirects to doc_id − 1 (chains of ≤ 3 hops ending at a
+      // % 4 == 0 terminal), except doc_id % 40 == 39 which redirects to
+      // ITSELF — the loop that must exhaust maxHops as resolved=false.
+      // The oracle replays the chase with a RECURSIVE CTE over the
+      // SAME derived edge set (no doc_id contiguity assumed — both
+      // engines chase whatever edges the corpus actually yields).
+      def u(i: Column): Column = concat(lit("http://h"),
+        (i % 5).cast(StringType), lit(".ex/p/"), i.cast(StringType))
+      val id = col("doc_id")
+      val edges = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull && id % 4 =!= 0)
+        .select(u(id).as("src"),
+          when(id % 40 === 39, u(id)).otherwise(u(id - 1)).as("dst"))
+      Web.resolveRedirects(edges, "src", "dst", maxHops = 8)
+        .sortByKeys(SortKey("src"))
+    }, Some("""WITH RECURSIVE e AS (
+      |  SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.ex/p/' ||
+      |      CAST(doc_id AS VARCHAR) AS src,
+      |    CASE WHEN doc_id % 40 = 39 THEN
+      |      'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.ex/p/' ||
+      |        CAST(doc_id AS VARCHAR)
+      |    ELSE 'http://h' || CAST((doc_id - 1) % 5 AS VARCHAR) ||
+      |      '.ex/p/' || CAST(doc_id - 1 AS VARCHAR) END AS dst
+      |  FROM documents WHERE doc_id % 4 <> 0),
+      |e2 AS (SELECT src, MIN(dst) AS dst FROM e GROUP BY src),
+      |walk AS (
+      |  SELECT src AS start_url, dst AS cur, 1 AS hops FROM e2
+      |  UNION ALL
+      |  SELECT w.start_url, n.dst, w.hops + 1
+      |  FROM walk w JOIN e2 n ON w.cur = n.src WHERE w.hops < 8),
+      |fin AS (SELECT start_url, arg_max(cur, hops) AS final_url,
+      |  MAX(hops) AS hops FROM walk GROUP BY start_url)
+      |SELECT f.start_url AS src, f.final_url,
+      |  CAST(f.hops AS INTEGER) AS hops,
+      |  f.final_url NOT IN (SELECT src FROM e2) AS resolved
+      |FROM fin f ORDER BY src""".stripMargin)),
+
+    Q("web_payload_digest", (s, dir) => {
+      // record-level exact dedup by content digest — the Common Crawl
+      // convention key. 50 distinct payloads fan out across the corpus
+      // (doc_id % 50); md5 is the oracle-replayable grouping key
+      // (DuckDB 1.0 ships no sha1), and the corpus-convention
+      // sha1:BASE32 payloadDigest (pinned on RFC 4648's own vectors in
+      // CrawlExtrasSpec) is shape-checked per group.
+      val p = concat(lit("shared payload "),
+        (col("doc_id") % 50).cast(StringType))
+      val bin = encode(p, "UTF-8")
+      Tables(s, dir).documents
+        .select(col("doc_id"), md5(bin).as("digest_md5"),
+          Web.payloadDigest(bin).as("__cc"))
+        .groupBy(col("digest_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("first_doc"),
+          bool_and(col("__cc").rlike("^sha1:[A-Z2-7]{32}$")).as("cc_ok"))
+        .sortByKeys(SortKey("digest_md5"))
+    }, Some("""WITH h AS (SELECT doc_id,
+      |  md5('shared payload ' || CAST(doc_id % 50 AS VARCHAR))
+      |    AS digest_md5 FROM documents)
+      |SELECT digest_md5, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS first_doc, TRUE AS cc_ok
+      |FROM h GROUP BY digest_md5 ORDER BY digest_md5""".stripMargin)),
+
+    Q("web_warc_file_indexed", (s, dir) => {
+      // the INDEX-driven file reader: memberIndex (the in-library
+      // cdx/idx equivalent) → chunksFromIndex → ranged reads — pass 1
+      // never re-walks the files. Same fixture files and analytic
+      // oracle as web_warc_file_chunked, PLUS the globalized
+      // member_idx must equal each doc's rank within its file
+      // (ascending doc order, one member per record) — replayed with a
+      // window, no doc_id contiguity assumed.
+      val glob = warcFixtureFiles(s, dir)
+      val idx = graft.sources.WarcFiles.memberIndex(s, glob)
+      graft.sources.WarcFiles
+        .warcRecordsGzipFilesIndexed(s, idx, 4096L)
+        .select(regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("member_idx").as("member_seq"),
+          col("warc_type"), col("content_length"),
+          col("payload").cast(StringType).as("payload"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+      |    AS member_seq,
+      |  'conversion' AS warc_type,
+      |  CAST(strlen(text || ' file-ingest ' ||
+      |    CAST(doc_id AS VARCHAR)) AS BIGINT) AS content_length,
+      |  text || ' file-ingest ' || CAST(doc_id AS VARCHAR) AS payload
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("web_warc_cdx", (s, dir) => {
+      // in-library CDX generation over the fixture files: per-record
+      // member extents + the corpus-convention digest. Extent VALUES
+      // are gzip-output-dependent (the oracle never assumes them);
+      // what IS analytic: each doc's member rank within its file, the
+      // record fields, the digest shape, and extent sanity (offset
+      // ≥ 0, length past the 18-byte gzip member floor).
+      val cdx = graft.sources.WarcFiles
+        .warcCdx(s, warcFixtureFiles(s, dir), 4096L)
+      cdx.select(regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          regexp_extract(col("path"), "part-([0-9])", 1).cast(LongType)
+            .as("file_id"),
+          col("member_idx").as("member_seq"),
+          col("warc_type"), col("content_length"),
+          col("digest").rlike("^sha1:[A-Z2-7]{32}$").as("digest_ok"),
+          (col("offset") >= 0 && col("length") > 20).as("extent_ok"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, doc_id % 4 AS file_id,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+      |    AS member_seq,
+      |  'conversion' AS warc_type,
+      |  CAST(strlen(text || ' file-ingest ' ||
+      |    CAST(doc_id AS VARCHAR)) AS BIGINT) AS content_length,
+      |  TRUE AS digest_ok, TRUE AS extent_ok
+      |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("text_html_main", (s, dir) => {
       // main-content extraction: generated page = link-dense nav, a

@@ -757,6 +757,53 @@ object TextFunctions {
       struct(has("noindex").as("noindex"), has("nofollow").as("nofollow")))
   }
 
+  /** The exact [[metaRefreshUrl]] TAG regex (oracle-shared like
+    * [[htmlMetaPattern]]): the content value of the first
+    * `<meta http-equiv="refresh" content="...">`, both attribute
+    * orders via the two-branch different-group alternation, quoted
+    * values (either style), whitespace attribute boundaries. */
+  val metaRefreshPattern: String = {
+    val he = s"http-equiv$htmlWs*=$htmlWs*[\"']refresh[\"']"
+    val ct = s"content$htmlWs*=$htmlWs*"
+    s"(?i)<meta$htmlWs(?:[^>]*?$htmlWs)?" +
+      s"(?:$he[^>]*?$htmlWs$ct$qVal|$ct$qVal[^>]*?$htmlWs$he)"
+  }
+
+  /** The exact URL-part regex applied to the refresh content VALUE
+    * (oracle-shared): `[delay][;,][ws]url=[ws]TARGET` — optional
+    * decimal delay, `;` or `,` separator (both appear in the wild),
+    * case-insensitive `url=`, target in any of the three [[htmlLinks]]
+    * value styles (double-quoted / single-quoted / bare). A delay-only
+    * content (`content="5"`) has no URL part and must not match. */
+  val refreshUrlPattern: String =
+    "(?i)^[ \t]*[0-9]*(?:\\.[0-9]+)?[ \t]*[;,][ \t]*url[ \t]*=[ \t]*" +
+      "(\"[^\"]*\"|'[^']*'|[^ \t].*?)[ \t]*$"
+
+  /** Redirect target of the FIRST `<meta http-equiv="refresh">` tag —
+    * the OTHER redirect mechanism (RFC 9110 3xx is [[graft.ops.Web
+    * .redirectTarget]]'s side): pages that "moved" via a meta refresh
+    * are redirect edges too, and a crawl-graph that ignores them keeps
+    * dead shells as documents. Returns the (possibly relative) URL —
+    * compose with `Web.resolveUrl(pageUrl, …)` and feed
+    * `Web.resolveRedirects` alongside the HTTP edges. Constrained
+    * semantics: [[metaRefreshPattern]] finds the tag (quoted content,
+    * both attribute orders), [[refreshUrlPattern]] extracts the target
+    * from its value (optional delay, `;`/`,` separator, optional inner
+    * quotes, bare targets trimmed); delay-only refresh (a reload, not
+    * a redirect) → null; no tag / null html → null. Scan-side
+    * projection, oracle-replayable pattern for pattern. */
+  def metaRefreshUrl(c: Column): Column = {
+    val g1 = regexp_extract(c, metaRefreshPattern, 1)
+    val g2 = regexp_extract(c, metaRefreshPattern, 2)
+    val content = stripQuotes(when(length(g1) >= 2, g1).otherwise(g2))
+    val tok = regexp_extract(content, refreshUrlPattern, 1)
+    val target = when(
+      substring(tok, 1, 1) === "\"" || substring(tok, 1, 1) === "'",
+      tok.substr(lit(2), length(tok) - 2)).otherwise(trim(tok))
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(nullif(target, lit("")))
+  }
+
   /** Document fingerprint: 64-bit hash of the normalized text (content-
     * defined identity for exact dedup; xxhash64 = codegen'd, seed fixed). */
   def fingerprint(c: Column): Column = xxhash64(normalizeText(c))

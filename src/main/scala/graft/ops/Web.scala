@@ -345,6 +345,143 @@ object Web {
     org.apache.spark.sql.graftnative.WebFunctions.decodeCharsetHint(
       c, coalesce(contentType, lit("")))
 
+  /** Media-type ESSENCE of a `Content-Type` header value: the
+    * lowercased `type/subtype` token before any `;` parameter,
+    * whitespace-trimmed (`"Text/HTML; charset=utf-8"` → `text/html`).
+    * Null/empty/parameter-only values → null. The normalize step
+    * before comparing a declared type against [[sniffMime]]. */
+  def contentTypeEssence(ct: Column): Column =
+    nullif(trim(lower(element_at(split(ct, ";"), 1))), lit(""))
+
+  /** Magic-byte MIME sniff of a BINARY payload — the filter step
+    * between crawl ingest and text extraction: a 100 TB crawl is full
+    * of PDFs, images and junk that must not reach [[decodeText]] /
+    * `htmlText`, and servers routinely lie in `Content-Type`
+    * ([[mimeAudit]] quantifies the lying). Constrained,
+    * engine-replayable semantics (a bounded subset of the WHATWG
+    * sniffing table, checked in this order):
+    *
+    *  1. binary magic prefixes: gzip `1f 8b` → `application/gzip`;
+    *     `%PDF-` → `application/pdf`; PNG / JPEG / GIF8[79]a signatures
+    *     → their image types; `PK 03 04` → `application/zip`;
+    *     `RIFF????WEBP` / `RIFF????WAVE` → `image/webp` / `audio/wav`;
+    *  2. `<?xml` after optional ASCII whitespace → `application/xml`;
+    *  3. any of `<!doctype html` / `<html` / `<head` / `<body`
+    *     (case-insensitive) ANYWHERE in the first 1024 bytes →
+    *     `text/html` (the WHATWG sniffer only checks tag-at-start;
+    *     anywhere-in-window is a documented deviation that tolerates
+    *     the leading comments/junk real pages carry);
+    *  4. a NUL byte in the first 1024 bytes →
+    *     `application/octet-stream`;
+    *  5. otherwise `text/plain`.
+    *
+    * The 1024-byte window is decoded as ISO-8859-1 (total: every byte
+    * sequence is valid), so the checks are pure string ops — one
+    * scan-side projection, no kernel, no shuffle; null → null. */
+  def sniffMime(bin: Column): Column = {
+    val head = decode(substring(bin, 1, 1024), "ISO-8859-1")
+    val lhead = lower(head)
+    def pre(s: String): Column = startswith(head, lit(s))
+    val riff = pre("RIFF") && length(head) >= 12
+    when(bin.isNull, lit(null).cast("string"))
+      .when(pre("\u001f\u008b"), lit("application/gzip"))
+      .when(pre("%PDF-"), lit("application/pdf"))
+      .when(pre("\u0089PNG\r\n\u001a\n"), lit("image/png"))
+      .when(pre("\u00ff\u00d8\u00ff"), lit("image/jpeg"))
+      .when(pre("GIF87a") || pre("GIF89a"), lit("image/gif"))
+      .when(pre("PK\u0003\u0004"), lit("application/zip"))
+      .when(riff && substring(head, 9, 4) === "WEBP", lit("image/webp"))
+      .when(riff && substring(head, 9, 4) === "WAVE", lit("audio/wav"))
+      .when(lhead.rlike("^[ \\t\\r\\n\\f]*<\\?xml"), lit("application/xml"))
+      .when(contains(lhead, lit("<!doctype html")) ||
+        contains(lhead, lit("<html")) || contains(lhead, lit("<head")) ||
+        contains(lhead, lit("<body")), lit("text/html"))
+      .when(contains(head, lit("\u0000")), lit("application/octet-stream"))
+      .otherwise(lit("text/plain"))
+  }
+
+  /** Declared-vs-sniffed content-type audit:
+    * struct(declared, sniffed, agree) from a payload and its
+    * `Content-Type` header value ([[httpHeader]] output). `agree` is
+    * null when either side is null — absence of a declaration is not a
+    * lie. The per-corpus roll-up (`groupBy(declared, sniffed)`) is the
+    * standard crawl hygiene report. */
+  def mimeAudit(bin: Column, contentType: Column): Column = {
+    val d = contentTypeEssence(contentType)
+    val sn = sniffMime(bin)
+    struct(d.as("declared"), sn.as("sniffed"), (d === sn).as("agree"))
+  }
+
+  /** WARC-Payload-Digest in Common Crawl's own spelling: `sha1:` +
+    * RFC 4648 base32 of the sha1 bytes — computing it here lets a
+    * pipeline join its records against the corpus's shipped cdx
+    * indexes and dedup at the record level by the SAME key the crawler
+    * used (the famous empty-payload digest
+    * `sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ` appears verbatim).
+    * Scan-side: sha1 + unhex + the [[org.apache.spark.sql.graftnative
+    * .Base32Encode]] kernel; null → null. */
+  def payloadDigest(bin: Column): Column =
+    concat(lit("sha1:"),
+      org.apache.spark.sql.graftnative.WebFunctions.base32(
+        unhex(sha1(bin))))
+
+  /** Redirect target of one fetched record: HTTP status 301/302/303/
+    * 307/308 with a `Location` header → the ABSOLUTE URL it points to
+    * (`Location` is resolved against the page URL per RFC 9110 §10.2.2
+    * — relative Location values are ubiquitous); anything else → null.
+    * Compose over [[httpParts]] output; feed the (url, target) pairs
+    * to [[resolveRedirects]] for chain collapse. Scan-side. */
+  def redirectTarget(pageUrl: Column, parts: Column): Column = {
+    val st = parts.getField("status_code")
+    val loc = httpHeader(parts.getField("headers"), "Location")
+    when(st.isin(301, 302, 303, 307, 308) && loc.isNotNull,
+      resolveUrl(pageUrl, loc))
+  }
+
+  /** Collapse redirect CHAINS: given observed (src → dst) redirect
+    * edges, return each src's terminal URL — the dedup/canonical key a
+    * crawler actually wants (the same article fetched via 2-3 hops of
+    * tracking/`www.`/https migrations must collapse to ONE identity
+    * before content dedup). Output: (srcCol, final_url, hops,
+    * resolved); `resolved=false` means the chain was still redirecting
+    * after `maxHops` — loops (self- or multi-node cycles) land there
+    * by construction, no cycle detection pass needed. Duplicate
+    * observations of one src (re-fetches) collapse to the
+    * lexicographically-least dst so the chase is deterministic.
+    *
+    * Scale shape: `maxHops` pointer-chase iterations, each ONE hash
+    * join of the current frontier against the edge table on the URL
+    * key — no driver iteration over rows, no unbounded recursion; the
+    * edge table (pages that redirect) is a small fraction of any real
+    * corpus, and each round's state is exactly one row per distinct
+    * src. `maxHops` is capped at 16 (browsers give up near 20; chains
+    * past 8 are misconfigurations, and each hop is a join stage). */
+  def resolveRedirects(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16,
+      "resolveRedirects: maxHops must be in [1, 16] - each hop is a " +
+        "join stage, and real chains beyond 8 are misconfigurations")
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("__jsrc"))
+      .agg(min(col(dstCol)).as("__jdst"))
+    var cur = e.select(col("__jsrc").as(srcCol),
+      col("__jdst").as("__cur"), lit(1).as("hops"))
+    var i = 2
+    while (i <= maxHops) {
+      cur = cur.join(e, cur("__cur") === e("__jsrc"), "left")
+        .select(col(srcCol),
+          coalesce(col("__jdst"), col("__cur")).as("__cur"),
+          when(col("__jdst").isNotNull, lit(i)).otherwise(col("hops"))
+            .as("hops"))
+      i += 1
+    }
+    val outgoing = e.select(col("__jsrc"), lit(true).as("__more"))
+    cur.join(outgoing, cur("__cur") === outgoing("__jsrc"), "left")
+      .select(col(srcCol), col("__cur").as("final_url"), col("hops"),
+        col("__more").isNull.as("resolved"))
+  }
+
   /** `<url>` entries of an XML sitemap in document order:
     * (idCol, url_idx, loc, lastmod) — the crawl-frontier feed
     * (compose with [[canonicalizeUrl]] and [[robotsDecisions]]).

@@ -197,15 +197,47 @@ object WarcFiles {
     } finally w.release()
   }
 
-  /** Pass 1: glob `pattern` (driver-side listing — one `FileStatus`
-    * per file, planner-scale) and index every file's member-boundary
-    * chunks, one task per file. Returns (path, chunk_idx, start,
-    * length, n_members, member_base, clean). */
-  def chunkIndex(spark: SparkSession, pattern: String,
-      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame = {
-    require(targetChunkBytes >= 1 && targetChunkBytes <= (1L << 30),
-      "warc file chunking: targetChunkBytes must be in [1, 1 GiB] - a " +
-        "chunk is one task's cell")
+  /** One row per gzip MEMBER of one file — the member-grain sibling of
+    * [[chunkFile]], and exactly the (offset, length) shape an external
+    * cdx/idx index ships. `member_idx` is 1-based (the record readers'
+    * convention); a corrupt member ends the walk and the file
+    * remainder is one `clean=false` row (its `member_idx` continues
+    * the sequence but names no member). Exposed for the bounded-memory
+    * unit. */
+  private[graft] def indexFileMembers(path: String, size: Long,
+      in: java.io.InputStream): Seq[GzMember] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GzMember]
+    val w = new MemberWalker(in)
+    try {
+      var pos = 0L
+      var idx = 1L
+      var ok = true
+      while (ok && pos < size) {
+        val end = w.skipMember()
+        if (end < 0) {
+          out += GzMember(path, idx, pos, size - pos, clean = false)
+          ok = false
+        } else {
+          out += GzMember(path, idx, pos, end - pos, clean = true)
+          idx += 1
+          pos = end
+        }
+      }
+      out.toSeq
+    } finally w.release()
+  }
+
+  /** One gzip member's extent. Public for the codegen'd encoder (the
+    * [[GzChunkBytes]] note). */
+  final case class GzMember(path: String, member_idx: Long, offset: Long,
+    length: Long, clean: Boolean)
+
+  /** Driver-side glob listing (one `FileStatus` per file,
+    * planner-scale) + the broadcast Hadoop conf the executor-side
+    * readers need. */
+  private def globFiles(spark: SparkSession, pattern: String)
+      : (Seq[(String, Long)],
+         org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]) = {
     val sc = spark.sparkContext
     val bconf =
       sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
@@ -216,6 +248,19 @@ object WarcFiles {
     val files = statuses.toSeq.filter(_.isFile)
       .map(s => (s.getPath.toString, s.getLen))
       .sortBy(_._1)
+    (files, bconf)
+  }
+
+  /** Pass 1: glob `pattern` (driver-side listing — one `FileStatus`
+    * per file, planner-scale) and index every file's member-boundary
+    * chunks, one task per file. Returns (path, chunk_idx, start,
+    * length, n_members, member_base, clean). */
+  def chunkIndex(spark: SparkSession, pattern: String,
+      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame = {
+    require(targetChunkBytes >= 1 && targetChunkBytes <= (1L << 30),
+      "warc file chunking: targetChunkBytes must be in [1, 1 GiB] - a " +
+        "chunk is one task's cell")
+    val (files, bconf) = globFiles(spark, pattern)
     import spark.implicits._
     spark.createDataset(files)
       .repartition(files.size) // one file's sequential walk per task
@@ -228,6 +273,76 @@ object WarcFiles {
         }
       }
       .toDF()
+  }
+
+  /** MEMBER-grain offset index of every globbed file: (path,
+    * member_idx 1-based, offset, length, clean) — the same streaming
+    * inflate-skip walk as [[chunkIndex]] but emitting each member,
+    * i.e. the in-library equivalent of the cdx/idx offset index a
+    * corpus ships. Build it ONCE per corpus, persist it, and every
+    * later ingest skips pass 1 via [[chunksFromIndex]]; it is also the
+    * offset source [[warcCdx]] joins record headers against. One task
+    * per file, walker-buffer-bounded memory. */
+  def memberIndex(spark: SparkSession, pattern: String): DataFrame = {
+    val (files, bconf) = globFiles(spark, pattern)
+    import spark.implicits._
+    spark.createDataset(files)
+      .repartition(files.size)
+      .mapPartitions { it =>
+        it.flatMap { case (p, sz) =>
+          val path = new Path(p)
+          val stream = path.getFileSystem(bconf.value.value).open(path)
+          try indexFileMembers(p, sz, stream)
+          finally stream.close()
+        }
+      }
+      .toDF()
+  }
+
+  /** Build the [[readChunks]] chunk frame from a MEMBER offset index
+    * instead of walking the files (pass 1 skipped entirely — with a
+    * persisted [[memberIndex]] or a corpus-shipped cdx/idx, ingest
+    * never reads a compressed byte twice). Input columns: (path,
+    * offset, length, clean); members of one file must tile its clean
+    * region contiguously (true of [[memberIndex]] output; a chunk's
+    * extent is computed as max(offset+length) − min(offset), so a
+    * gapped index would silently pull gap bytes into a cell —
+    * [[org.apache.spark.sql.graftnative.GunzipMembers]] then nulls
+    * that cell loudly, never silently).
+    *
+    * Grouping rule: clean members bucket by `floor(offset / target)`
+    * (deterministic, window-free — unlike pass 1's greedy close-at-
+    * target, but any grouping of whole contiguous members yields
+    * bit-identical records); each `clean=false` tail row becomes its
+    * own chunk. Per-file chunk numbering and the cumulative
+    * `member_base` come from one window over the chunk-grain rows
+    * (bounded: ~size/target rows per file). */
+  def chunksFromIndex(index: DataFrame,
+      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame = {
+    require(targetChunkBytes >= 1 && targetChunkBytes <= (1L << 30),
+      "warc file chunking: targetChunkBytes must be in [1, 1 GiB] - a " +
+        "chunk is one task's cell")
+    import org.apache.spark.sql.expressions.Window
+    val cleanChunks = index.where(col("clean"))
+      .groupBy(col("path"),
+        floor(col("offset") / targetChunkBytes).as("__bucket"))
+      .agg(min(col("offset")).as("start"),
+        (max(col("offset") + col("length")) - min(col("offset")))
+          .as("length"),
+        count(lit(1)).cast("int").as("n_members"))
+      .select(col("path"), col("start"), col("length"),
+        col("n_members"), lit(true).as("clean"))
+    val tailChunks = index.where(!col("clean"))
+      .select(col("path"), col("offset").as("start"), col("length"),
+        lit(0).as("n_members"), lit(false).as("clean"))
+    val w = Window.partitionBy(col("path")).orderBy(col("start"))
+    cleanChunks.unionByName(tailChunks)
+      .withColumn("chunk_idx", (row_number().over(w) - 1).cast("int"))
+      .withColumn("member_base",
+        coalesce(sum(col("n_members"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("path"), col("chunk_idx"), col("start"), col("length"),
+        col("n_members"), col("member_base"), col("clean"))
   }
 
   /** Pass 2: positioned-read each chunk's byte range into one cell.
@@ -271,14 +386,61 @@ object WarcFiles {
     * corrupt tail ships as its chunk's single null-member row
     * (clean=false), same contract as the column reader. */
   def warcRecordsGzipFiles(spark: SparkSession, pattern: String,
-      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame = {
-    val withBytes =
-      readChunks(chunkIndex(spark, pattern, targetChunkBytes))
+      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame =
+    parseChunks(readChunks(chunkIndex(spark, pattern, targetChunkBytes)))
+
+  /** Chunk cells → records: the shared tail of the composed readers —
+    * the existing zero-shuffle gzip record kernels over each cell,
+    * with the per-chunk member index globalized via `member_base`. */
+  private def parseChunks(withBytes: DataFrame): DataFrame =
     graft.ops.Web.warcRecordsGzipCols(withBytes,
         Seq("path", "chunk_idx", "member_base", "clean"), "content")
       .withColumn("member_idx",
         (col("member_base") + col("member_idx")).as("member_idx"))
       .drop("member_base")
+
+  /** [[warcRecordsGzipFiles]] driven by a persisted MEMBER offset
+    * index ([[memberIndex]] output, or a corpus cdx/idx projected to
+    * (path, offset, length, clean)) — pass 1 never runs, so the
+    * compressed bytes are read exactly ONCE, in parallel ranged
+    * chunks. Records are bit-identical to both other paths. */
+  def warcRecordsGzipFilesIndexed(spark: SparkSession, index: DataFrame,
+      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame =
+    parseChunks(readChunks(chunksFromIndex(index, targetChunkBytes)))
+
+  /** CDX-style per-record index of a `.warc.gz` corpus — the artifact
+    * Common Crawl ships alongside its segments, generated in-library:
+    * (path, offset, length, member_idx, rec_idx, warc_type,
+    * target_uri, warc_date, content_length, digest). `offset`/`length`
+    * are the gzip MEMBER extent holding the record (the ranged-read
+    * coordinates a later selective fetch needs); `digest` is the
+    * corpus-convention `sha1:BASE32` [[graft.ops.Web.payloadDigest]],
+    * joinable against real Common Crawl cdx lines.
+    *
+    * Cost/shape: ONE index walk (task per file; its skinny member-
+    * grain output — the same grain as the cdx being built — is
+    * checkpointed so Spark does not re-walk the files for the extent
+    * side of the plan) + ONE record-parse pass over ranged chunks +
+    * one hash join of record headers against the member extents on
+    * (path, member_idx). A corrupt tail ships as its chunk's
+    * clean=false row with null record fields AND null extents (its
+    * member_idx names no member); the [[memberIndex]] clean=false row
+    * still records the tail extent for audit. */
+  def warcCdx(spark: SparkSession, pattern: String,
+      targetChunkBytes: Long = DefaultTargetChunkBytes): DataFrame = {
+    val idx = memberIndex(spark, pattern).localCheckpoint()
+    val recs = warcRecordsGzipFilesIndexed(spark, idx, targetChunkBytes)
+      .withColumn("digest",
+        graft.ops.Web.payloadDigest(col("payload")))
+    val extents = idx.select(col("path").as("__xpath"),
+      col("member_idx").as("__xmember"), col("offset"), col("length"))
+    recs.join(extents,
+        recs("path") === extents("__xpath") &&
+          recs("member_idx") === extents("__xmember"), "left")
+      .select(col("path"), col("offset"), col("length"),
+        col("member_idx"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("warc_date"), col("content_length"),
+        col("digest"))
   }
 
   /** 16 MiB compressed per chunk: ~64 tasks for a 1 GB segment, and a

@@ -123,7 +123,15 @@ object SqlFunctions {
         "graft_charset_decode_hint(binary, contentType) - struct(charset, source, text): " +
           "BOM -> header charset -> meta prescan -> utf-8 default"),
       args => { requireArity("graft_charset_decode_hint", args, 2)
-        DecodeCharsetHint(args.head, args(1)) }))
+        DecodeCharsetHint(args.head, args(1)) }),
+
+    (FunctionIdentifier("graft_base32"),
+      info("graft_base32",
+        "graft_base32(binary) - RFC 4648 base32 (A-Z2-7, = padding); " +
+          "concat 'sha1:' + graft_base32(unhex(sha1(payload))) is the " +
+          "Common Crawl WARC-Payload-Digest spelling"),
+      args => { requireArity("graft_base32", args, 1)
+        Base32Encode(args.head) }))
 
   /** Runtime registration for sessions not built with `.withExtensions`
     * (mirrors `GraftExtensions.topKPerGroup`'s self-register). Idempotent:

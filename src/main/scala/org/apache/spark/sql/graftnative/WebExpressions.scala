@@ -913,11 +913,73 @@ object DecodeCharsetHint {
     })
 }
 
+/** RFC 4648 §6 base32 of a binary value — the encoding half of the
+  * WARC-Payload-Digest convention: Common Crawl stamps every record
+  * (and every cdx index line) with `sha1:` + BASE32(sha1 bytes), so a
+  * digest computed here joins directly against the corpus's own
+  * indexes. Standard alphabet `A-Z2-7`, `=` padding to the 8-char
+  * quantum (a 20-byte sha1 is exactly 32 chars, no padding). Pure
+  * scan-side kernel, real codegen; null → null; empty → "".
+  * Compose as `concat(lit("sha1:"), base32(unhex(sha1(payload))))` —
+  * [[graft.ops.Web.payloadDigest]] packages exactly that. */
+case class Base32Encode(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "base32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Base32Encode.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("base32Kernel", Base32Encode,
+      Base32Encode.getClass.getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Base32Encode = copy(child = newChild)
+}
+
+object Base32Encode {
+  private val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567".toCharArray
+
+  def compute(b: Array[Byte]): UTF8String = {
+    val n = b.length
+    val sb = new java.lang.StringBuilder(((n + 4) / 5) * 8)
+    var i = 0
+    while (i < n) {
+      val rem = math.min(5, n - i)
+      var buf = 0L
+      var j = 0
+      while (j < rem) { buf = (buf << 8) | (b(i + j) & 0xffL); j += 1 }
+      buf <<= 8 * (5 - rem) // left-align the group in 40 bits
+      // chars carrying data for 1..5 input bytes (RFC 4648 §6 table)
+      val chars = rem match {
+        case 1 => 2; case 2 => 4; case 3 => 5; case 4 => 7; case _ => 8
+      }
+      var k = 0
+      while (k < chars) {
+        sb.append(alphabet(((buf >>> (35 - 5 * k)) & 31L).toInt))
+        k += 1
+      }
+      while (k < 8) { sb.append('='); k += 1 }
+      i += rem
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object WebFunctions {
   /** [[UrlResolve]] as a Column function. */
   def urlResolve(base: Column, ref: Column): Column =
     ExpressionUtils.column(UrlResolve(
       ExpressionUtils.expression(base), ExpressionUtils.expression(ref)))
+
+  def base32(c: Column): Column =
+    ExpressionUtils.column(Base32Encode(ExpressionUtils.expression(c)))
 
   def gzipCompress(c: Column): Column =
     ExpressionUtils.column(GzipCompress(ExpressionUtils.expression(c)))

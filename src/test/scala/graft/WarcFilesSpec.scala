@@ -146,6 +146,110 @@ class WarcFilesSpec extends AnyFunSuite {
       tail.head.fieldIndex("member_idx")))
   }
 
+  test("memberIndex: one row per member, 1-based, tiles the file; " +
+      "corrupt tail is one clean=false row with the tail extent") {
+    val good = fileBytes("m", 4) // 5 members
+    val dir = writeTemp("m.warc.gz" -> good)
+    val idx = WarcFiles.memberIndex(spark, s"$dir/m.warc.gz")
+      .orderBy("member_idx").collect()
+    assert(idx.length == 5)
+    assert(idx.map(_.getAs[Long]("member_idx")).toSeq == (1L to 5L))
+    assert(idx.forall(_.getAs[Boolean]("clean")))
+    assert(idx.map(_.getAs[Long]("length")).sum == good.length.toLong)
+    idx.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("offset") + a.getAs[Long]("length") ==
+          b.getAs[Long]("offset"))
+      case _ => ()
+    }
+    val corrupt = good ++ Array[Byte](0x1f, 0x8b.toByte, 8, 0) ++
+      "junk".getBytes("UTF-8")
+    val dir2 = writeTemp("c.warc.gz" -> corrupt)
+    val idx2 = WarcFiles.memberIndex(spark, s"$dir2/c.warc.gz")
+      .orderBy("member_idx").collect()
+    assert(idx2.length == 6 && !idx2.last.getAs[Boolean]("clean"))
+    assert(idx2.last.getAs[Long]("offset") == good.length.toLong)
+    assert(idx2.map(_.getAs[Long]("length")).sum == corrupt.length.toLong)
+  }
+
+  test("chunksFromIndex + warcRecordsGzipFilesIndexed: pass 1 " +
+      "replaced by a persisted index, records bit-identical to the " +
+      "walking path, corrupt tail contract preserved") {
+    val s = spark
+    import s.implicits._
+    val fa = fileBytes("a", 7)
+    val fb = fileBytes("b", 5) ++
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0) ++ "junk".getBytes("UTF-8")
+    val dir = writeTemp("fa.warc.gz" -> fa, "fb.warc.gz" -> fb)
+    val idx = WarcFiles.memberIndex(spark, s"$dir/*.warc.gz")
+      .localCheckpoint() // a "persisted corpus index"
+    val chunks = WarcFiles.chunksFromIndex(idx, 600L)
+      .orderBy("path", "chunk_idx").collect()
+    // chunk frame invariants: tiling, member_base cumulative, the
+    // tail is its own clean=false chunk
+    chunks.groupBy(_.getAs[String]("path")).foreach { case (p, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq ==
+        sorted.indices.toSeq)
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Long]("start") + x.getAs[Long]("length") ==
+            y.getAs[Long]("start"), s"contiguity in $p")
+        case _ => ()
+      }
+      val fileLen = if (p.endsWith("fa.warc.gz")) fa.length else fb.length
+      assert(sorted.map(_.getAs[Long]("length")).sum == fileLen.toLong)
+      var base = 0L
+      sorted.foreach { c =>
+        assert(c.getAs[Long]("member_base") == base)
+        base += c.getAs[Int]("n_members")
+      }
+    }
+    assert(chunks.count(r => !r.getAs[Boolean]("clean")) == 1)
+    // records: indexed path == walking path, bit for bit
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("path"), col("member_idx").cast("long"), col("rec_idx"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        sha2(col("payload"), 256), col("clean"))
+      .collect().map(_.toSeq).toSet
+    val viaIndex = key(WarcFiles
+      .warcRecordsGzipFilesIndexed(spark, idx, 600L))
+    val viaWalk = key(WarcFiles
+      .warcRecordsGzipFiles(spark, s"$dir/*.warc.gz", 600L))
+    assert(viaIndex == viaWalk && viaIndex.nonEmpty)
+  }
+
+  test("warcCdx: per-record index carries the member extent, the " +
+      "corpus-convention sha1:BASE32 digest, and joins back to " +
+      "memberIndex offsets exactly") {
+    val s = spark
+    import s.implicits._
+    val fa = fileBytes("x", 6)
+    val dir = writeTemp("x.warc.gz" -> fa)
+    val cdx = WarcFiles.warcCdx(spark, s"$dir/x.warc.gz", 600L)
+      .orderBy("member_idx", "rec_idx").collect()
+    // 6 single-record members + 1 two-record member = 8 records
+    assert(cdx.length == 8)
+    val idx = WarcFiles.memberIndex(spark, s"$dir/x.warc.gz")
+      .collect().map(r => r.getAs[Long]("member_idx") ->
+        ((r.getAs[Long]("offset"), r.getAs[Long]("length")))).toMap
+    cdx.foreach { r =>
+      val m = r.getAs[Long]("member_idx")
+      assert((r.getAs[Long]("offset"), r.getAs[Long]("length")) == idx(m))
+      assert(r.getAs[String]("digest")
+        .matches("sha1:[A-Z2-7]{32}"))
+    }
+    // digest is of the PAYLOAD: recompute one in the JVM
+    val rec = WarcFiles
+      .warcRecordsGzipFiles(spark, s"$dir/x.warc.gz", 600L)
+      .where(col("member_idx") === 1 && col("rec_idx") === 1)
+      .select(col("payload")).collect().head.getAs[Array[Byte]](0)
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(rec)
+    val want = "sha1:" + org.apache.spark.sql.graftnative.Base32Encode
+      .compute(sha).toString
+    assert(cdx.head.getAs[String]("digest") == want)
+  }
+
   test("chunkFile peak memory is walker-buffer-bounded: a member far " +
       "larger than the walker's 64 KiB buffers indexes without " +
       "materializing it") {
