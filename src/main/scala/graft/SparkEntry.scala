@@ -8853,6 +8853,87 @@ object SparkEntry {
       |  TRUE AS digest_ok, TRUE AS extent_ok
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("text_html_anchors", (s, dir) => {
+      // anchor-text extraction: (href, anchor_text) pairs in document
+      // order — all three quote styles, inner inline markup cleaned
+      // through THE htmlText kernel, href-less and UNTERMINATED
+      // anchors skipped. DuckDB replays the identical pair pattern
+      // (anchorPairPattern, '' escapes), the quote-strip map, and the
+      // kernel's extraction chain per anchor.
+      val f = graft.functions.TextFunctions
+      val id = col("doc_id").cast(StringType)
+      val doc = concat(
+        lit("<html><body><a href=\"/a/"), id,
+        lit("\">First <b>bold</b> link</a><p><a href='/b/"), id,
+        lit("'> spaced &amp; entity </a></p><a href=/c/"), id,
+        lit(">bare "), col("lang"),
+        lit("</a><a name=\"x\">no href</a><a href=\"/d/"), id,
+        lit("\">unterminated..."))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          posexplode(f.htmlAnchors(doc)).as(Seq("link_idx", "a")))
+        .select(col("doc_id"), col("link_idx"),
+          col("a").getField("href").as("href"),
+          col("a").getField("anchor_text").as("anchor_text"))
+        .sortByKeys(SortKey("doc_id"), SortKey("link_idx"))
+    }, Some(s"""WITH h AS (SELECT doc_id, lang,
+      |  '<html><body><a href="/a/' || CAST(doc_id AS VARCHAR) ||
+      |  '">First <b>bold</b> link</a><p><a href=''/b/' ||
+      |  CAST(doc_id AS VARCHAR) ||
+      |  '''> spaced &amp; entity </a></p><a href=/c/' ||
+      |  CAST(doc_id AS VARCHAR) || '>bare ' || lang ||
+      |  '</a><a name="x">no href</a><a href="/d/' ||
+      |  CAST(doc_id AS VARCHAR) || '">unterminated...' AS html
+      |  FROM documents),
+      |l AS (SELECT doc_id,
+      |  regexp_extract_all(html, '(?is)<a[ \t\n\r\f]' ||
+      |    '(?:[^>]*?[ \t\n\r\f])?href[ \t\n\r\f]*=[ \t\n\r\f]*' ||
+      |    '("[^"]*"|''[^'']*''|[^ \t\n\r\f>"''][^ \t\n\r\f>]*)' ||
+      |    '[^>]*>(.*?)</a[ \t\n\r\f]*>', 1) AS toks,
+      |  regexp_extract_all(html, '(?is)<a[ \t\n\r\f]' ||
+      |    '(?:[^>]*?[ \t\n\r\f])?href[ \t\n\r\f]*=[ \t\n\r\f]*' ||
+      |    '("[^"]*"|''[^'']*''|[^ \t\n\r\f>"''][^ \t\n\r\f>]*)' ||
+      |    '[^>]*>(.*?)</a[ \t\n\r\f]*>', 2) AS inners FROM h),
+      |e AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS link_idx,
+      |  toks[i] AS tok, inners[i] AS ic
+      |  FROM l, UNNEST(generate_series(1, len(toks))) AS t(i))
+      |SELECT doc_id, link_idx,
+      |  CASE WHEN tok[1] = '"' OR tok[1] = ''''
+      |    THEN tok[2:-2] ELSE tok END AS href,
+      |  ${htmlExtractSqlOn("ic")} AS anchor_text
+      |FROM e ORDER BY doc_id, link_idx""".stripMargin)),
+
+    Q("web_robots_sitemaps", (s, dir) => {
+      // robots.txt Sitemap discovery: file-wide lines (no agent
+      // scoping, per the sitemaps.org protocol), case-insensitive
+      // field name, comments stripped, empty values dropped, decoy
+      // field names (Sitemap-x) ignored; even nation keys carry a
+      // second tab-separated + commented line. DuckDB replays line
+      // numbers and values analytically.
+      val t = Tables(s, dir)
+      val k = col("n_nationkey")
+      val ks = k.cast(StringType)
+      val txt = concat(
+        lit("# generated\nUser-agent: *\nDisallow: /x\n"),
+        lit("Sitemap: https://h"), ks, lit(".ex/sitemap"), ks,
+        lit(".xml\n"),
+        when(k % 2 === 0, concat(lit("sitemap:\thttps://cdn.ex/s/"), ks,
+          lit(".xml.gz # note\n"))).otherwise(lit("")),
+        lit("SITEMAP:\nSitemap-x: /decoy\n"))
+      val robots = t.nation.select(
+        concat(lit("h"), ks, lit(".ex")).as("host"), txt.as("txt"))
+      Web.robotsSitemaps(robots, "host", "txt")
+        .sortByKeys(SortKey("host"), SortKey("ln"))
+    }, Some("""WITH n AS (SELECT n_nationkey AS k,
+      |  CAST(n_nationkey AS VARCHAR) AS ks FROM nation)
+      |SELECT 'h' || ks || '.ex' AS host, 3 AS ln,
+      |  'https://h' || ks || '.ex/sitemap' || ks || '.xml'
+      |    AS sitemap_url FROM n
+      |UNION ALL
+      |SELECT 'h' || ks || '.ex', 4, 'https://cdn.ex/s/' || ks ||
+      |  '.xml.gz' FROM n WHERE k % 2 = 0
+      |ORDER BY host, ln""".stripMargin)),
+
     Q("text_html_main", (s, dir) => {
       // main-content extraction: generated page = link-dense nav, a
       // short h1, the document text as prose, a prose+small-link div,

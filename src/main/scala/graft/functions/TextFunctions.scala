@@ -547,6 +547,43 @@ object TextFunctions {
         t.substr(lit(2), length(t) - 2)).otherwise(t))
   }
 
+  /** The exact [[htmlAnchors]] regex (oracle-shared): group 1 = the
+    * [[htmlLinks]] href value token (three quote styles), group 2 =
+    * the anchor's inner HTML to the first `</a>`. */
+  val anchorPairPattern: String =
+    "(?is)<a[ \\t\\n\\r\\f](?:[^>]*?[ \\t\\n\\r\\f])?" +
+      "href[ \\t\\n\\r\\f]*=" +
+      "[ \\t\\n\\r\\f]*(\"[^\"]*\"|'[^']*'|" +
+      "[^ \\t\\n\\r\\f>\"'][^ \\t\\n\\r\\f>]*)" +
+      "[^>]*>(.*?)</a[ \\t\\n\\r\\f]*>"
+
+  /** (href, anchor_text) pairs of an HTML document in document order —
+    * anchor TEXT is the classic link-context signal ([[htmlLinks]]
+    * gives the bare edges; training corpora for retrieval/linking want
+    * the words users clicked). `href` follows the [[htmlLinks]] token
+    * semantics exactly (three quote styles, attribute boundary,
+    * quote-strip map); `anchor_text` is the inner HTML run through THE
+    * [[htmlText]] kernel (inline tags dropped, entities decoded,
+    * whitespace collapsed). Constrained semantics beyond htmlLinks:
+    * only CLOSED anchors match (`.*?` needs its `</a>`; an
+    * unterminated anchor contributes no pair — href-only extraction
+    * stays htmlLinks' job), href-less anchors are skipped, and a
+    * quoted `>` in an attribute AFTER href ends the tag early (the
+    * htmlLinks `[^>]` constraint, mirrored; documented omission).
+    * Scan-side: two regexp scans over the same pattern + one zip_with
+    * projection, no shuffle; null html → null. */
+  def htmlAnchors(c: Column): Column = {
+    val toks = regexp_extract_all(c, lit(anchorPairPattern), lit(1))
+    val inner = regexp_extract_all(c, lit(anchorPairPattern), lit(2))
+    val hrefs = transform(toks, t =>
+      when(substring(t, 1, 1) === "\"" || substring(t, 1, 1) === "'",
+        t.substr(lit(2), length(t) - 2)).otherwise(t))
+    zip_with(hrefs,
+      transform(inner, s => org.apache.spark.sql.graftnative
+        .NativeFunctions.htmlExtractText(s)),
+      (h, x) => struct(h.as("href"), x.as("anchor_text")))
+  }
+
   /** Block-tag alternation shared by [[mainContent]] and its oracle
     * (the same tag set the HtmlExtractText kernel treats as block
     * boundaries). Public so the DuckDB replay interpolates the

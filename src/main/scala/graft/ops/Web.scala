@@ -640,6 +640,34 @@ object Web {
         round(col("__v").cast("double") * 1000.0).cast("long")
           .as("crawl_delay_ms"))
 
+  /** `Sitemap:` lines of a (host, robots.txt) table — the missing
+    * first step of frontier DISCOVERY (robots.txt → sitemap URLs →
+    * [[sitemapIndex]] → [[sitemapEntries]] → the crawl schedule).
+    * Per the sitemaps.org protocol these lines are FILE-WIDE, not
+    * group-scoped (unlike rules/Crawl-delay — no agent selection
+    * applies), so this is plain line extraction: same comment/CRLF
+    * normalization as [[robotsRules]], case-insensitive field name,
+    * value to end of line, empty values dropped. Returns (host, ln,
+    * sitemap_url) in document order — duplicates kept (they are what
+    * the file says; dedup downstream with [[canonicalizeUrl]]).
+    * Scale shape: one RFC-bounded posexplode + a scan-side regex
+    * projection; no window, no join, no shuffle. */
+  def robotsSitemaps(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame =
+    robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(txtCol), lit("")), "\n"))
+          .as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        trim(regexp_replace(regexp_replace(col("raw"), "\r", ""),
+          "#.*", ""), " \t").as("line"))
+      .where(col("line").rlike("(?i)^sitemap[ \t]*:"))
+      .select(col("host"), col("ln"),
+        nullif(trim(regexp_extract(col("line"),
+          "(?i)^sitemap[ \t]*:[ \t]*(.*)$", 1)), lit(""))
+          .as("sitemap_url"))
+      .where(col("sitemap_url").isNotNull)
+
   /** A robots.txt path pattern as an anchored regex, RFC 9309 matching:
     * the pattern matches a PREFIX of the path unless it ends with `$`
     * (end anchor); `*` matches any span. Everything else is literal —

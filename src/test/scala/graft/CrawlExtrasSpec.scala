@@ -153,6 +153,58 @@ class CrawlExtrasSpec extends AnyFunSuite {
     }
   }
 
+  // ---- htmlAnchors --------------------------------------------------------
+
+  test("htmlAnchors: (href, anchor_text) pairs — quote styles, inner " +
+      "markup cleaned through the kernel, href-less and unterminated " +
+      "anchors skipped") {
+    val s = spark
+    import s.implicits._
+    val html =
+      """<html><body><a href="/a">First <b>bold</b> link</a>""" +
+        """<a href='/b'> spaced &amp; entity </a>""" +
+        """<a href=/c>bare</a>""" +
+        """<a name="x">no href</a>""" +
+        """<a href="/d">unterminated..."""
+    val got = Seq(html).toDF("h")
+      .select(explode(TextFunctions.htmlAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.anchor_text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      ("/a", "First bold link"),
+      ("/b", "spaced & entity"),
+      ("/c", "bare")))
+    // null html -> null array
+    val n = Seq(Option.empty[String]).toDF("h")
+      .select(TextFunctions.htmlAnchors(col("h")).as("a")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  // ---- robotsSitemaps -----------------------------------------------------
+
+  test("robotsSitemaps: file-wide Sitemap lines in document order — " +
+      "case-insensitive, comments stripped, empty values dropped, " +
+      "decoy field names ignored") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("a.ex", "# c\nUser-agent: *\nDisallow: /x\n" +
+        "Sitemap: https://a.ex/s1.xml\r\n" +
+        "sitemap:\thttps://cdn.ex/s2.xml.gz # note\n" +
+        "SITEMAP:\nSitemap-x: /decoy\n" +
+        "SiteMap: https://a.ex/s3.xml"),
+      ("b.ex", "User-agent: *\nAllow: /"),
+      ("c.ex", null)
+    ).toDF("host", "txt")
+    val got = graft.ops.Web.robotsSitemaps(robots, "host", "txt")
+      .orderBy("host", "ln")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("a.ex", 3, "https://a.ex/s1.xml"),
+      ("a.ex", 4, "https://cdn.ex/s2.xml.gz"),
+      ("a.ex", 7, "https://a.ex/s3.xml")))
+  }
+
   // ---- redirectTarget / resolveRedirects ---------------------------------
 
   test("redirectTarget: 3xx + Location resolves against the page " +
