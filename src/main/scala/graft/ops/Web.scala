@@ -454,8 +454,13 @@ object Web {
     * key — no driver iteration over rows, no unbounded recursion; the
     * edge table (pages that redirect) is a small fraction of any real
     * corpus, and each round's state is exactly one row per distinct
-    * src. `maxHops` is capped at 16 (browsers give up near 20; chains
-    * past 8 are misconfigurations, and each hop is a join stage). */
+    * src. The deduped edge table is referenced by every hop AND the
+    * terminal check, so it is locally checkpointed once — without
+    * that, Spark recomputes the edge subtree (typically httpParts over
+    * the whole corpus) once PER JOIN (measured: 9 upstream scans at
+    * maxHops=8). `maxHops` is capped at 16 (browsers give up near 20;
+    * chains past 8 are misconfigurations, and each hop is a join
+    * stage). */
   def resolveRedirects(edges: DataFrame, srcCol: String, dstCol: String,
       maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16,
@@ -465,6 +470,7 @@ object Web {
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .groupBy(col(srcCol).as("__jsrc"))
       .agg(min(col(dstCol)).as("__jdst"))
+      .localCheckpoint()
     var cur = e.select(col("__jsrc").as(srcCol),
       col("__jdst").as("__cur"), lit(1).as("hops"))
     var i = 2
