@@ -8853,6 +8853,43 @@ object SparkEntry {
       |  TRUE AS digest_ok, TRUE AS extent_ok
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("web_warc_write_roundtrip", (s, dir) => {
+      // the WRITE side closes the ingest loop: documents → writeWarcGz
+      // (one gzip member per record, hash-sharded part files, manifest
+      // ledger) → warcRecordsGzipFiles reads the files back —
+      // uri/date/type/length/payload must round-trip bit-exact into
+      // the analytic oracle. The writer is distributed (one shard
+      // repartition + streamed Hadoop FS output); the temp-dir target
+      // is fixture scale like the other file rows.
+      val id = col("doc_id").cast(StringType)
+      val src = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull)
+        .select(concat(lit("http://w"), (col("doc_id") % 7)
+            .cast(StringType), lit(".ex/doc/"), id).as("uri"),
+          concat(lit("2026-01-0"), (col("doc_id") % 9 + 1)
+            .cast(StringType), lit("T00:00:00Z")).as("date"),
+          encode(concat(col("text"), lit(" rt "), id), "UTF-8")
+            .as("payload"))
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft_warc_write_q")
+      outDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeWarcGz(src, "uri", "date", "payload",
+        outDir.toString, 4)
+      graft.sources.WarcFiles
+        .warcRecordsGzipFiles(s, outDir.toString + "/*.warc.gz", 4096L)
+        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("warc_type"), col("warc_date"), col("content_length"),
+          col("payload").cast(StringType).as("payload"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, 'conversion' AS warc_type,
+      |  '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T00:00:00Z'
+      |    AS warc_date,
+      |  CAST(strlen(text || ' rt ' || CAST(doc_id AS VARCHAR))
+      |    AS BIGINT) AS content_length,
+      |  text || ' rt ' || CAST(doc_id AS VARCHAR) AS payload
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("text_html_anchors", (s, dir) => {
       // anchor-text extraction: (href, anchor_text) pairs in document
       // order — all three quote styles, inner inline markup cleaned

@@ -250,6 +250,57 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(cdx.head.getAs[String]("digest") == want)
   }
 
+  test("writeWarcGz: one member per record, files parse back " +
+      "bit-identical, manifest is the write's ledger, null fields " +
+      "still write") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 40).map(i => (s"http://w.ex/$i",
+      s"2026-01-0${i % 9 + 1}T00:00:00Z",
+      s"payload $i".getBytes("UTF-8")))
+    val df = rows.toDF("uri", "date", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_write")
+    dir.toFile.deleteOnExit()
+    val m = WarcFiles.writeWarcGz(df, "uri", "date", "payload",
+      dir.toString, 4).collect()
+    assert(m.map(_.getAs[Long]("n_records")).sum == 40)
+    assert(m.length > 1 && m.length <= 4) // hash sharding really splits
+    // ledger bytes == on-disk file sizes
+    val files = dir.toFile.listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.map(_.length).sum == m.map(_.getAs[Long]("bytes")).sum)
+    assert(files.length == m.length)
+    // read back through the chunked reader: bit-exact round trip
+    val back = WarcFiles.warcRecordsGzipFiles(spark,
+      dir.toString + "/*.warc.gz", 1L << 20)
+    assert(back.count() == 40)
+    val got = back.select(col("target_uri"), col("warc_date"),
+      col("content_length"), col("payload").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    val want = rows.map(t => (t._1, t._2, t._3.length.toLong,
+      new String(t._3, "UTF-8"))).toSet
+    assert(got == want)
+    // every member is one record and clean
+    val idx = WarcFiles.memberIndex(spark, dir.toString + "/*.warc.gz")
+    assert(idx.count() == 40 && idx.where(!col("clean")).count() == 0)
+    // null uri/date/payload: row still writes (headers omitted,
+    // empty payload), nothing silently dropped
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_warc_write2")
+    dir2.toFile.deleteOnExit()
+    val df2 = Seq((Option.empty[String], Option.empty[String],
+      Option.empty[Array[Byte]])).toDF("uri", "date", "payload")
+    val m2 = WarcFiles.writeWarcGz(df2, "uri", "date", "payload",
+      dir2.toString, 2).collect()
+    assert(m2.map(_.getAs[Long]("n_records")).sum == 1)
+    val b2 = WarcFiles.warcRecordsGzipFiles(spark,
+      dir2.toString + "/*.warc.gz", 1024L).collect()
+    assert(b2.length == 1)
+    assert(b2.head.isNullAt(b2.head.fieldIndex("target_uri")))
+    assert(b2.head.isNullAt(b2.head.fieldIndex("warc_date")))
+    assert(b2.head.getAs[Long]("content_length") == 0L)
+  }
+
   test("chunkFile peak memory is walker-buffer-bounded: a member far " +
       "larger than the walker's 64 KiB buffers indexes without " +
       "materializing it") {
