@@ -331,6 +331,39 @@ object Streaming {
       "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING").parquet(path)
 
+  /** Streaming `.warc.gz` ingest: segment files LANDING in `dir` parse
+    * into records as they arrive — the live half of the crawl story
+    * (a fetcher drops finished segments; this side feeds them straight
+    * into the streaming dedup/quality tier). One row per record, the
+    * exact [[graft.ops.Web.warcRecordsGzip]] contract keyed by file
+    * path; the whole pipeline below the source is STATELESS (kernel
+    * projections + posexplodes, the zero-shuffle batch shape), so it
+    * composes with watermarks, `streamingExactDedup` and
+    * `streamingNearDupCandidates` downstream unchanged.
+    *
+    * Unit = one whole FILE per cell (the binaryFile source's grain) —
+    * right for live arrivals, whose segments are individually bounded;
+    * BACKFILLING a 100 TB archive is the batch chunked reader's job
+    * ([[graft.sources.WarcFiles.warcRecordsGzipFiles]]).
+    * `maxFilesPerTrigger` bounds per-micro-batch memory (cells ×
+    * decompressed size); corrupt files surface as their null-member
+    * row, never a dropped file. */
+  def streamingWarcRecords(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    require(maxFilesPerTrigger >= 1,
+      "streamingWarcRecords: maxFilesPerTrigger must be >= 1")
+    val src = spark.readStream.format("binaryFile")
+      // the binaryFile source's own fixed schema — a streaming file
+      // source requires it stated explicitly
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .option("pathGlobFilter", "*.warc.gz")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(dir)
+    graft.ops.Web.warcRecordsGzip(
+      src.select(col("path"), col("content")), "path", "content")
+  }
+
   // ---- custom keyed state: CDC upsert view ----------------------------
   final case class KeyedChange(key: Long, value: Double, seq: Long,
       op: String)

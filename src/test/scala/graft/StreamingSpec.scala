@@ -508,4 +508,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Seq(2), s"boundary event must complete the funnel, got $rows")
     } finally q.stop()
   }
+
+  test("streamingWarcRecords: segment files landing in a dir parse " +
+      "into records across micro-batches; corrupt file = visible " +
+      "null-member row") {
+    val s = spark
+    val crlf = "\r\n"
+    def rec(uri: String, payload: String): String =
+      "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: $uri" + crlf +
+        "Content-Length: " + payload.getBytes("UTF-8").length + crlf +
+        crlf + payload + crlf + crlf
+    def gz(x: String): Array[Byte] =
+      org.apache.spark.sql.graftnative.GzipCompress
+        .compute(x.getBytes("UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_warc")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("s1.warc.gz"),
+      gz(rec("http://a.ex/1", "one")) ++ gz(rec("http://a.ex/2", "two")))
+    val q = Streaming.streamingWarcRecords(s, dir.toString, 4)
+      .writeStream.format("memory").queryName("graft_warc_stream_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n1 = s.sql("select count(*) from graft_warc_stream_test")
+        .head().getLong(0)
+      assert(n1 == 2L)
+      // a late-arriving segment + a corrupt one land in batch 2
+      java.nio.file.Files.write(dir.resolve("s2.warc.gz"),
+        gz(rec("http://a.ex/3", "three")))
+      java.nio.file.Files.write(dir.resolve("bad.warc.gz"),
+        Array[Byte](0x1f, 0x8b.toByte, 8, 0) ++ "junk".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = s.sql("select target_uri, member_idx, " +
+          "cast(payload as string) from graft_warc_stream_test")
+        .collect()
+      assert(rows.length == 4) // 3 records + 1 null-member corrupt row
+      val uris = rows.filter(!_.isNullAt(0)).map(_.getString(0)).toSet
+      assert(uris ==
+        Set("http://a.ex/1", "http://a.ex/2", "http://a.ex/3"))
+      assert(rows.count(_.isNullAt(1)) == 1) // the corrupt file, visible
+    } finally q.stop()
+  }
 }
