@@ -181,6 +181,24 @@ object SqlTableFunctions {
           strLit("graft_robots_decide", "txtCol", args(4)),
           strLit("graft_robots_decide", "agent", args(5)))) }),
 
+    // Eligibility note: the builder's only driver-side work is the
+    // metadata glob (fs.globStatus) — the same class of analysis-time
+    // work every Spark file source performs; no Spark job, no collect.
+    // (warcCdx stays DataFrame-only: its localCheckpoint is an eager
+    // job at build time.)
+    (FunctionIdentifier("graft_warc_files"),
+      info("graft_warc_files",
+        "graft_warc_files(pattern[, targetChunkBytes]) - read .warc.gz " +
+          "FILES by glob through the member-boundary chunked reader " +
+          "(bounded per-task memory, >1 task per file)"),
+      args => { requireArity("graft_warc_files", args, 1, 2)
+        val target = if (args.length > 1)
+          intLit("graft_warc_files", "targetChunkBytes", args(1)).toLong
+        else graft.sources.WarcFiles.DefaultTargetChunkBytes
+        planOf(graft.sources.WarcFiles.warcRecordsGzipFiles(
+          SparkSession.active,
+          strLit("graft_warc_files", "pattern", args(0)), target)) }),
+
     (FunctionIdentifier("graft_topk_per_group"),
       info("graft_topk_per_group",
         "graft_topk_per_group(table, scoreCol, k, groupCol...) - heap " +

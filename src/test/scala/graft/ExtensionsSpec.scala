@@ -292,6 +292,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r1.where(!col("allowed")).count() > 0)
   }
 
+  test("graft_warc_files: the FILE-reader table function matches the " +
+      "DataFrame path and composes with outer SQL") {
+    val crlf = "\r\n"
+    def rec(uri: String, p: String): String =
+      "WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        s"WARC-Target-URI: $uri" + crlf +
+        "Content-Length: " + p.getBytes("UTF-8").length + crlf +
+        crlf + p + crlf + crlf
+    def gz(x: String): Array[Byte] =
+      org.apache.spark.sql.graftnative.GzipCompress
+        .compute(x.getBytes("UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_files")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"),
+      (1 to 5).map(i => gz(rec(s"http://t.ex/$i", s"pay $i")))
+        .reduce(_ ++ _))
+    val q1 = spark.sql("SELECT * FROM graft_warc_files('" +
+        dir.toString + "/*.warc.gz', 64)")
+      .withColumn("payload", col("payload").cast("string"))
+    val q2 = graft.sources.WarcFiles
+      .warcRecordsGzipFiles(spark, dir.toString + "/*.warc.gz", 64L)
+      .withColumn("payload", col("payload").cast("string"))
+    assert(sortedRows(q1.select(q2.columns.sorted.map(col): _*)) ===
+      sortedRows(q2.select(q2.columns.sorted.map(col): _*)))
+    // outer SQL composes: filter + scalar chain over the TVF
+    val n = spark.sql("SELECT count(*) FROM graft_warc_files('" +
+        dir.toString + "/*.warc.gz') WHERE target_uri LIKE '%t.ex%'")
+      .head().getLong(0)
+    assert(n == 5L)
+  }
+
   test("graft_http_parts + graft_charset_decode_hint: the response-" +
       "record chain runs from pure SQL and matches the DataFrame API") {
     val s = spark
