@@ -8853,6 +8853,107 @@ object SparkEntry {
       |  TRUE AS digest_ok, TRUE AS extent_ok
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("pipeline_sitemap_gz", (s, dir) => {
+      // sitemaps as they actually ship: gzip-compressed XML — one
+      // member per file. gzipCompress → gunzipMembers → decodeText →
+      // sitemapEntries → resolveUrl against the sitemap's own URL, in
+      // ONE query; DuckDB replays entries and resolution analytically
+      // (gzip determinism never assumed).
+      val t = Tables(s, dir)
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val k = col("n_nationkey").cast(StringType)
+      val xml = concat(
+        lit("<urlset><url><loc>/p/"), k,
+        lit("a.html</loc><lastmod>2026-02-0"),
+        (col("n_nationkey") % 9 + 1).cast(StringType),
+        lit("</lastmod></url><url><loc>https://h"), k,
+        lit(".ex/abs.html</loc></url></urlset>"))
+      val sm = t.nation.select(
+        concat(lit("h"), k, lit(".ex")).as("host"),
+        wf.gzipCompress(encode(xml, "UTF-8")).as("gz"))
+      val xmlBack = Web.decodeText(
+        element_at(wf.gunzipMembers(col("gz")), 1)).getField("text")
+      Web.sitemapEntries(
+          sm.select(col("host"), xmlBack.as("xml")), "host", "xml")
+        .withColumn("abs_url", Web.resolveUrl(
+          concat(lit("http://"), col("host"), lit("/sitemap.xml")),
+          col("loc")))
+        .sortByKeys(SortKey("host"), SortKey("url_idx"))
+    }, Some("""WITH n AS (SELECT n_nationkey AS k,
+      |  CAST(n_nationkey AS VARCHAR) AS ks,
+      |  'h' || CAST(n_nationkey AS VARCHAR) || '.ex' AS host
+      |  FROM nation)
+      |SELECT host, 0 AS url_idx, '/p/' || ks || 'a.html' AS loc,
+      |  '2026-02-0' || CAST(k % 9 + 1 AS VARCHAR) AS lastmod,
+      |  'http://' || host || '/p/' || ks || 'a.html' AS abs_url
+      |FROM n
+      |UNION ALL
+      |SELECT host, 1, 'https://h' || ks || '.ex/abs.html', NULL,
+      |  'https://h' || ks || '.ex/abs.html' FROM n
+      |ORDER BY host, url_idx""".stripMargin)),
+
+    Q("pipeline_fetch_to_text", (s, dir) => {
+      // the full fetch-to-text story with the MIME gate, ONE query:
+      // HTTP 200 responses whose bodies are HTML pages (doc_id % 3 in
+      // 0,1) or PDF blobs (% 3 == 2) → WARC record → gzip member →
+      // warcRecordsGzip → httpParts → mimeAudit(body, Content-Type) →
+      // only sniffed-html rows reach decodeTextHinted + htmlText; PDFs
+      // stay visible with null text (attrition is auditable, not
+      // silent). DuckDB replays classification and extraction
+      // analytically.
+      val id = col("doc_id").cast(StringType)
+      val crlf = "\r\n"
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      def ascii(cc: Column): Column = encode(cc, "US-ASCII")
+      val c = col("doc_id") % 3
+      val page = concat(lit("<html><head><title>F"), id,
+        lit("</title></head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val body = when(c === 2,
+        concat(ascii(lit("%PDF-1.4 ")), encode(col("text"), "UTF-8")))
+        .otherwise(encode(page, "UTF-8"))
+      val ctype = when(c === 2, lit("application/pdf"))
+        .otherwise(lit("text/html; charset=utf-8"))
+      val resp = concat(
+        ascii(concat(lit("HTTP/1.1 200 OK" + crlf + "Content-Type: "),
+          ctype, lit(crlf + "Content-Length: "),
+          octet_length(body).cast(StringType), lit(crlf + crlf))), body)
+      val rec = concat(
+        ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: response" +
+          crlf + "WARC-Target-URI: http://h"),
+          (col("doc_id") % 30).cast(StringType), lit(".ex/f/"), id,
+          lit(crlf + "Content-Length: "),
+          octet_length(resp).cast(StringType), lit(crlf + crlf))),
+        resp, ascii(lit(crlf + crlf)))
+      val recs = Web.warcRecordsGzip(
+        Tables(s, dir).documents.select(col("doc_id"),
+          wf.gzipCompress(rec).as("gz")), "doc_id", "gz")
+      val p = Web.httpParts(col("payload"))
+      val ct = Web.httpHeader(p.getField("headers"), "Content-Type")
+      val audit = Web.mimeAudit(p.getField("body"), ct)
+      recs.select(col("doc_id"),
+          audit.getField("declared").as("declared"),
+          audit.getField("sniffed").as("sniffed"),
+          audit.getField("agree").cast(IntegerType).as("agree"),
+          when(audit.getField("sniffed") === "text/html",
+            graft.functions.TextFunctions.htmlText(
+              Web.decodeTextHinted(p.getField("body"), ct)
+                .getField("text"))).as("extracted"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id, doc_id % 3 AS c,
+      |  '<html><head><title>F' || CAST(doc_id AS VARCHAR) ||
+      |  '</title></head><body><p>' || text ||
+      |  '</p></body></html>' AS html FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN c = 2 THEN 'application/pdf'
+      |    ELSE 'text/html' END AS declared,
+      |  CASE WHEN c = 2 THEN 'application/pdf'
+      |    ELSE 'text/html' END AS sniffed,
+      |  1 AS agree,
+      |  CASE WHEN c = 2 THEN NULL
+      |    ELSE $htmlExtractSql END AS extracted
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("web_warc_write_roundtrip", (s, dir) => {
       // the WRITE side closes the ingest loop: documents → writeWarcGz
       // (one gzip member per record, hash-sharded part files, manifest
