@@ -7841,10 +7841,13 @@ object SparkEntry {
       |FROM f ORDER BY doc_id, rec_idx""".stripMargin)),
 
     Q("web_sitemap", (s, dir) => {
-      // sitemap frontier feed: per-doc urlset (one full entry, one
-      // loc-only on even ids / loc-less on odd ids) + a sitemap INDEX
-      // whose child locs ride along as a joined column. DuckDB replays
-      // block scan + per-block extraction.
+      // sitemap frontier feed: per-doc urlset (one full entry, then a
+      // loc-only entry on even ids / a `<![CDATA[...]]>` loc on
+      // doc_id%4==1 — real generators emit CDATA locs, r17 verdict #6
+      // — / a loc-less entry on doc_id%4==3) + a sitemap INDEX whose
+      // child locs ride along as a joined column. DuckDB replays block
+      // scan + per-block extraction including the CDATA-first
+      // coalesce.
       val id = col("doc_id").cast(StringType)
       val k = (col("doc_id") % 30).cast(StringType)
       val xml = concat(
@@ -7857,6 +7860,9 @@ object SparkEntry {
         when(col("doc_id") % 2 === 0,
           concat(lit("<url attr=\"z\"><loc>http://h"), k,
             lit(".ex/alt/"), id, lit("</loc></url>")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("<url><loc><![CDATA[ http://h"), k,
+              lit(".ex/cd/"), id, lit(" ]]></loc></url>")))
           .otherwise(lit("<url><priority>0.5</priority></url>")),
         lit("</urlset>"))
       val idx = concat(
@@ -7881,6 +7887,10 @@ object SparkEntry {
       |    THEN '<url attr="z"><loc>http://h' ||
       |      CAST(doc_id % 30 AS VARCHAR) || '.ex/alt/' ||
       |      CAST(doc_id AS VARCHAR) || '</loc></url>'
+      |    WHEN doc_id % 4 = 1
+      |    THEN '<url><loc><![CDATA[ http://h' ||
+      |      CAST(doc_id % 30 AS VARCHAR) || '.ex/cd/' ||
+      |      CAST(doc_id AS VARCHAR) || ' ]]></loc></url>'
       |    ELSE '<url><priority>0.5</priority></url>' END ||
       |  '</urlset>' AS xml,
       |  '<sitemapindex><sitemap><loc>http://h' ||
@@ -7896,8 +7906,12 @@ object SparkEntry {
       |  FROM b, LATERAL (SELECT UNNEST(generate_series(1, len(blocks)))
       |    AS i) t)
       |SELECT doc_id, CAST(url_idx AS INTEGER) AS url_idx,
-      |  nullif(trim(regexp_extract(blk,
-      |    '(?is)<loc[^>]*>([^<]*)</loc', 1)), '') AS loc,
+      |  coalesce(
+      |    nullif(trim(regexp_extract(blk,
+      |      '(?is)<loc[^>]*>[ \t\n\r\f]*<!\[CDATA\[(.*?)\]\]>' ||
+      |      '[ \t\n\r\f]*</loc', 1)), ''),
+      |    nullif(trim(regexp_extract(blk,
+      |      '(?is)<loc[^>]*>([^<]*)</loc', 1)), '')) AS loc,
       |  nullif(trim(regexp_extract(blk,
       |    '(?is)<lastmod[^>]*>([^<]*)</lastmod', 1)), '') AS lastmod,
       |  array_to_string(list_transform(regexp_extract_all(ixml,
@@ -8235,6 +8249,7 @@ object SparkEntry {
         .when(c === 3, concat(
           ascii(lit("HTTP/1.0 301 Moved" + crlf +
             "content-encoding: x-gzip" + crlf +
+            "Content-Type: Text/HTML ; charset=utf-8" + crlf +
             "TRANSFER-ENCODING: chunked" + crlf + crlf)), chunked(gz)))
         .otherwise(textBytes)
       val p = Web.httpParts(payload)
@@ -8245,6 +8260,10 @@ object SparkEntry {
         size(p.getField("headers")).as("n_headers"),
         Web.httpHeader(p.getField("headers"), "Content-Type")
           .as("content_type"),
+        // (r17 verdict #7) the struct's own media-type essence: case 3
+        // proves the lowering + parameter cut (`Text/HTML ; charset=…`
+        // → text/html) without a second header pass
+        p.getField("content_type").as("media_type"),
         p.getField("body_mode").as("body_mode"),
         p.getField("body").cast(StringType).as("body_text"))
         .sortByKeys(SortKey("doc_id"))
@@ -8258,9 +8277,12 @@ object SparkEntry {
       |  CASE c WHEN 3 THEN '1.0' WHEN 4 THEN NULL
       |    ELSE '1.1' END AS http_version,
       |  CAST(CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
-      |    WHEN 3 THEN 2 ELSE 0 END AS INTEGER) AS n_headers,
+      |    WHEN 3 THEN 3 ELSE 0 END AS INTEGER) AS n_headers,
       |  CASE c WHEN 0 THEN 'text/plain' WHEN 2 THEN 'text/html'
+      |    WHEN 3 THEN 'Text/HTML ; charset=utf-8'
       |    END AS content_type,
+      |  CASE c WHEN 0 THEN 'text/plain' WHEN 2 THEN 'text/html'
+      |    WHEN 3 THEN 'text/html' END AS media_type,
       |  CASE c WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
       |    WHEN 2 THEN 'gzip' WHEN 3 THEN 'chunked+gzip'
       |    ELSE 'raw' END AS body_mode,
@@ -8963,8 +8985,11 @@ object SparkEntry {
       // repartition + streamed Hadoop FS output); the temp-dir target
       // is fixture scale like the other file rows.
       val id = col("doc_id").cast(StringType)
+      // doc_id AND text non-null, mirroring warcFixtureFiles (r17
+      // advice: a null-text row would write an empty payload while the
+      // oracle yields NULL — a latent divergence on a nulled corpus)
       val src = Tables(s, dir).documents
-        .where(col("doc_id").isNotNull)
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
         .select(concat(lit("http://w"), (col("doc_id") % 7)
             .cast(StringType), lit(".ex/doc/"), id).as("uri"),
           concat(lit("2026-01-0"), (col("doc_id") % 9 + 1)
@@ -8989,7 +9014,9 @@ object SparkEntry {
       |  CAST(strlen(text || ' rt ' || CAST(doc_id AS VARCHAR))
       |    AS BIGINT) AS content_length,
       |  text || ' rt ' || CAST(doc_id AS VARCHAR) AS payload
-      |FROM documents ORDER BY doc_id""".stripMargin)),
+      |FROM documents
+      |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin)),
 
     Q("text_html_anchors", (s, dir) => {
       // anchor-text extraction: (href, anchor_text) pairs in document

@@ -312,7 +312,9 @@ object Web {
 
   /** HTTP response-message parsing for WARC `response` records:
     * BINARY payload → struct(status_code, reason, http_version,
-    * headers array<struct<name,value>>, body BINARY, body_mode), with
+    * headers array<struct<name,value>>, body BINARY, body_mode,
+    * content_type — the [[contentTypeEssence]] of the first
+    * `Content-Type` header, r17 verdict #7), with
     * `Transfer-Encoding: chunked` de-framed and `Content-Encoding:
     * gzip/deflate` bodies decompressed (CRC-verified gzip; zlib with
     * raw-DEFLATE retry). The step [[warcRecordsGzip]]'s `response`
@@ -366,13 +368,19 @@ object Web {
     *     → their image types; `PK 03 04` → `application/zip`;
     *     `RIFF????WEBP` / `RIFF????WAVE` → `image/webp` / `audio/wav`;
     *  2. `<?xml` after optional ASCII whitespace → `application/xml`;
-    *  3. any of `<!doctype html` / `<html` / `<head` / `<body`
+    *  3. a NUL byte in the first 1024 bytes →
+    *     `application/octet-stream` — checked BEFORE the html-tag scan
+    *     (r17 advice): unmagicked binary data routinely contains
+    *     `<head`/`<body` byte runs in its first KB, and classifying it
+    *     text/html would pass it through the gate into decodeText /
+    *     htmlText — the exact leakage this filter exists to prevent
+    *     (WHATWG's binary-data-byte rule has the same effect);
+    *  4. any of `<!doctype html` / `<html` / `<head` / `<body`
     *     (case-insensitive) ANYWHERE in the first 1024 bytes →
     *     `text/html` (the WHATWG sniffer only checks tag-at-start;
     *     anywhere-in-window is a documented deviation that tolerates
-    *     the leading comments/junk real pages carry);
-    *  4. a NUL byte in the first 1024 bytes →
-    *     `application/octet-stream`;
+    *     the leading comments/junk real pages carry — made safe by the
+    *     NUL gate above);
     *  5. otherwise `text/plain`.
     *
     * The 1024-byte window is decoded as ISO-8859-1 (total: every byte
@@ -393,10 +401,10 @@ object Web {
       .when(riff && substring(head, 9, 4) === "WEBP", lit("image/webp"))
       .when(riff && substring(head, 9, 4) === "WAVE", lit("audio/wav"))
       .when(lhead.rlike("^[ \\t\\r\\n\\f]*<\\?xml"), lit("application/xml"))
+      .when(contains(head, lit("\u0000")), lit("application/octet-stream"))
       .when(contains(lhead, lit("<!doctype html")) ||
         contains(lhead, lit("<html")) || contains(lhead, lit("<head")) ||
         contains(lhead, lit("<body")), lit("text/html"))
-      .when(contains(head, lit("\u0000")), lit("application/octet-stream"))
       .otherwise(lit("text/plain"))
   }
 
@@ -460,7 +468,11 @@ object Web {
     * the whole corpus) once PER JOIN (measured: 9 upstream scans at
     * maxHops=8). `maxHops` is capped at 16 (browsers give up near 20;
     * chains past 8 are misconfigurations, and each hop is a join
-    * stage). */
+    * stage). If the cap is ever raised, switch the linear chase to
+    * pointer DOUBLING (follow `__cur` through the previous round's own
+    * output instead of the edge table — the
+    * [[graft.ops.Graph.connectedComponents]] trick), which reaches the
+    * terminal in ⌈log₂ maxHops⌉ joins instead of maxHops. */
   def resolveRedirects(edges: DataFrame, srcCol: String, dstCol: String,
       maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16,
@@ -496,7 +508,12 @@ object Web {
     * `<loc>`/`<lastmod>` simple elements (no nested markup — `[^<]*`),
     * whitespace-trimmed; a block without `<loc>` yields a null loc
     * (kept — sitemap lint is a use case). Namespaces and attributes on
-    * the container tags are tolerated; CDATA is a documented omission.
+    * the container tags are tolerated. `<loc><![CDATA[ … ]]></loc>` is
+    * honored (r17 verdict #6 — real sitemap generators emit it): a
+    * CDATA section directly inside `<loc>` yields its trimmed content,
+    * checked BEFORE the simple-element form (the two are disjoint —
+    * `[^<]*` cannot match a CDATA opener). CDATA on `<lastmod>` and in
+    * [[sitemapIndex]] stays a documented omission.
     * Scan-side split + explode, no shuffle. */
   def sitemapEntries(df: DataFrame, idCol: String, xmlCol: String)
       : DataFrame = {
@@ -504,8 +521,12 @@ object Web {
       lit("(?is)<url[ \\t\\n\\r\\f>].*?</url[ \\t\\n\\r\\f]*>"), lit(0))
     df.select(col(idCol), posexplode(blocks).as(Seq("url_idx", "__b")))
       .select(col(idCol), col("url_idx"),
-        nullif(trim(regexp_extract(col("__b"),
-          "(?is)<loc[^>]*>([^<]*)</loc", 1)), lit("")).as("loc"),
+        coalesce(
+          nullif(trim(regexp_extract(col("__b"),
+            "(?is)<loc[^>]*>[ \\t\\n\\r\\f]*<!\\[CDATA\\[(.*?)\\]\\]>" +
+              "[ \\t\\n\\r\\f]*</loc", 1)), lit("")),
+          nullif(trim(regexp_extract(col("__b"),
+            "(?is)<loc[^>]*>([^<]*)</loc", 1)), lit(""))).as("loc"),
         nullif(trim(regexp_extract(col("__b"),
           "(?is)<lastmod[^>]*>([^<]*)</lastmod", 1)), lit(""))
           .as("lastmod"))

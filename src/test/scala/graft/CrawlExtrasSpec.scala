@@ -100,6 +100,12 @@ class CrawlExtrasSpec extends AnyFunSuite {
     // precedence: magic beats the html scan (a PDF containing "<html")
     assert(sniffOf("%PDF-1.4 <html>".getBytes("US-ASCII"))
       == "application/pdf")
+    // precedence (r17 advice): a NUL beats the html scan — unmagicked
+    // binary data containing '<head' bytes must NOT classify as
+    // text/html and leak through the gate into decodeText/htmlText
+    assert(sniffOf(Array[Byte](1, 0, 2) ++
+      "<head><body>".getBytes("US-ASCII"))
+      == "application/octet-stream")
     // window bound: a NUL beyond the first 1024 bytes is not seen
     assert(sniffOf(("a" * 1024).getBytes("US-ASCII") ++ Array[Byte](0))
       == "text/plain")

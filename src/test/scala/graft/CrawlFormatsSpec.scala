@@ -65,13 +65,15 @@ class CrawlFormatsSpec extends AnyFunSuite {
   }
 
   test("sitemapEntries: document order, lastmod optional, missing " +
-      "loc kept as null row, attributes tolerated") {
+      "loc kept as null row, attributes tolerated, CDATA loc honored") {
     val s = spark
     import s.implicits._
     val xml = """<?xml version="1.0"?><urlset xmlns="x">""" +
       "<url><loc> http://a/1 </loc><lastmod>2026-01-02</lastmod></url>" +
       "<url attr=\"z\"><loc>http://a/2</loc></url>" +
-      "<url><priority>0.5</priority></url></urlset>"
+      "<url><priority>0.5</priority></url>" +
+      "<url><loc><![CDATA[ http://a/3?x=1&y=2 ]]></loc></url>" +
+      "<url><loc>\n<![CDATA[http://a/4]]>\n</loc></url></urlset>"
     val got = Web.sitemapEntries(
       Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
       .orderBy("url_idx")
@@ -81,7 +83,8 @@ class CrawlFormatsSpec extends AnyFunSuite {
         if (r.isNullAt(1)) null else r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2))).toSeq
     assert(got == Seq((0, "http://a/1", "2026-01-02"),
-      (1, "http://a/2", null), (2, null, null)))
+      (1, "http://a/2", null), (2, null, null),
+      (3, "http://a/3?x=1&y=2", null), (4, "http://a/4", null)))
   }
 
   test("sitemapIndex: child locs in order; urlset/sitemapindex " +

@@ -167,6 +167,28 @@ class HttpPartsSpec extends AnyFunSuite {
       "default")
   }
 
+  test("content_type field: essence of the FIRST Content-Type header " +
+      "(lowered, parameters cut); absent/empty -> null; raw -> null") {
+    val s = spark
+    import s.implicits._
+    def ct(payload: Array[Byte]): String = {
+      val r = Seq(Tuple1(payload)).toDF("p")
+        .select(Web.httpParts(col("p")).getField("content_type").as("c"))
+        .collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(ct(asciiBytes("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type:  Text/HTML ; charset=utf-8" + CRLF +
+      "Content-Type: application/json" + CRLF + CRLF + "x"))
+      == "text/html") // first header wins, essence lowered + cut
+    assert(ct(asciiBytes("HTTP/1.1 200 OK" + CRLF +
+      "X-A: 1" + CRLF + CRLF + "x")) == null) // absent
+    assert(ct(asciiBytes("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: ; charset=utf-8" + CRLF + CRLF + "x"))
+      == null) // parameter-only value: empty essence
+    assert(ct("not http".getBytes("UTF-8")) == null) // raw row
+  }
+
   test("httpParts and decodeCharsetHint stay inside whole-stage codegen") {
     val p = spark.range(2)
       .select(WebFunctions.decodeCharsetHint(
