@@ -9006,17 +9006,104 @@ object SparkEntry {
         .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
           .cast(LongType).as("doc_id"),
           col("warc_type"), col("warc_date"), col("content_length"),
+          // (r18) the writer's mandatory deterministic WARC-Record-ID,
+          // read back and replayed field for field: DuckDB recomputes
+          // the same name-based uuid from md5(uri \n date \n payload)
+          col("warc_record_id").as("record_id"),
           col("payload").cast(StringType).as("payload"))
         .sortByKeys(SortKey("doc_id"))
-    }, Some("""SELECT doc_id, 'conversion' AS warc_type,
+    }, Some("""WITH w AS (SELECT doc_id, text,
+      |  'http://w' || CAST(doc_id % 7 AS VARCHAR) || '.ex/doc/' ||
+      |    CAST(doc_id AS VARCHAR) AS uri,
       |  '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T00:00:00Z'
-      |    AS warc_date,
-      |  CAST(strlen(text || ' rt ' || CAST(doc_id AS VARCHAR))
-      |    AS BIGINT) AS content_length,
-      |  text || ' rt ' || CAST(doc_id AS VARCHAR) AS payload
-      |FROM documents
-      |WHERE doc_id IS NOT NULL AND text IS NOT NULL
-      |ORDER BY doc_id""".stripMargin)),
+      |    AS dt,
+      |  text || ' rt ' || CAST(doc_id AS VARCHAR) AS pay
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |h AS (SELECT doc_id, text, dt, pay,
+      |  md5(uri || chr(10) || dt || chr(10) || pay) AS hx FROM w)
+      |SELECT doc_id, 'conversion' AS warc_type, dt AS warc_date,
+      |  CAST(strlen(pay) AS BIGINT) AS content_length,
+      |  'urn:uuid:' || substr(hx, 1, 8) || '-' || substr(hx, 9, 4) ||
+      |    '-3' || substr(hx, 14, 3) || '-8' || substr(hx, 18, 3) ||
+      |    '-' || substr(hx, 21, 12) AS record_id,
+      |  pay AS payload
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("web_warc_pairs", (s, dir) => {
+      // request<->response pairing via WARC-Concurrent-To /
+      // WARC-Record-ID (r17 verdict #4): per doc one capture event —
+      // a `response` member and a `request` member whose request
+      // carries Concurrent-To -> the response's id (the Heritrix
+      // convention), FLIPPED on doc_id%5==4 (response carries the
+      // link instead) to prove both writing conventions pair through
+      // the one coalesce key. The paired row answers the questions
+      // unpaired output cannot: fetch latency (request date vs
+      // response date) and the user-agent audit (from the request's
+      // HTTP message). DuckDB replays every field analytically.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val crlf = "\r\n"
+      def ascii(cc: Column): Column = encode(cc, "US-ASCII")
+      val flip = col("doc_id") % 5 === 4
+      val respId = concat(lit("urn:uuid:resp-"), id)
+      val reqId = concat(lit("urn:uuid:req-"), id)
+      val respDate = concat(lit("2026-03-01T00:00:0"),
+        (col("doc_id") % 7).cast(StringType), lit("Z"))
+      val reqDate = lit("2026-03-01T00:00:00Z")
+      val respPayB = encode(
+        concat(lit("HTTP/1.1 200 OK" + crlf + crlf), col("text")),
+        "UTF-8")
+      val reqPayB = ascii(concat(lit("GET /p/"), id,
+        lit(" HTTP/1.1" + crlf + "User-Agent: graftbot/1.0" +
+          crlf + crlf)))
+      val rec1 = concat(
+        ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: response" +
+          crlf + "WARC-Record-ID: <"), respId, lit(">" + crlf),
+          when(flip, concat(lit("WARC-Concurrent-To: <"), reqId,
+            lit(">" + crlf))).otherwise(lit("")),
+          lit("WARC-Target-URI: http://h"), k, lit(".ex/p/"), id,
+          lit(crlf + "WARC-Date: "), respDate,
+          lit(crlf + "Content-Length: "),
+          octet_length(respPayB).cast(StringType), lit(crlf + crlf))),
+        respPayB, ascii(lit(crlf + crlf)))
+      val rec2 = concat(
+        ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: request" +
+          crlf + "WARC-Record-ID: <"), reqId, lit(">" + crlf),
+          when(!flip, concat(lit("WARC-Concurrent-To: <"), respId,
+            lit(">" + crlf))).otherwise(lit("")),
+          lit("WARC-Target-URI: http://h"), k, lit(".ex/p/"), id,
+          lit(crlf + "WARC-Date: "), reqDate,
+          lit(crlf + "Content-Length: "),
+          octet_length(reqPayB).cast(StringType), lit(crlf + crlf))),
+        reqPayB, ascii(lit(crlf + crlf)))
+      val gz = concat(wf.gzipCompress(rec1), wf.gzipCompress(rec2))
+      val recs = Web.warcRecordsGzip(
+        Tables(s, dir).documents.select(col("doc_id"), gz.as("gz")),
+        "doc_id", "gz")
+      Web.warcRequestResponsePairs(recs)
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("target_uri"), col("response_id"), col("request_id"),
+          col("response_date"), col("request_date"),
+          (col("response_date").cast(TimestampType).cast(LongType) -
+            col("request_date").cast(TimestampType).cast(LongType))
+            .as("latency_sec"),
+          regexp_extract(col("request_payload").cast(StringType),
+            "(?im)^User-Agent:[ \\t]*([^\\r\\n]*)", 1).as("user_agent"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  'http://h' || CAST(doc_id % 30 AS VARCHAR) || '.ex/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS target_uri,
+      |  'urn:uuid:resp-' || CAST(doc_id AS VARCHAR) AS response_id,
+      |  'urn:uuid:req-' || CAST(doc_id AS VARCHAR) AS request_id,
+      |  '2026-03-01T00:00:0' || CAST(doc_id % 7 AS VARCHAR) || 'Z'
+      |    AS response_date,
+      |  '2026-03-01T00:00:00Z' AS request_date,
+      |  CAST(doc_id % 7 AS BIGINT) AS latency_sec,
+      |  'graftbot/1.0' AS user_agent
+      |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("text_html_anchors", (s, dir) => {
       // anchor-text extraction: (href, anchor_text) pairs in document

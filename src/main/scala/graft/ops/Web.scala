@@ -179,6 +179,14 @@ object Web {
       warcHeader(col("__hdr"), "WARC-Type").as("warc_type"),
       warcHeader(col("__hdr"), "WARC-Target-URI").as("target_uri"),
       warcHeader(col("__hdr"), "WARC-Date").as("warc_date"),
+      // (r17 verdict #4) the record's identity and its cross-record
+      // link — ISO 28500 writes both as `<urn:uuid:…>`; the angle
+      // brackets are stripped so the two join directly
+      // ([[warcRequestResponsePairs]] is that join)
+      regexp_replace(warcHeader(col("__hdr"), "WARC-Record-ID"),
+        "^<|>$", "").as("warc_record_id"),
+      regexp_replace(warcHeader(col("__hdr"), "WARC-Concurrent-To"),
+        "^<|>$", "").as("warc_concurrent_to"),
       when(warcHeader(col("__hdr"), "Content-Length")
         .rlike("^[0-9]{1,18}$"),
         warcHeader(col("__hdr"), "Content-Length").cast("long"))
@@ -190,7 +198,8 @@ object Web {
     * [[warcRecords]]' documented hazard (a payload containing
     * `WARC/1.0\r\n` split early there; here it cannot). Output:
     * (idCol, rec_idx, rec_offset, warc_type, target_uri, warc_date,
-    * content_length, payload BINARY). Degradations are documented on
+    * warc_record_id, warc_concurrent_to, content_length, payload
+    * BINARY). Degradations are documented on
     * [[org.apache.spark.sql.graftnative.WarcSplitBinary]] (junk tail →
     * one null-header record; missing Content-Length → remainder;
     * truncation → clamp) — every byte lands in some record.
@@ -221,7 +230,8 @@ object Web {
     * .GunzipMembers]] splits and decompresses the members, then the
     * binary-safe offset reader slices each member's records (tolerant
     * of multi-record members). Output: (idCol, member_idx, rec_idx,
-    * warc_type, target_uri, warc_date, content_length, payload
+    * warc_type, target_uri, warc_date, warc_record_id,
+    * warc_concurrent_to, content_length, payload
     * BINARY); a corrupt gzip stream ships ONE row with null member
     * fields (posexplode_outer of the null member array — the file
     * stays visible for audit, never silently dropped).
@@ -254,6 +264,50 @@ object Web {
       .select(warcHeaderCols(idCols)
         .patch(idCols.length, Seq(col("member_idx"), col("rec_idx")), 0) :+
         col("__r").getField("payload").as("payload"): _*)
+  }
+
+  /** Pair each `response` record with its `request` record via the
+    * `WARC-Concurrent-To` / `WARC-Record-ID` link (r17 verdict #4) —
+    * the join a crawl analysis needs for user-agent audits and
+    * fetch-latency measurement (request date vs response date), which
+    * the unpaired reader output cannot answer. Input: any WARC reader
+    * output carrying (warc_type, warc_record_id, warc_concurrent_to,
+    * target_uri, warc_date, payload).
+    *
+    * Both writing conventions pair: ISO 28500 only says Concurrent-To
+    * links records of one capture event, so crawlers ship either
+    * response-first (the request's Concurrent-To names the response —
+    * Heritrix) or request-first (the reverse). The pair key is
+    * `coalesce(warc_concurrent_to, warc_record_id)` on each side:
+    * whichever record carries the link reaches across, the other
+    * anchors on its own id — one expression, both conventions, and a
+    * record with neither header simply never pairs (inner join).
+    * Duplicate captures of one event (same key on both sides more than
+    * once) pair cross-product-wise — dedup upstream by record id when
+    * re-fetches must not multiply.
+    *
+    * Output: (pair_key, target_uri, response_id, request_id,
+    * response_date, request_date, response_payload, request_payload);
+    * `target_uri` is the response's. Scale shape: ONE hash join on the
+    * skinny pair key — both sides are scan-side projections of the
+    * reader output, no window, no driver work; pair keys are unique
+    * per capture event by construction, so the join is skew-free. */
+  def warcRequestResponsePairs(records: DataFrame): DataFrame = {
+    val key = coalesce(col("warc_concurrent_to"), col("warc_record_id"))
+    val resp = records.where(col("warc_type") === "response")
+      .select(key.as("pair_key"), col("target_uri"),
+        col("warc_record_id").as("response_id"),
+        col("warc_date").as("response_date"),
+        col("payload").as("response_payload"))
+    val req = records.where(col("warc_type") === "request")
+      .select(key.as("__rkey"),
+        col("warc_record_id").as("request_id"),
+        col("warc_date").as("request_date"),
+        col("payload").as("request_payload"))
+    resp.join(req, resp("pair_key") === req("__rkey"))
+      .select(col("pair_key"), col("target_uri"), col("response_id"),
+        col("request_id"), col("response_date"), col("request_date"),
+        col("response_payload"), col("request_payload"))
   }
 
   /** Per-host POLITENESS SCHEDULE: turn an allowed frontier + the

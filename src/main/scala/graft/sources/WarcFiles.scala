@@ -380,7 +380,8 @@ object WarcFiles {
     * ranged chunk read → [[graft.ops.Web.warcRecordsGzip]] record
     * parsing, with the per-chunk member index globalized via
     * `member_base`. Output: (path, chunk_idx, clean, member_idx,
-    * rec_idx, warc_type, target_uri, warc_date, content_length,
+    * rec_idx, warc_type, target_uri, warc_date, warc_record_id,
+    * warc_concurrent_to, content_length,
     * payload BINARY) — bit-identical records to feeding the whole file
     * as one cell, at bounded per-task memory and >1 task per file. A
     * corrupt tail ships as its chunk's single null-member row
@@ -447,6 +448,12 @@ object WarcFiles {
     * decompressed cell ≲100 MB at typical HTML compression ratios. */
   val DefaultTargetChunkBytes: Long = 16L * 1024 * 1024
 
+  /** The `WARC-Date` written when the date column is null — ISO 28500
+    * makes the header MANDATORY, so a null date gets a recognizable
+    * epoch default instead of an omitted header (determinism: never
+    * now()). */
+  val DefaultWarcDate: String = "1970-01-01T00:00:00Z"
+
   /** Write (uri, date, payload) rows as `.warc.gz` shard FILES in the
     * Common Crawl layout — ONE gzip member per record — readable by
     * [[warcRecordsGzipFiles]] / [[memberIndex]] / [[warcCdx]] and by
@@ -455,21 +462,39 @@ object WarcFiles {
     * it in the format it arrived in.
     *
     * Record form (the [[graft.ops.Web.warcRecordsGzip]] reader's exact
-    * contract): `WARC/1.0` CRLF, `WARC-Type`, `WARC-Target-URI` (null
-    * uri → header omitted; the row still writes), `WARC-Date` from the
-    * date COLUMN (determinism — never now(); null → omitted),
-    * `Content-Length` = payload byte count (null payload → empty),
-    * blank line, payload, CRLF CRLF.
+    * contract, plus the two headers ISO 28500 makes mandatory for
+    * every record — r17 advice: strict WARC tooling may reject records
+    * without them): `WARC/1.0` CRLF, `WARC-Type`, `WARC-Record-ID` — a
+    * DETERMINISTIC `<urn:uuid:…>` derived from md5(uri \n date \n
+    * payload), version/variant nibbles pinned to the name-based form,
+    * so re-running the job re-issues the same ids (never random) —
+    * `WARC-Target-URI` (null uri → header omitted; the row still
+    * writes), `WARC-Date` from the date COLUMN (determinism — never
+    * now(); null → [[DefaultWarcDate]]), `Content-Length` = payload
+    * byte count (null payload → empty), blank line, payload, CRLF
+    * CRLF.
+    *
+    * Commit protocol (r17 advice — the compactFiles discipline): each
+    * shard streams to `outDir/_tmp/part-NNNNN.warc.gz.<taskAttempt>`
+    * and is RENAMED into place on success, so a task that dies
+    * mid-write never leaves a truncated final file and a reader racing
+    * the job never observes one; a speculative twin's losing rename is
+    * detected (destination already committed — attempts write
+    * identical bytes, the repartition+sort is deterministic) and its
+    * temp dropped. Before the job, stale `part-*.warc.gz` files and
+    * `_tmp` under outDir are DELETED driver-side — a prior run with a
+    * different shard count would otherwise leave orphan shards that
+    * later glob reads silently include; after the collect, `_tmp` is
+    * swept.
     *
     * Determinism + scale shape: shard = pmod(xxhash64(uri), nShards);
     * ONE hash repartition on the shard key; rows sort by (shard, uri)
     * within partitions; each task STREAMS its shards' pre-gzipped
-    * members to `part-NNNNN.warc.gz` through the Hadoop FS — bounded
-    * memory (one member in flight), no driver data movement. Shards
-    * that receive no rows produce no file. EAGER: the write runs
-    * before this returns; the returned manifest (shard, path,
-    * n_records, bytes — ≤ nShards rows, planner-scale) is collected
-    * as the write's own ledger. */
+    * members through the Hadoop FS — bounded memory (one member in
+    * flight), no driver data movement. Shards that receive no rows
+    * produce no file. EAGER: the write runs before this returns; the
+    * returned manifest (shard, path, n_records, bytes — ≤ nShards
+    * rows, planner-scale) is collected as the write's own ledger. */
   def writeWarcGz(df: DataFrame, uriCol: String, dateCol: String,
       payloadCol: String, outDir: String, nShards: Int,
       warcType: String = "conversion"): DataFrame = {
@@ -485,20 +510,43 @@ object WarcFiles {
     val crlf = "\r\n"
     val pay = coalesce(col(payloadCol).cast("binary"),
       lit(Array.empty[Byte]))
+    val dateStr = coalesce(col(dateCol).cast("string"),
+      lit(DefaultWarcDate))
+    // deterministic name-based record id: md5 over (uri \n date \n
+    // payload) formatted as a uuid with the version nibble pinned to
+    // '3' (name-based/md5) and the variant nibble to '8' (RFC 4122)
+    val idHex = md5(concat(
+      encode(coalesce(col(uriCol), lit("")), "UTF-8"),
+      lit(Array[Byte](10)), encode(dateStr, "UTF-8"),
+      lit(Array[Byte](10)), pay))
+    val recordId = concat_ws("-",
+      substring(idHex, 1, 8), substring(idHex, 9, 4),
+      concat(lit("3"), substring(idHex, 14, 3)),
+      concat(lit("8"), substring(idHex, 18, 3)),
+      substring(idHex, 21, 12))
     val hdr = concat(
       lit("WARC/1.0" + crlf + "WARC-Type: " + warcType + crlf),
+      lit("WARC-Record-ID: <urn:uuid:"), recordId, lit(">" + crlf),
       when(col(uriCol).isNotNull,
         concat(lit("WARC-Target-URI: "), col(uriCol), lit(crlf)))
         .otherwise(lit("")),
-      when(col(dateCol).isNotNull,
-        concat(lit("WARC-Date: "), col(dateCol).cast("string"),
-          lit(crlf))).otherwise(lit("")),
+      lit("WARC-Date: "), dateStr, lit(crlf),
       lit("Content-Length: "), octet_length(pay).cast("string"),
       lit(crlf + crlf))
     val member = nf.gzipCompress(concat(encode(hdr, "UTF-8"), pay,
       encode(lit(crlf + crlf), "UTF-8")))
     val shardKey = pmod(xxhash64(coalesce(col(uriCol), lit(""))),
       lit(nShards.toLong)).cast("int")
+    // driver-side pre-clean: orphan shards of a prior run (different
+    // nShards) would be silently included by later glob reads
+    val driverFs = new Path(outDir).getFileSystem(sc.hadoopConfiguration)
+    val tmpDir = new Path(outDir, "_tmp")
+    if (driverFs.exists(new Path(outDir))) {
+      val stale = driverFs.globStatus(new Path(outDir, "part-*.warc.gz"))
+      if (stale != null) stale.foreach(st =>
+        driverFs.delete(st.getPath, false))
+      driverFs.delete(tmpDir, true)
+    }
     import spark.implicits._
     val manifestRows = df
       .select(shardKey.as("__shard"),
@@ -513,7 +561,10 @@ object WarcFiles {
         // file opens exactly once
         val fs = new Path(outDir)
           .getFileSystem(bconf.value.value)
-        fs.mkdirs(new Path(outDir))
+        val staging = new Path(outDir, "_tmp")
+        fs.mkdirs(staging)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId().toString).getOrElse("local")
         val acc = scala.collection.mutable.ArrayBuffer
           .empty[(Int, String, Long, Long)]
         var cur = Int.MinValue
@@ -521,16 +572,29 @@ object WarcFiles {
         var n = 0L
         var bytes = 0L
         def pathFor(s: Int) = new Path(outDir, f"part-$s%05d.warc.gz")
+        def tmpFor(s: Int) =
+          new Path(staging, f"part-$s%05d.warc.gz.$attempt")
         def closeCur(): Unit = if (out != null) {
           out.close()
-          acc += ((cur, pathFor(cur).toString, n, bytes))
+          val dst = pathFor(cur)
+          if (!fs.rename(tmpFor(cur), dst)) {
+            // rename-into-place is the commit point: a failure with
+            // the destination present means a twin attempt committed
+            // first — identical bytes (deterministic repartition+sort),
+            // so keep its file and drop ours; anything else is a real
+            // filesystem error and must fail the task
+            if (fs.exists(dst)) fs.delete(tmpFor(cur), false)
+            else throw new java.io.IOException(
+              s"writeWarcGz: rename ${tmpFor(cur)} -> $dst failed")
+          }
+          acc += ((cur, dst.toString, n, bytes))
           out = null
         }
         it.foreach { case (s, m) =>
           if (s != cur || out == null) {
             closeCur()
             cur = s; n = 0L; bytes = 0L
-            out = fs.create(pathFor(s), true)
+            out = fs.create(tmpFor(s), true)
           }
           out.write(m)
           n += 1
@@ -540,6 +604,7 @@ object WarcFiles {
         acc.iterator
       }
       .collect() // ≤ nShards manifest tuples — the eager write trigger
+    driverFs.delete(tmpDir, true) // aborted attempts' leftovers
     spark.createDataFrame(manifestRows.toSeq)
       .toDF("shard", "path", "n_records", "bytes")
   }

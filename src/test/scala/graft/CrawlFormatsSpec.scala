@@ -100,4 +100,58 @@ class CrawlFormatsSpec extends AnyFunSuite {
       .as[Seq[String]].first()
     assert(got == Seq("http://a/sm1.xml", "http://a/sm2.xml"))
   }
+
+  test("warc_record_id / warc_concurrent_to extraction strips angle " +
+      "brackets; warcRequestResponsePairs pairs BOTH conventions and " +
+      "never pairs unlinked records") {
+    val s = spark
+    import s.implicits._
+    def rec(typ: String, uri: String, date: String, rid: String,
+        cto: String, pay: String): String =
+      "WARC/1.0" + CRLF + s"WARC-Type: $typ" + CRLF +
+        (if (rid != null) s"WARC-Record-ID: <$rid>" + CRLF else "") +
+        (if (cto != null) s"WARC-Concurrent-To: <$cto>" + CRLF else "") +
+        (if (uri != null) s"WARC-Target-URI: $uri" + CRLF else "") +
+        s"WARC-Date: $date" + CRLF +
+        "Content-Length: " + pay.getBytes("UTF-8").length + CRLF +
+        CRLF + pay + CRLF + CRLF
+    // Heritrix convention: request links to the response
+    val a = rec("response", "http://a/1", "2026-01-01T00:00:05Z",
+      "urn:uuid:ra", null, "resp a") +
+      rec("request", "http://a/1", "2026-01-01T00:00:00Z",
+        "urn:uuid:qa", "urn:uuid:ra", "req a")
+    // flipped convention: response links to the request
+    val b = rec("response", "http://b/2", "2026-01-01T00:00:09Z",
+      "urn:uuid:rb", "urn:uuid:qb", "resp b") +
+      rec("request", "http://b/2", "2026-01-01T00:00:00Z",
+        "urn:uuid:qb", null, "req b")
+    // unlinked: neither side carries Concurrent-To -> never pairs
+    val c = rec("response", "http://c/3", "2026-01-01T00:00:01Z",
+      "urn:uuid:rc", null, "resp c") +
+      rec("request", "http://c/3", "2026-01-01T00:00:00Z",
+        "urn:uuid:qc", null, "req c")
+    val records = Web.warcRecordsBinary(
+      Seq((1L, (a + b + c).getBytes("UTF-8"))).toDF("id", "bin"),
+      "id", "bin")
+    // extraction: brackets stripped, absent header -> null
+    val ids = records.orderBy("rec_idx")
+      .select(col("warc_record_id"), col("warc_concurrent_to"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(ids == Seq(("urn:uuid:ra", null), ("urn:uuid:qa", "urn:uuid:ra"),
+      ("urn:uuid:rb", "urn:uuid:qb"), ("urn:uuid:qb", null),
+      ("urn:uuid:rc", null), ("urn:uuid:qc", null)))
+    val pairs = Web.warcRequestResponsePairs(records)
+      .orderBy("target_uri")
+      .select(col("target_uri"), col("response_id"), col("request_id"),
+        col("response_payload").cast("string"),
+        col("request_payload").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(pairs == Seq(
+      ("http://a/1", "urn:uuid:ra", "urn:uuid:qa", "resp a", "req a"),
+      ("http://b/2", "urn:uuid:rb", "urn:uuid:qb", "resp b", "req b")))
+  }
 }

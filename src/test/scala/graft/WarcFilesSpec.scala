@@ -284,8 +284,9 @@ class WarcFilesSpec extends AnyFunSuite {
     // every member is one record and clean
     val idx = WarcFiles.memberIndex(spark, dir.toString + "/*.warc.gz")
     assert(idx.count() == 40 && idx.where(!col("clean")).count() == 0)
-    // null uri/date/payload: row still writes (headers omitted,
-    // empty payload), nothing silently dropped
+    // null uri/date/payload: row still writes (uri header omitted,
+    // date falls back to the mandatory-header default, empty payload),
+    // nothing silently dropped
     val dir2 = java.nio.file.Files.createTempDirectory("graft_warc_write2")
     dir2.toFile.deleteOnExit()
     val df2 = Seq((Option.empty[String], Option.empty[String],
@@ -297,8 +298,73 @@ class WarcFilesSpec extends AnyFunSuite {
       dir2.toString + "/*.warc.gz", 1024L).collect()
     assert(b2.length == 1)
     assert(b2.head.isNullAt(b2.head.fieldIndex("target_uri")))
-    assert(b2.head.isNullAt(b2.head.fieldIndex("warc_date")))
+    assert(b2.head.getAs[String]("warc_date") == WarcFiles.DefaultWarcDate)
     assert(b2.head.getAs[Long]("content_length") == 0L)
+  }
+
+  test("writeWarcGz: every record carries a deterministic urn:uuid " +
+      "WARC-Record-ID and a WARC-Date (ISO 28500 mandatory headers); " +
+      "re-running re-issues identical ids") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 6).map(i => (s"http://w.ex/$i", "2026-02-02T00:00:00Z",
+      s"p$i".getBytes("UTF-8"))).toDF("uri", "date", "payload")
+    def idsOf(dir: String): Seq[String] = {
+      WarcFiles.writeWarcGz(df, "uri", "date", "payload", dir, 2)
+      // raw member text: the reader does not need to understand the
+      // header for this pin — regex it straight out of the payload
+      val cells = spark.read.format("binaryFile")
+        .load(dir + "/*.warc.gz").select(col("content"))
+        .collect().map(_.getAs[Array[Byte]](0))
+      val txt = cells.map(c => new String(
+        org.apache.spark.sql.graftnative.GunzipMembers.inflateAll(c),
+        "ISO-8859-1")).mkString("\n")
+      "(?m)^WARC-Record-ID: <(urn:uuid:[0-9a-f-]+)>".r
+        .findAllMatchIn(txt).map(_.group(1)).toSeq.sorted
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("graft_warc_id1")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_warc_id2")
+    d1.toFile.deleteOnExit(); d2.toFile.deleteOnExit()
+    val ids1 = idsOf(d1.toString)
+    assert(ids1.size == 6 && ids1.distinct.size == 6)
+    // RFC 4122 shape: version nibble 3 (name-based), variant nibble 8
+    ids1.foreach(id => assert(id.matches(
+      "urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}"), id))
+    assert(idsOf(d2.toString) == ids1) // deterministic across runs
+  }
+
+  test("writeWarcGz commit protocol: stale part files and _tmp debris " +
+      "are cleaned, writes stage-and-rename so no truncated final file " +
+      "is ever visible") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_commit")
+    dir.toFile.deleteOnExit()
+    // prior run with MORE shards + an aborted attempt's partial temp
+    val big = (1 to 20).map(i => (s"http://w.ex/$i",
+      "2026-01-01T00:00:00Z", s"old $i".getBytes("UTF-8")))
+      .toDF("uri", "date", "payload")
+    WarcFiles.writeWarcGz(big, "uri", "date", "payload", dir.toString, 8)
+    val tmp = dir.resolve("_tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("part-00000.warc.gz.99999"),
+      "partial garbage from a dead attempt".getBytes("UTF-8"))
+    // second run with FEWER shards into the same dir
+    val small = Seq(("http://w.ex/new", "2026-01-02T00:00:00Z",
+      "new payload".getBytes("UTF-8"))).toDF("uri", "date", "payload")
+    val m = WarcFiles.writeWarcGz(small, "uri", "date", "payload",
+      dir.toString, 1).collect()
+    assert(m.length == 1)
+    // no orphan shards from the 8-shard run, no staging leftovers
+    // (local ChecksumFileSystem .crc sidecars are invisible to globs)
+    val files = dir.toFile.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(files == Seq("part-00000.warc.gz"),
+      s"stale files survived: $files")
+    val back = WarcFiles.warcRecordsGzipFiles(spark,
+      dir.toString + "/*.warc.gz", 1024L)
+      .select(col("payload").cast("string")).collect().map(_.getString(0))
+    assert(back.toSeq == Seq("new payload"))
   }
 
   test("chunkFile peak memory is walker-buffer-bounded: a member far " +
