@@ -8875,6 +8875,120 @@ object SparkEntry {
       |  TRUE AS digest_ok, TRUE AS extent_ok
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("web_cdxj_parse", (s, dir) => {
+      // CDXJ index-line parsing (r17 verdict #1): per doc one
+      // analytically-generated Common-Crawl-shaped line — `surt ts
+      // {json}` with mime/status fields PRESENT or ABSENT by doc_id
+      // residue, and a shapeless junk line on doc_id%10==9 that must
+      // yield an all-null row (kept, never dropped). DuckDB recomputes
+      // every parsed field from the same generative formula — the
+      // parse is proven against the generator, not against another
+      // JSON engine.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val json = concat(
+        lit("{\"url\": \"http://h"), k, lit(".ex/d/"), id, lit("\", "),
+        when(col("doc_id") % 4 =!= 0, lit("\"mime\": \"text/html\", "))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 =!= 0, lit("\"status\": \"200\", "))
+          .otherwise(lit("")),
+        lit("\"digest\": \"sha1:D"), id, lit("\", \"length\": \""),
+        (col("doc_id") % 50 + 20).cast(StringType),
+        lit("\", \"offset\": \""), (col("doc_id") * 100).cast(StringType),
+        lit("\", \"filename\": \"seg-"), k, lit(".warc.gz\"}"))
+      val line = when(col("doc_id") % 10 === 9,
+          lit("shapeless junk that is not a cdxj line"))
+        .otherwise(concat(lit("ex,h"), k, lit(")/d/"), id,
+          lit(" 2026010"), (col("doc_id") % 9 + 1).cast(StringType),
+          lit("000000 "), json))
+      graft.sources.WarcFiles.cdxjRecords(
+        Tables(s, dir).documents.select(col("doc_id"), line.as("line")),
+        "doc_id", "line")
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 30 AS VARCHAR) AS k, doc_id % 10 = 9 AS junk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE 'ex,h' || k || ')/d/' || i END AS surt,
+      |  CASE WHEN junk THEN NULL ELSE '2026010' ||
+      |    CAST(doc_id % 9 + 1 AS VARCHAR) || '000000' END AS ts,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE 'http://h' || k || '.ex/d/' || i END AS url,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE 'seg-' || k || '.warc.gz' END AS filename,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE CAST(doc_id * 100 AS BIGINT) END AS offset,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE CAST(doc_id % 50 + 20 AS BIGINT) END AS length,
+      |  CASE WHEN junk THEN NULL ELSE 'sha1:D' || i END AS digest,
+      |  CASE WHEN junk OR doc_id % 4 = 0 THEN NULL
+      |    ELSE 'text/html' END AS mime,
+      |  CASE WHEN junk OR doc_id % 3 = 0 THEN NULL
+      |    ELSE '200' END AS status
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("web_cdxj_ingest", (s, dir) => {
+      // the full CDXJ interop loop end to end (r17 verdict #1):
+      // fixture files → warcCdx → SERIALIZE to CDXJ text
+      // (warcCdxjLines) → PARSE it back (cdxjRecords) → project to the
+      // member-index shape (cdxjMemberIndex, path re-anchored from the
+      // line's crawl-relative filename) → tiling-VALIDATED indexed
+      // ingest. Records must equal the generative formula — i.e. the
+      // shipped-index artifact alone is enough to drive ingest, the
+      // r16/r17 "skip pass 1" claim made real through the actual text
+      // format. Same analytic oracle as web_warc_file_indexed.
+      val glob = warcFixtureFiles(s, dir)
+      val base = glob.stripSuffix("*.warc.gz")
+      val wfs = graft.sources.WarcFiles
+      val cdx = wfs.warcCdx(s, glob, 4096L)
+      val parsed = wfs.cdxjRecords(
+        wfs.warcCdxjLines(cdx).select(lit(1L).as("id"), col("line")),
+        "id", "line")
+      wfs.warcRecordsGzipFilesIndexed(s,
+          wfs.cdxjMemberIndex(parsed, base), 4096L,
+          validateTiling = true)
+        .select(regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("member_idx").as("member_seq"),
+          col("warc_type"), col("content_length"),
+          col("payload").cast(StringType).as("payload"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+      |    AS member_seq,
+      |  'conversion' AS warc_type,
+      |  CAST(strlen(text || ' file-ingest ' ||
+      |    CAST(doc_id AS VARCHAR)) AS BIGINT) AS content_length,
+      |  text || ' file-ingest ' || CAST(doc_id AS VARCHAR) AS payload
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("web_warc_ranges", (s, dir) => {
+      // SELECTIVE ranged ingest (the Common-Crawl usage pattern: fetch
+      // exactly these records by the shipped index's byte ranges):
+      // cdx rows for doc_id%3==0 only → warcRecordsGzipRanges — each
+      // selected member is its own ranged read, the gaps (unselected
+      // members) are never read and must not surface their records.
+      // DuckDB replays the selection analytically.
+      val glob = warcFixtureFiles(s, dir)
+      val wfs = graft.sources.WarcFiles
+      val sel = wfs.warcCdx(s, glob, 4096L)
+        .where(regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1)
+          .cast(LongType) % 3 === 0)
+        .select(col("path"), col("offset"), col("length"))
+      wfs.warcRecordsGzipRanges(s, sel)
+        .select(regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("warc_type"), col("content_length"),
+          col("payload").cast(StringType).as("payload"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, 'conversion' AS warc_type,
+      |  CAST(strlen(text || ' file-ingest ' ||
+      |    CAST(doc_id AS VARCHAR)) AS BIGINT) AS content_length,
+      |  text || ' file-ingest ' || CAST(doc_id AS VARCHAR) AS payload
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("pipeline_sitemap_gz", (s, dir) => {
       // sitemaps as they actually ship: gzip-compressed XML — one
       // member per file. gzipCompress → gunzipMembers → decodeText →

@@ -100,6 +100,32 @@ object Web {
       .otherwise(concat(proto, lit("://"), host, path, query))
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) of a URL — the
+    * sort/join key Common Crawl's CDX/CDXJ indexes lead with:
+    * lowercased host labels REVERSED and comma-joined, then `)` and
+    * the path, then `?query` when present —
+    * `https://www.Example.com/a/b?x=1` → `com,example)/a/b?x=1`.
+    * Constrained, engine-replayable semantics: scheme and port
+    * dropped, ONE leading `www.` label dropped (the common CDX
+    * canonicalization; deeper www-variants like `www2.` are kept),
+    * host lowercased, path and query kept verbatim (full CDX
+    * canonicalization also lowercases/reorders them — documented
+    * deviation, irrelevant for same-producer joins), empty path → `/`.
+    * Malformed URL (no parseable host) → null. Pure scan-side
+    * projection over the codegen'd ParseUrl. */
+  def surtKey(url: Column): Column = {
+    val host0 = lower(try_parse_url(url, lit("HOST")))
+    val host = when(host0.startsWith("www."),
+      host0.substr(lit(5), length(host0) - 4)).otherwise(host0)
+    val rev = array_join(reverse(split(host, "\\.")), ",")
+    val path = coalesce(nullif(try_parse_url(url, lit("PATH")),
+      lit("")), lit("/"))
+    val q = try_parse_url(url, lit("QUERY"))
+    when(host.isNull, lit(null).cast("string"))
+      .otherwise(concat(rev, lit(")"), path,
+        when(q.isNotNull, concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
   // ---- crawl ingest formats: WARC records, sitemaps --------------------
 
   /** Split a WARC/WET/WAT file body (one string cell = one file) into

@@ -383,4 +383,87 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(chunks.map(_.length).sum == bytes.length.toLong)
     assert(chunks.head.length > (1 << 16)) // bigger than the buffer
   }
+
+  test("cdxj roundtrip law: cdxjRecords(warcCdxjLines(warcCdx)) " +
+      "reproduces the index columns; junk lines yield all-null fields") {
+    val dir = writeTemp(
+      "a.warc.gz" -> fileBytes("a", 4),
+      "b.warc.gz" -> fileBytes("b", 2))
+    val s = spark
+    import s.implicits._
+    val cdx = WarcFiles.warcCdx(spark, s"$dir/*.warc.gz", 600L)
+      .localCheckpoint()
+    val lines = WarcFiles.warcCdxjLines(cdx)
+    // line shape: "surt ts {json}"
+    val sample = lines.orderBy("surt", "ts").select("line")
+      .collect().map(_.getString(0))
+    sample.foreach(l =>
+      assert(l.matches("^[^ ]+ [0-9]{14} \\{.*\\}$"), l))
+    assert(sample.exists(_.startsWith("com,ex)/a/1 00000000000000 {")))
+    val parsed = WarcFiles.cdxjRecords(
+      lines.withColumn("id", lit(1L)), "id", "line")
+    def key(df: org.apache.spark.sql.DataFrame, urlCol: String,
+        fileCol: org.apache.spark.sql.Column) =
+      df.select(col(urlCol).as("url"),
+      fileCol.as("filename"), col("offset"), col("length"),
+      col("digest")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    val want = key(cdx.where(col("offset").isNotNull), "target_uri",
+      element_at(split(col("path"), "/"), -1))
+    val got = key(parsed, "url", col("filename"))
+    assert(got == want && want.nonEmpty)
+    // junk line: all-null fields, row kept
+    val junk = WarcFiles.cdxjRecords(
+      Seq((1L, "not a cdxj line at all")).toDF("id", "line"),
+      "id", "line").collect().head
+    assert((1 to 9).forall(junk.isNullAt))
+  }
+
+  test("selective index: warcRecordsGzipRanges fetches exactly the " +
+      "selected members, gaps never surface foreign records; " +
+      "chunksFromIndex(validateTiling=true) rejects the gapped index " +
+      "and accepts the full one") {
+    val dir = writeTemp("s.warc.gz" -> fileBytes("s", 6))
+    val glob = s"$dir/*.warc.gz"
+    val idx = WarcFiles.memberIndex(spark, glob).localCheckpoint()
+    // full index tiles: the eager validation pass does not throw, and
+    // the indexed reader still matches pass 1
+    WarcFiles.chunksFromIndex(idx, 600L, validateTiling = true)
+    val full = WarcFiles.warcRecordsGzipFilesIndexed(spark, idx, 600L)
+    assert(full.count() ==
+      WarcFiles.warcRecordsGzipFiles(spark, glob, 600L).count())
+    // select every ODD member (gaps where the even ones were)
+    val sel = idx.where(col("clean") && col("member_idx") % 2 === 1)
+      .select(col("path"), col("offset"), col("length"))
+    val recs = WarcFiles.warcRecordsGzipRanges(spark, sel)
+      .select(col("target_uri"), col("payload").cast("string"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getString(1))).toSet
+    // expected: records of odd members only, from the single-cell path
+    val allRecs = WarcFiles.warcRecordsGzipFiles(spark, glob, 1L << 20)
+      .where(col("member_idx") % 2 === 1)
+      .select(col("target_uri"), col("payload").cast("string"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getString(1))).toSet
+    assert(recs == allRecs && recs.nonEmpty)
+    // the gapped selection must NOT pass chunk coalescing
+    val ex = intercept[IllegalArgumentException] {
+      WarcFiles.chunksFromIndex(
+        sel.withColumn("clean", lit(true)), 600L, validateTiling = true)
+    }
+    assert(ex.getMessage.contains("tile"))
+  }
+
+  test("surtKey: reversed host, www-strip, query kept, junk -> null") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("https://www.Example.com/a/b?x=1",
+      "http://sub.ex.org", "http://www2.ex.org/p", "not a url")
+      .toDF("u").select(Web.surtKey(col("u"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("com,example)/a/b?x=1", "org,ex,sub)/",
+      "org,ex,www2)/p", null))
+  }
 }
