@@ -130,6 +130,14 @@ object SparkEntry {
 
   private val htmlExtractSql: String = htmlExtractSqlOn("html")
 
+  /** DuckDB spelling of [[graft.functions.TextFunctions
+    * .imgAttrPattern]] as a quoted SQL literal (single quotes doubled;
+    * real whitespace characters inside the class match identically to
+    * the Spark side's escape spellings). */
+  private def imgAttrSql(name: String): String =
+    "'(?is)[ \t\n\r\f]" + name + "[ \t\n\r\f]*=[ \t\n\r\f]*" +
+      "(\"[^\"]*\"|''[^'']*''|[^ \t\n\r\f>\"''][^ \t\n\r\f>]*)'"
+
   /** Deterministic per-host robots.txt over the nation table (host
     * `h<k>.ex`): comment + CRLF noise, a `*` group (path-keyed
     * Disallow/Allow + a `*.log` wildcard), a consecutive-header
@@ -9268,6 +9276,121 @@ object SparkEntry {
       |    THEN tok[2:-2] ELSE tok END AS href,
       |  ${htmlExtractSqlOn("ic")} AS anchor_text
       |FROM e ORDER BY doc_id, link_idx""".stripMargin)),
+
+    Q("text_html_images", (s, dir) => {
+      // image-reference extraction (r17 verdict #2, the image-text-
+      // pair miner's first link): all three quote styles, alt through
+      // THE htmlText kernel (entities decoded, whitespace collapsed),
+      // srcset kept raw PLUS split on the comma-descriptor grammar,
+      // src-less imgs skipped, `data-src=` and `<imgx` decoys ignored
+      // (attribute/tag boundaries). DuckDB replays the tag scan, the
+      // per-attribute token patterns, the quote-strip map, the kernel
+      // chain on alt, and the srcset split verbatim.
+      val f = graft.functions.TextFunctions
+      val id = col("doc_id").cast(StringType)
+      val doc = concat(
+        lit("<html><body><img src=\"/i/"), id,
+        lit(".jpg\" alt=\"caf&eacute; &amp;   friends\">" +
+          "<img data-src=\"/decoy.jpg\" alt=decoy>" +
+          "<img alt=\"no source here\">" +
+          "<img src='/s/"), id,
+        lit(".png' srcset=\"/s/"), id, lit("-1x.png 1x, /s/"), id,
+        lit("-2x.png 2x\"><p><img src=/u/"), id,
+        lit(".gif></p><imgx src=\"/not-img\"></body></html>"))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          posexplode(f.htmlImages(doc)).as(Seq("img_idx", "im")))
+        .select(col("doc_id"), col("img_idx"),
+          col("im").getField("src").as("src"),
+          col("im").getField("alt").as("alt"),
+          col("im").getField("srcset").as("srcset"),
+          array_join(f.srcsetUrls(col("im").getField("srcset")), "|")
+            .as("srcset_urls"))
+        .sortByKeys(SortKey("doc_id"), SortKey("img_idx"))
+    }, Some(s"""WITH h AS (SELECT doc_id,
+      |  '<html><body><img src="/i/' || CAST(doc_id AS VARCHAR) ||
+      |  '.jpg" alt="caf&eacute; &amp;   friends">' ||
+      |  '<img data-src="/decoy.jpg" alt=decoy>' ||
+      |  '<img alt="no source here">' ||
+      |  '<img src=''/s/' || CAST(doc_id AS VARCHAR) ||
+      |  '.png'' srcset="/s/' || CAST(doc_id AS VARCHAR) ||
+      |  '-1x.png 1x, /s/' || CAST(doc_id AS VARCHAR) ||
+      |  '-2x.png 2x"><p><img src=/u/' || CAST(doc_id AS VARCHAR) ||
+      |  '.gif></p><imgx src="/not-img"></body></html>' AS html
+      |  FROM documents),
+      |t AS (SELECT doc_id, list_filter(
+      |  regexp_extract_all(html, '(?is)<img[ \t\n\r\f][^>]*>', 0),
+      |  g -> regexp_extract(g, ${imgAttrSql("src")}, 1) <> '') AS tags
+      |  FROM h),
+      |e AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS img_idx,
+      |  tags[i] AS tag
+      |  FROM t, UNNEST(generate_series(1, len(tags))) AS u(i)),
+      |x AS (SELECT doc_id, img_idx,
+      |  nullif(regexp_extract(tag, ${imgAttrSql("src")}, 1), '')
+      |    AS stok,
+      |  nullif(regexp_extract(tag, ${imgAttrSql("alt")}, 1), '')
+      |    AS atok,
+      |  nullif(regexp_extract(tag, ${imgAttrSql("srcset")}, 1), '')
+      |    AS sstok FROM e),
+      |y AS (SELECT doc_id, img_idx,
+      |  CASE WHEN stok[1] = '"' OR stok[1] = ''''
+      |    THEN stok[2:-2] ELSE stok END AS src,
+      |  CASE WHEN atok[1] = '"' OR atok[1] = ''''
+      |    THEN atok[2:-2] ELSE atok END AS alt0,
+      |  CASE WHEN sstok[1] = '"' OR sstok[1] = ''''
+      |    THEN sstok[2:-2] ELSE sstok END AS srcset FROM x)
+      |SELECT doc_id, img_idx, src,
+      |  ${htmlExtractSqlOn("alt0")} AS alt, srcset,
+      |  CASE WHEN srcset IS NULL THEN NULL
+      |    ELSE array_to_string(list_filter(list_transform(
+      |      string_split(srcset, ','),
+      |      c -> regexp_extract(trim(c), '^[^ \t\n\r\f]+')),
+      |      u -> u <> ''), '|') END AS srcset_urls
+      |FROM y ORDER BY doc_id, img_idx""".stripMargin)),
+
+    Q("pipeline_image_pairs", (s, dir) => {
+      // the LAION-shape composition (r17 verdict #2): page →
+      // htmlImages → resolveUrl against the page's own URL (relative
+      // srcs are the crawl reality) → canonicalizeUrl (tracking params
+      // dropped, case folded) → (img_url, alt) pairs ready for the
+      // mimeAudit/decode/visual-dedup tier. Plants a ../ relative src,
+      // a root-relative src carrying a utm_source param that must
+      // drop, and an UPPERCASE absolute src that must case-fold.
+      // DuckDB replays resolution + canonicalization analytically.
+      val f = graft.functions.TextFunctions
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val pageUrl = concat(lit("http://h"), k, lit(".ex/articles/"),
+        id, lit("/page.html"))
+      val doc = concat(
+        lit("<html><body><img src=\"../img/"), id,
+        lit(".jpg\" alt=\"pic &amp; caption\"><img src='/abs/"), id,
+        lit(".png?utm_source=feed&w=2'><img src=\"HTTP://H"), k,
+        lit(".EX/up/"), id, lit(".gif\"></body></html>"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), pageUrl.as("__page"),
+          posexplode(f.htmlImages(doc)).as(Seq("img_idx", "im")))
+        .select(col("doc_id"), col("img_idx"),
+          Web.canonicalizeUrl(Web.resolveUrl(col("__page"),
+            col("im").getField("src"))).as("img_url"),
+          col("im").getField("alt").as("alt"))
+        .sortByKeys(SortKey("doc_id"), SortKey("img_idx"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 30 AS VARCHAR) AS k FROM documents)
+      |SELECT doc_id, 0 AS img_idx,
+      |  'http://h' || k || '.ex/articles/img/' || i || '.jpg'
+      |    AS img_url,
+      |  'pic & caption' AS alt
+      |FROM h
+      |UNION ALL
+      |SELECT doc_id, 1,
+      |  'http://h' || k || '.ex/abs/' || i || '.png?w=2', NULL
+      |FROM h
+      |UNION ALL
+      |SELECT doc_id, 2,
+      |  'http://h' || k || '.ex/up/' || i || '.gif', NULL
+      |FROM h
+      |ORDER BY doc_id, img_idx""".stripMargin)),
 
     Q("web_robots_sitemaps", (s, dir) => {
       // robots.txt Sitemap discovery: file-wide lines (no agent

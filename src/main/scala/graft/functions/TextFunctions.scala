@@ -584,6 +584,73 @@ object TextFunctions {
       (h, x) => struct(h.as("href"), x.as("anchor_text")))
   }
 
+  /** The exact [[htmlImages]] tag regex (oracle-shared): one whole
+    * `<img …>` tag per match. The htmlLinks `[^>]` constraint applies
+    * — a quoted `>` inside an attribute ends the tag early (documented
+    * omission, mirrored from the anchor extractors). */
+  val imgTagPattern: String = "(?is)<img[ \\t\\n\\r\\f][^>]*>"
+
+  /** The [[htmlImages]] attribute-value regex for `name`
+    * (oracle-shared): group 1 = the value token in the [[htmlLinks]]
+    * three-quote-style convention (double-quoted / single-quoted /
+    * unquoted-to-whitespace, branches disjoint on their first
+    * character so RE2 and java.util.regex agree); the attribute name
+    * must sit on a whitespace boundary (`data-src=` is not a
+    * source). */
+  def imgAttrPattern(name: String): String =
+    "(?is)[ \\t\\n\\r\\f]" + name + "[ \\t\\n\\r\\f]*=" +
+      "[ \\t\\n\\r\\f]*(\"[^\"]*\"|'[^']*'|" +
+      "[^ \\t\\n\\r\\f>\"'][^ \\t\\n\\r\\f>]*)"
+
+  /** Image references of an HTML document in document order:
+    * array<struct<src, alt, srcset>> — the image-text-pair miner (r17
+    * verdict #2): LAION-style multimodal corpus construction is (img
+    * URL, alt text) pairs from crawled pages, and everything
+    * downstream already exists ([[graft.ops.Web.resolveUrl]] /
+    * [[graft.ops.Web.canonicalizeUrl]] / [[graft.ops.Web.mimeAudit]] /
+    * the image decode + visual-dedup tier) — this is the missing first
+    * link. Constrained semantics, the [[htmlLinks]]/[[htmlAnchors]]
+    * conventions throughout: `<img …>` tags found by [[imgTagPattern]]
+    * (void element — no closing tag required); `src`/`alt`/`srcset`
+    * values extracted per [[imgAttrPattern]] (three quote styles,
+    * attribute boundary, quote-strip map); tags WITHOUT a `src` are
+    * skipped (no pair without a URL — the href-less-anchor rule
+    * mirrored); absent `alt`/`srcset` → null, an empty `alt=""` stays
+    * the empty string (the decorative-image signal); `alt` runs
+    * through THE [[htmlText]] kernel (entities decoded, whitespace
+    * collapsed). Scan-side: one tag scan + per-tag attribute
+    * projections inside array lambdas, no shuffle; null html → null.
+    */
+  def htmlImages(c: Column): Column = {
+    def tok(t: Column, name: String): Column =
+      nullif(regexp_extract(t, imgAttrPattern(name), 1), lit(""))
+    def strip(v: Column): Column =
+      when(substring(v, 1, 1) === "\"" || substring(v, 1, 1) === "'",
+        v.substr(lit(2), length(v) - 2)).otherwise(v)
+    val tags = regexp_extract_all(c, lit(imgTagPattern), lit(0))
+    val withSrc = filter(tags, t => tok(t, "src").isNotNull)
+    transform(withSrc, t => struct(
+      strip(tok(t, "src")).as("src"),
+      org.apache.spark.sql.graftnative.NativeFunctions
+        .htmlExtractText(strip(tok(t, "alt"))).as("alt"),
+      strip(tok(t, "srcset")).as("srcset")))
+  }
+
+  /** Candidate URLs of a `srcset` attribute value in declaration
+    * order: candidates split on `,`, each trimmed, the URL = the first
+    * whitespace-delimited token (the width/density descriptor after it
+    * is dropped); empty candidates (trailing commas) are dropped.
+    * Constrained: a data-URI containing a comma splits wrong — the
+    * HTML spec's comma-in-URL lookahead is a documented omission
+    * (crawled srcsets are overwhelmingly plain URLs). Scan-side array
+    * expression; null → null. */
+  def srcsetUrls(ss: Column): Column =
+    filter(
+      transform(split(ss, ","), cand =>
+        element_at(split(trim(cand, " \t\n\r\f"),
+          "[ \\t\\n\\r\\f]+"), 1)),
+      u => u =!= "")
+
   /** Block-tag alternation shared by [[mainContent]] and its oracle
     * (the same tag set the HtmlExtractText kernel treats as block
     * boundaries). Public so the DuckDB replay interpolates the

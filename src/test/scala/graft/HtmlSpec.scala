@@ -348,4 +348,47 @@ class HtmlSpec extends AnyFunSuite {
     assert(got == Seq((true, true), (true, false), (true, true),
       (false, false), (false, false), (null, null)))
   }
+
+  test("htmlImages: three quote styles, src-less and data-src/<imgx " +
+      "decoys skipped, alt through the kernel, empty alt stays empty") {
+    val s = spark
+    import s.implicits._
+    val html = "<img src=\"/a.jpg\" alt=\"caf&eacute;  &amp; x\">" +
+      "<IMG ALT='b first' SRC='/b.png'>" + // any case, any attr order
+      "<img src=/c.gif>" +
+      "<img src=\"/d.webp\" alt=\"\">" + // decorative: alt stays ""
+      "<img data-src=\"/decoy\" alt=x><img alt=nosrc><imgx src=\"/no\">"
+    val got = Seq(html).toDF("h")
+      .select(explode(TextFunctions.htmlImages(col("h"))).as("im"))
+      .select(col("im.src"), col("im.alt"), col("im.srcset"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    // the kernel's constrained entity set is lt/gt/quot/apos/nbsp/amp:
+    // &eacute; passes through verbatim (same on the oracle side)
+    assert(got == Seq(("/a.jpg", "caf&eacute; & x", null),
+      ("/b.png", "b first", null), ("/c.gif", null, null),
+      ("/d.webp", "", null)))
+    assert(Seq(Option.empty[String]).toDF("h")
+      .select(TextFunctions.htmlImages(col("h"))).collect().head
+      .isNullAt(0)) // null html -> null
+  }
+
+  test("srcsetUrls: comma-descriptor grammar, density and width " +
+      "descriptors dropped, empty candidates dropped, null -> null") {
+    val s = spark
+    import s.implicits._
+    def u(ss: String): Seq[String] =
+      Seq(Option(ss)).toDF("s")
+        .select(TextFunctions.srcsetUrls(col("s")).as("u"))
+        .as[Option[Seq[String]]].first().orNull
+    assert(u("/a-1x.png 1x, /a-2x.png 2x") ==
+      Seq("/a-1x.png", "/a-2x.png"))
+    assert(u("a.jpg 480w,\n\tb.jpg 800w , c.jpg") ==
+      Seq("a.jpg", "b.jpg", "c.jpg"))
+    assert(u("solo.png") == Seq("solo.png"))
+    assert(u("x.png 1x,") == Seq("x.png")) // trailing comma
+    assert(u(null) == null)
+  }
 }
