@@ -66,7 +66,12 @@ object Bench {
     * response-record chain (`pipeline_warc_response`) — chunked+gzip
     * HTTP de-framing (HttpParts), header-hinted charset decode and
     * htmlText over every document, the raw-crawl ingest
-    * representative. */
+    * representative; (r18) the FILE tier (`web_warc_write_roundtrip`)
+    * — distributed `.warc.gz` shard WRITE (hash repartition + staged
+    * atomic renames) followed by the member-boundary chunked FILE
+    * READ back, so the file reader/writer pair gets a recurring
+    * per-round band instead of only hand-run scale slopes (r17
+    * what's-wrong #4). */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
     "join_inner", "join_left", "join_semi", "join_asof",
@@ -79,7 +84,8 @@ object Bench {
     "dedup_minhash_pairs", "dedup_clusters", "sim_bruteforce_topk",
     "events_rfm", "stat_spearman", "events_kaplan_meier",
     "text_html_extract", "text_html_main", "web_robots_decide",
-    "web_warc_gzip", "pipeline_warc_response")
+    "web_warc_gzip", "pipeline_warc_response",
+    "web_warc_write_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
