@@ -9227,6 +9227,54 @@ object SparkEntry {
       |  'graftbot/1.0' AS user_agent
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("web_warcinfo", (s, dir) => {
+      // warcinfo metadata surfacing (r17 verdict #4's second half):
+      // the warcinfo record's payload is itself a key:value block
+      // (software/isPartOf/robots/...) — the crawl's provenance,
+      // which an audit joins against the file's data records. The
+      // fixture plants a doc-dependent isPartOf, a DUPLICATE key
+      // (first wins through the accessor; the array keeps both) and a
+      // colon-less junk line (dropped). DuckDB replays analytically.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val crlf = "\r\n"
+      def ascii(cc: Column): Column = encode(cc, "US-ASCII")
+      val infoB = ascii(concat(
+        lit("software: graftcrawler/1.0" + crlf + "isPartOf: CRAWL-2026-"),
+        (col("doc_id") % 9).cast(StringType),
+        lit(crlf + "robots: checked" + crlf +
+          "junk line without colon" + crlf + "robots: rechecked" + crlf)))
+      val rec1 = concat(
+        ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: warcinfo" +
+          crlf + "WARC-Date: 2026-01-01T00:00:00Z" + crlf +
+          "Content-Length: "), octet_length(infoB).cast(StringType),
+          lit(crlf + crlf))), infoB, ascii(lit(crlf + crlf)))
+      val pay2 = encode(col("text"), "UTF-8")
+      val rec2 = concat(
+        ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: conversion" +
+          crlf + "WARC-Target-URI: http://h"), k, lit(".ex/d/"), id,
+          lit(crlf + "Content-Length: "),
+          octet_length(pay2).cast(StringType), lit(crlf + crlf))),
+        pay2, ascii(lit(crlf + crlf)))
+      val gz = concat(wf.gzipCompress(rec1), wf.gzipCompress(rec2))
+      val recs = Web.warcRecordsGzip(
+        Tables(s, dir).documents.select(col("doc_id"), gz.as("gz")),
+        "doc_id", "gz")
+      val fields = Web.warcinfoFields(col("payload"))
+      recs.where(col("warc_type") === "warcinfo")
+        .select(col("doc_id"),
+          Web.warcinfoField(fields, "software").as("software"),
+          Web.warcinfoField(fields, "isPartOf").as("is_part_of"),
+          Web.warcinfoField(fields, "robots").as("robots_first"),
+          size(fields).as("n_fields"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, 'graftcrawler/1.0' AS software,
+      |  'CRAWL-2026-' || CAST(doc_id % 9 AS VARCHAR) AS is_part_of,
+      |  'checked' AS robots_first,
+      |  CAST(4 AS INTEGER) AS n_fields
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("text_html_anchors", (s, dir) => {
       // anchor-text extraction: (href, anchor_text) pairs in document
       // order — all three quote styles, inner inline markup cleaned

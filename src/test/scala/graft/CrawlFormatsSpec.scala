@@ -154,4 +154,32 @@ class CrawlFormatsSpec extends AnyFunSuite {
       ("http://a/1", "urn:uuid:ra", "urn:uuid:qa", "resp a", "req a"),
       ("http://b/2", "urn:uuid:rb", "urn:uuid:qb", "resp b", "req b")))
   }
+
+  test("warcinfoFields: key:value lines in order, duplicates kept in " +
+      "the array, colon-less lines dropped, accessor first-wins and " +
+      "case-insensitive") {
+    val s = spark
+    import s.implicits._
+    val payload = ("software: graftcrawler/1.0\r\n" +
+      "isPartOf: CRAWL-X\n" + // bare LF tolerated
+      "no colon here\r\n" +
+      "robots: checked\r\n" +
+      "robots: rechecked\r\n").getBytes("UTF-8")
+    val fields = Web.warcinfoFields(col("p"))
+    val r = Seq(Tuple1(payload)).toDF("p")
+      .select(fields.as("f"),
+        Web.warcinfoField(fields, "SOFTWARE").as("sw"),
+        Web.warcinfoField(fields, "robots").as("rb"),
+        Web.warcinfoField(fields, "absent").as("ab"))
+      .collect().head
+    val kv = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getString(0), e.getString(1)))
+    assert(kv == Seq(("software", "graftcrawler/1.0"),
+      ("isPartOf", "CRAWL-X"), ("robots", "checked"),
+      ("robots", "rechecked")))
+    assert(r.getString(1) == "graftcrawler/1.0" &&
+      r.getString(2) == "checked" && r.isNullAt(3))
+    assert(Seq(Option.empty[Array[Byte]]).toDF("p")
+      .select(Web.warcinfoFields(col("p"))).collect().head.isNullAt(0))
+  }
 }
