@@ -520,27 +520,30 @@ object WarcFiles {
     * [[chunksFromIndex]] (full index) or [[warcRecordsGzipRanges]]
     * (selective index). Constrained, engine-replayable semantics: a
     * line is `surt SP ts SP {json-to-end}` (one regex, anchored);
-    * json fields are extracted by path (`$.url`, `$.filename`,
-    * `$.offset`, `$.length`, `$.digest`, `$.mime`, `$.status` — the CC
-    * spellings), absent → null; offset/length must be all-digit
-    * strings (CC writes them as strings) else null — junk lines yield
-    * all-null fields, never dropped rows. Scan-side regex + JSON-path
-    * projections, zero shuffle at any scale. */
+    * the seven json fields (url, filename, offset, length, digest,
+    * mime, status — the CC spellings) are extracted by ONE
+    * `json_tuple` pass (one JSON parse per line; seven independent
+    * `get_json_object` calls would parse the line seven times — a 7×
+    * CPU term over a multi-hundred-GB cc-index), absent → null;
+    * offset/length must be all-digit strings (CC writes them as
+    * strings; a numeric token still surfaces as its text) else null —
+    * junk lines yield all-null fields, never dropped rows. Scan-side
+    * regex + one generate, zero shuffle at any scale. */
   def cdxjRecords(df: DataFrame, idCol: String, lineCol: String)
       : DataFrame = {
     val pat = "^([^ ]+) ([^ ]+) (\\{.*\\})$"
     def part(g: Int): Column =
       nullif(regexp_extract(col(lineCol), pat, g), lit(""))
-    val js = part(3)
-    def jstr(field: String): Column = get_json_object(js, "$." + field)
-    def jlong(field: String): Column =
-      when(jstr(field).rlike("^[0-9]{1,18}$"), jstr(field).cast("long"))
-    df.select(col(idCol),
-      part(1).as("surt"), part(2).as("ts"),
-      jstr("url").as("url"), jstr("filename").as("filename"),
-      jlong("offset").as("offset"), jlong("length").as("length"),
-      jstr("digest").as("digest"), jstr("mime").as("mime"),
-      jstr("status").as("status"))
+    def dig(c: Column): Column =
+      when(c.rlike("^[0-9]{1,18}$"), c.cast("long"))
+    df.select(col(idCol), part(1).as("surt"), part(2).as("ts"),
+        json_tuple(part(3), "url", "filename", "offset", "length",
+          "digest", "mime", "status"))
+      .select(col(idCol), col("surt"), col("ts"),
+        col("c0").as("url"), col("c1").as("filename"),
+        dig(col("c2")).as("offset"), dig(col("c3")).as("length"),
+        col("c4").as("digest"), col("c5").as("mime"),
+        col("c6").as("status"))
   }
 
   /** Project parsed CDXJ rows ([[cdxjRecords]] output) to the (path,
