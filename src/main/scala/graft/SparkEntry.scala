@@ -8936,6 +8936,46 @@ object SparkEntry {
       |    ELSE '200' END AS status
       |FROM h ORDER BY doc_id""".stripMargin)),
 
+    Q("web_cdx_cluster", (s, dir) => {
+      // cluster.idx parsing — the TAB-separated SECONDARY index over
+      // the cdx-*.gz shards (the other half of CC's two-level index):
+      // per doc one analytic line, with a short/junk line on
+      // doc_id%10==9 that must yield null extent fields (row kept).
+      // DuckDB replays the split analytically.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val line = when(col("doc_id") % 10 === 9,
+          lit("junk without tabs"))
+        .otherwise(concat(lit("ex,h"), k, lit(")/d/"), id,
+          lit(" 2026010"), (col("doc_id") % 9 + 1).cast(StringType),
+          lit("000000\tcdx-000"), (col("doc_id") % 4).cast(StringType),
+          lit(".gz\t"), (col("doc_id") * 300).cast(StringType),
+          lit("\t"), (col("doc_id") % 80 + 100).cast(StringType),
+          lit("\t"), id))
+      graft.sources.WarcFiles.cdxClusterRecords(
+        Tables(s, dir).documents.select(col("doc_id"), line.as("line")),
+        "doc_id", "line")
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 30 AS VARCHAR) AS k, doc_id % 10 = 9 AS junk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN junk THEN 'junk'
+      |    ELSE 'ex,h' || k || ')/d/' || i END AS surt,
+      |  CASE WHEN junk THEN 'without'
+      |    ELSE '2026010' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+      |      '000000' END AS ts,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE 'cdx-000' || CAST(doc_id % 4 AS VARCHAR) || '.gz'
+      |    END AS filename,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE CAST(doc_id * 300 AS BIGINT) END AS offset,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE CAST(doc_id % 80 + 100 AS BIGINT) END AS length,
+      |  CASE WHEN junk THEN NULL
+      |    ELSE CAST(doc_id AS BIGINT) END AS cluster_id
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("web_cdxj_ingest", (s, dir) => {
       // the full CDXJ interop loop end to end (r17 verdict #1):
       // fixture files → warcCdx → SERIALIZE to CDXJ text

@@ -546,6 +546,34 @@ object WarcFiles {
         col("c6").as("status"))
   }
 
+  /** Parse `cluster.idx` lines — the TAB-separated SECONDARY index
+    * Common Crawl ships over its `cdx-*.gz` shards (one line per
+    * 3000-line cdx block): `"surt SP ts TAB filename TAB offset TAB
+    * length TAB sequence"`. Output: (idCols…, surt, ts, filename,
+    * offset, length, cluster_id). With this, the two-level lookup a
+    * CC user runs is expressible in-library end to end: range-scan
+    * cluster.idx for the surt prefix → ranged-read the named cdx
+    * block extents (the same (filename, offset, length) shape —
+    * [[cdxjMemberIndex]] applies) → [[cdxjRecords]] the block's lines
+    * → [[warcRecordsGzipRanges]] the record extents. Junk/short lines
+    * yield null fields (try_element_at — never dropped rows, never an
+    * index error); offset/length/sequence must be all-digit. Pure
+    * scan-side split projections, zero shuffle. */
+  def cdxClusterRecords(df: DataFrame, idCol: String, lineCol: String)
+      : DataFrame = {
+    val parts = split(col(lineCol), "\t")
+    val keyParts = split(try_element_at(parts, lit(1)), " ")
+    def dig(c: Column): Column =
+      when(c.rlike("^[0-9]{1,18}$"), c.cast("long"))
+    df.select(col(idCol),
+      nullif(try_element_at(keyParts, lit(1)), lit("")).as("surt"),
+      nullif(try_element_at(keyParts, lit(2)), lit("")).as("ts"),
+      nullif(try_element_at(parts, lit(2)), lit("")).as("filename"),
+      dig(try_element_at(parts, lit(3))).as("offset"),
+      dig(try_element_at(parts, lit(4))).as("length"),
+      dig(try_element_at(parts, lit(5))).as("cluster_id"))
+  }
+
   /** Project parsed CDXJ rows ([[cdxjRecords]] output) to the (path,
     * offset, length, clean) member-index shape the ingest readers
     * take: `path` = `pathPrefix` + the line's crawl-relative

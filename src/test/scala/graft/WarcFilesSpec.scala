@@ -456,6 +456,28 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("tile"))
   }
 
+  test("cdxClusterRecords: tab-separated secondary-index lines parse; " +
+      "short/junk lines keep their row with null extents") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "com,ex)/a 20260101000000\tcdx-00000.gz\t0\t1234\t7"),
+      (2L, "com,ex)/b 20260102000000\tcdx-00001.gz\t99\tnotdigits\t8"),
+      (3L, "no tabs at all"))
+      .toDF("id", "line")
+    val got = WarcFiles.cdxClusterRecords(rows, "id", "line")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getLong(5),
+        if (r.isNullAt(6)) null else r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, "com,ex)/a", "20260101000000", "cdx-00000.gz", 0L, 1234L, 7L),
+      (2L, "com,ex)/b", "20260102000000", "cdx-00001.gz", 99L, null, 8L),
+      (3L, "no", "tabs", null, null, null, null)))
+  }
+
   test("surtKey: reversed host, www-strip, query kept, junk -> null") {
     val s = spark
     import s.implicits._
