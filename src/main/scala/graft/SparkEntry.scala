@@ -8939,9 +8939,11 @@ object SparkEntry {
     Q("web_cdx_cluster", (s, dir) => {
       // cluster.idx parsing — the TAB-separated SECONDARY index over
       // the cdx-*.gz shards (the other half of CC's two-level index):
-      // per doc one analytic line, with a short/junk line on
-      // doc_id%10==9 that must yield null extent fields (row kept).
-      // DuckDB replays the split analytically.
+      // per doc one analytic line, with a short/junk TAB-LESS line on
+      // doc_id%10==9 that must yield an ALL-null row (kept; r18
+      // advice: junk prose must not fabricate plausible surt/ts keys
+      // that pollute a range scan). DuckDB replays the split
+      // analytically.
       val id = col("doc_id").cast(StringType)
       val k = (col("doc_id") % 30).cast(StringType)
       val line = when(col("doc_id") % 10 === 9,
@@ -8960,9 +8962,9 @@ object SparkEntry {
       |  CAST(doc_id % 30 AS VARCHAR) AS k, doc_id % 10 = 9 AS junk
       |  FROM documents)
       |SELECT doc_id,
-      |  CASE WHEN junk THEN 'junk'
+      |  CASE WHEN junk THEN NULL
       |    ELSE 'ex,h' || k || ')/d/' || i END AS surt,
-      |  CASE WHEN junk THEN 'without'
+      |  CASE WHEN junk THEN NULL
       |    ELSE '2026010' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
       |      '000000' END AS ts,
       |  CASE WHEN junk THEN NULL
@@ -9198,8 +9200,9 @@ object SparkEntry {
       // a `response` member and a `request` member whose request
       // carries Concurrent-To -> the response's id (the Heritrix
       // convention), FLIPPED on doc_id%5==4 (response carries the
-      // link instead) to prove both writing conventions pair through
-      // the one coalesce key. The paired row answers the questions
+      // link instead), and DOUBLE-LINKED on doc_id%7==3 (both carry
+      // it — the r18-advice third convention, which must pair exactly
+      // ONCE, never twice). The paired row answers the questions
       // unpaired output cannot: fetch latency (request date vs
       // response date) and the user-agent audit (from the request's
       // HTTP message). DuckDB replays every field analytically.
@@ -9208,7 +9211,9 @@ object SparkEntry {
       val wf = org.apache.spark.sql.graftnative.WebFunctions
       val crlf = "\r\n"
       def ascii(cc: Column): Column = encode(cc, "US-ASCII")
-      val flip = col("doc_id") % 5 === 4
+      val both = col("doc_id") % 7 === 3
+      val flip = (col("doc_id") % 5 === 4) || both
+      val unflip = (col("doc_id") % 5 =!= 4) || both
       val respId = concat(lit("urn:uuid:resp-"), id)
       val reqId = concat(lit("urn:uuid:req-"), id)
       val respDate = concat(lit("2026-03-01T00:00:0"),
@@ -9233,7 +9238,7 @@ object SparkEntry {
       val rec2 = concat(
         ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: request" +
           crlf + "WARC-Record-ID: <"), reqId, lit(">" + crlf),
-          when(!flip, concat(lit("WARC-Concurrent-To: <"), respId,
+          when(unflip, concat(lit("WARC-Concurrent-To: <"), respId,
             lit(">" + crlf))).otherwise(lit("")),
           lit("WARC-Target-URI: http://h"), k, lit(".ex/p/"), id,
           lit(crlf + "WARC-Date: "), reqDate,
@@ -9369,11 +9374,14 @@ object SparkEntry {
       // image-reference extraction (r17 verdict #2, the image-text-
       // pair miner's first link): all three quote styles, alt through
       // THE htmlText kernel (entities decoded, whitespace collapsed),
-      // srcset kept raw PLUS split on the comma-descriptor grammar,
-      // src-less imgs skipped, `data-src=` and `<imgx` decoys ignored
-      // (attribute/tag boundaries). DuckDB replays the tag scan, the
-      // per-attribute token patterns, the quote-strip map, the kernel
-      // chain on alt, and the srcset split verbatim.
+      // srcset kept raw PLUS split by the whitespace-tokenized HTML
+      // grammar (r18 what's-wrong #1: a comma INSIDE a data-URI token
+      // stays in the URL), src-less imgs skipped — including the
+      // quoted-EMPTY src="" decoy (r18 advice) — `data-src=` and
+      // `<imgx` decoys ignored (attribute/tag boundaries). DuckDB
+      // replays the tag scan, the per-attribute token patterns, the
+      // quote-strip map, the kernel chain on alt, and the
+      // indexed-lambda srcset tokenization verbatim.
       val f = graft.functions.TextFunctions
       val id = col("doc_id").cast(StringType)
       val doc = concat(
@@ -9381,9 +9389,13 @@ object SparkEntry {
         lit(".jpg\" alt=\"caf&eacute; &amp;   friends\">" +
           "<img data-src=\"/decoy.jpg\" alt=decoy>" +
           "<img alt=\"no source here\">" +
+          "<img src=\"\" alt=\"empty src decoy\">" +
           "<img src='/s/"), id,
         lit(".png' srcset=\"/s/"), id, lit("-1x.png 1x, /s/"), id,
-        lit("-2x.png 2x\"><p><img src=/u/"), id,
+        lit("-2x.png 2x\"><img src=\"/d/"), id,
+        lit(".png\" srcset=\"data:image/png;base64,AA"), id,
+        lit("BB 1x, /d/"), id,
+        lit("-big.png 2x\"><p><img src=/u/"), id,
         lit(".gif></p><imgx src=\"/not-img\"></body></html>"))
       Tables(s, dir).documents
         .select(col("doc_id"),
@@ -9400,15 +9412,25 @@ object SparkEntry {
       |  '.jpg" alt="caf&eacute; &amp;   friends">' ||
       |  '<img data-src="/decoy.jpg" alt=decoy>' ||
       |  '<img alt="no source here">' ||
+      |  '<img src="" alt="empty src decoy">' ||
       |  '<img src=''/s/' || CAST(doc_id AS VARCHAR) ||
       |  '.png'' srcset="/s/' || CAST(doc_id AS VARCHAR) ||
       |  '-1x.png 1x, /s/' || CAST(doc_id AS VARCHAR) ||
-      |  '-2x.png 2x"><p><img src=/u/' || CAST(doc_id AS VARCHAR) ||
+      |  '-2x.png 2x"><img src="/d/' || CAST(doc_id AS VARCHAR) ||
+      |  '.png" srcset="data:image/png;base64,AA' ||
+      |  CAST(doc_id AS VARCHAR) || 'BB 1x, /d/' ||
+      |  CAST(doc_id AS VARCHAR) ||
+      |  '-big.png 2x"><p><img src=/u/' || CAST(doc_id AS VARCHAR) ||
       |  '.gif></p><imgx src="/not-img"></body></html>' AS html
       |  FROM documents),
       |t AS (SELECT doc_id, list_filter(
       |  regexp_extract_all(html, '(?is)<img[ \t\n\r\f][^>]*>', 0),
-      |  g -> regexp_extract(g, ${imgAttrSql("src")}, 1) <> '') AS tags
+      |  g -> nullif(CASE
+      |    WHEN regexp_extract(g, ${imgAttrSql("src")}, 1)[1] = '"'
+      |      OR regexp_extract(g, ${imgAttrSql("src")}, 1)[1] = ''''
+      |    THEN regexp_extract(g, ${imgAttrSql("src")}, 1)[2:-2]
+      |    ELSE regexp_extract(g, ${imgAttrSql("src")}, 1) END, '')
+      |    IS NOT NULL) AS tags
       |  FROM h),
       |e AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS img_idx,
       |  tags[i] AS tag
@@ -9426,15 +9448,19 @@ object SparkEntry {
       |  CASE WHEN atok[1] = '"' OR atok[1] = ''''
       |    THEN atok[2:-2] ELSE atok END AS alt0,
       |  CASE WHEN sstok[1] = '"' OR sstok[1] = ''''
-      |    THEN sstok[2:-2] ELSE sstok END AS srcset FROM x)
+      |    THEN sstok[2:-2] ELSE sstok END AS srcset FROM x),
+      |z AS (SELECT doc_id, img_idx, src, alt0, srcset,
+      |  list_filter(regexp_split_to_array(srcset, '[ \t\n\r\f]+'),
+      |    t2 -> t2 <> '') AS toks FROM y)
       |SELECT doc_id, img_idx, src,
       |  ${htmlExtractSqlOn("alt0")} AS alt, srcset,
       |  CASE WHEN srcset IS NULL THEN NULL
-      |    ELSE array_to_string(list_filter(list_transform(
-      |      string_split(srcset, ','),
-      |      c -> regexp_extract(trim(c), '^[^ \t\n\r\f]+')),
-      |      u -> u <> ''), '|') END AS srcset_urls
-      |FROM y ORDER BY doc_id, img_idx""".stripMargin)),
+      |    ELSE array_to_string(list_filter(list_transform(toks,
+      |      (t2, i) -> CASE WHEN i = 1 OR t2 LIKE ',%'
+      |        OR (i > 1 AND toks[i - 1] LIKE '%,')
+      |        THEN nullif(trim(t2, ','), '') END),
+      |      u -> u IS NOT NULL), '|') END AS srcset_urls
+      |FROM z ORDER BY doc_id, img_idx""".stripMargin)),
 
     Q("pipeline_image_pairs", (s, dir) => {
       // the LAION-shape composition (r17 verdict #2): page →

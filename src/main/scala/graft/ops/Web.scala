@@ -329,37 +329,55 @@ object Web {
     * output carrying (warc_type, warc_record_id, warc_concurrent_to,
     * target_uri, warc_date, payload).
     *
-    * Both writing conventions pair: ISO 28500 only says Concurrent-To
-    * links records of one capture event, so crawlers ship either
-    * response-first (the request's Concurrent-To names the response —
-    * Heritrix) or request-first (the reverse). The pair key is
-    * `coalesce(warc_concurrent_to, warc_record_id)` on each side:
-    * whichever record carries the link reaches across, the other
-    * anchors on its own id — one expression, both conventions, and a
-    * record with neither header simply never pairs (inner join).
-    * Duplicate captures of one event (same key on both sides more than
-    * once) pair cross-product-wise — dedup upstream by record id when
-    * re-fetches must not multiply.
+    * ALL THREE writing conventions pair (r18 advice closed the third):
+    * ISO 28500 only says Concurrent-To links records of one capture
+    * event, so crawlers ship response-first (the request's
+    * Concurrent-To names the response — Heritrix), request-first (the
+    * reverse), or DOUBLE-LINKED (both records point at each other).
+    * Each side emits its non-null {record_id, concurrent_to} as
+    * candidate keys (≤2 skinny rows per record); a pair forms when any
+    * key meets — whichever record carries the link reaches across, and
+    * a record with neither header never pairs (empty key array,
+    * dropped by the explode). The double-linked convention would match
+    * on BOTH keys; the mutual-link duplicate (response's
+    * concurrent_to = request's id AND vice versa) is collapsed by
+    * keeping only the row joined on the response's own id — a
+    * deterministic filter, no dedup shuffle. Duplicate captures of one
+    * event (same key on both sides more than once) still pair
+    * cross-product-wise — dedup upstream by record id when re-fetches
+    * must not multiply.
     *
     * Output: (pair_key, target_uri, response_id, request_id,
     * response_date, request_date, response_payload, request_payload);
     * `target_uri` is the response's. Scale shape: ONE hash join on the
     * skinny pair key — both sides are scan-side projections of the
-    * reader output, no window, no driver work; pair keys are unique
-    * per capture event by construction, so the join is skew-free. */
+    * reader output (≤2× row fan-out from the key explode), no window,
+    * no driver work; pair keys name one capture event by construction,
+    * so the join is skew-free. */
   def warcRequestResponsePairs(records: DataFrame): DataFrame = {
-    val key = coalesce(col("warc_concurrent_to"), col("warc_record_id"))
+    val keys = explode(array_distinct(filter(
+      array(col("warc_record_id"), col("warc_concurrent_to")),
+      k => k.isNotNull)))
     val resp = records.where(col("warc_type") === "response")
-      .select(key.as("pair_key"), col("target_uri"),
+      .select(keys.as("pair_key"), col("target_uri"),
         col("warc_record_id").as("response_id"),
+        col("warc_concurrent_to").as("__rconc"),
         col("warc_date").as("response_date"),
         col("payload").as("response_payload"))
     val req = records.where(col("warc_type") === "request")
-      .select(key.as("__rkey"),
+      .select(keys.as("__rkey"),
         col("warc_record_id").as("request_id"),
+        col("warc_concurrent_to").as("__qconc"),
         col("warc_date").as("request_date"),
         col("payload").as("request_payload"))
     resp.join(req, resp("pair_key") === req("__rkey"))
+      // mutual-link duplicate collapse: a double-linked event joins on
+      // both its keys with identical payload columns — keep the row
+      // keyed by the response's own id (null-safe: a one-directional
+      // link never satisfies the mutual condition and always survives)
+      .where(!(col("__rconc") <=> col("request_id") &&
+        col("__qconc") <=> col("response_id")) ||
+        col("pair_key") <=> col("response_id"))
       .select(col("pair_key"), col("target_uri"), col("response_id"),
         col("request_id"), col("response_date"), col("request_date"),
         col("response_payload"), col("request_payload"))

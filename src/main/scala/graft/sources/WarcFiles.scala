@@ -557,17 +557,23 @@ object WarcFiles {
     * [[cdxjMemberIndex]] applies) → [[cdxjRecords]] the block's lines
     * → [[warcRecordsGzipRanges]] the record extents. Junk/short lines
     * yield null fields (try_element_at — never dropped rows, never an
-    * index error); offset/length/sequence must be all-digit. Pure
+    * index error); a line with NO tab at all nulls surt/ts too (r18
+    * advice: splitting junk prose on spaces would otherwise fabricate
+    * plausible-looking keys that pollute a surt range scan);
+    * offset/length/sequence must be all-digit. Pure
     * scan-side split projections, zero shuffle. */
   def cdxClusterRecords(df: DataFrame, idCol: String, lineCol: String)
       : DataFrame = {
     val parts = split(col(lineCol), "\t")
     val keyParts = split(try_element_at(parts, lit(1)), " ")
+    val hasTab = contains(col(lineCol), lit("\t"))
     def dig(c: Column): Column =
       when(c.rlike("^[0-9]{1,18}$"), c.cast("long"))
     df.select(col(idCol),
-      nullif(try_element_at(keyParts, lit(1)), lit("")).as("surt"),
-      nullif(try_element_at(keyParts, lit(2)), lit("")).as("ts"),
+      when(hasTab,
+        nullif(try_element_at(keyParts, lit(1)), lit(""))).as("surt"),
+      when(hasTab,
+        nullif(try_element_at(keyParts, lit(2)), lit(""))).as("ts"),
       nullif(try_element_at(parts, lit(2)), lit("")).as("filename"),
       dig(try_element_at(parts, lit(3))).as("offset"),
       dig(try_element_at(parts, lit(4))).as("length"),
@@ -666,11 +672,21 @@ object WarcFiles {
     * `_tmp` under outDir are DELETED driver-side — a prior run with a
     * different shard count would otherwise leave orphan shards that
     * later glob reads silently include; after the collect, `_tmp` is
-    * swept.
+    * swept. The pre-clean opens an overwrite window (r18 advice): a
+    * job that dies AFTER the pre-clean leaves outDir with neither the
+    * old corpus nor the new one — callers that need atomic REPLACE
+    * semantics should write to a fresh directory and swap it in, the
+    * same discipline every Hadoop committer expects of its output
+    * path.
     *
     * Determinism + scale shape: shard = pmod(xxhash64(uri), nShards);
-    * ONE hash repartition on the shard key; rows sort by (shard, uri)
-    * within partitions; each task STREAMS its shards' pre-gzipped
+    * ONE hash repartition on the shard key; rows sort by (shard, uri,
+    * xxhash64(member)) within partitions — the member-hash tie-break
+    * makes the order TOTAL even when one uri repeats with different
+    * date/payload (r18 advice: without it a speculative twin could
+    * emit tied rows in a different order and the identical-bytes
+    * rename-loser argument would not hold); each task STREAMS its
+    * shards' pre-gzipped
     * members through the Hadoop FS — bounded memory (one member in
     * flight), no driver data movement. Shards that receive no rows
     * produce no file. EAGER: the write runs before this returns; the
@@ -733,7 +749,8 @@ object WarcFiles {
       .select(shardKey.as("__shard"),
         coalesce(col(uriCol), lit("")).as("__uri"), member.as("__m"))
       .repartition(nShards, col("__shard"))
-      .sortWithinPartitions(col("__shard"), col("__uri"))
+      .sortWithinPartitions(col("__shard"), col("__uri"),
+        xxhash64(col("__m")))
       .select(col("__shard"), col("__m"))
       .as[(Int, Array[Byte])]
       .mapPartitions { it =>

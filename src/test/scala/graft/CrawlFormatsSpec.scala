@@ -102,8 +102,9 @@ class CrawlFormatsSpec extends AnyFunSuite {
   }
 
   test("warc_record_id / warc_concurrent_to extraction strips angle " +
-      "brackets; warcRequestResponsePairs pairs BOTH conventions and " +
-      "never pairs unlinked records") {
+      "brackets; warcRequestResponsePairs pairs ALL THREE conventions " +
+      "(incl. double-linked, exactly once) and never pairs unlinked " +
+      "records") {
     val s = spark
     import s.implicits._
     def rec(typ: String, uri: String, date: String, rid: String,
@@ -130,8 +131,14 @@ class CrawlFormatsSpec extends AnyFunSuite {
       "urn:uuid:rc", null, "resp c") +
       rec("request", "http://c/3", "2026-01-01T00:00:00Z",
         "urn:uuid:qc", null, "req c")
+    // double-linked convention (r18 advice): both records point at
+    // each other -> must pair EXACTLY ONCE, not twice
+    val d = rec("response", "http://d/4", "2026-01-01T00:00:02Z",
+      "urn:uuid:rd", "urn:uuid:qd", "resp d") +
+      rec("request", "http://d/4", "2026-01-01T00:00:00Z",
+        "urn:uuid:qd", "urn:uuid:rd", "req d")
     val records = Web.warcRecordsBinary(
-      Seq((1L, (a + b + c).getBytes("UTF-8"))).toDF("id", "bin"),
+      Seq((1L, (a + b + c + d).getBytes("UTF-8"))).toDF("id", "bin"),
       "id", "bin")
     // extraction: brackets stripped, absent header -> null
     val ids = records.orderBy("rec_idx")
@@ -141,7 +148,8 @@ class CrawlFormatsSpec extends AnyFunSuite {
         if (r.isNullAt(1)) null else r.getString(1))).toSeq
     assert(ids == Seq(("urn:uuid:ra", null), ("urn:uuid:qa", "urn:uuid:ra"),
       ("urn:uuid:rb", "urn:uuid:qb"), ("urn:uuid:qb", null),
-      ("urn:uuid:rc", null), ("urn:uuid:qc", null)))
+      ("urn:uuid:rc", null), ("urn:uuid:qc", null),
+      ("urn:uuid:rd", "urn:uuid:qd"), ("urn:uuid:qd", "urn:uuid:rd")))
     val pairs = Web.warcRequestResponsePairs(records)
       .orderBy("target_uri")
       .select(col("target_uri"), col("response_id"), col("request_id"),
@@ -152,7 +160,8 @@ class CrawlFormatsSpec extends AnyFunSuite {
         r.getString(3), r.getString(4))).toSeq
     assert(pairs == Seq(
       ("http://a/1", "urn:uuid:ra", "urn:uuid:qa", "resp a", "req a"),
-      ("http://b/2", "urn:uuid:rb", "urn:uuid:qb", "resp b", "req b")))
+      ("http://b/2", "urn:uuid:rb", "urn:uuid:qb", "resp b", "req b"),
+      ("http://d/4", "urn:uuid:rd", "urn:uuid:qd", "resp d", "req d")))
   }
 
   test("warcinfoFields: key:value lines in order, duplicates kept in " +

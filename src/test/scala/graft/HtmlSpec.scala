@@ -349,14 +349,16 @@ class HtmlSpec extends AnyFunSuite {
       (false, false), (false, false), (null, null)))
   }
 
-  test("htmlImages: three quote styles, src-less and data-src/<imgx " +
-      "decoys skipped, alt through the kernel, empty alt stays empty") {
+  test("htmlImages: three quote styles, src-less / EMPTY-src and " +
+      "data-src/<imgx decoys skipped, alt through the kernel, empty " +
+      "alt stays empty") {
     val s = spark
     import s.implicits._
     val html = "<img src=\"/a.jpg\" alt=\"caf&eacute;  &amp; x\">" +
       "<IMG ALT='b first' SRC='/b.png'>" + // any case, any attr order
       "<img src=/c.gif>" +
       "<img src=\"/d.webp\" alt=\"\">" + // decorative: alt stays ""
+      "<img src=\"\" alt=\"no url\">" + // r18 advice: quoted-empty src
       "<img data-src=\"/decoy\" alt=x><img alt=nosrc><imgx src=\"/no\">"
     val got = Seq(html).toDF("h")
       .select(explode(TextFunctions.htmlImages(col("h"))).as("im"))
@@ -375,8 +377,9 @@ class HtmlSpec extends AnyFunSuite {
       .isNullAt(0)) // null html -> null
   }
 
-  test("srcsetUrls: comma-descriptor grammar, density and width " +
-      "descriptors dropped, empty candidates dropped, null -> null") {
+  test("srcsetUrls: whitespace-tokenized grammar — descriptors " +
+      "dropped, empty candidates dropped, commas INSIDE a token stay " +
+      "in the URL (data-URI safe), null -> null") {
     val s = spark
     import s.implicits._
     def u(ss: String): Seq[String] =
@@ -389,6 +392,11 @@ class HtmlSpec extends AnyFunSuite {
       Seq("a.jpg", "b.jpg", "c.jpg"))
     assert(u("solo.png") == Seq("solo.png"))
     assert(u("x.png 1x,") == Seq("x.png")) // trailing comma
+    // r18 what's-wrong #1: the data-URI's comma is part of the URL
+    assert(u("data:image/png;base64,iVBORw0KGg== 1x, /b.png 2x") ==
+      Seq("data:image/png;base64,iVBORw0KGg==", "/b.png"))
+    // separator comma glued to the URL token (no descriptor)
+    assert(u("a.png, b.png") == Seq("a.png", "b.png"))
     assert(u(null) == null)
   }
 }

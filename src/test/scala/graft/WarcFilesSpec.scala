@@ -457,7 +457,8 @@ class WarcFilesSpec extends AnyFunSuite {
   }
 
   test("cdxClusterRecords: tab-separated secondary-index lines parse; " +
-      "short/junk lines keep their row with null extents") {
+      "short/junk lines keep their row with null extents; a tab-less " +
+      "line nulls surt/ts too (no fabricated range-scan keys)") {
     val s = spark
     import s.implicits._
     val rows = Seq(
@@ -467,7 +468,9 @@ class WarcFilesSpec extends AnyFunSuite {
       .toDF("id", "line")
     val got = WarcFiles.cdxClusterRecords(rows, "id", "line")
       .orderBy("id").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
         if (r.isNullAt(3)) null else r.getString(3),
         if (r.isNullAt(4)) null else r.getLong(4),
         if (r.isNullAt(5)) null else r.getLong(5),
@@ -475,7 +478,7 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(got == Seq(
       (1L, "com,ex)/a", "20260101000000", "cdx-00000.gz", 0L, 1234L, 7L),
       (2L, "com,ex)/b", "20260102000000", "cdx-00001.gz", 99L, null, 8L),
-      (3L, "no", "tabs", null, null, null, null)))
+      (3L, null, null, null, null, null, null)))
   }
 
   test("surtKey: reversed host, www-strip, query kept, junk -> null") {
