@@ -455,6 +455,71 @@ object Web {
   def httpParts(c: Column): Column =
     org.apache.spark.sql.graftnative.WebFunctions.httpParts(c)
 
+  /** HTTP REQUEST-message parsing for WARC `request` records (r18
+    * verdict missing #3): BINARY payload → struct(method, target,
+    * http_version, headers array<struct<name,value>>, body BINARY,
+    * body_mode, content_type, user_agent). The request half of
+    * [[httpParts]] — the user-agent audit and conditional-fetch
+    * analysis each need these fields without an ad-hoc per-query
+    * regex; the header-block / chunked / content-encoding machinery
+    * and degradation table are the SAME shared kernel code path. Full
+    * constrained semantics on
+    * [[org.apache.spark.sql.graftnative.HttpRequestParts]]. Pure
+    * scan-side codegen'd kernel; null → null. */
+  def httpRequestParts(c: Column): Column =
+    org.apache.spark.sql.graftnative.WebFunctions.httpRequestParts(c)
+
+  /** `X-Robots-Tag` response-header directives as filter-ready
+    * booleans: struct(noindex, nofollow) from ALL `X-Robots-Tag`
+    * values in an [[httpParts]] `headers` array — the HTTP-level
+    * counterpart of [[graft.functions.TextFunctions.metaRobotsFlags]]
+    * (same struct shape, so the composed governance gate is
+    * `meta.noindex || xrobots.noindex`), which is how non-HTML
+    * payloads (PDFs, images) carry REP directives at all.
+    *
+    * Constrained, engine-replayable semantics (the Google/Bing
+    * convention the header follows): each header value may carry ONE
+    * optional leading `useragent:` scope — recognized when the text
+    * before the first `:` is a plain product token that is NOT a
+    * parameterful directive keyword (`max-snippet:-1` /
+    * `unavailable_after: …` stay directives); a scoped value applies
+    * only when the scope equals `agent` (case-insensitive), an
+    * unscoped value applies to every agent. Applicable values split
+    * on commas into trimmed lowercased directives; `none` implies
+    * both flags (the [[graft.functions.TextFunctions
+    * .metaRobotsFlags]] rule). No applicable directives → (false,
+    * false), indexable by default; null headers → null. Pure
+    * scan-side array expression, no shuffle. */
+  def xRobotsFlags(headers: Column, agent: String = "*"): Column = {
+    val agentLc = lit(agent.toLowerCase(java.util.Locale.ROOT))
+    // parameterful directive keywords whose leading token must NOT be
+    // mistaken for an agent scope
+    val directiveKw = array(Seq("all", "noindex", "nofollow", "none",
+      "noarchive", "nosnippet", "notranslate", "noimageindex",
+      "indexifembedded", "max-snippet", "max-image-preview",
+      "max-video-preview", "unavailable_after").map(lit): _*)
+    val vals = transform(
+      filter(headers, h =>
+        lower(h.getField("name")) === "x-robots-tag"),
+      h => h.getField("value"))
+    def scopeOf(v: Column): Column =
+      lower(regexp_extract(v, "^[ \t]*([A-Za-z0-9*_-]+)[ \t]*:", 1))
+    def isScoped(v: Column): Column =
+      scopeOf(v) =!= "" && !array_contains(directiveKw, scopeOf(v))
+    val applicable = filter(vals, v =>
+      !isScoped(v) || scopeOf(v) === agentLc)
+    val dirs = flatten(transform(applicable, v =>
+      transform(
+        split(when(isScoped(v),
+          regexp_replace(v, "^[ \t]*[A-Za-z0-9*_-]+[ \t]*:", ""))
+          .otherwise(v), ","),
+        d => trim(lower(d)))))
+    def has(name: String): Column =
+      array_contains(dirs, name) || array_contains(dirs, "none")
+    when(headers.isNotNull,
+      struct(has("noindex").as("noindex"), has("nofollow").as("nofollow")))
+  }
+
   /** First header VALUE with the given (case-insensitive) name from an
     * [[httpParts]] `headers` array; null when absent. Scan-side array
     * expression. */

@@ -189,12 +189,100 @@ class HttpPartsSpec extends AnyFunSuite {
     assert(ct("not http".getBytes("UTF-8")) == null) // raw row
   }
 
-  test("httpParts and decodeCharsetHint stay inside whole-stage codegen") {
+  test("httpRequestParts: request line + ordered headers + user_agent; " +
+      "bodies share the chunked/encoding machinery; non-request " +
+      "payloads (incl. a RESPONSE message) degrade to the raw row") {
+    val s = spark
+    import s.implicits._
+    def rparse(payload: Array[Byte]) = {
+      val r = Seq(Tuple1(payload)).toDF("p")
+        .select(Web.httpRequestParts(col("p")).as("h"))
+        .select(col("h.method"), col("h.target"), col("h.http_version"),
+          col("h.headers"), col("h.body").cast("string"),
+          col("h.body_mode"), col("h.content_type"), col("h.user_agent"))
+        .collect().head
+      (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(h => (h.getString(0), h.getString(1))),
+        r.getString(4), r.getString(5),
+        if (r.isNullAt(6)) null else r.getString(6),
+        if (r.isNullAt(7)) null else r.getString(7))
+    }
+    val get = asciiBytes("GET /p/1?x=2 HTTP/1.1" + CRLF +
+      "Host: ex.com" + CRLF +
+      "User-Agent: graftbot/1.0 (+http://g.ex)" + CRLF + CRLF)
+    assert(rparse(get) == ("GET", "/p/1?x=2", "1.1",
+      Seq(("Host", "ex.com"),
+        ("User-Agent", "graftbot/1.0 (+http://g.ex)")),
+      "", "identity", null, "graftbot/1.0 (+http://g.ex)"))
+    // POST body + content_type essence; chunked requests de-frame too
+    val post = asciiBytes("POST /submit HTTP/1.1" + CRLF +
+      "Content-Type: Application/JSON; charset=utf-8" + CRLF +
+      "Transfer-Encoding: chunked" + CRLF + CRLF +
+      "5" + CRLF + "hello" + CRLF + "0" + CRLF + CRLF)
+    val pp = rparse(post)
+    assert(pp._1 == "POST" && pp._5 == "hello" && pp._6 == "chunked" &&
+      pp._7 == "application/json" && pp._8 == null)
+    // a response message is NOT a request: raw row (method token
+    // cannot contain '/')
+    val resp = asciiBytes("HTTP/1.1 200 OK" + CRLF + CRLF + "x")
+    val rr = rparse(resp)
+    assert(rr._1 == null && rr._4.isEmpty && rr._6 == "raw" &&
+      rr._5 == "HTTP/1.1 200 OK" + CRLF + CRLF + "x")
+    // junk prose: raw
+    assert(rparse("no request here".getBytes("UTF-8"))._6 == "raw")
+  }
+
+  test("xRobotsFlags: unscoped applies, foreign scope ignored, our " +
+      "scope applies, parameterful directives are never scopes, none " +
+      "implies both, null headers -> null") {
+    val s = spark
+    import s.implicits._
+    def flags(vals: Seq[String], agent: String): (Boolean, Boolean) = {
+      val hs = vals.map(v =>
+        s"X-Robots-Tag: $v").mkString("HTTP/1.1 200 OK" + CRLF,
+        CRLF, CRLF + CRLF + "x")
+      val r = Seq(Tuple1(hs.getBytes("ISO-8859-1"))).toDF("p")
+        .select(Web.xRobotsFlags(
+          Web.httpParts(col("p")).getField("headers"), agent).as("f"))
+        .select(col("f.noindex"), col("f.nofollow")).collect().head
+      (r.getBoolean(0), r.getBoolean(1))
+    }
+    assert(flags(Seq("noindex, nofollow"), "graftbot") == (true, true))
+    assert(flags(Seq("NOINDEX"), "graftbot") == (true, false))
+    assert(flags(Seq("none"), "graftbot") == (true, true))
+    assert(flags(Seq("otherbot: noindex"), "graftbot") == (false, false))
+    assert(flags(Seq("graftbot: nofollow"), "graftbot") == (false, true))
+    assert(flags(Seq("GraftBot: noindex"), "graftbot") == (true, false))
+    // parameterful keywords keep their colon and stay unscoped values
+    assert(flags(Seq("max-snippet:-1, noindex"), "graftbot") ==
+      (true, false))
+    assert(flags(Seq("unavailable_after: 25 Jun 2030"), "graftbot") ==
+      (false, false))
+    // several headers accumulate
+    assert(flags(Seq("otherbot: noindex", "nofollow"), "graftbot") ==
+      (false, true))
+    assert(flags(Seq.empty, "graftbot") == (false, false))
+    // null headers -> null struct
+    val n = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("p")
+      .select(Web.xRobotsFlags(
+        when(col("p").isNotNull, Web.httpParts(col("p"))
+          .getField("headers")), "graftbot"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("httpParts, httpRequestParts and decodeCharsetHint stay inside " +
+      "whole-stage codegen") {
     val p = spark.range(2)
       .select(WebFunctions.decodeCharsetHint(
         WebFunctions.httpParts(concat(lit("HTTP/1.1 200 OK\r\n\r\n"),
           col("id").cast("string")).cast("binary")).getField("body"),
-        lit("text/plain")))
+        lit("text/plain")),
+        WebFunctions.httpRequestParts(concat(lit("GET /p HTTP/1.1\r\n\r\n"),
+          col("id").cast("string")).cast("binary")).getField("method"))
       .queryExecution.executedPlan.toString
     assert(p.contains("*(1) Project"), p.take(800))
     assert(!p.contains("CodegenFallback"), p.take(800))
