@@ -164,6 +164,60 @@ class CrawlFormatsSpec extends AnyFunSuite {
       ("http://d/4", "urn:uuid:rd", "urn:uuid:qd", "resp d", "req d")))
   }
 
+  test("watEnvelope/watMetadata/watLinks: typed fields from the WAT " +
+      "JSON envelope; junk payload -> null metadata and ONE null link " +
+      "row; empty envelope -> null fields, row kept") {
+    val s = spark
+    import s.implicits._
+    val wat = """{"Envelope":{"WARC-Header-Metadata":{""" +
+      """"WARC-Target-URI":"http://ex.com/p","WARC-Date":""" +
+      """"2026-01-01T00:00:00Z","WARC-Type":"metadata"},""" +
+      """"Payload-Metadata":{"HTTP-Response-Metadata":{""" +
+      """"Response-Message":{"Status":"200"},""" +
+      """"Headers":{"Content-Type":"text/html; charset=utf-8",""" +
+      """"Server":"x"},"HTML-Metadata":{""" +
+      """"Head":{"Title":"A title","Base":"http://ex.com/base/"},""" +
+      """"Links":[{"path":"A@/href","url":"/a","text":"first"},""" +
+      """{"path":"IMG@/src","url":"i.png"},""" +
+      """{"path":"A@/href","url":"../b","rel":"nofollow"}]}}}},""" +
+      """"Container":{"Filename":"f.warc.gz","Offset":"123"}}"""
+    val df = Seq((1L, wat), (2L, "shapeless junk, not json"),
+      (3L, "{}")).toDF("id", "p")
+    val m = df.select(col("id"), Web.watMetadata(col("p")).as("m"))
+      .orderBy("id").collect()
+    val m1 = m(0).getStruct(1)
+    assert(m1.getString(0) == "http://ex.com/p" &&
+      m1.getString(1) == "2026-01-01T00:00:00Z" &&
+      m1.getString(2) == "200" &&
+      m1.getString(3) == "text/html; charset=utf-8" &&
+      m1.getString(4) == "A title" &&
+      m1.getString(5) == "http://ex.com/base/" &&
+      m1.getInt(6) == 3)
+    assert(m(1).isNullAt(1)) // junk -> null struct
+    assert(m(2).isNullAt(1)) // no Envelope -> null struct
+    val l = Web.watLinks(df, "id", "p").orderBy("id", "link_idx")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4),
+        if (r.isNullAt(6)) null else r.getString(6))).toSeq
+    assert(l == Seq(
+      (1L, 0, "/a", "A@/href", "first", null),
+      (1L, 1, "i.png", "IMG@/src", null, null),
+      (1L, 2, "../b", "A@/href", null, "nofollow"),
+      (2L, null, null, null, null, null),
+      (3L, null, null, null, null, null)))
+    // the resolve/canonicalize chain the docstring names composes
+    val edges = Web.watLinks(df.where(col("id") === 1), "id", "p")
+      .where(col("path") === "A@/href")
+      .select(Web.canonicalizeUrl(Web.resolveUrl(
+        lit("http://ex.com/base/"), col("url"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(edges == Seq("http://ex.com/a", "http://ex.com/b"))
+  }
+
   test("warcinfoFields: key:value lines in order, duplicates kept in " +
       "the array, colon-less lines dropped, accessor first-wins and " +
       "case-insensitive") {
