@@ -9013,6 +9013,60 @@ object SparkEntry {
       |  text || ' file-ingest ' || CAST(doc_id AS VARCHAR) AS payload
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("web_cdxj_write_roundtrip", (s, dir) => {
+      // the write-side index closure (r18 verdict missing #2): per doc
+      // one analytic CDXJ line → writeCdxjGz (range-partitioned global
+      // (surt, ts) sort, zipnum gzip blocks of 7 lines, cluster.idx
+      // over the blocks) → readCdxjGz runs the full two-level lookup
+      // back (cluster.idx parse → one ranged read per block →
+      // CRC-verified inflate → cdxjRecords) — every planted field must
+      // come back bit-exact into the generative oracle. The writer is
+      // distributed (one range exchange + streamed Hadoop FS output);
+      // the temp-dir target is fixture scale like the file rows.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val surt = concat(lit("ex,h"), k, lit(")/d/"), id)
+      val ts = concat(lit("2026010"),
+        (col("doc_id") % 9 + 1).cast(StringType), lit("000000"))
+      val json = concat(
+        lit("{\"url\": \"http://h"), k, lit(".ex/d/"), id,
+        lit("\", \"digest\": \"sha1:D"), id, lit("\", \"length\": \""),
+        (col("doc_id") % 50 + 20).cast(StringType),
+        lit("\", \"offset\": \""), (col("doc_id") * 100).cast(StringType),
+        lit("\", \"filename\": \"seg-"), k, lit(".warc.gz\"}"))
+      val src = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), surt.as("surt"), ts.as("ts"),
+          concat(surt, lit(" "), ts, lit(" "), json).as("line"))
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft_cdxj_write_q")
+      outDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeCdxjGz(
+        src.select("surt", "ts", "line"), outDir.toString, 3,
+        blockLines = 7)
+      graft.sources.WarcFiles.readCdxjGz(s, outDir.toString)
+        .select(regexp_extract(col("url"), "/d/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("surt"), col("ts"), col("url"), col("filename"),
+          col("offset"), col("length"), col("digest"), col("mime"),
+          col("status"),
+          (col("line_no") >= 0 && col("cluster_id") >= 0)
+            .cast(IntegerType).as("lookup_ok"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 30 AS VARCHAR) AS k FROM documents
+      |  WHERE doc_id IS NOT NULL)
+      |SELECT doc_id, 'ex,h' || k || ')/d/' || i AS surt,
+      |  '2026010' || CAST(doc_id % 9 + 1 AS VARCHAR) || '000000' AS ts,
+      |  'http://h' || k || '.ex/d/' || i AS url,
+      |  'seg-' || k || '.warc.gz' AS filename,
+      |  CAST(doc_id * 100 AS BIGINT) AS offset,
+      |  CAST(doc_id % 50 + 20 AS BIGINT) AS length,
+      |  'sha1:D' || i AS digest,
+      |  CAST(NULL AS VARCHAR) AS mime, CAST(NULL AS VARCHAR) AS status,
+      |  1 AS lookup_ok
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("web_warc_ranges", (s, dir) => {
       // SELECTIVE ranged ingest (the Common-Crawl usage pattern: fetch
       // exactly these records by the shipped index's byte ranges):

@@ -481,6 +481,133 @@ class WarcFilesSpec extends AnyFunSuite {
       (3L, null, null, null, null, null, null)))
   }
 
+  test("writeCdxjGz: zipnum shards in global (surt, ts) order, one " +
+      "gzip member per block, cluster.idx names every block with " +
+      "contiguous sequence numbers and tiling extents") {
+    val s = spark
+    import s.implicits._
+    // 23 lines in SHUFFLED input order; surt/ts sort restores them
+    val n = 23
+    val rows = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(11)).shuffle((0 until n).toList).map { i =>
+      val surt = f"ex,h$i%03d)/p"
+      val ts = "20260101000000"
+      (surt, ts, s"$surt $ts " + s"""{"url": "http://h$i.ex/p"}""")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxj_w")
+    dir.toFile.deleteOnExit()
+    val m = graft.sources.WarcFiles.writeCdxjGz(
+      rows.toDF("surt", "ts", "line"), dir.toString, 3, blockLines = 4)
+      .orderBy("shard").collect()
+    assert(m.map(_.getAs[Long]("n_lines")).sum == n)
+    val files = dir.toFile.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(files.contains("cluster.idx") &&
+      files.count(_.matches("cdx-[0-9]{5}\\.gz")) == m.length)
+    // shard bytes in the manifest == on-disk sizes
+    m.foreach { r =>
+      val f = new java.io.File(r.getAs[String]("path"))
+      assert(f.length == r.getAs[Long]("bytes"))
+    }
+    // global order: lines concatenated in shard-name order == sorted
+    val gotLines = files.filter(_.endsWith(".gz")).flatMap { f =>
+      val bytes = java.nio.file.Files.readAllBytes(dir.resolve(f))
+      val members = org.apache.spark.sql.graftnative.GunzipMembers
+        .compute(bytes)
+      (0 until members.numElements()).flatMap(i =>
+        new String(members.getBinary(i), "UTF-8")
+          .split("\n").filter(_.nonEmpty))
+    }
+    assert(gotLines == rows.map(_._3).sorted)
+    // every member holds <= blockLines lines
+    files.filter(_.endsWith(".gz")).foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(dir.resolve(f))
+      val members = org.apache.spark.sql.graftnative.GunzipMembers
+        .compute(bytes)
+      (0 until members.numElements()).foreach(i => assert(
+        new String(members.getBinary(i), "UTF-8")
+          .split("\n").count(_.nonEmpty) <= 4))
+    }
+    // cluster.idx: contiguous sequence, keys = each block's first
+    // line, extents tile each shard file
+    val cl = graft.sources.WarcFiles.cdxClusterRecords(
+      spark.read.textFile(dir.toString + "/cluster.idx").toDF("line")
+        .withColumn("id", monotonically_increasing_id()), "id", "line")
+      .orderBy("cluster_id").collect()
+    assert(cl.map(_.getAs[Long]("cluster_id")).toSeq ==
+      (0L until cl.length))
+    cl.groupBy(_.getAs[String]("filename")).foreach { case (f, bs) =>
+      val sorted = bs.sortBy(_.getAs[Long]("offset"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("offset") +
+          a.getAs[Long]("length") == b.getAs[Long]("offset"))
+        case _ => ()
+      }
+      assert(sorted.map(_.getAs[Long]("length")).sum ==
+        new java.io.File(dir.resolve(f).toString).length)
+    }
+    assert(cl.head.getAs[String]("surt") == "ex,h000)/p")
+    // two-level read-back: every line parses back, ids globalized
+    val back = graft.sources.WarcFiles.readCdxjGz(spark, dir.toString)
+      .collect()
+    assert(back.length == n)
+    assert(back.map(_.getAs[String]("url")).toSet ==
+      (0 until n).map(i => s"http://h$i.ex/p").toSet)
+    assert(back.map(r => (r.getAs[Long]("cluster_id"),
+      r.getAs[Int]("line_no"))).distinct.length == n)
+  }
+
+  test("writeCdxjGz roundtrip law over a real corpus index: " +
+      "readCdxjGz(writeCdxjGz(warcCdxjLines(warcCdx))) == " +
+      "cdxjRecords(lines); stale shards and debris pre-cleaned") {
+    val s = spark
+    import s.implicits._
+    val wdir = writeTemp(
+      "a.warc.gz" -> fileBytes("a", 5),
+      "b.warc.gz" -> fileBytes("b", 3))
+    val cdx = WarcFiles.warcCdx(spark, s"$wdir/*.warc.gz", 600L)
+      .localCheckpoint()
+    val lines = WarcFiles.warcCdxjLines(cdx).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxj_rt")
+    dir.toFile.deleteOnExit()
+    // prior run with MORE shards + tmp debris must be cleaned
+    WarcFiles.writeCdxjGz(lines, dir.toString, 7, blockLines = 2)
+    val tmp = dir.resolve("_tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("cdx-00000.gz.999"),
+      "debris".getBytes("UTF-8"))
+    WarcFiles.writeCdxjGz(lines, dir.toString, 2, blockLines = 3)
+    val files = dir.toFile.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    assert(files.forall(f => f == "cluster.idx" ||
+      f.matches("cdx-[0-9]{5}\\.gz")), files.toString)
+    assert(files.count(_.endsWith(".gz")) <= 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("surt"), col("ts"), col("url"), col("filename"),
+        col("offset"), col("length"), col("digest"))
+      .collect().map(_.toSeq).toSet
+    val want = key(WarcFiles.cdxjRecords(
+      lines.withColumn("id", lit(1L)), "id", "line"))
+    val got = key(WarcFiles.readCdxjGz(spark, dir.toString))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("writeCdxjGz: empty input still ships an empty cluster.idx " +
+      "and no shards; readCdxjGz of it is empty, not an error") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxj_e")
+    dir.toFile.deleteOnExit()
+    val m = WarcFiles.writeCdxjGz(
+      Seq.empty[(String, String, String)].toDF("surt", "ts", "line"),
+      dir.toString, 3).collect()
+    assert(m.isEmpty)
+    val files = dir.toFile.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq
+    assert(files == Seq("cluster.idx"))
+    assert(WarcFiles.readCdxjGz(spark, dir.toString).count() == 0)
+  }
+
   test("surtKey: reversed host, www-strip, query kept, junk -> null") {
     val s = spark
     import s.implicits._
