@@ -9093,6 +9093,44 @@ object SparkEntry {
       |FROM documents WHERE doc_id % 3 = 0
       |ORDER BY doc_id""".stripMargin)),
 
+    Q("pipeline_digest_dedup", (s, dir) => {
+      // the cheapest real Common-Crawl dedup path (r18 verdict next
+      // #4): dedup a corpus against a SHIPPED index by digest ALONE —
+      // the shipped side never reads a payload, and the two digest
+      // spellings (the library's payloadDigest of the record bytes vs
+      // the cdxj line's parsed json field) must actually JOIN. The
+      // shipped index is generated for doc_id%3==0 with the REAL
+      // digests serialized into cdxj text and parsed back through
+      // cdxjRecords; the anti-join must keep exactly the unindexed
+      // docs — any spelling drift between the two sides would keep
+      // everything and fail the oracle count. ONE hash anti-join on
+      // the skinny digest key; digests are unique per doc by
+      // construction (the payload embeds doc_id), so it is skew-free.
+      val id = col("doc_id").cast(StringType)
+      val pay = encode(concat(col("text"), lit(" dd "), id), "UTF-8")
+      val corpus = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), Web.payloadDigest(pay).as("digest"))
+      val shippedLines = corpus.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("ex,h)/d/"), id,
+            lit(" 20260101000000 {\"url\": \"http://h.ex/d/"), id,
+            lit("\", \"digest\": \""), col("digest"), lit("\"}"))
+            .as("line"))
+      val shipped = graft.sources.WarcFiles
+        .cdxjRecords(shippedLines, "doc_id", "line")
+        .select(col("digest").as("__sdigest"))
+      corpus.join(shipped, corpus("digest") === shipped("__sdigest"),
+          "left_anti")
+        .select(col("doc_id"),
+          col("digest").rlike("^sha1:[A-Z2-7]{32}$")
+            .cast(IntegerType).as("digest_ok"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id, 1 AS digest_ok FROM documents
+      |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |  AND doc_id % 3 <> 0
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("pipeline_sitemap_gz", (s, dir) => {
       // sitemaps as they actually ship: gzip-compressed XML — one
       // member per file. gzipCompress → gunzipMembers → decodeText →
