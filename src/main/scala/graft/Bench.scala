@@ -71,7 +71,10 @@ object Bench {
     * atomic renames) followed by the member-boundary chunked FILE
     * READ back, so the file reader/writer pair gets a recurring
     * per-round band instead of only hand-run scale slopes (r17
-    * what's-wrong #4). */
+    * what's-wrong #4); (r19) the CDXJ index tier (`web_cdxj_ingest`)
+    * — warcCdx over real files → serialize to CDXJ text → parse →
+    * re-anchor → tiling-validated indexed ingest, the shipped-index
+    * interop representative (r18 verdict next #6). */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
     "join_inner", "join_left", "join_semi", "join_asof",
@@ -85,7 +88,7 @@ object Bench {
     "events_rfm", "stat_spearman", "events_kaplan_meier",
     "text_html_extract", "text_html_main", "web_robots_decide",
     "web_warc_gzip", "pipeline_warc_response",
-    "web_warc_write_roundtrip")
+    "web_warc_write_roundtrip", "web_cdxj_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
