@@ -649,11 +649,13 @@ object TextFunctions {
     * URL); URL tokens have leading/trailing commas stripped, empties
     * dropped. Commas INSIDE a token stay in the URL — exactly the
     * spec parser's behavior, so `data:image/png;base64,AAA 1x,
-    * b.png 2x` yields the intact data-URI then `b.png`. Constrained
-    * residual (documented): `a.jpg ,b.jpg` — a separator comma glued
-    * to the FOLLOWING token after a non-comma-terminated descriptor —
-    * needs the spec's descriptor-state machine and is out of scope.
-    * Scan-side array expression; null → null. */
+    * b.png 2x` yields the intact data-URI then `b.png`; a separator
+    * glued to the following token (`a.jpg ,b.jpg`, `a.jpg 1x ,b.jpg`)
+    * lands on the comma-prefixed rule. Constrained residual
+    * (documented): a MID-candidate token that merely begins with a
+    * comma (a malformed descriptor like `,2x`) is mistaken for a URL
+    * — inputs the spec itself calls parse errors. Scan-side array
+    * expression; null → null. */
   def srcsetUrls(ss: Column): Column = {
     val toks = filter(split(ss, "[ \\t\\n\\r\\f]+"), t => t =!= "")
     // prev-token lookup guarded by a lazy `when` (element_at index 0

@@ -991,17 +991,30 @@ object WarcFiles {
     * the cdx); block extents hash-repartition for the ranged reads
     * (the [[readChunks]] machinery); one bounded window + one skinny
     * join globalize block ids; everything else is scan-side. */
-  def readCdxjGz(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nf = org.apache.spark.sql.graftnative.WebFunctions
-    import spark.implicits._
+  def readCdxjGz(spark: SparkSession, dir: String): DataFrame =
+    readCdxjBlocks(parseClusterIdx(spark, dir))
+
+  /** Parsed `cluster.idx` rows of a [[writeCdxjGz]] directory,
+    * re-anchored to full shard paths: (path, offset, length,
+    * cluster_id). The block-grain frame both the full read and the
+    * range lookup start from. */
+  private def parseClusterIdx(spark: SparkSession, dir: String)
+      : DataFrame = {
     val clusterLines = spark.read.textFile(dir + "/cluster.idx")
       .toDF("line").withColumn("__cid", monotonically_increasing_id())
-    val keyed = cdxClusterRecords(clusterLines, "__cid", "line")
+    cdxClusterRecords(clusterLines, "__cid", "line")
       .where(col("filename").isNotNull && col("offset").isNotNull &&
         col("length").isNotNull)
       .select(concat(lit(dir + "/"), col("filename")).as("path"),
         col("offset"), col("length"), col("cluster_id"))
+  }
+
+  /** Ranged-read + parse the given block extents (the shared tail of
+    * [[readCdxjGz]] and [[cdxjLookup]]). */
+  private def readCdxjBlocks(blocks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nf = org.apache.spark.sql.graftnative.WebFunctions
+    val keyed = blocks
       .withColumn("chunk_idx", (row_number().over(
         Window.partitionBy(col("path")).orderBy(col("offset")) ) - 1)
         .cast("int"))
@@ -1025,5 +1038,58 @@ object WarcFiles {
         col("surt"), col("ts"), col("url"), col("filename"),
         col("offset"), col("length"), col("digest"), col("mime"),
         col("status"))
+  }
+
+  /** The two-level SELECTIVE lookup — THE query Common Crawl users
+    * run against the shipped index ("every capture of this URL /
+    * this domain"): records whose surt lies in `[surtStart,
+    * surtEnd]` (inclusive; for a prefix lookup pass `p` and
+    * `p + "￿"` — surts are ASCII, so that suffix sorts after
+    * every extension). Only CANDIDATE blocks are fetched: cluster.idx
+    * lines carry each block's FIRST key, so a block may contain
+    * range members iff its first key ≤ end AND the NEXT block's
+    * first key ≥ start — the next-key bound comes from a per-shard
+    * `lead` window (block rows of one shard) with shard boundaries
+    * closed by a window over the ≤nShards per-shard first keys (one
+    * partition of ≤2^20 skinny rows — bounded by the writer's own
+    * shard cap, planner-scale by construction). Blocks outside the
+    * candidate set are NEVER read — the whole point of the two-level
+    * index; the final exact-range filter runs scan-side on the
+    * parsed lines. Output: the [[readCdxjGz]] columns. */
+  def cdxjLookup(spark: SparkSession, dir: String, surtStart: String,
+      surtEnd: String): DataFrame = {
+    require(surtStart <= surtEnd,
+      "cdxjLookup: surtStart must be <= surtEnd")
+    import org.apache.spark.sql.expressions.Window
+    val wShard = Window.partitionBy(col("path")).orderBy(col("cluster_id"))
+    // cluster.idx rows parsed WITH the surt key (parseClusterIdx
+    // projects it away to keep the shared shape skinny)
+    val clusterLines = spark.read.textFile(dir + "/cluster.idx")
+      .toDF("line").withColumn("__cid", monotonically_increasing_id())
+    val withKeys = cdxClusterRecords(clusterLines, "__cid", "line")
+      .where(col("filename").isNotNull && col("offset").isNotNull &&
+        col("length").isNotNull)
+      .select(concat(lit(dir + "/"), col("filename")).as("path"),
+        col("offset"), col("length"), col("cluster_id"), col("surt"))
+      .withColumn("__next", lead(col("surt"), 1).over(wShard))
+    // shard-boundary bound: the NEXT shard's first key (≤nShards rows;
+    // the single-partition window is bounded by the writer's 2^20
+    // shard cap — planner-scale by construction)
+    val firsts = withKeys.groupBy(col("path"))
+      .agg(min_by(col("surt"), col("cluster_id")).as("__first"))
+      .withColumn("__next_shard_first",
+        lead(col("__first"), 1).over(Window.orderBy(col("path"))))
+      .select(col("path").as("__fpath"), col("__next_shard_first"))
+    val candidates = withKeys
+      .join(broadcast(firsts), withKeys("path") === firsts("__fpath"),
+        "left")
+      .withColumn("__bound",
+        coalesce(col("__next"), col("__next_shard_first")))
+      .where(col("surt") <= lit(surtEnd) &&
+        (col("__bound").isNull || col("__bound") >= lit(surtStart)))
+      .select(col("path"), col("offset"), col("length"),
+        col("cluster_id"))
+    readCdxjBlocks(candidates)
+      .where(col("surt") >= lit(surtStart) && col("surt") <= lit(surtEnd))
   }
 }

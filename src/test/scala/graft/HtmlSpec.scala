@@ -397,6 +397,9 @@ class HtmlSpec extends AnyFunSuite {
       Seq("data:image/png;base64,iVBORw0KGg==", "/b.png"))
     // separator comma glued to the URL token (no descriptor)
     assert(u("a.png, b.png") == Seq("a.png", "b.png"))
+    // separator glued to the FOLLOWING token instead
+    assert(u("a.jpg ,b.jpg") == Seq("a.jpg", "b.jpg"))
+    assert(u("a.jpg 1x ,b.jpg 2x") == Seq("a.jpg", "b.jpg"))
     assert(u(null) == null)
   }
 }

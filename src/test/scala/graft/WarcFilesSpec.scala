@@ -592,6 +592,40 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("cdxjLookup: inclusive surt-range lookup returns exactly the " +
+      "range members across shard and block boundaries; empty range " +
+      "is empty; prefix idiom works") {
+    val s = spark
+    import s.implicits._
+    val n = 40
+    val rows = (0 until n).map { i =>
+      val surt = f"ex,h$i%03d)/p"
+      val ts = "20260101000000"
+      (surt, ts, s"$surt $ts " + s"""{"url": "http://h$i.ex/p"}""")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxj_lk")
+    dir.toFile.deleteOnExit()
+    // 4 shards x 3-line blocks: ranges cross BOTH boundaries
+    WarcFiles.writeCdxjGz(rows.toDF("surt", "ts", "line"),
+      dir.toString, 4, blockLines = 3)
+    def lookup(a: String, b: String): Seq[String] =
+      WarcFiles.cdxjLookup(spark, dir.toString, a, b)
+        .select(col("surt")).collect().map(_.getString(0)).sorted.toSeq
+    // mid-range spanning shard/block boundaries, inclusive endpoints
+    assert(lookup("ex,h007)/p", "ex,h023)/p") ==
+      (7 to 23).map(i => f"ex,h$i%03d)/p"))
+    // single key
+    assert(lookup("ex,h011)/p", "ex,h011)/p") == Seq("ex,h011)/p"))
+    // range before / after all keys
+    assert(lookup("aa", "ab").isEmpty)
+    assert(lookup("zz", "zzz").isEmpty)
+    // prefix idiom: p to p + "￿"
+    assert(lookup("ex,h03", "ex,h03￿") ==
+      (30 until 40).map(i => f"ex,h$i%03d)/p"))
+    // full range == full read
+    assert(lookup("", "￿").size == n)
+  }
+
   test("writeCdxjGz: empty input still ships an empty cluster.idx " +
       "and no shards; readCdxjGz of it is empty, not an error") {
     val s = spark
