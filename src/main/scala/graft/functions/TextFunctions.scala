@@ -667,7 +667,9 @@ object TextFunctions {
       zip_with(toks, sequence(lit(1), greatest(size(toks), lit(1))),
         (t, i) => when(
           i === 1 || startswith(t, lit(",")) || prevEndsComma(i),
-          nullif(trim(t, ","), lit("")))),
+          // comma strip via regexp (the two-arg trim() emits a Spark
+          // deprecation WARN on every resolution — log spam at scale)
+          nullif(regexp_replace(t, "^,+|,+$", ""), lit("")))),
       u => u.isNotNull)
   }
 
