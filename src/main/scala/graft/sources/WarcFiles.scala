@@ -488,9 +488,10 @@ object WarcFiles {
     * string-valued, as CC writes them; null fields omitted).
     * `filename` is the BASE NAME of `path` (CC lines carry
     * crawl-relative names; [[cdxjMemberIndex]] re-anchors with a
-    * prefix). Output: (surt, ts, line) — sort by (surt, ts) before
-    * writing to match CC's file order. Pure scan-side projection,
-    * no shuffle. */
+    * prefix). Output: (surt, ts, line) — feed [[writeCdxjGz]], which
+    * owns the global (surt, ts) sort and emits the sharded zipnum
+    * files + cluster.idx in CC's exact layout. Pure scan-side
+    * projection, no shuffle. */
   def warcCdxjLines(cdx: DataFrame): DataFrame = {
     val ts14 = rpad(substring(
       regexp_replace(coalesce(col("warc_date"), lit("")), "[^0-9]", ""),
