@@ -9693,6 +9693,67 @@ object SparkEntry {
       |  'sha1:D' || i AS digest
       |FROM h ORDER BY doc_id""".stripMargin)),
 
+    Q("web_warc_revisit", (s, dir) => {
+      // revisit-record resolution (the deduplicated-crawl record
+      // type): per doc a `response` original + a `revisit` member —
+      // linked by WARC-Refers-To on doc_id%2==0, by the computed
+      // payload digest alone on %2==1, and UNRESOLVABLE (a digest
+      // matching nothing) on %10==9, which must stay visible with
+      // null originals. The resolver's two skinny left joins
+      // materialize the original payload for every resolvable
+      // revisit; DuckDB replays the linkage analytically.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val wf = org.apache.spark.sql.graftnative.WebFunctions
+      val crlf = "\r\n"
+      def ascii(cc: Column): Column = encode(cc, "US-ASCII")
+      val pay = encode(concat(col("text"), lit(" rv "), id), "UTF-8")
+      val rec1 = concat(
+        ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: response" +
+          crlf + "WARC-Record-ID: <urn:uuid:o-"), id, lit(">" + crlf +
+          "WARC-Target-URI: http://h"), k, lit(".ex/p/"), id,
+          lit(crlf + "Content-Length: "),
+          octet_length(pay).cast(StringType), lit(crlf + crlf))),
+        pay, ascii(lit(crlf + crlf)))
+      val link = when(col("doc_id") % 10 === 9,
+          concat(lit("WARC-Payload-Digest: sha1:UNMATCHED"), id,
+            lit(crlf)))
+        .when(col("doc_id") % 2 === 0,
+          concat(lit("WARC-Refers-To: <urn:uuid:o-"), id,
+            lit(">" + crlf)))
+        .otherwise(concat(lit("WARC-Payload-Digest: "),
+          Web.payloadDigest(pay), lit(crlf)))
+      val rec2 = concat(
+        ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: revisit" +
+          crlf + "WARC-Record-ID: <urn:uuid:v-"), id, lit(">" + crlf),
+          link,
+          lit("WARC-Target-URI: http://h"), k, lit(".ex/p/"), id,
+          lit(crlf + "Content-Length: 0" + crlf + crlf + crlf + crlf))))
+      val gz = concat(wf.gzipCompress(rec1), wf.gzipCompress(rec2))
+      val recs = Web.warcRecordsGzip(
+        Tables(s, dir).documents.select(col("doc_id"), gz.as("gz")),
+        "doc_id", "gz")
+      Web.warcRevisitResolve(recs)
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("warc_record_id").as("revisit_id"),
+          col("original_id"),
+          col("original_payload").cast(StringType)
+            .as("original_payload"),
+          col("resolved_via"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, text,
+      |  CAST(doc_id AS VARCHAR) AS i, doc_id % 10 = 9 AS miss,
+      |  doc_id % 2 = 0 AS byid FROM documents)
+      |SELECT doc_id, 'urn:uuid:v-' || i AS revisit_id,
+      |  CASE WHEN miss THEN NULL ELSE 'urn:uuid:o-' || i
+      |    END AS original_id,
+      |  CASE WHEN miss THEN NULL
+      |    ELSE text || ' rv ' || i END AS original_payload,
+      |  CASE WHEN miss THEN NULL WHEN byid THEN 'refers_to'
+      |    ELSE 'digest' END AS resolved_via
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("web_warcinfo", (s, dir) => {
       // warcinfo metadata surfacing (r17 verdict #4's second half):
       // the warcinfo record's payload is itself a key:value block

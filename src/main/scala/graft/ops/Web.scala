@@ -213,6 +213,15 @@ object Web {
         "^<|>$", "").as("warc_record_id"),
       regexp_replace(warcHeader(col("__hdr"), "WARC-Concurrent-To"),
         "^<|>$", "").as("warc_concurrent_to"),
+      // (r19) the revisit/dedup linkage pair: WARC-Refers-To names the
+      // original capture's record id (brackets stripped, the
+      // Record-ID/Concurrent-To convention); WARC-Payload-Digest is
+      // the corpus-convention `sha1:BASE32` — both feed
+      // [[warcRevisitResolve]]
+      regexp_replace(warcHeader(col("__hdr"), "WARC-Refers-To"),
+        "^<|>$", "").as("warc_refers_to"),
+      warcHeader(col("__hdr"), "WARC-Payload-Digest")
+        .as("warc_payload_digest"),
       when(warcHeader(col("__hdr"), "Content-Length")
         .rlike("^[0-9]{1,18}$"),
         warcHeader(col("__hdr"), "Content-Length").cast("long"))
@@ -508,6 +517,69 @@ object Web {
       .select(col("pair_key"), col("target_uri"), col("response_id"),
         col("request_id"), col("response_date"), col("request_date"),
         col("response_payload"), col("request_payload"))
+  }
+
+  /** Resolve `revisit` records to their ORIGINAL captures — the
+    * record type a DEDUPLICATED crawl ships instead of re-storing an
+    * unchanged page (ISO 28500 / WARC 1.1 `identical-payload-digest`
+    * profile): the revisit carries no payload, only a `WARC-Refers-To`
+    * pointer and/or a `WARC-Payload-Digest`, so materializing full
+    * text for a deduped crawl REQUIRES this join. Input: any
+    * binary/gzip reader output (carrying warc_type, warc_record_id,
+    * warc_refers_to, warc_payload_digest, target_uri, warc_date,
+    * payload).
+    *
+    * Resolution order (constrained, engine-replayable): by
+    * `warc_refers_to` = an original's record id first (the explicit
+    * link); records still unresolved fall back to
+    * `warc_payload_digest` = the original's computed [[payloadDigest]]
+    * (the digest spelling CC's own indexes use). Originals =
+    * `response`/`conversion` records; duplicate originals under one
+    * digest collapse to the lexicographically-least record id so the
+    * fallback is deterministic. Output: one row per revisit —
+    * (target_uri, warc_date, warc_record_id, warc_refers_to,
+    * warc_payload_digest, original_id, original_payload,
+    * resolved_via 'refers_to'|'digest'|null) — unresolved revisits
+    * stay visible with null originals, never silently dropped.
+    *
+    * Scale shape: TWO left hash joins on skinny unique keys (record
+    * id; collapsed digest) — the id side is unique by ISO 28500, the
+    * digest side deduplicated by one aggregate before the join; the
+    * payload travels only on the originals' build side, which is the
+    * materialization this operator exists to perform. */
+  def warcRevisitResolve(records: DataFrame): DataFrame = {
+    val originals = records
+      .where(col("warc_type").isin("response", "conversion"))
+      .select(col("warc_record_id").as("__oid"),
+        payloadDigest(col("payload")).as("__odigest"),
+        col("payload").as("__opay"))
+    val byId = originals
+      .where(col("__oid").isNotNull)
+      .select(col("__oid"), col("__opay").as("__pay_id"))
+    val byDigest = originals
+      .where(col("__odigest").isNotNull)
+      .groupBy(col("__odigest"))
+      .agg(min_by(struct(col("__oid"), col("__opay")), col("__oid"))
+        .as("__o"))
+      .select(col("__odigest"), col("__o").getField("__oid").as("__did"),
+        col("__o").getField("__opay").as("__pay_dig"))
+    records.where(col("warc_type") === "revisit")
+      .select(col("target_uri"), col("warc_date"),
+        col("warc_record_id"), col("warc_refers_to"),
+        col("warc_payload_digest"))
+      .join(byId, col("warc_refers_to") === col("__oid"), "left")
+      .join(byDigest,
+        col("warc_payload_digest") === col("__odigest"), "left")
+      .select(col("target_uri"), col("warc_date"),
+        col("warc_record_id"), col("warc_refers_to"),
+        col("warc_payload_digest"),
+        when(col("__oid").isNotNull, col("__oid"))
+          .otherwise(col("__did")).as("original_id"),
+        when(col("__oid").isNotNull, col("__pay_id"))
+          .otherwise(col("__pay_dig")).as("original_payload"),
+        when(col("__oid").isNotNull, lit("refers_to"))
+          .when(col("__did").isNotNull, lit("digest"))
+          .as("resolved_via"))
   }
 
   /** Per-host POLITENESS SCHEDULE: turn an allowed frontier + the

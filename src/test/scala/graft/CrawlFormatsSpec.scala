@@ -218,6 +218,49 @@ class CrawlFormatsSpec extends AnyFunSuite {
     assert(edges == Seq("http://ex.com/a", "http://ex.com/b"))
   }
 
+  test("warcRevisitResolve: refers_to wins, digest fallback is " +
+      "deterministic, unresolved revisits stay visible with nulls") {
+    val s = spark
+    import s.implicits._
+    def rec(typ: String, rid: String, refersTo: String, digest: String,
+        pay: String): String =
+      "WARC/1.0" + CRLF + s"WARC-Type: $typ" + CRLF +
+        s"WARC-Record-ID: <$rid>" + CRLF +
+        (if (refersTo != null) s"WARC-Refers-To: <$refersTo>" + CRLF
+         else "") +
+        (if (digest != null) s"WARC-Payload-Digest: $digest" + CRLF
+         else "") +
+        "WARC-Target-URI: http://r.ex/p" + CRLF +
+        "Content-Length: " + pay.getBytes("UTF-8").length + CRLF +
+        CRLF + pay + CRLF + CRLF
+    def digestOf(pay: String): String = {
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(pay.getBytes("UTF-8"))
+      "sha1:" + org.apache.spark.sql.graftnative.Base32Encode
+        .compute(sha).toString
+    }
+    val w = rec("response", "urn:uuid:oa", null, null, "orig a") +
+      rec("revisit", "urn:uuid:va", "urn:uuid:oa", null, "") +
+      rec("response", "urn:uuid:oc", null, null, "orig c") +
+      rec("revisit", "urn:uuid:vc", null, digestOf("orig c"), "") +
+      rec("revisit", "urn:uuid:vx", null, "sha1:NOPE", "")
+    val records = Web.warcRecordsBinary(
+      Seq((1L, w.getBytes("UTF-8"))).toDF("id", "bin"), "id", "bin")
+    val got = Web.warcRevisitResolve(records)
+      .orderBy("warc_record_id")
+      .select(col("warc_record_id"), col("original_id"),
+        col("original_payload").cast("string"), col("resolved_via"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    assert(got == Seq(
+      ("urn:uuid:va", "urn:uuid:oa", "orig a", "refers_to"),
+      ("urn:uuid:vc", "urn:uuid:oc", "orig c", "digest"),
+      ("urn:uuid:vx", null, null, null)))
+  }
+
   test("warcinfoFields: key:value lines in order, duplicates kept in " +
       "the array, colon-less lines dropped, accessor first-wins and " +
       "case-insensitive") {
