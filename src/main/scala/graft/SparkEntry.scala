@@ -9458,9 +9458,13 @@ object SparkEntry {
         (col("doc_id") % 9 + 1).cast(StringType),
         lit("T00:00:00Z\"},\"Payload-Metadata\":{" +
           "\"HTTP-Response-Metadata\":{" +
-          "\"Response-Message\":{\"Status\":\"200\"}," +
-          "\"Headers\":{\"Content-Type\":\"text/html\"}," +
-          "\"HTML-Metadata\":{\"Head\":{\"Title\":\"Doc "), id,
+          "\"Response-Message\":{\"Status\":\"200\"},\"Headers\":"),
+        // doc_id%10==8: a Headers object WITHOUT Content-Type (r19
+        // advice — routine in real WAT) must degrade to null, never
+        // an ANSI MAP_KEY_DOES_NOT_EXIST crash
+        when(col("doc_id") % 10 === 8, lit("{\"Server\":\"nginx\"}"))
+          .otherwise(lit("{\"Content-Type\":\"text/html\"}")),
+        lit(",\"HTML-Metadata\":{\"Head\":{\"Title\":\"Doc "), id,
         lit("\"},\"Links\":[" +
           "{\"path\":\"A@/href\",\"url\":\"/rel/"), id,
         lit("\",\"text\":\"Rel "), id,
@@ -9500,7 +9504,9 @@ object SparkEntry {
       |  text, rel,
       |  'http://h' || k || '.ex/p/' || i AS target_uri,
       |  'Doc ' || i AS title, '200' AS status,
-      |  'text/html' AS content_type, CAST(3 AS INTEGER) AS n_links
+      |  CASE WHEN doc_id % 10 = 8 THEN NULL
+      |    ELSE 'text/html' END AS content_type,
+      |  CAST(3 AS INTEGER) AS n_links
       |FROM links
       |UNION ALL
       |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -9707,7 +9713,14 @@ object SparkEntry {
       val wf = org.apache.spark.sql.graftnative.WebFunctions
       val crlf = "\r\n"
       def ascii(cc: Column): Column = encode(cc, "US-ASCII")
-      val pay = encode(concat(col("text"), lit(" rv "), id), "UTF-8")
+      // the original stores the full HTTP message (status line +
+      // headers + body) — crawl reality for `response` records; the
+      // revisit's crawler-written digest covers ONLY the entity-body
+      // (r19 advice), which the resolver's fallback must recompute
+      // through the httpParts kernel, never over the whole block
+      val body = encode(concat(col("text"), lit(" rv "), id), "UTF-8")
+      val pay = concat(ascii(lit("HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/plain" + crlf + crlf)), body)
       val rec1 = concat(
         ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: response" +
           crlf + "WARC-Record-ID: <urn:uuid:o-"), id, lit(">" + crlf +
@@ -9722,7 +9735,7 @@ object SparkEntry {
           concat(lit("WARC-Refers-To: <urn:uuid:o-"), id,
             lit(">" + crlf)))
         .otherwise(concat(lit("WARC-Payload-Digest: "),
-          Web.payloadDigest(pay), lit(crlf)))
+          Web.payloadDigest(body), lit(crlf)))
       val rec2 = concat(
         ascii(concat(lit("WARC/1.0" + crlf + "WARC-Type: revisit" +
           crlf + "WARC-Record-ID: <urn:uuid:v-"), id, lit(">" + crlf),
@@ -9749,7 +9762,10 @@ object SparkEntry {
       |  CASE WHEN miss THEN NULL ELSE 'urn:uuid:o-' || i
       |    END AS original_id,
       |  CASE WHEN miss THEN NULL
-      |    ELSE text || ' rv ' || i END AS original_payload,
+      |    ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+      |      'Content-Type: text/plain' || chr(13) || chr(10) ||
+      |      chr(13) || chr(10) || text || ' rv ' || i
+      |    END AS original_payload,
       |  CASE WHEN miss THEN NULL WHEN byid THEN 'refers_to'
       |    ELSE 'digest' END AS resolved_via
       |FROM h ORDER BY doc_id""".stripMargin)),
@@ -9877,7 +9893,9 @@ object SparkEntry {
         lit("-2x.png 2x\"><img src=\"/d/"), id,
         lit(".png\" srcset=\"data:image/png;base64,AA"), id,
         lit("BB 1x, /d/"), id,
-        lit("-big.png 2x\"><p><img src=/u/"), id,
+        lit("-big.png 2x\"><img src=\"/g/"), id,
+        lit(".png\" srcset=\"/g/"), id, lit("-a.png 1x,/g/"), id,
+        lit("-b.png 2x\"><p><img src=/u/"), id,
         lit(".gif></p><imgx src=\"/not-img\"></body></html>"))
       Tables(s, dir).documents
         .select(col("doc_id"),
@@ -9902,7 +9920,10 @@ object SparkEntry {
       |  '.png" srcset="data:image/png;base64,AA' ||
       |  CAST(doc_id AS VARCHAR) || 'BB 1x, /d/' ||
       |  CAST(doc_id AS VARCHAR) ||
-      |  '-big.png 2x"><p><img src=/u/' || CAST(doc_id AS VARCHAR) ||
+      |  '-big.png 2x"><img src="/g/' || CAST(doc_id AS VARCHAR) ||
+      |  '.png" srcset="/g/' || CAST(doc_id AS VARCHAR) ||
+      |  '-a.png 1x,/g/' || CAST(doc_id AS VARCHAR) ||
+      |  '-b.png 2x"><p><img src=/u/' || CAST(doc_id AS VARCHAR) ||
       |  '.gif></p><imgx src="/not-img"></body></html>' AS html
       |  FROM documents),
       |t AS (SELECT doc_id, list_filter(
@@ -9940,7 +9961,10 @@ object SparkEntry {
       |    ELSE array_to_string(list_filter(list_transform(toks,
       |      (t2, i) -> CASE WHEN i = 1 OR t2 LIKE ',%'
       |        OR (i > 1 AND toks[i - 1] LIKE '%,')
-      |        THEN nullif(trim(t2, ','), '') END),
+      |        THEN nullif(trim(t2, ','), '')
+      |        WHEN t2 LIKE '%,%'
+      |        THEN nullif(trim(t2[strpos(t2, ',') + 1:], ','), '')
+      |        END),
       |      u -> u IS NOT NULL), '|') END AS srcset_urls
       |FROM z ORDER BY doc_id, img_idx""".stripMargin)),
 

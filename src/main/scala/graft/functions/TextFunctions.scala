@@ -647,15 +647,24 @@ object TextFunctions {
     * with `,` (a descriptor or URL terminating its candidate), or the
     * token itself STARTS with `,` (a separator glued to the next
     * URL); URL tokens have leading/trailing commas stripped, empties
-    * dropped. Commas INSIDE a token stay in the URL — exactly the
-    * spec parser's behavior, so `data:image/png;base64,AAA 1x,
-    * b.png 2x` yields the intact data-URI then `b.png`; a separator
-    * glued to the following token (`a.jpg ,b.jpg`, `a.jpg 1x ,b.jpg`)
-    * lands on the comma-prefixed rule. Constrained residual
-    * (documented): a MID-candidate token that merely begins with a
-    * comma (a malformed descriptor like `,2x`) is mistaken for a URL
-    * — inputs the spec itself calls parse errors. Scan-side array
-    * expression; null → null. */
+    * dropped. Commas INSIDE a URL-position token stay in the URL —
+    * exactly the spec parser's behavior, so `data:image/png;base64,
+    * AAA 1x, b.png 2x` yields the intact data-URI then `b.png`; a
+    * separator glued to the following token (`a.jpg ,b.jpg`,
+    * `a.jpg 1x ,b.jpg`) lands on the comma-prefixed rule. A
+    * DESCRIPTOR-position token containing a comma (`a.jpg 1x,b.jpg
+    * 2x` — the separator glued to the PRECEDING descriptor, the most
+    * common unspaced form in the wild) ends its candidate at the
+    * FIRST comma per the spec's descriptor tokenizer, and the
+    * remainder of the token (leading/trailing commas stripped) is
+    * the NEXT candidate's URL — so `b.jpg` survives, and `2x`
+    * correctly parses as its descriptor; a descriptor token ENDING
+    * with the comma (`1x,`) emits nothing itself and hands URL
+    * position to the next token. Constrained residual (documented):
+    * a MID-candidate token that merely begins with a comma (a
+    * malformed descriptor like `,2x`) is mistaken for a URL — inputs
+    * the spec itself calls parse errors. Scan-side array expression;
+    * null → null. */
   def srcsetUrls(ss: Column): Column = {
     val toks = filter(split(ss, "[ \\t\\n\\r\\f]+"), t => t =!= "")
     // prev-token lookup guarded by a lazy `when` (element_at index 0
@@ -669,7 +678,16 @@ object TextFunctions {
           i === 1 || startswith(t, lit(",")) || prevEndsComma(i),
           // comma strip via regexp (the two-arg trim() emits a Spark
           // deprecation WARN on every resolution — log spam at scale)
-          nullif(regexp_replace(t, "^,+|,+$", ""), lit("")))),
+          nullif(regexp_replace(t, "^,+|,+$", ""), lit("")))
+          // descriptor-position token carrying the candidate
+          // separator: the substring after its FIRST comma is the
+          // next candidate's URL (spec: the comma ends the
+          // descriptor list; URL collection then runs to the next
+          // whitespace, interior commas kept)
+          .when(contains(t, lit(",")),
+            nullif(regexp_replace(
+              substr(t, instr(t, ",") + 1, length(t)),
+              "^,+|,+$", ""), lit("")))),
       u => u.isNotNull)
   }
 

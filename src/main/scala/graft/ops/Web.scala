@@ -409,7 +409,10 @@ object Web {
     * n_links). `status` stays the envelope's string spelling (WAT
     * writes it as text); `content_type` is the `Headers` object's
     * `Content-Type` key (exact-case, the spelling WAT generators emit
-    * — normalize with [[contentTypeEssence]]); `n_links` is null when
+    * — normalize with [[contentTypeEssence]]; a `Headers` object
+    * WITHOUT that key — routine for redirects and non-HTML captures —
+    * degrades to null via `try_element_at`, never an ANSI
+    * MAP_KEY_DOES_NOT_EXIST crash); `n_links` is null when
     * the envelope carries no HTML metadata (non-HTML captures). Junk
     * payload → null struct. Scan-side. */
   def watMetadata(payload: Column): Column = {
@@ -423,7 +426,7 @@ object Web {
       hdr.getField("WARC-Target-URI").as("target_uri"),
       hdr.getField("WARC-Date").as("warc_date"),
       http.getField("Response-Message").getField("Status").as("status"),
-      element_at(http.getField("Headers"), "Content-Type")
+      try_element_at(http.getField("Headers"), lit("Content-Type"))
         .as("content_type"),
       head.getField("Title").as("title"),
       head.getField("Base").as("base"),
@@ -533,29 +536,50 @@ object Web {
     * `warc_refers_to` = an original's record id first (the explicit
     * link); records still unresolved fall back to
     * `warc_payload_digest` = the original's computed [[payloadDigest]]
-    * (the digest spelling CC's own indexes use). Originals =
-    * `response`/`conversion` records; duplicate originals under one
-    * digest collapse to the lexicographically-least record id so the
-    * fallback is deterministic. Output: one row per revisit —
+    * (the digest spelling CC's own indexes use). The digest of a
+    * `response` original is computed over its HTTP BODY — the
+    * [[httpParts]] kernel's de-framed body — because ISO 28500
+    * defines the payload of an application/http record as the
+    * entity-body, and real crawlers' `WARC-Payload-Digest` covers
+    * exactly that (a digest over the whole record block — status
+    * line + headers + body — would silently never match a real
+    * deduplicated crawl); a response payload that is not an HTTP
+    * message keeps the kernel's raw-mode contract (body = whole
+    * payload), and `conversion` originals digest their payload
+    * directly. Documented residual: a `Content-Encoding`-compressed
+    * body digests post-decode (the kernel's body), while a crawler
+    * that digested the still-compressed entity-body will not match —
+    * the rare case; identity bodies (the overwhelming crawl reality)
+    * match exactly. Originals = `response`/`conversion` records;
+    * duplicate originals under one digest collapse to the
+    * lexicographically-least record id, and duplicate record IDS —
+    * ISO 28500 promises uniqueness, but a malformed corpus may break
+    * the promise — collapse to the least-digest record so BOTH join
+    * keys are unique and the output is total (one row per revisit,
+    * never a fan-out). Output: one row per revisit —
     * (target_uri, warc_date, warc_record_id, warc_refers_to,
     * warc_payload_digest, original_id, original_payload,
     * resolved_via 'refers_to'|'digest'|null) — unresolved revisits
     * stay visible with null originals, never silently dropped.
     *
     * Scale shape: TWO left hash joins on skinny unique keys (record
-    * id; collapsed digest) — the id side is unique by ISO 28500, the
-    * digest side deduplicated by one aggregate before the join; the
-    * payload travels only on the originals' build side, which is the
-    * materialization this operator exists to perform. */
+    * id and digest, each deduplicated by one aggregate before its
+    * join); the payload travels only on the originals' build side,
+    * which is the materialization this operator exists to perform. */
   def warcRevisitResolve(records: DataFrame): DataFrame = {
     val originals = records
       .where(col("warc_type").isin("response", "conversion"))
       .select(col("warc_record_id").as("__oid"),
-        payloadDigest(col("payload")).as("__odigest"),
+        payloadDigest(when(col("warc_type") === "response",
+          coalesce(httpParts(col("payload")).getField("body"),
+            col("payload")))
+          .otherwise(col("payload"))).as("__odigest"),
         col("payload").as("__opay"))
     val byId = originals
       .where(col("__oid").isNotNull)
-      .select(col("__oid"), col("__opay").as("__pay_id"))
+      .groupBy(col("__oid"))
+      .agg(min_by(col("__opay"), coalesce(col("__odigest"), lit("")))
+        .as("__pay_id"))
     val byDigest = originals
       .where(col("__odigest").isNotNull)
       .groupBy(col("__odigest"))

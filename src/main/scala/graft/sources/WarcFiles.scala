@@ -1075,11 +1075,22 @@ object WarcFiles {
       .withColumn("__next", lead(col("surt"), 1).over(wShard))
     // shard-boundary bound: the NEXT shard's first key (≤nShards rows;
     // the single-partition window is bounded by the writer's 2^20
-    // shard cap — planner-scale by construction)
+    // shard cap — planner-scale by construction). Shards order by
+    // their PARSED NUMERIC id, not the lexicographic name: the
+    // writer's `cdx-%05d.gz` padding overflows at 100,000 shards
+    // ("cdx-100000.gz" < "cdx-99999.gz" as strings) and a
+    // name-ordered lead() would then compute a wrong bound and
+    // silently prune candidate blocks at shard boundaries.
     val firsts = withKeys.groupBy(col("path"))
       .agg(min_by(col("surt"), col("cluster_id")).as("__first"))
       .withColumn("__next_shard_first",
-        lead(col("__first"), 1).over(Window.orderBy(col("path"))))
+        lead(col("__first"), 1).over(Window.orderBy(
+          // nullif guards the ANSI cast for a digit-less name (sorts
+          // first, path tie-break keeps the order total); 1-18 digit
+          // bound keeps the cast overflow-free
+          nullif(regexp_extract(col("path"),
+            "([0-9]{1,18})\\.gz$", 1), lit("")).cast("long"),
+          col("path"))))
       .select(col("path").as("__fpath"), col("__next_shard_first"))
     val candidates = withKeys
       .join(broadcast(firsts), withKeys("path") === firsts("__fpath"),

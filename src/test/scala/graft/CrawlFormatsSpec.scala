@@ -181,8 +181,16 @@ class CrawlFormatsSpec extends AnyFunSuite {
       """{"path":"IMG@/src","url":"i.png"},""" +
       """{"path":"A@/href","url":"../b","rel":"nofollow"}]}}}},""" +
       """"Container":{"Filename":"f.warc.gz","Offset":"123"}}"""
+    // r19 advice: a Headers object WITHOUT a Content-Type key —
+    // routine in real WAT (redirects, non-HTML) — must degrade
+    // content_type to null, never throw ANSI MAP_KEY_DOES_NOT_EXIST
+    val watNoCt = """{"Envelope":{"WARC-Header-Metadata":{""" +
+      """"WARC-Target-URI":"http://ex.com/r"},""" +
+      """"Payload-Metadata":{"HTTP-Response-Metadata":{""" +
+      """"Response-Message":{"Status":"301"},""" +
+      """"Headers":{"Location":"http://ex.com/moved"}}}}}"""
     val df = Seq((1L, wat), (2L, "shapeless junk, not json"),
-      (3L, "{}")).toDF("id", "p")
+      (3L, "{}"), (4L, watNoCt)).toDF("id", "p")
     val m = df.select(col("id"), Web.watMetadata(col("p")).as("m"))
       .orderBy("id").collect()
     val m1 = m(0).getStruct(1)
@@ -195,7 +203,11 @@ class CrawlFormatsSpec extends AnyFunSuite {
       m1.getInt(6) == 3)
     assert(m(1).isNullAt(1)) // junk -> null struct
     assert(m(2).isNullAt(1)) // no Envelope -> null struct
-    val l = Web.watLinks(df, "id", "p").orderBy("id", "link_idx")
+    val m4 = m(3).getStruct(1) // Headers without Content-Type
+    assert(m4.getString(0) == "http://ex.com/r" &&
+      m4.getString(2) == "301" && m4.isNullAt(3) && m4.isNullAt(6))
+    val l = Web.watLinks(df.where(col("id") <= 3), "id", "p")
+      .orderBy("id", "link_idx")
       .collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) null else r.getInt(1),
@@ -259,6 +271,63 @@ class CrawlFormatsSpec extends AnyFunSuite {
       ("urn:uuid:va", "urn:uuid:oa", "orig a", "refers_to"),
       ("urn:uuid:vc", "urn:uuid:oc", "orig c", "digest"),
       ("urn:uuid:vx", null, null, null)))
+  }
+
+  test("warcRevisitResolve: a response original carrying a real HTTP " +
+      "message digests its BODY (ISO 28500 payload = entity-body), " +
+      "so a crawler-written digest matches; duplicate record ids " +
+      "collapse to the least-digest original (no fan-out)") {
+    val s = spark
+    import s.implicits._
+    def rec(typ: String, rid: String, refersTo: String, digest: String,
+        pay: String): String =
+      "WARC/1.0" + CRLF + s"WARC-Type: $typ" + CRLF +
+        s"WARC-Record-ID: <$rid>" + CRLF +
+        (if (refersTo != null) s"WARC-Refers-To: <$refersTo>" + CRLF
+         else "") +
+        (if (digest != null) s"WARC-Payload-Digest: $digest" + CRLF
+         else "") +
+        "WARC-Target-URI: http://r.ex/p" + CRLF +
+        "Content-Length: " + pay.getBytes("UTF-8").length + CRLF +
+        CRLF + pay + CRLF + CRLF
+    def digestOf(pay: String): String = {
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(pay.getBytes("UTF-8"))
+      "sha1:" + org.apache.spark.sql.graftnative.Base32Encode
+        .compute(sha).toString
+    }
+    // the original stores the full HTTP message (status line +
+    // headers + body) — the crawler's WARC-Payload-Digest covers
+    // ONLY the body, which is what the fallback must compute
+    val httpMsg = "HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/plain" + CRLF + CRLF + "the real body"
+    // duplicate-id corpus: ISO 28500 promises unique ids, this
+    // corpus breaks the promise — resolution must stay one row per
+    // revisit, picking the least-digest original deterministically
+    val dupA = "dup payload A"
+    val dupB = "dup payload B"
+    val expectDup =
+      if (digestOf(dupA) <= digestOf(dupB)) dupA else dupB
+    val w = rec("response", "urn:uuid:oh", null, null, httpMsg) +
+      rec("revisit", "urn:uuid:vh", null, digestOf("the real body"),
+        "") +
+      rec("response", "urn:uuid:dup", null, null, dupA) +
+      rec("response", "urn:uuid:dup", null, null, dupB) +
+      rec("revisit", "urn:uuid:vd", "urn:uuid:dup", null, "")
+    val records = Web.warcRecordsBinary(
+      Seq((1L, w.getBytes("UTF-8"))).toDF("id", "bin"), "id", "bin")
+    val got = Web.warcRevisitResolve(records)
+      .orderBy("warc_record_id")
+      .select(col("warc_record_id"), col("original_id"),
+        col("original_payload").cast("string"), col("resolved_via"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    assert(got == Seq(
+      ("urn:uuid:vd", "urn:uuid:dup", expectDup, "refers_to"),
+      ("urn:uuid:vh", "urn:uuid:oh", httpMsg, "digest")))
   }
 
   test("warcinfoFields: key:value lines in order, duplicates kept in " +

@@ -400,6 +400,19 @@ class HtmlSpec extends AnyFunSuite {
     // separator glued to the FOLLOWING token instead
     assert(u("a.jpg ,b.jpg") == Seq("a.jpg", "b.jpg"))
     assert(u("a.jpg 1x ,b.jpg 2x") == Seq("a.jpg", "b.jpg"))
+    // r19 advice: separator glued to the PRECEDING descriptor with no
+    // following space — the candidate ends at the comma inside the
+    // descriptor token, the remainder is the NEXT candidate's URL,
+    // and the token after it is that URL's descriptor (not a URL)
+    assert(u("a.jpg 1x,b.jpg 2x") == Seq("a.jpg", "b.jpg"))
+    assert(u("a.jpg 480w,b.jpg 800w,c.jpg") ==
+      Seq("a.jpg", "b.jpg", "c.jpg"))
+    // descriptor token carrying a URL AND ending its own candidate
+    assert(u("a.jpg 1x,b.jpg, c.jpg") == Seq("a.jpg", "b.jpg", "c.jpg"))
+    // interior commas of the glued URL survive (data-URI after the
+    // first separator comma)
+    assert(u("a.jpg 2x,data:image/png;base64,AA== 1x") ==
+      Seq("a.jpg", "data:image/png;base64,AA=="))
     assert(u(null) == null)
   }
 }

@@ -626,6 +626,46 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(lookup("", "￿").size == n)
   }
 
+  test("cdxjLookup: shard-boundary bound survives >5-digit shard " +
+      "names (r19 advice: 'cdx-100000.gz' sorts lexicographically " +
+      "BEFORE 'cdx-99999.gz' — the next-shard-first window must " +
+      "order by the parsed numeric id, or boundary blocks are " +
+      "silently pruned)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxj_big")
+    dir.toFile.deleteOnExit()
+    def gz(lines: Seq[String]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      g.close(); bos.toByteArray
+    }
+    def line(k: String, i: Int): String =
+      s"ex,$k)/p/$i 20260101000000 " +
+        s"""{"url": "http://$k.ex/p/$i"}"""
+    val shardA = gz((1 to 3).map(line("a", _)))
+    val shardB = gz((1 to 3).map(line("b", _)))
+    java.nio.file.Files.write(dir.resolve("cdx-99999.gz"), shardA)
+    java.nio.file.Files.write(dir.resolve("cdx-100000.gz"), shardB)
+    java.nio.file.Files.write(dir.resolve("cluster.idx"),
+      (s"ex,a)/p/1 20260101000000\tcdx-99999.gz\t0\t${shardA.length}\t0\n" +
+       s"ex,b)/p/1 20260101000000\tcdx-100000.gz\t0\t${shardB.length}\t1\n")
+        .getBytes("UTF-8"))
+    // a range INSIDE the numerically-later shard: a name-ordered
+    // lead() would bound cdx-100000.gz by cdx-99999.gz's first key
+    // ("ex,a)/p/1" < start) and wrongly prune its only block
+    val got = WarcFiles.cdxjLookup(s, dir.toString,
+        "ex,b)/p/2", "ex,b)/p/3")
+      .select(col("surt")).collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("ex,b)/p/2", "ex,b)/p/3"))
+    // and the numerically-earlier shard still bounds correctly
+    val gotA = WarcFiles.cdxjLookup(s, dir.toString,
+        "ex,a)/p/2", "ex,a)/p/3")
+      .select(col("surt")).collect().map(_.getString(0)).sorted.toSeq
+    assert(gotA == Seq("ex,a)/p/2", "ex,a)/p/3"))
+  }
+
   test("writeCdxjGz: empty input still ships an empty cluster.idx " +
       "and no shards; readCdxjGz of it is empty, not an error") {
     val s = spark
