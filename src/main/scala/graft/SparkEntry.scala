@@ -9465,7 +9465,17 @@ object SparkEntry {
         when(col("doc_id") % 10 === 8, lit("{\"Server\":\"nginx\"}"))
           .otherwise(lit("{\"Content-Type\":\"text/html\"}")),
         lit(",\"HTML-Metadata\":{\"Head\":{\"Title\":\"Doc "), id,
-        lit("\"},\"Links\":[" +
+        // r20: Head.Metas carries the robots governance signal at WAT
+        // cost — %5==3 noindex only, %5==4 'none' under an UPPERCASE
+        // name (case-insensitivity), everyone else only the viewport
+        // decoy (indexable default)
+        lit("\",\"Metas\":[{\"name\":\"viewport\",\"content\":\"w\"}"),
+        when(col("doc_id") % 5 === 3,
+          lit(",{\"name\":\"robots\",\"content\":\"noindex\"}"))
+          .when(col("doc_id") % 5 === 4,
+            lit(",{\"name\":\"ROBOTS\",\"content\":\"none\"}"))
+          .otherwise(lit("")),
+        lit("]},\"Links\":[" +
           "{\"path\":\"A@/href\",\"url\":\"/rel/"), id,
         lit("\",\"text\":\"Rel "), id,
         lit("\"},{\"path\":\"IMG@/src\",\"url\":\"http://img.ex/i/"), id,
@@ -9476,15 +9486,22 @@ object SparkEntry {
       val src = Tables(s, dir).documents
         .select(col("doc_id"), wat.as("wat"))
       val meta = Web.watMetadata(col("wat"))
+      val robots = Web.watRobotsFlags(col("wat"))
       Web.watLinks(src, "doc_id", "wat")
-        .join(src.select(col("doc_id"), meta.as("__m")), Seq("doc_id"))
+        .join(src.select(col("doc_id"), meta.as("__m"),
+          robots.as("__r")), Seq("doc_id"))
         .select(col("doc_id"), col("link_idx"), col("url"),
           col("path"), col("text"), col("rel"),
           col("__m").getField("target_uri").as("target_uri"),
           col("__m").getField("title").as("title"),
           col("__m").getField("status").as("status"),
           col("__m").getField("content_type").as("content_type"),
-          col("__m").getField("n_links").as("n_links"))
+          col("__m").getField("n_links").as("n_links"),
+          // nullable-boolean comparator hazard: ship as INT
+          col("__r").getField("noindex").cast(IntegerType)
+            .as("robots_noindex"),
+          col("__r").getField("nofollow").cast(IntegerType)
+            .as("robots_nofollow"))
         .sortByKeys(SortKey("doc_id"), SortKey("link_idx"))
     }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
       |  CAST(doc_id % 30 AS VARCHAR) AS k FROM documents
@@ -9506,11 +9523,15 @@ object SparkEntry {
       |  'Doc ' || i AS title, '200' AS status,
       |  CASE WHEN doc_id % 10 = 8 THEN NULL
       |    ELSE 'text/html' END AS content_type,
-      |  CAST(3 AS INTEGER) AS n_links
+      |  CAST(3 AS INTEGER) AS n_links,
+      |  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 1 ELSE 0 END
+      |    AS INTEGER) AS robots_noindex,
+      |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END
+      |    AS INTEGER) AS robots_nofollow
       |FROM links
       |UNION ALL
       |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-      |  NULL, NULL FROM j
+      |  NULL, NULL, NULL, NULL FROM j
       |ORDER BY doc_id, link_idx""".stripMargin)),
 
     Q("pipeline_wat_edges", (s, dir) => {

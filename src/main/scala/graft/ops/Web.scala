@@ -364,9 +364,18 @@ object Web {
     * here when an operator needs them. */
   val watEnvelopeSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
+    // Head.Metas: the page's <meta> tags as the WAT generator ships
+    // them ({"name": ..., "content": ...}) — carried so the robots
+    // governance gate ([[watRobotsFlags]]) can run at WAT cost
+    // instead of forcing the ~10× raw-HTML read; `property`-keyed
+    // entries (OpenGraph) parse with a null name and fall out of the
+    // name-keyed accessors, a documented subset
     val head = StructType(Seq(
       StructField("Title", StringType),
-      StructField("Base", StringType)))
+      StructField("Base", StringType),
+      StructField("Metas", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("content", StringType)))))))
     val htmlMeta = StructType(Seq(
       StructField("Head", head),
       StructField("Links", ArrayType(watLinkType))))
@@ -432,6 +441,38 @@ object Web {
       head.getField("Base").as("base"),
       size(http.getField("HTML-Metadata").getField("Links"))
         .as("n_links")))
+  }
+
+  /** Robots-meta governance flags at WAT cost: struct(noindex,
+    * nofollow) from the envelope's `Head.Metas[]` — the SAME
+    * semantics as [[graft.functions.TextFunctions.metaRobotsFlags]]
+    * on the raw HTML (the unit suite proves the equivalence on the
+    * same page), so a WAT-first pipeline no longer needs the ~10×
+    * raw-HTML read just to honor noindex/nofollow. Constrained,
+    * engine-replayable: the FIRST meta whose `name` equals `robots`
+    * case-insensitively supplies the directive list (the
+    * [[graft.functions.TextFunctions.htmlMeta]] first-wins rule);
+    * directives split on commas, trimmed, lowercased; `none` implies
+    * both flags. No robots meta / no Metas at all → (false, false) —
+    * indexable by default, exactly the HTML-side rule; junk payload /
+    * no envelope → null struct. Scan-side parse + array expressions,
+    * zero shuffle. */
+  def watRobotsFlags(payload: Column): Column = {
+    val e = watEnvelope(payload)
+    val env = e.getField("Envelope")
+    val metas = env.getField("Payload-Metadata")
+      .getField("HTTP-Response-Metadata")
+      .getField("HTML-Metadata").getField("Head").getField("Metas")
+    val robots = try_element_at(
+      filter(metas, m => lower(m.getField("name")) === "robots"),
+      lit(1)).getField("content")
+    val dirs = transform(split(lower(coalesce(robots, lit(""))), ","),
+      d => trim(d))
+    def has(v: String): Column =
+      array_contains(dirs, v) || array_contains(dirs, "none")
+    when(e.isNotNull && env.isNotNull,
+      struct(has("noindex").as("noindex"),
+        has("nofollow").as("nofollow")))
   }
 
   /** The outlink table of WAT records: (idCol, link_idx, url, path,

@@ -273,6 +273,59 @@ class CrawlFormatsSpec extends AnyFunSuite {
       ("urn:uuid:vx", null, null, null)))
   }
 
+  test("watRobotsFlags: Head.Metas robots directives agree with " +
+      "metaRobotsFlags on the same page (WAT-cost governance gate); " +
+      "case-insensitive name, first robots meta wins, none implies " +
+      "both, no metas -> indexable default, junk -> null") {
+    val s = spark
+    import s.implicits._
+    def watOf(metas: String): String =
+      """{"Envelope":{"WARC-Header-Metadata":{""" +
+        """"WARC-Target-URI":"http://ex.com/p"},""" +
+        """"Payload-Metadata":{"HTTP-Response-Metadata":{""" +
+        """"HTML-Metadata":{"Head":{"Title":"t"""" +
+        (if (metas == null) "" else s""","Metas":[$metas]""") +
+        """}}}}}}"""
+    def htmlOf(robots: String, nameAttr: String): String =
+      "<html><head><meta name=\"viewport\" content=\"w\">" +
+        (if (robots == null) ""
+         else s"""<meta name="$nameAttr" content="$robots">""") +
+        "</head><body>x</body></html>"
+    val rows = Seq(
+      (1L, htmlOf("noindex", "robots"),
+        watOf("""{"name":"viewport","content":"w"},""" +
+          """{"name":"robots","content":"noindex"}""")),
+      (2L, htmlOf("none", "ROBOTS"),
+        watOf("""{"name":"viewport","content":"w"},""" +
+          """{"name":"ROBOTS","content":"none"}""")),
+      (3L, htmlOf(" noindex , NOFOLLOW ", "robots"),
+        watOf("""{"name":"viewport","content":"w"},""" +
+          """{"name":"robots","content":" noindex , NOFOLLOW "}""")),
+      (4L, htmlOf(null, "robots"),
+        watOf("""{"name":"viewport","content":"w"}""")),
+      (5L, htmlOf(null, "robots"), watOf(null)))
+    val f = graft.functions.TextFunctions
+    val got = rows.toDF("id", "html", "wat")
+      .select(col("id"),
+        f.metaRobotsFlags(col("html")).as("h"),
+        Web.watRobotsFlags(col("wat")).as("w"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else (r.getStruct(1).getBoolean(0), r.getStruct(1).getBoolean(1)),
+        if (r.isNullAt(2)) null
+        else (r.getStruct(2).getBoolean(0),
+          r.getStruct(2).getBoolean(1)))).toSeq
+    assert(got.map(_._2) == Seq((true, false), (true, true),
+      (true, true), (false, false), (false, false)))
+    // the WAT side agrees row for row with the HTML side
+    assert(got.forall(r => r._2 == r._3))
+    // junk payload -> null struct (the HTML side has no analogue of
+    // a junk envelope, so this case stands alone)
+    assert(Seq(Tuple1("not json at all")).toDF("p")
+      .select(Web.watRobotsFlags(col("p"))).collect().head.isNullAt(0))
+  }
+
   test("warcRevisitResolve: a response original carrying a real HTTP " +
       "message digests its BODY (ISO 28500 payload = entity-body), " +
       "so a crawler-written digest matches; duplicate record ids " +
