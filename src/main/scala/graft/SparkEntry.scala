@@ -9677,6 +9677,147 @@ object SparkEntry {
       |SELECT doc_id, NULL, NULL, NULL FROM j
       |ORDER BY doc_id, link_idx""".stripMargin)),
 
+    Q("web_wat_write_roundtrip", (s, dir) => {
+      // the WAT WRITE side (r19 verdict missing #1 — the triple
+      // closure): per doc the library's already-extracted metadata
+      // (title, content type, 2 outlinks, a robots meta on %5==3) is
+      // serialized by watEnvelopeJson — %10==8 drops the content
+      // type and %7==6 the title, proving null fields become ABSENT
+      // keys — written as `metadata` records by writeWatGz, read
+      // back through the r19 parse chain
+      // (watMetadata/watLinks/watRobotsFlags) bit-equal to the
+      // source extraction. DuckDB replays the round-trip law
+      // analytically: write∘read = identity means the oracle is the
+      // generator itself.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val uri = concat(lit("http://h"), k, lit(".ex/p/"), id)
+      val date = concat(lit("2026-01-0"),
+        (col("doc_id") % 9 + 1).cast(StringType), lit("T00:00:00Z"))
+      val links = array(
+        struct(lit("A@/href").as("path"),
+          concat(lit("/rel/"), id).as("url"),
+          concat(lit("Rel "), id).as("text"),
+          lit(null).cast(StringType).as("title"),
+          lit(null).cast(StringType).as("rel")),
+        struct(lit("IMG@/src").as("path"),
+          concat(lit("http://img.ex/i/"), id, lit(".jpg")).as("url"),
+          lit(null).cast(StringType).as("text"),
+          lit(null).cast(StringType).as("title"),
+          lit(null).cast(StringType).as("rel")))
+      val metas = when(col("doc_id") % 5 === 3,
+        array(struct(lit("robots").as("name"),
+          lit("noindex").as("content"))))
+      val env = Web.watEnvelopeJson(uri, date, lit("200"),
+        when(col("doc_id") % 10 =!= 8, lit("text/html")),
+        when(col("doc_id") % 7 =!= 6, concat(lit("Doc "), id)),
+        null, links, metas)
+      val src = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull)
+        .select(uri.as("uri"), date.as("date"), env.as("env"))
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft_wat_write_q")
+      outDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeWatGz(src, "uri", "date", "env",
+        outDir.toString, 3)
+      val back = graft.sources.WarcFiles.warcRecordsGzipFiles(s,
+          outDir.toString + "/*.warc.gz", 1L << 20)
+        .where(col("warc_type") === "metadata")
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"), col("payload"))
+      val meta = Web.watMetadata(col("payload"))
+      val robots = Web.watRobotsFlags(col("payload"))
+      Web.watLinks(back, "doc_id", "payload")
+        .join(back.select(col("doc_id"), meta.as("__m"),
+          robots.as("__r")), Seq("doc_id"))
+        .select(col("doc_id"), col("link_idx"), col("url"),
+          col("path"), col("text"),
+          col("__m").getField("target_uri").as("target_uri"),
+          col("__m").getField("warc_date").as("warc_date"),
+          col("__m").getField("status").as("status"),
+          col("__m").getField("content_type").as("content_type"),
+          col("__m").getField("title").as("title"),
+          col("__m").getField("n_links").as("n_links"),
+          col("__r").getField("noindex").cast(IntegerType)
+            .as("robots_noindex"))
+        .sortByKeys(SortKey("doc_id"), SortKey("link_idx"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 30 AS VARCHAR) AS k FROM documents
+      |  WHERE doc_id IS NOT NULL),
+      |links AS (
+      |  SELECT doc_id, 0 AS link_idx, '/rel/' || i AS url,
+      |    'A@/href' AS path, 'Rel ' || i AS text, i, k FROM h
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'http://img.ex/i/' || i || '.jpg',
+      |    'IMG@/src', NULL, i, k FROM h)
+      |SELECT doc_id, CAST(link_idx AS INTEGER) AS link_idx, url,
+      |  path, text,
+      |  'http://h' || k || '.ex/p/' || i AS target_uri,
+      |  '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+      |    'T00:00:00Z' AS warc_date,
+      |  '200' AS status,
+      |  CASE WHEN doc_id % 10 = 8 THEN NULL
+      |    ELSE 'text/html' END AS content_type,
+      |  CASE WHEN doc_id % 7 = 6 THEN NULL
+      |    ELSE 'Doc ' || i END AS title,
+      |  CAST(2 AS INTEGER) AS n_links,
+      |  CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS INTEGER)
+      |    AS robots_noindex
+      |FROM links ORDER BY doc_id, link_idx""".stripMargin)),
+
+    Q("web_wet_write_roundtrip", (s, dir) => {
+      // the WET WRITE side (the third Common Crawl artifact): per doc
+      // an HTML page goes through THE htmlText kernel, the extracted
+      // text is written as a `conversion` record by writeWetGz —
+      // carrying WARC-Refers-To back to the source response id and a
+      // WARC-Payload-Digest over exactly the written bytes — and
+      // read back through decodeText equal to the extraction.
+      // digest_ok recomputes the digest from the read-back payload
+      // Spark-side (DuckDB 1.0 has no sha1 — the header's VALUE is
+      // checked by the engine, the oracle pins the verdict bit);
+      // DuckDB replays the extraction chain for the text itself.
+      val f = graft.functions.TextFunctions
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val html = concat(
+        lit("<html><body><p>A &amp; "), col("text"),
+        lit("</p><b>tail "), id, lit("</b></body></html>"))
+      val uri = concat(lit("http://h"), k, lit(".ex/p/"), id)
+      val date = concat(lit("2026-01-0"),
+        (col("doc_id") % 9 + 1).cast(StringType), lit("T00:00:00Z"))
+      val src = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(uri.as("uri"), date.as("date"),
+          f.htmlText(html).as("wet_text"),
+          concat(lit("urn:uuid:o-"), id).as("refers"))
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft_wet_write_q")
+      outDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeWetGz(src, "uri", "date",
+        "wet_text", outDir.toString, 3, refersToCol = "refers")
+      graft.sources.WarcFiles.warcRecordsGzipFiles(s,
+          outDir.toString + "/*.warc.gz", 1L << 20)
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("warc_type"),
+          Web.decodeText(col("payload")).getField("text")
+            .as("wet_text"),
+          col("warc_refers_to").as("refers_to"),
+          (col("warc_payload_digest") ===
+            Web.payloadDigest(col("payload"))).cast(IntegerType)
+            .as("digest_ok"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id,
+      |  '<html><body><p>A &amp; ' || text || '</p><b>tail ' ||
+      |  CAST(doc_id AS VARCHAR) || '</b></body></html>' AS html
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+      |SELECT doc_id, 'conversion' AS warc_type,
+      |  ${htmlExtractSqlOn("html")} AS wet_text,
+      |  'urn:uuid:o-' || CAST(doc_id AS VARCHAR) AS refers_to,
+      |  1 AS digest_ok
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("web_cdxj_lookup", (s, dir) => {
       // the two-level SELECTIVE lookup (the actual CC access pattern:
       // "every capture under this prefix"): write the analytic index

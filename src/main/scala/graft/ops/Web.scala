@@ -413,6 +413,68 @@ object Web {
   def watEnvelope(payload: Column): Column =
     from_json(payload.cast("string"), watEnvelopeSchema)
 
+  /** The INVERSE of [[watEnvelope]]: serialize already-extracted page
+    * metadata into a [[watEnvelopeSchema]]-shaped JSON envelope
+    * string — the payload a re-published corpus's WAT sidecar ships
+    * (write with [[graft.sources.WarcFiles.writeWatGz]]). Feed it
+    * what the library extracted once (`htmlTitle`/`htmlBaseHref`,
+    * `htmlLinks` reshaped to (path, url, text, title, rel) structs,
+    * `httpParts` status + content type, `metaRobotsFlags`-bearing
+    * metas) so downstream consumers never re-parse the HTML.
+    *
+    * `links` must be an `array<struct>` whose fields are NAMED
+    * `path`/`url`/`text`/`title`/`rel` (extras are serialized too —
+    * JSON is open), `metas` an `array<struct<name,content>>`;
+    * `to_json` omits null fields (the compact envelope real WAT
+    * generators emit), so a titleless page simply has no `Title`
+    * key and the parse side nulls it back — the round-trip law the
+    * `web_wat_write_roundtrip` gate proves. `containerFilename` /
+    * `containerOffset` point at the sibling WARC extent (take them
+    * from the [[graft.sources.WarcFiles.warcCdx]] /
+    * [[graft.sources.WarcFiles.memberIndex]] of the written corpus);
+    * omitted trailing arguments serialize as absent keys. Scan-side
+    * `to_json`, zero shuffle at any scale. */
+  def watEnvelopeJson(targetUri: Column, warcDate: Column,
+      status: Column, contentType: Column, title: Column,
+      base: Column, links: Column, metas: Column = null,
+      containerFilename: Column = null,
+      containerOffset: Column = null): Column = {
+    import org.apache.spark.sql.types._
+    // type the all-null DEFAULT (scala-null) arguments so to_json
+    // sees concrete schemas; caller-supplied columns pass through
+    // untouched (a positional struct cast could silently mis-assign
+    // named fields)
+    def typed(c: Column, t: DataType): Column =
+      if (c == null) lit(null).cast(t) else c
+    val metasT = typed(metas, ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("content", StringType)))))
+    // scala-null tolerated for every scalar the envelope may omit
+    val titleT = typed(title, StringType)
+    val baseT = typed(base, StringType)
+    val statusT = typed(status, StringType)
+    val ctT = typed(contentType, StringType)
+    val head = struct(titleT.as("Title"), baseT.as("Base"),
+      metasT.as("Metas"))
+    val htmlMeta = struct(head.as("Head"), links.as("Links"))
+    val httpResp = struct(
+      struct(statusT.cast("string").as("Status"))
+        .as("Response-Message"),
+      when(ctT.isNotNull,
+        map(lit("Content-Type"), ctT)).as("Headers"),
+      htmlMeta.as("HTML-Metadata"))
+    val envelope = struct(
+      struct(targetUri.as("WARC-Target-URI"),
+        warcDate.cast("string").as("WARC-Date"),
+        lit("metadata").as("WARC-Type")).as("WARC-Header-Metadata"),
+      struct(httpResp.as("HTTP-Response-Metadata"))
+        .as("Payload-Metadata"))
+    to_json(struct(envelope.as("Envelope"),
+      struct(typed(containerFilename, StringType).as("Filename"),
+        typed(containerOffset, StringType).cast("string").as("Offset"))
+        .as("Container")))
+  }
+
   /** The per-page scalars of a WAT envelope as one struct:
     * (target_uri, warc_date, status, content_type, title, base,
     * n_links). `status` stays the envelope's string spelling (WAT

@@ -658,9 +658,18 @@ object WarcFiles {
     * so re-running the job re-issues the same ids (never random) —
     * `WARC-Target-URI` (null uri → header omitted; the row still
     * writes), `WARC-Date` from the date COLUMN (determinism — never
-    * now(); null → [[DefaultWarcDate]]), `Content-Length` = payload
-    * byte count (null payload → empty), blank line, payload, CRLF
-    * CRLF.
+    * now(); null → [[DefaultWarcDate]]), then any EXTRA per-record
+    * headers from `headersCol` (an `array<struct<name,value>>`
+    * column, rendered in array order — how [[writeWetGz]] carries
+    * `WARC-Refers-To`/`WARC-Payload-Digest` and [[writeWatGz]] its
+    * `Content-Type`; entries with a null name OR value are omitted,
+    * CR/LF inside either is scrubbed to a space so a hostile value
+    * can never break record framing, and the rendered block joins
+    * the record-id hash so records differing only in headers get
+    * distinct ids; `headersCol = null` — the default — is
+    * byte-identical to the pre-extension writer), `Content-Length` =
+    * payload byte count (null payload → empty), blank line, payload,
+    * CRLF CRLF.
     *
     * Commit protocol (r17 advice — the compactFiles discipline): each
     * shard streams to `outDir/_tmp/part-NNNNN.warc.gz.<taskAttempt>`
@@ -695,7 +704,8 @@ object WarcFiles {
     * rows, planner-scale) is collected as the write's own ledger. */
   def writeWarcGz(df: DataFrame, uriCol: String, dateCol: String,
       payloadCol: String, outDir: String, nShards: Int,
-      warcType: String = "conversion"): DataFrame = {
+      warcType: String = "conversion",
+      headersCol: String = null): DataFrame = {
     require(nShards >= 1 && nShards <= (1 << 20),
       "writeWarcGz: nShards must be in [1, 2^20]")
     require(warcType.matches("[A-Za-z][A-Za-z0-9_-]*"),
@@ -710,13 +720,35 @@ object WarcFiles {
       lit(Array.empty[Byte]))
     val dateStr = coalesce(col(dateCol).cast("string"),
       lit(DefaultWarcDate))
+    // extra per-record headers rendered scan-side: null-name/value
+    // entries omitted, CR/LF scrubbed (framing safety)
+    val extraHdr: Column =
+      if (headersCol == null) lit("")
+      else coalesce(array_join(transform(
+        filter(col(headersCol), h =>
+          h.getField("name").isNotNull &&
+            h.getField("value").isNotNull),
+        h => concat(
+          regexp_replace(h.getField("name"), "[\\r\\n]", " "),
+          lit(": "),
+          regexp_replace(h.getField("value"), "[\\r\\n]", " "),
+          lit(crlf))), ""), lit(""))
     // deterministic name-based record id: md5 over (uri \n date \n
     // payload) formatted as a uuid with the version nibble pinned to
-    // '3' (name-based/md5) and the variant nibble to '8' (RFC 4122)
-    val idHex = md5(concat(
-      encode(coalesce(col(uriCol), lit("")), "UTF-8"),
-      lit(Array[Byte](10)), encode(dateStr, "UTF-8"),
-      lit(Array[Byte](10)), pay))
+    // '3' (name-based/md5) and the variant nibble to '8' (RFC 4122);
+    // with extra headers the rendered block joins the hash (records
+    // differing only in headers stay distinct), while the
+    // headers-less formula is untouched for byte-stability
+    val idHex =
+      if (headersCol == null) md5(concat(
+        encode(coalesce(col(uriCol), lit("")), "UTF-8"),
+        lit(Array[Byte](10)), encode(dateStr, "UTF-8"),
+        lit(Array[Byte](10)), pay))
+      else md5(concat(
+        encode(coalesce(col(uriCol), lit("")), "UTF-8"),
+        lit(Array[Byte](10)), encode(dateStr, "UTF-8"),
+        lit(Array[Byte](10)), encode(extraHdr, "UTF-8"),
+        lit(Array[Byte](10)), pay))
     val recordId = concat_ws("-",
       substring(idHex, 1, 8), substring(idHex, 9, 4),
       concat(lit("3"), substring(idHex, 14, 3)),
@@ -729,6 +761,7 @@ object WarcFiles {
         concat(lit("WARC-Target-URI: "), col(uriCol), lit(crlf)))
         .otherwise(lit("")),
       lit("WARC-Date: "), dateStr, lit(crlf),
+      extraHdr,
       lit("Content-Length: "), octet_length(pay).cast("string"),
       lit(crlf + crlf))
     val member = nf.gzipCompress(concat(encode(hdr, "UTF-8"), pay,
@@ -806,6 +839,63 @@ object WarcFiles {
     driverFs.delete(tmpDir, true) // aborted attempts' leftovers
     spark.createDataFrame(manifestRows.toSeq)
       .toDF("shard", "path", "n_records", "bytes")
+  }
+
+  /** Write WAT `metadata` records as `.wat.gz` shard files — the
+    * metadata SIBLING a re-published corpus ships beside its WARC
+    * (the write-side inverse of [[graft.ops.Web.watEnvelope]], which
+    * closed the read side in r19): each row's `envelopeCol` is the
+    * JSON envelope string (build it with
+    * [[graft.ops.Web.watEnvelopeJson]] from metadata the library
+    * already extracted — `htmlLinks`/`htmlTitle`/`httpParts` — so a
+    * downstream consumer never re-parses HTML this pipeline parsed
+    * once), written as the payload of a `WARC-Type: metadata` record
+    * carrying `Content-Type: application/json`, one gzip member per
+    * record through the [[writeWarcGz]] machinery (same shard
+    * layout, commit protocol, determinism, manifest). Read back with
+    * [[warcRecordsGzipFiles]] → [[graft.ops.Web.watMetadata]] /
+    * [[graft.ops.Web.watLinks]], or any standard WAT tooling. */
+  def writeWatGz(df: DataFrame, uriCol: String, dateCol: String,
+      envelopeCol: String, outDir: String, nShards: Int): DataFrame =
+    writeWarcGz(
+      df.withColumn("__wat_hdrs", array(struct(
+        lit("Content-Type").as("name"),
+        lit("application/json").as("value")))),
+      uriCol, dateCol, envelopeCol, outDir, nShards,
+      warcType = "metadata", headersCol = "__wat_hdrs")
+
+  /** Write WET `conversion` records as `.wet.gz` shard files — the
+    * extracted-TEXT sibling (Common Crawl's third artifact; the
+    * `htmlText`/`mainContent` output a text-tier consumer reads
+    * INSTEAD of the 10× raw WARC): each row's `textCol` becomes the
+    * UTF-8 payload of a `WARC-Type: conversion` record carrying
+    * `Content-Type: text/plain`, a `WARC-Payload-Digest` computed by
+    * [[graft.ops.Web.payloadDigest]] over exactly the written bytes
+    * (so [[graft.ops.Web.warcRevisitResolve]]'s digest fallback and
+    * any cdx digest join match the records), and — when
+    * `refersToCol` is given — a `WARC-Refers-To: <id>` pointer back
+    * to the source `response` record (null ids omit the header, the
+    * row still writes). Same [[writeWarcGz]] machinery throughout
+    * (shard layout, commit protocol, deterministic ids, manifest). */
+  def writeWetGz(df: DataFrame, uriCol: String, dateCol: String,
+      textCol: String, outDir: String, nShards: Int,
+      refersToCol: String = null): DataFrame = {
+    val pay = coalesce(col(textCol).cast("binary"),
+      lit(Array.empty[Byte]))
+    val refersHdr: Column =
+      if (refersToCol == null) lit(null).cast("string")
+      else when(col(refersToCol).isNotNull,
+        concat(lit("<"), col(refersToCol), lit(">")))
+    writeWarcGz(
+      df.withColumn("__wet_hdrs", array(
+        struct(lit("WARC-Refers-To").as("name"),
+          refersHdr.as("value")),
+        struct(lit("WARC-Payload-Digest").as("name"),
+          graft.ops.Web.payloadDigest(pay).as("value")),
+        struct(lit("Content-Type").as("name"),
+          lit("text/plain").as("value")))),
+      uriCol, dateCol, textCol, outDir, nShards,
+      warcType = "conversion", headersCol = "__wet_hdrs")
   }
 
   /** Default CDXJ block size: Common Crawl's shipped indexes gzip

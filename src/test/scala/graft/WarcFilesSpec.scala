@@ -481,6 +481,141 @@ class WarcFilesSpec extends AnyFunSuite {
       (3L, null, null, null, null, null, null)))
   }
 
+  test("writeWetGz: conversion records with Content-Type, a " +
+      "payload digest over exactly the written bytes, and an " +
+      "optional WARC-Refers-To; read-back text equals input and the " +
+      "digest resolves a revisit; a CRLF-bearing extra header value " +
+      "is scrubbed, never a framing break") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("http://w.ex/1", "2026-01-01T00:00:00Z", "extracted text one",
+        "urn:uuid:src-1"),
+      ("http://w.ex/2", "2026-01-02T00:00:00Z", "extracted text two",
+        null))
+    val df = rows.toDF("uri", "date", "text", "refers")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_write")
+    dir.toFile.deleteOnExit()
+    val m = WarcFiles.writeWetGz(df, "uri", "date", "text",
+      dir.toString, 2, refersToCol = "refers").collect()
+    assert(m.map(_.getAs[Long]("n_records")).sum == 2)
+    val back = WarcFiles.warcRecordsGzipFiles(spark,
+        dir.toString + "/*.warc.gz", 1L << 20)
+      .orderBy("target_uri")
+      .select(col("target_uri"), col("warc_type"),
+        col("warc_refers_to"), col("warc_payload_digest"),
+        col("payload"))
+    val got = back.collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("conversion",
+      "conversion"))
+    assert(got.map(r => new String(r.getAs[Array[Byte]](4),
+      "UTF-8")).toSeq == Seq("extracted text one",
+      "extracted text two"))
+    // refers-to round-trips (brackets stripped by the reader); the
+    // null id OMITS the header instead of writing "null"
+    assert(got.map(r => Option(r.getString(2)).orNull).toSeq ==
+      Seq("urn:uuid:src-1", null))
+    // the digest header covers exactly the written payload bytes
+    val digestOk = back
+      .where(col("warc_payload_digest") ===
+        graft.ops.Web.payloadDigest(col("payload")))
+      .count()
+    assert(digestOk == 2)
+    // a revisit carrying the crawler-convention digest resolves
+    // against the WET records (conversion originals digest their
+    // payload directly)
+    val revisit = Seq(("revisit", "urn:uuid:rv-1", null: String,
+        got.head.getString(3), "http://w.ex/1",
+        "2026-02-01T00:00:00Z", null: Array[Byte]))
+      .toDF("warc_type", "warc_record_id", "warc_refers_to",
+        "warc_payload_digest", "target_uri", "warc_date", "payload")
+    val full = WarcFiles.warcRecordsGzipFiles(spark,
+        dir.toString + "/*.warc.gz", 1L << 20)
+      .select(col("warc_type"), col("warc_record_id"),
+        col("warc_refers_to"), col("warc_payload_digest"),
+        col("target_uri"), col("warc_date"), col("payload"))
+      .unionByName(revisit)
+    val resolved = graft.ops.Web.warcRevisitResolve(full).collect()
+    assert(resolved.length == 1 &&
+      resolved.head.getAs[String]("resolved_via") == "digest" &&
+      new String(resolved.head.getAs[Array[Byte]]("original_payload"),
+        "UTF-8") == "extracted text one")
+    // header-injection scrub: a value with CRLF cannot fork the
+    // header block into a fake record header
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hdr_inj")
+    dir2.toFile.deleteOnExit()
+    val inj = Seq(("http://w.ex/x", "2026-01-01T00:00:00Z",
+        "p".getBytes("UTF-8")))
+      .toDF("uri", "date", "payload")
+      .withColumn("hdrs", array(struct(lit("X-Note").as("name"),
+        lit("evil\r\nWARC-Type: response").as("value"))))
+    WarcFiles.writeWarcGz(inj, "uri", "date", "payload",
+      dir2.toString, 1, warcType = "conversion", headersCol = "hdrs")
+    val b2 = WarcFiles.warcRecordsGzipFiles(spark,
+      dir2.toString + "/*.warc.gz", 1024L).collect()
+    assert(b2.length == 1 &&
+      b2.head.getAs[String]("warc_type") == "conversion")
+  }
+
+  test("writeWatGz + watEnvelopeJson: the serialize side is the " +
+      "exact inverse of the r19 parse — metadata records round-trip " +
+      "through watMetadata/watLinks/watRobotsFlags, null fields " +
+      "serialize as absent keys") {
+    val s = spark
+    import s.implicits._
+    val links = array(
+      struct(lit("A@/href").as("path"), lit("/a").as("url"),
+        lit("first").as("text"),
+        lit(null).cast("string").as("title"),
+        lit(null).cast("string").as("rel")),
+      struct(lit("IMG@/src").as("path"), lit("i.png").as("url"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("title"),
+        lit(null).cast("string").as("rel")))
+    val metas = array(struct(lit("robots").as("name"),
+      lit("noindex").as("content")))
+    val df = Seq(("http://w.ex/p/1", "2026-01-01T00:00:00Z"))
+      .toDF("uri", "date")
+      .withColumn("env", graft.ops.Web.watEnvelopeJson(
+        col("uri"), col("date"), lit("200"), lit("text/html"),
+        lit("T1"), lit(null).cast("string"), links, metas))
+    // titleless/baseless fields serialize as ABSENT keys (compact
+    // envelope), not "null" strings
+    val envStr = df.select(col("env")).first().getString(0)
+    assert(!envStr.contains("\"Base\""))
+    assert(envStr.contains("\"WARC-Type\":\"metadata\""))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wat_write")
+    dir.toFile.deleteOnExit()
+    val m = WarcFiles.writeWatGz(df, "uri", "date", "env",
+      dir.toString, 1).collect()
+    assert(m.map(_.getAs[Long]("n_records")).sum == 1)
+    val back = WarcFiles.warcRecordsGzipFiles(spark,
+      dir.toString + "/*.warc.gz", 1L << 20)
+    assert(back.select(col("warc_type")).first().getString(0) ==
+      "metadata")
+    val meta = back.select(
+      graft.ops.Web.watMetadata(col("payload")).as("m"),
+      graft.ops.Web.watRobotsFlags(col("payload")).as("r"))
+      .first()
+    val mm = meta.getStruct(0)
+    assert(mm.getString(0) == "http://w.ex/p/1" &&
+      mm.getString(1) == "2026-01-01T00:00:00Z" &&
+      mm.getString(2) == "200" &&
+      mm.getString(3) == "text/html" &&
+      mm.getString(4) == "T1" && mm.isNullAt(5) &&
+      mm.getInt(6) == 2)
+    assert(meta.getStruct(1).getBoolean(0) &&
+      !meta.getStruct(1).getBoolean(1))
+    val l = graft.ops.Web.watLinks(
+        back.select(lit(1L).as("id"), col("payload")), "id", "payload")
+      .orderBy("link_idx")
+      .select(col("url"), col("path"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).orNull)).toSeq
+    assert(l == Seq(("/a", "A@/href", "first"),
+      ("i.png", "IMG@/src", null)))
+  }
+
   test("writeCdxjGz: zipnum shards in global (surt, ts) order, one " +
       "gzip member per block, cluster.idx names every block with " +
       "contiguous sequence numbers and tiling extents") {
