@@ -9861,6 +9861,53 @@ object SparkEntry {
       |  'sha1:D' || i AS digest
       |FROM h ORDER BY doc_id""".stripMargin)),
 
+    Q("web_cdxj_lookup_url", (s, dir) => {
+      // the exact-URL lookup sugar (r19 verdict missing #3 — THE
+      // single most common CC index query): every doc_id%30==7 doc
+      // plants one capture of the SAME url at a unique timestamp
+      // (the url's capture HISTORY, spread across shards by the
+      // range partitioner), every other doc a distinct-url decoy;
+      // cdxjLookupUrl("http://h7.ex/cap") must return exactly the
+      // history, ts-ordered with a 1-based capture_seq. DuckDB
+      // replays the selection + ordering analytically.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val hit = col("doc_id") % 30 === 7
+      val surt = when(hit, lit("ex,h7)/cap"))
+        .otherwise(concat(lit("ex,h"), k, lit(")/d/"), id))
+      val url = when(hit, lit("http://h7.ex/cap"))
+        .otherwise(concat(lit("http://h"), k, lit(".ex/d/"), id))
+      val ts = (lit(20260101000000L) + col("doc_id")).cast(StringType)
+      val json = concat(
+        lit("{\"url\": \""), url,
+        lit("\", \"digest\": \"sha1:D"), id,
+        lit("\", \"filename\": \"seg-"), k, lit(".warc.gz\"}"))
+      val src = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull)
+        .select(surt.as("surt"), ts.as("ts"),
+          concat(surt, lit(" "), ts, lit(" "), json).as("line"))
+      val outDir =
+        java.nio.file.Files.createTempDirectory("graft_cdxj_url_q")
+      outDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeCdxjGz(src, outDir.toString, 3,
+        blockLines = 7)
+      graft.sources.WarcFiles.cdxjLookupUrl(s, outDir.toString,
+          "http://h7.ex/cap")
+        .select(regexp_extract(col("digest"), "^sha1:D([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("surt"), col("ts"), col("url"), col("digest"),
+          col("capture_seq").cast(IntegerType).as("capture_seq"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 30 = 7)
+      |SELECT doc_id, 'ex,h7)/cap' AS surt,
+      |  CAST(20260101000000 + doc_id AS VARCHAR) AS ts,
+      |  'http://h7.ex/cap' AS url, 'sha1:D' || i AS digest,
+      |  CAST(row_number() OVER (ORDER BY
+      |    CAST(20260101000000 + doc_id AS VARCHAR)) AS INTEGER)
+      |    AS capture_seq
+      |FROM h ORDER BY doc_id""".stripMargin)),
+
     Q("web_warc_revisit", (s, dir) => {
       // revisit-record resolution (the deduplicated-crawl record
       // type): per doc a `response` original + a `revisit` member —

@@ -1194,4 +1194,36 @@ object WarcFiles {
     readCdxjBlocks(candidates)
       .where(col("surt") >= lit(surtStart) && col("surt") <= lit(surtEnd))
   }
+
+  /** THE highest-frequency CC index query — "every capture of THIS
+    * URL" — as one call: [[graft.ops.Web.surtKey]] canonicalizes the
+    * URL to its surt, [[cdxjLookup]] runs the exact-key range (a
+    * surt equals itself only — no prefix ￿ sentinel needed), and
+    * the captures come back with a 1-based `capture_seq` in
+    * timestamp order (ties broken by the physical (shard,
+    * cluster_id, line_no) position, which the writer's global
+    * (surt, ts) sort keeps aligned with ts anyway — the order is
+    * total and run-stable). A URL that does not canonicalize to a
+    * surt key (junk, schemeless garbage) fails loudly — a null key
+    * would silently look up nothing.
+    *
+    * Scale shape: [[cdxjLookup]]'s candidate-block pruning does the
+    * work (only blocks that can hold the key are fetched); the
+    * surt-keyed window is bounded by ONE URL's capture count —
+    * capture-history scale, not corpus scale. */
+  def cdxjLookupUrl(spark: SparkSession, dir: String, url: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one-row driver-side eval of the library's own surt spelling —
+    // planner-scale by construction
+    val key = spark.range(1)
+      .select(graft.ops.Web.surtKey(lit(url)).as("k"))
+      .head().getString(0)
+    require(key != null,
+      s"cdxjLookupUrl: '$url' does not canonicalize to a surt key")
+    cdxjLookup(spark, dir, key, key)
+      .withColumn("capture_seq", row_number().over(
+        Window.partitionBy(col("surt")).orderBy(col("ts"),
+          col("shard"), col("cluster_id"), col("line_no"))))
+  }
 }

@@ -817,6 +817,47 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(WarcFiles.readCdxjGz(spark, dir.toString).count() == 0)
   }
 
+  test("cdxjLookupUrl: every capture of ONE url, ts-ordered with a " +
+      "1-based capture_seq; the surt canonicalization (www-strip, " +
+      "case fold) applies to the query url; junk url fails loudly " +
+      "instead of silently finding nothing") {
+    val s = spark
+    import s.implicits._
+    // 3 captures of the target url at SHUFFLED timestamps + decoys
+    // on both sides of the key so block pruning has work to do
+    val rows = Seq(
+      ("com,example)/p", "20260103000000",
+        """com,example)/p 20260103000000 {"url": "http://example.com/p", "digest": "sha1:C3"}"""),
+      ("com,example)/p", "20260101000000",
+        """com,example)/p 20260101000000 {"url": "http://example.com/p", "digest": "sha1:C1"}"""),
+      ("com,example)/p", "20260102000000",
+        """com,example)/p 20260102000000 {"url": "http://example.com/p", "digest": "sha1:C2"}"""),
+      ("com,example)/a", "20260101000000",
+        """com,example)/a 20260101000000 {"url": "http://example.com/a"}"""),
+      ("com,example)/pz", "20260101000000",
+        """com,example)/pz 20260101000000 {"url": "http://example.com/pz"}"""),
+      ("org,other)/p", "20260101000000",
+        """org,other)/p 20260101000000 {"url": "http://other.org/p"}"""))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxj_url")
+    dir.toFile.deleteOnExit()
+    WarcFiles.writeCdxjGz(rows.toDF("surt", "ts", "line"),
+      dir.toString, 2, blockLines = 2)
+    // www-strip + case fold: the QUERY url canonicalizes to the
+    // written surt
+    val got = WarcFiles.cdxjLookupUrl(spark, dir.toString,
+        "http://www.Example.com/p")
+      .select(col("ts"), col("digest"), col("capture_seq"))
+      .orderBy("capture_seq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq(
+      ("20260101000000", "sha1:C1", 1),
+      ("20260102000000", "sha1:C2", 2),
+      ("20260103000000", "sha1:C3", 3)))
+    intercept[IllegalArgumentException] {
+      WarcFiles.cdxjLookupUrl(spark, dir.toString, "not a url")
+    }
+  }
+
   test("surtKey: reversed host, www-strip, query kept, junk -> null") {
     val s = spark
     import s.implicits._
