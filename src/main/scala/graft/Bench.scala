@@ -74,7 +74,11 @@ object Bench {
     * what's-wrong #4); (r19) the CDXJ index tier (`web_cdxj_ingest`)
     * — warcCdx over real files → serialize to CDXJ text → parse →
     * re-anchor → tiling-validated indexed ingest, the shipped-index
-    * interop representative (r18 verdict next #6). */
+    * interop representative (r18 verdict next #6); (r20) the WAT
+    * tier (`web_wat_ingest`) — envelope records in gzip members →
+    * explicit-schema from_json parse → typed link table, the
+    * link-graph-at-1/10th-bytes representative (r19 verdict next
+    * #5). */
   val headline: Seq[String] = Seq(
     "q1_agg", "filter_rows", "io_parquet_project",
     "join_inner", "join_left", "join_semi", "join_asof",
@@ -88,7 +92,7 @@ object Bench {
     "events_rfm", "stat_spearman", "events_kaplan_meier",
     "text_html_extract", "text_html_main", "web_robots_decide",
     "web_warc_gzip", "pipeline_warc_response",
-    "web_warc_write_roundtrip", "web_cdxj_ingest")
+    "web_warc_write_roundtrip", "web_cdxj_ingest", "web_wat_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
