@@ -9765,6 +9765,89 @@ object SparkEntry {
       |    AS robots_noindex
       |FROM links ORDER BY doc_id, link_idx""".stripMargin)),
 
+    Q("pipeline_wat_container", (s, dir) => {
+      // the full sibling-pair story (the r19 verdict ask's Container
+      // clause): write a WARC corpus → warcCdx indexes the REAL gzip
+      // member extents → each record's extent is serialized into its
+      // WAT envelope's Container (Filename + Offset, the CC pointer
+      // convention) → writeWatGz ships the sidecar → read the
+      // sidecar back and FOLLOW each pointer with an indexed ranged
+      // read of exactly that member — the record found there must be
+      // the capture the envelope describes. Filenames/offsets are
+      // physical (hash-shard layout, not analytically replayable),
+      // so the engine asserts the pointer resolution and ships the
+      // VERDICT bit; DuckDB replays the analytic identity columns.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val src = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(concat(lit("http://h"), k, lit(".ex/p/"), id)
+            .as("uri"),
+          concat(lit("2026-01-0"), (col("doc_id") % 9 + 1)
+            .cast(StringType), lit("T00:00:00Z")).as("date"),
+          encode(col("text"), "UTF-8").as("payload"))
+      val warcDir =
+        java.nio.file.Files.createTempDirectory("graft_wat_cont_w")
+      warcDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeWarcGz(src, "uri", "date",
+        "payload", warcDir.toString, 4)
+      val cdx = graft.sources.WarcFiles.warcCdx(s,
+          warcDir.toString + "/*.warc.gz", 1L << 20)
+        .where(col("warc_type") === "conversion")
+      val wat = cdx.select(col("target_uri").as("uri"),
+        col("warc_date").as("date"),
+        Web.watEnvelopeJson(col("target_uri"), col("warc_date"),
+          lit("200"), lit("text/plain"), null, null, null, null,
+          element_at(split(col("path"), "/"), -1),
+          col("offset").cast(StringType)).as("env"))
+      val watDir =
+        java.nio.file.Files.createTempDirectory("graft_wat_cont_s")
+      watDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeWatGz(wat, "uri", "date", "env",
+        watDir.toString, 2)
+      val e = Web.watEnvelope(col("payload"))
+      val ptr = graft.sources.WarcFiles.warcRecordsGzipFiles(s,
+          watDir.toString + "/*.warc.gz", 1L << 20)
+        .where(col("warc_type") === "metadata")
+        .select(col("target_uri").as("wat_uri"),
+          e.getField("Container").getField("Filename").as("c_file"),
+          e.getField("Container").getField("Offset").cast(LongType)
+            .as("c_off"))
+      val idx = graft.sources.WarcFiles.memberIndex(s,
+          warcDir.toString + "/*.warc.gz")
+        .withColumn("__fname", element_at(split(col("path"), "/"), -1))
+      val sel = ptr.join(idx, ptr("c_file") === idx("__fname") &&
+          ptr("c_off") === idx("offset"))
+        .select(col("path"), col("member_idx"), col("offset"),
+          col("length"), col("clean"), col("wat_uri"))
+        .localCheckpoint()
+      // targetChunkBytes=1 → every member becomes its own chunk: the
+      // pointer-follow is literally one ranged read per extent (the
+      // pointer set covers every member here, so chunksFromIndex's
+      // tiling contract holds by construction)
+      val resolved = graft.sources.WarcFiles
+        .warcRecordsGzipFilesIndexed(s,
+          sel.select(col("path"), col("offset"), col("length"),
+            col("clean")), 1L)
+        .select(col("path").as("__rp"),
+          col("member_idx").as("__rm"),
+          col("target_uri").as("resolved_uri"))
+      sel.join(resolved, sel("path") === resolved("__rp") &&
+          sel("member_idx") === resolved("__rm"))
+        .select(regexp_extract(col("wat_uri"), "/p/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("wat_uri"),
+          (col("resolved_uri") === col("wat_uri")).cast(IntegerType)
+            .as("pointer_ok"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some("""SELECT doc_id,
+      |  'http://h' || CAST(doc_id % 30 AS VARCHAR) || '.ex/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS wat_uri,
+      |  1 AS pointer_ok
+      |FROM documents
+      |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin)),
+
     Q("web_wet_write_roundtrip", (s, dir) => {
       // the WET WRITE side (the third Common Crawl artifact): per doc
       // an HTML page goes through THE htmlText kernel, the extracted

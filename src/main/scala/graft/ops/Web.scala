@@ -449,14 +449,16 @@ object Web {
     val metasT = typed(metas, ArrayType(StructType(Seq(
       StructField("name", StringType),
       StructField("content", StringType)))))
-    // scala-null tolerated for every scalar the envelope may omit
+    // scala-null tolerated for every field the envelope may omit —
+    // a non-HTML capture's envelope has no links/title at all
     val titleT = typed(title, StringType)
     val baseT = typed(base, StringType)
     val statusT = typed(status, StringType)
     val ctT = typed(contentType, StringType)
+    val linksT = typed(links, ArrayType(watLinkType))
     val head = struct(titleT.as("Title"), baseT.as("Base"),
       metasT.as("Metas"))
-    val htmlMeta = struct(head.as("Head"), links.as("Links"))
+    val htmlMeta = struct(head.as("Head"), linksT.as("Links"))
     val httpResp = struct(
       struct(statusT.cast("string").as("Status"))
         .as("Response-Message"),
