@@ -9438,6 +9438,77 @@ object SparkEntry {
       |    END AS nofollow
       |FROM h ORDER BY doc_id""".stripMargin)),
 
+    Q("web_link_headers", (s, dir) => {
+      // RFC 8288 Link response-header parsing (r20 — the HTTP-level
+      // canonical/pagination governance signal, the only canonical
+      // spelling non-HTML payloads have): per doc a response whose
+      // Link header declares a canonical + next entry, a SECOND Link
+      // header on doc_id%4==1 with a space-separated rel token LIST
+      // ("alternate canonical" must match both tokens) and an extra
+      // rel-less entry; doc_id%10==9 ships no Link header at all and
+      // must yield one null-entry row (capture visible, n_canonical
+      // 0). canonical_abs composes the first canonical target
+      // through resolveUrl+canonicalizeUrl — the exact chain the
+      // HTML <link rel=canonical> side runs. DuckDB replays the
+      // generator analytically.
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val crlf = "\r\n"
+      val pageUrl = concat(lit("http://h"), k, lit(".ex/p/"), id)
+      val link2 = when(col("doc_id") % 4 === 1, concat(
+        lit("Link: </alt/"), id,
+        lit(".fr>; rel=\"alternate canonical\"; hreflang=fr, " +
+          "</bare/"), id, lit(">" + crlf))).otherwise(lit(""))
+      val msg = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf),
+        when(col("doc_id") % 10 =!= 9, concat(
+          lit("Link: <http://c"), k, lit(".ex/canon/"), id,
+          lit(">; rel=\"canonical\", </p/"), id,
+          lit("/2>; rel=next" + crlf), link2)).otherwise(lit("")),
+        lit(crlf + "body"))
+      val hs = Web.httpParts(encode(msg, "UTF-8")).getField("headers")
+      val canonAbs = Web.canonicalizeUrl(Web.resolveUrl(pageUrl,
+        try_element_at(Web.linkHeaderTargets(hs, "canonical"),
+          lit(1))))
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          posexplode_outer(Web.linkHeaderEntries(hs))
+            .as(Seq("link_idx", "__e")),
+          canonAbs.as("canonical_abs"),
+          size(Web.linkHeaderTargets(hs, "canonical"))
+            .cast(IntegerType).as("n_canonical"))
+        .select(col("doc_id"), col("link_idx"),
+          col("__e").getField("url").as("url"),
+          col("__e").getField("rel").as("rel"),
+          col("canonical_abs"), col("n_canonical"))
+        .sortByKeys(SortKey("doc_id"), SortKey("link_idx"))
+    }, Some("""WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 30 AS VARCHAR) AS k, doc_id % 10 = 9 AS bare,
+      |  doc_id % 4 = 1 AS second FROM documents),
+      |e AS (
+      |  SELECT doc_id, 0 AS link_idx,
+      |    'http://c' || k || '.ex/canon/' || i AS url,
+      |    'canonical' AS rel, i, k, second FROM h WHERE NOT bare
+      |  UNION ALL
+      |  SELECT doc_id, 1, '/p/' || i || '/2', 'next', i, k, second
+      |  FROM h WHERE NOT bare
+      |  UNION ALL
+      |  SELECT doc_id, 2, '/alt/' || i || '.fr',
+      |    'alternate canonical', i, k, second
+      |  FROM h WHERE NOT bare AND second
+      |  UNION ALL
+      |  SELECT doc_id, 3, '/bare/' || i, NULL, i, k, second
+      |  FROM h WHERE NOT bare AND second)
+      |SELECT doc_id, CAST(link_idx AS INTEGER) AS link_idx, url, rel,
+      |  'http://c' || k || '.ex/canon/' || i AS canonical_abs,
+      |  CAST(CASE WHEN second THEN 2 ELSE 1 END AS INTEGER)
+      |    AS n_canonical
+      |FROM e
+      |UNION ALL
+      |SELECT doc_id, NULL, NULL, NULL, NULL, 0 FROM h WHERE bare
+      |ORDER BY doc_id, link_idx""".stripMargin)),
+
     Q("web_wat_links", (s, dir) => {
       // WAT envelope parsing (r18 verdict missing #1): per doc one
       // generated web-archive-metadata JSON envelope — target

@@ -848,6 +848,55 @@ object Web {
       struct(has("noindex").as("noindex"), has("nofollow").as("nofollow")))
   }
 
+  /** RFC 8288 `Link` response-header entries as a typed table:
+    * array<struct<url, rel>> from ALL `Link` headers in an
+    * [[httpParts]] `headers` array, in header-then-declaration order
+    * — the HTTP-level governance sibling of the HTML `<link>` tags:
+    * `rel=canonical` is the dedup key a crawler honors WITHOUT
+    * parsing HTML (and the only canonical signal non-HTML payloads
+    * have), `rel=prev/next` the pagination edges, `rel=alternate`
+    * the variant map. Constrained, engine-replayable grammar: each
+    * header value yields its `<url>; params` segments
+    * (`<([^>]*)>([^,]*)` — a comma inside a quoted parameter value
+    * is a documented residual, pathological in the wild); `rel` is
+    * the (first) `rel=` parameter's value, quote-stripped,
+    * lowercased, kept as the RFC's space-separated token LIST
+    * (filter with [[linkHeaderTargets]]); an entry without `rel` →
+    * null rel. No Link headers → empty array; null headers → null.
+    * Scan-side array expressions, zero shuffle. */
+  def linkHeaderEntries(headers: Column): Column = {
+    val vals = transform(
+      filter(headers, h => lower(h.getField("name")) === "link"),
+      h => h.getField("value"))
+    val segs = flatten(transform(vals, v =>
+      regexp_extract_all(v, lit("<([^>]*)>([^,]*)"), lit(0))))
+    when(headers.isNotNull, transform(segs, seg => {
+      val relTok = regexp_extract(seg,
+        "(?i)[;][ \t]*rel[ \t]*=[ \t]*(\"[^\"]*\"|[^;,]*)", 1)
+      val rel = when(startswith(relTok, lit("\"")),
+        regexp_replace(relTok, "^\"|\"$", "")).otherwise(relTok)
+      struct(
+        regexp_extract(seg, "<([^>]*)>", 1).as("url"),
+        nullif(lower(trim(rel)), lit("")).as("rel"))
+    }))
+  }
+
+  /** URLs of the [[linkHeaderEntries]] whose `rel` token list
+    * contains `relToken` (RFC 8288: `rel` is a space-separated list,
+    * so `rel="canonical alternate"` matches both tokens), in
+    * declaration order. Compose the HTTP-level canonical dedup key as
+    * `try_element_at(linkHeaderTargets(parts.getField("headers"),
+    * "canonical"), lit(1))` → [[resolveUrl]] against the page URL →
+    * [[canonicalizeUrl]] — the exact chain the HTML `<link
+    * rel=canonical>` side runs. Scan-side. */
+  def linkHeaderTargets(headers: Column, relToken: String): Column =
+    transform(
+      filter(linkHeaderEntries(headers), e =>
+        array_contains(
+          split(coalesce(e.getField("rel"), lit("")), " +"),
+          relToken.toLowerCase(java.util.Locale.ROOT))),
+      e => e.getField("url"))
+
   /** First header VALUE with the given (case-insensitive) name from an
     * [[httpParts]] `headers` array; null when absent. Scan-side array
     * expression. */

@@ -235,6 +235,56 @@ class HttpPartsSpec extends AnyFunSuite {
     assert(rparse("no request here".getBytes("UTF-8"))._6 == "raw")
   }
 
+  test("linkHeaderEntries/linkHeaderTargets: RFC 8288 Link headers " +
+      "parse to (url, rel) entries in declaration order across " +
+      "multiple headers; quoted and bare rel, space-separated rel " +
+      "token lists, rel-less entries, no Link headers -> empty, " +
+      "null -> null") {
+    val s = spark
+    import s.implicits._
+    def df(hdrLines: Seq[String]) = {
+      val msg = hdrLines.mkString("HTTP/1.1 200 OK" + CRLF,
+        CRLF, CRLF + CRLF + "x")
+      Seq(Tuple1(msg.getBytes("ISO-8859-1"))).toDF("p")
+    }
+    val d = df(Seq(
+      "Link: <https://ex.com/canon>; rel=\"canonical\", " +
+        "</page/2>; rel=next",
+      "Server: x",
+      "LINK: </alt.fr>; rel=\"alternate canonical\"; " +
+        "hreflang=fr, </bare>"))
+    val entries = d.select(Web.linkHeaderEntries(
+        Web.httpParts(col("p")).getField("headers")).as("e"))
+      .select(explode(col("e")).as("x"))
+      .select(col("x.url"), col("x.rel")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull)).toSeq
+    assert(entries == Seq(
+      ("https://ex.com/canon", "canonical"),
+      ("/page/2", "next"),
+      ("/alt.fr", "alternate canonical"),
+      ("/bare", null)))
+    // token-list filtering: both canonical declarations match, in
+    // order; composition with resolve/canonicalize = the HTML chain
+    val canon = d.select(Web.linkHeaderTargets(
+        Web.httpParts(col("p")).getField("headers"), "canonical")
+        .as("c"))
+      .select(explode(col("c"))).collect().map(_.getString(0)).toSeq
+    assert(canon == Seq("https://ex.com/canon", "/alt.fr"))
+    val next = d.select(Web.linkHeaderTargets(
+        Web.httpParts(col("p")).getField("headers"), "next").as("c"))
+      .first().getSeq[String](0)
+    assert(next == Seq("/page/2"))
+    // no Link headers -> empty array; null headers -> null
+    val none = df(Seq("Server: x")).select(Web.linkHeaderEntries(
+        Web.httpParts(col("p")).getField("headers")).as("e"))
+      .first().getSeq[org.apache.spark.sql.Row](0)
+    assert(none.isEmpty)
+    assert(Seq(Tuple1(Option.empty[Array[Byte]])).toDF("p")
+      .select(Web.linkHeaderEntries(
+        Web.httpParts(col("p")).getField("headers")))
+      .collect().head.isNullAt(0))
+  }
+
   test("xRobotsFlags: unscoped applies, foreign scope ignored, our " +
       "scope applies, parameterful directives are never scopes, none " +
       "implies both, null headers -> null") {
