@@ -9972,6 +9972,70 @@ object SparkEntry {
       |  1 AS digest_ok
       |FROM h ORDER BY doc_id""".stripMargin)),
 
+    Q("pipeline_wet_refers", (s, dir) => {
+      // cross-artifact referential integrity (the WET↔WARC link a
+      // real republish must get right): write the WARC corpus, read
+      // the REAL record ids back, extract each page's text through
+      // THE htmlText kernel, write the WET sidecar with
+      // WARC-Refers-To = those ids, read the sidecar back — the
+      // refers_to chain must close on ids DuckDB INDEPENDENTLY
+      // recomputes from the writer's deterministic name-based uuid
+      // law (md5(uri \n date \n payload), version/variant nibbles
+      // pinned), and the WET text must equal the kernel extraction.
+      val f = graft.functions.TextFunctions
+      val id = col("doc_id").cast(StringType)
+      val k = (col("doc_id") % 30).cast(StringType)
+      val html = concat(lit("<html><body><p>W &amp; "), col("text"),
+        lit("</p></body></html>"))
+      val src = Tables(s, dir).documents
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(concat(lit("http://h"), k, lit(".ex/p/"), id)
+            .as("uri"),
+          concat(lit("2026-01-0"), (col("doc_id") % 9 + 1)
+            .cast(StringType), lit("T00:00:00Z")).as("date"),
+          encode(html, "UTF-8").as("payload"))
+      val warcDir =
+        java.nio.file.Files.createTempDirectory("graft_wet_ref_w")
+      warcDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeWarcGz(src, "uri", "date",
+        "payload", warcDir.toString, 4, warcType = "response")
+      val warcBack = graft.sources.WarcFiles.warcRecordsGzipFiles(s,
+          warcDir.toString + "/*.warc.gz", 1L << 20)
+        .select(col("target_uri").as("uri"),
+          col("warc_date").as("date"),
+          col("warc_record_id").as("rid"),
+          f.htmlText(col("payload").cast(StringType)).as("wet_text"))
+      val wetDir =
+        java.nio.file.Files.createTempDirectory("graft_wet_ref_s")
+      wetDir.toFile.deleteOnExit()
+      graft.sources.WarcFiles.writeWetGz(warcBack, "uri", "date",
+        "wet_text", wetDir.toString, 2, refersToCol = "rid")
+      graft.sources.WarcFiles.warcRecordsGzipFiles(s,
+          wetDir.toString + "/*.warc.gz", 1L << 20)
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("warc_type"),
+          col("warc_refers_to").as("refers_to"),
+          col("payload").cast(StringType).as("wet_text"))
+        .sortByKeys(SortKey("doc_id"))
+    }, Some(s"""WITH h AS (SELECT doc_id, text,
+      |  CAST(doc_id AS VARCHAR) AS i,
+      |  CAST(doc_id % 30 AS VARCHAR) AS k,
+      |  '<html><body><p>W &amp; ' || text || '</p></body></html>'
+      |    AS html
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |w AS (SELECT doc_id, html,
+      |  md5('http://h' || k || '.ex/p/' || i || chr(10) ||
+      |    '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) ||
+      |    'T00:00:00Z' || chr(10) || html) AS hx FROM h)
+      |SELECT doc_id, 'conversion' AS warc_type,
+      |  'urn:uuid:' || substr(hx, 1, 8) || '-' || substr(hx, 9, 4) ||
+      |    '-3' || substr(hx, 14, 3) || '-8' || substr(hx, 18, 3) ||
+      |    '-' || substr(hx, 21, 12) AS refers_to,
+      |  ${htmlExtractSqlOn("html")} AS wet_text
+      |FROM w ORDER BY doc_id""".stripMargin)),
+
     Q("web_cdxj_lookup", (s, dir) => {
       // the two-level SELECTIVE lookup (the actual CC access pattern:
       // "every capture under this prefix"): write the analytic index
