@@ -9716,10 +9716,18 @@ object SparkEntry {
           lit(crlf + "Content-Length: "),
           octet_length(payB).cast(StringType), lit(crlf + crlf))),
         payB, ascii(lit(crlf + crlf)))
-      val recs = Web.warcRecordsGzip(
-        Tables(s, dir).documents.select(col("doc_id"),
-          wf.gzipCompress(rec).as("gz")), "doc_id", "gz")
-        .where(col("warc_type") === "metadata")
+      // lineage cut (r20): the gzip-member build + record parse below
+      // feeds BOTH the link-explode side and the metadata join side of
+      // one query — with no exchange underneath, the whole compress+
+      // inflate+parse kernel chain would run twice; materialize the
+      // parsed records once (fixture-scale frame, same planner bound
+      // as the generator itself)
+      val (recs, _) = graft.core.CacheHandle.checkpointSmall(
+        Web.warcRecordsGzip(
+          Tables(s, dir).documents.select(col("doc_id"),
+            wf.gzipCompress(rec).as("gz")), "doc_id", "gz")
+          .where(col("warc_type") === "metadata")
+          .select(col("doc_id"), col("payload"), col("target_uri")))
       val meta = Web.watMetadata(col("payload"))
       Web.watLinks(recs.select(col("doc_id"), col("payload"),
           col("target_uri")), "doc_id", "payload")

@@ -61,6 +61,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r20: spark.sql.join.preferSortMergeJoin deliberately stays at
+      // its default (true) — measured A/B at sf0.1 (4 cold reps × 2
+      // rounds each way): allowing shuffled-hash regressed the LSH
+      // band self-join ~0.45 s (hash-building the exploded band keys
+      // loses to sort-merge) and moved nothing else beyond noise.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -487,7 +487,14 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val maxTs = df.agg(max(col(tsCol)).as("__maxts"))
-    val per = df
+    // Cut lineage at the entity rollup (r20): `per` feeds BOTH the
+    // value-collapse→cumsum chain and the tie-break/tile join below —
+    // two separate actions — so without a cut the events-sized
+    // entity shuffle runs twice. The rollup is the operator's
+    // decision table (entity key + three longs, ≪ events corpus);
+    // materializing it once is the guide-§2.3 "shuffle keys and
+    // metadata, move heavy bytes once" shape.
+    val (per, _) = graft.core.CacheHandle.checkpointSmall(df
       .where(col(entityCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(entityCol))
       .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("frequency"),
@@ -496,7 +503,7 @@ object Events {
       .withColumn("recency_days",
         datediff(to_date(col("__maxts")), to_date(col("__last")))
           .cast(LongType))
-      .drop("__last", "__maxts")
+      .drop("__last", "__maxts"))
     def intDiv(a: Column, b: Column): Column =
       floor(a / nullif(b.cast(DoubleType), lit(0.0))).cast(LongType)
     // exact ntile(k) of row rn (1-based) among n: first n%k tiles hold

@@ -165,29 +165,41 @@ object Stats {
     *
     * Scale shape: the classic global-rank trap is `Window.orderBy`
     * with no partition key (whole corpus through one task). Instead
-    * each column COLLAPSES to its distinct values (one count shuffle,
-    * map-side partials), ranks derive from [[Series.globalCumSum]]
-    * (bucketed two-level scan, no single-partition stage), and two
-    * skinny value→rank joins decorate the original pairs. Null pairs
+    * BOTH columns collapse to their distinct values in ONE unpivoted
+    * count shuffle (map-side partials), ranks for both derive from a
+    * single [[Series.groupedCumSum]] keyed by the metric tag (bucketed
+    * two-level scan, no single-partition stage), and two skinny
+    * value→rank joins decorate the original pairs. Null pairs
     * excluded. */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val pairs = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast(DoubleType).as("__x"),
         col(yCol).cast(DoubleType).as("__y"))
-    def ranks(valueCol: String, rankName: String): DataFrame = {
-      val counts = pairs.groupBy(col(valueCol).as("__v"))
-        .agg(count(lit(1)).as("__c"))
-      Series.globalCumSum(counts, "__v", Seq("__c"), withTotals = false)
-        // positions (cum−c+1)..cum → average rank cum − (c−1)/2
-        .select(col("__v").as(valueCol),
-          (col("cum___c").cast(DoubleType) -
-            (col("__c").cast(DoubleType) - lit(1.0)) / lit(2.0))
-            .as(rankName))
-    }
+    // ONE value-collapse for BOTH columns (r20): unpivot each pair to
+    // (metric 0 = x, metric 1 = y) rows and count per (metric, value)
+    // in a single map-side-partial shuffle, then ONE groupedCumSum
+    // ranks both columns in a single bucketed two-level scan — the
+    // rfmSegments shape. The r13 form ran the whole rank machinery
+    // (counts shuffle + percentile + partials + offset window) once
+    // PER column; per-(metric,value) counts equal the per-column
+    // counts, so every rank is the identical exact half-integer.
+    val unp = pairs.select(explode(array(
+        struct(lit(0).as("__m"), col("__x").as("__v")),
+        struct(lit(1).as("__m"), col("__y").as("__v")))).as("__mv"))
+      .select(col("__mv.__m").as("__m"), col("__mv.__v").as("__v"))
+    val counts = unp.groupBy(col("__m"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // positions (cum−c+1)..cum → average rank cum − (c−1)/2
+    val ranks = Series.groupedCumSum(counts, Seq("__m"), "__v", Seq("__c"))
+      .select(col("__m"), col("__v"),
+        (col("cum___c").cast(DoubleType) -
+          (col("__c").cast(DoubleType) - lit(1.0)) / lit(2.0)).as("__r"))
     pairs
-      .join(ranks("__x", "__rx"), Seq("__x"))
-      .join(ranks("__y", "__ry"), Seq("__y"))
+      .join(ranks.where(col("__m") === 0)
+        .select(col("__v").as("__x"), col("__r").as("__rx")), Seq("__x"))
+      .join(ranks.where(col("__m") === 1)
+        .select(col("__v").as("__y"), col("__r").as("__ry")), Seq("__y"))
       .agg(count(lit(1)).as("n"),
         covar_pop(col("__rx"), col("__ry")).as("__cov"),
         var_pop(col("__rx")).as("__vx"), var_pop(col("__ry")).as("__vy"))

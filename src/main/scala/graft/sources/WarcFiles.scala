@@ -320,13 +320,23 @@ object WarcFiles {
     * own chunk. Per-file chunk numbering and the cumulative
     * `member_base` come from one window over the chunk-grain rows
     * (bounded: ~size/target rows per file). */
-  def chunksFromIndex(index: DataFrame,
+  def chunksFromIndex(index0: DataFrame,
       targetChunkBytes: Long = DefaultTargetChunkBytes,
       validateTiling: Boolean = false): DataFrame = {
     require(targetChunkBytes >= 1 && targetChunkBytes <= (1L << 30),
       "warc file chunking: targetChunkBytes must be in [1, 1 GiB] - a " +
         "chunk is one task's cell")
     import org.apache.spark.sql.expressions.Window
+    // Cut the index lineage once (r20): the skinny index feeds up to
+    // three subtrees below (the optional tiling validation's eager
+    // pass, the clean-chunk aggregate, the tail branch), and a shipped
+    // index typically arrives through a serialize→parse kernel chain
+    // (cdxjRecords → cdxjMemberIndex) that would otherwise re-run per
+    // subtree — shuffle reuse does not span actions and the parse is
+    // scan-side (no exchange to reuse even within one). Member-grain
+    // and skinny by contract: the same planner-scale bound the
+    // validation pass already relies on.
+    val (index, _) = graft.core.CacheHandle.checkpointSmall(index0)
     // (r17 verdict #1 / what's-wrong #3) explicit tiling validation:
     // an EXTERNAL index with internal gaps (a selective cdx that skips
     // request/warcinfo members) would silently pull unselected members

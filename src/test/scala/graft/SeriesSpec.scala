@@ -224,6 +224,28 @@ class SeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedCumSum: input lineage is cut - the upstream computes " +
+      "exactly once across the kernel's internal actions (r20)") {
+    // the kernel consumes its input through three separate actions
+    // (bucket-edge percentile, per-bucket partials collect, the final
+    // decorated result) plus whatever the caller runs; without the
+    // entry checkpoint the producing lineage re-executes per action.
+    val s = spark
+    import s.implicits._
+    val acc = s.sparkContext.longAccumulator("cumsum-upstream-computes")
+    val src = s.createDataset((1 to 100).map(i => (i.toDouble, 1L)))
+      .repartition(4)
+      .mapPartitions { it => acc.add(1L); it }
+      .toDF("v", "x")
+    val out = Series.globalCumSum(src, "v", Seq("x"), buckets = 8)
+    assert(out.count() == 100)
+    assert(out.agg(max(col("cum_x"))).collect().head.getLong(0) == 100L)
+    assert(acc.value == 4,
+      s"upstream partitions computed ${acc.value} task-times - expected " +
+        "4 (once per partition): the kernel must read its input from " +
+        "the one-shot checkpoint, not recompute it per action")
+  }
+
   test("groupedCumSum: per-group differential vs partitioned window; " +
       "per-group totals; groups with disjoint value ranges") {
     val s = spark
